@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Central place for the config that matters at scale: shuffle
+  * partitioning sized to the cluster (32 here = local core count; on a
+  * real cluster AQE coalesces), adaptive execution on (runtime re-plan,
+  * skew-join splitting), UTC so results match the DuckDB oracle, and
+  * nanosecond-parquet read support (the driver-generated testdata
+  * carries `timestamp[ns]` columns).
+  */
+object GraftSession {
+  def builder(master: String = "local[*]", cpus: String = "32"): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // testdata parquet uses INT64 TIMESTAMP(NANOS); read as micros.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "false")
+
+  def get(master: String = "local[*]", cpus: String = "32"): SparkSession = {
+    val spark = builder(master, cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}
