@@ -21,8 +21,10 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // testdata parquet uses INT64 TIMESTAMP(NANOS); read as micros.
-      .config("spark.sql.legacy.parquet.nanosAsLong", "false")
+      // events.parquet carries INT64 TIMESTAMP(NANOS), which Spark's
+      // vectorized reader rejects; read it as LongType epoch-nanos and
+      // derive timestamps explicitly (Tables.events).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
 
   def get(master: String = "local[*]", cpus: String = "32"): SparkSession = {
     val spark = builder(master, cpus).getOrCreate()

@@ -34,8 +34,21 @@ object Queries {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** Grok extraction (SURVEY §2 row 5) over the events stream table:
+    * typed capture (`:int`) from the raw payload via the native
+    * GrokExtract expression — stays inside WholeStageCodegen.
+    */
+  private val qGrok: Q = (spark, dir) => {
+    val ev = Tables(spark, dir, "events")
+    ev.select(col("event_id"),
+        graft.functions.grok_extract(col("props"), """\{"k": %{INT:k_val:int}\}""").as("g"))
+      .select(col("event_id"), col("g.k_val").as("k_val"))
+      .orderBy("event_id")
+  }
+
   val all: Map[String, Q] = Map(
-    "q1_agg" -> q1Agg
+    "q1_agg" -> q1Agg,
+    "q12_grok" -> qGrok
   )
 
   val oracles: Map[String, String] = Map(
@@ -50,6 +63,12 @@ object Queries {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q12_grok" ->
+      """SELECT event_id,
+        |  coalesce(try_cast(regexp_extract(props, '\{"k": ([+-]?(?:[0-9]+))\}', 1) AS BIGINT), 0) AS k_val
+        |FROM events
+        |ORDER BY event_id""".stripMargin
   )
 }

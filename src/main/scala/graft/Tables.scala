@@ -14,4 +14,15 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** events with its INT64-nanos `ts` (read as LongType under
+    * `nanosAsLong`) normalized: `ts_ms` epoch millis and `ts_t`
+    * microsecond TimestampType, both derived by truncation.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    apply(spark, sfDir, "events")
+      .withColumn("ts_ms", col("ts") / lit(1000000L) cast "long")
+      .withColumn("ts_t", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+  }
 }

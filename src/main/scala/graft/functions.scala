@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.StringType
+
+import graft.grok.{GrokExtract, GrokExtractMap, GrokMatch}
+
+/** Column-API and SQL surface for the engine's custom expressions. */
+object functions {
+
+  private def col(e: Expression): Column = Bridge.column(e)
+  private def expr(c: Column): Expression = Bridge.expression(c)
+
+  /** Typed-struct grok extraction; see [[graft.grok.GrokExtract]]. */
+  def grok_extract(c: Column, pattern: String): Column = col(GrokExtract(expr(c), pattern))
+
+  /** map<string,string> grok extraction; see [[graft.grok.GrokExtractMap]]. */
+  def grok_extract_map(c: Column, pattern: String): Column = col(GrokExtractMap(expr(c), pattern))
+
+  /** Boolean grok match; see [[graft.grok.GrokMatch]]. */
+  def grok_match(c: Column, pattern: String): Column = col(GrokMatch(expr(c), pattern))
+
+  private def literalString(e: Expression, fn: String): String = e match {
+    case Literal(s, _: StringType) if s != null => s.toString
+    case _ => throw new IllegalArgumentException(
+      s"$fn requires a foldable string literal grok pattern, got: $e")
+  }
+
+  /** Registers grok_* for SQL use: `SELECT grok_extract(line, '%{GENERIC}').log_event`. */
+  def registerAll(spark: SparkSession): Unit = {
+    Bridge.registerFunction(spark, "grok_extract",
+      es => GrokExtract(es.head, literalString(es(1), "grok_extract")))
+    Bridge.registerFunction(spark, "grok_extract_map",
+      es => GrokExtractMap(es.head, literalString(es(1), "grok_extract_map")))
+    Bridge.registerFunction(spark, "grok_match",
+      es => GrokMatch(es.head, literalString(es(1), "grok_match")))
+  }
+}
