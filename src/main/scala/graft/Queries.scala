@@ -46,9 +46,96 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Multi-way CASE routing (SURVEY §2 row 4) via Classifier.family,
+    * driving the real rule chain (incl. drop-before-keep ordering: a
+    * gorouter tag on an access-log path still drops) over synthetic
+    * envelope columns derived from events.
+    */
+  private val qRoute: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+    val si = when(col("user_id") % 5 === 0, lit("/var/log/messages"))
+      .when(col("user_id") % 5 === 1, lit("/var/vcap/sys/log/gorouter/access.log"))
+      .when(col("user_id") % 5 === 2, lit("/var/vcap/sys/log/director/debug.log"))
+      .when(col("user_id") % 5 === 3, lit("/var/vcap/sys/log/other/x.log"))
+      .otherwise(lit("router/0"))
+    val tags = when(col("event_type") === "click",
+      map(lit("source_id"), lit("gorouter"))).otherwise(map())
+    val st = when(col("event_type") === "purchase", lit("APP/PROC/WEB")).otherwise(lit("OTHER"))
+    ev.withColumn("family", pipeline.Classifier.family(si, tags, st))
+      .groupBy(coalesce(col("family"), lit("dropped")).as("family"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("family")
+  }
+
+  /** Enrichment broadcast join (SURVEY §2 row 6): app→space→org chain
+    * with suffix-strip + key-fallback + inner-drop semantics, dims
+    * stood in by customer→nation→region.
+    */
+  private val qEnrich: Q = (spark, dir) => {
+    val apps = Tables(spark, dir, "customer").select(
+      col("c_custkey").cast("string").as("app_guid"),
+      concat(col("c_name"),
+        when(col("c_custkey") % 4 === 0, lit("-venerable"))
+          .when(col("c_custkey") % 4 === 1, lit("-blue"))
+          .when(col("c_custkey") % 4 === 2, lit("-blue-green"))
+          .otherwise(lit(""))).as("name"),
+      col("c_nationkey").cast("string").as("space_guid"))
+    val spaces = Tables(spark, dir, "nation").select(
+      col("n_nationkey").cast("string").as("space_guid"),
+      col("n_name").as("name"),
+      col("n_regionkey").cast("string").as("org_guid"))
+    val orgs = Tables(spark, dir, "region").select(
+      col("r_regionkey").cast("string").as("org_guid"),
+      col("r_name").as("name"))
+    val dims = pipeline.Enrich.resolveDims(apps, spaces, orgs, canonicalizeGuids = false)
+    val logs = Tables.events(spark, dir)
+    val appId = when(col("user_id") % 7 =!= 0, col("user_id").cast("string")).otherwise(lit(""))
+    val rtrAppId = when(col("event_type") =!= "error", (col("user_id") * 3).cast("string"))
+      .otherwise(lit(""))
+    pipeline.Enrich.enrich(logs, dims, appId, rtrAppId,
+        validateGuid = false, colPrefix = "cf_")
+      .select(col("event_id"), col("cf_app"), col("cf_space"), col("cf_org"))
+      .orderBy("event_id")
+  }
+
+  /** Computed columns + partition-key derivation (SURVEY §2 rows 8-9):
+    * epoch-millis timestamp and daily index name.
+    */
+  private val qComputed: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+    ev.select(
+        col("event_id"),
+        col("ts_ms"),
+        date_format(col("ts_t"), "yyyy-MM-dd").as("dt"))
+      .withColumn("es_index", concat(lit("gorouter-"), col("dt")))
+      .orderBy("event_id")
+  }
+
+  /** Retention / partition expiry (SURVEY §2 row 12): the keep/drop
+    * rule over daily index names (plus the undated/.kibana quirks),
+    * cutoff = max date − 2 days, evaluated set-oriented.
+    */
+  private val qRetention: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+    val idx = ev.groupBy(date_format(col("ts_t"), "yyyy-MM-dd").as("dt"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(concat(lit("gorouter-"), col("dt")).as("index_name"), col("cnt"))
+      .unionAll(spark.range(1).select(lit(".kibana").as("index_name"), lit(0L).as("cnt")))
+      .unionAll(spark.range(1).select(lit("undated_index").as("index_name"), lit(0L).as("cnt")))
+    val cutoff = ev.agg(date_format(
+      date_sub(to_date(max(date_format(col("ts_t"), "yyyy-MM-dd"))), 2), "yyyy-MM-dd"))
+      .collect().head.getString(0)
+    idx.filter(pipeline.Retention.shouldKeepCol(col("index_name"), cutoff))
+      .orderBy("index_name")
+  }
+
   val all: Map[String, Q] = Map(
     "q1_agg" -> q1Agg,
-    "q12_grok" -> qGrok
+    "q11_route" -> qRoute,
+    "q12_grok" -> qGrok,
+    "q13_enrich" -> qEnrich,
+    "q14_computed" -> qComputed,
+    "q15_retention" -> qRetention
   )
 
   val oracles: Map[String, String] = Map(
@@ -69,6 +156,67 @@ object Queries {
       """SELECT event_id,
         |  coalesce(try_cast(regexp_extract(props, '\{"k": ([+-]?(?:[0-9]+))\}', 1) AS BIGINT), 0) AS k_val
         |FROM events
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    "q11_route" ->
+      """WITH routed AS (
+        |  SELECT CASE
+        |    WHEN user_id % 5 IN (0, 1, 2, 3) THEN NULL
+        |    WHEN event_type = 'click' THEN 'gorouter'
+        |    WHEN event_type = 'purchase' THEN 'gorouter'
+        |    ELSE NULL END AS family
+        |  FROM events)
+        |SELECT coalesce(family, 'dropped') AS family, count(*) AS cnt
+        |FROM routed GROUP BY 1 ORDER BY family""".stripMargin,
+
+    "q13_enrich" ->
+      """WITH apps AS (
+        |  SELECT CAST(c_custkey AS VARCHAR) AS app_guid,
+        |    c_name || CASE WHEN c_custkey % 4 = 2 THEN '-blue' ELSE '' END AS app_name,
+        |    CAST(c_nationkey AS VARCHAR) AS space_guid
+        |  FROM customer),
+        |dims AS (
+        |  SELECT a.app_guid, a.app_name,
+        |    coalesce(n.n_name, '') AS space_name,
+        |    coalesce(r.r_name, '') AS org_name
+        |  FROM apps a
+        |  LEFT JOIN nation n ON CAST(n.n_nationkey AS VARCHAR) = a.space_guid
+        |  LEFT JOIN region r ON r.r_regionkey = n.n_regionkey),
+        |logs AS (
+        |  SELECT event_id,
+        |    CASE WHEN user_id % 7 <> 0 THEN CAST(user_id AS VARCHAR)
+        |         WHEN event_type <> 'error' THEN CAST(user_id * 3 AS VARCHAR)
+        |         END AS key
+        |  FROM events)
+        |SELECT l.event_id,
+        |  coalesce(d.app_name, '') AS cf_app,
+        |  coalesce(d.space_name, '') AS cf_space,
+        |  coalesce(d.org_name, '') AS cf_org
+        |FROM logs l
+        |LEFT JOIN dims d ON d.app_guid = l.key
+        |WHERE l.key IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+
+    "q14_computed" ->
+      """SELECT event_id, epoch_ms(ts) AS ts_ms,
+        |  strftime(ts, '%Y-%m-%d') AS dt,
+        |  'gorouter-' || strftime(ts, '%Y-%m-%d') AS es_index
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q15_retention" ->
+      """WITH idx AS (
+        |  SELECT 'gorouter-' || strftime(ts, '%Y-%m-%d') AS index_name, count(*) AS cnt
+        |  FROM events GROUP BY 1
+        |  UNION ALL SELECT '.kibana', 0
+        |  UNION ALL SELECT 'undated_index', 0),
+        |cut AS (
+        |  SELECT strftime(CAST(max(strftime(ts, '%Y-%m-%d')) AS DATE) - INTERVAL 2 DAY, '%Y-%m-%d') AS cutoff
+        |  FROM events)
+        |SELECT index_name, cnt FROM idx, cut
+        |WHERE index_name = '.kibana'
+        |   OR (length(index_name) >= 10
+        |       AND regexp_matches(right(index_name, 10), '^\d{4}-\d{2}-\d{2}$')
+        |       AND right(index_name, 10) >= cutoff)
+        |ORDER BY index_name""".stripMargin
   )
 }

@@ -21,8 +21,9 @@ object Tables {
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    // integer `div`, not `/`: epoch-nanos exceed double's exact range
     apply(spark, sfDir, "events")
-      .withColumn("ts_ms", col("ts") / lit(1000000L) cast "long")
-      .withColumn("ts_t", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+      .withColumn("ts_ms", expr("ts div 1000000"))
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
   }
 }

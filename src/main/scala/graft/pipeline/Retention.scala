@@ -1,0 +1,64 @@
+package graft.pipeline
+
+import java.time.LocalDate
+import java.time.format.DateTimeFormatter
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Retention / partition expiry (SURVEY.md §2 row 12).
+  *
+  * Mirrors `deleteOldIndices` (`/root/reference/main.go:214-254`)
+  * including its quirks: `.kibana` always kept; an index is kept only
+  * if its *last 10 chars* are a `\d{4}-\d{2}-\d{2}` date ≥ the cutoff
+  * (string compare); everything else — including undated and
+  * short-named indices — is dropped.
+  */
+object Retention {
+
+  private val DateSuffixRe = """^\d{4}-\d{2}-\d{2}$""".r
+  private val Fmt = DateTimeFormatter.ISO_LOCAL_DATE
+
+  def cutoff(now: LocalDate, daysToKeep: Int): String =
+    now.minusDays(daysToKeep.toLong).format(Fmt)
+
+  /** The keep/drop rule, exactly `main.go:227-243`. */
+  def shouldKeep(indexName: String, cutoff: String): Boolean = {
+    if (indexName == ".kibana") return true
+    if (indexName.length < cutoff.length) return false
+    val suffix = indexName.substring(indexName.length - cutoff.length)
+    DateSuffixRe.matches(suffix) && suffix >= cutoff
+  }
+
+  /** [[shouldKeep]] as a Column predicate (for set-oriented retention
+    * over a partition listing); `cutoff` must be a yyyy-MM-dd literal.
+    */
+  def shouldKeepCol(indexName: org.apache.spark.sql.Column, cutoffDate: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val suffix = substring(indexName, -cutoffDate.length, cutoffDate.length)
+    (indexName === ".kibana") ||
+      (length(indexName) >= cutoffDate.length &&
+        suffix.rlike("""^\d{4}-\d{2}-\d{2}$""") &&
+        suffix >= lit(cutoffDate))
+  }
+
+  /** Sweeps a `partitionBy("es_index")` file sink: deletes every
+    * `es_index=<name>` partition whose name fails [[shouldKeep]].
+    * Returns (kept, dropped) partition names.
+    */
+  def sweep(spark: SparkSession, root: String, daysToKeep: Int,
+      now: LocalDate = LocalDate.now()): (Seq[String], Seq[String]) = {
+    val cut = cutoff(now, daysToKeep)
+    val path = new Path(root)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return (Nil, Nil)
+    val parts = fs.listStatus(path).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(_.getName.startsWith("es_index="))
+    val (keep, drop) = parts.partition(p => shouldKeep(p.getName.stripPrefix("es_index="), cut))
+    drop.foreach(p => fs.delete(p, true))
+    (keep.map(_.getName.stripPrefix("es_index=")),
+      drop.map(_.getName.stripPrefix("es_index=")))
+  }
+}
