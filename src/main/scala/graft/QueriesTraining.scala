@@ -1,0 +1,359 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.sim.Similarity
+import graft.text.TextAnalysis
+
+/** Training-data-pipeline operators (SURVEY §7.4 north-star scope):
+  * text analysis, dedup (exact / MinHash-LSH / n-gram Jaccard /
+  * SimHash / embedding-cosine), ANN similarity search, multimodal
+  * plumbing. Every query has a DuckDB oracle generated from the same
+  * constants so signatures/hashes are engine-identical.
+  */
+object QueriesTraining {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- text
+
+  /** Tokenization + BPE-ish counting (SURVEY §7.4 text analysis). */
+  private val qTextTokens: Q = (spark, dir) => {
+    Tables(spark, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_bpe"),
+        TextAnalysis.meanTokenLen(col("text")).as("mean_tok_len"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: punctuation/stopword ratios + composite score. */
+  private val qTextQuality: Q = (spark, dir) => {
+    Tables(spark, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID heuristic (stopword-hit argmax). */
+  private val qTextLangid: Q = (spark, dir) => {
+    Tables(spark, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprinting: rolling polynomial hash + md5 key. */
+  private val qTextFingerprint: Q = (spark, dir) => {
+    Tables(spark, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))
+      .orderBy("doc_id")
+  }
+
+  // --------------------------------------------------------------- dedup
+
+  /** Exact dedup: hash-groupBy on the normalized-text key. Input is
+    * documents ∪ an id-shifted copy of itself so every group has a
+    * duplicate to collapse (sf0.01 has no natural exact dups).
+    */
+  private val qDedupExact: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val dup = d.unionAll(d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    dup.groupBy(TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("canonical_id"))
+      .orderBy("fp")
+  }
+
+  private def sigs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSigTable(Tables(spark, dir, "documents"), "doc_id", "text", 16)
+
+  /** MinHash+LSH near-dup candidates with estimated Jaccard. */
+  private val qDedupMinhash: Q = (spark, dir) => {
+    val cands = Dedup.lshCandidates(sigs(spark, dir), "doc_id", "sig", 4, 4)
+    cands.withColumn("est_jaccard", Dedup.estJaccard(col("sig_a"), col("sig_b")))
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** n-gram Jaccard dedup: exact trigram-shingle Jaccard, verified
+    * only on LSH candidate pairs (the 100 TB-scalable shape — exact
+    * verify never touches non-colliding pairs).
+    */
+  private val qDedupNgram: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents")
+    val cands = Dedup.lshCandidates(sigs(spark, dir), "doc_id", "sig", 4, 4)
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+    val shA = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val shB = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    cands.select("id_a", "id_b").join(shA, "id_a").join(shB, "id_b")
+      .withColumn("jacc", Dedup.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jacc") >= 0.4)
+      .select(col("id_a"), col("id_b"), col("jacc"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** SimHash sketch per document (32-bit sign-sum). */
+  private val qDedupSimhash: Q = (spark, dir) => {
+    Tables(spark, dir, "documents").select(
+        col("doc_id"),
+        Dedup.simhash32(col("text")).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  private val EmbedDims = 64
+  private val EmbedPlanes = 4
+  private val NearDupCos = 0.3
+
+  /** Embedding-cosine near-dup: SRP-bucketed candidate pairs above a
+    * cosine threshold (all-pairs would be O(n²); bucketing keeps the
+    * join banded at scale).
+    */
+  private val qDedupEmbed: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "embeddings").select(
+        col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      .withColumn("bucket", Similarity.srpBucket(col("v"), EmbedPlanes, EmbedDims))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("bucket"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("bucket"))
+    a.join(b, "bucket").filter(col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= NearDupCos)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
+  // ---------------------------------------------------------- similarity
+
+  /** Brute-force cosine top-k: exact ANN baseline. */
+  private val qKnnBrute: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "embeddings").select(
+      col("vec_id"), Similarity.asDouble(col("embedding")).as("vec"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
+    Similarity.knnBrute(q, e, 10).orderBy("q_id", "rank")
+  }
+
+  /** LSH-bucketed ANN: same ranking restricted to the query's bucket. */
+  private val qKnnLsh: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "embeddings").select(
+      col("vec_id"), Similarity.asDouble(col("embedding")).as("vec"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
+    Similarity.knnLsh(q, e, 5, EmbedPlanes, EmbedDims).orderBy("q_id", "rank")
+  }
+
+  // ---------------------------------------------------------- multimodal
+
+  /** Multimodal plumbing: binary payload + typed metadata through the
+    * mapPartitions decode-stub stage (see [[Multimodal]]).
+    */
+  private val qMultimodal: Q = (spark, dir) => {
+    val media = Multimodal.mediaFromDocuments(spark, Tables(spark, dir, "documents"))
+    Multimodal.extractFeatures(media).toDF()
+      .select(col("doc_id"), col("format"), col("n_bytes"), col("mean_byte"), col("n_frames"))
+      .orderBy("doc_id")
+  }
+
+  val all: Map[String, Q] = Map(
+    "q16_text_tokens" -> qTextTokens,
+    "q17_text_quality" -> qTextQuality,
+    "q18_text_langid" -> qTextLangid,
+    "q19_text_fingerprint" -> qTextFingerprint,
+    "q20_dedup_exact" -> qDedupExact,
+    "q21_dedup_minhash" -> qDedupMinhash,
+    "q22_dedup_ngram" -> qDedupNgram,
+    "q23_dedup_simhash" -> qDedupSimhash,
+    "q24_dedup_embed" -> qDedupEmbed,
+    "q25_knn_brute" -> qKnnBrute,
+    "q26_knn_lsh" -> qKnnLsh,
+    "q27_multimodal" -> qMultimodal)
+
+  // -------------------------------------------------- oracle generation
+
+  /** Shared DuckDB fragments, generated from the same constants as the
+    * Spark side so the two engines compute identical hashes.
+    */
+  private val toksSql = """string_split_regex(trim(text), '\s+')"""
+  private val ltoksSql = """string_split_regex(trim(lower(text)), '\s+')"""
+
+  private def stopListSql(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def hitsSql(words: Seq[String]): String =
+    s"len(list_filter(ltoks, x -> list_contains(${stopListSql(words)}, x)))"
+
+  private val normTextSql = """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""
+
+  /** Left-fold sum of BIGINTs (portable twin of Spark `aggregate`). */
+  private def foldSumSql(listExpr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), $listExpr), (a, b) -> a + b)"
+
+  private def foldSumDoubleSql(listExpr: String): String =
+    s"list_reduce(list_prepend(0.0, $listExpr), (a, b) -> a + b)"
+
+  private def codesSql(c: String = "text"): String =
+    s"list_transform(range(1, length($c)+1), i -> unicode($c[i]))"
+
+  private val shinglesSql =
+    """CASE WHEN len(t) >= 3
+      |  THEN list_distinct(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      |  ELSE [array_to_string(t, ' ')] END""".stripMargin
+
+  private val sigElemsSql = (0 until 16)
+    .map(j => s"list_aggregate(list_transform(s, x -> md5('$j:' || x)), 'min')")
+    .mkString("[\n    ", ",\n    ", "]")
+
+  private val bandElemsSql = (0 until 4)
+    .map { b =>
+      val parts = (0 until 4).map(r => s"sig[${b * 4 + r + 1}]").mkString(" || '|' || ")
+      s"md5('$b|' || $parts)"
+    }
+    .mkString("[", ",\n    ", "]")
+
+  /** CTE chain shared by the MinHash and n-gram dedup oracles. */
+  private val lshCandidateCtes =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |sh AS (SELECT doc_id, $shinglesSql AS s FROM toks),
+       |sig AS (SELECT doc_id, s, $sigElemsSql AS sig FROM sh),
+       |bands AS (SELECT doc_id, unnest($bandElemsSql) AS band_key FROM sig),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bands a JOIN bands b USING (band_key) WHERE a.doc_id < b.doc_id)""".stripMargin
+
+  /** ±1 hyperplane j as a DOUBLE[] literal — built from the identical
+    * [[Similarity.planeSign]] md5 derivation the Spark side uses.
+    */
+  private def planeSql(j: Int): String =
+    (0 until EmbedDims).map(i => s"${Similarity.planeSign(j, i)}.0")
+      .mkString("[", ", ", s"]::DOUBLE[]")
+
+  private def dotSql(a: String, b: String): String =
+    foldSumDoubleSql(s"list_transform(range(1, ${EmbedDims + 1}), i -> ($a)[i] * ($b)[i])")
+
+  private def cosSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  private def bucketSql(v: String): String = (0 until EmbedPlanes)
+    .map(j => s"CASE WHEN ${dotSql(v, planeSql(j))} > 0 THEN ${1L << j} ELSE 0 END")
+    .mkString("(", " + ", ")")
+
+  private val simhashTermsSql = (0 until 32)
+    .map(i => s"CASE WHEN 2*len(list_filter(hs, h -> ((h >> $i) & 1) = 1)) > len(hs) THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+    .mkString("\n    + ")
+
+  private val langCaseSql = {
+    val best = TextAnalysis.stopwords.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+    val whens = TextAnalysis.stopwords
+      .map { case (l, _) => s"WHEN s_$l = $best THEN '$l'" }.mkString("\n  ")
+    s"CASE WHEN $best = 0 THEN 'und'\n  $whens\n  ELSE 'und' END"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q16_text_tokens" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpe,
+         |  CAST(${foldSumSql("list_transform(toks, x -> length(x))")} AS DOUBLE)
+         |    / CAST(len(toks) AS DOUBLE) AS mean_tok_len
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q17_text_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $ltoksSql AS ltoks FROM documents),
+         |s AS (SELECT doc_id,
+         |  CAST(len(ltoks) AS DOUBLE) AS n_tok,
+         |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+         |  CAST(${hitsSql(TextAnalysis.stopwords.toMap.apply("en"))} AS DOUBLE) / CAST(len(ltoks) AS DOUBLE) AS stop_ratio
+         |  FROM t)
+         |SELECT doc_id, punct_ratio, stop_ratio,
+         |  0.4*least(1.0, n_tok/100.0)
+         |  + 0.3*(1.0 - least(1.0, punct_ratio*4.0))
+         |  + 0.3*least(1.0, stop_ratio*4.0) AS quality
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q18_text_langid" ->
+      s"""WITH t AS (SELECT doc_id, lang, $ltoksSql AS ltoks FROM documents),
+         |s AS (SELECT doc_id, lang,
+         |  ${TextAnalysis.stopwords.map { case (l, ws) => s"${hitsSql(ws)} AS s_$l" }.mkString(",\n  ")}
+         |  FROM t)
+         |SELECT doc_id, lang, $langCaseSql AS lang_pred
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q19_text_fingerprint" ->
+      s"""SELECT doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), ${codesSql()}), (a, b) -> (a*131 + b) % 1000000007) AS fp,
+         |  md5($normTextSql) AS fp_md5
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q20_dedup_exact" ->
+      s"""WITH dup AS (SELECT doc_id, text FROM documents
+         |             UNION ALL SELECT doc_id + 1000000, text FROM documents)
+         |SELECT md5($normTextSql) AS fp, count(*) AS cnt, min(doc_id) AS canonical_id
+         |FROM dup GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "q21_dedup_minhash" ->
+      s"""$lshCandidateCtes,
+         |est AS (SELECT id_a, id_b,
+         |  CAST(len(list_filter(range(1, 17), j -> sa.sig[j] = sb.sig[j])) AS DOUBLE)/16.0 AS est_jaccard
+         |  FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)
+         |SELECT id_a, id_b, est_jaccard FROM est
+         |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "q22_dedup_ngram" ->
+      s"""$lshCandidateCtes,
+         |jac AS (SELECT id_a, id_b,
+         |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         |    / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS jacc
+         |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
+         |SELECT id_a, id_b, jacc FROM jac WHERE jacc >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    "q23_dedup_simhash" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  list_transform($toksSql, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
+         |  FROM documents)
+         |SELECT doc_id, $simhashTermsSql AS simhash
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q24_dedup_embed" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e),
+         |pairs AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+         |          ${cosSql("a.v", "b2.v")} AS cos
+         |          FROM b a JOIN b b2 USING (bucket) WHERE a.vec_id < b2.vec_id)
+         |SELECT id_a, id_b, cos FROM pairs WHERE cos >= $NearDupCos ORDER BY id_a, id_b""".stripMargin,
+
+    "q25_knn_brute" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 10),
+         |scored AS (SELECT q_id, vec_id, ${cosSql("q_vec", "v")} AS cos
+         |           FROM q, e WHERE vec_id <> q_id),
+         |ranked AS (SELECT q_id, vec_id, cos,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |           FROM scored)
+         |SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+
+    "q26_knn_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e),
+         |q AS (SELECT vec_id AS q_id, v AS q_vec, bucket FROM b WHERE vec_id < 10),
+         |scored AS (SELECT q_id, c.vec_id, ${cosSql("q_vec", "c.v")} AS cos
+         |           FROM q JOIN b c USING (bucket) WHERE c.vec_id <> q_id),
+         |ranked AS (SELECT q_id, vec_id, cos,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |           FROM scored)
+         |SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "q27_multimodal" ->
+      s"""SELECT doc_id,
+         |  (['png','jpeg','wav'])[CAST(doc_id % 3 + 1 AS INT)] AS format,
+         |  CAST(length(text) AS BIGINT) AS n_bytes,
+         |  CAST(${foldSumSql(codesSql())} AS DOUBLE) / CAST(length(text) AS DOUBLE) AS mean_byte,
+         |  CAST(least(8, length(text) // 32) AS INT) AS n_frames
+         |FROM documents ORDER BY doc_id""".stripMargin)
+}

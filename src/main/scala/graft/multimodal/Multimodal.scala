@@ -1,0 +1,82 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One media record: an opaque binary payload plus typed metadata —
+  * the schema shape a 100 TB multimodal corpus uses (payload stays an
+  * un-decoded `binary` column until a decode stage needs it, so scans
+  * that only touch metadata never deserialize media bytes).
+  */
+case class MediaRecord(
+    doc_id: Long,
+    format: String,          // "png" | "jpeg" | "wav"
+    media: Array[Byte],
+    declared_w: Int,
+    declared_h: Int)
+
+case class MediaFeatures(
+    doc_id: Long,
+    format: String,
+    n_bytes: Long,
+    mean_byte: Double,       // decode-stub feature
+    n_frames: Int)           // frame-sample count
+
+/** Multimodal column plumbing: batch-shaped decode / feature-extract /
+  * frame-sample over binary payloads via `mapPartitions` on a typed
+  * `Dataset` (the Scala analogue of `mapInPandas` batch UDFs — one
+  * iterator per partition, zero per-row task overhead, executor-local
+  * library handles possible).
+  *
+  * The actual image/audio codec is STUBBED (no codec libs in this
+  * container): `decodeStub` computes deterministic features from raw
+  * bytes. The Spark-side contract — schema, partitioning, typed
+  * encoders, per-partition batching — is real and tested; swap
+  * `decodeStub` for a JNI/javacv call in production.
+  */
+object Multimodal {
+
+  /** STUB decoder: deterministic fake standing in for e.g. libjpeg.
+    * Features derive only from payload bytes so any engine can mirror
+    * them: mean unsigned byte value and a frame count of one frame per
+    * 32 bytes, capped at 8.
+    */
+  def decodeStub(media: Array[Byte]): (Double, Int) = {
+    var sum = 0L
+    var i = 0
+    while (i < media.length) { sum += media(i) & 0xff; i += 1 }
+    val mean = if (media.length == 0) 0.0 else sum.toDouble / media.length
+    (mean, math.min(8, media.length / 32))
+  }
+
+  /** Feature extraction over the binary column, one partition at a
+    * time. Stays a narrow transformation — no shuffle; at 100 TB this
+    * is a pure map stage whose parallelism is the input partitioning.
+    */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        val (mean, frames) = decodeStub(r.media)
+        MediaFeatures(r.doc_id, r.format, r.media.length.toLong, mean, frames)
+      }
+    }
+  }
+
+  /** Builds a media table from `documents`: payload = UTF-8 bytes of
+    * the text (a deterministic opaque-binary stand-in), format cycled
+    * by doc_id, declared dims derived from length. Real pipelines read
+    * `binaryFile` / parquet-with-binary instead.
+    */
+  def mediaFromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(
+        col("doc_id"),
+        element_at(array(lit("png"), lit("jpeg"), lit("wav")),
+          (col("doc_id") % 3 + 1).cast("int")).as("format"),
+        encode(col("text"), "UTF-8").as("media"),
+        (lit(64) + (col("doc_id") % 16) * 8).cast("int").as("declared_w"),
+        (lit(64) + (col("doc_id") % 9) * 8).cast("int").as("declared_h"))
+      .as[MediaRecord]
+  }
+}

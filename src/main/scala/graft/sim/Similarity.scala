@@ -1,0 +1,90 @@
+package graft.sim
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`), Spark-first:
+  *
+  *  - brute-force: broadcast the (small) query set, map-side cosine
+  *    against every candidate — shuffle only for the final per-query
+  *    top-k (k rows per query). The exact baseline.
+  *  - LSH (sign random projection): bucket every vector by the sign
+  *    pattern of dot products with deterministic ±1 hyperplanes; a
+  *    query only scores vectors in its own bucket — the candidate set
+  *    shrinks ~2^planes-fold, turning a 100 TB scan into a bucket
+  *    equi-join.
+  *
+  * All math is double-precision left-fold (`aggregate`) so the DuckDB
+  * oracle (`list_reduce`) reproduces it within float tolerance; the
+  * hyperplanes derive from md5 so both engines build identical planes.
+  */
+object Similarity {
+
+  /** Elementwise float→double, so every subsequent op is double math. */
+  def asDouble(vec: Column): Column = transform(vec, x => x.cast("double"))
+
+  /** Left-fold sum — same association order as DuckDB `list_reduce`. */
+  private def fsum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, v) => acc + v)
+
+  def dot(a: Column, b: Column): Column = fsum(zip_with(a, b, (x, y) => x * y))
+
+  def norm(a: Column): Column = sqrt(fsum(transform(a, x => x * x)))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic ±1 hyperplane component: parity of the first md5
+    * hex digit of "plane_dim". Reproducible in SQL as
+    * `('0x'||substr(md5(j||'_'||i),1,1))::BIGINT % 2`.
+    */
+  def planeSign(plane: Int, dim: Int): Int = {
+    val hex = MessageDigest.getInstance("MD5")
+      .digest(s"${plane}_$dim".getBytes("UTF-8"))
+    val firstDigit = (hex(0) >> 4) & 0xf
+    if (firstDigit % 2 == 0) 1 else -1
+  }
+
+  /** Sign-random-projection bucket id in [0, 2^planes): bit j set iff
+    * dot(vec, plane_j) > 0.
+    */
+  def srpBucket(vec: Column, planes: Int, dims: Int): Column =
+    (0 until planes).map { j =>
+      val plane = array((0 until dims).map(i => lit(planeSign(j, i).toDouble)): _*)
+      when(dot(vec, plane) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Exact top-k: every (query, candidate) cosine, ranked per query.
+    * `queries` is broadcast (it is small by contract); ties broken by
+    * candidate id for determinism.
+    */
+  def knnBrute(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    val scored = candidates.crossJoin(broadcast(queries))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("vec")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "cos")
+  }
+
+  /** ANN top-k: same ranking but only among candidates sharing the
+    * query's SRP bucket. A query whose bucket holds < k neighbors
+    * returns fewer rows — the standard ANN recall trade-off.
+    */
+  def knnLsh(queries: DataFrame, candidates: DataFrame, k: Int,
+             planes: Int, dims: Int): DataFrame = {
+    val qb = queries.withColumn("bucket", srpBucket(col("q_vec"), planes, dims))
+    val cb = candidates.withColumn("bucket", srpBucket(col("vec"), planes, dims))
+    val scored = cb.join(broadcast(qb), Seq("bucket"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos", cosine(col("q_vec"), col("vec")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "cos")
+  }
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.multimodal.{MediaRecord, Multimodal}
+import graft.sim.Similarity
+import graft.text.TextAnalysis
+
+/** Unit oracles for the training-data operators, on literal fixtures
+  * with hand-computed expectations.
+  */
+class TrainingOpsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.get("local[4]", "4")
+
+  private def one(c: org.apache.spark.sql.Column, text: String): Any = {
+    import spark.implicits._
+    Seq(text).toDF("text").select(c.as("v")).collect().head.get(0)
+  }
+
+  test("tokenization trims and splits on runs of whitespace") {
+    assert(one(TextAnalysis.tokenCount(col("text")), "  a  b\tc ") == 3)
+    assert(one(TextAnalysis.meanTokenLen(col("text")), "ab cd") == 2.0)
+  }
+
+  test("bpe-ish count: letter runs, digit runs, single punct") {
+    // "ab3!x" -> [ab][3][!][x]; space not counted
+    assert(one(TextAnalysis.bpeTokenCount(col("text")), "ab3! x") == 4)
+  }
+
+  test("quality score is bounded and rewards stopword-bearing text") {
+    val hi = one(TextAnalysis.qualityScore(col("text")),
+      "the cat sat on the mat and it is a fine day in the sun").asInstanceOf[Double]
+    val lo = one(TextAnalysis.qualityScore(col("text")),
+      "@@@ ### $$$ %%%").asInstanceOf[Double]
+    assert(hi > lo && hi <= 1.0 && lo >= 0.0)
+  }
+
+  test("langId picks stopword-majority language, und when no hits") {
+    assert(one(TextAnalysis.langId(col("text")), "der hund und die katze ist da") == "de")
+    assert(one(TextAnalysis.langId(col("text")), "the cat is a pet") == "en")
+    assert(one(TextAnalysis.langId(col("text")), "xyzzy plugh") == "und")
+  }
+
+  test("fingerprint is the polynomial fold mod 1e9+7") {
+    val expected = "ab".foldLeft(0L)((a, c) => (a * 131 + c.toInt) % 1000000007L)
+    assert(one(TextAnalysis.fingerprint(col("text")), "ab") == expected)
+  }
+
+  test("shingles: distinct token 3-grams; short docs collapse to whole text") {
+    val sh = one(Dedup.shingles(col("text")), "a b c d").asInstanceOf[scala.collection.Seq[String]]
+    assert(sh.toSeq == Seq("a b c", "b c d"))
+    val short = one(Dedup.shingles(col("text")), "a b").asInstanceOf[scala.collection.Seq[String]]
+    assert(short.toSeq == Seq("a b"))
+  }
+
+  test("minhash: identical docs agree on all components, est jaccard 1.0") {
+    import spark.implicits._
+    val df = Seq((1L, "x y z w v"), (2L, "x y z w v"), (3L, "p q r s t"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.minhashSignature(Dedup.shingles(col("text")), 16).as("sig"))
+    val cands = Dedup.lshCandidates(df, "doc_id", "sig")
+      .withColumn("est", Dedup.estJaccard(col("sig_a"), col("sig_b")))
+      .collect()
+    assert(cands.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    assert(cands.filter(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+      .forall(_.getAs[Double]("est") == 1.0))
+    // disjoint docs never collide on any of the 4 bands
+    assert(!cands.exists(r => r.getLong(1) == 3L))
+  }
+
+  test("simhash: equal for identical text, hamming 0; differs for disjoint") {
+    import spark.implicits._
+    val hs = Seq("alpha beta gamma", "alpha beta gamma", "zeta eta theta")
+      .toDF("text").select(Dedup.simhash32(col("text")).as("h"))
+      .collect().map(_.getLong(0))
+    assert(hs(0) == hs(1))
+    assert(hs(0) != hs(2))
+    assert(hs.forall(h => h >= 0 && h < (1L << 32)))
+  }
+
+  test("cosine: orthogonal → 0, identical → 1") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0))).toDF("a", "b")
+    val ortho = df.select(Similarity.cosine(col("a"), col("b"))).head.getDouble(0)
+    val same = df.select(Similarity.cosine(col("a"), col("a"))).head.getDouble(0)
+    assert(math.abs(ortho) < 1e-15)
+    assert(math.abs(same - 1.0) < 1e-15)
+  }
+
+  test("knnBrute returns k ranked neighbors, self excluded") {
+    import spark.implicits._
+    val e = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.9, 0.1)), (2L, Seq(0.0, 1.0)), (3L, Seq(1.0, 0.05)))
+      .toDF("vec_id", "vec")
+    val q = e.filter(col("vec_id") === 0).select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
+    val out = Similarity.knnBrute(q, e, 2).orderBy("rank").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("vec_id") == 3L) // closest to (1,0)
+    assert(out(1).getAs[Long]("vec_id") == 1L)
+  }
+
+  test("srp bucket is stable and in range") {
+    import spark.implicits._
+    val v = Seq(Seq.tabulate(64)(i => math.sin(i + 1))).toDF("v")
+    val b1 = v.select(Similarity.srpBucket(col("v"), 4, 64)).head.getLong(0)
+    val b2 = v.select(Similarity.srpBucket(col("v"), 4, 64)).head.getLong(0)
+    assert(b1 == b2 && b1 >= 0 && b1 < 16)
+  }
+
+  test("multimodal decode stub: mean byte + frame count over binary payload") {
+    import spark.implicits._
+    val media = Seq(MediaRecord(7L, "png", Array.fill[Byte](100)(65), 64, 64)).toDS()
+    val f = Multimodal.extractFeatures(media).collect().head
+    assert(f.n_bytes == 100L && f.mean_byte == 65.0 && f.n_frames == 3)
+  }
+}
