@@ -136,9 +136,9 @@ object Queries {
     "q13_enrich" -> qEnrich,
     "q14_computed" -> qComputed,
     "q15_retention" -> qRetention
-  ) ++ QueriesTraining.all
+  ) ++ QueriesTraining.all ++ QueriesRelational.all
 
-  val oracles: Map[String, String] = QueriesTraining.oracles ++ Map(
+  val oracles: Map[String, String] = QueriesTraining.oracles ++ QueriesRelational.oracles ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

@@ -1,0 +1,229 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Envelope, EnvelopeCodec, LogMessage, Pipeline}
+
+/** Synthesizes Kinesis-shaped source records (binary protobuf-ish
+  * envelopes) deterministically from the events table — the shared
+  * input for the flagship pipeline and the decode query. Every derived
+  * field is a pure function of the events row, so a DuckDB oracle can
+  * recompute the expected decode output without the codec.
+  */
+object SyntheticSource {
+
+  def guid(n: Long): String = f"$n%08d-0000-4000-8000-${n}%012d"
+
+  def records(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("props"), col("ts_ms"))
+      .as[(Long, Long, String, String, Long)]
+      .map { case (eventId, userId, eventType, props, tsMs) =>
+        val env = Envelope(
+          origin = "system.example.gov.au",
+          event_type = if (eventType == "error") "ValueMetric" else "LogMessage",
+          timestamp = tsMs * 1000000L,
+          deployment = "cf", job = "router", index = "0", ip = "10.0.0.1",
+          tags = if (eventType == "click") Map("source_id" -> "gorouter") else Map.empty,
+          log_message = Some(LogMessage(
+            message = props,
+            message_type = "OUT",
+            timestamp = tsMs * 1000000L,
+            app_id = if (userId % 7 == 0) "" else guid(userId),
+            source_type = if (eventType == "purchase") "APP/PROC/WEB" else "OTHER",
+            source_instance = s"APP/PROC/WEB/$eventId")))
+        (EnvelopeCodec.encode(env), eventId.toString, new Timestamp(tsMs))
+      }
+      .toDF("data", "sequenceNumber", "approximateArrivalTimestamp")
+  }
+}
+
+/** Relational coverage queries: broadcast top-k join, multi-way join
+  * aggregation, window functions, sessionization, tumbling-window
+  * aggregation, and the envelope-codec decode roundtrip.
+  */
+object QueriesRelational {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** TPC-H Q3-shaped top-k join. Scale notes: the filtered customer
+    * dimension is broadcast (no shuffle on the fact side for that
+    * join); orders⋈lineitem shuffles on the shared key once; top-k is
+    * a partial TakeOrdered, not a global sort.
+    */
+  private val qJoinTopk: Q = (spark, dir) => {
+    val cut = lit("1998-01-01").cast("timestamp")
+    val c = Tables(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables(spark, dir, "orders").filter(col("o_orderdate") < cut)
+    val l = Tables(spark, dir, "lineitem").filter(col("l_shipdate") > cut)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-shaped multi-way join: local-supplier revenue by nation.
+    * region/nation/supplier broadcast; one shuffle for the
+    * orders⋈lineitem key, one for the final 2-key aggregation.
+    */
+  private val qJoinAgg: Q = (spark, dir) => {
+    val r = Tables(spark, dir, "region").filter(col("r_name") === "ASIA")
+    val n = Tables(spark, dir, "nation")
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = Tables(spark, dir, "lineitem")
+    val s = Tables(spark, dir, "supplier")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy("n_name")
+  }
+
+  /** Window functions: top-3 orders per customer by price. */
+  private val qWindowFn: Q = (spark, dir) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(spark, dir, "orders")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("o_custkey"), col("rk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey", "rk")
+  }
+
+  /** Sessionization: 30-min-gap sessions per user via lag + running
+    * sum — all integer millis math, engine-exact.
+    */
+  private val qSessionize: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("prev_ms", lag(col("ts_ms"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > 1800000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum(col("is_new")).over(cum))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("ts_ms")) - min(col("ts_ms"))).as("dur_ms"))
+      .orderBy("user_id", "sess_id")
+  }
+
+  /** Tumbling 1-hour event-time window aggregation — the batch twin of
+    * the streaming watermarked aggregation (same `window()` operator).
+    */
+  private val qWindowAgg: Q = (spark, dir) => {
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+  }
+
+  /** Envelope decode roundtrip (SURVEY §2 row 2): synthesized binary
+    * envelopes through the native decode expression; the oracle
+    * recomputes every field from events without the codec.
+    */
+  private val qDecode: Q = (spark, dir) => {
+    SyntheticSource.records(spark, dir)
+      .withColumn("env", Pipeline.decode(col("data")))
+      .select(
+        col("sequenceNumber").cast("long").as("event_id"),
+        col("env.origin").as("origin"),
+        col("env.event_type").as("event_type"),
+        col("env.log_message.app_id").as("app_id"),
+        col("env.log_message.source_type").as("source_type"),
+        col("env.log_message.source_instance").as("source_instance"),
+        col("env.log_message.message").as("message"),
+        col("env.timestamp").as("ts_ns"))
+      .orderBy("event_id")
+  }
+
+  val all: Map[String, Q] = Map(
+    "q2_join_topk" -> qJoinTopk,
+    "q3_join_agg" -> qJoinAgg,
+    "q4_window_fn" -> qWindowFn,
+    "q5_sessionize" -> qSessionize,
+    "q6_window_agg" -> qWindowAgg,
+    "q10_decode" -> qDecode)
+
+  val oracles: Map[String, String] = Map(
+    "q2_join_topk" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q3_join_agg" ->
+      """SELECT n_name, sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q4_window_fn" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders)
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+    "q5_sessionize" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts_ms,
+        |    CAST(sum(CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+        |  FROM t)
+        |SELECT user_id, sess_id, count(*) AS n_events,
+        |  max(ts_ms) - min(ts_ms) AS dur_ms
+        |FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
+
+    "q6_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS win_start, event_type,
+        |  count(*) AS cnt, sum(value) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q10_decode" ->
+      """SELECT event_id,
+        |  'system.example.gov.au' AS origin,
+        |  CASE WHEN event_type = 'error' THEN 'ValueMetric' ELSE 'LogMessage' END AS event_type,
+        |  CASE WHEN user_id % 7 = 0 THEN ''
+        |       ELSE printf('%08d-0000-4000-8000-%012d', user_id, user_id) END AS app_id,
+        |  CASE WHEN event_type = 'purchase' THEN 'APP/PROC/WEB' ELSE 'OTHER' END AS source_type,
+        |  'APP/PROC/WEB/' || event_id AS source_instance,
+        |  props AS message,
+        |  epoch_ms(ts) * 1000000 AS ts_ns
+        |FROM events ORDER BY event_id""".stripMargin)
+}

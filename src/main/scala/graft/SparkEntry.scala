@@ -25,41 +25,20 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    import spark.implicits._
 
-    def guid(n: Long): String = f"$n%08d-0000-4000-8000-${n}%012d"
-
-    val records = Tables.events(spark, dir)
-      .select(col("event_id"), col("user_id"), col("event_type"), col("props"), col("ts_ms"))
-      .as[(Long, Long, String, String, Long)]
-      .map { case (eventId, userId, eventType, props, tsMs) =>
-        val env = Envelope(
-          origin = "system.example.gov.au",
-          event_type = if (eventType == "error") "ValueMetric" else "LogMessage",
-          timestamp = tsMs * 1000000L,
-          deployment = "cf", job = "router", index = "0", ip = "10.0.0.1",
-          tags = if (eventType == "click") Map("source_id" -> "gorouter") else Map.empty,
-          log_message = Some(LogMessage(
-            message = props,
-            message_type = "OUT",
-            timestamp = tsMs * 1000000L,
-            app_id = if (userId % 7 == 0) "" else guid(userId),
-            source_type = if (eventType == "purchase") "APP/PROC/WEB" else "OTHER",
-            source_instance = s"APP/PROC/WEB/$eventId")))
-        (EnvelopeCodec.encode(env), eventId.toString, new Timestamp(tsMs))
-      }
-      .toDF("data", "sequenceNumber", "approximateArrivalTimestamp")
+    val guid = SyntheticSource.guid _
+    val records = SyntheticSource.records(spark, dir)
 
     val apps = Tables(spark, dir, "customer").select(
-      udf(guid _).apply(col("c_custkey")).as("app_guid"),
+      udf(guid).apply(col("c_custkey")).as("app_guid"),
       col("c_name").as("name"),
-      udf(guid _).apply(col("c_nationkey").cast("long")).as("space_guid"))
+      udf(guid).apply(col("c_nationkey").cast("long")).as("space_guid"))
     val spaces = Tables(spark, dir, "nation").select(
-      udf(guid _).apply(col("n_nationkey").cast("long")).as("space_guid"),
+      udf(guid).apply(col("n_nationkey").cast("long")).as("space_guid"),
       col("n_name").as("name"),
-      udf(guid _).apply(col("n_regionkey").cast("long")).as("org_guid"))
+      udf(guid).apply(col("n_regionkey").cast("long")).as("org_guid"))
     val orgs = Tables(spark, dir, "region").select(
-      udf(guid _).apply(col("r_regionkey").cast("long")).as("org_guid"),
+      udf(guid).apply(col("r_regionkey").cast("long")).as("org_guid"),
       col("r_name").as("name"))
     val dims = Enrich.resolveDims(apps, spaces, orgs)
 
