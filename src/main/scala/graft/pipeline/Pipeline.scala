@@ -31,7 +31,12 @@ object Pipeline {
   def assemble(records: DataFrame, dims: DataFrame): DataFrame = {
     val env = records
       .withColumn("env", decode(col("data")))
-      .filter(col("env").isNotNull) // malformed → dropped (counted via observe in streaming)
+      // the reference's two Prometheus counters (main.go:40-52): total
+      // seen + malformed, surfaced per batch via observed metrics
+      .observe("graft_pipeline",
+        count(lit(1)).as("records_total"),
+        count(when(col("env").isNull, 1)).as("malformed_total"))
+      .filter(col("env").isNotNull) // malformed → dropped (counted above)
       .filter(col("env.event_type") === "LogMessage") // row 3
       .withColumn("family", Classifier.family(
         col("env.log_message.source_instance"),

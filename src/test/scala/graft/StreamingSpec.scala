@@ -1,0 +1,102 @@
+package graft
+
+import java.sql.Timestamp
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.{EnvelopeCodec, Pipeline, SourceRecord}
+import graft.streaming.StreamingPipeline
+
+/** Streaming semantics: same DataFrame plan as batch, micro-batch
+  * execution, checkpointed restart, watermark late-data drop, and the
+  * observed-metrics counters.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.get("local[4]", "4")
+
+  private def sourceRecords: Seq[SourceRecord] =
+    Fixtures.envelopes.zipWithIndex.map { case ((_, e), i) =>
+      SourceRecord(EnvelopeCodec.encode(e), i.toString, new Timestamp(Fixtures.ArrivalMs))
+    } :+ SourceRecord(Array[Byte](0x7f, 0x00, 0x03), "malformed", new Timestamp(Fixtures.ArrivalMs))
+
+  test("streaming pipeline produces the same documents as batch") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val metrics = StreamingPipeline.registerMetrics(spark)
+    val stream = MemoryStream[SourceRecord]
+    val outDir = Files.createTempDirectory("graft_stream_out").toString
+    val ckDir = Files.createTempDirectory("graft_stream_ck").toString
+    stream.addData(sourceRecords)
+    val q = StreamingPipeline.start(
+      stream.toDF(), Fixtures.dims(spark), ckDir, outDir, Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    val streamed = spark.read.parquet(outDir).select("es_index", "doc")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    val batch = Pipeline.toJsonDocs(
+        Pipeline.assemble(Fixtures.records(spark), Fixtures.dims(spark)))
+      .select("es_index", "doc")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+
+    // the observe() counters saw every record incl. the malformed one
+    spark.streams.removeListener(metrics)
+    assert(metrics.recordsTotal.get() == sourceRecords.length)
+    assert(metrics.malformedTotal.get() == 1)
+  }
+
+  test("checkpointed restart resumes offsets, no output duplication") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[SourceRecord]
+    val outDir = Files.createTempDirectory("graft_restart_out").toString
+    val ckDir = Files.createTempDirectory("graft_restart_ck").toString
+
+    stream.addData(sourceRecords)
+    val q1 = StreamingPipeline.start(
+      stream.toDF(), Fixtures.dims(spark), ckDir, outDir, Trigger.AvailableNow())
+    q1.awaitTermination(120000)
+    val afterFirst = spark.read.parquet(outDir).count()
+
+    // restart from the same checkpoint with only new data pending
+    stream.addData(sourceRecords)
+    val q2 = StreamingPipeline.start(
+      stream.toDF(), Fixtures.dims(spark), ckDir, outDir, Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+    val afterSecond = spark.read.parquet(outDir).count()
+    assert(afterFirst > 0 && afterSecond == 2 * afterFirst)
+  }
+
+  test("watermark drops data later than the threshold") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[(Timestamp, String)]
+    val events = stream.toDF().toDF("ts", "family")
+    val agg = StreamingPipeline.windowedCounts(events, "ts", "10 minutes", "1 hour")
+    val q = agg.writeStream.format("memory").queryName("wm_counts")
+      .outputMode("append").start()
+
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    stream.addData((t(1, 0), "a"), (t(1, 30), "a"))
+    q.processAllAvailable()
+    // advance watermark far past hour 1: wm = 09:00 - 10min
+    stream.addData((t(9, 0), "a"))
+    q.processAllAvailable()
+    // late arrival for the already-finalized hour-1 window: dropped
+    stream.addData((t(1, 45), "a"))
+    q.processAllAvailable()
+    stream.addData((t(12, 0), "a"))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("wm_counts")
+      .select(col("win_start"), col("cnt")).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toMap
+    assert(rows("2024-01-01 01:00:00.0") == 2L) // late row not counted
+  }
+}
