@@ -90,7 +90,7 @@ object QueriesTraining {
   private val qDedupNgram: Q = (spark, dir) => {
     val docs = Tables(spark, dir, "documents")
     val cands = Dedup.lshCandidates(sigs(spark, dir), "doc_id", "sig", 4, 4)
-    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+    val sh = Dedup.shingleTable(docs, "doc_id", "text")
     val shA = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val shB = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     cands.select("id_a", "id_b").join(shA, "id_a").join(shB, "id_b")
@@ -117,13 +117,18 @@ object QueriesTraining {
     * join banded at scale).
     */
   private val qDedupEmbed: Q = (spark, dir) => {
+    val parallelism = spark.sparkContext.defaultParallelism
     val e = Tables(spark, dir, "embeddings").select(
         col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
       .withColumn("bucket", Similarity.srpBucket(col("v"), EmbedPlanes, EmbedDims))
-    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("bucket"))
-    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("bucket"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+      .repartition(parallelism, col("bucket"))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"),
+      col("nrm").as("na"), col("bucket"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("bucket"))
     a.join(b, "bucket").filter(col("id_a") < col("id_b"))
-      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      .withColumn("cos", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= NearDupCos)
       .select(col("id_a"), col("id_b"), col("cos"))
       .orderBy("id_a", "id_b")
@@ -207,12 +212,16 @@ object QueriesTraining {
       |  ELSE [array_to_string(t, ' ')] END""".stripMargin
 
   private val sigElemsSql = (0 until 16)
-    .map(j => s"list_aggregate(list_transform(s, x -> md5('$j:' || x)), 'min')")
+    .map { j =>
+      val (a, b) = (Dedup.minhashA(j), Dedup.minhashB(j))
+      s"list_aggregate(list_transform(hs, h -> ($a*h + $b) % ${Dedup.MinhashP}), 'min')"
+    }
     .mkString("[\n    ", ",\n    ", "]")
 
   private val bandElemsSql = (0 until 4)
     .map { b =>
-      val parts = (0 until 4).map(r => s"sig[${b * 4 + r + 1}]").mkString(" || '|' || ")
+      val parts = (0 until 4)
+        .map(r => s"CAST(sig[${b * 4 + r + 1}] AS VARCHAR)").mkString(" || '|' || ")
       s"md5('$b|' || $parts)"
     }
     .mkString("[", ",\n    ", "]")
@@ -221,7 +230,9 @@ object QueriesTraining {
   private val lshCandidateCtes =
     s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
        |sh AS (SELECT doc_id, $shinglesSql AS s FROM toks),
-       |sig AS (SELECT doc_id, s, $sigElemsSql AS sig FROM sh),
+       |shh AS (SELECT doc_id, s,
+       |  list_transform(s, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs FROM sh),
+       |sig AS (SELECT doc_id, s, $sigElemsSql AS sig FROM shh),
        |bands AS (SELECT doc_id, unnest($bandElemsSql) AS band_key FROM sig),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |         FROM bands a JOIN bands b USING (band_key) WHERE a.doc_id < b.doc_id)""".stripMargin

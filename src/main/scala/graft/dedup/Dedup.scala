@@ -27,13 +27,34 @@ object Dedup {
 
   /** Distinct token 3-shingles; docs shorter than n tokens collapse to
     * a single whole-text shingle so every doc has ≥ 1.
+    *
+    * NOTE: pass a *materialized* tokens column (see [[shingleTable]]),
+    * not `tokens(text)` inline — higher-order-function lambdas are
+    * interpreted (no codegen, no subexpression elimination), so an
+    * inlined tokens subtree re-tokenizes per element_at and turns the
+    * shingle scan quadratic.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = TextAnalysis.tokens(text)
+  def shinglesFromTokens(toks: Column, n: Int = 3): Column = {
     val grams = transform(
       sequence(lit(0), size(toks) - n),
       i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))
     array_distinct(when(size(toks) >= n, grams).otherwise(array(concat_ws(" ", toks))))
+  }
+
+  def shingles(text: Column, n: Int = 3): Column =
+    shinglesFromTokens(TextAnalysis.tokens(text), n)
+
+  /** (idCol, sh: array<string>) with tokens materialized in their own
+    * projection so the shingle lambda reads an attribute, not a
+    * re-computed split. Fans small inputs out to full parallelism.
+    */
+  def shingleTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val parallelism = spark.sparkContext.defaultParallelism
+    val d = if (docs.rdd.getNumPartitions < parallelism)
+      docs.repartition(parallelism, col(idCol)) else docs
+    d.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), shinglesFromTokens(col("toks")).as("sh"))
   }
 
   /** 32-bit portable hash of a string column (first 8 md5 hex chars). */
@@ -56,17 +77,37 @@ object Dedup {
       array_min(transform(shingleCol, s => md5(concat(lit(s"$j:"), s))))
     }: _*)
 
+  /** MinHash permutation family: one 32-bit md5-derived base hash per
+    * shingle, mixed by `numHashes` affine maps mod the Mersenne prime
+    * 2^31−1. Exact integer math, identical in any engine; one md5 per
+    * shingle instead of `numHashes`.
+    */
+  val MinhashP = 2147483647L
+  def minhashA(j: Int): Long = 1000003L * j + 12345L
+  def minhashB(j: Int): Long = 7919L * j + 104729L
+
   /** Bulk MinHash: explode shingles to rows, take the `numHashes`
-    * mins as aggregates. The 100 TB shape — shingles are computed
-    * once, the aggregates partial-combine map-side, and the only
-    * shuffle is the groupBy on the doc id (which the LSH band join
-    * needs anyway). Returns (idCol, sig array<string>).
+    * permuted mins as aggregates. The 100 TB shape — shingles are
+    * computed once, the affine mixes are codegen'd integer ops, the
+    * aggregates partial-combine map-side, and the groupBy shuffle is
+    * keyed on the doc id. Returns (idCol, sig array<long>).
+    *
+    * Small inputs (one parquet split) are fanned out to the session's
+    * default parallelism first — at real scale the input partitioning
+    * already provides this and the repartition is skipped.
     */
   def minhashSigTable(docs: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 16): DataFrame = {
-    val exploded = docs.select(col(idCol), explode(shingles(col(textCol))).as("shingle"))
+    // explode_outer, deliberately: plain explode triggers
+    // InferFiltersFromGenerate, whose size(...)>0 filter gets pushed
+    // below the repartition with the shingle expression re-inlined —
+    // one serial pass over the whole input. Shingle arrays are never
+    // empty, so outer ≡ inner here.
+    val exploded = shingleTable(docs, idCol, textCol)
+      .select(col(idCol), explode_outer(col("sh")).as("shingle"))
+      .withColumn("h", hash32(col("shingle")))
     val aggs = (0 until numHashes).map(j =>
-      min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"m$j"))
+      min((lit(minhashA(j)) * col("h") + lit(minhashB(j))) % MinhashP).as(s"m$j"))
     exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
       .select(col(idCol), array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
   }
@@ -76,7 +117,8 @@ object Dedup {
     */
   def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
     array((0 until bands).map { b =>
-      val slice = (0 until rowsPerBand).map(r => element_at(sig, b * rowsPerBand + r + 1))
+      val slice = (0 until rowsPerBand)
+        .map(r => element_at(sig, b * rowsPerBand + r + 1).cast("string"))
       md5(concat_ws("|", lit(b.toString) +: slice: _*))
     }: _*)
 
@@ -88,7 +130,7 @@ object Dedup {
                     bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
     val exploded = docs.select(
         col(idCol), col(sigCol),
-        explode(bandKeys(col(sigCol), bands, rowsPerBand)).as("band_key"))
+        explode_outer(bandKeys(col(sigCol), bands, rowsPerBand)).as("band_key"))
     val a = exploded.select(col(idCol).as("id_a"), col(sigCol).as("sig_a"), col("band_key"))
     val b = exploded.select(col(idCol).as("id_b"), col(sigCol).as("sig_b"), col("band_key"))
     a.join(b, Seq("band_key"))

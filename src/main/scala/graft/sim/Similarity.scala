@@ -57,14 +57,27 @@ object Similarity {
       when(dot(vec, plane) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Fans a small input out to full parallelism; at real scale the
+    * source partitioning already provides this and the shuffle is
+    * skipped. Per-pair work (the cosine folds) is interpreted
+    * higher-order-function eval, so partition count = speedup factor.
+    */
+  private def fanOut(df: DataFrame, by: Column): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism, by) else df
+  }
+
   /** Exact top-k: every (query, candidate) cosine, ranked per query.
-    * `queries` is broadcast (it is small by contract); ties broken by
+    * `queries` is broadcast (it is small by contract); candidate norms
+    * are computed once per vector, not once per pair; ties broken by
     * candidate id for determinism.
     */
   def knnBrute(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
-    val scored = candidates.crossJoin(broadcast(queries))
+    val q = queries.withColumn("qn", norm(col("q_vec")))
+    val c = fanOut(candidates.withColumn("cn", norm(col("vec"))), col("vec_id"))
+    val scored = c.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("cos", cosine(col("q_vec"), col("vec")))
+      .withColumn("cos", dot(col("q_vec"), col("vec")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -78,10 +91,14 @@ object Similarity {
   def knnLsh(queries: DataFrame, candidates: DataFrame, k: Int,
              planes: Int, dims: Int): DataFrame = {
     val qb = queries.withColumn("bucket", srpBucket(col("q_vec"), planes, dims))
-    val cb = candidates.withColumn("bucket", srpBucket(col("vec"), planes, dims))
+      .withColumn("qn", norm(col("q_vec")))
+    val cb = fanOut(
+      candidates.withColumn("bucket", srpBucket(col("vec"), planes, dims))
+        .withColumn("cn", norm(col("vec"))),
+      col("bucket"))
     val scored = cb.join(broadcast(qb), Seq("bucket"))
       .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("cos", cosine(col("q_vec"), col("vec")))
+      .withColumn("cos", dot(col("q_vec"), col("vec")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
