@@ -119,7 +119,7 @@ object QueriesTraining {
   private val qDedupEmbed: Q = (spark, dir) => {
     val parallelism = spark.sparkContext.defaultParallelism
     val e = Tables(spark, dir, "embeddings").select(
-        col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+        col("vec_id"), col("embedding").as("v"))
       .withColumn("bucket", Similarity.srpBucket(col("v"), EmbedPlanes, EmbedDims))
       .withColumn("nrm", Similarity.norm(col("v")))
       .repartition(parallelism, col("bucket"))
@@ -139,7 +139,7 @@ object QueriesTraining {
   /** Brute-force cosine top-k: exact ANN baseline. */
   private val qKnnBrute: Q = (spark, dir) => {
     val e = Tables(spark, dir, "embeddings").select(
-      col("vec_id"), Similarity.asDouble(col("embedding")).as("vec"))
+      col("vec_id"), col("embedding").as("vec"))
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
     Similarity.knnBrute(q, e, 10).orderBy("q_id", "rank")
@@ -148,7 +148,7 @@ object QueriesTraining {
   /** LSH-bucketed ANN: same ranking restricted to the query's bucket. */
   private val qKnnLsh: Q = (spark, dir) => {
     val e = Tables(spark, dir, "embeddings").select(
-      col("vec_id"), Similarity.asDouble(col("embedding")).as("vec"))
+      col("vec_id"), col("embedding").as("vec"))
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
     Similarity.knnLsh(q, e, 5, EmbedPlanes, EmbedDims).orderBy("q_id", "rank")

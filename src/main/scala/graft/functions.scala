@@ -6,6 +6,7 @@ import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.StringType
 
 import graft.grok.{GrokExtract, GrokExtractMap, GrokMatch}
+import graft.sim.{VectorCosine, VectorDot, VectorNorm}
 
 /** Column-API and SQL surface for the engine's custom expressions. */
 object functions {
@@ -22,6 +23,11 @@ object functions {
   /** Boolean grok match; see [[graft.grok.GrokMatch]]. */
   def grok_match(c: Column, pattern: String): Column = col(GrokMatch(expr(c), pattern))
 
+  /** Codegen'd vector math over array<float|double> embeddings. */
+  def vec_dot(a: Column, b: Column): Column = col(VectorDot(expr(a), expr(b)))
+  def vec_norm(a: Column): Column = col(VectorNorm(expr(a)))
+  def vec_cosine(a: Column, b: Column): Column = col(VectorCosine(expr(a), expr(b)))
+
   private def literalString(e: Expression, fn: String): String = e match {
     case Literal(s, _: StringType) if s != null => s.toString
     case _ => throw new IllegalArgumentException(
@@ -36,5 +42,8 @@ object functions {
       es => GrokExtractMap(es.head, literalString(es(1), "grok_extract_map")))
     Bridge.registerFunction(spark, "grok_match",
       es => GrokMatch(es.head, literalString(es(1), "grok_match")))
+    Bridge.registerFunction(spark, "vec_dot", es => VectorDot(es.head, es(1)))
+    Bridge.registerFunction(spark, "vec_norm", es => VectorNorm(es.head))
+    Bridge.registerFunction(spark, "vec_cosine", es => VectorCosine(es.head, es(1)))
   }
 }

@@ -24,18 +24,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Elementwise float→double, so every subsequent op is double math. */
+  /** Elementwise float→double — only needed when a downstream op
+    * requires a double array; the vec_* expressions widen internally.
+    */
   def asDouble(vec: Column): Column = transform(vec, x => x.cast("double"))
 
-  /** Left-fold sum — same association order as DuckDB `list_reduce`. */
-  private def fsum(arr: Column): Column =
-    aggregate(arr, lit(0.0), (acc, v) => acc + v)
+  /** Codegen'd one-pass kernels ([[VectorDot]] etc.): floats widen
+    * element-wise, accumulation is a left-to-right double fold —
+    * bit-identical to the DuckDB oracle's list_reduce over DOUBLE[].
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.vec_dot(a, b)
 
-  def dot(a: Column, b: Column): Column = fsum(zip_with(a, b, (x, y) => x * y))
+  def norm(a: Column): Column = graft.functions.vec_norm(a)
 
-  def norm(a: Column): Column = sqrt(fsum(transform(a, x => x * x)))
-
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column = graft.functions.vec_cosine(a, b)
 
   /** Deterministic ±1 hyperplane component: parity of the first md5
     * hex digit of "plane_dim". Reproducible in SQL as
