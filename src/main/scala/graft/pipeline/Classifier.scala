@@ -41,18 +41,29 @@ object Classifier {
     rules.filter(r => r.active && r.family.isDefined)
       .map(r => r.family.get -> r.grokPattern.get).toMap
 
+  /** Grok pattern per family including resurrected dormant routes. */
+  val allFamilyPatterns: Map[String, String] =
+    rules.filter(_.family.isDefined)
+      .map(r => r.family.get -> r.grokPattern.get).toMap
+
   /** Index family for a record, null = drop (unroutable or drop-route).
     *
     * @param sourceInstance `log_message.source_instance`
     * @param tags           envelope `tags` map column
     * @param sourceType     `log_message.source_type`
+    * @param includeDormant resurrect the reference's commented-out
+    *   branches (`main.go:368-393`): the four drop-routes become real
+    *   index families with their recorded grok patterns
     */
-  def family(sourceInstance: Column, tags: Column, sourceType: Column): Column = {
+  def family(sourceInstance: Column, tags: Column, sourceType: Column,
+             includeDormant: Boolean = false): Column = {
     val nullStr = lit(null).cast("string")
-    when(sourceInstance.startsWith("/var/log/"), nullStr)
-      .when(sourceInstance.contains("/var/vcap/sys/log/gorouter/access.log"), nullStr)
-      .when(sourceInstance.contains("/var/vcap/sys/log/director/"), nullStr)
-      .when(sourceInstance.startsWith("/var/vcap/sys/log/"), nullStr)
+    def dormant(fam: String): Column = if (includeDormant) lit(fam) else nullStr
+    when(sourceInstance.startsWith("/var/log/"), dormant("linux_logs"))
+      .when(sourceInstance.contains("/var/vcap/sys/log/gorouter/access.log"),
+        dormant("gorouter_access"))
+      .when(sourceInstance.contains("/var/vcap/sys/log/director/"), dormant("bosh_director"))
+      .when(sourceInstance.startsWith("/var/vcap/sys/log/"), dormant("var_vcap_sys_log"))
       .when(tags.getItem("source_id") === "gorouter", lit("gorouter"))
       .when(sourceType === "APP/PROC/WEB", lit("gorouter"))
       .otherwise(nullStr)

@@ -28,7 +28,8 @@ object Pipeline {
     *   `__malformed` side column instead of silently dropped (an
     *   improvement hook over the reference's count+log, `main.go:358`)
     */
-  def assemble(records: DataFrame, dims: DataFrame): DataFrame = {
+  def assemble(records: DataFrame, dims: DataFrame,
+               includeDormant: Boolean = false): DataFrame = {
     val env = records
       .withColumn("env", decode(col("data")))
       // the reference's two Prometheus counters (main.go:40-52): total
@@ -41,12 +42,16 @@ object Pipeline {
       .withColumn("family", Classifier.family(
         col("env.log_message.source_instance"),
         col("env.tags"),
-        col("env.log_message.source_type"))) // row 4
+        col("env.log_message.source_type"),
+        includeDormant)) // row 4
       .filter(col("family").isNotNull)
 
-    // row 5: grok parse, pattern selected per family (all active
-    // families use %{GENERIC}; dormant ones slot in here)
-    val grokked = Classifier.familyPatterns.foldLeft(env) { case (df, (fam, pat)) =>
+    // row 5: grok parse, pattern selected per family (active families
+    // use %{GENERIC}; resurrected dormant ones bring their own, e.g.
+    // %{ROUTERACCESS} with typed captures for gorouter_access)
+    val patterns =
+      if (includeDormant) Classifier.allFamilyPatterns else Classifier.familyPatterns
+    val grokked = patterns.foldLeft(env) { case (df, (fam, pat)) =>
       df.withColumn("captures",
         when(col("family") === fam,
           graft.functions.grok_extract_map(col("env.log_message.message"), pat))
@@ -83,6 +88,11 @@ object Pipeline {
     assembled.select(
       col("es_index"),
       col("dt"),
+      // deterministic doc id = hash(index, source sequence number):
+      // replays upsert the same id ⇒ effectively-once into an
+      // idempotent sink (the improvement SURVEY §7.4-3 calls for over
+      // the reference's auto-id at-least-once)
+      md5(concat_ws(":", col("es_index"), col("sequenceNumber"))).as("doc_id"),
       to_json(struct(stringPart.as("fields"), col("timestamp"))).as("doc"))
   }
 

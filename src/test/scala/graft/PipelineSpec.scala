@@ -172,3 +172,56 @@ class EnvelopeCodecSpec extends AnyFunSuite {
     assert(EnvelopeCodec.decode(withUnknown) == full)
   }
 }
+
+class DormantRoutesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.get("local[4]", "4")
+
+  private val accessLine = "host.example.com - [2019-01-02T03:04:05.678+0000] " +
+    "\"GET /path?q=1 HTTP/1.1\" 200 73 2310 \"-\" \"curl/7.54\" " +
+    "\"10.0.0.9:45301\" \"10.0.1.12:61002\" x_forwarded_for:\"203.0.113.7\" " +
+    "x_forwarded_proto:\"https\" vcap_request_id:\"abc-123\" response_time:0.003452 " +
+    "app_id:\"f47ac10b-58cc-4372-a567-0e02b2c3d479\" app_index:\"0\" " +
+    "x_b3_traceid:\"t1\" x_b3_spanid:\"s1\" x_b3_parentspanid:\"p1\""
+
+  private def records: DataFrame = {
+    import spark.implicits._
+    val env = Envelope("env1", "LogMessage", 1L, "", "", "", "", Map.empty,
+      Some(LogMessage(accessLine, "OUT", 42L, Fixtures.AppGuid, "OTHER",
+        "/var/vcap/sys/log/gorouter/access.log")))
+    (Fixtures.envelopes.map(_._2) :+ env).zipWithIndex.map { case (e, i) =>
+      (EnvelopeCodec.encode(e), i.toString, new Timestamp(Fixtures.ArrivalMs))
+    }.toDF("data", "sequenceNumber", "approximateArrivalTimestamp")
+  }
+
+  test("resurrected branches route to their families (main.go:368-393 comments)") {
+    val out = Pipeline.assemble(records, Fixtures.dims(spark), includeDormant = true)
+    val fams = out.select("family").collect().map(_.getString(0))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(fams.get("linux_logs").contains(1))
+    assert(fams.get("gorouter_access").contains(2)) // fixture + access line
+    assert(fams.get("bosh_director").contains(1))
+    assert(fams.get("var_vcap_sys_log").contains(1))
+    assert(fams.get("gorouter").contains(4))
+  }
+
+  test("gorouter_access parses ROUTERACCESS typed captures end-to-end") {
+    val out = Pipeline.assemble(records, Fixtures.dims(spark), includeDormant = true)
+    val caps = out
+      .filter(col("family") === "gorouter_access" &&
+        col("file_path") === "/var/vcap/sys/log/gorouter/access.log" &&
+        col("captures").getItem("rtr_status").isNotNull)
+      .select("captures").collect().head.getMap[String, String](0)
+    assert(caps("rtr_status") == "200")
+    assert(caps("rtr_response_time_sec") == "0.003452")
+    assert(caps("rtr_app_id") == "f47ac10b-58cc-4372-a567-0e02b2c3d479")
+  }
+
+  test("doc ids are deterministic and unique per (index, sequence)") {
+    val docs = Pipeline.toJsonDocs(Pipeline.assemble(records, Fixtures.dims(spark)))
+    val ids = docs.select("doc_id").collect().map(_.getString(0))
+    assert(ids.length == ids.distinct.length)
+    val again = Pipeline.toJsonDocs(Pipeline.assemble(records, Fixtures.dims(spark)))
+      .select("doc_id").collect().map(_.getString(0))
+    assert(ids.sorted.sameElements(again.sorted))
+  }
+}
