@@ -21,6 +21,8 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // engine extensions: grok capture-pruning optimizer rule
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // events.parquet carries INT64 TIMESTAMP(NANOS), which Spark's
       // vectorized reader rejects; read it as LongType epoch-nanos and
       // derive timestamps explicitly (Tables.events).
@@ -29,6 +31,12 @@ object GraftSession {
   def get(master: String = "local[*]", cpus: String = "32"): SparkSession = {
     val spark = builder(master, cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // also via experimental: getOrCreate may reuse a session built
+    // without the extensions config; the rule is idempotent so
+    // double-registration is harmless
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.PruneGrokCaptures))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.PruneGrokCaptures
     spark
   }
 }

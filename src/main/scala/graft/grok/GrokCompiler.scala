@@ -40,7 +40,8 @@ final class GrokCompileException(msg: String) extends RuntimeException(msg)
 final class CompiledGrok private[grok] (
     val source: String,
     val regexSource: String,
-    val captures: Array[GrokCapture]) extends Serializable {
+    val captures: Array[GrokCapture],
+    val restrict: Option[Seq[String]] = None) extends Serializable {
 
   @transient lazy val pattern: Pattern = Pattern.compile(regexSource)
 
@@ -48,7 +49,8 @@ final class CompiledGrok private[grok] (
     ThreadLocal.withInitial(() => pattern.matcher(""))
 
   /** Distinct capture names in first-seen order; value comes from the
-    * highest (= last) group index carrying that name.
+    * highest (= last) group index carrying that name. With `restrict`,
+    * only the listed names, in the listed order (capture pruning).
     */
   val fields: Array[GrokCapture] = {
     val byName = mutable.LinkedHashMap.empty[String, GrokCapture]
@@ -58,8 +60,17 @@ final class CompiledGrok private[grok] (
         case None => byName(c.name) = c
       }
     }
-    byName.values.toArray
+    restrict match {
+      case Some(names) => names.flatMap(byName.get).toArray
+      case None => byName.values.toArray
+    }
   }
+
+  /** Pruned variant emitting only `names` (same regex, fewer group
+    * extractions + a narrower output row). Unknown names are dropped.
+    */
+  def project(names: Seq[String]): CompiledGrok =
+    new CompiledGrok(source, regexSource, captures, Some(names))
 
   def sqlType(typ: String): DataType = typ match {
     case "int" => LongType

@@ -19,12 +19,20 @@ import org.apache.spark.unsafe.types.UTF8String
 /** `grok_extract(text, 'PATTERN')` → typed struct of captures;
   * null when the pattern does not match (grok.Parse returns an empty
   * map, `/root/reference/vendor/github.com/vjeantet/grok/grok.go:201-215`).
+  *
+  * @param wanted when set (by [[graft.plans.PruneGrokCaptures]]), emit
+  *   only these captures — same regex, fewer group extractions and a
+  *   narrower row (the engine's own column pruning, mirroring
+  *   `NamedCapturesOnly`, grok.go:342-352)
   */
-case class GrokExtract(child: Expression, grokPattern: String)
+case class GrokExtract(child: Expression, grokPattern: String,
+                       wanted: Option[Seq[String]] = None)
     extends UnaryExpression {
 
-  @transient private lazy val compiled: CompiledGrok =
-    GrokLibrary.default.compile(grokPattern)
+  @transient private lazy val compiled: CompiledGrok = {
+    val full = GrokLibrary.default.compile(grokPattern)
+    wanted.map(full.project).getOrElse(full)
+  }
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
