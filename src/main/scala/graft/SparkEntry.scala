@@ -26,19 +26,21 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
 
-    val guid = SyntheticSource.guid _
+    // codegen'd twin of SyntheticSource.guid — no UDF
+    def guid(c: org.apache.spark.sql.Column) =
+      format_string("%08d-0000-4000-8000-%012d", c, c)
     val records = SyntheticSource.records(spark, dir)
 
     val apps = Tables(spark, dir, "customer").select(
-      udf(guid).apply(col("c_custkey")).as("app_guid"),
+      guid(col("c_custkey")).as("app_guid"),
       col("c_name").as("name"),
-      udf(guid).apply(col("c_nationkey").cast("long")).as("space_guid"))
+      guid(col("c_nationkey").cast("long")).as("space_guid"))
     val spaces = Tables(spark, dir, "nation").select(
-      udf(guid).apply(col("n_nationkey").cast("long")).as("space_guid"),
+      guid(col("n_nationkey").cast("long")).as("space_guid"),
       col("n_name").as("name"),
-      udf(guid).apply(col("n_regionkey").cast("long")).as("org_guid"))
+      guid(col("n_regionkey").cast("long")).as("org_guid"))
     val orgs = Tables(spark, dir, "region").select(
-      udf(guid).apply(col("r_regionkey").cast("long")).as("org_guid"),
+      guid(col("r_regionkey").cast("long")).as("org_guid"),
       col("r_name").as("name"))
     val dims = Enrich.resolveDims(apps, spaces, orgs)
 
