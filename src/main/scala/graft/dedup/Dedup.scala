@@ -125,10 +125,17 @@ object Dedup {
   /** Candidate pairs from LSH banding: explode band keys, self-join on
     * key, keep ordered distinct pairs. The join shuffles on band key —
     * collision groups are small by construction, so no skew blowup.
+    *
+    * The signature table is persisted before the self-join: the two
+    * join sides are not exchange-reusable (one gets broadcast), and
+    * the signature aggregation is orders of magnitude smaller than the
+    * corpus it summarizes — exactly what a production dedup would
+    * materialize anyway.
     */
   def lshCandidates(docs: DataFrame, idCol: String, sigCol: String,
                     bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
-    val exploded = docs.select(
+    val sigs = docs.persist()
+    val exploded = sigs.select(
         col(idCol), col(sigCol),
         explode_outer(bandKeys(col(sigCol), bands, rowsPerBand)).as("band_key"))
     val a = exploded.select(col(idCol).as("id_a"), col(sigCol).as("sig_a"), col("band_key"))
