@@ -1,0 +1,157 @@
+package graft.sources
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+import java.util.Base64
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A Kinesis-shaped custom micro-batch source (SURVEY §2 row 1):
+  * `spark.readStream.format(classOf[ShardedRecordSource].getName)
+  * .option("path", dir).load()` over a directory of per-shard
+  * append-only record logs (`shard-*.log`, lines of
+  * `seq,arrivalMillis,base64(data)`).
+  *
+  * The mapping mirrors the reference consumer
+  * (`vendor/github.com/harlow/kinesis-consumer/consumer.go`):
+  *  - shard enumeration ≈ `DescribeStream` (`consumer.go:234-249`)
+  *  - one input partition per shard ≈ goroutine per shard
+  *    (`consumer.go:121-139`) — per-shard ordering preserved
+  *  - offset = shard → next position map ≈ the checkpoint table;
+  *    resume-from-offset ≈ `AFTER_SEQUENCE_NUMBER` iterators
+  *    (`consumer.go:251-269`), initial offset ≈ `TRIM_HORIZON`
+  *  - commit is a no-op: the offset log IS the checkpoint (Spark
+  *    subsumes the reference's Postgres/DDB store, SURVEY §2 row 11)
+  */
+class ShardedRecordSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ShardedRecordSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new ShardedRecordTable(properties.get("path"))
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object ShardedRecordSource {
+  /** Same shape as Spark's Kinesis/Kafka sources (SURVEY §1.1 Record). */
+  val schema: StructType = StructType(Seq(
+    StructField("data", BinaryType, nullable = false),
+    StructField("sequenceNumber", StringType, nullable = false),
+    StructField("approximateArrivalTimestamp", TimestampType, nullable = false)))
+
+  def shardFiles(path: String): Seq[File] = {
+    val d = new File(path)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("shard-") && f.getName.endsWith(".log"))
+      .sortBy(_.getName).toSeq
+  }
+
+  def countLines(f: File): Long =
+    Files.readAllLines(f.toPath, StandardCharsets.UTF_8).size().toLong
+}
+
+class ShardedRecordTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"sharded-records($path)"
+  override def schema(): StructType = ShardedRecordSource.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    () => new ShardedRecordScan(path)
+}
+
+class ShardedRecordScan(path: String) extends Scan {
+  override def readSchema(): StructType = ShardedRecordSource.schema
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new ShardedMicroBatchStream(path)
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      ShardedRecordSource.shardFiles(path).map(f =>
+        ShardSlice(f.getAbsolutePath, 0L, ShardedRecordSource.countLines(f))
+          : InputPartition).toArray
+    override def createReaderFactory(): PartitionReaderFactory = new ShardReaderFactory
+  }
+}
+
+/** shard → next-unread position; the stream's checkpointable state. */
+case class ShardOffsets(positions: Map[String, Long]) extends Offset {
+  // stable ordering so equal offsets serialize identically
+  override def json(): String = positions.toSeq.sorted
+    .map { case (s, p) => s"$s=$p" }.mkString(";")
+}
+
+object ShardOffsets {
+  def parse(json: String): ShardOffsets =
+    if (json.isEmpty) ShardOffsets(Map.empty)
+    else ShardOffsets(json.split(";").map { kv =>
+      val Array(s, p) = kv.split("=", 2); s -> p.toLong
+    }.toMap)
+}
+
+class ShardedMicroBatchStream(path: String) extends MicroBatchStream {
+
+  override def initialOffset(): Offset = ShardOffsets(Map.empty) // TRIM_HORIZON
+
+  override def latestOffset(): Offset =
+    ShardOffsets(ShardedRecordSource.shardFiles(path)
+      .map(f => f.getName -> ShardedRecordSource.countLines(f)).toMap)
+
+  override def deserializeOffset(json: String): Offset = ShardOffsets.parse(json)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ShardOffsets].positions
+    val e = end.asInstanceOf[ShardOffsets].positions
+    e.toSeq.sorted.flatMap { case (shard, to) =>
+      val from = s.getOrElse(shard, 0L)
+      if (to > from)
+        Some(ShardSlice(new File(path, shard).getAbsolutePath, from, to): InputPartition)
+      else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new ShardReaderFactory
+
+  override def commit(end: Offset): Unit = () // offset log is the checkpoint
+  override def stop(): Unit = ()
+}
+
+/** One shard's [from, to) slice — per-shard ordering is preserved
+  * because a shard never spans partitions.
+  */
+case class ShardSlice(file: String, from: Long, to: Long) extends InputPartition
+
+class ShardReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val slice = partition.asInstanceOf[ShardSlice]
+    new PartitionReader[InternalRow] {
+      private val lines = Files.readAllLines(
+        new File(slice.file).toPath, StandardCharsets.UTF_8)
+      private var pos = slice.from
+      private var row: InternalRow = _
+
+      override def next(): Boolean =
+        if (pos >= slice.to || pos >= lines.size()) false
+        else {
+          val Array(seq, ms, b64) = lines.get(pos.toInt).split(",", 3)
+          row = new GenericInternalRow(Array[Any](
+            Base64.getDecoder.decode(b64),
+            UTF8String.fromString(seq),
+            ms.toLong * 1000L)) // millis → micros
+          pos += 1
+          true
+        }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
+}
