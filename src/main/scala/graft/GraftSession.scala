@@ -37,6 +37,7 @@ object GraftSession {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.PruneGrokCaptures))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.PruneGrokCaptures
+    graft.functions.registerAll(spark) // SQL surface: grok_*, vec_* (idempotent)
     spark
   }
 }

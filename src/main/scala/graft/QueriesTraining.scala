@@ -166,7 +166,19 @@ object QueriesTraining {
       .orderBy("doc_id")
   }
 
+  /** Frame-sample + resize plumbing: payload sliced to fixed-size
+    * frames with halved dims, md5 per frame oracle-checked.
+    */
+  private val qFrames: Q = (spark, dir) => {
+    val media = Multimodal.mediaFromDocuments(spark, Tables(spark, dir, "documents"))
+    Multimodal.sampleFrames(media).toDF()
+      .select(col("doc_id"), col("frame_idx"), md5(col("frame")).as("frame_md5"),
+        col("width"), col("height"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val all: Map[String, Q] = Map(
+    "q28_frames" -> qFrames,
     "q16_text_tokens" -> qTextTokens,
     "q17_text_quality" -> qTextQuality,
     "q18_text_langid" -> qTextLangid,
@@ -359,6 +371,17 @@ object QueriesTraining {
          |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
          |           FROM scored)
          |SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "q28_frames" ->
+      s"""WITH f AS (SELECT doc_id, text,
+         |  unnest(range(0, least(${Multimodal.MaxFrames}, length(text) // ${Multimodal.FrameBytes}))) AS frame_idx,
+         |  64 + (doc_id % 16) * 8 AS w, 64 + (doc_id % 9) * 8 AS h
+         |  FROM documents)
+         |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+         |  md5(substr(text, CAST(frame_idx * ${Multimodal.FrameBytes} + 1 AS INT), ${Multimodal.FrameBytes})) AS frame_md5,
+         |  CAST(greatest(1, w // 2) AS INT) AS width,
+         |  CAST(greatest(1, h // 2) AS INT) AS height
+         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q27_multimodal" ->
       s"""SELECT doc_id,

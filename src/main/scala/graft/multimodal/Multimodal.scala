@@ -22,6 +22,14 @@ case class MediaFeatures(
     mean_byte: Double,       // decode-stub feature
     n_frames: Int)           // frame-sample count
 
+/** One sampled frame: a fixed-size byte slice + post-"resize" dims. */
+case class MediaFrame(
+    doc_id: Long,
+    frame_idx: Int,
+    frame: Array[Byte],
+    width: Int,
+    height: Int)
+
 /** Multimodal column plumbing: batch-shaped decode / feature-extract /
   * frame-sample over binary payloads via `mapPartitions` on a typed
   * `Dataset` (the Scala analogue of `mapInPandas` batch UDFs — one
@@ -59,6 +67,27 @@ object Multimodal {
       it.map { r =>
         val (mean, frames) = decodeStub(r.media)
         MediaFeatures(r.doc_id, r.format, r.media.length.toLong, mean, frames)
+      }
+    }
+  }
+
+  val FrameBytes = 32
+  val MaxFrames = 8
+
+  /** Frame sampling + resize stub: every `FrameBytes` slice of the
+    * payload becomes a "frame" (≈ video frame-sample / audio window),
+    * capped at `MaxFrames`; the resize stub halves the declared dims.
+    * Narrow flatMap — at 100 TB this stays a map stage whose output
+    * is the exploded frame table downstream models train on.
+    */
+  def sampleFrames(media: Dataset[MediaRecord]): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val n = math.min(MaxFrames, r.media.length / FrameBytes)
+      (0 until n).map { i =>
+        MediaFrame(r.doc_id, i,
+          r.media.slice(i * FrameBytes, (i + 1) * FrameBytes),
+          math.max(1, r.declared_w / 2), math.max(1, r.declared_h / 2))
       }
     }
   }

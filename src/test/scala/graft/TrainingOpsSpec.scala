@@ -117,3 +117,29 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(f.n_bytes == 100L && f.mean_byte == 65.0 && f.n_frames == 3)
   }
 }
+
+/** SQL surface: the custom expressions usable from spark.sql. */
+class SqlSurfaceSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.get("local[4]", "4")
+
+  test("grok_* and vec_* callable from SQL") {
+    val r = spark.sql(
+      """SELECT grok_extract('x 42', '%{WORD:w} %{INT:n:int}').n AS n,
+        |       grok_match('hello', '%{WORD}') AS m,
+        |       vec_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS cos,
+        |       vec_dot(array(cast(2.0 as float)), array(3.0D)) AS d
+        |""".stripMargin).collect().head
+    assert(r.getLong(0) == 42L && r.getBoolean(1))
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-15 && r.getDouble(3) == 6.0)
+  }
+
+  test("frame sampling slices payload bytes with halved dims") {
+    import spark.implicits._
+    val media = Seq(MediaRecord(3L, "png", Array.tabulate[Byte](70)(_.toByte), 64, 72)).toDS()
+    val frames = Multimodal.sampleFrames(media).collect().sortBy(_.frame_idx)
+    assert(frames.length == 2) // 70/32 = 2 full frames
+    assert(frames(0).frame.toSeq == (0 until 32).map(_.toByte))
+    assert(frames(1).frame.toSeq == (32 until 64).map(_.toByte))
+    assert(frames.forall(f => f.width == 32 && f.height == 36))
+  }
+}
