@@ -100,3 +100,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows("2024-01-01 01:00:00.0") == 2L) // late row not counted
   }
 }
+
+/** flatMapGroupsWithState sessionization: sessions close on in-batch
+  * gaps and on event-time timeout as the watermark advances.
+  */
+class SessionizeStreamSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.get("local[4]", "4")
+
+  test("gap-based sessions close in-batch and via watermark timeout") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.Sessionize
+    val stream = MemoryStream[(Long, Timestamp)]
+    val df = stream.toDF().toDF("user_id", "ts")
+    val out = Sessionize.sessionsFromTimestamps(df, "10 minutes", gapMs = 30 * 60 * 1000)
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // user 1: two events 10 min apart (one session), then a 3-hour jump
+    // (closes session 1 in-batch on the next event's arrival)
+    stream.addData((1L, t(1, 0)), (1L, t(1, 10)))
+    q.processAllAvailable()
+    stream.addData((1L, t(4, 0)))
+    q.processAllAvailable()
+    // advance watermark way past 4:00 + gap → closes session 2 by timeout
+    stream.addData((2L, t(9, 0)))
+    q.processAllAvailable()
+    stream.addData((2L, t(23, 0)))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("sessions").as[Sessionize.Session].collect()
+      .map(s => (s.user_id, s.start_ms, s.n_events, s.dur_ms)).toSet
+    assert(rows.contains((1L, t(1, 0).getTime, 2L, 10 * 60 * 1000L)))
+    assert(rows.contains((1L, t(4, 0).getTime, 1L, 0L)))
+  }
+}
