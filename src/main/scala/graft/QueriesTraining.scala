@@ -102,9 +102,7 @@ object QueriesTraining {
 
   /** SimHash sketch per document (32-bit sign-sum). */
   private val qDedupSimhash: Q = (spark, dir) => {
-    Tables(spark, dir, "documents").select(
-        col("doc_id"),
-        Dedup.simhash32(col("text")).as("simhash"))
+    Dedup.simhashTable(Tables(spark, dir, "documents"), "doc_id", "text")
       .orderBy("doc_id")
   }
 
@@ -168,6 +166,12 @@ object QueriesTraining {
 
   /** Frame-sample + resize plumbing: payload sliced to fixed-size
     * frames with halved dims, md5 per frame oracle-checked.
+    *
+    * NOTE (q19/q27/q28): the Spark side operates on UTF-8 *bytes*
+    * (the multimodal domain) while the DuckDB oracle uses character
+    * functions; they agree because the documents fixture is pure
+    * ASCII (verified) — with multi-byte text the oracle, not the
+    * engine, would need `encode()`-based byte semantics.
     */
   private val qFrames: Q = (spark, dir) => {
     val media = Multimodal.mediaFromDocuments(spark, Tables(spark, dir, "documents"))

@@ -161,14 +161,38 @@ object Dedup {
   /** 32-bit SimHash over the (non-distinct) token stream: bit i is the
     * sign of Σ_tokens (bit i of hash32(token) ? +1 : −1). Near-dup
     * docs differ in few bits.
+    *
+    * Column form for per-row/streaming use — NOTE it embeds the
+    * tokenize+md5 subtree in all 32 bit terms (HOF lambdas get no
+    * subexpression elimination); for bulk scoring use [[simhashTable]]
+    * which materializes the hash array once.
     */
-  def simhash32(text: Column): Column = {
-    val hs = transform(TextAnalysis.tokens(text), t => hash32(t))
+  def simhash32(text: Column): Column =
+    simhash32FromHashes(transform(TextAnalysis.tokens(text), t => hash32(t)))
+
+  /** The 32 sign-sum bit terms over a *materialized* token-hash array
+    * column.
+    */
+  def simhash32FromHashes(hs: Column): Column = {
     val n = size(hs)
     (0 until 32).map { i =>
       val ones = size(filter(hs, h => shiftright(h, i).bitwiseAND(1) === 1))
-      when(ones * 2 > n, lit(1L) * (1L << i)).otherwise(lit(0L))
+      when(ones * 2 > n, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
+
+  /** (idCol, simhash) with the token-hash array materialized in its
+    * own projection so the 32 bit terms read an attribute instead of
+    * re-tokenizing + re-hashing 33×.
+    */
+  def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val parallelism = spark.sparkContext.defaultParallelism
+    val d = if (docs.rdd.getNumPartitions < parallelism)
+      docs.repartition(parallelism, col(idCol)) else docs
+    d.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), transform(col("toks"), t => hash32(t)).as("hs"))
+      .select(col(idCol), simhash32FromHashes(col("hs")).as("simhash"))
   }
 
   /** Hamming distance between two 32-bit sketches. */

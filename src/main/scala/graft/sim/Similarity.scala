@@ -69,6 +69,19 @@ object Similarity {
     if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism, by) else df
   }
 
+  /** Shared tail of the knn variants: per-pair cosine from
+    * precomputed norms, per-query dense rank with id tie-break, top-k.
+    */
+  private def rankTopK(joined: DataFrame, k: Int): DataFrame = {
+    val scored = joined
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos", dot(col("q_vec"), col("vec")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("q_id", "rank", "vec_id", "cos")
+  }
+
   /** Exact top-k: every (query, candidate) cosine, ranked per query.
     * `queries` is broadcast (it is small by contract); candidate norms
     * are computed once per vector, not once per pair; ties broken by
@@ -77,13 +90,7 @@ object Similarity {
   def knnBrute(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
     val q = queries.withColumn("qn", norm(col("q_vec")))
     val c = fanOut(candidates.withColumn("cn", norm(col("vec"))), col("vec_id"))
-    val scored = c.crossJoin(broadcast(q))
-      .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("cos", dot(col("q_vec"), col("vec")) / (col("qn") * col("cn")))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "rank", "vec_id", "cos")
+    rankTopK(c.crossJoin(broadcast(q)), k)
   }
 
   /** ANN top-k: same ranking but only among candidates sharing the
@@ -98,12 +105,6 @@ object Similarity {
       candidates.withColumn("bucket", srpBucket(col("vec"), planes, dims))
         .withColumn("cn", norm(col("vec"))),
       col("bucket"))
-    val scored = cb.join(broadcast(qb), Seq("bucket"))
-      .filter(col("q_id") =!= col("vec_id"))
-      .withColumn("cos", dot(col("q_vec"), col("vec")) / (col("qn") * col("cn")))
-    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("q_id", "rank", "vec_id", "cos")
+    rankTopK(cb.join(broadcast(qb), Seq("bucket")), k)
   }
 }

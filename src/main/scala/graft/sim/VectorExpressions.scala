@@ -15,7 +15,9 @@ import org.apache.spark.sql.types._
   * native `Expression`s with `doGenCode` emitting a tight primitive
   * loop. Floats are widened element-wise to double and accumulated
   * left-to-right — bit-identical to the fold the DuckDB oracle runs on
-  * `::DOUBLE[]` lists.
+  * `::DOUBLE[]` lists. A null array element makes the result null
+  * (SQL semantics, matching the oracle's NULL propagation) instead of
+  * silently reading 0.0 bits.
   */
 private[sim] trait VectorExprHelpers { self: Expression =>
   protected def checkVec(dt: DataType, side: String): TypeCheckResult = dt match {
@@ -44,6 +46,7 @@ case class VectorDot(left: Expression, right: Expression)
     if (l != TypeCheckResult.TypeCheckSuccess) l else checkVec(right.dataType, "right")
   }
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null array element => null
   override def prettyName: String = "vec_dot"
 
   @transient private lazy val lFloat = isFloat(left.dataType)
@@ -55,7 +58,10 @@ case class VectorDot(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += readElem(x, i, lFloat) * readElem(y, i, rFloat); i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      s += readElem(x, i, lFloat) * readElem(y, i, rFloat); i += 1
+    }
     s
   }
 
@@ -68,6 +74,7 @@ case class VectorDot(left: Expression, right: Expression)
         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         double $s = 0.0;
         for (int $i = 0; $i < $n; $i++) {
+          if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
           $s += ${readElem(a, i, lFloat)} * ${readElem(b, i, rFloat)};
         }
         ${ev.value} = $s;
@@ -84,6 +91,7 @@ case class VectorNorm(child: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = checkVec(child.dataType, "input")
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null array element => null
   override def prettyName: String = "vec_norm"
 
   @transient private lazy val cFloat = isFloat(child.dataType)
@@ -92,7 +100,10 @@ case class VectorNorm(child: Expression)
     val x = a.asInstanceOf[ArrayData]
     var s = 0.0
     var i = 0
-    while (i < x.numElements()) { val v = readElem(x, i, cFloat); s += v * v; i += 1 }
+    while (i < x.numElements()) {
+      if (x.isNullAt(i)) return null
+      val v = readElem(x, i, cFloat); s += v * v; i += 1
+    }
     math.sqrt(s)
   }
 
@@ -104,6 +115,7 @@ case class VectorNorm(child: Expression)
       s"""
         double $s = 0.0;
         for (int $i = 0; $i < $a.numElements(); $i++) {
+          if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
           double $v = ${readElem(a, i, cFloat)};
           $s += $v * $v;
         }
@@ -126,6 +138,7 @@ case class VectorCosine(left: Expression, right: Expression)
     if (l != TypeCheckResult.TypeCheckSuccess) l else checkVec(right.dataType, "right")
   }
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null array element => null
   override def prettyName: String = "vec_cosine"
 
   @transient private lazy val lFloat = isFloat(left.dataType)
@@ -138,6 +151,7 @@ case class VectorCosine(left: Expression, right: Expression)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val va = readElem(x, i, lFloat); val vb = readElem(y, i, rFloat)
       dot += va * vb; na += va * va; nb += vb * vb
       i += 1
@@ -158,6 +172,7 @@ case class VectorCosine(left: Expression, right: Expression)
         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
         for (int $i = 0; $i < $n; $i++) {
+          if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
           double $va = ${readElem(a, i, lFloat)};
           double $vb = ${readElem(b, i, rFloat)};
           $dot += $va * $vb; $na += $va * $va; $nb += $vb * $vb;

@@ -57,8 +57,18 @@ object ShardedRecordSource {
       .sortBy(_.getName).toSeq
   }
 
-  def countLines(f: File): Long =
-    Files.readAllLines(f.toPath, StandardCharsets.UTF_8).size().toLong
+  /** Streaming line count — never materializes the file (latestOffset
+    * runs per trigger; a growing shard log must not be heap-allocated
+    * wholesale each time).
+    */
+  def countLines(f: File): Long = {
+    val r = Files.newBufferedReader(f.toPath, StandardCharsets.UTF_8)
+    try {
+      var n = 0L
+      while (r.readLine() != null) n += 1
+      n
+    } finally r.close()
+  }
 }
 
 class ShardedRecordTable(path: String) extends Table with SupportsRead {
@@ -134,24 +144,30 @@ class ShardReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val slice = partition.asInstanceOf[ShardSlice]
     new PartitionReader[InternalRow] {
-      private val lines = Files.readAllLines(
+      // stream the file, skipping to `from` — O(slice), no wholesale
+      // materialization, positions stay Long
+      private val reader = Files.newBufferedReader(
         new File(slice.file).toPath, StandardCharsets.UTF_8)
-      private var pos = slice.from
+      private var pos = 0L
+      while (pos < slice.from && reader.readLine() != null) pos += 1
       private var row: InternalRow = _
 
-      override def next(): Boolean =
-        if (pos >= slice.to || pos >= lines.size()) false
-        else {
-          val Array(seq, ms, b64) = lines.get(pos.toInt).split(",", 3)
-          row = new GenericInternalRow(Array[Any](
-            Base64.getDecoder.decode(b64),
-            UTF8String.fromString(seq),
-            ms.toLong * 1000L)) // millis → micros
-          pos += 1
-          true
-        }
+      override def next(): Boolean = {
+        if (pos >= slice.to) return false
+        val line = reader.readLine()
+        if (line == null) return false
+        val parts = line.split(",", 3)
+        if (parts.length != 3) throw new IllegalArgumentException(
+          s"malformed shard record at ${slice.file}:$pos (expected seq,millis,base64): $line")
+        row = new GenericInternalRow(Array[Any](
+          Base64.getDecoder.decode(parts(2)),
+          UTF8String.fromString(parts(0)),
+          parts(1).toLong * 1000L)) // millis → micros
+        pos += 1
+        true
+      }
       override def get(): InternalRow = row
-      override def close(): Unit = ()
+      override def close(): Unit = reader.close()
     }
   }
 }

@@ -59,10 +59,10 @@ class ShardedSourceSpec extends AnyFunSuite {
     val afterSecond = run()
     assert(afterSecond == 16L)
 
-    // per-record sequence numbers all distinct (no reprocessing)
-    val seqs = spark.read.parquet(outDir)
-      .selectExpr("get_json_object(doc, '$.fields') IS NOT NULL").count()
-    assert(seqs == 16L)
+    // doc_id = md5(index:sequence): all distinct ⇔ no record replayed
+    val distinctIds = spark.read.parquet(outDir)
+      .select("doc_id").distinct().count()
+    assert(distinctIds == 16L)
   }
 
   test("batch-mode read sees all shards from position zero") {

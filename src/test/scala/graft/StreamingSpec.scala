@@ -44,7 +44,11 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1))).sorted
     assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
 
-    // the observe() counters saw every record incl. the malformed one
+    // the observe() counters saw every record incl. the malformed one.
+    // Listener delivery is async — poll until the bus drains.
+    val deadline = System.nanoTime() + 30e9.toLong
+    while (metrics.recordsTotal.get() < sourceRecords.length && System.nanoTime() < deadline)
+      Thread.sleep(50)
     spark.streams.removeListener(metrics)
     assert(metrics.recordsTotal.get() == sourceRecords.length)
     assert(metrics.malformedTotal.get() == 1)
