@@ -153,7 +153,37 @@ object QueriesRelational {
       .orderBy("event_id")
   }
 
+  /** Skew-safe distinct count: two-stage salted aggregation. The salt
+    * partitions the user space, so per-(key, salt) distinct counts sum
+    * exactly — the pattern for COUNT(DISTINCT) / collect-style aggs
+    * where map-side partial aggregation can't shrink a hot key (plain
+    * count/sum doesn't need it; partial agg already handles those).
+    */
+  private val qSaltedDistinct: Q = (spark, dir) => {
+    Tables.events(spark, dir)
+      .withColumn("salt", pmod(col("user_id"), lit(16)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count_distinct(col("user_id")).as("pd"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pd")).as("distinct_users"))
+      .orderBy("event_type")
+  }
+
+  /** Set operations: EXCEPT / INTERSECT over distinct user sets. */
+  private val qSetOps: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+    def users(t: String) =
+      ev.filter(col("event_type") === t).select(col("user_id")).distinct()
+    val clickOnly = users("click").except(users("purchase"))
+      .select(lit("click_not_purchase").as("op"), col("user_id"))
+    val both = users("click").intersect(users("purchase"))
+      .select(lit("click_and_purchase").as("op"), col("user_id"))
+    clickOnly.unionAll(both).orderBy("op", "user_id")
+  }
+
   val all: Map[String, Q] = Map(
+    "q7_salted_distinct" -> qSaltedDistinct,
+    "q8_setops" -> qSetOps,
     "q2_join_topk" -> qJoinTopk,
     "q3_join_agg" -> qJoinAgg,
     "q4_window_fn" -> qWindowFn,
@@ -162,6 +192,18 @@ object QueriesRelational {
     "q10_decode" -> qDecode)
 
   val oracles: Map[String, String] = Map(
+    "q7_salted_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS distinct_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q8_setops" ->
+      """WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+        |p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT 'click_not_purchase' AS op, user_id FROM (SELECT user_id FROM c EXCEPT SELECT user_id FROM p)
+        |UNION ALL
+        |SELECT 'click_and_purchase' AS op, user_id FROM (SELECT user_id FROM c INTERSECT SELECT user_id FROM p)
+        |ORDER BY op, user_id""".stripMargin,
+
     "q2_join_topk" ->
       """SELECT l_orderkey, o_orderdate,
         |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue

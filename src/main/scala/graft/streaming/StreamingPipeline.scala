@@ -40,6 +40,27 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Like [[start]], but the dimension is re-loaded every micro-batch
+    * — the Spark-native form of the reference's TTL'd read-through
+    * cache (SURVEY §2 row 6: 6 h jittered TTL ⇒ here, refresh
+    * granularity = trigger interval). `dimsLoader` re-reads the
+    * dimension snapshot (table/path/API dump); the broadcast join is
+    * re-planned per batch so updates are visible without restart.
+    */
+  def startWithDimRefresh(records: DataFrame, dimsLoader: () => DataFrame,
+                          checkpointDir: String, outDir: String,
+                          trigger: Trigger = Trigger.ProcessingTime("15 seconds")): StreamingQuery =
+    records.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Pipeline.toJsonDocs(Pipeline.assemble(batch, dimsLoader()))
+          .write.mode("overwrite")
+          .partitionBy("es_index")
+          .parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+
   /** Watermarked tumbling-window aggregation over the decoded stream —
     * the event-time operator family the reference lacks entirely
     * (SURVEY §2.3): late data beyond the watermark is dropped, state

@@ -141,3 +141,55 @@ class SessionizeStreamSpec extends AnyFunSuite {
     assert(rows.contains((1L, t(4, 0).getTime, 1L, 0L)))
   }
 }
+
+/** Per-batch dimension refresh: the stream-static broadcast join sees
+  * dimension updates without a query restart (SURVEY §2 row 6 — the
+  * TTL'd cache, with refresh granularity = trigger).
+  */
+class DimRefreshSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.get("local[4]", "4")
+
+  test("renamed app appears in the next micro-batch's documents") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.pipeline.Enrich
+
+    val dimDir = Files.createTempDirectory("graft_dims").toString
+    def writeDims(appName: String): Unit = {
+      val apps = Seq((Fixtures.AppGuid, appName, "5e0d2e2e-0000-0000-0000-000000000001"))
+        .toDF("app_guid", "name", "space_guid")
+      val spaces = Seq(("5e0d2e2e-0000-0000-0000-000000000001", "prod",
+        "a1b2c3d4-0000-0000-0000-000000000001")).toDF("space_guid", "name", "org_guid")
+      val orgs = Seq(("a1b2c3d4-0000-0000-0000-000000000001", "agency")).toDF("org_guid", "name")
+      Enrich.resolveDims(apps, spaces, orgs)
+        .write.mode("overwrite").parquet(dimDir)
+    }
+
+    val keep = Fixtures.envelopes.collectFirst {
+      case ("keep_tag_gorouter", e) => e
+    }.get
+    def record(seq: String) = SourceRecord(
+      graft.pipeline.EnvelopeCodec.encode(keep), seq, new Timestamp(Fixtures.ArrivalMs))
+
+    val stream = MemoryStream[SourceRecord]
+    val outDir = Files.createTempDirectory("graft_dimref_out").toString
+    val ckDir = Files.createTempDirectory("graft_dimref_ck").toString
+
+    writeDims("myapp-venerable")
+    stream.addData(record("s1"))
+    val q1 = StreamingPipeline.startWithDimRefresh(
+      stream.toDF(), () => spark.read.parquet(dimDir), ckDir, outDir, Trigger.AvailableNow())
+    q1.awaitTermination(120000)
+
+    writeDims("renamed-blue")
+    stream.addData(record("s2"))
+    val q2 = StreamingPipeline.startWithDimRefresh(
+      stream.toDF(), () => spark.read.parquet(dimDir), ckDir, outDir, Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+
+    val docs = spark.read.parquet(outDir).select("doc").collect().map(_.getString(0))
+    assert(docs.length == 2)
+    assert(docs.exists(_.contains("\"@cf.app\":\"myapp\"")))     // suffix-stripped v1
+    assert(docs.exists(_.contains("\"@cf.app\":\"renamed\"")))   // refreshed v2
+  }
+}
