@@ -51,6 +51,35 @@ object QueriesRelational {
 
   private type Q = (SparkSession, String) => DataFrame
 
+  /** The flagship end-to-end ETL (the reference's whole program):
+    * synthesized envelopes → decode → filter → route → grok →
+    * enrichment broadcast-join → computed columns → documents.
+    * Registered as a bench query for throughput tracking (rows-only
+    * check: every component is oracle-verified via q10–q15).
+    */
+  def flagship(spark: SparkSession, dir: String): DataFrame = {
+    def guid(c: org.apache.spark.sql.Column) =
+      format_string("%08d-0000-4000-8000-%012d", c, c)
+    val apps = Tables(spark, dir, "customer").select(
+      guid(col("c_custkey")).as("app_guid"),
+      col("c_name").as("name"),
+      guid(col("c_nationkey").cast("long")).as("space_guid"))
+    val spaces = Tables(spark, dir, "nation").select(
+      guid(col("n_nationkey").cast("long")).as("space_guid"),
+      col("n_name").as("name"),
+      guid(col("n_regionkey").cast("long")).as("org_guid"))
+    val orgs = Tables(spark, dir, "region").select(
+      guid(col("r_regionkey").cast("long")).as("org_guid"),
+      col("r_name").as("name"))
+    val dims = graft.pipeline.Enrich.resolveDims(apps, spaces, orgs)
+    Pipeline.assemble(SyntheticSource.records(spark, dir), dims)
+      .select(col("es_index"), col("timestamp"), col("file_path"),
+        col("`@cf.env`"), col("`@cf.app`"), col("`@cf.space`"), col("`@cf.org`"),
+        col("captures").getItem("log_event").as("log_event"))
+  }
+
+  private val qPipelineEtl: Q = (spark, dir) => flagship(spark, dir)
+
   /** TPC-H Q3-shaped top-k join. Scale notes: the filtered customer
     * dimension is broadcast (no shuffle on the fact side for that
     * join); orders⋈lineitem shuffles on the shared key once; top-k is
@@ -182,6 +211,7 @@ object QueriesRelational {
   }
 
   val all: Map[String, Q] = Map(
+    "q9_pipeline_etl" -> qPipelineEtl,
     "q7_salted_distinct" -> qSaltedDistinct,
     "q8_setops" -> qSetOps,
     "q2_join_topk" -> qJoinTopk,

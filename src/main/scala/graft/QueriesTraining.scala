@@ -152,6 +152,47 @@ object QueriesTraining {
     Similarity.knnLsh(q, e, 5, EmbedPlanes, EmbedDims).orderBy("q_id", "rank")
   }
 
+  private val IvfLists = 8
+  private val IvfProbes = 2
+
+  /** IVF-style ANN: deterministic coarse quantizer (first K vectors as
+    * centroids), one inverted list per centroid, queries probe the
+    * `IvfProbes` nearest lists and rerank exactly. At 100 TB the
+    * assignment is a broadcast map stage and the probe join touches
+    * only nprobe/K of the corpus.
+    */
+  private val qKnnIvf: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val parallelism = spark.sparkContext.defaultParallelism
+    val e = Tables(spark, dir, "embeddings").select(
+        col("vec_id"), col("embedding").as("vec"))
+      .repartition(parallelism, col("vec_id"))
+    val cents = e.filter(col("vec_id") < IvfLists)
+      .select(col("vec_id").as("c_id"), col("vec").as("c_vec"))
+    val assignW = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id"))
+    val assign = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", Similarity.cosine(col("vec"), col("c_vec")))
+      .withColumn("crk", row_number().over(assignW))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("vec"), col("c_id").as("list_id"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
+    val probeW = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("c_id"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("ccos", Similarity.cosine(col("q_vec"), col("c_vec")))
+      .withColumn("crk", row_number().over(probeW))
+      .filter(col("crk") <= IvfProbes)
+      .select(col("q_id"), col("q_vec"), col("c_id").as("list_id"))
+    val rankW = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    broadcast(probes).join(assign, "list_id")
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos", Similarity.cosine(col("q_vec"), col("vec")))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy("q_id", "rank")
+  }
+
   // ---------------------------------------------------------- multimodal
 
   /** Multimodal plumbing: binary payload + typed metadata through the
@@ -183,6 +224,7 @@ object QueriesTraining {
 
   val all: Map[String, Q] = Map(
     "q28_frames" -> qFrames,
+    "q29_knn_ivf" -> qKnnIvf,
     "q16_text_tokens" -> qTextTokens,
     "q17_text_quality" -> qTextQuality,
     "q18_text_langid" -> qTextLangid,
@@ -371,6 +413,28 @@ object QueriesTraining {
          |q AS (SELECT vec_id AS q_id, v AS q_vec, bucket FROM b WHERE vec_id < 10),
          |scored AS (SELECT q_id, c.vec_id, ${cosSql("q_vec", "c.v")} AS cos
          |           FROM q JOIN b c USING (bucket) WHERE c.vec_id <> q_id),
+         |ranked AS (SELECT q_id, vec_id, cos,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |           FROM scored)
+         |SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "q29_knn_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT vec_id AS c_id, v AS c_vec FROM e WHERE vec_id < $IvfLists),
+         |assign AS (SELECT vec_id, v, c_id AS list_id FROM (
+         |  SELECT e.vec_id, e.v, c.c_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.v", "c.c_vec")} DESC, c.c_id) AS crk
+         |  FROM e, c) WHERE crk = 1),
+         |q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 10),
+         |probes AS (SELECT q_id, q_vec, c_id AS list_id FROM (
+         |  SELECT q.q_id, q.q_vec, c.c_id,
+         |    row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY ${cosSql("q.q_vec", "c.c_vec")} DESC, c.c_id) AS crk
+         |  FROM q, c) WHERE crk <= $IvfProbes),
+         |scored AS (SELECT q_id, a.vec_id, ${cosSql("p.q_vec", "a.v")} AS cos
+         |           FROM probes p JOIN assign a USING (list_id)
+         |           WHERE a.vec_id <> p.q_id),
          |ranked AS (SELECT q_id, vec_id, cos,
          |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
          |           FROM scored)
