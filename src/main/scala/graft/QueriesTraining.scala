@@ -83,11 +83,10 @@ object QueriesTraining {
       .orderBy("id_a", "id_b")
   }
 
-  /** n-gram Jaccard dedup: exact trigram-shingle Jaccard, verified
-    * only on LSH candidate pairs (the 100 TB-scalable shape — exact
-    * verify never touches non-colliding pairs).
+  /** LSH candidates verified by exact trigram Jaccard ≥ 0.4 — the
+    * shared edge set of the pairwise and grouping dedup queries.
     */
-  private val qDedupNgram: Q = (spark, dir) => {
+  private def ngramPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val cands = Dedup.lshCandidates(sigs(spark, dir), "doc_id", "sig", 4, 4)
     val sh = Dedup.shingleTable(docs, "doc_id", "text")
@@ -96,8 +95,26 @@ object QueriesTraining {
     cands.select("id_a", "id_b").join(shA, "id_a").join(shB, "id_b")
       .withColumn("jacc", Dedup.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jacc") >= 0.4)
+  }
+
+  /** n-gram Jaccard dedup: exact trigram-shingle Jaccard, verified
+    * only on LSH candidate pairs (the 100 TB-scalable shape — exact
+    * verify never touches non-colliding pairs).
+    */
+  private val qDedupNgram: Q = (spark, dir) => {
+    ngramPairs(spark, dir)
       .select(col("id_a"), col("id_b"), col("jacc"))
       .orderBy("id_a", "id_b")
+  }
+
+  /** Near-dup *groups*: connected components over the verified pair
+    * graph; canonical id = component minimum. The step that turns
+    * pairwise similarity into an actionable keep/drop decision.
+    */
+  private val qDedupGroups: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"))
+    Dedup.connectedComponents(docs, ngramPairs(spark, dir), "doc_id", "id_a", "id_b")
+      .orderBy("doc_id")
   }
 
   /** SimHash sketch per document (32-bit sign-sum). */
@@ -222,9 +239,21 @@ object QueriesTraining {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Corpus-level shingle document-frequency top-k (n-gram stats —
+    * the contamination/boilerplate detector's first query).
+    */
+  private val qNgramTopk: Q = (spark, dir) => {
+    Dedup.shingleTable(Tables(spark, dir, "documents"), "doc_id", "text")
+      .select(explode_outer(col("sh")).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("shingle")).limit(20)
+  }
+
   val all: Map[String, Q] = Map(
     "q28_frames" -> qFrames,
     "q29_knn_ivf" -> qKnnIvf,
+    "q30_ngram_topk" -> qNgramTopk,
+    "q31_dedup_groups" -> qDedupGroups,
     "q16_text_tokens" -> qTextTokens,
     "q17_text_quality" -> qTextQuality,
     "q18_text_langid" -> qTextLangid,
@@ -417,6 +446,29 @@ object QueriesTraining {
          |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
          |           FROM scored)
          |SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "q30_ngram_topk" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sh AS (SELECT doc_id, $shinglesSql AS s FROM toks),
+         |u AS (SELECT unnest(s) AS shingle FROM sh)
+         |SELECT shingle, count(*) AS df FROM u
+         |GROUP BY shingle ORDER BY df DESC, shingle LIMIT 20""".stripMargin,
+
+    "q31_dedup_groups" ->
+      s"""${lshCandidateCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |jac AS (SELECT id_a, id_b,
+         |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         |    / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS jacc
+         |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b),
+         |pairs AS (SELECT id_a, id_b FROM jac WHERE jacc >= 0.4),
+         |sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |        UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT sym.d, reach.lbl FROM reach JOIN sym ON sym.s = reach.id)
+         |SELECT id AS doc_id, min(lbl) AS canonical_id
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "q29_knn_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

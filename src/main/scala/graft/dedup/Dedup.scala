@@ -197,4 +197,33 @@ object Dedup {
 
   /** Hamming distance between two 32-bit sketches. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Connected components by iterative min-label propagation: each
+    * node repeatedly adopts the minimum label among itself and its
+    * neighbors until fixpoint — the distributed way to turn near-dup
+    * *pairs* into dedup *groups* (canonical id = component min). Each
+    * iteration is one join+aggregate; iteration count = component
+    * diameter (tiny for dedup clusters). Returns (id, canonical_id).
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          idCol: String, srcCol: String, dstCol: String): DataFrame = {
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .persist()
+    var labels = nodes.select(col(idCol).as("id"), col(idCol).as("lbl")).persist()
+    var changed = 1L
+    while (changed > 0) {
+      val msgs = sym.join(labels, sym("src") === labels("id"))
+        .select(col("dst").as("id"), col("lbl"))
+      val next = labels.unionAll(msgs)
+        .groupBy("id").agg(min(col("lbl")).as("lbl"))
+        .persist()
+      changed = next.as("n").join(labels.as("p"), "id")
+        .filter(col("n.lbl") =!= col("p.lbl")).count()
+      labels.unpersist()
+      labels = next
+    }
+    sym.unpersist()
+    labels.select(col("id").as(idCol), col("lbl").as("canonical_id"))
+  }
 }
