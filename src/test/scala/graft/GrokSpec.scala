@@ -135,3 +135,33 @@ class GrokSparkSpec extends AnyFunSuite {
     assert(row.getLong(0) == 200L && row.getDouble(1) == 0.25)
   }
 }
+
+class DormantPatternsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.grok.GrokLibrary
+  private def parse(pattern: String, line: String): Map[String, Any] = {
+    val g = GrokLibrary.default.compile(pattern)
+    val row = g.evalRow(org.apache.spark.unsafe.types.UTF8String.fromString(line))
+    if (row == null) Map.empty
+    else g.fields.zipWithIndex.map { case (f, i) =>
+      f.name -> (row.get(i, g.schema(i).dataType) match {
+        case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+        case other => other
+      })
+    }.toMap
+  }
+
+  test("BOSHDIRECTOROUT: director debug line") {
+    val got = parse("%{BOSHDIRECTOROUT}",
+      "D, [2021-03-04T05:06:07.8+0000 #12345] DEBUG -- DirectorJobRunner: something happened")
+    assert(got("director_time") == "2021-03-04T05:06:07.8+0000")
+    assert(got("bosh_director_out").toString.endsWith("something happened"))
+  }
+
+  test("BOSHDIRECTORERR: nginx-style error line") {
+    val got = parse("%{BOSHDIRECTORERR}",
+      "10.0.0.5 - - [04/Mar/2021:05:06:07 +0000] failed to talk to nats")
+    assert(got("client_ip") == "10.0.0.5")
+    assert(got("director_time") == "04/Mar/2021:05:06:07 +0000")
+    assert(got("bosh_director_err") == "failed to talk to nats")
+  }
+}

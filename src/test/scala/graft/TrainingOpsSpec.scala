@@ -143,3 +143,18 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(frames.forall(f => f.width == 32 && f.height == 36))
   }
 }
+
+/** Connected components on a hand-built graph. */
+class ConnectedComponentsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.get("local[4]", "4")
+
+  test("two chains + a singleton resolve to component minima") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("id")
+    // 1-2-3 (chain), 5-6 and 6-7 via 5-7 (triangle-ish), 4 isolated
+    val edges = Seq((2L, 1L), (2L, 3L), (5L, 6L), (7L, 5L)).toDF("a", "b")
+    val got = graft.dedup.Dedup.connectedComponents(nodes, edges, "id", "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 5L))
+  }
+}
