@@ -89,7 +89,9 @@ object QueriesTraining {
   private def ngramPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val cands = Dedup.lshCandidates(sigs(spark, dir), "doc_id", "sig", 4, 4)
-    val sh = Dedup.shingleTable(docs, "doc_id", "text")
+    // persisted: feeds both sides of the pair join (no plan reuse
+    // across join branches), same rationale as the LSH sig table
+    val sh = Dedup.shingleTable(docs, "doc_id", "text").persist()
     val shA = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val shB = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
     cands.select("id_a", "id_b").join(shA, "id_a").join(shB, "id_b")
