@@ -16,6 +16,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * (`@transient lazy val`), never per row.
   */
 
+/** Shared string-input type check (AbstractDataType — the
+  * ExpectsInputTypes route — is private[sql], so the check is spelled
+  * once here instead of per expression).
+  */
+private[graft] trait RequiresStringInput { self: UnaryExpression =>
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string input, got ${child.dataType}")
+}
+
 /** `grok_extract(text, 'PATTERN')` → typed struct of captures;
   * null when the pattern does not match (grok.Parse returns an empty
   * map, `/root/reference/vendor/github.com/vjeantet/grok/grok.go:201-215`).
@@ -27,16 +38,13 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class GrokExtract(child: Expression, grokPattern: String,
                        wanted: Option[Seq[String]] = None)
-    extends UnaryExpression {
+    extends UnaryExpression with RequiresStringInput {
 
   @transient private lazy val compiled: CompiledGrok = {
     val full = GrokLibrary.default.compile(grokPattern)
     wanted.map(full.project).getOrElse(full)
   }
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string input, got ${child.dataType}")
   override def dataType: DataType = compiled.schema
   override def nullable: Boolean = true
   override def prettyName: String = "grok_extract"
@@ -61,14 +69,11 @@ case class GrokExtract(child: Expression, grokPattern: String,
   * match, never null (for non-null input).
   */
 case class GrokExtractMap(child: Expression, grokPattern: String)
-    extends UnaryExpression {
+    extends UnaryExpression with RequiresStringInput {
 
   @transient private lazy val compiled: CompiledGrok =
     GrokLibrary.default.compile(grokPattern)
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string input, got ${child.dataType}")
   override def dataType: DataType = MapType(StringType, StringType, valueContainsNull = false)
   override def prettyName: String = "grok_extract_map"
 
@@ -86,14 +91,11 @@ case class GrokExtractMap(child: Expression, grokPattern: String)
 
 /** `grok_match(text, 'PATTERN')` → boolean (grok.Match, grok.go:186-198). */
 case class GrokMatch(child: Expression, grokPattern: String)
-    extends UnaryExpression {
+    extends UnaryExpression with RequiresStringInput {
 
   @transient private lazy val compiled: CompiledGrok =
     GrokLibrary.default.compile(grokPattern)
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType.isInstanceOf[StringType]) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string input, got ${child.dataType}")
   override def dataType: DataType = BooleanType
   override def prettyName: String = "grok_match"
 

@@ -15,15 +15,19 @@ import org.apache.spark.sql.functions._
   * Semantics preserved (tested as a truth table):
   *  - key = log's app_id, else the grok-parsed rtr_app_id, else the
   *    row is DROPPED (`main.go:414-430`);
-  *  - a lookup *failure* (invalid guid) keeps the row WITHOUT the six
-  *    @cf columns (`main.go:417-419` logs and continues);
-  *  - a *missing* app with IgnoreMissingApps keeps the row with empty
-  *    names but the canonicalized guid (`caching_lazyfill.go:112-118,
-  *    241-265` — entity{} fallbacks at every chain step);
+  *  - with IgnoreMissingApps=true (the deployed config, `main.go:103`)
+  *    `GetApp` NEVER fails: an invalid guid or a miss at any chain
+  *    step degrades to `entity{}` (`caching_lazyfill.go:241-248,
+  *    219-238`), so all six keys are set — names/chain-ids empty,
+  *    `@cf.app_id` = the RAW input guid, case preserved
+  *    (`caching_lazyfill.go:255` uses the caller's appGuid verbatim;
+  *    canonicalization is cache-key-only, `:88-93`);
+  *  - with IgnoreMissingApps=false any failure errors out of
+  *    `augmentWithAppInfo`, and `main.go:417-419` keeps the row
+  *    WITHOUT the six keys (here: all six null → omitted by
+  *    [[Pipeline.toJsonDocs]]);
   *  - app-name suffix strip, first match only, list order
-  *    (`caching_lazyfill.go:140-150`; list `main.go:104`);
-  *  - guid canonicalization = UUID parse → lowercase
-  *    (`caching_lazyfill.go:88-93`).
+  *    (`caching_lazyfill.go:140-150`; list `main.go:104`).
   */
 object Enrich {
 
@@ -80,17 +84,24 @@ object Enrich {
   /** Adds the six `@cf.*` columns to `logs` via broadcast left join,
     * dropping rows with no resolvable key.
     *
-    * @param appId        primary key column (log_message.app_id)
-    * @param rtrAppId     fallback key column (grok'd rtr_app_id); pass
-    *                     lit("") if not applicable
-    * @param validateGuid when true, a non-UUID key is a lookup
-    *                     *failure*: row kept, all six columns null
+    * @param appId             primary key column (log_message.app_id)
+    * @param rtrAppId          fallback key column (grok'd rtr_app_id);
+    *                          pass lit("") if not applicable
+    * @param ignoreMissingApps true (deployed config): invalid guid or
+    *                          miss at any step → keys set with empty
+    *                          names and the RAW guid. false: any
+    *                          failure → all six columns null (row kept
+    *                          without the keys downstream)
+    * @param validateGuid      when true, non-UUID keys never match the
+    *                          dimension (the uuid-parse gate); when
+    *                          false keys join as-is (synthetic ids)
     */
   def enrich(
       logs: DataFrame,
       dims: DataFrame,
       appId: Column,
       rtrAppId: Column,
+      ignoreMissingApps: Boolean = true,
       validateGuid: Boolean = true,
       colPrefix: String = "@cf."): DataFrame = {
     val key = when(appId =!= "", appId).when(rtrAppId =!= "", rtrAppId)
@@ -99,20 +110,25 @@ object Enrich {
       .filter(col("__key_raw").isNotNull) // inner-drop: no identifiable app
       .withColumn("__key_valid",
         if (validateGuid) col("__key_raw").rlike(UuidRe) else lit(true))
+      // canonicalized join key; invalid guids never match (cache-key
+      // canonicalization, caching_lazyfill.go:88-93)
       .withColumn("__key", when(col("__key_valid"), lower(col("__key_raw"))))
     val d = broadcast(dims.select(
       col("app_guid").as("__d_guid"), col("app_name").as("__d_app"),
       col("space_guid").as("__d_space_id"), col("space_name").as("__d_space"),
       col("org_guid").as("__d_org_id"), col("org_name").as("__d_org")))
     val joined = keyed.join(d, keyed("__key") === d("__d_guid"), "left")
-    val v = col("__key_valid")
+    // "ok" = the rows whose six keys get set: everything under
+    // IgnoreMissingApps, only actual matches otherwise
+    val ok = if (ignoreMissingApps) lit(true)
+      else col("__key_valid") && col("__d_guid").isNotNull
     joined
-      .withColumn(colPrefix + "app", when(v, coalesce(col("__d_app"), lit(""))))
-      .withColumn(colPrefix + "app_id", when(v, col("__key")))
-      .withColumn(colPrefix + "space", when(v, coalesce(col("__d_space"), lit(""))))
-      .withColumn(colPrefix + "space_id", when(v, coalesce(col("__d_space_id"), lit(""))))
-      .withColumn(colPrefix + "org", when(v, coalesce(col("__d_org"), lit(""))))
-      .withColumn(colPrefix + "org_id", when(v, coalesce(col("__d_org_id"), lit(""))))
+      .withColumn(colPrefix + "app", when(ok, coalesce(col("__d_app"), lit(""))))
+      .withColumn(colPrefix + "app_id", when(ok, col("__key_raw"))) // RAW, case preserved
+      .withColumn(colPrefix + "space", when(ok, coalesce(col("__d_space"), lit(""))))
+      .withColumn(colPrefix + "space_id", when(ok, coalesce(col("__d_space_id"), lit(""))))
+      .withColumn(colPrefix + "org", when(ok, coalesce(col("__d_org"), lit(""))))
+      .withColumn(colPrefix + "org_id", when(ok, coalesce(col("__d_org_id"), lit(""))))
       .drop("__key_raw", "__key_valid", "__key",
         "__d_guid", "__d_app", "__d_space_id", "__d_space", "__d_org_id", "__d_org")
   }

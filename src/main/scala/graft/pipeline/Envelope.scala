@@ -41,7 +41,8 @@ object Envelope {
 
   /** eventType enum (envelope.pb.go:49-61). */
   val EventTypes: Map[Int, String] = Map(
-    1 -> "HttpStart", 2 -> "HttpStop", 3 -> "Heartbeat", 4 -> "HttpStartStop",
+    // 1-3 are removed positions (envelope.pb.go:52-54 comments)
+    1 -> "Heartbeat", 2 -> "HttpStart", 3 -> "HttpStop", 4 -> "HttpStartStop",
     5 -> "LogMessage", 6 -> "ValueMetric", 7 -> "CounterEvent", 8 -> "Error",
     9 -> "ContainerMetric")
 

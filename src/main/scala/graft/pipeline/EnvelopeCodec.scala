@@ -53,6 +53,14 @@ object EnvelopeCodec {
       out
     }
 
+    /** Known fields must arrive with their declared wire type — the
+      * generated unmarshal rejects mismatches ("proto: wrong wireType")
+      * rather than misreading bytes (envelope.pb.go unmarshal).
+      */
+    def expectWire(field: Int, got: Int, want: Int): Unit =
+      if (got != want) throw new MalformedEnvelopeException(
+        s"field $field: wire type $got, expected $want")
+
     def skip(wireType: Int): Unit = wireType match {
       case 0 => readVarint()
       case 1 =>
@@ -66,28 +74,34 @@ object EnvelopeCodec {
     }
   }
 
-  private def decodeLogMessage(bytes: Array[Byte]): LogMessage = {
+  /** Decodes one LogMessage chunk, merging over `prev` — proto2
+    * semantics for a repeated embedded field: later chunks merge
+    * field-by-field into the existing message, they do not replace it
+    * (the generated unmarshal appends into m.LogMessage).
+    */
+  private def decodeLogMessage(bytes: Array[Byte], prev: Option[LogMessage]): LogMessage = {
     val r = new Reader(bytes)
-    var message: String = null
-    var messageType: String = null
-    var sawTimestamp = false
-    var timestamp = 0L
-    var appId = ""
-    var sourceType = ""
-    var sourceInstance = ""
+    var message: String = prev.map(_.message).orNull
+    var messageType: String = prev.map(_.message_type).orNull
+    var sawTimestamp = prev.isDefined
+    var timestamp = prev.map(_.timestamp).getOrElse(0L)
+    var appId = prev.map(_.app_id).getOrElse("")
+    var sourceType = prev.map(_.source_type).getOrElse("")
+    var sourceInstance = prev.map(_.source_instance).getOrElse("")
     while (r.hasMore) {
       val tag = r.readVarint()
       val field = (tag >>> 3).toInt
       val wire = (tag & 7).toInt
       field match {
-        case 1 => message = new String(r.readBytes(), UTF_8)
+        case 1 => r.expectWire(field, wire, 2); message = new String(r.readBytes(), UTF_8)
         case 2 =>
+          r.expectWire(field, wire, 0)
           val v = r.readVarint().toInt
           messageType = Envelope.MessageTypes.getOrElse(v, s"UNKNOWN_$v")
-        case 3 => timestamp = r.readVarint(); sawTimestamp = true
-        case 4 => appId = new String(r.readBytes(), UTF_8)
-        case 5 => sourceType = new String(r.readBytes(), UTF_8)
-        case 6 => sourceInstance = new String(r.readBytes(), UTF_8)
+        case 3 => r.expectWire(field, wire, 0); timestamp = r.readVarint(); sawTimestamp = true
+        case 4 => r.expectWire(field, wire, 2); appId = new String(r.readBytes(), UTF_8)
+        case 5 => r.expectWire(field, wire, 2); sourceType = new String(r.readBytes(), UTF_8)
+        case 6 => r.expectWire(field, wire, 2); sourceInstance = new String(r.readBytes(), UTF_8)
         case _ => r.skip(wire)
       }
     }
@@ -102,10 +116,12 @@ object EnvelopeCodec {
     var v = ""
     while (r.hasMore) {
       val tag = r.readVarint()
-      ((tag >>> 3).toInt: @unchecked) match {
-        case 1 => k = new String(r.readBytes(), UTF_8)
-        case 2 => v = new String(r.readBytes(), UTF_8)
-        case _ => r.skip((tag & 7).toInt)
+      val field = (tag >>> 3).toInt
+      val wire = (tag & 7).toInt
+      field match {
+        case 1 => r.expectWire(field, wire, 2); k = new String(r.readBytes(), UTF_8)
+        case 2 => r.expectWire(field, wire, 2); v = new String(r.readBytes(), UTF_8)
+        case _ => r.skip(wire)
       }
     }
     (k, v)
@@ -128,17 +144,21 @@ object EnvelopeCodec {
       val field = (tag >>> 3).toInt
       val wire = (tag & 7).toInt
       field match {
-        case 1 => origin = new String(r.readBytes(), UTF_8)
+        case 1 => r.expectWire(field, wire, 2); origin = new String(r.readBytes(), UTF_8)
         case 2 =>
+          r.expectWire(field, wire, 0)
           val v = r.readVarint().toInt
           eventType = Envelope.EventTypes.getOrElse(v, s"UNKNOWN_$v")
-        case 6 => timestamp = r.readVarint()
-        case 8 => logMessage = Some(decodeLogMessage(r.readBytes()))
-        case 13 => deployment = new String(r.readBytes(), UTF_8)
-        case 14 => job = new String(r.readBytes(), UTF_8)
-        case 15 => index = new String(r.readBytes(), UTF_8)
-        case 16 => ip = new String(r.readBytes(), UTF_8)
+        case 6 => r.expectWire(field, wire, 0); timestamp = r.readVarint()
+        case 8 =>
+          r.expectWire(field, wire, 2)
+          logMessage = Some(decodeLogMessage(r.readBytes(), logMessage))
+        case 13 => r.expectWire(field, wire, 2); deployment = new String(r.readBytes(), UTF_8)
+        case 14 => r.expectWire(field, wire, 2); job = new String(r.readBytes(), UTF_8)
+        case 15 => r.expectWire(field, wire, 2); index = new String(r.readBytes(), UTF_8)
+        case 16 => r.expectWire(field, wire, 2); ip = new String(r.readBytes(), UTF_8)
         case 17 =>
+          r.expectWire(field, wire, 2)
           val (k, v) = decodeTagEntry(r.readBytes())
           tags(k) = v
         case _ => r.skip(wire)

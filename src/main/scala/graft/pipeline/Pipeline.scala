@@ -22,11 +22,12 @@ object Pipeline {
 
   /** Full assembly over source records
     * (data, sequenceNumber, approximateArrivalTimestamp) ⋈ dims.
+    * Malformed records are counted via the observe() node and then
+    * dropped, like the reference's count+log (`main.go:356-360`).
     *
     * @param dims resolved app dimension ([[Enrich.resolveDims]])
-    * @param deadLetter when true, malformed records are *kept* in a
-    *   `__malformed` side column instead of silently dropped (an
-    *   improvement hook over the reference's count+log, `main.go:358`)
+    * @param includeDormant resurrect the reference's commented-out
+    *   routes (see [[Classifier.family]])
     */
   def assemble(records: DataFrame, dims: DataFrame,
                includeDormant: Boolean = false): DataFrame = {
@@ -76,14 +77,19 @@ object Pipeline {
 
   /** Projects the dynamic ES document: grok captures + computed +
     * `@cf.*` columns as one JSON string (`main.go:432-447` shape).
+    * Null `@cf.*` columns (enrichment failure with
+    * IgnoreMissingApps=false) are OMITTED from the document, like the
+    * reference's `augmentWithAppInfo` error path that never sets the
+    * keys (`main.go:417-419`).
     */
   def toJsonDocs(assembled: DataFrame): DataFrame = {
     val cfCols = Seq("@cf.app", "@cf.app_id", "@cf.space", "@cf.space_id", "@cf.org", "@cf.org_id")
+    val cfMap = map_filter(
+      map(cfCols.flatMap(c => Seq(lit(c), col(s"`$c`"))): _*),
+      (_, v) => v.isNotNull)
     val stringPart = map_concat(
       coalesce(col("captures"), map()),
-      map_from_arrays(
-        array(cfCols.map(lit): _*),
-        array(cfCols.map(c => coalesce(col(s"`$c`"), lit(""))): _*)),
+      cfMap,
       map(lit("file_path"), col("file_path"), lit("@cf.env"), col("`@cf.env`")))
     assembled.select(
       col("es_index"),

@@ -57,7 +57,11 @@ object Retention {
       .map(_.getPath)
       .filter(_.getName.startsWith("es_index="))
     val (keep, drop) = parts.partition(p => shouldKeep(p.getName.stripPrefix("es_index="), cut))
-    drop.foreach(p => fs.delete(p, true))
+    // propagate delete failure like the reference's sweep (main.go:245-248)
+    drop.foreach { p =>
+      if (!fs.delete(p, true) && fs.exists(p))
+        throw new java.io.IOException(s"retention sweep failed to delete $p")
+    }
     (keep.map(_.getName.stripPrefix("es_index=")),
       drop.map(_.getName.stripPrefix("es_index=")))
   }

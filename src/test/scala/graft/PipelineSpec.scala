@@ -81,12 +81,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(r("log_event") == "hello router" && r("GENERIC") == "hello router")
   }
 
-  test("enrichment: valid guid resolves app/space/org with suffix strip + canonicalization") {
+  test("enrichment: valid guid resolves app/space/org with suffix strip") {
     val r = out.filter(col("file_path") === "APP/PROC/WEB/0")
       .select(col("`@cf.app`"), col("`@cf.app_id`"), col("`@cf.space`"), col("`@cf.org`"))
       .collect().head
     assert(r.getString(0) == "myapp") // -venerable stripped
-    assert(r.getString(1) == Fixtures.AppGuid) // uppercase key canonicalized to lower
+    // canonicalization is join-key-only; the emitted guid is the RAW
+    // input, case preserved (App.Guid = appGuid, caching_lazyfill.go:255)
+    assert(r.getString(1) == Fixtures.AppGuid.toUpperCase)
     assert(r.getString(2) == "prod" && r.getString(3) == "agency")
   }
 
@@ -96,10 +98,12 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getString(0) == "" && r.getString(1) == Fixtures.AppGuidMissing && r.getString(2) == "")
   }
 
-  test("enrichment: invalid guid keeps row with null @cf columns (lookup failure)") {
+  test("enrichment: invalid guid degrades to empty entity (IgnoreMissingApps)") {
+    // GetApp never fails under IgnoreMissingApps=true: uuid-parse
+    // failure -> entity{} -> empty names, raw guid kept
     val r = out.filter(col("file_path") === "APP/PROC/WEB/2")
       .select(col("`@cf.app`"), col("`@cf.app_id`")).collect().head
-    assert(r.isNullAt(0) && r.isNullAt(1))
+    assert(r.getString(0) == "" && r.getString(1) == "not-a-guid")
   }
 
   test("computed columns: millis timestamp, @cf.env, dt partition, es_index") {
@@ -223,5 +227,31 @@ class DormantRoutesSpec extends AnyFunSuite {
     val again = Pipeline.toJsonDocs(Pipeline.assemble(records, Fixtures.dims(spark)))
       .select("doc_id").collect().map(_.getString(0))
     assert(ids.sorted.sameElements(again.sorted))
+  }
+}
+
+/** Codec wire-format strictness + proto2 merge semantics. */
+class CodecWireSpec extends AnyFunSuite {
+  import graft.pipeline.EnvelopeCodec
+
+  test("known field with wrong wire type is rejected, not misread") {
+    // field 1 (origin, expects length-delimited) as varint: tag 0x08
+    val bad = Array[Byte](0x08, 0x05, 0x10, 0x05)
+    intercept[EnvelopeCodec.MalformedEnvelopeException](EnvelopeCodec.decode(bad))
+  }
+
+  test("repeated logMessage chunks merge field-by-field") {
+    val full = Envelope("o", "LogMessage", 1L, "", "", "", "", Map.empty,
+      Some(LogMessage("m1", "OUT", 7L, "app-1", "st", "si")))
+    val enc = EnvelopeCodec.encode(full)
+    // second field-8 chunk carrying only message+type+ts: locate the
+    // chunk (tag 0x42, then 1-byte length) in a minimal encoding
+    val enc2 = EnvelopeCodec.encode(Envelope("x", "LogMessage", 0L, "", "", "", "",
+      Map.empty, Some(LogMessage("m2", "ERR", 9L, "", "", ""))))
+    val idx = enc2.indexWhere(_ == 0x42.toByte)
+    val merged = EnvelopeCodec.decode(enc ++ enc2.slice(idx, idx + 2 + enc2(idx + 1)))
+    val lm = merged.log_message.get
+    assert(lm.message == "m2" && lm.message_type == "ERR" && lm.timestamp == 9L)
+    assert(lm.app_id == "app-1") // preserved from the first chunk (proto2 merge)
   }
 }
