@@ -94,7 +94,7 @@ object Queries {
       .otherwise(lit(""))
     pipeline.Enrich.enrich(logs, dims, appId, rtrAppId,
         validateGuid = false, colPrefix = "cf_")
-      .select(col("event_id"), col("cf_app"), col("cf_space"), col("cf_org"))
+      .select(col("event_id"), col("cf_app_id"), col("cf_app"), col("cf_space"), col("cf_org"))
       .orderBy("event_id")
   }
 
@@ -189,6 +189,7 @@ object Queries {
         |         END AS key
         |  FROM events)
         |SELECT l.event_id,
+        |  l.key AS cf_app_id,
         |  coalesce(d.app_name, '') AS cf_app,
         |  coalesce(d.space_name, '') AS cf_space,
         |  coalesce(d.org_name, '') AS cf_org
