@@ -12,8 +12,15 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // defensive: entry() may receive a session built without
+    // GraftSession's configs, but events.parquet carries INT64
+    // TIMESTAMP(NANOS) that needs nanosAsLong, and oracle-aligned
+    // date math needs UTC. Both are dynamic SQL confs.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   /** events with its INT64-nanos `ts` (read as LongType under
     * `nanosAsLong`) normalized: `ts_ms` epoch millis and `ts_t`
