@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests: the scale properties the engine is
+  * designed around, asserted on the physical plans so a refactor that
+  * silently breaks pushdown / broadcast / shuffle-freedom fails CI,
+  * not the 100 TB run.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.get("local[4]", "4")
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String = {
+    df.count() // let AQE finalize
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1_agg: filter and projection reach the parquet scan") {
+    val p = plan(Queries.all("q1_agg")(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    // pruned read schema: only the 6 referenced columns, no l_partkey etc.
+    assert(p.contains("ReadSchema") && !p.contains("l_partkey"))
+  }
+
+  test("q13_enrich: dimension joins broadcast; fact side never sort-merges") {
+    val p = plan(Queries.all("q13_enrich")(spark, dir))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q2_join_topk: top-k is TakeOrdered, not a global sort") {
+    val p = plan(Queries.all("q2_join_topk")(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("flagship ETL fact path is shuffle-free (per-shard order preserved)") {
+    val p = plan(QueriesRelational.flagship(spark, dir))
+    // broadcast exchanges are fine (dimension); shuffle exchanges are not
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"fact path must not shuffle:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"))
+  }
+
+  test("grok capture pruning fires on a multi-capture pattern over a real scan") {
+    // %{GENERIC} yields 2 captures (GENERIC + log_event,
+    // NamedCapturesOnly=false); selecting one prunes the other.
+    // (q12's pattern has a single capture — nothing to prune there.)
+    import org.apache.spark.sql.functions.col
+    val df = Tables(spark, dir, "events")
+      .select(graft.functions.grok_extract(col("props"), "%{GENERIC}").as("g"))
+      .select(col("g.log_event").as("log_event"))
+    val gs = df.queryExecution.optimizedPlan
+      .collect { case n => n.expressions }.flatten
+      .flatMap(_.collect { case g: graft.grok.GrokExtract => g })
+    assert(gs.nonEmpty && gs.forall(_.wanted.contains(Seq("log_event"))))
+    assert(df.count() > 0)
+  }
+}
