@@ -193,3 +193,33 @@ class DimRefreshSpec extends AnyFunSuite {
     assert(docs.exists(_.contains("\"@cf.app\":\"renamed\"")))   // refreshed v2
   }
 }
+
+/** Streaming exact dedup: dropDuplicatesWithinWatermark bounds the
+  * dedup state by event time — the streaming twin of q20_dedup_exact
+  * for continuous training-data ingestion.
+  */
+class StreamingDedupSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.get("local[4]", "4")
+
+  test("duplicates within the watermark window are dropped once") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[(String, Timestamp)]
+    val deduped = stream.toDF().toDF("doc_key", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("doc_key")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    stream.addData(("a", t(1, 0)), ("a", t(1, 1)), ("b", t(1, 2)))
+    q.processAllAvailable()
+    stream.addData(("a", t(1, 3))) // still within watermark: dropped
+    q.processAllAvailable()
+    q.stop()
+
+    val keys = spark.table("dedup_stream").select("doc_key")
+      .collect().map(_.getString(0)).sorted
+    assert(keys.toSeq == Seq("a", "b"))
+  }
+}
