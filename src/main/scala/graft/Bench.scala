@@ -10,17 +10,19 @@ object Bench {
       try fn(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
-    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
-      (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     // best-of-2 at the bench scale: single runs vary ±50% on shared
-    // hardware; the min is the reproducible steady-state figure.
+    // hardware; the min is the reproducible steady-state figure. A
+    // failing query records its (positive) elapsed-until-failure so
+    // crashes can never improve the total.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val a = timeOnce(fn)
-      val b = timeOnce(fn)
-      name -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
+      val (a, okA) = timeOnce(fn)
+      val (b, okB) = timeOnce(fn)
+      name -> (if (okA && okB) math.min(a, b) else math.max(a, b))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -18,8 +18,10 @@ object SparkEntry {
     * synthesized from the sf0.001 events table, with the customer→
     * nation→region chain standing in for the app→space→org dimension.
     */
-  def entry(spark: SparkSession): DataFrame =
+  def entry(spark: SparkSession): DataFrame = {
+    Tables.ensureSessionConfs(spark) // entry receives the caller's session
     QueriesRelational.flagship(spark, "/root/testdata/sf0.001")
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.all

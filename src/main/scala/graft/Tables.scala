@@ -12,14 +12,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // defensive: entry() may receive a session built without
-    // GraftSession's configs, but events.parquet carries INT64
-    // TIMESTAMP(NANOS) that needs nanosAsLong, and oracle-aligned
-    // date math needs UTC. Both are dynamic SQL confs.
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Confs the testdata needs (INT64 TIMESTAMP(NANOS) parquet; UTC
+    * date math aligned with the oracle). GraftSession sets these at
+    * build; entry() applies them to an externally-built session —
+    * deliberately NOT inside [[apply]], which must not mutate a
+    * caller's session as a read side effect.
+    */
+  def ensureSessionConfs(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
   /** events with its INT64-nanos `ts` (read as LongType under

@@ -204,6 +204,11 @@ object Dedup {
     * *pairs* into dedup *groups* (canonical id = component min). Each
     * iteration is one join+aggregate; iteration count = component
     * diameter (tiny for dedup clusters). Returns (id, canonical_id).
+    *
+    * The returned frame is persisted (it was materialized by the
+    * convergence check); the caller owns its lifetime — unpersist via
+    * the returned reference when done. Loop intermediates are
+    * released here.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           idCol: String, srcCol: String, dstCol: String): DataFrame = {

@@ -41,8 +41,10 @@ object Envelope {
 
   /** eventType enum (envelope.pb.go:49-61). */
   val EventTypes: Map[Int, String] = Map(
-    // 1-3 are removed positions (envelope.pb.go:52-54 comments)
-    1 -> "Heartbeat", 2 -> "HttpStart", 3 -> "HttpStop", 4 -> "HttpStartStop",
+    // positions 1-3 are removed in this proto version and have no
+    // name entries (envelope.pb.go:52-54, name map :62-69) — they
+    // decode as UNKNOWN_N like any other unnamed value
+    4 -> "HttpStartStop",
     5 -> "LogMessage", 6 -> "ValueMetric", 7 -> "CounterEvent", 8 -> "Error",
     9 -> "ContainerMetric")
 

@@ -83,21 +83,28 @@ object EnvelopeCodec {
     val r = new Reader(bytes)
     var message: String = prev.map(_.message).orNull
     var messageType: String = prev.map(_.message_type).orNull
-    var sawTimestamp = prev.isDefined
     var timestamp = prev.map(_.timestamp).getOrElse(0L)
     var appId = prev.map(_.app_id).getOrElse("")
     var sourceType = prev.map(_.source_type).getOrElse("")
     var sourceInstance = prev.map(_.source_instance).getOrElse("")
+    // required-field presence is checked PER CHUNK (the generated
+    // unmarshal verifies its hasFields bitmap at the end of every
+    // chunk, log.pb.go:460-467) even though values merge over prev
+    var sawMessage = false
+    var sawType = false
+    var sawTimestamp = false
     while (r.hasMore) {
       val tag = r.readVarint()
       val field = (tag >>> 3).toInt
       val wire = (tag & 7).toInt
       field match {
-        case 1 => r.expectWire(field, wire, 2); message = new String(r.readBytes(), UTF_8)
+        case 1 =>
+          r.expectWire(field, wire, 2)
+          message = new String(r.readBytes(), UTF_8); sawMessage = true
         case 2 =>
           r.expectWire(field, wire, 0)
           val v = r.readVarint().toInt
-          messageType = Envelope.MessageTypes.getOrElse(v, s"UNKNOWN_$v")
+          messageType = Envelope.MessageTypes.getOrElse(v, s"UNKNOWN_$v"); sawType = true
         case 3 => r.expectWire(field, wire, 0); timestamp = r.readVarint(); sawTimestamp = true
         case 4 => r.expectWire(field, wire, 2); appId = new String(r.readBytes(), UTF_8)
         case 5 => r.expectWire(field, wire, 2); sourceType = new String(r.readBytes(), UTF_8)
@@ -105,7 +112,7 @@ object EnvelopeCodec {
         case _ => r.skip(wire)
       }
     }
-    if (message == null || messageType == null || !sawTimestamp)
+    if (!sawMessage || !sawType || !sawTimestamp)
       throw new MalformedEnvelopeException("LogMessage missing required field")
     LogMessage(message, messageType, timestamp, appId, sourceType, sourceInstance)
   }

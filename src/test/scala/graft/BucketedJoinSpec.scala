@@ -29,7 +29,7 @@ class BucketedJoinSpec extends AnyFunSuite {
       val bl = spark.table("b_lineitem")
       val bo = spark.table("b_orders")
       val joined = bl.join(bo, bl("l_orderkey") === bo("o_orderkey"))
-      val n = joined.count()
+      val n = joined.collect().length // execute joined's own QueryExecution
       assert(n > 0)
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("SortMergeJoin"))
@@ -39,7 +39,7 @@ class BucketedJoinSpec extends AnyFunSuite {
       val l = Tables(spark, dir, "lineitem")
       val o = Tables(spark, dir, "orders")
       val unbucketed = l.join(o, l("l_orderkey") === o("o_orderkey"))
-      unbucketed.count()
+      unbucketed.collect()
       assert(unbucketed.queryExecution.executedPlan.toString.contains("Exchange"))
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)

@@ -13,7 +13,7 @@ class PlanShapeSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
 
   private def plan(df: DataFrame): String = {
-    df.count() // let AQE finalize
+    df.collect() // executes df's OWN QueryExecution => AQE final plan
     df.queryExecution.executedPlan.toString
   }
 
