@@ -210,7 +210,38 @@ object QueriesRelational {
     clickOnly.unionAll(both).orderBy("op", "user_id")
   }
 
+  /** Exact order statistics per group: median/p95 via the exact
+    * interpolated percentile (sort-based — for sketch-based quantiles
+    * at extreme scale swap in approx_percentile and drop the oracle).
+    */
+  private val qStats: Q = (spark, dir) => {
+    Tables(spark, dir, "documents")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        avg(col("n_chars")).as("avg_chars"),
+        expr("percentile(n_chars, 0.5)").as("median_chars"),
+        expr("percentile(n_chars, 0.95)").as("p95_chars"))
+      .orderBy("source")
+  }
+
+  /** Grouping sets via ROLLUP (sub/grand totals in one pass); rollup
+    * nulls are labeled 'ALL' on both engines for a stable compare.
+    */
+  private val qRollup: Q = (spark, dir) => {
+    Tables(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+        col("cnt"), col("sum_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
   val all: Map[String, Q] = Map(
+    "q32_stats" -> qStats,
+    "q33_rollup" -> qRollup,
     "q9_pipeline_etl" -> qPipelineEtl,
     "q7_salted_distinct" -> qSaltedDistinct,
     "q8_setops" -> qSetOps,
@@ -222,6 +253,19 @@ object QueriesRelational {
     "q10_decode" -> qDecode)
 
   val oracles: Map[String, String] = Map(
+    "q32_stats" ->
+      """SELECT source, count(*) AS n_docs, avg(n_chars) AS avg_chars,
+        |  quantile_cont(n_chars, 0.5) AS median_chars,
+        |  quantile_cont(n_chars, 0.95) AS p95_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q33_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+        |  count(*) AS cnt, sum(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
     "q7_salted_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS distinct_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
