@@ -239,7 +239,18 @@ object QueriesRelational {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** Pivot: per-user daily activity matrix (wide conditional aggs). */
+  private val qPivot: Q = (spark, dir) => {
+    Tables.events(spark, dir)
+      .groupBy(date_format(col("ts_t"), "yyyy-MM-dd").as("dt"))
+      .pivot("event_type", Seq("click", "view", "purchase", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("dt")
+  }
+
   val all: Map[String, Q] = Map(
+    "q34_pivot" -> qPivot,
     "q32_stats" -> qStats,
     "q33_rollup" -> qRollup,
     "q9_pipeline_etl" -> qPipelineEtl,
@@ -253,6 +264,14 @@ object QueriesRelational {
     "q10_decode" -> qDecode)
 
   val oracles: Map[String, String] = Map(
+    "q34_pivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error
+        |FROM events GROUP BY 1 ORDER BY dt""".stripMargin,
+
     "q32_stats" ->
       """SELECT source, count(*) AS n_docs, avg(n_chars) AS avg_chars,
         |  quantile_cont(n_chars, 0.5) AS median_chars,
