@@ -122,10 +122,15 @@ object Queries {
       .select(concat(lit("gorouter-"), col("dt")).as("index_name"), col("cnt"))
       .unionAll(spark.range(1).select(lit(".kibana").as("index_name"), lit(0L).as("cnt")))
       .unionAll(spark.range(1).select(lit("undated_index").as("index_name"), lit(0L).as("cnt")))
+    // cutoff is a 1-row scalar aggregate cross-joined into the plan
+    // (broadcast nested loop of a single row) — fully declarative, no
+    // driver-side collect
     val cutoff = ev.agg(date_format(
-      date_sub(to_date(max(date_format(col("ts_t"), "yyyy-MM-dd"))), 2), "yyyy-MM-dd"))
-      .collect().head.getString(0)
-    idx.filter(pipeline.Retention.shouldKeepCol(col("index_name"), cutoff))
+      date_sub(to_date(max(date_format(col("ts_t"), "yyyy-MM-dd"))), 2), "yyyy-MM-dd")
+      .as("__cutoff"))
+    idx.crossJoin(broadcast(cutoff))
+      .filter(pipeline.Retention.shouldKeepCol(col("index_name"), col("__cutoff")))
+      .drop("__cutoff")
       .orderBy("index_name")
   }
 

@@ -89,11 +89,13 @@ object QueriesTraining {
   private def ngramPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val cands = Dedup.lshCandidates(sigs(spark, dir), "doc_id", "sig", 4, 4)
-    // persisted: feeds both sides of the pair join (no plan reuse
-    // across join branches), same rationale as the LSH sig table
-    val sh = Dedup.shingleTable(docs, "doc_id", "text").persist()
-    val shA = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val shB = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    // shuffle-pinned joins: the two shingle-table sides canonicalize
+    // to the same doc_id exchange, so ReuseExchange computes the
+    // shingle scan once — no persist (session-lifetime cache leak)
+    // and no corpus-sized broadcast
+    val sh = Dedup.shingleTable(docs, "doc_id", "text")
+    val shA = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")).hint("SHUFFLE_HASH")
+    val shB = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")).hint("SHUFFLE_HASH")
     cands.select("id_a", "id_b").join(shA, "id_a").join(shB, "id_b")
       .withColumn("jacc", Dedup.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jacc") >= 0.4)
@@ -188,12 +190,17 @@ object QueriesTraining {
       .repartition(parallelism, col("vec_id"))
     val cents = e.filter(col("vec_id") < IvfLists)
       .select(col("vec_id").as("c_id"), col("vec").as("c_vec"))
-    val assignW = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id"))
+    // best-centroid selection is an argmax, not a ranking: max_by gets
+    // map-side partial aggregation, so the exchange carries one row per
+    // vector instead of K (a row_number window would shuffle the full
+    // corpus×K crossjoin just to pick its max). Tie-break matches the
+    // previous rank order (ccos desc, then smallest c_id) via -c_id.
     val assign = e.crossJoin(broadcast(cents))
       .withColumn("ccos", Similarity.cosine(col("vec"), col("c_vec")))
-      .withColumn("crk", row_number().over(assignW))
-      .filter(col("crk") === 1)
-      .select(col("vec_id"), col("vec"), col("c_id").as("list_id"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("vec"), col("c_id")),
+        struct(col("ccos"), (-col("c_id")).as("neg_c_id"))).as("best"))
+      .select(col("vec_id"), col("best.vec").as("vec"), col("best.c_id").as("list_id"))
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
     val probeW = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("c_id"))

@@ -126,21 +126,21 @@ object Dedup {
     * key, keep ordered distinct pairs. The join shuffles on band key —
     * collision groups are small by construction, so no skew blowup.
     *
-    * The signature table is persisted before the self-join: the two
-    * join sides are not exchange-reusable (one gets broadcast), and
-    * the signature aggregation is orders of magnitude smaller than the
-    * corpus it summarizes — exactly what a production dedup would
-    * materialize anyway.
+    * The self-join is pinned to a shuffle strategy (SHUFFLE_HASH): both
+    * sides then produce the *same* band-key exchange and Spark's
+    * ReuseExchange computes the signature table once — no persist()
+    * (which would leak session-lifetime cache) and no broadcast (both
+    * sides are the corpus; broadcasting one of them is exactly what
+    * must not happen at 100 TB).
     */
   def lshCandidates(docs: DataFrame, idCol: String, sigCol: String,
                     bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
-    val sigs = docs.persist()
-    val exploded = sigs.select(
+    val exploded = docs.select(
         col(idCol), col(sigCol),
         explode_outer(bandKeys(col(sigCol), bands, rowsPerBand)).as("band_key"))
     val a = exploded.select(col(idCol).as("id_a"), col(sigCol).as("sig_a"), col("band_key"))
     val b = exploded.select(col(idCol).as("id_b"), col(sigCol).as("sig_b"), col("band_key"))
-    a.join(b, Seq("band_key"))
+    a.hint("SHUFFLE_HASH").join(b.hint("SHUFFLE_HASH"), Seq("band_key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "sig_a", "sig_b")
       .dropDuplicates("id_a", "id_b")

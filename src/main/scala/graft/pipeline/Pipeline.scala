@@ -87,8 +87,16 @@ object Pipeline {
     val cfMap = map_filter(
       map(cfCols.flatMap(c => Seq(lit(c), col(s"`$c`"))): _*),
       (_, v) => v.isNotNull)
-    val stringPart = map_concat(
+    // a grok capture named like a computed/@cf key loses to the
+    // computed value (the reference sets them after the captures,
+    // last-write-wins, main.go:432-440); dropping it here keeps
+    // map_concat safe under the default mapKeyDedupPolicy=EXCEPTION
+    val reserved = cfCols ++ Seq("file_path", "@cf.env")
+    val captures = map_filter(
       coalesce(col("captures"), map()),
+      (k, _) => !k.isInCollection(reserved))
+    val stringPart = map_concat(
+      captures,
       cfMap,
       map(lit("file_path"), col("file_path"), lit("@cf.env"), col("`@cf.env`")))
     assembled.select(

@@ -33,13 +33,23 @@ object Retention {
   /** [[shouldKeep]] as a Column predicate (for set-oriented retention
     * over a partition listing); `cutoff` must be a yyyy-MM-dd literal.
     */
-  def shouldKeepCol(indexName: org.apache.spark.sql.Column, cutoffDate: String): org.apache.spark.sql.Column = {
+  def shouldKeepCol(indexName: org.apache.spark.sql.Column, cutoffDate: String): org.apache.spark.sql.Column =
+    shouldKeepCol(indexName, org.apache.spark.sql.functions.lit(cutoffDate))
+
+  /** Column-cutoff variant: the cutoff can itself be computed in-plan
+    * (e.g. `max(date) − N days` cross-joined as a 1-row frame), keeping
+    * the whole retention rule declarative — no driver-side collect.
+    * The cutoff column must hold yyyy-MM-dd strings (length 10).
+    */
+  def shouldKeepCol(indexName: org.apache.spark.sql.Column,
+      cutoffDate: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions._
-    val suffix = substring(indexName, -cutoffDate.length, cutoffDate.length)
+    val n = 10 // yyyy-MM-dd
+    val suffix = substring(indexName, -n, n)
     (indexName === ".kibana") ||
-      (length(indexName) >= cutoffDate.length &&
+      (length(indexName) >= n &&
         suffix.rlike("""^\d{4}-\d{2}-\d{2}$""") &&
-        suffix >= lit(cutoffDate))
+        suffix >= cutoffDate)
   }
 
   /** Sweeps a `partitionBy("es_index")` file sink: deletes every

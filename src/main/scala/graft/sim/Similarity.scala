@@ -71,10 +71,16 @@ object Similarity {
 
   /** Shared tail of the knn variants: per-pair cosine from
     * precomputed norms, per-query dense rank with id tie-break, top-k.
+    *
+    * Zero-norm vectors (query or candidate) are filtered out BEFORE
+    * scoring: their cosine is 0/0 = NaN, and NaN sorts greatest under
+    * `desc`, so a degenerate vector would otherwise outrank every
+    * genuine match.
     */
   private def rankTopK(joined: DataFrame, k: Int): DataFrame = {
     val scored = joined
       .filter(col("q_id") =!= col("vec_id"))
+      .filter(col("qn") > 0 && col("cn") > 0)
       .withColumn("cos", dot(col("q_vec"), col("vec")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
