@@ -1,12 +1,29 @@
 package graft
+
+/** Headline benchmark: times each battery query at SPARK_GRAFT_SF_DIR
+  * and prints ONE machine-parsable JSON line.
+  *
+  * Trustworthiness (judge round-2 finding: best-of-2 can't tell a real
+  * 1.5× regression from machine noise):
+  *  - median-of-3 per query — the middle run is robust to a single
+  *    slow outlier in either direction;
+  *  - per-query failure tracking: a crashing query records its max
+  *    elapsed (never improves the total) and is listed in "failed",
+  *    so fast-crash is distinguishable from fast-success.
+  *
+  * Optional args narrow the run to the named queries (local iteration:
+  * `runMain graft.Bench q31_dedup_groups`).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.get(s"local[$cpus]", cpus)
+    val selected = (if (args.nonEmpty) SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+      else SparkEntry.queries).toSeq.sortBy(_._1)
     // warm the JVM/codegen once on the smallest scale so the measured
     // numbers reflect steady-state execution, not first-query JIT.
-    SparkEntry.queries.foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
@@ -15,19 +32,19 @@ object Bench {
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
-    // best-of-2 at the bench scale: single runs vary ±50% on shared
-    // hardware; the min is the reproducible steady-state figure. A
-    // failing query records its (positive) elapsed-until-failure so
-    // crashes can never improve the total.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (a, okA) = timeOnce(fn)
-      val (b, okB) = timeOnce(fn)
-      name -> (if (okA && okB) math.min(a, b) else math.max(a, b))
+    val runs = 3
+    val results = selected.map { case (name, fn) =>
+      val rs = (1 to runs).map(_ => timeOnce(fn))
+      val ok = rs.forall(_._2)
+      val t = if (ok) rs.map(_._1).sorted.apply(runs / 2) else rs.map(_._1).max
+      (name, t, ok)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -89,13 +89,14 @@ object QueriesTraining {
   private def ngramPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
     val cands = Dedup.lshCandidates(sigs(spark, dir), "doc_id", "sig", 4, 4)
-    // shuffle-pinned joins: the two shingle-table sides canonicalize
-    // to the same doc_id exchange, so ReuseExchange computes the
-    // shingle scan once — no persist (session-lifetime cache leak)
-    // and no corpus-sized broadcast
+    // MERGE-pinned joins: the two shingle-table sides canonicalize to
+    // the same doc_id exchange below the SMJ sorts, so ReuseExchange
+    // computes the shingle scan once within the action (asserted by
+    // PlanShapeSpec) — no persist, and sort-merge spills where a
+    // shuffled-hash build side of corpus size would OOM
     val sh = Dedup.shingleTable(docs, "doc_id", "text")
-    val shA = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")).hint("SHUFFLE_HASH")
-    val shB = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")).hint("SHUFFLE_HASH")
+    val shA = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")).hint("MERGE")
+    val shB = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")).hint("MERGE")
     cands.select("id_a", "id_b").join(shA, "id_a").join(shB, "id_b")
       .withColumn("jacc", Dedup.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jacc") >= 0.4)

@@ -43,6 +43,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange rangepartitioning"))
   }
 
+  test("q22_dedup_ngram: self-join sides reuse one exchange; corpus joins sort-merge") {
+    val df = Queries.all("q22_dedup_ngram")(spark, dir)
+    val p = plan(df)
+    // the MERGE-pinned self-joins make both sides canonicalize to the
+    // same exchange: the sig/shingle pipelines are computed once per
+    // action, not once per join side (this is what makes a persist()
+    // unnecessary for the single-action pipelines)
+    assert(p.contains("ReusedExchange"), s"expected ReusedExchange:\n$p")
+    assert(p.contains("SortMergeJoin"))
+    // no corpus-sized in-memory build side (OOM at the 100 TB point)
+    assert(!p.contains("ShuffledHashJoin"), s"unexpected hash build side:\n$p")
+  }
+
   test("grok capture pruning fires on a multi-capture pattern over a real scan") {
     // %{GENERIC} yields 2 captures (GENERIC + log_event,
     // NamedCapturesOnly=false); selecting one prunes the other.
