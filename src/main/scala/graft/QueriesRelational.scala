@@ -54,8 +54,10 @@ object QueriesRelational {
   /** The flagship end-to-end ETL (the reference's whole program):
     * synthesized envelopes → decode → filter → route → grok →
     * enrichment broadcast-join → computed columns → documents.
-    * Registered as a bench query for throughput tracking (rows-only
-    * check: every component is oracle-verified via q10–q15).
+    * Every output column is a pure function of events ⋈ the customer→
+    * nation→region dims, so the battery entry (`q9_pipeline_etl`) has
+    * a full DuckDB oracle that recomputes the whole program without
+    * the codec/grok engines.
     */
   def flagship(spark: SparkSession, dir: String): DataFrame = {
     def guid(c: org.apache.spark.sql.Column) =
@@ -78,7 +80,12 @@ object QueriesRelational {
         col("captures").getItem("log_event").as("log_event"))
   }
 
-  private val qPipelineEtl: Q = (spark, dir) => flagship(spark, dir)
+  // battery entry adds the deterministic sort the driver compare
+  // needs (file_path embeds the unique event_id); flagship() itself
+  // stays sort-free so PlanShapeSpec can assert the shuffle-free fact
+  // path
+  private val qPipelineEtl: Q = (spark, dir) =>
+    flagship(spark, dir).orderBy("file_path")
 
   /** TPC-H Q3-shaped top-k join. Scale notes: the filtered customer
     * dimension is broadcast (no shuffle on the fact side for that
@@ -182,6 +189,69 @@ object QueriesRelational {
       .orderBy("event_id")
   }
 
+  /** ROUTERACCESS end-to-end (SURVEY §2.2's hardest case): the dormant
+    * gorouter_access route resurrected — Classifier routes access-log
+    * source_instances through the dormant branch (`includeDormant`),
+    * and the 22-capture typed pattern (reference `main.go:562`,
+    * ParseTyped `vendor/.../grok/grok.go:228-259`) parses synthesized
+    * access-log lines with `:int`/`:float` coercion. Every line field
+    * is a pure function of the events row, so the DuckDB oracle
+    * recomputes the parse output without the grok engine.
+    */
+  private val qRouterAccess: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+    val line = format_string(
+      "app-%d.example.gov.au - [%s+0000] \"%s /api/%s/%d HTTP/1.1\" %d %d %d " +
+        "\"-\" \"Mozilla/5.0\" \"10.0.0.9:%d\" \"10.0.1.12:%d\" " +
+        "x_forwarded_for:\"203.0.113.7\" x_forwarded_proto:\"https\" " +
+        "vcap_request_id:\"req-%d\" response_time:%d.%03d " +
+        "app_id:\"%s\" app_index:\"%d\" " +
+        "x_b3_traceid:\"t%d\" x_b3_spanid:\"s%d\" x_b3_parentspanid:\"p%d\"",
+      col("user_id") % 100,
+      date_format(col("ts_t"), "yyyy-MM-dd'T'HH:mm:ss.SSS"),
+      when(col("event_type") === "purchase", lit("POST")).otherwise(lit("GET")),
+      col("event_type"),
+      col("event_id") % 50,
+      lit(200) + (col("user_id") % 3) * 100,
+      col("event_id") % 1000,
+      (col("event_id") * 7) % 10000,
+      lit(1024) + col("event_id") % 60000,
+      lit(8080) + col("user_id") % 100,
+      col("event_id"),
+      col("event_id") % 10, col("event_id") % 1000,
+      format_string("%08d-0000-4000-8000-%012d", col("user_id"), col("user_id")),
+      col("user_id") % 4,
+      col("event_id"), col("event_id"), col("event_id"))
+    // dormant routing is exercised for real: errors masquerade as
+    // /var/log sources (→ linux_logs, filtered), the rest as gorouter
+    // access logs (→ gorouter_access, parsed)
+    val si = when(col("event_type") === "error", lit("/var/log/messages"))
+      .otherwise(lit("/var/vcap/sys/log/gorouter/access.log"))
+    val noTags = lit(null).cast("map<string,string>")
+    ev.withColumn("family",
+        pipeline.Classifier.family(si, noTags, lit("OTHER"), includeDormant = true))
+      .filter(col("family") === "gorouter_access")
+      .withColumn("g", graft.functions.grok_extract(line,
+        pipeline.Classifier.allFamilyPatterns("gorouter_access")))
+      .select(
+        col("event_id"), col("family"),
+        col("g.rtr_hostname").as("rtr_hostname"),
+        col("g.rtr_time").as("rtr_time"),
+        col("g.rtr_verb").as("rtr_verb"),
+        col("g.rtr_path").as("rtr_path"),
+        col("g.rtr_status").as("rtr_status"),
+        col("g.rtr_request_bytes_received").as("rtr_request_bytes_received"),
+        col("g.rtr_body_bytes_sent").as("rtr_body_bytes_sent"),
+        col("g.rtr_src_port").as("rtr_src_port"),
+        col("g.rtr_dst_port").as("rtr_dst_port"),
+        col("g.rtr_response_time_sec").as("rtr_response_time_sec"),
+        col("g.rtr_app_id").as("rtr_app_id"),
+        col("g.rtr_app_index").as("rtr_app_index"),
+        col("g.rtr_vcap_request_id").as("rtr_vcap_request_id"),
+        col("g.x_b3_parentspanid").as("x_b3_parentspanid"))
+      .orderBy("event_id")
+  }
+
   /** Skew-safe distinct count: two-stage salted aggregation. The salt
     * partitions the user space, so per-(key, salt) distinct counts sum
     * exactly — the pattern for COUNT(DISTINCT) / collect-style aggs
@@ -261,9 +331,70 @@ object QueriesRelational {
     "q4_window_fn" -> qWindowFn,
     "q5_sessionize" -> qSessionize,
     "q6_window_agg" -> qWindowAgg,
-    "q10_decode" -> qDecode)
+    "q10_decode" -> qDecode,
+    "q35_router_access" -> qRouterAccess)
 
   val oracles: Map[String, String] = Map(
+    // the whole reference program, recomputed without codec/grok/join
+    // engines: LogMessage filter = not-error; gorouter family = click
+    // (tag route) or purchase (source_type route); enrichment key =
+    // app_id (empty for user_id%7=0 → row dropped), uuid-validated,
+    // matched against customer→nation→region; GENERIC grok log_event
+    // = the whole message (= props)
+    "q9_pipeline_etl" ->
+      """WITH src AS (
+        |  SELECT event_id, user_id, event_type, props, ts,
+        |    printf('%08d-0000-4000-8000-%012d', user_id, user_id) AS app_id
+        |  FROM events
+        |  WHERE event_type <> 'error'
+        |    AND event_type IN ('click', 'purchase')
+        |    AND user_id % 7 <> 0),
+        |keyed AS (
+        |  SELECT *, regexp_matches(app_id,
+        |    '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$') AS key_valid
+        |  FROM src),
+        |dims AS (
+        |  SELECT printf('%08d-0000-4000-8000-%012d', c_custkey, c_custkey) AS app_guid,
+        |    c_name AS app_name,
+        |    coalesce(n.n_name, '') AS space_name,
+        |    coalesce(r.r_name, '') AS org_name
+        |  FROM customer c
+        |  LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+        |  LEFT JOIN region r ON r.r_regionkey = n.n_regionkey)
+        |SELECT
+        |  'gorouter-' || strftime(k.ts, '%Y-%m-%d') AS es_index,
+        |  epoch_ms(k.ts) AS "timestamp",
+        |  'APP/PROC/WEB/' || k.event_id AS file_path,
+        |  'system.example.gov.au' AS "@cf.env",
+        |  coalesce(d.app_name, '') AS "@cf.app",
+        |  coalesce(d.space_name, '') AS "@cf.space",
+        |  coalesce(d.org_name, '') AS "@cf.org",
+        |  k.props AS log_event
+        |FROM keyed k
+        |LEFT JOIN dims d ON k.key_valid AND d.app_guid = k.app_id
+        |ORDER BY file_path""".stripMargin,
+
+    "q35_router_access" ->
+      """SELECT event_id,
+        |  'gorouter_access' AS family,
+        |  'app-' || (user_id % 100) || '.example.gov.au' AS rtr_hostname,
+        |  strftime(ts, '%Y-%m-%dT%H:%M:%S.')
+        |    || lpad(CAST(epoch_ms(ts) % 1000 AS VARCHAR), 3, '0') || '+0000' AS rtr_time,
+        |  CASE WHEN event_type = 'purchase' THEN 'POST' ELSE 'GET' END AS rtr_verb,
+        |  '/api/' || event_type || '/' || (event_id % 50) AS rtr_path,
+        |  CAST(200 + (user_id % 3) * 100 AS BIGINT) AS rtr_status,
+        |  CAST(event_id % 1000 AS BIGINT) AS rtr_request_bytes_received,
+        |  CAST((event_id * 7) % 10000 AS BIGINT) AS rtr_body_bytes_sent,
+        |  CAST(1024 + event_id % 60000 AS BIGINT) AS rtr_src_port,
+        |  CAST(8080 + user_id % 100 AS BIGINT) AS rtr_dst_port,
+        |  CAST((event_id % 10) || '.' || lpad(CAST(event_id % 1000 AS VARCHAR), 3, '0') AS DOUBLE) AS rtr_response_time_sec,
+        |  printf('%08d-0000-4000-8000-%012d', user_id, user_id) AS rtr_app_id,
+        |  CAST(user_id % 4 AS BIGINT) AS rtr_app_index,
+        |  'req-' || event_id AS rtr_vcap_request_id,
+        |  'p' || event_id AS x_b3_parentspanid
+        |FROM events WHERE event_type <> 'error'
+        |ORDER BY event_id""".stripMargin,
+
     "q34_pivot" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS dt,
         |  count(*) FILTER (WHERE event_type = 'click') AS click,
