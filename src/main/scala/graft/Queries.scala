@@ -124,9 +124,12 @@ object Queries {
       .unionAll(spark.range(1).select(lit("undated_index").as("index_name"), lit(0L).as("cnt")))
     // cutoff is a 1-row scalar aggregate cross-joined into the plan
     // (broadcast nested loop of a single row) — fully declarative, no
-    // driver-side collect
-    val cutoff = ev.agg(date_format(
-      date_sub(to_date(max(date_format(col("ts_t"), "yyyy-MM-dd"))), 2), "yyyy-MM-dd")
+    // driver-side collect. An EMPTY source yields a null max ⇒ the
+    // cutoff coalesces to a keep-all sentinel (retention must never
+    // silently expire every dated index just because no data arrived).
+    val cutoff = ev.agg(coalesce(date_format(
+      date_sub(to_date(max(date_format(col("ts_t"), "yyyy-MM-dd"))), 2), "yyyy-MM-dd"),
+      lit("0000-00-00"))
       .as("__cutoff"))
     idx.crossJoin(broadcast(cutoff))
       .filter(pipeline.Retention.shouldKeepCol(col("index_name"), col("__cutoff")))
@@ -216,7 +219,9 @@ object Queries {
         |  UNION ALL SELECT '.kibana', 0
         |  UNION ALL SELECT 'undated_index', 0),
         |cut AS (
-        |  SELECT strftime(CAST(max(strftime(ts, '%Y-%m-%d')) AS DATE) - INTERVAL 2 DAY, '%Y-%m-%d') AS cutoff
+        |  SELECT coalesce(
+        |    strftime(CAST(max(strftime(ts, '%Y-%m-%d')) AS DATE) - INTERVAL 2 DAY, '%Y-%m-%d'),
+        |    '0000-00-00') AS cutoff
         |  FROM events)
         |SELECT index_name, cnt FROM idx, cut
         |WHERE index_name = '.kibana'

@@ -88,13 +88,19 @@ object Pipeline {
       map(cfCols.flatMap(c => Seq(lit(c), col(s"`$c`"))): _*),
       (_, v) => v.isNotNull)
     // a grok capture named like a computed/@cf key loses to the
-    // computed value (the reference sets them after the captures,
-    // last-write-wins, main.go:432-440); dropping it here keeps
-    // map_concat safe under the default mapKeyDedupPolicy=EXCEPTION
-    val reserved = cfCols ++ Seq("file_path", "@cf.env")
+    // computed value ONLY when that value is actually written — the
+    // reference builds the doc map capture-first and the later writes
+    // win (main.go:432-440), but the enrichment-error path never sets
+    // the six @cf.* keys (main.go:417-419), so a same-named capture
+    // survives there. file_path/@cf.env are always written. Dropping
+    // exactly the overwritten keys keeps map_concat safe under the
+    // default mapKeyDedupPolicy=EXCEPTION without diverging.
+    val overwritten: Column => Column = k =>
+      cfCols.map(c => (k === c) && col(s"`$c`").isNotNull)
+        .foldLeft(k.isInCollection(Seq("file_path", "@cf.env")))(_ || _)
     val captures = map_filter(
       coalesce(col("captures"), map()),
-      (k, _) => !k.isInCollection(reserved))
+      (k, _) => !overwritten(k))
     val stringPart = map_concat(
       captures,
       cfMap,

@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -122,6 +122,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(d.length == 4)
     assert(d.forall(_.contains("\"timestamp\":" + Fixtures.ArrivalMs)))
     assert(d.exists(_.contains("\"log_event\":\"hello router\"")))
+  }
+
+  test("toJsonDocs: reserved-name captures survive unless actually overwritten") {
+    // reference semantics: the doc map is built captures-first and the
+    // computed writes win (main.go:432-440) — but the enrichment-error
+    // path never writes @cf.* (main.go:417-419), so a capture named
+    // like one survives there. file_path/@cf.env are always written.
+    // Must not throw under the default mapKeyDedupPolicy=EXCEPTION.
+    def assembled(cfApp: Column) = spark.range(1).select(
+      lit("gorouter-2024-01-01").as("es_index"),
+      lit("2024-01-01").as("dt"),
+      lit("7").as("sequenceNumber"),
+      lit(Fixtures.ArrivalMs).as("timestamp"),
+      lit("/real/path").as("file_path"),
+      lit("system.example.gov.au").as("@cf.env"),
+      map(lit("file_path"), lit("capture_path"),
+        lit("@cf.app"), lit("capture_app"),
+        lit("log_event"), lit("x")).as("captures"),
+      cfApp.as("@cf.app"),
+      lit(null).cast("string").as("@cf.app_id"),
+      lit(null).cast("string").as("@cf.space"),
+      lit(null).cast("string").as("@cf.space_id"),
+      lit(null).cast("string").as("@cf.org"),
+      lit(null).cast("string").as("@cf.org_id"))
+    // enrichment failed (@cf.app null): the @cf.app CAPTURE survives
+    val kept = Pipeline.toJsonDocs(assembled(lit(null).cast("string")))
+      .select("doc").collect().head.getString(0)
+    assert(kept.contains("\"@cf.app\":\"capture_app\""))
+    // always-written keys beat captures regardless
+    assert(kept.contains("\"file_path\":\"/real/path\"") && !kept.contains("capture_path"))
+    // enrichment succeeded: the computed @cf.app wins
+    val over = Pipeline.toJsonDocs(assembled(lit("real_app")))
+      .select("doc").collect().head.getString(0)
+    assert(over.contains("\"@cf.app\":\"real_app\"") && !over.contains("capture_app"))
   }
 
   test("partitioned sink + retention sweep") {
