@@ -19,6 +19,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.get(s"local[$cpus]", cpus)
+    val unknown = args.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}; " +
+      s"valid: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
     val selected = (if (args.nonEmpty) SparkEntry.queries.filter { case (n, _) => args.contains(n) }
       else SparkEntry.queries).toSeq.sortBy(_._1)
     // warm the JVM/codegen once on the smallest scale so the measured

@@ -88,13 +88,20 @@ object QueriesTraining {
     */
   private def ngramPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val cands = Dedup.lshCandidates(sigs(spark, dir), "doc_id", "sig", 4, 4)
+    // The shingle table feeds THREE consumers — the minhash signature
+    // aggregation and both sides of the exact-Jaccard verify join.
+    // Materialize it once (eager localCheckpoint, leak-free) so the
+    // tokenize+shingle pass over the corpus runs exactly once per
+    // invocation; ReuseExchange alone can't unify the sig path (keyed
+    // aggregation) with the verify path (pair join).
+    val sh = Dedup.materialize(Dedup.shingleTable(docs, "doc_id", "text"))
+    val s = Dedup.minhashSigsFromShingles(sh, "doc_id", 16)
+    val cands = Dedup.lshCandidates(s, "doc_id", "sig", 4, 4)
     // MERGE-pinned joins: the two shingle-table sides canonicalize to
     // the same doc_id exchange below the SMJ sorts, so ReuseExchange
-    // computes the shingle scan once within the action (asserted by
-    // PlanShapeSpec) — no persist, and sort-merge spills where a
-    // shuffled-hash build side of corpus size would OOM
-    val sh = Dedup.shingleTable(docs, "doc_id", "text")
+    // reads the materialized blocks once each within the action — and
+    // sort-merge spills where a shuffled-hash build side of corpus
+    // size would OOM
     val shA = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")).hint("MERGE")
     val shB = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")).hint("MERGE")
     cands.select("id_a", "id_b").join(shA, "id_a").join(shB, "id_b")

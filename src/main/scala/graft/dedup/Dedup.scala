@@ -97,13 +97,22 @@ object Dedup {
     * already provides this and the repartition is skipped.
     */
   def minhashSigTable(docs: DataFrame, idCol: String, textCol: String,
-                      numHashes: Int = 16): DataFrame = {
+                      numHashes: Int = 16): DataFrame =
+    minhashSigsFromShingles(shingleTable(docs, idCol, textCol), idCol, numHashes)
+
+  /** [[minhashSigTable]] over a pre-built (idCol, sh) shingle table —
+    * lets a caller that also needs the shingles for exact verification
+    * ([[QueriesTraining]]'s ngram path) compute them ONCE, materialize,
+    * and feed both consumers.
+    */
+  def minhashSigsFromShingles(sh: DataFrame, idCol: String,
+                              numHashes: Int = 16): DataFrame = {
     // explode_outer, deliberately: plain explode triggers
     // InferFiltersFromGenerate, whose size(...)>0 filter gets pushed
     // below the repartition with the shingle expression re-inlined —
     // one serial pass over the whole input. Shingle arrays are never
     // empty, so outer ≡ inner here.
-    val exploded = shingleTable(docs, idCol, textCol)
+    val exploded = sh
       .select(col(idCol), explode_outer(col("sh")).as("shingle"))
       .withColumn("h", hash32(col("shingle")))
     val aggs = (0 until numHashes).map(j =>

@@ -59,6 +59,19 @@ object BulkRetry {
     var done = pending.isEmpty
     while (!done) {
       val results = send(pending)
+      // A sender that returns fewer ItemResults than items submitted
+      // would otherwise make the missing items vanish from both tallies;
+      // account every input item by multiset-diffing and failing the
+      // unreturned remainder (status 0 = "unaccounted by sender").
+      if (results.size != pending.size) {
+        val returned = scala.collection.mutable.Map.empty[A, Int]
+        results.foreach(r => returned(r.item) = returned.getOrElse(r.item, 0) + 1)
+        val unaccounted = pending.filter { a =>
+          val n = returned.getOrElse(a, 0)
+          if (n > 0) { returned(a) = n - 1; false } else true
+        }
+        failed ++= unaccounted.map(ItemResult(_, 0))
+      }
       succeeded += results.count(_.status / 100 == 2)
       failed ++= results.filter(r => r.status / 100 != 2 && !RetryableStatuses(r.status))
       val retry = results.filter(r => RetryableStatuses(r.status))
@@ -85,9 +98,17 @@ object BulkRetry {
     val sent = sc.longAccumulator("graft_bulk_sent")
     val lost = sc.longAccumulator("graft_bulk_failed")
     docs.select("es_index", "doc_id", "doc").foreachPartition { (it: Iterator[Row]) =>
+      // A thrown send (the common ES failure mode: connection refused,
+      // timeout) must ride the per-item backoff path, not fail the task —
+      // task-level replay would re-send chunks that already succeeded.
+      // Map transport exceptions to all-items-503 (retryable), so flush
+      // backs off and retries; only exhausted retries count as lost.
+      val safeSend: Seq[Doc] => Seq[ItemResult[Doc]] = chunk =>
+        try send(chunk)
+        catch { case scala.util.control.NonFatal(_) => chunk.map(ItemResult(_, 503)) }
       it.grouped(bulkSize).foreach { chunk =>
         val items = chunk.map(r => Doc(r.getString(0), r.getString(1), r.getString(2))).toSeq
-        val rep = flush(items, maxRetries)(send)
+        val rep = flush(items, maxRetries)(safeSend)
         sent.add(rep.succeeded)
         lost.add(rep.failed.size.toLong)
       }
