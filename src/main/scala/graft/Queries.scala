@@ -98,6 +98,45 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** Per-origin (multi-environment) enrichment (reference
+    * `main.go:79-109`): the dimension universe is keyed by
+    * (origin, app_guid) — env1 and env2 resolve the same guid to
+    * different names, env3 has no configured environment so its rows
+    * keep all-null keys (the `"ignoring: origin not recognised"` path).
+    */
+  private val qEnrichOrigin: Q = (spark, dir) => {
+    val apps = Tables(spark, dir, "customer").select(
+      col("c_custkey").cast("string").as("app_guid"),
+      concat(col("c_name"),
+        when(col("c_custkey") % 4 === 0, lit("-venerable"))
+          .when(col("c_custkey") % 4 === 1, lit("-blue"))
+          .when(col("c_custkey") % 4 === 2, lit("-blue-green"))
+          .otherwise(lit(""))).as("name"),
+      col("c_nationkey").cast("string").as("space_guid"))
+    val spaces = Tables(spark, dir, "nation").select(
+      col("n_nationkey").cast("string").as("space_guid"),
+      col("n_name").as("name"),
+      col("n_regionkey").cast("string").as("org_guid"))
+    val orgs = Tables(spark, dir, "region").select(
+      col("r_regionkey").cast("string").as("org_guid"),
+      col("r_name").as("name"))
+    val dims1 = pipeline.Enrich.resolveDims(apps, spaces, orgs, canonicalizeGuids = false)
+    val dims = dims1.withColumn("origin", lit("env1"))
+      .unionByName(dims1.withColumn("app_name", upper(col("app_name")))
+        .withColumn("origin", lit("env2")))
+    val logs = Tables.events(spark, dir)
+    val originCol = concat(lit("env"), ((col("user_id") % 3) + 1).cast("string"))
+    val appId = when(col("user_id") % 7 =!= 0, col("user_id").cast("string")).otherwise(lit(""))
+    val rtrAppId = when(col("event_type") =!= "error", (col("user_id") * 3).cast("string"))
+      .otherwise(lit(""))
+    pipeline.Enrich.enrichPerOrigin(logs, dims, originCol, appId, rtrAppId,
+        validateGuid = false, colPrefix = "cf_")
+      .withColumn("origin", originCol)
+      .select(col("event_id"), col("origin"),
+        col("cf_app_id"), col("cf_app"), col("cf_space"), col("cf_org"))
+      .orderBy("event_id")
+  }
+
   /** Computed columns + partition-key derivation (SURVEY §2 rows 8-9):
     * epoch-millis timestamp and daily index name.
     */
@@ -142,6 +181,7 @@ object Queries {
     "q11_route" -> qRoute,
     "q12_grok" -> qGrok,
     "q13_enrich" -> qEnrich,
+    "q36_enrich_origin" -> qEnrichOrigin,
     "q14_computed" -> qComputed,
     "q15_retention" -> qRetention
   ) ++ QueriesTraining.all ++ QueriesRelational.all
@@ -203,6 +243,40 @@ object Queries {
         |  coalesce(d.org_name, '') AS cf_org
         |FROM logs l
         |LEFT JOIN dims d ON d.app_guid = l.key
+        |WHERE l.key IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+
+    "q36_enrich_origin" ->
+      """WITH apps AS (
+        |  SELECT CAST(c_custkey AS VARCHAR) AS app_guid,
+        |    c_name || CASE WHEN c_custkey % 4 = 2 THEN '-blue' ELSE '' END AS app_name,
+        |    CAST(c_nationkey AS VARCHAR) AS space_guid, c_nationkey
+        |  FROM customer),
+        |dims1 AS (
+        |  SELECT a.app_guid, a.app_name,
+        |    coalesce(n.n_name, '') AS space_name,
+        |    coalesce(r.r_name, '') AS org_name
+        |  FROM apps a
+        |  LEFT JOIN nation n ON CAST(n.n_nationkey AS VARCHAR) = a.space_guid
+        |  LEFT JOIN region r ON r.r_regionkey = n.n_regionkey),
+        |dims AS (
+        |  SELECT 'env1' AS origin, app_guid, app_name, space_name, org_name FROM dims1
+        |  UNION ALL
+        |  SELECT 'env2', app_guid, upper(app_name), space_name, org_name FROM dims1),
+        |logs AS (
+        |  SELECT event_id,
+        |    'env' || CAST((user_id % 3) + 1 AS VARCHAR) AS origin,
+        |    CASE WHEN user_id % 7 <> 0 THEN CAST(user_id AS VARCHAR)
+        |         WHEN event_type <> 'error' THEN CAST(user_id * 3 AS VARCHAR)
+        |         END AS key
+        |  FROM events)
+        |SELECT l.event_id, l.origin,
+        |  CASE WHEN l.origin IN ('env1', 'env2') THEN l.key END AS cf_app_id,
+        |  CASE WHEN l.origin IN ('env1', 'env2') THEN coalesce(d.app_name, '') END AS cf_app,
+        |  CASE WHEN l.origin IN ('env1', 'env2') THEN coalesce(d.space_name, '') END AS cf_space,
+        |  CASE WHEN l.origin IN ('env1', 'env2') THEN coalesce(d.org_name, '') END AS cf_org
+        |FROM logs l
+        |LEFT JOIN dims d ON d.origin = l.origin AND d.app_guid = l.key
         |WHERE l.key IS NOT NULL
         |ORDER BY event_id""".stripMargin,
 

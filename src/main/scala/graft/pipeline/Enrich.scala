@@ -132,4 +132,71 @@ object Enrich {
       .drop("__key_raw", "__key_valid", "__key",
         "__d_guid", "__d_app", "__d_space_id", "__d_space", "__d_org_id", "__d_org")
   }
+
+  /** Multi-environment enrichment: one dimension universe per ORIGIN
+    * (reference `main.go:79-109` keeps one CF client + lazy-fill cache
+    * per `origin`, selected by `envelope.GetOrigin()` at
+    * `main.go:416,421`; `main.go:332` + `:94`: an origin with no
+    * configured client errors out of `augmentWithAppInfo`, and the
+    * `"ignoring:"` path at `main.go:417-419` KEEPS the row without the
+    * six keys — unlike a missing app id, which drops it).
+    *
+    * Spark-first this is the same broadcast hash join as [[enrich]],
+    * with the dimension keyed on (origin, app_guid) — a union of the
+    * per-environment dimension frames — plus a broadcast
+    * recognised-origin set standing in for the `CFClients` map. The
+    * fact side still never shuffles; dims stay broadcast-sized (the
+    * per-origin union multiplies rows by the handful of environments,
+    * not by data volume).
+    *
+    * Truth table (extends [[enrich]]'s):
+    *  - no resolvable key → row dropped (both modes, as before);
+    *  - origin NOT in dims → all six columns null, row kept;
+    *  - origin known: exactly [[enrich]]'s IgnoreMissingApps semantics
+    *    within that origin's dimension universe.
+    *
+    * @param dims (origin, app_guid, app_name, space_guid, space_name,
+    *             org_guid, org_name) — e.g. per-env [[resolveDims]]
+    *             outputs with an `origin` literal column, unioned
+    */
+  def enrichPerOrigin(
+      logs: DataFrame,
+      dims: DataFrame,
+      origin: Column,
+      appId: Column,
+      rtrAppId: Column,
+      ignoreMissingApps: Boolean = true,
+      validateGuid: Boolean = true,
+      colPrefix: String = "@cf."): DataFrame = {
+    val key = when(appId =!= "", appId).when(rtrAppId =!= "", rtrAppId)
+    val keyed = logs
+      .withColumn("__origin", origin)
+      .withColumn("__key_raw", key)
+      .filter(col("__key_raw").isNotNull) // inner-drop: no identifiable app
+      .withColumn("__key_valid",
+        if (validateGuid) col("__key_raw").rlike(UuidRe) else lit(true))
+      .withColumn("__key", when(col("__key_valid"), lower(col("__key_raw"))))
+    // the CFClients map: which origins have a configured environment
+    val known = broadcast(dims.select(col("origin").as("__k_origin")).distinct())
+    val d = broadcast(dims.select(
+      col("origin").as("__d_origin"),
+      col("app_guid").as("__d_guid"), col("app_name").as("__d_app"),
+      col("space_guid").as("__d_space_id"), col("space_name").as("__d_space"),
+      col("org_guid").as("__d_org_id"), col("org_name").as("__d_org")))
+    val joined = keyed
+      .join(known, keyed("__origin") === known("__k_origin"), "left")
+      .join(d, col("__origin") === col("__d_origin") && col("__key") === col("__d_guid"), "left")
+    val originKnown = col("__k_origin").isNotNull
+    val ok = if (ignoreMissingApps) originKnown
+      else originKnown && col("__key_valid") && col("__d_guid").isNotNull
+    joined
+      .withColumn(colPrefix + "app", when(ok, coalesce(col("__d_app"), lit(""))))
+      .withColumn(colPrefix + "app_id", when(ok, col("__key_raw"))) // RAW, case preserved
+      .withColumn(colPrefix + "space", when(ok, coalesce(col("__d_space"), lit(""))))
+      .withColumn(colPrefix + "space_id", when(ok, coalesce(col("__d_space_id"), lit(""))))
+      .withColumn(colPrefix + "org", when(ok, coalesce(col("__d_org"), lit(""))))
+      .withColumn(colPrefix + "org_id", when(ok, coalesce(col("__d_org_id"), lit(""))))
+      .drop("__origin", "__key_raw", "__key_valid", "__key", "__k_origin",
+        "__d_origin", "__d_guid", "__d_app", "__d_space_id", "__d_space", "__d_org_id", "__d_org")
+  }
 }
