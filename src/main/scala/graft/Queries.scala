@@ -184,9 +184,10 @@ object Queries {
     "q36_enrich_origin" -> qEnrichOrigin,
     "q14_computed" -> qComputed,
     "q15_retention" -> qRetention
-  ) ++ QueriesTraining.all ++ QueriesRelational.all
+  ) ++ QueriesTraining.all ++ QueriesRelational.all ++ QueriesCuration.all
 
-  val oracles: Map[String, String] = QueriesTraining.oracles ++ QueriesRelational.oracles ++ Map(
+  val oracles: Map[String, String] = QueriesTraining.oracles ++ QueriesRelational.oracles ++
+    QueriesCuration.oracles ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

@@ -1,0 +1,154 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.curation.Curation
+
+/** Corpus-curation battery: test-set decontamination, PII scrubbing,
+  * sequence packing, stratified sampling — the training-data prep ops
+  * a 100 TB pipeline runs after dedup. Oracle conventions follow
+  * [[QueriesTraining]] (shared md5-hash and tokenizer recipes).
+  */
+object QueriesCuration {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  private val MinOverlap = 5
+
+  /** Test-set decontamination: docs sharing ≥ 5 distinct trigram
+    * shingles with the held-out eval slice (doc_id % 97 = 0) are
+    * flagged. Eval shingles broadcast; one corpus shuffle on doc_id.
+    */
+  private val qDecontam: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+    val eval_ = d.filter(col("doc_id") % 97 === 0)
+    val corpus = d.filter(col("doc_id") % 97 =!= 0)
+    Curation.decontaminate(corpus, eval_, "doc_id", "text", MinOverlap)
+      .orderBy("doc_id")
+  }
+
+  /** PII scrubbing: emails / IPv4s / 8+-digit runs redacted, per-kind
+    * match counts on the raw text. The corpus has no natural PII, so a
+    * deterministic synthesizer plants one of each on id-keyed slices.
+    */
+  private val qPiiScrub: Q = (spark, dir) => {
+    val raw = Tables(spark, dir, "documents").select(col("doc_id"), concat(
+      col("text"),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" src 10.0."), (col("doc_id") % 256).cast("string"), lit(".17")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit(" acct 4111"), lpad((col("doc_id") % 10000).cast("string"), 8, "0")))
+        .otherwise(lit(""))).as("raw"))
+    raw.select(col("doc_id"),
+        Curation.countMatches(col("raw"), Curation.EmailRe).as("n_email"),
+        Curation.countMatches(col("raw"), Curation.Ipv4Re).as("n_ip"),
+        Curation.countMatches(col("raw"), Curation.LongNumRe).as("n_num"),
+        Curation.scrubPii(col("raw")).as("clean"))
+      .orderBy("doc_id")
+  }
+
+  private val PackBudget = 512
+  private val PackShards = 8
+
+  /** Sequence packing: concatenate docs in id order within hash
+    * shards, record each doc's start offset and context-window bin.
+    */
+  private val qSeqPack: Q = (spark, dir) => {
+    Curation.packSequences(Tables(spark, dir, "documents"),
+        "doc_id", "text", PackBudget, PackShards)
+      .orderBy("doc_id")
+  }
+
+  private val SampleRatesBp = Map("en" -> 3000, "de" -> 7000)
+  private val SampleDefaultBp = 10000
+
+  /** Stratified sampling for data mixing: downsample en to 30%, de to
+    * 70%, keep other languages whole — deterministic hash-mod gate.
+    */
+  private val qStratified: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+    d.filter(Curation.stratifiedKeep(col("doc_id"), col("lang"),
+        SampleRatesBp, SampleDefaultBp))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  val all: Map[String, Q] = Map(
+    "q37_decontam" -> qDecontam,
+    "q38_pii_scrub" -> qPiiScrub,
+    "q39_seq_pack" -> qSeqPack,
+    "q40_stratified" -> qStratified)
+
+  // -------------------------------------------------- oracle generation
+
+  private val hashIdSql =
+    """('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"""
+  private def saltedHashIdSql(salt: String) =
+    s"""('0x' || substr(md5('$salt:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"""
+
+  val oracles: Map[String, String] = Map(
+    "q37_decontam" ->
+      s"""WITH toks AS (SELECT doc_id, ${QueriesTraining.toksSql} AS t FROM documents),
+         |sh AS (SELECT doc_id, ${QueriesTraining.shinglesSql} AS s FROM toks),
+         |ev AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 97 = 0),
+         |cs AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id % 97 <> 0),
+         |ov AS (SELECT doc_id, count(DISTINCT shingle) AS overlap
+         |       FROM cs JOIN ev USING (shingle) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(o.overlap, CAST(0 AS BIGINT)) AS overlap,
+         |  CASE WHEN coalesce(o.overlap, 0) >= $MinOverlap THEN 1 ELSE 0 END AS contaminated
+         |FROM documents d LEFT JOIN ov o USING (doc_id)
+         |WHERE d.doc_id % 97 <> 0
+         |ORDER BY doc_id""".stripMargin,
+
+    "q38_pii_scrub" -> {
+      // DuckDB single-quoted strings don't process backslash escapes,
+      // so the Java regex strings embed verbatim
+      val email = Curation.EmailRe
+      val ip = Curation.Ipv4Re
+      val num = Curation.LongNumRe
+      s"""WITH raw AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 5 = 0
+         |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+         |    CASE WHEN doc_id % 7 = 0
+         |      THEN ' src 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.17' ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 0
+         |      THEN ' acct 4111' || lpad(CAST(doc_id % 10000 AS VARCHAR), 8, '0') ELSE '' END AS raw
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(raw, '$email')) AS n_email,
+         |  len(regexp_extract_all(raw, '$ip')) AS n_ip,
+         |  len(regexp_extract_all(raw, '$num')) AS n_num,
+         |  regexp_replace(regexp_replace(regexp_replace(
+         |    raw, '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$num', '<NUM>', 'g') AS clean
+         |FROM raw ORDER BY doc_id""".stripMargin
+    },
+
+    "q39_seq_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(${QueriesTraining.toksSql}) AS BIGINT) AS tok_count,
+         |    $hashIdSql % $PackShards AS shard
+         |  FROM documents),
+         |o AS (
+         |  SELECT doc_id, tok_count, shard,
+         |    coalesce(CAST(sum(tok_count) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), CAST(0 AS BIGINT)) AS "offset"
+         |  FROM t)
+         |SELECT doc_id, tok_count, shard, "offset", "offset" // $PackBudget AS bin
+         |FROM o ORDER BY doc_id""".stripMargin,
+
+    "q40_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${saltedHashIdSql("strat")} % 10000 <
+         |  CASE lang WHEN 'en' THEN ${SampleRatesBp("en")}
+         |            WHEN 'de' THEN ${SampleRatesBp("de")}
+         |            ELSE $SampleDefaultBp END
+         |ORDER BY doc_id""".stripMargin)
+}

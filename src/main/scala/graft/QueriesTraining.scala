@@ -289,7 +289,7 @@ object QueriesTraining {
   /** Shared DuckDB fragments, generated from the same constants as the
     * Spark side so the two engines compute identical hashes.
     */
-  private val toksSql = """string_split_regex(trim(text), '\s+')"""
+  private[graft] val toksSql = """string_split_regex(trim(text), '\s+')"""
   private val ltoksSql = """string_split_regex(trim(lower(text)), '\s+')"""
 
   private def stopListSql(words: Seq[String]): String =
@@ -310,7 +310,7 @@ object QueriesTraining {
   private def codesSql(c: String = "text"): String =
     s"list_transform(range(1, length($c)+1), i -> unicode($c[i]))"
 
-  private val shinglesSql =
+  private[graft] val shinglesSql =
     """CASE WHEN len(t) >= 3
       |  THEN list_distinct(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
       |  ELSE [array_to_string(t, ' ')] END""".stripMargin

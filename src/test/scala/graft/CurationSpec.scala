@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.curation.Curation
+
+/** Unit properties of the curation operators (the oracle battery
+  * q37–q40 checks end-to-end numbers; these pin the semantics and the
+  * plan shapes).
+  */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.get("local[4]", "4")
+  import spark.implicits._
+
+  test("decontaminate: overlapping doc flagged, disjoint doc kept with overlap 0") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // shares 5-gram run
+      (2L, "totally different words nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "alpha beta gamma delta epsilon zeta eta")).toDF("doc_id", "text")
+    val out = Curation.decontaminate(corpus, eval_, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(out(1L)._1 === 5L) // trigrams of the shared 7-token prefix
+    assert(out(1L)._2 === 1)
+    assert(out(2L) === ((0L, 0)))
+  }
+
+  test("decontaminate: eval side broadcasts; no sort-merge join") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val df = Curation.decontaminate(
+      docs.filter(col("doc_id") % 97 =!= 0), docs.filter(col("doc_id") % 97 === 0),
+      "doc_id", "text", 5)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), s"eval set must broadcast:\n$p")
+  }
+
+  test("scrubPii: all three kinds redacted; counts on original text") {
+    val df = Seq(
+      ("a", "mail bob.smith+x@corp.example.org and 10.1.2.3 then 12345678901"),
+      ("b", "no pii here"),
+      ("c", "short 1234567 is kept, 999.999.999.999 still shaped like an ip")
+    ).toDF("id", "t").select(col("id"),
+      Curation.scrubPii(col("t")).as("clean"),
+      Curation.countMatches(col("t"), Curation.EmailRe).as("ne"),
+      Curation.countMatches(col("t"), Curation.Ipv4Re).as("ni"),
+      Curation.countMatches(col("t"), Curation.LongNumRe).as("nn"))
+    val m = df.collect().map(r => r.getString(0) ->
+      ((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(m("a") === (("mail <EMAIL> and <IP> then <NUM>", 1, 1, 1)))
+    assert(m("b") === (("no pii here", 0, 0, 0)))
+    // 7 digits: below the run threshold; 999.* is dotted-quad SHAPED
+    // (scrubber is format-, not validity-, aware — documented)
+    assert(m("c") === (("short 1234567 is kept, <IP> still shaped like an ip", 0, 1, 0)))
+  }
+
+  test("packSequences: offsets are per-shard exclusive prefix sums; bins respect budget") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val out = Curation.packSequences(docs, "doc_id", "text", 512, 4)
+      .select("doc_id", "tok_count", "shard", "offset", "bin").collect()
+    assert(out.nonEmpty)
+    val byShard = out.groupBy(_.getLong(2))
+    assert(byShard.size > 1, "expected docs spread over multiple shards")
+    byShard.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(0))
+      var expect = 0L
+      sorted.foreach { r =>
+        assert(r.getLong(3) === expect, s"offset mismatch at doc ${r.getLong(0)}")
+        assert(r.getLong(4) === r.getLong(3) / 512)
+        expect += r.getLong(1)
+      }
+    }
+  }
+
+  test("stratifiedKeep: deterministic, and rates land near the target basis points") {
+    val docs = Tables(spark, "/root/testdata/sf0.01", "documents")
+    val keep = Curation.stratifiedKeep(col("doc_id"), col("lang"),
+      Map("en" -> 3000), 10000)
+    val a = docs.filter(keep).select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = docs.filter(keep).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a === b) // reproducible
+    val en = docs.filter(col("lang") === "en")
+    val frac = en.filter(keep).count().toDouble / en.count()
+    assert(frac > 0.2 && frac < 0.4, s"en keep-rate $frac far from 0.30")
+    // non-en strata untouched at rate 10000
+    val other = docs.filter(col("lang") =!= "en")
+    assert(other.filter(keep).count() === other.count())
+  }
+}

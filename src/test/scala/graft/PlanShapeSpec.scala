@@ -30,6 +30,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q36_enrich_origin: both dimension joins broadcast; fact side never sort-merges") {
+    val p = plan(Queries.all("q36_enrich_origin")(spark, dir))
+    // recognised-origin set AND (origin, guid) dimension both broadcast;
+    // the only hash exchange sits under the dimension's distinct (rows =
+    // number of environments), never on the events side
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("ShuffledHashJoin"))
+  }
+
   test("q2_join_topk: top-k is TakeOrdered, not a global sort") {
     val p = plan(Queries.all("q2_join_topk")(spark, dir))
     assert(p.contains("TakeOrderedAndProject"))
