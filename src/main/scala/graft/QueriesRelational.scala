@@ -319,7 +319,49 @@ object QueriesRelational {
       .orderBy("dt")
   }
 
+  /** KMV distinct-count sketch per event_type (engine-portable
+    * approximate distinct — see [[graft.sketch.Sketches]]): exact
+    * count alongside the k=64 estimate, both oracle-checked bit/1e-9
+    * exact because the sketch bottoms out in md5.
+    */
+  private val KmvK = 64
+  private val qKmvDistinct: Q = (spark, dir) => {
+    val ev = Tables(spark, dir, "events")
+    val sk = graft.sketch.Sketches.kmvSketch(ev, Seq("event_type"), col("user_id"), KmvK)
+    val exact = ev.groupBy("event_type").agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.join(sk, "event_type")
+      .withColumn("n_est", graft.sketch.Sketches.kmvEstimate(col("hk"), col("got"), KmvK))
+      .select(col("event_type"), col("n_exact"), col("n_est"))
+      .orderBy("event_type")
+  }
+
+  /** SCD type-2 as-of join: events match the customer-dimension
+    * VERSION in effect at their timestamp — v1 from epoch, v2 from a
+    * per-customer boundary day inside the event range. Point-in-time
+    * correctness for replays/backfills (the reference's TTL cache only
+    * models current-state).
+    */
+  private val qScdAsof: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts_ms"))
+    val c = Tables(spark, dir, "customer")
+    val epoch20240101 = 1704067200000L
+    val v1 = c.select(col("c_custkey").cast("long").as("user_id"),
+      concat(col("c_name"), lit("/v1")).as("cust_ver"),
+      lit(0L).as("valid_from_ms"))
+    val v2 = c.select(col("c_custkey").cast("long").as("user_id"),
+      concat(col("c_name"), lit("/v2")).as("cust_ver"),
+      (lit(epoch20240101) + (col("c_custkey") % 28) * 86400000L).as("valid_from_ms"))
+    graft.operators.AsOfJoin.asOf(ev, v1.unionByName(v2),
+        Seq("user_id"), "valid_from_ms", "ts_ms")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("cust_ver"), lit("")).as("cust_ver"))
+      .orderBy("event_id")
+  }
+
   val all: Map[String, Q] = Map(
+    "q41_kmv_distinct" -> qKmvDistinct,
+    "q42_scd_asof" -> qScdAsof,
     "q34_pivot" -> qPivot,
     "q32_stats" -> qStats,
     "q33_rollup" -> qRollup,
@@ -335,6 +377,36 @@ object QueriesRelational {
     "q35_router_access" -> qRouterAccess)
 
   val oracles: Map[String, String] = Map(
+    "q41_kmv_distinct" ->
+      s"""WITH h AS (SELECT DISTINCT event_type,
+         |  ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+         |  FROM events),
+         |r AS (SELECT event_type, h,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+         |s AS (SELECT event_type, max(h) AS hk, CAST(count(*) AS BIGINT) AS got
+         |      FROM r WHERE rn <= $KmvK GROUP BY event_type),
+         |x AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+         |      FROM events GROUP BY event_type)
+         |SELECT x.event_type, x.n_exact,
+         |  CASE WHEN s.got < $KmvK THEN CAST(s.got AS DOUBLE)
+         |       ELSE ${KmvK - 1}.0 * 4294967296.0 / CAST(s.hk AS DOUBLE) END AS n_est
+         |FROM x JOIN s USING (event_type)
+         |ORDER BY event_type""".stripMargin,
+
+    "q42_scd_asof" ->
+      """WITH dimv AS (
+        |  SELECT c_custkey AS user_id, c_name || '/v1' AS cust_ver,
+        |    CAST(0 AS BIGINT) AS vfrom FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, c_name || '/v2',
+        |    1704067200000 + (c_custkey % 28) * 86400000 FROM customer),
+        |d AS (SELECT user_id, cust_ver, vfrom,
+        |  lead(vfrom) OVER (PARTITION BY user_id ORDER BY vfrom) AS vto FROM dimv)
+        |SELECT e.event_id, e.user_id, coalesce(d.cust_ver, '') AS cust_ver
+        |FROM events e LEFT JOIN d ON d.user_id = e.user_id
+        |  AND epoch_ms(e.ts) >= d.vfrom AND (d.vto IS NULL OR epoch_ms(e.ts) < d.vto)
+        |ORDER BY event_id""".stripMargin,
+
     // the whole reference program, recomputed without codec/grok/join
     // engines: LogMessage filter = not-error; gorouter family = click
     // (tag route) or purchase (source_type route); enrichment key =
