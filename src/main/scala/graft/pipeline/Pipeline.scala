@@ -31,6 +31,36 @@ object Pipeline {
     */
   def assemble(records: DataFrame, dims: DataFrame,
                includeDormant: Boolean = false): DataFrame = {
+    val grokked = parsed(records, includeDormant)
+    // row 6: enrichment broadcast join (+ drop when no app key)
+    computedColumns(Enrich.enrich(
+      grokked, dims,
+      appId = col("env.log_message.app_id"),
+      rtrAppId = coalesce(col("captures").getItem("rtr_app_id"), lit(""))))
+  }
+
+  /** [[assemble]] with per-origin dimension universes
+    * ([[Enrich.enrichPerOrigin]]; reference `main.go:79-109`): the
+    * lookup origin is the decoded envelope's, exactly as
+    * `augmentWithAppInfo(values, ..., newEvent.GetOrigin())` selects
+    * the per-origin cache at `main.go:416,421`.
+    *
+    * @param originDims (origin, app_guid, …) dimension union
+    */
+  def assembleMultiEnv(records: DataFrame, originDims: DataFrame,
+                       includeDormant: Boolean = false): DataFrame = {
+    val grokked = parsed(records, includeDormant)
+    computedColumns(Enrich.enrichPerOrigin(
+      grokked, originDims,
+      origin = col("env.origin"),
+      appId = col("env.log_message.app_id"),
+      rtrAppId = coalesce(col("captures").getItem("rtr_app_id"), lit(""))))
+  }
+
+  /** Decode → metrics → type filter → route → grok: the shared head of
+    * both enrichment variants (rows 2-5).
+    */
+  private def parsed(records: DataFrame, includeDormant: Boolean): DataFrame = {
     val env = records
       .withColumn("env", decode(col("data")))
       // the reference's two Prometheus counters (main.go:40-52): total
@@ -52,28 +82,23 @@ object Pipeline {
     // %{ROUTERACCESS} with typed captures for gorouter_access)
     val patterns =
       if (includeDormant) Classifier.allFamilyPatterns else Classifier.familyPatterns
-    val grokked = patterns.foldLeft(env) { case (df, (fam, pat)) =>
+    patterns.foldLeft(env) { case (df, (fam, pat)) =>
       df.withColumn("captures",
         when(col("family") === fam,
           graft.functions.grok_extract_map(col("env.log_message.message"), pat))
           .otherwise(if (df.columns.contains("captures")) col("captures")
             else lit(null).cast("map<string,string>")))
     }
+  }
 
-    // row 6: enrichment broadcast join (+ drop when no app key)
-    val enriched = Enrich.enrich(
-      grokked, dims,
-      appId = col("env.log_message.app_id"),
-      rtrAppId = coalesce(col("captures").getItem("rtr_app_id"), lit("")))
-
-    // rows 7-9: computed columns + partition key
+  /** Rows 7-9: computed columns + partition key. */
+  private def computedColumns(enriched: DataFrame): DataFrame =
     enriched
       .withColumn("timestamp", unix_millis(col("approximateArrivalTimestamp"))) // epoch millis, main.go:435-438
       .withColumn("file_path", col("env.log_message.source_instance"))
       .withColumn("@cf.env", col("env.origin"))
       .withColumn("dt", date_format(col("approximateArrivalTimestamp"), "yyyy-MM-dd"))
       .withColumn("es_index", concat(col("family"), lit("-"), col("dt")))
-  }
 
   /** Projects the dynamic ES document: grok captures + computed +
     * `@cf.*` columns as one JSON string (`main.go:432-447` shape).

@@ -61,6 +61,38 @@ object StreamingPipeline {
       }
       .start()
 
+  /** Like [[start]], but malformed records go to a DEAD-LETTER path
+    * instead of vanishing: the reference logs-and-drops undecodable
+    * Kinesis records (`main.go:356-360` — a counter and a discarded
+    * payload); at 100 TB "count and discard" means losing the evidence
+    * needed to debug an upstream producer, so the raw (data,
+    * sequenceNumber, arrival) triple is quarantined, batchId-keyed for
+    * idempotent replay like the main sink. The batch is decoded ONCE
+    * (persisted for the two-way split, released before the batch
+    * commits — bounded lifetime, no session leak).
+    */
+  def startWithDeadLetter(records: DataFrame, dims: DataFrame, checkpointDir: String,
+                          outDir: String, dlqDir: String,
+                          trigger: Trigger = Trigger.ProcessingTime("15 seconds")): StreamingQuery =
+    records.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val decoded = batch
+          .withColumn("__ok", Pipeline.decode(col("data")).isNotNull)
+          .persist()
+        try {
+          decoded.filter(!col("__ok"))
+            .select("data", "sequenceNumber", "approximateArrivalTimestamp")
+            .write.mode("overwrite").parquet(s"$dlqDir/batch=$batchId")
+          Pipeline.toJsonDocs(Pipeline.assemble(decoded.filter(col("__ok")).drop("__ok"), dims))
+            .write.mode("overwrite")
+            .partitionBy("es_index")
+            .parquet(s"$outDir/batch=$batchId")
+        } finally decoded.unpersist()
+      }
+      .start()
+
   /** Watermarked tumbling-window aggregation over the decoded stream —
     * the event-time operator family the reference lacks entirely
     * (SURVEY §2.3): late data beyond the watermark is dropped, state

@@ -65,4 +65,22 @@ class EnrichOriginSpec extends AnyFunSuite {
     // hits still resolve
     assert(out("r_env1_hit") === (("app-one", GuidA, "space-one", "org-one")))
   }
+
+  test("assembleMultiEnv: lookup origin is the envelope's; unconfigured env keeps rows keyless") {
+    // dims configured ONLY for system.example.gov.au; the fixtures'
+    // env2 rows (missing/invalid guid) must keep their keys null
+    // instead of the single-env raw-guid-empty-names degradation
+    val originDims = Fixtures.dims(spark)
+      .withColumn("origin", org.apache.spark.sql.functions.lit("system.example.gov.au"))
+    val out = graft.pipeline.Pipeline
+      .assembleMultiEnv(Fixtures.records(spark), originDims)
+      .select(col("file_path"), col("`@cf.app`"), col("`@cf.app_id`"))
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(out.keySet === Set("router/0", "APP/PROC/WEB/0", "APP/PROC/WEB/1", "APP/PROC/WEB/2"))
+    // configured origin resolves (suffix strip intact)
+    assert(out("APP/PROC/WEB/0") === (("myapp", Fixtures.AppGuid.toUpperCase)))
+    // env2 is not a configured environment: rows kept, keys null
+    assert(out("APP/PROC/WEB/1") === ((null, null)))
+    assert(out("APP/PROC/WEB/2") === ((null, null)))
+  }
 }

@@ -76,6 +76,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(afterFirst > 0 && afterSecond == 2 * afterFirst)
   }
 
+  test("dead-letter path quarantines malformed records; documents unchanged") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[SourceRecord]
+    val outDir = Files.createTempDirectory("graft_dlq_out").toString
+    val ckDir = Files.createTempDirectory("graft_dlq_ck").toString
+    val dlqDir = Files.createTempDirectory("graft_dlq_dlq").toString
+    stream.addData(sourceRecords)
+    val q = StreamingPipeline.startWithDeadLetter(
+      stream.toDF(), Fixtures.dims(spark), ckDir, outDir, dlqDir, Trigger.AvailableNow())
+    q.awaitTermination(120000)
+
+    // same documents as the plain sink path
+    val streamed = spark.read.parquet(outDir).select("es_index", "doc")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    val batch = Pipeline.toJsonDocs(
+        Pipeline.assemble(Fixtures.records(spark), Fixtures.dims(spark)))
+      .select("es_index", "doc")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(streamed.toSeq == batch.toSeq)
+
+    // the malformed record landed in quarantine with its raw payload
+    val dlq = spark.read.parquet(dlqDir)
+      .select("sequenceNumber", "data").collect()
+    assert(dlq.length === 1)
+    assert(dlq.head.getString(0) === "malformed")
+    assert(dlq.head.getAs[Array[Byte]](1).toSeq === Seq[Byte](0x7f, 0x00, 0x03))
+  }
+
   test("watermark drops data later than the threshold") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
