@@ -74,6 +74,29 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("scrubPii is idempotent: scrubbing scrubbed text changes nothing") {
+    val texts = Seq(
+      "mail a@b.co and 10.1.2.3 and 123456789",
+      "<EMAIL> already scrubbed <IP> <NUM>",
+      "partial quads 1.2.3.4.5.6 and long 99999999999999999999",
+      "empty", "", "unicode ünïcödé@exämple.com stays ascii-gated")
+    val df = texts.toDF("t")
+      .select(col("t"), Curation.scrubPii(col("t")).as("once"))
+      .select(col("once"), Curation.scrubPii(col("once")).as("twice"))
+    df.collect().foreach(r => assert(r.getString(0) === r.getString(1)))
+  }
+
+  test("stratifiedKeep monotone in rate: keep set at 3000bp is a subset of 7000bp") {
+    val docs = Tables(spark, "/root/testdata/sf0.01", "documents")
+    def kept(bp: Int) = docs
+      .filter(Curation.stratifiedKeep(col("doc_id"), col("lang"), Map("en" -> bp), 10000))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val lo = kept(3000)
+    val hi = kept(7000)
+    assert(lo.subsetOf(hi))
+    assert(lo.size < hi.size)
+  }
+
   test("stratifiedKeep: deterministic, and rates land near the target basis points") {
     val docs = Tables(spark, "/root/testdata/sf0.01", "documents")
     val keep = Curation.stratifiedKeep(col("doc_id"), col("lang"),

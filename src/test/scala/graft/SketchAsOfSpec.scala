@@ -64,6 +64,17 @@ class SketchAsOfSpec extends AnyFunSuite {
     assert(m === Map(1L -> null, 2L -> "v2"))
   }
 
+  test("kmv: stage-1 window is salted (no single-partition funnel per group)") {
+    val ev = Tables(spark, "/root/testdata/sf0.001", "events")
+    val df = Sketches.kmvSketch(ev, Seq("event_type"), col("user_id"), 16)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // stage 1 must shuffle on (group, salt): a low-cardinality group
+    // column alone would funnel the whole corpus through one window
+    // partition at scale
+    assert(p.contains("salt"), s"expected salted stage-1 exchange:\n$p")
+  }
+
   test("asOf: dimension broadcasts; fact side never sort-merges") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("event_id"), col("user_id"), col("ts_ms"))
