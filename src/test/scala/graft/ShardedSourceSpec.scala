@@ -65,6 +65,41 @@ class ShardedSourceSpec extends AnyFunSuite {
     assert(distinctIds == 16L)
   }
 
+  test("resharding: a shard created mid-stream is discovered from TRIM_HORIZON") {
+    // the reference enumerates shards once at Scan start
+    // (consumer.go:103-110) and never sees a split/merge; latestOffset
+    // here re-enumerates per trigger, so a new shard appears in the
+    // next offset range with initial position 0 — exactly once
+    val srcDir = Files.createTempDirectory("graft_reshard").toFile
+    val outDir = Files.createTempDirectory("graft_reshard_out").toString
+    val ckDir = Files.createTempDirectory("graft_reshard_ck").toString
+    writeShards(srcDir, firstBatch = true) // shard-000, shard-001
+
+    def run(): Long = {
+      val records = spark.readStream
+        .format(classOf[ShardedRecordSource].getName)
+        .option("path", srcDir.getAbsolutePath)
+        .load()
+      val q = StreamingPipeline.start(
+        records, Fixtures.dims(spark), ckDir, outDir, Trigger.AvailableNow())
+      q.awaitTermination(120000)
+      spark.read.parquet(outDir).count()
+    }
+
+    assert(run() == 8L)
+
+    // "shard split": a third shard appears after the first checkpoint
+    val keep = Fixtures.envelopes.filter(_._1.startsWith("keep_")).map(_._2)
+    val lines = keep.zipWithIndex.map { case (e, i) =>
+      s"c2-$i,${Fixtures.ArrivalMs},${Base64.getEncoder.encodeToString(EnvelopeCodec.encode(e))}"
+    }
+    Files.writeString(new File(srcDir, "shard-002.log").toPath,
+      lines.mkString("", "\n", "\n"))
+
+    assert(run() == 12L) // 8 old + 4 from the new shard, nothing replayed
+    assert(spark.read.parquet(outDir).select("doc_id").distinct().count() == 12L)
+  }
+
   test("batch-mode read sees all shards from position zero") {
     val srcDir = Files.createTempDirectory("graft_shards_b").toFile
     writeShards(srcDir, firstBatch = true)
