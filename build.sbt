@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify print one machine-parsable JSON line; sbt's default
+// LoggedOutput decorates forked stdout with an "[info] " prefix that
+// breaks the driver's parse (BENCH_r01..04 all have "parsed": null).
+// StdoutOutput passes the child's stdout through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
