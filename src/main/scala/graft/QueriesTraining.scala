@@ -83,6 +83,21 @@ object QueriesTraining {
       .orderBy("id_a", "id_b")
   }
 
+  /** Incremental dedup: the 25% increment (doc_id % 4 = 3) deduped
+    * against the full corpus snapshot — band keys of the increment
+    * broadcast, the corpus signature side never shuffles
+    * ([[Dedup.incrementalCandidates]]).
+    */
+  private val qDedupIncremental: Q = (spark, dir) => {
+    val all = sigs(spark, dir)
+    val inc = all.filter(col("doc_id") % 4 === 3)
+    Dedup.incrementalCandidates(all, inc, "doc_id", "sig", 4, 4)
+      .withColumn("est_jaccard", Dedup.estJaccard(col("sig_a"), col("sig_b")))
+      .filter(col("est_jaccard") >= 0.5)
+      .select("id_a", "id_b", "est_jaccard")
+      .orderBy("id_a", "id_b")
+  }
+
   /** LSH candidates verified by exact trigram Jaccard ≥ 0.4 — the
     * shared edge set of the pairwise and grouping dedup queries.
     */
@@ -277,6 +292,7 @@ object QueriesTraining {
     "q19_text_fingerprint" -> qTextFingerprint,
     "q20_dedup_exact" -> qDedupExact,
     "q21_dedup_minhash" -> qDedupMinhash,
+    "q43_dedup_incremental" -> qDedupIncremental,
     "q22_dedup_ngram" -> qDedupNgram,
     "q23_dedup_simhash" -> qDedupSimhash,
     "q24_dedup_embed" -> qDedupEmbed,
@@ -330,14 +346,21 @@ object QueriesTraining {
     }
     .mkString("[", ",\n    ", "]")
 
-  /** CTE chain shared by the MinHash and n-gram dedup oracles. */
-  private val lshCandidateCtes =
+  /** CTE chain through the per-doc band keys — shared by the dedup
+    * oracles (batch AND incremental, which differ only in the pair
+    * predicate over `bands`).
+    */
+  private[graft] val sigBandCtes =
     s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
        |sh AS (SELECT doc_id, $shinglesSql AS s FROM toks),
        |shh AS (SELECT doc_id, s,
        |  list_transform(s, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs FROM sh),
        |sig AS (SELECT doc_id, s, $sigElemsSql AS sig FROM shh),
-       |bands AS (SELECT doc_id, unnest($bandElemsSql) AS band_key FROM sig),
+       |bands AS (SELECT doc_id, unnest($bandElemsSql) AS band_key FROM sig)""".stripMargin
+
+  /** CTE chain shared by the MinHash and n-gram dedup oracles. */
+  private val lshCandidateCtes =
+    s"""$sigBandCtes,
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |         FROM bands a JOIN bands b USING (band_key) WHERE a.doc_id < b.doc_id)""".stripMargin
 
@@ -411,6 +434,18 @@ object QueriesTraining {
          |             UNION ALL SELECT doc_id + 1000000, text FROM documents)
          |SELECT md5($normTextSql) AS fp, count(*) AS cnt, min(doc_id) AS canonical_id
          |FROM dup GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "q43_dedup_incremental" ->
+      s"""$sigBandCtes,
+         |cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+         |                greatest(a.doc_id, b.doc_id) AS id_b
+         |         FROM bands a JOIN bands b USING (band_key)
+         |         WHERE a.doc_id <> b.doc_id AND b.doc_id % 4 = 3),
+         |est AS (SELECT id_a, id_b,
+         |  CAST(len(list_filter(range(1, 17), j -> sa.sig[j] = sb.sig[j])) AS DOUBLE)/16.0 AS est_jaccard
+         |  FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)
+         |SELECT id_a, id_b, est_jaccard FROM est
+         |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
 
     "q21_dedup_minhash" ->
       s"""$lshCandidateCtes,

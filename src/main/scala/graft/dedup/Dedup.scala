@@ -178,6 +178,43 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** Candidate pairs for INCREMENTAL dedup: a small increment of new
+    * documents against an already-signed corpus — the way a 100 TB
+    * pipeline actually runs day to day (re-deduping the full corpus
+    * per ingest would be quadratic in wall-clock over the corpus
+    * lifetime). The increment's exploded band keys BROADCAST; the
+    * corpus-side signature table streams past the hash join with NO
+    * shuffle and no sort — cost per ingest is one corpus scan plus
+    * work proportional to the increment.
+    *
+    * `allSigs` must contain the increment rows too (a corpus snapshot
+    * after append); pairs are normalized (id_a < id_b), deduped across
+    * bands, and every pair touches ≥ 1 increment doc — the
+    * increment×increment pairs come out of the same join because the
+    * increment is a subset of `allSigs`. Returns
+    * (id_a, id_b, sig_a, sig_b).
+    */
+  def incrementalCandidates(allSigs: DataFrame, newSigs: DataFrame,
+                            idCol: String, sigCol: String,
+                            bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    def exploded(df: DataFrame, suffix: String) = df.select(
+      col(idCol).as(s"id_$suffix"), col(sigCol).as(s"sig_$suffix"),
+      explode_outer(bandKeys(col(sigCol), bands, rowsPerBand)).as("band_key"))
+    val a = exploded(allSigs, "l")
+    val n = exploded(newSigs, "r")
+    a.join(broadcast(n), Seq("band_key"))
+      .filter(col("id_l") =!= col("id_r"))
+      .select(when(col("id_l") < col("id_r"),
+          struct(col("id_l").as("id_a"), col("id_r").as("id_b"),
+            col("sig_l").as("sig_a"), col("sig_r").as("sig_b")))
+        .otherwise(
+          struct(col("id_r").as("id_a"), col("id_l").as("id_b"),
+            col("sig_r").as("sig_a"), col("sig_l").as("sig_b"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.sig_a").as("sig_a"), col("p.sig_b").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** Estimated Jaccard from two MinHash signatures: fraction of
     * agreeing components.
     */

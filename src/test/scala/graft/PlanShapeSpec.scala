@@ -66,6 +66,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("ShuffledHashJoin"), s"unexpected hash build side:\n$p")
   }
 
+  test("q43_dedup_incremental: increment broadcasts; corpus side joins without sort-merge") {
+    val p = plan(Queries.all("q43_dedup_incremental")(spark, dir))
+    // the day-to-day dedup shape: band keys of the increment broadcast,
+    // the corpus signature table streams past the hash join unshuffled
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast increment:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("grok capture pruning fires on a multi-capture pattern over a real scan") {
     // %{GENERIC} yields 2 captures (GENERIC + log_event,
     // NamedCapturesOnly=false); selecting one prunes the other.
