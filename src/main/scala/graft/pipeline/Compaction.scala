@@ -1,0 +1,63 @@
+package graft.pipeline
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Small-files compaction for the partitioned file sink — the
+  * operational sibling of [[Retention]]. A streaming sink appends one
+  * file set per micro-batch, so a 15 s trigger writes ~5,760
+  * files/day/partition; at 100 TB the resulting metadata pressure and
+  * sub-split scan tasks dominate read cost long before data volume
+  * does. Compaction rewrites a partition's many small files into
+  * ⌈bytes / targetFileBytes⌉ files.
+  *
+  * Each partition is rewritten independently (scales with partition
+  * count), atomically: rewrite to a staging dir, then swap via two
+  * renames — readers see the old or the new file set, never a mix;
+  * on failure the staging dir is abandoned and the partition is
+  * untouched.
+  */
+object Compaction {
+
+  final case class Report(partition: String, filesBefore: Int, filesAfter: Int, bytes: Long)
+
+  /** Compacts every `es_index=<name>` partition under `root` whose
+    * file count exceeds `minFiles`. Returns one [[Report]] per
+    * compacted partition.
+    */
+  def compact(spark: SparkSession, root: String, targetFileBytes: Long = 128L << 20,
+              minFiles: Int = 2): Seq[Report] = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return Nil
+    val parts = fs.listStatus(rootPath).toSeq
+      .filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("es_index="))
+    parts.flatMap { part =>
+      val files = fs.listStatus(part).toSeq.filter(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      val bytes = files.map(_.getLen).sum
+      if (files.size <= minFiles || bytes == 0) None
+      else {
+        val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+        val staging = new Path(part.getParent, s".compact-${part.getName}")
+        fs.delete(staging, true)
+        spark.read.parquet(part.toString)
+          .repartition(n)
+          .write.mode("overwrite").parquet(staging.toString)
+        val retired = new Path(part.getParent, s".retired-${part.getName}")
+        fs.delete(retired, true)
+        if (!fs.rename(part, retired))
+          throw new java.io.IOException(s"compaction failed to retire $part")
+        if (!fs.rename(staging, part)) {
+          fs.rename(retired, part) // roll back; partition never vanished
+          throw new java.io.IOException(s"compaction failed to publish $staging")
+        }
+        fs.delete(retired, true)
+        val after = fs.listStatus(part).count(s => s.isFile &&
+          !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+        Some(Report(part.getName.stripPrefix("es_index="), files.size, after, bytes))
+      }
+    }
+  }
+}

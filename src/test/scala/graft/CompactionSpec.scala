@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.pipeline.Compaction
+
+/** Small-files compaction over a partitionBy("es_index") sink layout. */
+class CompactionSpec extends AnyFunSuite {
+  private lazy val spark = GraftSession.get("local[4]", "4")
+  import spark.implicits._
+
+  test("compaction merges many small files; rows and values unchanged") {
+    val root = Files.createTempDirectory("graft_compact").toString
+    // simulate 10 micro-batch appends into two partitions
+    (1 to 10).foreach { b =>
+      Seq((b.toLong, s"doc-$b", "gorouter-2024-01-01"), (b.toLong, s"doc-$b", "gorouter-2024-01-02"))
+        .toDF("n", "doc", "es_index")
+        .repartition(2)
+        .write.mode("append").partitionBy("es_index").parquet(root)
+    }
+    val before = spark.read.parquet(root).orderBy("es_index", "n", "doc").collect()
+
+    val reports = Compaction.compact(spark, root, targetFileBytes = 1L << 30)
+    assert(reports.size === 2)
+    reports.foreach { r =>
+      assert(r.filesBefore > r.filesAfter)
+      assert(r.filesAfter === 1) // 1 GiB target swallows everything
+    }
+
+    val after = spark.read.parquet(root).orderBy("es_index", "n", "doc").collect()
+    assert(after.toSeq === before.toSeq)
+  }
+
+  test("partitions at or under minFiles are left alone") {
+    val root = Files.createTempDirectory("graft_compact_small").toString
+    Seq((1L, "gorouter-2024-01-01")).toDF("n", "es_index")
+      .coalesce(1).write.mode("overwrite").partitionBy("es_index").parquet(root)
+    assert(Compaction.compact(spark, root).isEmpty)
+  }
+
+  test("target size splits output into multiple files") {
+    val root = Files.createTempDirectory("graft_compact_split").toString
+    (1 to 5).foreach { _ =>
+      spark.range(20000).select(col("id").as("n"), lit("gorouter-2024-01-03").as("es_index"))
+        .repartition(4)
+        .write.mode("append").partitionBy("es_index").parquet(root)
+    }
+    val rep = Compaction.compact(spark, root, targetFileBytes = 64 << 10).head
+    assert(rep.filesAfter > 1) // 64 KiB target forces a split
+    assert(spark.read.parquet(root).count() === 100000L)
+  }
+}
