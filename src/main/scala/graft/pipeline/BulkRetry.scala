@@ -58,20 +58,20 @@ object BulkRetry {
     var attempt = 0
     var done = pending.isEmpty
     while (!done) {
-      val results = send(pending)
-      // A sender that returns fewer ItemResults than items submitted
-      // would otherwise make the missing items vanish from both tallies;
-      // account every input item by multiset-diffing and failing the
-      // unreturned remainder (status 0 = "unaccounted by sender").
-      if (results.size != pending.size) {
-        val returned = scala.collection.mutable.Map.empty[A, Int]
-        results.foreach(r => returned(r.item) = returned.getOrElse(r.item, 0) + 1)
-        val unaccounted = pending.filter { a =>
-          val n = returned.getOrElse(a, 0)
-          if (n > 0) { returned(a) = n - 1; false } else true
-        }
-        failed ++= unaccounted.map(ItemResult(_, 0))
+      val raw = send(pending)
+      // Trust nothing about the sender's cardinality: keep only ONE
+      // result per submitted item occurrence (multiset semantics —
+      // duplicate acks for one submission, or acks for items never
+      // submitted, are discarded), and fail the unacknowledged
+      // remainder (status 0 = "unaccounted by sender") so
+      // succeeded + failed always accounts for every input item.
+      val budget = scala.collection.mutable.Map.empty[A, Int]
+      pending.foreach(a => budget(a) = budget.getOrElse(a, 0) + 1)
+      val results = raw.filter { r =>
+        val n = budget.getOrElse(r.item, 0)
+        if (n > 0) { budget(r.item) = n - 1; true } else false
       }
+      failed ++= budget.collect { case (a, n) if n > 0 => Seq.fill(n)(ItemResult(a, 0)) }.flatten
       succeeded += results.count(_.status / 100 == 2)
       failed ++= results.filter(r => r.status / 100 != 2 && !RetryableStatuses(r.status))
       val retry = results.filter(r => RetryableStatuses(r.status))

@@ -12,10 +12,17 @@ import org.apache.spark.sql.SparkSession
   * ⌈bytes / targetFileBytes⌉ files.
   *
   * Each partition is rewritten independently (scales with partition
-  * count), atomically: rewrite to a staging dir, then swap via two
-  * renames — readers see the old or the new file set, never a mix;
-  * on failure the staging dir is abandoned and the partition is
-  * untouched.
+  * count) and CRASH-RECOVERABLY, not atomically: the swap is two
+  * renames (retire the old dir, publish the staging dir), so a reader
+  * listing the root in the instant between them — or after a crash in
+  * that window — misses the partition. Data is never lost: the retired
+  * copy survives as `.retired-<partition>`, and the next [[compact]]
+  * run restores any partition whose crash left only the retired copy
+  * behind. Run compaction with the sink quiesced (between streaming
+  * batches, or on closed date partitions): a writer appending during
+  * the rewrite would land files in the retired dir and lose them at
+  * cleanup — same contract as every file-level compactor without a
+  * transaction log.
   */
 object Compaction {
 
@@ -23,13 +30,26 @@ object Compaction {
 
   /** Compacts every `es_index=<name>` partition under `root` whose
     * file count exceeds `minFiles`. Returns one [[Report]] per
-    * compacted partition.
+    * compacted partition. First recovers any partition a previous
+    * crashed run left retired-but-unpublished.
     */
   def compact(spark: SparkSession, root: String, targetFileBytes: Long = 128L << 20,
               minFiles: Int = 2): Seq[Report] = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(rootPath)) return Nil
+    // crash recovery: a .retired-X with no live es_index=X means a
+    // previous run died between the two renames — the retired copy is
+    // the only (complete) copy; restore it before compacting
+    fs.listStatus(rootPath).toSeq.filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith(".retired-"))
+      .foreach { retired =>
+        val live = new Path(rootPath, retired.getName.stripPrefix(".retired-"))
+        if (!fs.exists(live)) {
+          if (!fs.rename(retired, live))
+            throw new java.io.IOException(s"compaction recovery failed for $retired")
+        } else fs.delete(retired, true) // publish completed; drop leftovers
+      }
     val parts = fs.listStatus(rootPath).toSeq
       .filter(_.isDirectory).map(_.getPath)
       .filter(_.getName.startsWith("es_index="))

@@ -96,6 +96,49 @@ object Enrich {
     *                          dimension (the uuid-parse gate); when
     *                          false keys join as-is (synthetic ids)
     */
+  /** Key derivation shared by both enrichment variants: fallback
+    * chain, inner-drop on no key, uuid gate, canonicalized join key
+    * (cache-key canonicalization, caching_lazyfill.go:88-93 — invalid
+    * guids never match).
+    */
+  private def keyedFrame(logs: DataFrame, appId: Column, rtrAppId: Column,
+                         validateGuid: Boolean): DataFrame = {
+    val key = when(appId =!= "", appId).when(rtrAppId =!= "", rtrAppId)
+    logs
+      .withColumn("__key_raw", key)
+      .filter(col("__key_raw").isNotNull) // inner-drop: no identifiable app
+      .withColumn("__key_valid",
+        if (validateGuid) col("__key_raw").rlike(UuidRe) else lit(true))
+      .withColumn("__key", when(col("__key_valid"), lower(col("__key_raw"))))
+  }
+
+  /** Broadcast-ready dimension projection (optionally origin-keyed). */
+  private def dimSide(dims: DataFrame, withOrigin: Boolean): DataFrame = {
+    val cols = Seq(
+      col("app_guid").as("__d_guid"), col("app_name").as("__d_app"),
+      col("space_guid").as("__d_space_id"), col("space_name").as("__d_space"),
+      col("org_guid").as("__d_org_id"), col("org_name").as("__d_org"))
+    broadcast(dims.select(
+      (if (withOrigin) col("origin").as("__d_origin") +: cols else cols): _*))
+  }
+
+  /** The six output columns + scratch-column cleanup, shared by both
+    * variants. `ok` = the rows whose keys get set; everything else
+    * gets nulls (omitted downstream by [[Pipeline.toJsonDocs]]).
+    */
+  private def projectEnrichment(joined: DataFrame, ok: Column, colPrefix: String,
+                                extraDrop: Seq[String]): DataFrame =
+    joined
+      .withColumn(colPrefix + "app", when(ok, coalesce(col("__d_app"), lit(""))))
+      .withColumn(colPrefix + "app_id", when(ok, col("__key_raw"))) // RAW, case preserved
+      .withColumn(colPrefix + "space", when(ok, coalesce(col("__d_space"), lit(""))))
+      .withColumn(colPrefix + "space_id", when(ok, coalesce(col("__d_space_id"), lit(""))))
+      .withColumn(colPrefix + "org", when(ok, coalesce(col("__d_org"), lit(""))))
+      .withColumn(colPrefix + "org_id", when(ok, coalesce(col("__d_org_id"), lit(""))))
+      .drop(Seq("__key_raw", "__key_valid", "__key",
+        "__d_guid", "__d_app", "__d_space_id", "__d_space", "__d_org_id", "__d_org") ++
+        extraDrop: _*)
+
   def enrich(
       logs: DataFrame,
       dims: DataFrame,
@@ -104,33 +147,14 @@ object Enrich {
       ignoreMissingApps: Boolean = true,
       validateGuid: Boolean = true,
       colPrefix: String = "@cf."): DataFrame = {
-    val key = when(appId =!= "", appId).when(rtrAppId =!= "", rtrAppId)
-    val keyed = logs
-      .withColumn("__key_raw", key)
-      .filter(col("__key_raw").isNotNull) // inner-drop: no identifiable app
-      .withColumn("__key_valid",
-        if (validateGuid) col("__key_raw").rlike(UuidRe) else lit(true))
-      // canonicalized join key; invalid guids never match (cache-key
-      // canonicalization, caching_lazyfill.go:88-93)
-      .withColumn("__key", when(col("__key_valid"), lower(col("__key_raw"))))
-    val d = broadcast(dims.select(
-      col("app_guid").as("__d_guid"), col("app_name").as("__d_app"),
-      col("space_guid").as("__d_space_id"), col("space_name").as("__d_space"),
-      col("org_guid").as("__d_org_id"), col("org_name").as("__d_org")))
+    val keyed = keyedFrame(logs, appId, rtrAppId, validateGuid)
+    val d = dimSide(dims, withOrigin = false)
     val joined = keyed.join(d, keyed("__key") === d("__d_guid"), "left")
     // "ok" = the rows whose six keys get set: everything under
     // IgnoreMissingApps, only actual matches otherwise
     val ok = if (ignoreMissingApps) lit(true)
       else col("__key_valid") && col("__d_guid").isNotNull
-    joined
-      .withColumn(colPrefix + "app", when(ok, coalesce(col("__d_app"), lit(""))))
-      .withColumn(colPrefix + "app_id", when(ok, col("__key_raw"))) // RAW, case preserved
-      .withColumn(colPrefix + "space", when(ok, coalesce(col("__d_space"), lit(""))))
-      .withColumn(colPrefix + "space_id", when(ok, coalesce(col("__d_space_id"), lit(""))))
-      .withColumn(colPrefix + "org", when(ok, coalesce(col("__d_org"), lit(""))))
-      .withColumn(colPrefix + "org_id", when(ok, coalesce(col("__d_org_id"), lit(""))))
-      .drop("__key_raw", "__key_valid", "__key",
-        "__d_guid", "__d_app", "__d_space_id", "__d_space", "__d_org_id", "__d_org")
+    projectEnrichment(joined, ok, colPrefix, extraDrop = Nil)
   }
 
   /** Multi-environment enrichment: one dimension universe per ORIGIN
@@ -168,35 +192,17 @@ object Enrich {
       ignoreMissingApps: Boolean = true,
       validateGuid: Boolean = true,
       colPrefix: String = "@cf."): DataFrame = {
-    val key = when(appId =!= "", appId).when(rtrAppId =!= "", rtrAppId)
-    val keyed = logs
-      .withColumn("__origin", origin)
-      .withColumn("__key_raw", key)
-      .filter(col("__key_raw").isNotNull) // inner-drop: no identifiable app
-      .withColumn("__key_valid",
-        if (validateGuid) col("__key_raw").rlike(UuidRe) else lit(true))
-      .withColumn("__key", when(col("__key_valid"), lower(col("__key_raw"))))
+    val keyed = keyedFrame(logs.withColumn("__origin", origin), appId, rtrAppId, validateGuid)
     // the CFClients map: which origins have a configured environment
     val known = broadcast(dims.select(col("origin").as("__k_origin")).distinct())
-    val d = broadcast(dims.select(
-      col("origin").as("__d_origin"),
-      col("app_guid").as("__d_guid"), col("app_name").as("__d_app"),
-      col("space_guid").as("__d_space_id"), col("space_name").as("__d_space"),
-      col("org_guid").as("__d_org_id"), col("org_name").as("__d_org")))
+    val d = dimSide(dims, withOrigin = true)
     val joined = keyed
       .join(known, keyed("__origin") === known("__k_origin"), "left")
       .join(d, col("__origin") === col("__d_origin") && col("__key") === col("__d_guid"), "left")
     val originKnown = col("__k_origin").isNotNull
     val ok = if (ignoreMissingApps) originKnown
       else originKnown && col("__key_valid") && col("__d_guid").isNotNull
-    joined
-      .withColumn(colPrefix + "app", when(ok, coalesce(col("__d_app"), lit(""))))
-      .withColumn(colPrefix + "app_id", when(ok, col("__key_raw"))) // RAW, case preserved
-      .withColumn(colPrefix + "space", when(ok, coalesce(col("__d_space"), lit(""))))
-      .withColumn(colPrefix + "space_id", when(ok, coalesce(col("__d_space_id"), lit(""))))
-      .withColumn(colPrefix + "org", when(ok, coalesce(col("__d_org"), lit(""))))
-      .withColumn(colPrefix + "org_id", when(ok, coalesce(col("__d_org_id"), lit(""))))
-      .drop("__origin", "__key_raw", "__key_valid", "__key", "__k_origin",
-        "__d_origin", "__d_guid", "__d_app", "__d_space_id", "__d_space", "__d_org_id", "__d_org")
+    projectEnrichment(joined, ok, colPrefix,
+      extraDrop = Seq("__origin", "__k_origin", "__d_origin"))
   }
 }

@@ -30,8 +30,25 @@ object Pipeline {
     *   routes (see [[Classifier.family]])
     */
   def assemble(records: DataFrame, dims: DataFrame,
-               includeDormant: Boolean = false): DataFrame = {
-    val grokked = parsed(records, includeDormant)
+               includeDormant: Boolean = false): DataFrame =
+    assembleDecoded(withEnv(records), dims, includeDormant)
+
+  /** Adds the decoded `env` column (row 2). Callers that need the
+    * decode output for their own routing (e.g. the dead-letter split)
+    * apply this once, persist, and pass the result to
+    * [[assembleDecoded]] — the decode then runs once per record, not
+    * once per consumer.
+    */
+  def withEnv(records: DataFrame): DataFrame =
+    records.withColumn("env", decode(col("data")))
+
+  /** [[assemble]] over a frame that already carries the decoded `env`
+    * column (malformed rows = null env; still counted by the metrics
+    * node, then dropped).
+    */
+  def assembleDecoded(decoded: DataFrame, dims: DataFrame,
+                      includeDormant: Boolean = false): DataFrame = {
+    val grokked = parsed(decoded, includeDormant)
     // row 6: enrichment broadcast join (+ drop when no app key)
     computedColumns(Enrich.enrich(
       grokked, dims,
@@ -49,7 +66,7 @@ object Pipeline {
     */
   def assembleMultiEnv(records: DataFrame, originDims: DataFrame,
                        includeDormant: Boolean = false): DataFrame = {
-    val grokked = parsed(records, includeDormant)
+    val grokked = parsed(withEnv(records), includeDormant)
     computedColumns(Enrich.enrichPerOrigin(
       grokked, originDims,
       origin = col("env.origin"),
@@ -57,12 +74,12 @@ object Pipeline {
       rtrAppId = coalesce(col("captures").getItem("rtr_app_id"), lit(""))))
   }
 
-  /** Decode → metrics → type filter → route → grok: the shared head of
-    * both enrichment variants (rows 2-5).
+  /** Metrics → type filter → route → grok over a decoded frame: the
+    * shared head of both enrichment variants (rows 3-5; row 2's decode
+    * comes in via [[withEnv]]).
     */
-  private def parsed(records: DataFrame, includeDormant: Boolean): DataFrame = {
-    val env = records
-      .withColumn("env", decode(col("data")))
+  private def parsed(decoded: DataFrame, includeDormant: Boolean): DataFrame = {
+    val env = decoded
       // the reference's two Prometheus counters (main.go:40-52): total
       // seen + malformed, surfaced per batch via observed metrics
       .observe("graft_pipeline",

@@ -67,9 +67,11 @@ object StreamingPipeline {
     * payload); at 100 TB "count and discard" means losing the evidence
     * needed to debug an upstream producer, so the raw (data,
     * sequenceNumber, arrival) triple is quarantined, batchId-keyed for
-    * idempotent replay like the main sink. The batch is decoded ONCE
-    * (persisted for the two-way split, released before the batch
-    * commits — bounded lifetime, no session leak).
+    * idempotent replay like the main sink. The batch is decoded ONCE —
+    * the persisted frame carries the decoded `env` struct, so both the
+    * DLQ branch and [[Pipeline.assembleDecoded]] read cached decode
+    * output (released before the batch commits — bounded lifetime, no
+    * session leak).
     */
   def startWithDeadLetter(records: DataFrame, dims: DataFrame, checkpointDir: String,
                           outDir: String, dlqDir: String,
@@ -78,14 +80,12 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val decoded = batch
-          .withColumn("__ok", Pipeline.decode(col("data")).isNotNull)
-          .persist()
+        val decoded = Pipeline.withEnv(batch).persist()
         try {
-          decoded.filter(!col("__ok"))
+          decoded.filter(col("env").isNull)
             .select("data", "sequenceNumber", "approximateArrivalTimestamp")
             .write.mode("overwrite").parquet(s"$dlqDir/batch=$batchId")
-          Pipeline.toJsonDocs(Pipeline.assemble(decoded.filter(col("__ok")).drop("__ok"), dims))
+          Pipeline.toJsonDocs(Pipeline.assembleDecoded(decoded, dims))
             .write.mode("overwrite")
             .partitionBy("es_index")
             .parquet(s"$outDir/batch=$batchId")

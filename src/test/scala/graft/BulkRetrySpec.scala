@@ -68,6 +68,18 @@ class BulkRetrySpec extends AnyFunSuite {
     assert(rep.succeeded + rep.failed.size === 3L) // every input accounted
   }
 
+  test("right COUNT but wrong results: duplicate/foreign acks discarded, real item failed") {
+    // sender acks "a" twice and a foreign "c" — sizes match (3==3) but
+    // "b" was never acknowledged and "c" was never submitted
+    val rep = BulkRetry.flush(Seq("a", "b", "b"), sleep = noSleep) { _ =>
+      Seq(ItemResult("a", 200), ItemResult("a", 200), ItemResult("c", 429))
+    }
+    assert(rep.succeeded === 1L)           // one real "a"
+    assert(rep.failed.toSet === Set(ItemResult("b", 0))) // both "b" occurrences
+    assert(rep.failed.size === 2)
+    assert(rep.succeeded + rep.failed.size === 3L) // every input accounted
+  }
+
   test("writeBulk: thrown transport errors ride the backoff path, then succeed") {
     val spark = GraftSession.get("local[2]", "2")
     import spark.implicits._

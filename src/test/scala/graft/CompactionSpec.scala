@@ -41,6 +41,25 @@ class CompactionSpec extends AnyFunSuite {
     assert(Compaction.compact(spark, root).isEmpty)
   }
 
+  test("crash recovery: a retired-but-unpublished partition is restored on the next run") {
+    val root = Files.createTempDirectory("graft_compact_crash").toString
+    Seq((1L, "gorouter-2024-01-01"), (2L, "gorouter-2024-01-01"))
+      .toDF("n", "es_index")
+      .write.mode("overwrite").partitionBy("es_index").parquet(root)
+    // simulate a crash between the two renames: live dir gone, only the
+    // retired copy remains
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(root, "es_index=gorouter-2024-01-01")
+    val retired = new org.apache.hadoop.fs.Path(root, ".retired-es_index=gorouter-2024-01-01")
+    assert(fs.rename(live, retired))
+    assert(!fs.exists(live)) // the crash window: partition invisible
+
+    Compaction.compact(spark, root)
+    assert(spark.read.parquet(root).count() === 2L) // restored
+    assert(!fs.exists(retired))
+  }
+
   test("target size splits output into multiple files") {
     val root = Files.createTempDirectory("graft_compact_split").toString
     (1 to 5).foreach { _ =>
