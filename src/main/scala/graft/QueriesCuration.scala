@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.curation.Curation
+import graft.dedup.Dedup
 
 /** Corpus-curation battery: test-set decontamination, PII scrubbing,
   * sequence packing, stratified sampling — the training-data prep ops
@@ -78,11 +79,53 @@ object QueriesCuration {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style repetition quality over the corpus. */
+  private val qRepQuality: Q = (spark, dir) => {
+    Curation.repetitionMetrics(Tables(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  private val BlockWords = 8
+
+  /** C4-style cross-doc block dedup. The corpus has no natural
+    * cross-doc block duplicates at small SF, so the input is
+    * documents ∪ an id-shifted copy (same trick as q20_dedup_exact):
+    * every copy block is a duplicate of its original, so kept_ratio
+    * must be 1.0 for originals and 0.0 for the shifted ids.
+    */
+  private val qBlockDedup: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val dup = d.unionAll(d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    Curation.blockDedupStats(dup, "doc_id", "text", BlockWords)
+      .orderBy("doc_id")
+  }
+
+  private val MixTargetBp = 2500
+
+  /** Temperature-based mixture sampling: sqrt-weight the sources
+    * (T=2), solve per-source keep rates for a 25% overall target, and
+    * report the realized hash-gate sample per source.
+    */
+  private val qMixture: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+    val rates = Curation.temperatureRates(d, "source", MixTargetBp)
+    val kept = d
+      .join(broadcast(rates.select(col("source"), col("bp"))), "source")
+      .filter(Dedup.hash32(col("doc_id").cast("string"), "mix") % 10000 < col("bp"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq("source"), "left")
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
     "q37_decontam" -> qDecontam,
     "q38_pii_scrub" -> qPiiScrub,
     "q39_seq_pack" -> qSeqPack,
-    "q40_stratified" -> qStratified)
+    "q40_stratified" -> qStratified,
+    "q44_rep_quality" -> qRepQuality,
+    "q45_block_dedup" -> qBlockDedup,
+    "q48_mixture" -> qMixture)
 
   // -------------------------------------------------- oracle generation
 
@@ -150,5 +193,71 @@ object QueriesCuration {
          |  CASE lang WHEN 'en' THEN ${SampleRatesBp("en")}
          |            WHEN 'de' THEN ${SampleRatesBp("de")}
          |            ELSE $SampleDefaultBp END
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q44_rep_quality" ->
+      s"""WITH toks AS (SELECT doc_id, ${QueriesTraining.toksSql} AS t FROM documents),
+         |g AS (
+         |  SELECT doc_id, 1 AS n, unnest(t) AS g FROM toks
+         |  UNION ALL SELECT doc_id, 2,
+         |    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+         |    FROM toks WHERE len(t) >= 2
+         |  UNION ALL SELECT doc_id, 3,
+         |    unnest(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+         |    FROM toks WHERE len(t) >= 3),
+         |c AS (SELECT doc_id, n, g, count(*) AS cnt FROM g GROUP BY doc_id, n, g),
+         |m AS (SELECT doc_id,
+         |  CAST(sum(CASE WHEN n = 1 THEN cnt END) AS BIGINT) AS n_toks,
+         |  CAST(sum(CASE WHEN n = 1 THEN 1 END) AS BIGINT) AS n_distinct,
+         |  max(CASE WHEN n = 2 THEN cnt END) AS top2,
+         |  CAST(sum(CASE WHEN n = 2 THEN cnt END) AS BIGINT) AS tot2,
+         |  CAST(sum(CASE WHEN n = 3 AND cnt > 1 THEN cnt END) AS BIGINT) AS dup3,
+         |  CAST(sum(CASE WHEN n = 3 THEN cnt END) AS BIGINT) AS tot3
+         |  FROM c GROUP BY doc_id),
+         |r AS (SELECT doc_id, n_toks,
+         |  round(CAST(n_distinct AS DOUBLE) / n_toks, 6) AS distinct_ratio,
+         |  round(coalesce(CAST(top2 AS DOUBLE) / tot2, 0.0), 6) AS top_bigram_frac,
+         |  round(coalesce(CAST(coalesce(dup3, 0) AS DOUBLE) / tot3, 0.0), 6) AS dup_trigram_frac
+         |  FROM m)
+         |SELECT doc_id, n_toks, distinct_ratio, top_bigram_frac, dup_trigram_frac,
+         |  CASE WHEN distinct_ratio < 0.2 OR top_bigram_frac > 0.18
+         |       OR dup_trigram_frac > 0.3 THEN 1 ELSE 0 END AS flagged
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q45_block_dedup" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+         |toks AS (SELECT doc_id, ${QueriesTraining.toksSql} AS t FROM base),
+         |b AS (SELECT doc_id,
+         |  unnest(range(0, CAST(ceil(len(t) / $BlockWords.0) AS BIGINT))) AS block_idx, t
+         |  FROM toks),
+         |blk AS (SELECT doc_id, block_idx,
+         |  array_to_string(t[block_idx * $BlockWords + 1 : block_idx * $BlockWords + $BlockWords], ' ') AS block
+         |  FROM b),
+         |r AS (SELECT doc_id,
+         |  row_number() OVER (PARTITION BY md5(block) ORDER BY doc_id, block_idx) AS rn
+         |  FROM blk)
+         |SELECT doc_id, count(*) AS total_blocks,
+         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_blocks,
+         |  round(CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS kept_ratio
+         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q48_mixture" ->
+      s"""WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+         |w AS (SELECT source, n_docs,
+         |  CAST(floor(sqrt(CAST(n_docs AS DOUBLE) * 1000000)) AS BIGINT) AS w FROM c),
+         |t AS (SELECT CAST(sum(w) AS BIGINT) AS sum_w, CAST(sum(n_docs) AS BIGINT) AS n_total FROM w),
+         |r AS (SELECT source, n_docs, w,
+         |  least(10000, CAST(floor(
+         |    CAST((n_total * $MixTargetBp) // 10000 AS DOUBLE) * w / sum_w / n_docs * 10000
+         |  ) AS BIGINT)) AS bp
+         |  FROM w, t),
+         |k AS (SELECT d.source, count(*) AS n_kept
+         |  FROM documents d JOIN r USING (source)
+         |  WHERE ${saltedHashIdSql("mix")} % 10000 < bp
+         |  GROUP BY d.source)
+         |SELECT r.source, r.n_docs, r.w, r.bp,
+         |  coalesce(k.n_kept, CAST(0 AS BIGINT)) AS n_kept
+         |FROM r LEFT JOIN k USING (source) ORDER BY source""".stripMargin)
 }

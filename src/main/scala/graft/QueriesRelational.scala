@@ -6,6 +6,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.layout.ZOrder
+import graft.operators.RangeJoin
 import graft.pipeline.{Envelope, EnvelopeCodec, LogMessage, Pipeline}
 
 /** Synthesizes Kinesis-shaped source records (binary protobuf-ish
@@ -359,7 +361,65 @@ object QueriesRelational {
       .orderBy("event_id")
   }
 
+  private val AttribWindowMicros = 300000000L // 5-minute attribution window
+
+  /** Bucketed interval join ([[RangeJoin]]): click→purchase
+    * attribution — purchases by the same user within 5 minutes after a
+    * click, aggregated per click (zero-match clicks kept via left
+    * join). The bucket width equals the window, so each click explodes
+    * onto ≤ 2 buckets and the candidate join is a plain equi-join on
+    * (user_id, bucket) — never a nested-loop over all pairs.
+    */
+  private val qRangeJoin: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts_t").as("c_ts"),
+        timestamp_micros(unix_micros(col("ts_t")) + AttribWindowMicros).as("c_end"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_t").as("p_ts"), col("value"))
+    val matched = RangeJoin.intervalJoin(purchases, "p_ts",
+        clicks, "c_ts", "c_end", AttribWindowMicros, Seq("user_id"))
+      .groupBy(col("click_id"))
+      .agg(count(lit(1)).as("n_purchases"), round(sum(col("value")), 2).as("total_value"))
+    clicks.select(col("click_id"))
+      .join(matched, Seq("click_id"), "left")
+      .select(col("click_id"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        coalesce(col("total_value"), lit(0.0)).as("total_value"))
+      .orderBy("click_id")
+  }
+
+  private val ZBits = 10
+  private val ZFiles = 16
+
+  /** Z-order layout audit: Morton-interleave (user bucket, value
+    * bucket), rank-split the corpus into [[ZFiles]] z-ranges, and
+    * report each range's per-dimension min/max envelope — the file
+    * statistics multi-column pruning reads. The oracle-exact split
+    * uses `ntile` (rank-deterministic); the production write path is
+    * [[ZOrder.layout]]'s `repartitionByRange` (spec-verified, since
+    * sampled range boundaries aren't cross-engine deterministic).
+    */
+  private val qZorder: Q = (spark, dir) => {
+    val ev = Tables(spark, dir, "events").select(
+      col("event_id"),
+      (col("user_id") % 1024).as("ub"),
+      (floor(col("value")).cast("long") % 1024).as("vb"))
+    val z = ev.withColumn("z", ZOrder.zValue(Seq(col("ub"), col("vb")), ZBits))
+    val w = Window.orderBy(col("z"), col("event_id"))
+    z.withColumn("file_id", ntile(ZFiles).over(w).cast("long"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("cnt"),
+        min("ub").as("min_ub"), max("ub").as("max_ub"),
+        min("vb").as("min_vb"), max("vb").as("max_vb"),
+        min("z").as("min_z"), max("z").as("max_z"))
+      .orderBy("file_id")
+  }
+
   val all: Map[String, Q] = Map(
+    "q46_range_join" -> qRangeJoin,
+    "q47_zorder" -> qZorder,
     "q41_kmv_distinct" -> qKmvDistinct,
     "q42_scd_asof" -> qScdAsof,
     "q34_pivot" -> qPivot,
@@ -377,6 +437,34 @@ object QueriesRelational {
     "q35_router_access" -> qRouterAccess)
 
   val oracles: Map[String, String] = Map(
+    "q46_range_join" ->
+      s"""WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us
+         |  FROM events WHERE event_type = 'click'),
+         |p AS (SELECT user_id, epoch_us(ts) AS p_us, value
+         |  FROM events WHERE event_type = 'purchase'),
+         |m AS (SELECT c.click_id, count(*) AS n_purchases,
+         |    round(sum(p.value), 2) AS total_value
+         |  FROM c JOIN p ON p.user_id = c.user_id
+         |    AND p.p_us >= c.c_us AND p.p_us < c.c_us + $AttribWindowMicros
+         |  GROUP BY c.click_id)
+         |SELECT c.click_id,
+         |  coalesce(m.n_purchases, CAST(0 AS BIGINT)) AS n_purchases,
+         |  coalesce(m.total_value, 0.0) AS total_value
+         |FROM c LEFT JOIN m USING (click_id) ORDER BY click_id""".stripMargin,
+
+    "q47_zorder" ->
+      s"""WITH e AS (SELECT event_id, user_id % 1024 AS ub,
+         |  CAST(floor(value) AS BIGINT) % 1024 AS vb FROM events),
+         |z AS (SELECT event_id, ub, vb,
+         |  ${ZOrder.zValueSql(Seq("ub", "vb"), ZBits)} AS z FROM e),
+         |f AS (SELECT ub, vb, z,
+         |  ntile($ZFiles) OVER (ORDER BY z, event_id) AS file_id FROM z)
+         |SELECT file_id, count(*) AS cnt,
+         |  min(ub) AS min_ub, max(ub) AS max_ub,
+         |  min(vb) AS min_vb, max(vb) AS max_vb,
+         |  min(z) AS min_z, max(z) AS max_z
+         |FROM f GROUP BY file_id ORDER BY file_id""".stripMargin,
+
     "q41_kmv_distinct" ->
       s"""WITH h AS (SELECT DISTINCT event_type,
          |  ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h

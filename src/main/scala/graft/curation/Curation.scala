@@ -99,6 +99,134 @@ object Curation {
       .withColumn("bin", floor(col("offset") / budgetTokens))
   }
 
+  // ------------------------------------- repetition quality (Gopher-style)
+
+  /** Per-document repetition metrics in the style of the Gopher data
+    * quality rules (Rae et al. 2021 §A1.1): distinct-token ratio,
+    * fraction of word-bigram occurrences taken by the single most
+    * frequent bigram, and fraction of word-trigram occurrences that
+    * belong to any repeated trigram — plus a composite `flagged` bit.
+    *
+    * Scale shape: one pass tags every 1/2/3-gram occurrence with its
+    * order `n` and explodes ONCE; `groupBy(id, n, gram)` counts with
+    * map-side partial aggregation, then a conditional-aggregate
+    * `groupBy(id)` folds the three orders into one row per doc. Two
+    * shuffles, both keyed on the document id — no per-doc data ever
+    * crosses documents, so skew equals the longest document, not the
+    * hottest n-gram.
+    */
+  def repetitionMetrics(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val parallelism = spark.sparkContext.defaultParallelism
+    val d0 = if (docs.rdd.getNumPartitions < parallelism)
+      docs.repartition(parallelism, col(idCol)) else docs
+    // tokens materialized as their own projection (lambda reads an
+    // attribute, not a re-computed split — see Dedup.shingleTable)
+    val toks = d0.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+    def grams(n: Int): Column = {
+      val arr =
+        if (n == 1) col("toks")
+        else transform(sequence(lit(0), size(col("toks")) - n),
+          i => concat_ws(" ", (0 until n).map(k => element_at(col("toks"), i + k + 1)): _*))
+      // guard BEFORE building: sequence(0, negative) would step down
+      transform(when(size(col("toks")) >= n, arr).otherwise(lit(Array.empty[String])),
+        g => struct(lit(n).as("n"), g.as("g")))
+    }
+    val tagged = toks.select(col(idCol),
+        explode_outer(concat(grams(1), grams(2), grams(3))).as("gr"))
+      .filter(col("gr").isNotNull)
+      .select(col(idCol), col("gr.n").as("n"), col("gr.g").as("g"))
+    val counts = tagged.groupBy(col(idCol), col("n"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col(idCol)).agg(
+        sum(when(col("n") === 1, col("cnt"))).as("n_toks"),
+        sum(when(col("n") === 1, lit(1L))).as("n_distinct"),
+        max(when(col("n") === 2, col("cnt"))).as("top2"),
+        sum(when(col("n") === 2, col("cnt"))).as("tot2"),
+        sum(when(col("n") === 3 && col("cnt") > 1, col("cnt"))).as("dup3"),
+        sum(when(col("n") === 3, col("cnt"))).as("tot3"))
+      .select(col(idCol), col("n_toks"),
+        round(col("n_distinct").cast("double") / col("n_toks"), 6).as("distinct_ratio"),
+        round(coalesce(col("top2").cast("double") / col("tot2"), lit(0.0)), 6)
+          .as("top_bigram_frac"),
+        round(coalesce(coalesce(col("dup3"), lit(0L)).cast("double") / col("tot3"),
+          lit(0.0)), 6).as("dup_trigram_frac"))
+      .withColumn("flagged",
+        when(col("distinct_ratio") < 0.2 || col("top_bigram_frac") > 0.18
+          || col("dup_trigram_frac") > 0.3, lit(1)).otherwise(lit(0)))
+  }
+
+  // ------------------------------------- cross-document block dedup (C4)
+
+  /** C4-style cross-document block deduplication: split each document
+    * into consecutive `blockWords`-word blocks, keep only the globally
+    * FIRST occurrence of each block (ordered by doc id, then block
+    * position), and report per-document kept/total block counts.
+    *
+    * Scale shape: blocks shuffle once on their content hash; the
+    * first-occurrence choice is a `row_number` window over that hash —
+    * group size = number of copies of one block, so the window never
+    * sees more than a duplicate cluster (no global sort). A second
+    * doc-id-keyed aggregate folds the survivors back to one row per
+    * document. This is how paragraph dedup runs at 100 TB: the
+    * shuffled unit is a ~50-byte hash + position, never the text.
+    */
+  def blockDedupStats(docs: DataFrame, idCol: String, textCol: String,
+                      blockWords: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val parallelism = spark.sparkContext.defaultParallelism
+    val d0 = if (docs.rdd.getNumPartitions < parallelism)
+      docs.repartition(parallelism, col(idCol)) else docs
+    val toks = d0.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+    val nBlocks = ceil(size(col("toks")).cast("double") / blockWords).cast("int")
+    val blocks = toks.select(col(idCol), posexplode_outer(
+        transform(sequence(lit(0), nBlocks - 1),
+          i => array_join(slice(col("toks"), i * blockWords + 1, lit(blockWords)), " "))))
+      .toDF(idCol, "block_idx", "block")
+    val firstOccurrence = Window.partitionBy(md5(col("block")))
+      .orderBy(col(idCol), col("block_idx"))
+    blocks.withColumn("rn", row_number().over(firstOccurrence))
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("total_blocks"),
+        sum(when(col("rn") === 1, lit(1L)).otherwise(lit(0L))).as("kept_blocks"))
+      .withColumn("kept_ratio",
+        round(col("kept_blocks").cast("double") / col("total_blocks"), 6))
+  }
+
+  // -------------------------------- temperature-based mixture sampling
+
+  /** Per-stratum keep rates for temperature-based data mixing (the
+    * multilingual-corpus recipe: sample stratum s proportional to
+    * n_s^(1/T) with T=2, i.e. sqrt weights — upweights small strata,
+    * flattens large ones). Returns one row per stratum:
+    * (stratum, n_docs, w, bp) where `bp` is the keep rate in BASIS
+    * POINTS such that expected total kept ≈ `targetFracBp/10000` of
+    * the corpus.
+    *
+    * Integer-portable by construction: weights are
+    * `floor(sqrt(n_docs * 1e6))` (IEEE sqrt is correctly rounded, so
+    * the floor is engine-exact), their sum is integer (order-free),
+    * and the final rate is floored into basis points. The result is
+    * stratum-count-sized — broadcast it back onto the corpus and gate
+    * rows with [[stratifiedKeep]]'s hash-mod (no shuffle on the data
+    * path).
+    */
+  def temperatureRates(docs: DataFrame, stratumCol: String,
+                       targetFracBp: Int): DataFrame = {
+    val counts = docs.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_docs"))
+    val weighted = counts.withColumn("w",
+      floor(sqrt(col("n_docs").cast("double") * 1000000d)).cast("long"))
+    val totals = weighted.agg(
+      sum(col("w")).as("sum_w"), sum(col("n_docs")).as("n_total"))
+    weighted.crossJoin(broadcast(totals))
+      .withColumn("target", expr(s"(n_total * $targetFracBp) div 10000"))
+      .withColumn("bp", least(lit(10000L), floor(
+        col("target").cast("double") * col("w") / col("sum_w") / col("n_docs")
+          * 10000)))
+      .select(col(stratumCol), col("n_docs"), col("w"), col("bp"))
+  }
+
   // ---------------------------------------------- stratified sampling
 
   /** Deterministic per-stratum downsampling for data mixing: keeps a

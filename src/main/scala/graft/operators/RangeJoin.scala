@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Interval (range) join via bucketing: match point rows to interval
+  * rows with `start ≤ point < end`, optionally under extra equi-keys.
+  *
+  * Spark's built-in answer to a pure range predicate is
+  * BroadcastNestedLoopJoin — O(|points|·|intervals|) and an OOM hazard
+  * the moment neither side broadcasts. The scale shape used here is
+  * the standard bucketed decomposition (the same trick Databricks'
+  * range-join optimization and Flink's interval join use): quantize
+  * time into fixed-width buckets, explode each interval onto the
+  * buckets it overlaps (⌈len/width⌉ rows, a small constant when the
+  * bucket width is chosen near the typical interval length), map each
+  * point to its single containing bucket, then SortMergeJoin on
+  * (equiKeys..., bucket) — a plain shuffled equi-join that AQE can
+  * re-plan and skew-split — and keep the exact `[start, end)` residual
+  * as a post-join filter. Every candidate pair is produced exactly
+  * once: a point lives in exactly one bucket, and an interval appears
+  * at most once per bucket (`sequence` emits distinct bucket ids), so
+  * no dedup pass is needed.
+  *
+  * All boundary math is done on LONG microseconds (`unix_micros`), so
+  * the predicate is integer-exact and engine-portable.
+  */
+object RangeJoin {
+
+  /** Inner bucketed interval join. `pointTs`, `intervalStart`,
+    * `intervalEnd` are TimestampType column names on `points` /
+    * `intervals`; `bucketMicros` is the quantization width. Interval
+    * semantics are half-open `[start, end)`. Column names of the two
+    * inputs must be disjoint apart from `equiKeys`.
+    */
+  def intervalJoin(points: DataFrame, pointTs: String,
+                   intervals: DataFrame, intervalStart: String, intervalEnd: String,
+                   bucketMicros: Long, equiKeys: Seq[String] = Nil): DataFrame = {
+    require(bucketMicros > 0, s"bucketMicros must be positive: $bucketMicros")
+    def bucketOf(c: Column): Column = floor(unix_micros(c) / bucketMicros)
+    // rename interval equi-keys so the join emits unambiguous columns
+    val iv0 = equiKeys.foldLeft(intervals)((acc, k) =>
+      acc.withColumnRenamed(k, s"__i_$k"))
+    // explode the interval onto every bucket it overlaps; end is
+    // exclusive, so the last covered bucket is the one holding end-1
+    val iv = iv0.withColumn("__bucket", explode(sequence(
+      bucketOf(col(intervalStart)),
+      floor((unix_micros(col(intervalEnd)) - 1) / bucketMicros))))
+    val p = points.withColumn("__bucket", bucketOf(col(pointTs)))
+    val cond = (equiKeys.map(k => p(k) === iv(s"__i_$k")) :+
+      (p("__bucket") === iv("__bucket")) :+
+      (unix_micros(p(pointTs)) >= unix_micros(iv(intervalStart))) :+
+      (unix_micros(p(pointTs)) < unix_micros(iv(intervalEnd)))).reduce(_ && _)
+    p.join(iv, cond, "inner")
+      .drop("__bucket")
+      .drop(equiKeys.map(k => s"__i_$k"): _*)
+  }
+}

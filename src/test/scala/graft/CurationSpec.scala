@@ -111,4 +111,44 @@ class CurationSpec extends AnyFunSuite {
     val other = docs.filter(col("lang") =!= "en")
     assert(other.filter(keep).count() === other.count())
   }
+
+  test("repetitionMetrics: hand-computed ratios for degenerate and clean docs") {
+    val docs = Seq(
+      (1L, "a a a a"),     // 4 toks, 1 distinct; bigram 'a a' x3; trigram 'a a a' x2
+      (2L, "w x y z"),     // all distinct, no repeated n-grams
+      (3L, "solo")         // single token: no bigrams/trigrams at all
+    ).toDF("doc_id", "text")
+    val out = Curation.repetitionMetrics(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getInt(5)))).toMap
+    assert(out(1L) === ((4L, 0.25, 1.0, 1.0, 1)))
+    assert(out(2L) === ((4L, 1.0, 0.333333, 0.0, 1))) // top bigram 1/3 trips the frac rule
+    assert(out(3L) === ((1L, 1.0, 0.0, 0.0, 0)))
+  }
+
+  test("blockDedupStats: first occurrence by (doc id, position) wins; later copies drop") {
+    val eight = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val docs = Seq(
+      (1L, eight),                               // original block
+      (2L, s"$eight c1 c2 c3 c4 c5 c6 c7 c8"),   // dup block + fresh block
+      (3L, s"c1 c2 c3 c4 c5 c6 c7 c8 tail")      // dup of doc2's 2nd block + short tail
+    ).toDF("doc_id", "text")
+    val out = Curation.blockDedupStats(docs, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((1L, 1L, 1.0)))
+    assert(out(2L) === ((2L, 1L, 0.5)))  // its copy of doc1's block drops
+    assert(out(3L) === ((2L, 1L, 0.5)))  // 'tail' block is unique and survives
+  }
+
+  test("temperatureRates: sqrt weights upweight the small stratum, bp exact") {
+    val docs = (1 to 100).map(i => (i.toLong, "A")) ++ (1 to 400).map(i => (i + 1000L, "B"))
+    val df = docs.toDF("doc_id", "source")
+    val rates = Curation.temperatureRates(df, "source", 5000)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // target = 250; w_A = sqrt(1e8) = 10000, w_B = sqrt(4e8) = 20000
+    // p_A = 250*10000/30000/100 = 0.8333..; p_B = 250*20000/30000/400 = 0.41666..
+    assert(rates("A") === ((100L, 10000L, 8333L)))
+    assert(rates("B") === ((400L, 20000L, 4166L)))
+    // the small stratum keeps 2x the rate of the large one: temperature flattening
+  }
 }
