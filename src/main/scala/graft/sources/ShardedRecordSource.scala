@@ -12,7 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -39,7 +39,8 @@ class ShardedRecordSource extends TableProvider {
     ShardedRecordSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table =
-    new ShardedRecordTable(properties.get("path"))
+    new ShardedRecordTable(properties.get("path"),
+      Option(properties.get("maxRecordsPerBatch")).map(_.toLong))
   override def supportsExternalMetadata(): Boolean = false
 }
 
@@ -69,21 +70,55 @@ object ShardedRecordSource {
       n
     } finally r.close()
   }
+
+  /** Admission control: cap a trigger's end offsets at `maxRows` new
+    * records, split across shards by deterministic water-filling —
+    * every backlogged shard gets an equal share per round, remainders
+    * recirculate, so one deep shard (a resharding hot spot, or a
+    * restart against hours of backlog) can never starve the others.
+    * This is the micro-batch analogue of the per-shard `GetRecords`
+    * limit the reference's consumer polls with: without it, a restart
+    * against a deep stream would pull the whole backlog into ONE
+    * micro-batch — unbounded executor memory and a checkpoint that
+    * commits nothing until everything lands.
+    */
+  def fairCap(from: Map[String, Long], avail: Map[String, Long],
+              maxRows: Long): Map[String, Long] = {
+    val backlog = collection.mutable.Map(avail.toSeq.map { case (s, to) =>
+      s -> math.max(0L, to - from.getOrElse(s, 0L))
+    }: _*)
+    val taken = collection.mutable.Map(avail.keys.map(_ -> 0L).toSeq: _*)
+    var budget = math.max(0L, maxRows)
+    var active = backlog.filter(_._2 > 0).keys.toSeq.sorted
+    while (budget > 0 && active.nonEmpty) {
+      val share = math.max(1L, budget / active.size)
+      val it = active.iterator
+      while (it.hasNext && budget > 0) {
+        val s = it.next()
+        val take = math.min(share, math.min(backlog(s), budget))
+        taken(s) += take; backlog(s) -= take; budget -= take
+      }
+      active = active.filter(backlog(_) > 0)
+    }
+    avail.map { case (s, _) => s -> (from.getOrElse(s, 0L) + taken(s)) }
+  }
 }
 
-class ShardedRecordTable(path: String) extends Table with SupportsRead {
+class ShardedRecordTable(path: String, maxRecordsPerBatch: Option[Long] = None)
+    extends Table with SupportsRead {
   override def name(): String = s"sharded-records($path)"
   override def schema(): StructType = ShardedRecordSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    () => new ShardedRecordScan(path)
+    () => new ShardedRecordScan(path, maxRecordsPerBatch)
 }
 
-class ShardedRecordScan(path: String) extends Scan {
+class ShardedRecordScan(path: String, maxRecordsPerBatch: Option[Long] = None)
+    extends Scan {
   override def readSchema(): StructType = ShardedRecordSource.schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new ShardedMicroBatchStream(path)
+    new ShardedMicroBatchStream(path, maxRecordsPerBatch)
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
       ShardedRecordSource.shardFiles(path).map(f =>
@@ -108,13 +143,50 @@ object ShardOffsets {
     }.toMap)
 }
 
-class ShardedMicroBatchStream(path: String) extends MicroBatchStream {
+class ShardedMicroBatchStream(path: String, maxRecordsPerBatch: Option[Long] = None)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   override def initialOffset(): Offset = ShardOffsets(Map.empty) // TRIM_HORIZON
 
   override def latestOffset(): Offset =
     ShardOffsets(ShardedRecordSource.shardFiles(path)
       .map(f => f.getName -> ShardedRecordSource.countLines(f)).toMap)
+
+  // ---- SupportsAdmissionControl: bound each trigger's intake.
+  // `maxRecordsPerBatch` caps a micro-batch like the Kinesis consumer's
+  // per-poll GetRecords limit; the full backlog still drains, one
+  // bounded batch (and one checkpoint commit) at a time. Without this,
+  // a restart against a deep stream pulls the whole backlog into ONE
+  // micro-batch — unbounded executor memory, and no checkpoint commits
+  // until every record lands.
+  override def getDefaultReadLimit: ReadLimit =
+    maxRecordsPerBatch.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  // AvailableNow target, frozen at query start: batches never read past
+  // it even if shards keep growing during the run. Implemented HERE
+  // (not via Spark's wrapper) because the fallback
+  // AvailableNowMicroBatchStreamWrapper bypasses the delegate's
+  // admission control — one giant batch.
+  private var availableNowTarget: Option[ShardOffsets] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(latestOffset().asInstanceOf[ShardOffsets])
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val head = availableNowTarget.getOrElse(latestOffset().asInstanceOf[ShardOffsets])
+    limit match {
+      case m: ReadMaxRows => ShardOffsets(ShardedRecordSource.fairCap(
+        start.asInstanceOf[ShardOffsets].positions, head.positions, m.maxRows()))
+      case _ => head
+    }
+  }
+
+  /** True head of the stream regardless of cap/target — lets the
+    * progress reporter expose backlog (records behind latest), the
+    * signal an autoscaler watches.
+    */
+  override def reportLatestOffset(): Offset = latestOffset()
 
   override def deserializeOffset(json: String): Offset = ShardOffsets.parse(json)
 

@@ -100,6 +100,47 @@ class ShardedSourceSpec extends AnyFunSuite {
     assert(spark.read.parquet(outDir).select("doc_id").distinct().count() == 12L)
   }
 
+  test("fairCap: water-filling splits the budget without starving any shard") {
+    val from = Map("a" -> 0L, "b" -> 0L, "c" -> 0L)
+    val avail = Map("a" -> 100L, "b" -> 5L, "c" -> 10L)
+    // round 1 (share 10): a+10 b+5 c+10; round 2: the 5 left go to a
+    assert(ShardedRecordSource.fairCap(from, avail, 30L) ===
+      Map("a" -> 15L, "b" -> 5L, "c" -> 10L))
+    // budget >= backlog: everything drains
+    assert(ShardedRecordSource.fairCap(from, avail, 1000L) === avail)
+    // zero budget: offsets stand still
+    assert(ShardedRecordSource.fairCap(from, avail, 0L) === from)
+    // partially-consumed start positions count only the NEW backlog
+    assert(ShardedRecordSource.fairCap(Map("a" -> 99L), Map("a" -> 100L, "b" -> 3L), 10L)
+      === Map("a" -> 100L, "b" -> 3L))
+  }
+
+  test("maxRecordsPerBatch: deep backlog drains in bounded micro-batches") {
+    val srcDir = Files.createTempDirectory("graft_capped").toFile
+    // one deep shard + one shallow shard, 14 records total
+    Seq("shard-000.log" -> 11, "shard-001.log" -> 3).foreach { case (name, n) =>
+      val lines = (0 until n).map { i =>
+        val b64 = Base64.getEncoder.encodeToString(s"payload-$name-$i".getBytes("UTF-8"))
+        s"$name-$i,${Fixtures.ArrivalMs},$b64"
+      }
+      Files.writeString(new File(srcDir, name).toPath, lines.mkString("", "\n", "\n"))
+    }
+    val records = spark.readStream
+      .format(classOf[ShardedRecordSource].getName)
+      .option("path", srcDir.getAbsolutePath)
+      .option("maxRecordsPerBatch", "4")
+      .load()
+    val q = records.writeStream.format("memory").queryName("capped_drain")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_capped_ck").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    assert(spark.table("capped_drain").count() === 14L)
+    val sizes = q.recentProgress.map(_.numInputRows).filter(_ > 0)
+    assert(sizes.forall(_ <= 4L), s"a micro-batch exceeded the cap: ${sizes.mkString(",")}")
+    assert(sizes.length >= 4, s"14 rows at cap 4 need >= 4 batches: ${sizes.mkString(",")}")
+  }
+
   test("batch-mode read sees all shards from position zero") {
     val srcDir = Files.createTempDirectory("graft_shards_b").toFile
     writeShards(srcDir, firstBatch = true)
