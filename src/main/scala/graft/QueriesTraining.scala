@@ -242,6 +242,41 @@ object QueriesTraining {
       .orderBy("q_id", "rank")
   }
 
+  /** K-means M-step at scale (the IVF maintenance job q29 assumes):
+    * re-assign every vector to its nearest centroid, recompute each
+    * centroid as the elementwise mean of its list, and report the
+    * drift (cosine between old and new centroid). The M-step explodes
+    * vectors to (list, component) and aggregates — the shuffle carries
+    * K×dim running sums, never whole vectors, so a 10^9-vector corpus
+    * reduces to K×dim rows regardless of list sizes (map-side partial
+    * aggregation does the heavy summing).
+    */
+  private val qCentroidUpdate: Q = (spark, dir) => {
+    val parallelism = spark.sparkContext.defaultParallelism
+    val e = Tables(spark, dir, "embeddings").select(
+        col("vec_id"), col("embedding").as("vec"))
+      .repartition(parallelism, col("vec_id"))
+    val cents = e.filter(col("vec_id") < IvfLists)
+      .select(col("vec_id").as("c_id"), col("vec").as("c_vec"))
+    val assign = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", Similarity.cosine(col("vec"), col("c_vec")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("vec"), col("c_id")),
+        struct(col("ccos"), (-col("c_id")).as("neg_c_id"))).as("best"))
+      .select(col("best.vec").as("vec"), col("best.c_id").as("list_id"))
+    val comps = assign.select(col("list_id"), posexplode(col("vec")))
+      .groupBy(col("list_id"), col("pos"))
+      .agg(avg(col("col").cast("double")).as("m"), count(lit(1)).as("cnt"))
+    val newCents = comps.groupBy(col("list_id"))
+      .agg(max(col("cnt")).as("n_assigned"), // every pos counts the same vectors
+        transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("c_new"))
+    newCents.join(broadcast(cents), newCents("list_id") === cents("c_id"))
+      .select(col("list_id"), col("n_assigned"),
+        round(Similarity.cosine(col("c_new"), col("c_vec")), 6).as("drift"))
+      .orderBy("list_id")
+  }
+
   // ---------------------------------------------------------- multimodal
 
   /** Multimodal plumbing: binary payload + typed metadata through the
@@ -284,6 +319,7 @@ object QueriesTraining {
   val all: Map[String, Q] = Map(
     "q28_frames" -> qFrames,
     "q29_knn_ivf" -> qKnnIvf,
+    "q49_centroid_update" -> qCentroidUpdate,
     "q30_ngram_topk" -> qNgramTopk,
     "q31_dedup_groups" -> qDedupGroups,
     "q16_text_tokens" -> qTextTokens,
@@ -543,6 +579,24 @@ object QueriesTraining {
          |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
          |           FROM scored)
          |SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "q49_centroid_update" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c AS (SELECT vec_id AS c_id, v AS c_vec FROM e WHERE vec_id < $IvfLists),
+         |assign AS (SELECT vec_id, v, c_id AS list_id FROM (
+         |  SELECT e.vec_id, e.v, c.c_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.v", "c.c_vec")} DESC, c.c_id) AS crk
+         |  FROM e, c) WHERE crk = 1),
+         |comps AS (SELECT list_id, i, avg(v[i]) AS m, count(*) AS cnt
+         |  FROM assign, (SELECT unnest(range(1, ${EmbedDims + 1})) AS i) idx
+         |  GROUP BY list_id, i),
+         |newc AS (SELECT list_id, max(cnt) AS n_assigned, list(m ORDER BY i) AS c_new
+         |  FROM comps GROUP BY list_id)
+         |SELECT n.list_id, n.n_assigned,
+         |  round(${cosSql("n.c_new", "c.c_vec")}, 6) AS drift
+         |FROM newc n JOIN c ON c.c_id = n.list_id
+         |ORDER BY list_id""".stripMargin,
 
     "q28_frames" ->
       s"""WITH f AS (SELECT doc_id, text,

@@ -106,6 +106,30 @@ object StreamingPipeline {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("win_start"), col("family"), col("cnt"))
 
+  /** Stream-stream interval join with bounded state: points (e.g.
+    * purchases) match intervals anchored at an event (e.g. clicks,
+    * window `[anchor, anchor + windowExpr)`) for the same equi-keys.
+    * The time-bound condition + watermarks on BOTH sides is what lets
+    * Spark evict join state — without the range constraint each side's
+    * state grows forever, the stream-join equivalent of an unbounded
+    * nested loop. (Batch twin: [[graft.operators.RangeJoin]].)
+    *
+    * Inputs must already carry the named timestamp columns; all other
+    * column names must be disjoint apart from `equiKeys`.
+    */
+  def streamIntervalJoin(points: DataFrame, pointTs: String, pointDelay: String,
+                         anchors: DataFrame, anchorTs: String, anchorDelay: String,
+                         windowExpr: String, equiKeys: Seq[String]): DataFrame = {
+    val p = points.withWatermark(pointTs, pointDelay)
+    val a0 = anchors.withWatermark(anchorTs, anchorDelay)
+    val a = equiKeys.foldLeft(a0)((acc, k) => acc.withColumnRenamed(k, s"__a_$k"))
+    val cond = (equiKeys.map(k => p(k) === a(s"__a_$k")) :+
+      (p(pointTs) >= a(anchorTs)) :+
+      (p(pointTs) < a(anchorTs) + expr(s"INTERVAL $windowExpr"))).reduce(_ && _)
+    p.join(a, cond, "inner")
+      .drop(equiKeys.map(k => s"__a_$k"): _*)
+  }
+
   /** Prometheus-style cumulative counters fed by the `observe` node in
     * [[Pipeline.assemble]] — the Spark twin of the reference's
     * sent/error counters (`main.go:40-52, 201-210`).

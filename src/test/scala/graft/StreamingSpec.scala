@@ -132,6 +132,36 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getTimestamp(0).toString, r.getLong(1))).toMap
     assert(rows("2024-01-01 01:00:00.0") == 2L) // late row not counted
   }
+
+  test("stream-stream interval join: in-window purchases attach, out-of-window don't") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp, Double)]
+    val joined = StreamingPipeline.streamIntervalJoin(
+      buys.toDF().toDF("user_id", "p_ts", "value"), "p_ts", "10 minutes",
+      clicks.toDF().toDF("click_id", "user_id", "c_ts"), "c_ts", "10 minutes",
+      "5 minutes", Seq("user_id"))
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+
+    clicks.addData((100L, 1L, t(10, 0)), (200L, 2L, t(10, 10)))
+    buys.addData(
+      (1L, t(10, 2), 5.0),  // in window of click 100
+      (1L, t(10, 9), 7.0),  // 9 min after click 100: outside 5-min window
+      (3L, t(10, 1), 9.0))  // no click for user 3
+    q.processAllAvailable()
+    // a later purchase matches the second click once both sides progress
+    buys.addData((2L, t(10, 12), 11.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("attrib").select("click_id", "value")
+      .as[(Long, Double)].collect().toSet
+    assert(got === Set((100L, 5.0), (200L, 11.0)))
+  }
 }
 
 /** flatMapGroupsWithState sessionization: sessions close on in-batch
