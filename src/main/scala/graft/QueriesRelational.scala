@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.layout.ZOrder
-import graft.operators.RangeJoin
+import graft.operators.{RangeJoin, SaltedJoin}
 import graft.pipeline.{Envelope, EnvelopeCodec, LogMessage, Pipeline}
 
 /** Synthesizes Kinesis-shaped source records (binary protobuf-ish
@@ -417,9 +417,51 @@ object QueriesRelational {
       .orderBy("file_id")
   }
 
+  /** Semi-structured extraction: the `props` JSON column parsed with a
+    * declared schema (`from_json`), field promoted to a typed column,
+    * aggregated per event type. The parse is per-row and
+    * filter/projection-friendly — at 100 TB the alternative (a
+    * schema-on-read JSON scan) re-tokenizes every field of every
+    * record; declared-schema extraction touches only `$.k`.
+    */
+  private val qJsonExtract: Q = (spark, dir) => {
+    Tables(spark, dir, "events")
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+  }
+
+  private val SaltFactor = 8
+
+  /** Skew-salted join ([[SaltedJoin]]): 80% of events collapse onto
+    * one hot key, then join a customer-derived dimension. The salted
+    * rewrite spreads the hot key over [[SaltFactor]] reducers; the
+    * oracle runs the PLAIN join — identical results prove the rewrite
+    * is semantics-preserving.
+    */
+  private val qSaltedJoin: Q = (spark, dir) => {
+    val big = Tables(spark, dir, "events").select(
+      when(col("user_id") % 10 < 8, lit(0L)).otherwise(col("user_id")).as("skew_key"),
+      col("event_id"), col("value"))
+    val dim = Tables(spark, dir, "customer").select(
+      (col("c_custkey") % 1500).as("skew_key"), col("c_mktsegment"))
+    SaltedJoin.salted(big, dim, Seq("skew_key"), col("event_id"), SaltFactor)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+      .orderBy("c_mktsegment")
+  }
+
   val all: Map[String, Q] = Map(
     "q46_range_join" -> qRangeJoin,
     "q47_zorder" -> qZorder,
+    "q50_json_extract" -> qJsonExtract,
+    "q51_salted_join" -> qSaltedJoin,
     "q41_kmv_distinct" -> qKmvDistinct,
     "q42_scd_asof" -> qScdAsof,
     "q34_pivot" -> qPivot,
@@ -437,6 +479,22 @@ object QueriesRelational {
     "q35_router_access" -> qRouterAccess)
 
   val oracles: Map[String, String] = Map(
+    "q50_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q51_salted_join" ->
+      """WITH big AS (SELECT CASE WHEN user_id % 10 < 8 THEN 0 ELSE user_id END AS skew_key,
+        |  value FROM events),
+        |dim AS (SELECT c_custkey % 1500 AS skew_key, c_mktsegment FROM customer)
+        |SELECT c_mktsegment, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM big JOIN dim USING (skew_key)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
     "q46_range_join" ->
       s"""WITH c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS c_us
          |  FROM events WHERE event_type = 'click'),
