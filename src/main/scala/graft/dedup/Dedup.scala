@@ -287,7 +287,11 @@ object Dedup {
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           idCol: String, srcCol: String, dstCol: String): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).persist()
+    // symmetrized edges pre-hashed on src ONCE: the per-iteration join
+    // reads the cached partitioning instead of re-shuffling the edge
+    // set every round (labels, which change each round, still shuffle)
     val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("src")).persist()
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("lbl")).persist()
     var changed = 1L
     while (changed > 0) {
@@ -303,6 +307,7 @@ object Dedup {
     }
     val out = materialize(labels.select(col("id").as(idCol), col("lbl").as("canonical_id")))
     labels.unpersist()
+    sym.unpersist()
     e.unpersist()
     out
   }
