@@ -116,13 +116,10 @@ object Curation {
     * hottest n-gram.
     */
   def repetitionMetrics(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val spark = docs.sparkSession
-    val parallelism = spark.sparkContext.defaultParallelism
-    val d0 = if (docs.rdd.getNumPartitions < parallelism)
-      docs.repartition(parallelism, col(idCol)) else docs
     // tokens materialized as their own projection (lambda reads an
     // attribute, not a re-computed split — see Dedup.shingleTable)
-    val toks = d0.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+    val toks = Dedup.fanOut(docs, col(idCol))
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
     def grams(n: Int): Column = {
       val arr =
         if (n == 1) col("toks")
@@ -132,6 +129,10 @@ object Curation {
       transform(when(size(col("toks")) >= n, arr).otherwise(lit(Array.empty[String])),
         g => struct(lit(n).as("n"), g.as("g")))
     }
+    // explode_outer + explicit null filter, NOT plain explode: explode
+    // triggers InferFiltersFromGenerate, whose size>0 filter gets
+    // predicate-pushed below the fan-out repartition with the gram
+    // arrays re-inlined (serial re-evaluation over unsplit input)
     val tagged = toks.select(col(idCol),
         explode_outer(concat(grams(1), grams(2), grams(3))).as("gr"))
       .filter(col("gr").isNotNull)
@@ -174,16 +175,21 @@ object Curation {
   def blockDedupStats(docs: DataFrame, idCol: String, textCol: String,
                       blockWords: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spark = docs.sparkSession
-    val parallelism = spark.sparkContext.defaultParallelism
-    val d0 = if (docs.rdd.getNumPartitions < parallelism)
-      docs.repartition(parallelism, col(idCol)) else docs
-    val toks = d0.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+    val toks = Dedup.fanOut(docs, col(idCol))
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
     val nBlocks = ceil(size(col("toks")).cast("double") / blockWords).cast("int")
+    // guard BEFORE building: a null/empty token array would send
+    // sequence(0, -1) stepping downward and fabricate phantom blocks;
+    // guarded docs yield an empty array, whose outer-explode null row
+    // the isNotNull filter drops (so a null-text doc has zero blocks,
+    // matching the oracle's unnest-over-range semantics)
     val blocks = toks.select(col(idCol), posexplode_outer(
-        transform(sequence(lit(0), nBlocks - 1),
-          i => array_join(slice(col("toks"), i * blockWords + 1, lit(blockWords)), " "))))
+        when(size(col("toks")) > 0,
+          transform(sequence(lit(0), nBlocks - 1),
+            i => array_join(slice(col("toks"), i * blockWords + 1, lit(blockWords)), " ")))
+          .otherwise(lit(Array.empty[String]))))
       .toDF(idCol, "block_idx", "block")
+      .filter(col("block").isNotNull)
     val firstOccurrence = Window.partitionBy(md5(col("block")))
       .orderBy(col(idCol), col("block_idx"))
     blocks.withColumn("rn", row_number().over(firstOccurrence))

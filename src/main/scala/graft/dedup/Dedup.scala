@@ -48,14 +48,22 @@ object Dedup {
     * projection so the shingle lambda reads an attribute, not a
     * re-computed split. Fans small inputs out to full parallelism.
     */
-  def shingleTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val spark = docs.sparkSession
-    val parallelism = spark.sparkContext.defaultParallelism
-    val d = if (docs.rdd.getNumPartitions < parallelism)
-      docs.repartition(parallelism, col(idCol)) else docs
-    d.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
-      .select(col(idCol), shinglesFromTokens(col("toks")).as("sh"))
+  /** Fans a narrow input out to full parallelism before a
+    * per-row-expensive stage. Local testdata parquet is one file = one
+    * partition; the guard makes real-scale (already-split) inputs a
+    * no-op. Shared by every tokenize/shingle/hash entry point — keep
+    * the single copy (dedup/curation/similarity all use it).
+    */
+  private[graft] def fanOut(df: DataFrame, key: Column): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism, key)
+    else df
   }
+
+  def shingleTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    fanOut(docs, col(idCol))
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), shinglesFromTokens(col("toks")).as("sh"))
 
   /** 32-bit portable hash of a string column (first 8 md5 hex chars). */
   def hash32(c: Column, salt: String = ""): Column =
@@ -254,15 +262,11 @@ object Dedup {
     * own projection so the 32 bit terms read an attribute instead of
     * re-tokenizing + re-hashing 33×.
     */
-  def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val spark = docs.sparkSession
-    val parallelism = spark.sparkContext.defaultParallelism
-    val d = if (docs.rdd.getNumPartitions < parallelism)
-      docs.repartition(parallelism, col(idCol)) else docs
-    d.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
+  def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    fanOut(docs, col(idCol))
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("toks"))
       .select(col(idCol), transform(col("toks"), t => hash32(t)).as("hs"))
       .select(col(idCol), simhash32FromHashes(col("hs")).as("simhash"))
-  }
 
   /** Hamming distance between two 32-bit sketches. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -42,10 +42,16 @@ object RangeJoin {
     val iv0 = equiKeys.foldLeft(intervals)((acc, k) =>
       acc.withColumnRenamed(k, s"__i_$k"))
     // explode the interval onto every bucket it overlaps; end is
-    // exclusive, so the last covered bucket is the one holding end-1
-    val iv = iv0.withColumn("__bucket", explode(sequence(
-      bucketOf(col(intervalStart)),
-      floor((unix_micros(col(intervalEnd)) - 1) / bucketMicros))))
+    // exclusive, so the last covered bucket is the one holding end-1.
+    // Degenerate intervals (end <= start) are dropped FIRST: they can
+    // match nothing under half-open semantics, and an inverted pair
+    // would otherwise send sequence() stepping downward — a single
+    // corrupt row exploding onto every bucket between end and start
+    val iv = iv0
+      .filter(col(intervalEnd) > col(intervalStart))
+      .withColumn("__bucket", explode(sequence(
+        bucketOf(col(intervalStart)),
+        floor((unix_micros(col(intervalEnd)) - 1) / bucketMicros))))
     val p = points.withColumn("__bucket", bucketOf(col(pointTs)))
     val cond = (equiKeys.map(k => p(k) === iv(s"__i_$k")) :+
       (p("__bucket") === iv("__bucket")) :+

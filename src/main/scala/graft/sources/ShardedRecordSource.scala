@@ -169,12 +169,14 @@ class ShardedMicroBatchStream(path: String, maxRecordsPerBatch: Option[Long] = N
   // AvailableNowMicroBatchStreamWrapper bypasses the delegate's
   // admission control — one giant batch.
   private var availableNowTarget: Option[ShardOffsets] = None
+  @volatile private var lastSeenHead: Option[ShardOffsets] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(latestOffset().asInstanceOf[ShardOffsets])
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val head = availableNowTarget.getOrElse(latestOffset().asInstanceOf[ShardOffsets])
+    lastSeenHead = Some(head)
     limit match {
       case m: ReadMaxRows => ShardOffsets(ShardedRecordSource.fairCap(
         start.asInstanceOf[ShardOffsets].positions, head.positions, m.maxRows()))
@@ -182,11 +184,13 @@ class ShardedMicroBatchStream(path: String, maxRecordsPerBatch: Option[Long] = N
     }
   }
 
-  /** True head of the stream regardless of cap/target — lets the
-    * progress reporter expose backlog (records behind latest), the
-    * signal an autoscaler watches.
+  /** Head of the stream as of this trigger's enumeration, regardless
+    * of the cap — lets the progress reporter expose backlog (records
+    * behind latest), the signal an autoscaler watches. Reuses the scan
+    * `latestOffset(start, limit)` already did rather than re-counting
+    * every shard file a second time per progress report.
     */
-  override def reportLatestOffset(): Offset = latestOffset()
+  override def reportLatestOffset(): Offset = lastSeenHead.getOrElse(latestOffset())
 
   override def deserializeOffset(json: String): Offset = ShardOffsets.parse(json)
 

@@ -140,6 +140,14 @@ class CurationSpec extends AnyFunSuite {
     assert(out(3L) === ((2L, 1L, 0.5)))  // 'tail' block is unique and survives
   }
 
+  test("blockDedupStats: null-text docs produce zero blocks, not phantom rows") {
+    val docs = Seq((1L, Some("w1 w2 w3 w4 w5 w6 w7 w8")), (2L, None))
+      .toDF("doc_id", "text")
+    val out = Curation.blockDedupStats(docs, "doc_id", "text", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L)) // doc 2 absent, matching the oracle's semantics
+  }
+
   test("temperatureRates: sqrt weights upweight the small stratum, bp exact") {
     val docs = (1 to 100).map(i => (i.toLong, "A")) ++ (1 to 400).map(i => (i + 1000L, "B"))
     val df = docs.toDF("doc_id", "source")

@@ -56,6 +56,14 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(out === Set((1L, 10L), (2L, 11L)))
   }
 
+  test("degenerate interval (end <= start) matches nothing instead of exploding") {
+    val points = mkPoints((1L, 1L, 1000L))
+    val intervals = mkIntervals((10L, 1L, 1000L, 1000L), (11L, 1L, 90000000L, 1000L))
+    val out = RangeJoin.intervalJoin(points, "pt", intervals, "ivs", "ive",
+      bucketMicros = 100L, equiKeys = Seq("k"))
+    assert(out.count() === 0L) // and the inverted row exploded onto 0 buckets, not 900k
+  }
+
   test("plan is an equi-join on the bucket, never a nested loop") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val clicks = ev.filter(col("event_type") === "click")

@@ -37,6 +37,15 @@ class SaltedJoinSpec extends AnyFunSuite {
     assert(out.filter(col("label").isNull).count() === 10000L)
   }
 
+  test("right/full joins are rejected: replication would duplicate unmatched dim rows") {
+    intercept[IllegalArgumentException] {
+      SaltedJoin.salted(skewed, dim, Seq("k"), col("rid"), 8, "full")
+    }
+    intercept[IllegalArgumentException] {
+      SaltedJoin.salted(skewed, dim, Seq("k"), col("rid"), 8, "right_outer")
+    }
+  }
+
   test("hot key spreads over saltFactor shuffle partitions") {
     val joined = SaltedJoin.salted(skewed, dim, Seq("k"), col("rid"), 8)
       .filter(col("k") === 0L)
