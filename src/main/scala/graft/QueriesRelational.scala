@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.layout.ZOrder
-import graft.operators.{RangeJoin, SaltedJoin}
+import graft.operators.{GlobalRank, RangeJoin, SaltedJoin}
 import graft.pipeline.{Envelope, EnvelopeCodec, LogMessage, Pipeline}
 
 /** Synthesizes Kinesis-shaped source records (binary protobuf-ish
@@ -396,10 +396,14 @@ object QueriesRelational {
   /** Z-order layout audit: Morton-interleave (user bucket, value
     * bucket), rank-split the corpus into [[ZFiles]] z-ranges, and
     * report each range's per-dimension min/max envelope — the file
-    * statistics multi-column pruning reads. The oracle-exact split
-    * uses `ntile` (rank-deterministic); the production write path is
-    * [[ZOrder.layout]]'s `repartitionByRange` (spec-verified, since
-    * sampled range boundaries aren't cross-engine deterministic).
+    * statistics multi-column pruning reads. The split is rank-exact
+    * `ntile` semantics (oracle-deterministic) computed by
+    * [[GlobalRank.withNtile]] — range-repartition + per-partition
+    * row_number + histogram offsets — so no single-partition
+    * `WindowExec` appears anywhere in the plan; the production write
+    * path is [[ZOrder.layout]]'s `repartitionByRange` (spec-verified,
+    * since sampled range boundaries aren't cross-engine
+    * deterministic).
     */
   private val qZorder: Q = (spark, dir) => {
     val ev = Tables(spark, dir, "events").select(
@@ -407,8 +411,7 @@ object QueriesRelational {
       (col("user_id") % 1024).as("ub"),
       (floor(col("value")).cast("long") % 1024).as("vb"))
     val z = ev.withColumn("z", ZOrder.zValue(Seq(col("ub"), col("vb")), ZBits))
-    val w = Window.orderBy(col("z"), col("event_id"))
-    z.withColumn("file_id", ntile(ZFiles).over(w).cast("long"))
+    GlobalRank.withNtile(z, Seq(col("z"), col("event_id")), ZFiles, "file_id")
       .groupBy("file_id")
       .agg(count(lit(1)).as("cnt"),
         min("ub").as("min_ub"), max("ub").as("max_ub"),

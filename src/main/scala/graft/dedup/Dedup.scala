@@ -297,16 +297,26 @@ object Dedup {
     val sym = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("src")).persist()
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("lbl")).persist()
+    val lblType = labels.schema("lbl").dataType
     var changed = 1L
     while (changed > 0) {
       val msgs = sym.join(labels, sym("src") === labels("id"))
-        .select(col("dst").as("id"), col("lbl"))
-      val next = labels.unionAll(msgs)
-        .groupBy("id").agg(min(col("lbl")).as("lbl"))
+        .select(col("dst").as("id"), col("lbl"), lit(null).cast(lblType).as("prev"))
+      // each id's incumbent label rides along as `prev` (non-null on
+      // exactly the one row contributed by `labels`, so max() recovers
+      // it through the aggregate): the SAME count() that materializes
+      // the next generation into cache also yields the changed-row
+      // count — ONE job per iteration instead of update + compare-join
+      val next = labels
+        .select(col("id"), col("lbl"), col("lbl").as("prev"))
+        .unionAll(msgs)
+        .groupBy("id").agg(min(col("lbl")).as("lbl"), max(col("prev")).as("prev"))
         .persist()
-      changed = next.as("n").join(labels.as("p"), "id")
-        .filter(col("n.lbl") =!= col("p.lbl")).count()
+      changed = next.filter(col("lbl") =!= col("prev")).count()
       labels.unpersist()
+      // keep the PERSISTED handle (so unpersist works); the stale
+      // `prev` column is re-derived at the top of the next iteration
+      // and dropped by the final select.
       labels = next
     }
     val out = materialize(labels.select(col("id").as(idCol), col("lbl").as("canonical_id")))

@@ -19,30 +19,42 @@ import org.apache.spark.sql.functions._
   */
 object ZOrder {
 
-  /** Morton code of `dims` (non-negative integral columns, each using
-    * the low `bits` bits): dimension `d`'s bit `b` lands at interleaved
+  /** Morton code of `dims` (integral columns, each using the low
+    * `bits` bits): dimension `d`'s bit `b` lands at interleaved
     * position `b * dims.size + d`. Total width must fit a signed long.
+    *
+    * Each dimension is masked to its declared width FIRST — an
+    * out-of-range value (in particular a negative one, whose sign bits
+    * would otherwise interleave into the key and corrupt the min/max
+    * pruning envelopes) contributes only its low `bits` bits,
+    * deterministically and identically in both engine twins. Callers
+    * that need out-of-range inputs to fail loudly should validate
+    * upstream; the layout key itself is total and portable.
     */
   def zValue(dims: Seq[Column], bits: Int): Column = {
     require(dims.nonEmpty, "zValue needs at least one dimension")
     require(bits > 0 && dims.size * bits <= 62,
       s"${dims.size} dims x $bits bits does not fit a signed long")
+    val mask = (1L << bits) - 1
     val terms = for {
       b <- 0 until bits
       (dim, d) <- dims.zipWithIndex
-    } yield shiftleft(shiftright(dim, b).bitwiseAND(lit(1L)), b * dims.size + d)
+      masked = dim.bitwiseAND(lit(mask))
+    } yield shiftleft(shiftright(masked, b).bitwiseAND(lit(1L)), b * dims.size + d)
     terms.reduce(_ bitwiseOR _)
   }
 
   /** The same Morton code as ANSI-SQL text over column names — the
     * oracle twin of [[zValue]], generated from the identical loop so
-    * the two engines compute the same key bit-for-bit.
+    * the two engines compute the same key bit-for-bit (including the
+    * width mask).
     */
   def zValueSql(dims: Seq[String], bits: Int): String = {
+    val mask = (1L << bits) - 1
     val terms = for {
       b <- 0 until bits
       (dim, d) <- dims.zipWithIndex
-    } yield s"((($dim >> $b) & 1) << ${b * dims.size + d})"
+    } yield s"(((($dim & $mask) >> $b) & 1) << ${b * dims.size + d})"
     terms.mkString("(", " | ", ")")
   }
 
