@@ -153,23 +153,34 @@ object QueriesTraining {
   private val EmbedDims = 64
   private val EmbedPlanes = 4
   private val NearDupCos = 0.3
+  private val EmbedBands = 4
+  private val EmbedBandPlanes = 8
 
-  /** Embedding-cosine near-dup: SRP-bucketed candidate pairs above a
-    * cosine threshold (all-pairs would be O(n²); bucketing keeps the
-    * join banded at scale).
+  /** Embedding-cosine near-dup via BANDED SRP ([[Similarity.srpBandKeys]]):
+    * [[EmbedBands]] independent [[EmbedBandPlanes]]-plane tables; a
+    * pair is a candidate iff it shares any band key, then the exact
+    * cosine filter runs on candidates only. All-pairs would be O(n²);
+    * a single SRP table caps join parallelism at 2^planes buckets
+    * (the round-5 scale finding) — banding gives bands*2^planes key
+    * space (here 1024) with recall 1-(1-p^b)^L, both knobs growable
+    * with corpus size.
     */
   private val qDedupEmbed: Q = (spark, dir) => {
-    val parallelism = spark.sparkContext.defaultParallelism
-    val e = Tables(spark, dir, "embeddings").select(
-        col("vec_id"), col("embedding").as("v"))
-      .withColumn("bucket", Similarity.srpBucket(col("v"), EmbedPlanes, EmbedDims))
+    val e = Dedup.fanOut(Tables(spark, dir, "embeddings"), col("vec_id"))
+      .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", Similarity.norm(col("v")))
-      .repartition(parallelism, col("bucket"))
-    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"),
-      col("nrm").as("na"), col("bucket"))
-    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"),
-      col("nrm").as("nb"), col("bucket"))
-    a.join(b, "bucket").filter(col("id_a") < col("id_b"))
+    // materialized: both sides of the candidate self-join read the
+    // SAME computed band keys (self-joins don't reuse exchanges)
+    val sigs = Dedup.materialize(e.select(col("vec_id"),
+      explode_outer(Similarity.srpBandKeys(col("v"), EmbedBands,
+        EmbedBandPlanes, EmbedDims)).as("bucket")))
+    val cand = sigs.select(col("vec_id").as("id_a"), col("bucket"))
+      .join(sigs.select(col("vec_id").as("id_b"), col("bucket")), "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct() // a pair can collide in >1 band
+    val ea = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val eb = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    cand.join(ea, "id_a").join(eb, "id_b")
       .withColumn("cos", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= NearDupCos)
       .select(col("id_a"), col("id_b"), col("cos"))
@@ -413,9 +424,15 @@ object QueriesTraining {
   private def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
-  private def bucketSql(v: String): String = (0 until EmbedPlanes)
-    .map(j => s"CASE WHEN ${dotSql(v, planeSql(j))} > 0 THEN ${1L << j} ELSE 0 END")
+  private def bucketSql(v: String, planes: Int = EmbedPlanes,
+                        planeOffset: Int = 0): String = (0 until planes)
+    .map(j => s"CASE WHEN ${dotSql(v, planeSql(planeOffset + j))} > 0 THEN ${1L << j} ELSE 0 END")
     .mkString("(", " + ", ")")
+
+  /** Oracle twin of [[Similarity.srpBandKeys]]. */
+  private def bandKeysSql(v: String): String = (0 until EmbedBands)
+    .map(t => s"(${t.toLong << EmbedBandPlanes} + ${bucketSql(v, EmbedBandPlanes, t * EmbedBandPlanes)})")
+    .mkString("[", ", ", "]")
 
   private val simhashTermsSql = (0 until 32)
     .map(i => s"CASE WHEN 2*len(list_filter(hs, h -> ((h >> $i) & 1) = 1)) > len(hs) THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
@@ -508,10 +525,12 @@ object QueriesTraining {
 
     "q24_dedup_embed" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |b AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e),
-         |pairs AS (SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
-         |          ${cosSql("a.v", "b2.v")} AS cos
-         |          FROM b a JOIN b b2 USING (bucket) WHERE a.vec_id < b2.vec_id)
+         |k AS (SELECT vec_id, unnest(${bandKeysSql("v")}) AS bucket FROM e),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+         |         FROM k a JOIN k b2 USING (bucket) WHERE a.vec_id < b2.vec_id),
+         |pairs AS (SELECT id_a, id_b, ${cosSql("ea.v", "eb.v")} AS cos
+         |          FROM cand JOIN e ea ON ea.vec_id = id_a
+         |                    JOIN e eb ON eb.vec_id = id_b)
          |SELECT id_a, id_b, cos FROM pairs WHERE cos >= $NearDupCos ORDER BY id_a, id_b""".stripMargin,
 
     "q25_knn_brute" ->

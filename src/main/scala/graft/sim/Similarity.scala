@@ -51,13 +51,35 @@ object Similarity {
   }
 
   /** Sign-random-projection bucket id in [0, 2^planes): bit j set iff
-    * dot(vec, plane_j) > 0.
+    * dot(vec, plane_{planeOffset+j}) > 0. `planeOffset` selects an
+    * independent hyperplane family, which is what lets [[srpBandKeys]]
+    * build multiple disjoint SRP tables.
     */
-  def srpBucket(vec: Column, planes: Int, dims: Int): Column =
+  def srpBucket(vec: Column, planes: Int, dims: Int, planeOffset: Int = 0): Column =
     (0 until planes).map { j =>
-      val plane = array((0 until dims).map(i => lit(planeSign(j, i).toDouble)): _*)
+      val plane = array((0 until dims).map(i => lit(planeSign(planeOffset + j, i).toDouble)): _*)
       when(dot(vec, plane) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Banded SRP keys — the MinHash-LSH shape applied to embeddings:
+    * `bands` independent SRP tables of `planesPerBand` hyperplanes
+    * each; a pair is a near-dup CANDIDATE iff it collides in ANY band.
+    * Returns an array of `bands` keys, band `t`'s id offset into its
+    * own key space (`t << planesPerBand | bucket`).
+    *
+    * Scale rule: candidate-join parallelism = number of non-empty
+    * buckets = up to `bands * 2^planesPerBand`. A SINGLE table must
+    * keep planes low for recall (collision prob decays as p^planes),
+    * which caps buckets — banding breaks the trade-off: recall
+    * `1-(1-p^b)^L` stays high while the key space grows to L*2^b.
+    * Grow `planesPerBand` (bucket granularity) and `bands` (recall)
+    * with corpus size; never rely on one wide-open table.
+    */
+  def srpBandKeys(vec: Column, bands: Int, planesPerBand: Int, dims: Int): Column =
+    array((0 until bands).map { t =>
+      lit(t.toLong << planesPerBand) +
+        srpBucket(vec, planesPerBand, dims, t * planesPerBand)
+    }: _*)
 
   /** Fans a small input out to full parallelism; at real scale the
     * source partitioning already provides this and the shuffle is
