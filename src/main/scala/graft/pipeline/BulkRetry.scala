@@ -67,10 +67,14 @@ object BulkRetry {
       // succeeded + failed always accounts for every input item.
       val budget = scala.collection.mutable.Map.empty[A, Int]
       pending.foreach(a => budget(a) = budget.getOrElse(a, 0) + 1)
+      // .toList forces the filter's budget decrements NOW — a lazy Seq
+      // from the sender (Stream/LazyList) would otherwise run them
+      // after the unacknowledged-remainder sweep below, double-counting
+      // every acked item as both failed(0) and succeeded/retried.
       val results = raw.filter { r =>
         val n = budget.getOrElse(r.item, 0)
         if (n > 0) { budget(r.item) = n - 1; true } else false
-      }
+      }.toList
       failed ++= budget.collect { case (a, n) if n > 0 => Seq.fill(n)(ItemResult(a, 0)) }.flatten
       succeeded += results.count(_.status / 100 == 2)
       failed ++= results.filter(r => r.status / 100 != 2 && !RetryableStatuses(r.status))

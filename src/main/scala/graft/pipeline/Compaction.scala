@@ -32,12 +32,35 @@ object Compaction {
     * file count exceeds `minFiles`. Returns one [[Report]] per
     * compacted partition. First recovers any partition a previous
     * crashed run left retired-but-unpublished.
+    *
+    * Exactly ONE compactor may run per root at a time: the run takes a
+    * create-exclusive `.compact-lock` marker for its duration — two
+    * concurrent runs interleaving the retire/publish renames on one
+    * partition could retire a freshly published dir or republish stale
+    * staging output, a window the single-run crash recovery does not
+    * model. A crashed run's stale lock is reclaimed after
+    * `lockTtlMs` (crash recovery already handles its half-done work).
     */
   def compact(spark: SparkSession, root: String, targetFileBytes: Long = 128L << 20,
-              minFiles: Int = 2): Seq[Report] = {
+              minFiles: Int = 2, lockTtlMs: Long = 60 * 60 * 1000L): Seq[Report] = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(rootPath)) return Nil
+    val lock = new Path(rootPath, ".compact-lock")
+    if (fs.exists(lock) &&
+        fs.getFileStatus(lock).getModificationTime < System.currentTimeMillis() - lockTtlMs)
+      fs.delete(lock, false) // stale lock from a crashed run
+    val acquired = try { fs.createNewFile(lock) } catch { case _: java.io.IOException => false }
+    if (!acquired)
+      throw new java.io.IOException(
+        s"another compaction run holds $lock; re-run after it finishes (or after its TTL)")
+    try doCompact(spark, fs, rootPath, targetFileBytes, minFiles)
+    finally fs.delete(lock, false)
+  }
+
+  private def doCompact(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+                        rootPath: Path, targetFileBytes: Long,
+                        minFiles: Int): Seq[Report] = {
     // crash recovery: a .retired-X with no live es_index=X means a
     // previous run died between the two renames — the retired copy is
     // the only (complete) copy; restore it before compacting

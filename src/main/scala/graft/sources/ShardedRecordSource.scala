@@ -175,8 +175,14 @@ class ShardedMicroBatchStream(path: String, maxRecordsPerBatch: Option[Long] = N
     availableNowTarget = Some(latestOffset().asInstanceOf[ShardOffsets])
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val head = availableNowTarget.getOrElse(latestOffset().asInstanceOf[ShardOffsets])
-    lastSeenHead = Some(head)
+    // enumerate the TRUE head every trigger, even under AvailableNow:
+    // the frozen drain target bounds what this run READS, but backlog
+    // reporting must track the live stream — an autoscaler watching
+    // records-behind-latest would otherwise read zero while shards
+    // keep growing during the drain.
+    val trueHead = latestOffset().asInstanceOf[ShardOffsets]
+    lastSeenHead = Some(trueHead)
+    val head = availableNowTarget.getOrElse(trueHead)
     limit match {
       case m: ReadMaxRows => ShardOffsets(ShardedRecordSource.fairCap(
         start.asInstanceOf[ShardOffsets].positions, head.positions, m.maxRows()))
@@ -185,10 +191,11 @@ class ShardedMicroBatchStream(path: String, maxRecordsPerBatch: Option[Long] = N
   }
 
   /** Head of the stream as of this trigger's enumeration, regardless
-    * of the cap — lets the progress reporter expose backlog (records
-    * behind latest), the signal an autoscaler watches. Reuses the scan
-    * `latestOffset(start, limit)` already did rather than re-counting
-    * every shard file a second time per progress report.
+    * of the cap or a frozen AvailableNow target — lets the progress
+    * reporter expose backlog (records behind latest), the signal an
+    * autoscaler watches. Reuses the scan `latestOffset(start, limit)`
+    * already did rather than re-counting every shard file a second
+    * time per progress report.
     */
   override def reportLatestOffset(): Offset = lastSeenHead.getOrElse(latestOffset())
 

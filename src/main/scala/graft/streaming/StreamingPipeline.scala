@@ -82,9 +82,16 @@ object StreamingPipeline {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val decoded = Pipeline.withEnv(batch).persist()
         try {
-          decoded.filter(col("env").isNull)
+          val malformed = decoded.filter(col("env").isNull)
             .select("data", "sequenceNumber", "approximateArrivalTimestamp")
-            .write.mode("overwrite").parquet(s"$dlqDir/batch=$batchId")
+          // only write the DLQ batch dir when something is actually
+          // malformed: the healthy-pipeline case would otherwise leave
+          // a data-file-less parquet dir per batch, and a reader over
+          // dlqDir fails schema inference when ALL dirs are empty.
+          // Cheap: `decoded` is already persisted by this point.
+          if (!malformed.isEmpty) {
+            malformed.write.mode("overwrite").parquet(s"$dlqDir/batch=$batchId")
+          }
           Pipeline.toJsonDocs(Pipeline.assembleDecoded(decoded, dims))
             .write.mode("overwrite")
             .partitionBy("es_index")

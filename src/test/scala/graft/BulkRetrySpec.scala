@@ -25,6 +25,17 @@ class BulkRetrySpec extends AnyFunSuite {
     assert(BulkRetry.backoffMs(30) === 10000L)
   }
 
+  test("a lazy Seq from send does not defeat strict accounting") {
+    // a LazyList is a Seq whose filter side effects run on demand; the
+    // accounting must force it before sweeping the unacked remainder,
+    // or every acked item double-counts as failed(0) AND succeeded
+    val rep = BulkRetry.flush(Seq("a", "b", "c"), sleep = noSleep) { items =>
+      items.to(LazyList).map(ItemResult(_, 200))
+    }
+    assert(rep.succeeded === 3L)
+    assert(rep.failed.isEmpty)
+  }
+
   test("retryable items are resubmitted per-item; others succeed once") {
     var rounds = Vector.empty[Seq[String]]
     val rep = BulkRetry.flush(Seq("a", "b", "c"), sleep = noSleep) { items =>

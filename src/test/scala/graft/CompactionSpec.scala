@@ -60,6 +60,27 @@ class CompactionSpec extends AnyFunSuite {
     assert(!fs.exists(retired))
   }
 
+  test("a held lock fails a second compactor fast; a stale lock is reclaimed") {
+    val root = Files.createTempDirectory("graft_compact_lock").toString
+    (1 to 5).foreach { b =>
+      Seq((b.toLong, "gorouter-2024-01-01")).toDF("n", "es_index")
+        .write.mode("append").partitionBy("es_index").parquet(root)
+    }
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new org.apache.hadoop.fs.Path(root, ".compact-lock")
+    assert(fs.createNewFile(lock)) // another run holds the root
+    intercept[java.io.IOException] { Compaction.compact(spark, root) }
+    assert(fs.exists(lock)) // the loser must not release the winner's lock
+
+    // a crashed run's lock ages past the TTL and is reclaimed
+    fs.setTimes(lock, System.currentTimeMillis() - 1000L, -1)
+    val reports = Compaction.compact(spark, root,
+      targetFileBytes = 1L << 30, lockTtlMs = 500L)
+    assert(reports.nonEmpty)
+    assert(!fs.exists(lock)) // released after the run
+  }
+
   test("target size splits output into multiple files") {
     val root = Files.createTempDirectory("graft_compact_split").toString
     (1 to 5).foreach { _ =>

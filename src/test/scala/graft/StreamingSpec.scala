@@ -105,6 +105,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(dlq.head.getAs[Array[Byte]](1).toSeq === Seq[Byte](0x7f, 0x00, 0x03))
   }
 
+  test("dead-letter path writes no batch dirs when nothing is malformed") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[SourceRecord]
+    val outDir = Files.createTempDirectory("graft_dlq_ok_out").toString
+    val ckDir = Files.createTempDirectory("graft_dlq_ok_ck").toString
+    val dlqDir = Files.createTempDirectory("graft_dlq_ok_dlq").toString
+    stream.addData(sourceRecords.filter(_.sequenceNumber != "malformed"))
+    val q = StreamingPipeline.startWithDeadLetter(
+      stream.toDF(), Fixtures.dims(spark), ckDir, outDir, dlqDir, Trigger.AvailableNow())
+    q.awaitTermination(120000)
+    assert(spark.read.parquet(outDir).count() > 0)
+    // the healthy case leaves NO per-batch dirs behind — an all-empty
+    // dlq tree would fail parquet schema inference for inspection tools
+    val leftovers = new java.io.File(dlqDir).listFiles()
+    assert(leftovers == null || leftovers.isEmpty,
+      s"unexpected DLQ output: ${Option(leftovers).toSeq.flatten.mkString(", ")}")
+  }
+
   test("watermark drops data later than the threshold") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
