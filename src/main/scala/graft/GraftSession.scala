@@ -12,6 +12,20 @@ import org.apache.spark.sql.SparkSession
   * carries `timestamp[ns]` columns).
   */
 object GraftSession {
+
+  /** Config that exposes the engine's counters at the driver's
+    * `/metrics/prometheus` servlet — the analogue of the reference's
+    * Prometheus endpoint (`main.go:181-187`) is CONFIGURATION here,
+    * not code: the servlet is Spark's, the counters reach it as
+    * metrics-system gauges via `registerMetrics(spark, publish=true)`.
+    * Apply on top of [[builder]] in a deployment that scrapes
+    * Prometheus (the default builder keeps the UI off for tests).
+    */
+  val prometheusConf: Map[String, String] = Map(
+    "spark.ui.enabled" -> "true",
+    "spark.ui.prometheus.enabled" -> "true",
+    "spark.metrics.namespace" -> "graft")
+
   def builder(master: String = "local[*]", cpus: String = "32"): SparkSession.Builder =
     SparkSession.builder()
       .master(master)

@@ -82,8 +82,27 @@ final class CompiledGrok private[grok] (
   val schema: StructType =
     StructType(fields.map(f => StructField(f.name, sqlType(f.typ), nullable = false)))
 
+  /** `find()` with regex-engine stack exhaustion mapped to NO MATCH.
+    *
+    * `java.util.regex` backtracks recursively — one stack frame per
+    * quantifier iteration — so a pathological input (e.g. a
+    * several-thousand-label dotted hostname against `HOSTNAME`'s
+    * `(?:\.[…])*` loop) throws StackOverflowError. The reference's Go
+    * RE2 engine is linear-time/constant-stack and would simply not
+    * match; letting the error fly would instead kill the Spark task
+    * (and the job, after retries) on ONE adversarial log line.
+    * Divergence is confined to inputs no real producer emits; the
+    * no-match path (GENERIC fallback / malformed counter) handles
+    * them downstream. Adversarial GREEDYDATA backtracking cost stays
+    * polynomial and is bounded by input length — see the grok
+    * backtracking property spec, which pins ~linear growth and keeps
+    * an absolute per-eval bound at 8 KiB lines.
+    */
+  private def safeFind(m: Matcher): Boolean =
+    try m.find() catch { case _: StackOverflowError => false }
+
   def matches(s: UTF8String): Boolean =
-    localMatcher.get().reset(s.toString).find()
+    safeFind(localMatcher.get().reset(s.toString))
 
   private def coerce(raw0: String, typ: String): Any = {
     val raw = if (raw0 == null) "" else raw0 // non-participating group: Go yields ""
@@ -101,7 +120,7 @@ final class CompiledGrok private[grok] (
   /** Typed-struct extraction; null when the pattern does not match. */
   def evalRow(s: UTF8String): InternalRow = {
     val m = localMatcher.get().reset(s.toString)
-    if (!m.find()) return null
+    if (!safeFind(m)) return null
     val values = new Array[Any](fields.length)
     var i = 0
     while (i < fields.length) {
@@ -117,7 +136,7 @@ final class CompiledGrok private[grok] (
     */
   def evalMap(s: UTF8String): MapData = {
     val m = localMatcher.get().reset(s.toString)
-    if (!m.find()) {
+    if (!safeFind(m)) {
       return new ArrayBasedMapData(new GenericArrayData(Array.empty[Any]),
         new GenericArrayData(Array.empty[Any]))
     }

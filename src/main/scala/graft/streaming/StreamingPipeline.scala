@@ -157,9 +157,19 @@ object StreamingPipeline {
     }
   }
 
-  def registerMetrics(spark: SparkSession): Metrics = {
+  /** Registers the listener; with `publish = true` its counters are
+    * ALSO exposed as metrics-system gauges (source `graft_pipeline`),
+    * which every configured sink exports — in particular the driver's
+    * `/metrics/prometheus` servlet when the session is built with
+    * [[graft.GraftSession.prometheusConf]].
+    */
+  def registerMetrics(spark: SparkSession, publish: Boolean = false): Metrics = {
     val m = new Metrics
     spark.streams.addListener(m)
+    if (publish)
+      org.apache.spark.GraftMetrics.registerGauges(spark.sparkContext, "graft_pipeline",
+        Map("records_total" -> (() => m.recordsTotal.get()),
+            "malformed_total" -> (() => m.malformedTotal.get())))
     m
   }
 }

@@ -56,6 +56,49 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("grok backtracking is bounded on adversarial GREEDYDATA-heavy inputs") {
+    // SURVEY §7.4 risk: java.util.regex backtracks where the
+    // reference's RE2 is linear. DOCUMENTED INPUT-LENGTH BOUND: at
+    // source lines <= 8 KiB every eval below must finish well under
+    // 2 s (measured ~0.2 s worst-case on this class; catastrophic
+    // blowup would be minutes-to-forever) — producers emitting longer
+    // lines should truncate upstream, as router/syslog transports do.
+    import org.apache.spark.unsafe.types.UTF8String
+    val ra = GrokLibrary.default.compile("%{ROUTERACCESS}")
+    def timedNoMatch(g: graft.grok.CompiledGrok, s: String): Double = {
+      val t0 = System.nanoTime()
+      val matched = g.matches(UTF8String.fromString(s))
+      assert(!matched)
+      (System.nanoTime() - t0) / 1e6
+    }
+    for (n <- Seq(1000, 2000, 4000, 8000)) {
+      // a plausible router-access prefix, then quote-heavy junk whose
+      // tail never satisfies the literal x_forwarded_for:/app_id:
+      // anchors — worst case for the four GREEDYDATA quote captures
+      val junk = "\"q\" " * (n / 4)
+      val line = "api.system.example.gov.au - [2024-01-01T00:00:00+0000] " +
+        "\"GET /v2/info HTTP/1.1\" 200 0 1262 " + junk
+      assert(timedNoMatch(ra, line) < 2000.0,
+        s"adversarial quote input at n=$n exceeded the eval bound")
+    }
+  }
+
+  test("grok regex stack exhaustion is a NO MATCH, not a task-killing error") {
+    // a ~100k-char dotted hostname drives HOSTNAME's (?:\.[…])* loop
+    // deep enough to overflow the regex engine's recursion — RE2 (the
+    // reference) would simply not match; we must do the same instead
+    // of throwing StackOverflowError out of a Spark task
+    import org.apache.spark.unsafe.types.UTF8String
+    val ra = GrokLibrary.default.compile("%{ROUTERACCESS}")
+    val bomb = ("a." * 50000) + "!"
+    assert(!ra.matches(UTF8String.fromString(bomb)))
+    assert(ra.evalRow(UTF8String.fromString(bomb)) == null)
+    assert(ra.evalMap(UTF8String.fromString(bomb)).numElements() == 0)
+    // GENERIC stays total on the same input (single .* — no recursion)
+    val g = GrokLibrary.default.compile("%{GENERIC}")
+    assert(g.evalMap(UTF8String.fromString(bomb)).numElements() == 2)
+  }
+
   test("pipeline never throws and always emits contract columns") {
     import spark.implicits._
     val envs = samples(genEnvelope, 60)

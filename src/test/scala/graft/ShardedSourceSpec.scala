@@ -100,6 +100,45 @@ class ShardedSourceSpec extends AnyFunSuite {
     assert(spark.read.parquet(outDir).select("doc_id").distinct().count() == 12L)
   }
 
+  test("flagship parity: streaming over the sharded source == batch over the same records") {
+    // the reference's whole value is ONE pipeline (decode → route →
+    // grok → enrich → index docs); this diffs its two execution modes
+    // end-to-end on the full record mix — every fixture envelope
+    // (keep AND drop routes) plus an undecodable payload — not just
+    // the per-operator pieces
+    val srcDir = Files.createTempDirectory("graft_parity").toFile
+    val outDir = Files.createTempDirectory("graft_parity_out").toString
+    val ckDir = Files.createTempDirectory("graft_parity_ck").toString
+    val lines = Fixtures.envelopes.zipWithIndex.map { case ((_, e), i) =>
+      s"s-$i,${Fixtures.ArrivalMs},${Base64.getEncoder.encodeToString(EnvelopeCodec.encode(e))}"
+    } :+ s"s-bad,${Fixtures.ArrivalMs},${Base64.getEncoder.encodeToString(Array[Byte](0x7f, 0x00, 0x03))}"
+    Files.writeString(new File(srcDir, "shard-000.log").toPath,
+      lines.mkString("", "\n", "\n"))
+
+    val streamRecords = spark.readStream
+      .format(classOf[ShardedRecordSource].getName)
+      .option("path", srcDir.getAbsolutePath)
+      .load()
+    val q = StreamingPipeline.start(
+      streamRecords, Fixtures.dims(spark), ckDir, outDir, Trigger.AvailableNow())
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(outDir)
+      .select("es_index", "doc_id", "doc").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).sorted
+
+    // batch mode reads the SAME shard files through the same source
+    val batchRecords = spark.read
+      .format(classOf[ShardedRecordSource].getName)
+      .option("path", srcDir.getAbsolutePath)
+      .load()
+    val batch = graft.pipeline.Pipeline.toJsonDocs(
+        graft.pipeline.Pipeline.assemble(batchRecords, Fixtures.dims(spark)))
+      .select("es_index", "doc_id", "doc").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).sorted
+
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+  }
+
   test("fairCap: water-filling splits the budget without starving any shard") {
     val from = Map("a" -> 0L, "b" -> 0L, "c" -> 0L)
     val avail = Map("a" -> 100L, "b" -> 5L, "c" -> 10L)

@@ -105,6 +105,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(dlq.head.getAs[Array[Byte]](1).toSeq === Seq[Byte](0x7f, 0x00, 0x03))
   }
 
+  test("prometheus wiring: counters publish as metrics-system gauges") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // the /metrics/prometheus servlet is turned on by configuration;
+    // assert the documented conf, then assert the data path it would
+    // serve: listener counters -> metrics-system gauges
+    assert(GraftSession.prometheusConf("spark.ui.prometheus.enabled") === "true")
+    assert(GraftSession.prometheusConf("spark.ui.enabled") === "true")
+
+    val metrics = StreamingPipeline.registerMetrics(spark, publish = true)
+    val stream = MemoryStream[SourceRecord]
+    val outDir = Files.createTempDirectory("graft_prom_out").toString
+    val ckDir = Files.createTempDirectory("graft_prom_ck").toString
+    stream.addData(sourceRecords)
+    val q = StreamingPipeline.start(
+      stream.toDF(), Fixtures.dims(spark), ckDir, outDir, Trigger.AvailableNow())
+    q.awaitTermination(120000)
+    val deadline = System.nanoTime() + 30e9.toLong
+    while (metrics.recordsTotal.get() < sourceRecords.length && System.nanoTime() < deadline)
+      Thread.sleep(50)
+    spark.streams.removeListener(metrics)
+
+    val sc = spark.sparkContext
+    assert(org.apache.spark.GraftMetrics.gaugeValue(sc, "graft_pipeline", "records_total")
+      === Some(sourceRecords.length.toLong))
+    assert(org.apache.spark.GraftMetrics.gaugeValue(sc, "graft_pipeline", "malformed_total")
+      === Some(1L))
+  }
+
   test("dead-letter path writes no batch dirs when nothing is malformed") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
