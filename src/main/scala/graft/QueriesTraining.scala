@@ -327,7 +327,84 @@ object QueriesTraining {
       .orderBy(col("df").desc, col("shingle")).limit(20)
   }
 
+  /** TF-IDF top-3 terms per document — the classic corpus-weighting
+    * join shape: explode → per-(doc, term) tf (one shuffle, map-side
+    * combined) → per-term document frequency (second shuffle over the
+    * MUCH smaller tf table) → score and per-doc rank (window
+    * partitioned by doc_id — never a global window). Corpus size N
+    * rides in as a broadcast 1-row frame, not a driver constant, so
+    * the plan is a single job. Ranking uses the ROUNDED score (both
+    * engines) with the term as tiebreak — unrounded float ordering is
+    * not cross-engine-stable at equal weights.
+    */
+  private val qTfidf: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents")
+    val toks = Dedup.fanOut(docs, col("doc_id"))
+      .select(col("doc_id"), explode_outer(TextAnalysis.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n"))
+    val scored = tf.join(dfT, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") * log(col("n").cast("double") / col("df")), 6))
+    val w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Per-document cross-entropy under the corpus unigram LM — the
+    * cheap perplexity-proxy quality score (a Gopher/C4-style filter
+    * input): tokens join their corpus counts, per-doc mean of
+    * −ln p(term). Corpus total rides as a broadcast 1-row frame; the
+    * count table shuffles once on term, the re-agg once on doc_id.
+    */
+  private val qUnigramXent: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents")
+    val toks = Dedup.fanOut(docs, col("doc_id"))
+      .select(col("doc_id"), explode_outer(TextAnalysis.tokens(col("text"))).as("term"))
+    val counts = toks.groupBy("term").agg(count(lit(1)).as("c"))
+    val total = toks.select(count(lit(1)).as("tot"))
+    toks.join(counts, "term").crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(-sum(log(col("c").cast("double") / col("tot"))) / count(lit(1)), 6).as("xent"))
+      .orderBy("doc_id")
+  }
+
+  /** Int8 quantization audit for the embedding store: per-vector
+    * affine (min, max) → floor-clamped 0..255 codes, emitted as the
+    * integer code SUM (exact, engine-portable) plus the rounded range
+    * — proves both engines quantize bit-identically without dumping
+    * 64-wide code arrays. Floats widen to double loss-free first; the
+    * (x−mn)·255/(mx−mn) op order matches the oracle exactly, so floor
+    * boundaries agree. Constant vectors (mx = mn) code to 0.
+    */
+  private val qEmbedQuant: Q = (spark, dir) => {
+    val e = Dedup.fanOut(Tables(spark, dir, "embeddings"), col("vec_id"))
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      .withColumn("mn", array_min(col("v")))
+      .withColumn("mx", array_max(col("v")))
+    val qsum = when(col("mx") === col("mn"), lit(0L)).otherwise(
+      aggregate(col("v"), lit(0L), (acc, x) =>
+        acc + least(floor((x - col("mn")) * lit(255.0) / (col("mx") - col("mn"))), lit(255.0))
+          .cast("long")))
+    // round in a SECOND projection: aliasing round(mn) as "mn" in the
+    // same select would capture the rounded value inside the aggregate
+    // lambda (self-referencing alias resolution) and shift the floor
+    // boundaries the oracle computes from the exact min/max
+    e.select(col("vec_id"), col("mn"), col("mx"), qsum.as("q_sum"))
+      .select(col("vec_id"),
+        round(col("mn"), 6).as("mn"), round(col("mx"), 6).as("mx"),
+        col("q_sum"))
+      .orderBy("vec_id")
+  }
+
   val all: Map[String, Q] = Map(
+    "q52_tfidf" -> qTfidf,
+    "q53_unigram_xent" -> qUnigramXent,
+    "q54_embed_quant" -> qEmbedQuant,
     "q28_frames" -> qFrames,
     "q29_knn_ivf" -> qKnnIvf,
     "q49_centroid_update" -> qCentroidUpdate,
@@ -446,6 +523,39 @@ object QueriesTraining {
   }
 
   val oracles: Map[String, String] = Map(
+    "q52_tfidf" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |s AS (SELECT doc_id, tf.term,
+         |        round(tf * ln(n.n::DOUBLE / df.df), 6) AS tfidf
+         |      FROM tf JOIN df USING (term), n),
+         |r AS (SELECT doc_id, term, tfidf,
+         |        row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+         |      FROM s)
+         |SELECT doc_id, rank, term, tfidf FROM r WHERE rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin,
+
+    "q53_unigram_xent" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |c AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+         |tot AS (SELECT count(*) AS tot FROM toks)
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  round(-sum(ln(c.c::DOUBLE / tot.tot)) / count(*), 6) AS xent
+         |FROM toks JOIN c USING (term), tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q54_embed_quant" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |s AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e)
+         |SELECT vec_id, round(mn, 6) AS mn, round(mx, 6) AS mx,
+         |  CAST(CASE WHEN mx = mn THEN 0 ELSE
+         |    list_sum(list_transform(v, x ->
+         |      CAST(least(floor((x - mn) * 255.0 / (mx - mn)), 255.0) AS BIGINT)))
+         |  END AS BIGINT) AS q_sum
+         |FROM s ORDER BY vec_id""".stripMargin,
+
     "q16_text_tokens" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents)
          |SELECT doc_id,
