@@ -74,6 +74,41 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("no query in the battery plans a single-partition global window") {
+    // the round-5 scale-killer class: Window.orderBy with no partition
+    // spec moves the whole corpus through ONE task. Every windowed
+    // query must partition its window (or use GlobalRank's two-phase
+    // rank). "Window [" physical nodes list the partition spec after
+    // the functions; an empty partition spec renders as
+    // "windowspecdefinition(<sort>," with no partition columns —
+    // detect via the planner's own warning-worthy shape instead:
+    // WindowExec with an empty partitionSpec.
+    import org.apache.spark.sql.execution.window.WindowExec
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val df = fn(spark, dir)
+      df.collect()
+      val offenders = df.queryExecution.executedPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(offenders.isEmpty,
+        s"$name plans a global unpartitioned WindowExec — single-task at scale")
+    }
+  }
+
+  test("q24_dedup_embed: candidate self-join keys on the banded bucket") {
+    val df = Queries.all("q24_dedup_embed")(spark, dir)
+    df.collect()
+    // the candidate self-join must key on the banded `bucket` column
+    // (bands * 2^planes key space — join parallelism scales with it);
+    // at toy scale AQE may BROADCAST a side instead of exchanging, so
+    // assert the join KEY, not the exchange. String-matched: AQE wraps
+    // finished stages in leaf QueryStageExec nodes that collect()
+    // cannot descend into, but toString prints their subtrees.
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Join [bucket"),
+      s"no join keyed on the banded bucket:\n$p")
+  }
+
   test("grok capture pruning fires on a multi-capture pattern over a real scan") {
     // %{GENERIC} yields 2 captures (GENERIC + log_event,
     // NamedCapturesOnly=false); selecting one prunes the other.
