@@ -401,7 +401,23 @@ object QueriesTraining {
       .orderBy("vec_id")
   }
 
+  /** Duplicate-cluster size histogram — the summary a dedup run
+    * reports (how much of the corpus is duplicated, at what
+    * multiplicity): exact-dup groups by normalized-text fingerprint,
+    * then group-size frequencies. Two shuffles, both over keys far
+    * smaller than the corpus (fingerprints, then sizes).
+    */
+  private val qDupHistogram: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val dup = d.unionAll(d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    dup.groupBy(TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+  }
+
   val all: Map[String, Q] = Map(
+    "q55_dup_histogram" -> qDupHistogram,
     "q52_tfidf" -> qTfidf,
     "q53_unigram_xent" -> qUnigramXent,
     "q54_embed_quant" -> qEmbedQuant,
@@ -523,6 +539,14 @@ object QueriesTraining {
   }
 
   val oracles: Map[String, String] = Map(
+    "q55_dup_histogram" ->
+      s"""WITH dup AS (SELECT doc_id, text FROM documents
+         |             UNION ALL SELECT doc_id + 1000000, text FROM documents),
+         |g AS (SELECT md5($normTextSql) AS fp, count(*) AS cluster_size
+         |      FROM dup GROUP BY 1)
+         |SELECT cluster_size, count(*) AS n_clusters
+         |FROM g GROUP BY 1 ORDER BY cluster_size""".stripMargin,
+
     "q52_tfidf" ->
       s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
