@@ -416,7 +416,28 @@ object QueriesTraining {
       .orderBy("cluster_size")
   }
 
+  private val ShardCount = 16
+
+  /** Deterministic balanced training-shard assignment: rank docs by
+    * token count (longest first, doc_id tiebreak) with the scale-safe
+    * [[graft.operators.GlobalRank]] — NO single-partition window —
+    * then round-robin `rank mod k`, which balances shard doc counts
+    * exactly and token sums to within one stripe. Reports per-shard
+    * doc/token totals — the audit a shard-writer job emits.
+    */
+  private val qShardAssign: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents").select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    graft.operators.GlobalRank
+      .withRank(d, Seq(col("n_tokens").desc, col("doc_id")), "rn")
+      .withColumn("shard_id", (col("rn") - 1) % ShardCount + 1)
+      .groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+      .orderBy("shard_id")
+  }
+
   val all: Map[String, Q] = Map(
+    "q56_shard_assign" -> qShardAssign,
     "q55_dup_histogram" -> qDupHistogram,
     "q52_tfidf" -> qTfidf,
     "q53_unigram_xent" -> qUnigramXent,
@@ -539,6 +560,15 @@ object QueriesTraining {
   }
 
   val oracles: Map[String, String] = Map(
+    "q56_shard_assign" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |r AS (SELECT doc_id, n_tokens,
+         |        row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rn FROM t)
+         |SELECT (rn - 1) % $ShardCount + 1 AS shard_id,
+         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM r GROUP BY 1 ORDER BY shard_id""".stripMargin,
+
     "q55_dup_histogram" ->
       s"""WITH dup AS (SELECT doc_id, text FROM documents
          |             UNION ALL SELECT doc_id + 1000000, text FROM documents),

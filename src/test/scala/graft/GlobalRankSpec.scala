@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.GlobalRank
+
+/** GlobalRank: exact global rank / ntile without a single-partition
+  * window — ranks must match the (scale-unsafe) global-window
+  * reference on every input shape, including the ntile remainder
+  * arithmetic's edge cases.
+  */
+class GlobalRankSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.get("local[4]", "4")
+
+  // non-foldable, collision-heavy sort key across many partitions
+  private def data(n: Long) = spark.range(0, n, 1, 8)
+    .select((col("id") * 7919 % 97).as("k"), col("id"))
+
+  private def collectRanks(n: Long): (Seq[(Long, Long, Long)], Seq[(Long, Long, Long)]) = {
+    val df = data(n)
+    val twoPhase = GlobalRank.withRank(df, Seq(col("k"), col("id")))
+      .select("k", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val reference = df.withColumn("rank",
+        row_number().over(Window.orderBy("k", "id")).cast("long"))
+      .select("k", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    (twoPhase, reference)
+  }
+
+  test("withRank equals the global-window row_number") {
+    val (got, want) = collectRanks(1000)
+    assert(got == want)
+  }
+
+  test("withNtile equals global ntile: remainder zero, remainder nonzero, n < k") {
+    for ((n, k) <- Seq((1000L, 8), (1000L, 7), (5L, 16), (97L, 97))) {
+      val df = data(n)
+      val got = GlobalRank.withNtile(df, Seq(col("k"), col("id")), k, "t")
+        .select("id", "t").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val want = df.withColumn("t",
+          ntile(k).over(Window.orderBy("k", "id")).cast("long"))
+        .select("id", "t").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(got == want, s"ntile mismatch at n=$n k=$k")
+    }
+  }
+
+  test("empty input yields empty output") {
+    val df = data(10).filter(col("id") < 0)
+    assert(GlobalRank.withRank(df, Seq(col("id"))).count() === 0L)
+    assert(GlobalRank.withNtile(df, Seq(col("id")), 4, "t").count() === 0L)
+  }
+
+  test("descending sort columns rank correctly") {
+    val df = data(500)
+    val got = GlobalRank.withRank(df, Seq(col("k").desc, col("id")))
+      .select("id", "rank").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val want = df.withColumn("rank",
+        row_number().over(Window.orderBy(col("k").desc, col("id"))).cast("long"))
+      .select("id", "rank").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got == want)
+  }
+}
