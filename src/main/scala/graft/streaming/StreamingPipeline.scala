@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
 
-import graft.pipeline.Pipeline
+import graft.pipeline.{LazyFillCache, Pipeline}
 
 /** Structured-Streaming assembly of the reference pipeline
   * (SURVEY §3.1 stages 2-3): the same declarative plan as batch
@@ -55,6 +55,39 @@ object StreamingPipeline {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         Pipeline.toJsonDocs(Pipeline.assemble(batch, dimsLoader()))
+          .write.mode("overwrite")
+          .partitionBy("es_index")
+          .parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+
+  /** [[startWithDimRefresh]] with the reference's jittered-TTL refresh
+    * policy (`caching_lazyfill.go:87-157`, 6 h × jitter [0.75, 1.25)
+    * in production config): the dimension snapshot reloads only when
+    * its TTL lapses, not every micro-batch — per-row lazy fill against
+    * one Go process's cache translates to per-SNAPSHOT lazy fill on
+    * the driver, since the join side is a broadcast snapshot. The
+    * snapshot is localCheckpointed at fill so every batch inside one
+    * TTL window broadcasts the SAME materialized rows (no re-read of a
+    * possibly-moving source mid-window), and the cache is the one
+    * refresh-decision point (injectable clock/jitter in tests via the
+    * `cache` overload).
+    */
+  def startWithDimTtl(records: DataFrame, dimsLoader: () => DataFrame,
+                      dimTtlMs: Long, checkpointDir: String, outDir: String,
+                      trigger: Trigger = Trigger.ProcessingTime("15 seconds")): StreamingQuery =
+    startWithDimCache(records,
+      new LazyFillCache[Unit, DataFrame](dimTtlMs, _ => dimsLoader().localCheckpoint()),
+      checkpointDir, outDir, trigger)
+
+  def startWithDimCache(records: DataFrame, cache: LazyFillCache[Unit, DataFrame],
+                        checkpointDir: String, outDir: String,
+                        trigger: Trigger = Trigger.ProcessingTime("15 seconds")): StreamingQuery =
+    records.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Pipeline.toJsonDocs(Pipeline.assemble(batch, cache.get(())))
           .write.mode("overwrite")
           .partitionBy("es_index")
           .parquet(s"$outDir/batch=$batchId")

@@ -299,6 +299,58 @@ class DimRefreshSpec extends AnyFunSuite {
     assert(docs.exists(_.contains("\"@cf.app\":\"myapp\"")))     // suffix-stripped v1
     assert(docs.exists(_.contains("\"@cf.app\":\"renamed\"")))   // refreshed v2
   }
+
+  test("jittered-TTL refresh: mid-window batches reuse the snapshot, expiry reloads") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.pipeline.{Enrich, LazyFillCache}
+
+    val dimDir = Files.createTempDirectory("graft_dims_ttl").toString
+    def writeDims(appName: String): Unit = {
+      val apps = Seq((Fixtures.AppGuid, appName, "5e0d2e2e-0000-0000-0000-000000000001"))
+        .toDF("app_guid", "name", "space_guid")
+      val spaces = Seq(("5e0d2e2e-0000-0000-0000-000000000001", "prod",
+        "a1b2c3d4-0000-0000-0000-000000000001")).toDF("space_guid", "name", "org_guid")
+      val orgs = Seq(("a1b2c3d4-0000-0000-0000-000000000001", "agency")).toDF("org_guid", "name")
+      Enrich.resolveDims(apps, spaces, orgs)
+        .write.mode("overwrite").parquet(dimDir)
+    }
+    val keep = Fixtures.envelopes.collectFirst {
+      case ("keep_tag_gorouter", e) => e
+    }.get
+    def record(seq: String) = SourceRecord(
+      graft.pipeline.EnvelopeCodec.encode(keep), seq, new Timestamp(Fixtures.ArrivalMs))
+
+    var clock = 0L
+    var fills = 0
+    val cache = new LazyFillCache[Unit, org.apache.spark.sql.DataFrame](1000,
+      _ => { fills += 1; spark.read.parquet(dimDir).localCheckpoint() },
+      () => clock, () => 1.0)
+    val stream = MemoryStream[SourceRecord]
+    val outDir = Files.createTempDirectory("graft_dimttl_out").toString
+    val ckDir = Files.createTempDirectory("graft_dimttl_ck").toString
+
+    def run(): Unit = {
+      val q = StreamingPipeline.startWithDimCache(
+        stream.toDF(), cache, ckDir, outDir, Trigger.AvailableNow())
+      q.awaitTermination(120000)
+    }
+    writeDims("myapp-venerable")
+    stream.addData(record("s1")); run()
+    writeDims("renamed-blue") // dims change ON DISK...
+    stream.addData(record("s2")); run() // ...but the TTL has not lapsed
+    clock = 2000              // TTL lapses
+    stream.addData(record("s3")); run()
+
+    val docs = spark.read.parquet(outDir).select("doc").collect().map(_.getString(0))
+    assert(docs.length == 3)
+    // batches inside one TTL window see the SAME snapshot (stale by
+    // design — the reference's 6h-jittered-TTL staleness contract);
+    // the first batch after expiry sees the reload
+    assert(docs.count(_.contains("\"@cf.app\":\"myapp\"")) == 2)
+    assert(docs.count(_.contains("\"@cf.app\":\"renamed\"")) == 1)
+    assert(fills == 2)
+  }
 }
 
 /** Streaming exact dedup: dropDuplicatesWithinWatermark bounds the
