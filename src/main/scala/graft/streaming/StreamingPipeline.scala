@@ -170,6 +170,34 @@ object StreamingPipeline {
       .drop(equiKeys.map(k => s"__a_$k"): _*)
   }
 
+  /** Current-document view over the batchId-keyed sink layout — the
+    * read-side twin of Elasticsearch's overwrite-by-id semantics
+    * (`main.go:432-451`: every index action carries a deterministic
+    * doc id, so a re-sent document REPLACES its predecessor). The
+    * parquet sink appends one `batch=<id>` dir per micro-batch
+    * (idempotent replay); when a later batch re-emits a doc_id (e.g. a
+    * reprocessed record), both versions exist on disk and a reader
+    * must resolve to the LATEST — exactly what an ES GET would return.
+    *
+    * Plan shape: partition-discovered `batch` column (no file-name
+    * parsing), window partitioned by (es_index, doc_id) — never
+    * global — keeping the max-batch row. At scale the window shuffles
+    * on the doc key once; since `es_index` is the physical partition
+    * column, per-index reads prune before the shuffle.
+    */
+  def currentView(spark: SparkSession, outDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // read the ROOT: partition discovery yields the `batch` (and
+    // `es_index`) columns from the dir layout; a `batch=*` glob would
+    // also work but trips a noisy FileStreamSink metadata probe
+    val all = spark.read.parquet(outDir)
+    val w = Window.partitionBy(col("es_index"), col("doc_id"))
+      .orderBy(col("batch").desc)
+    all.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "batch")
+  }
+
   /** Prometheus-style cumulative counters fed by the `observe` node in
     * [[Pipeline.assemble]] — the Spark twin of the reference's
     * sent/error counters (`main.go:40-52, 201-210`).

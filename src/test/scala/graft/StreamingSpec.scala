@@ -153,6 +153,23 @@ class StreamingSpec extends AnyFunSuite {
       s"unexpected DLQ output: ${Option(leftovers).toSeq.flatten.mkString(", ")}")
   }
 
+  test("currentView resolves a re-emitted doc_id to the latest batch, like an ES overwrite") {
+    import spark.implicits._
+    val outDir = Files.createTempDirectory("graft_curview").toString
+    // batch 0: two docs; batch 7: doc "a" re-emitted with new content
+    Seq(("idx-2024.01.01", "a", "{\"v\":1}"), ("idx-2024.01.01", "b", "{\"v\":1}"))
+      .toDF("es_index", "doc_id", "doc")
+      .write.partitionBy("es_index").parquet(s"$outDir/batch=0")
+    Seq(("idx-2024.01.01", "a", "{\"v\":2}"))
+      .toDF("es_index", "doc_id", "doc")
+      .write.partitionBy("es_index").parquet(s"$outDir/batch=7")
+
+    val view = StreamingPipeline.currentView(spark, outDir)
+      .select("doc_id", "doc").collect()
+      .map(r => (r.getString(0), r.getString(1))).sorted
+    assert(view.toSeq === Seq(("a", "{\"v\":2}"), ("b", "{\"v\":1}")))
+  }
+
   test("watermark drops data later than the threshold") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
