@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.curation.Curation
 import graft.dedup.Dedup
+import graft.text.TextAnalysis
 
 /** Corpus-curation battery: test-set decontamination, PII scrubbing,
   * sequence packing, stratified sampling — the training-data prep ops
@@ -26,6 +27,36 @@ object QueriesCuration {
     val eval_ = d.filter(col("doc_id") % 97 === 0)
     val corpus = d.filter(col("doc_id") % 97 =!= 0)
     Curation.decontaminate(corpus, eval_, "doc_id", "text", MinOverlap)
+      .orderBy("doc_id")
+  }
+
+  private val KeepQuality = 0.5
+
+  /** END-TO-END curation keep set — the composition a training-data
+    * user actually runs, in one call: quality score ≥ [[KeepQuality]]
+    * ∧ detected language = en ∧ exact-dedup canonical (fingerprint
+    * group minimum) ∧ decontaminated (< [[MinOverlap]] shingles shared
+    * with the eval slice). One scored projection feeds the quality /
+    * language / fingerprint rules (single corpus pass); the canonical
+    * and clean sets semi-join back on doc_id. The quality threshold
+    * compares the ROUNDED score so the cut is engine-stable.
+    */
+  private val qCurationKeep: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+    val corpus = d.filter(col("doc_id") % 97 =!= 0)
+    val eval_ = d.filter(col("doc_id") % 97 === 0)
+    val scored = Dedup.fanOut(corpus, col("doc_id")).select(col("doc_id"),
+      round(TextAnalysis.qualityScore(col("text")), 6).as("quality"),
+      TextAnalysis.langId(col("text")).as("lang_pred"),
+      TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+    val canonical = scored.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val clean = Curation.decontaminate(corpus, eval_, "doc_id", "text", MinOverlap)
+      .filter(col("contaminated") === 0).select("doc_id")
+    scored.filter(col("quality") >= KeepQuality && col("lang_pred") === "en")
+      .join(canonical, "doc_id")
+      .join(clean, "doc_id")
+      .select(col("doc_id"), col("quality"))
       .orderBy("doc_id")
   }
 
@@ -119,6 +150,7 @@ object QueriesCuration {
   }
 
   val all: Map[String, Q] = Map(
+    "q57_curation_keep" -> qCurationKeep,
     "q37_decontam" -> qDecontam,
     "q38_pii_scrub" -> qPiiScrub,
     "q39_seq_pack" -> qSeqPack,
@@ -135,6 +167,34 @@ object QueriesCuration {
     s"""('0x' || substr(md5('$salt:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"""
 
   val oracles: Map[String, String] = Map(
+    "q57_curation_keep" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+         |t AS (SELECT doc_id, text, ${QueriesTraining.ltoksSql} AS ltoks FROM corpus),
+         |h AS (SELECT doc_id, text, ltoks,
+         |  ${TextAnalysis.stopwords.map { case (l, ws) => s"${QueriesTraining.hitsSql(ws)} AS s_$l" }.mkString(",\n  ")}
+         |  FROM t),
+         |q AS (SELECT doc_id,
+         |  round(0.4*least(1.0, CAST(len(ltoks) AS DOUBLE)/100.0)
+         |    + 0.3*(1.0 - least(1.0, CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) * 4.0))
+         |    + 0.3*least(1.0, CAST(s_en AS DOUBLE) / CAST(len(ltoks) AS DOUBLE) * 4.0), 6) AS quality,
+         |  ${QueriesTraining.langCaseSql} AS lang_pred
+         |  FROM h),
+         |canon AS (SELECT min(doc_id) AS doc_id FROM
+         |  (SELECT doc_id, md5(${QueriesTraining.normTextSql}) AS fp FROM corpus)
+         |  GROUP BY fp),
+         |toksAll AS (SELECT doc_id, ${QueriesTraining.toksSql} AS t FROM documents),
+         |sh AS (SELECT doc_id, ${QueriesTraining.shinglesSql} AS s FROM toksAll),
+         |ev AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 97 = 0),
+         |cs AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id % 97 <> 0),
+         |ov AS (SELECT doc_id, count(DISTINCT shingle) AS overlap
+         |       FROM cs JOIN ev USING (shingle) GROUP BY doc_id),
+         |clean AS (SELECT c.doc_id FROM corpus c LEFT JOIN ov USING (doc_id)
+         |          WHERE coalesce(ov.overlap, 0) < $MinOverlap)
+         |SELECT q.doc_id, q.quality
+         |FROM q JOIN canon USING (doc_id) JOIN clean USING (doc_id)
+         |WHERE q.quality >= $KeepQuality AND q.lang_pred = 'en'
+         |ORDER BY doc_id""".stripMargin,
+
     "q37_decontam" ->
       s"""WITH toks AS (SELECT doc_id, ${QueriesTraining.toksSql} AS t FROM documents),
          |sh AS (SELECT doc_id, ${QueriesTraining.shinglesSql} AS s FROM toks),

@@ -467,15 +467,15 @@ object QueriesTraining {
     * Spark side so the two engines compute identical hashes.
     */
   private[graft] val toksSql = """string_split_regex(trim(text), '\s+')"""
-  private val ltoksSql = """string_split_regex(trim(lower(text)), '\s+')"""
+  private[graft] val ltoksSql = """string_split_regex(trim(lower(text)), '\s+')"""
 
   private def stopListSql(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("[", ", ", "]")
 
-  private def hitsSql(words: Seq[String]): String =
+  private[graft] def hitsSql(words: Seq[String]): String =
     s"len(list_filter(ltoks, x -> list_contains(${stopListSql(words)}, x)))"
 
-  private val normTextSql = """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""
+  private[graft] val normTextSql = """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""
 
   /** Left-fold sum of BIGINTs (portable twin of Spark `aggregate`). */
   private def foldSumSql(listExpr: String): String =
@@ -552,7 +552,7 @@ object QueriesTraining {
     .map(i => s"CASE WHEN 2*len(list_filter(hs, h -> ((h >> $i) & 1) = 1)) > len(hs) THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
     .mkString("\n    + ")
 
-  private val langCaseSql = {
+  private[graft] val langCaseSql = {
     val best = TextAnalysis.stopwords.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
     val whens = TextAnalysis.stopwords
       .map { case (l, _) => s"WHEN s_$l = $best THEN '$l'" }.mkString("\n  ")
