@@ -17,14 +17,70 @@ import org.apache.spark.sql.functions._
   * and N×, prints one JSON line per scale.
   */
 object ScaleRehearsal {
-  private val ChainQueries =
-    Seq("q21_dedup_minhash", "q22_dedup_ngram", "q31_dedup_groups", "q43_dedup_incremental")
+  private val ChainQueries = Seq(
+    "q21_dedup_minhash", "q22_dedup_ngram", "q31_dedup_groups",
+    "q43_dedup_incremental", "q52_tfidf", "q53_unigram_xent")
+
+  private val EmbedDims = 64
+
+  /** Banded-SRP near-dup pairs with a PARAMETERIZED plane count — the
+    * README scale rule made measurable: growing planesPerBand with the
+    * corpus holds per-bucket occupancy (and so per-bucket pair work)
+    * roughly constant, which is what keeps the candidate join ~linear
+    * instead of quadratic. The battery's q24 fixes the parameters for
+    * oracle determinism; this rehearsal varies them with scale.
+    */
+  private def embedPairs(spark: org.apache.spark.sql.SparkSession, dir: String,
+                         planesPerBand: Int): Long = {
+    import graft.sim.Similarity
+    val e = graft.dedup.Dedup.fanOut(
+        spark.read.parquet(s"$dir/embeddings.parquet"), col("vec_id"))
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val sigs = graft.dedup.Dedup.materialize(e.select(col("vec_id"),
+      explode_outer(Similarity.srpBandKeys(col("v"), 4, planesPerBand, EmbedDims))
+        .as("bucket")))
+    val cand = sigs.select(col("vec_id").as("id_a"), col("bucket"))
+      .join(sigs.select(col("vec_id").as("id_b"), col("bucket")), "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val ea = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val eb = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    cand.join(ea, "id_a").join(eb, "id_b")
+      .withColumn("cos", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= 0.3).count()
+  }
+
+  private def runEmbed(spark: org.apache.spark.sql.SparkSession,
+                       base: String, scaled: String, mult: Int): Unit = {
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+      .select(col("vec_id"), graft.sim.Similarity.asDouble(col("embedding")).as("embedding"))
+    (0 until mult).map { k =>
+      val rot = if (k % EmbedDims == 0) col("embedding")
+        else concat(slice(col("embedding"), k % EmbedDims + 1, EmbedDims - k % EmbedDims),
+          slice(col("embedding"), 1, k % EmbedDims))
+      emb.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"), rot.as("embedding"))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$scaled/embeddings.parquet")
+    val planes = 8 + (math.log(mult.toDouble) / math.log(2.0)).round.toInt
+    for ((label, p) <- Seq("scaled" -> planes, "fixed" -> 8)) {
+      val t0 = System.nanoTime()
+      val pairs = embedPairs(spark, scaled, p)
+      val t = (System.nanoTime() - t0) / 1e9
+      println(s"""{"metric":"scale_rehearsal_embed","scale":"${mult}x","variant":"$label","planes":$p,"pairs":$pairs,"sec":$t}""")
+    }
+  }
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mult = args.headOption.map(_.toInt).getOrElse(10)
+    // "embed" second arg: embeddings-only (skip the text chain) — used
+    // for the larger multiples where the SRP parameterization contrast
+    // actually bites but 100x text synthesis would dominate the run
+    val embedOnly = args.length > 1 && args(1) == "embed"
     val scaled = s"/tmp/graft_scale_${mult}x"
     val spark = GraftSession.get("local[32]", "32")
+    if (embedOnly) { runEmbed(spark, base, scaled, mult); spark.stop(); return }
 
     val docs = spark.read.parquet(s"$base/documents.parquet")
     (0 until mult).map { k =>
@@ -32,6 +88,19 @@ object ScaleRehearsal {
         .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"c${k}_$$1"))
     }.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$scaled/documents.parquet")
+
+    // embeddings xN: vec_id offset + circular dimension rotation per
+    // copy — a permutation (orthogonal), so intra-copy cosine
+    // structure is EXACT while cross-copy dots decorrelate: workload
+    // grows ~N x without manufactured cross-copy near-dup cliques
+    val emb = spark.read.parquet(s"$base/embeddings.parquet")
+      .select(col("vec_id"), graft.sim.Similarity.asDouble(col("embedding")).as("embedding"))
+    (0 until mult).map { k =>
+      val rot = if (k == 0) col("embedding")
+        else concat(slice(col("embedding"), k + 1, EmbedDims - k), slice(col("embedding"), 1, k))
+      emb.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"), rot.as("embedding"))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$scaled/embeddings.parquet")
 
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
@@ -42,7 +111,23 @@ object ScaleRehearsal {
       ChainQueries.foreach(q => time(q, dir)) // warm
       val qs = ChainQueries.map(q => "\"" + q + "\":" + time(q, dir))
         .mkString("{", ",", "}")
-      println(s"""{"metric":"scale_rehearsal","scale":"$label","dir":"$dir","queries":$qs}""")
+      // plane count scaled so buckets grow with the corpus:
+      // occupancy ~ n / (bands * 2^planes) stays ~constant
+      val planes = if (label == "1x") 8
+        else 8 + (math.log(mult.toDouble) / math.log(2.0)).round.toInt
+      embedPairs(spark, dir, planes) // warm
+      val t0 = System.nanoTime()
+      val pairs = embedPairs(spark, dir, planes)
+      val tEmbed = (System.nanoTime() - t0) / 1e9
+      // the CONTRAST case at the scaled point: planes NOT grown with
+      // the corpus — per-bucket occupancy x mult, pair work x mult^2
+      val fixed = if (label == "1x") "" else {
+        val t1 = System.nanoTime()
+        embedPairs(spark, dir, 8)
+        s""","embed_fixed8_sec":${(System.nanoTime() - t1) / 1e9}"""
+      }
+      println(s"""{"metric":"scale_rehearsal","scale":"$label","dir":"$dir","queries":$qs,""" +
+        s""""embed_planes":$planes,"embed_pairs":$pairs,"embed_sec":$tEmbed$fixed}""")
     }
     spark.stop()
   }
