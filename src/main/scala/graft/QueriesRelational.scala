@@ -460,7 +460,52 @@ object QueriesRelational {
       .orderBy("c_mktsegment")
   }
 
+  /** Ordered conversion funnel (view → click → purchase, each stage
+    * strictly after the previous one's first event): three per-user
+    * min-timestamp aggregates chained by join, each shuffling only the
+    * filtered stage slice on user_id — never a per-user event sort.
+    * Stage labels carry an ordinal prefix so the output order is a
+    * plain column sort in both engines.
+    */
+  private val qFunnel: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("event_type"), col("ts_ms"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts_ms")).as("t_view"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts_ms") > col("t_view"))
+      .groupBy("user_id").agg(min(col("ts_ms")).as("t_click"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts_ms") > col("t_click"))
+      .groupBy("user_id").agg(min(col("ts_ms")).as("t_purchase"))
+    v.select(lit("1_view").as("stage"))
+      .unionAll(c.select(lit("2_click").as("stage")))
+      .unionAll(p.select(lit("3_purchase").as("stage")))
+      .groupBy("stage").agg(count(lit(1)).as("users"))
+      .orderBy("stage")
+  }
+
+  private val WeekMs = 7L * 86400000L
+
+  /** Weekly retention cohorts: cohort = a user's first active week
+    * (integer epoch-week — pure integer math, no calendar/timezone
+    * parity risk), retention = distinct users active at each week
+    * offset from their cohort. Two shuffles on user_id + one on the
+    * (cohort, offset) pair — the standard growth-analytics rollup.
+    */
+  private val qCohort: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr(s"ts_ms div $WeekMs").as("wk"))
+    val first = ev.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+    ev.join(first, "user_id")
+      .select(col("user_id"), col("cohort"), (col("wk") - col("cohort")).as("week_offset"))
+      .distinct()
+      .groupBy("cohort", "week_offset").agg(count(lit(1)).as("active_users"))
+      .orderBy("cohort", "week_offset")
+  }
+
   val all: Map[String, Q] = Map(
+    "q58_funnel" -> qFunnel,
+    "q59_cohort" -> qCohort,
     "q46_range_join" -> qRangeJoin,
     "q47_zorder" -> qZorder,
     "q50_json_extract" -> qJsonExtract,
@@ -482,6 +527,26 @@ object QueriesRelational {
     "q35_router_access" -> qRouterAccess)
 
   val oracles: Map[String, String] = Map(
+    "q58_funnel" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+         |v AS (SELECT user_id, min(ts_ms) AS t_view FROM e
+         |      WHERE event_type = 'view' GROUP BY 1),
+         |c AS (SELECT e.user_id, min(e.ts_ms) AS t_click FROM e JOIN v USING (user_id)
+         |      WHERE e.event_type = 'click' AND e.ts_ms > v.t_view GROUP BY 1),
+         |p AS (SELECT e.user_id, min(e.ts_ms) AS t_purchase FROM e JOIN c USING (user_id)
+         |      WHERE e.event_type = 'purchase' AND e.ts_ms > c.t_click GROUP BY 1),
+         |u AS (SELECT '1_view' AS stage FROM v
+         |      UNION ALL SELECT '2_click' FROM c
+         |      UNION ALL SELECT '3_purchase' FROM p)
+         |SELECT stage, count(*) AS users FROM u GROUP BY 1 ORDER BY stage""".stripMargin,
+
+    "q59_cohort" ->
+      s"""WITH e AS (SELECT user_id, epoch_ms(ts) // $WeekMs AS wk FROM events),
+         |f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY 1),
+         |a AS (SELECT DISTINCT e.user_id, f.cohort, e.wk - f.cohort AS week_offset
+         |      FROM e JOIN f USING (user_id))
+         |SELECT cohort, week_offset, count(*) AS active_users
+         |FROM a GROUP BY 1, 2 ORDER BY cohort, week_offset""".stripMargin,
     "q50_json_extract" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
