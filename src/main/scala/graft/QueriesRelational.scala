@@ -503,7 +503,42 @@ object QueriesRelational {
       .orderBy("cohort", "week_offset")
   }
 
+  private val HourMs = 3600000L
+
+  /** Hourly gap-fill / resample with forward fill — the metrics
+    * downsampling op: each (event_type, hour) grid point carries the
+    * last observed `value` at or before that hour's end. NO join and
+    * NO broadcast: grid points union with observations and a
+    * PARTITIONED window (per event_type, ordered so a grid point
+    * sorts after its hour's observations) forward-fills via
+    * last(ignoreNulls) — the shape that scales to arbitrarily many
+    * series, since each series fills independently. Hours before a
+    * series' first observation stay null (left edge). Values are
+    * copied, never computed — cross-engine hash-exact without
+    * rounding.
+    */
+  private val qGapfill: Q = (spark, dir) => {
+    val e = Tables.events(spark, dir).select(col("event_type"), col("ts_ms"), col("value"))
+    val b = e.agg(expr(s"min(ts_ms) div $HourMs").as("h0"),
+      expr(s"max(ts_ms) div $HourMs").as("h1"))
+    val grid = e.select("event_type").distinct().crossJoin(broadcast(b))
+      .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("hr"))
+      .select(col("event_type"), col("hr"), ((col("hr") + 1) * HourMs).as("ts_ms"),
+        lit(null).cast("double").as("value"), lit(1).as("m"))
+    val obs = e.select(col("event_type"), expr(s"ts_ms div $HourMs").as("hr"),
+      col("ts_ms"), col("value"), lit(0).as("m"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("hr"), col("m"), col("ts_ms"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    obs.unionAll(grid)
+      .withColumn("filled", last(col("value"), ignoreNulls = true).over(w))
+      .filter(col("m") === 1)
+      .select(col("event_type"), col("hr"), col("filled"))
+      .orderBy("event_type", "hr")
+  }
+
   val all: Map[String, Q] = Map(
+    "q60_gapfill" -> qGapfill,
     "q58_funnel" -> qFunnel,
     "q59_cohort" -> qCohort,
     "q46_range_join" -> qRangeJoin,
@@ -527,6 +562,22 @@ object QueriesRelational {
     "q35_router_access" -> qRouterAccess)
 
   val oracles: Map[String, String] = Map(
+    "q60_gapfill" ->
+      s"""WITH e AS (SELECT event_type, epoch_ms(ts) AS ts_ms, value FROM events),
+         |b AS (SELECT min(ts_ms) // $HourMs AS h0, max(ts_ms) // $HourMs AS h1 FROM e),
+         |ty AS (SELECT DISTINCT event_type FROM e),
+         |grid AS (SELECT event_type, unnest(range(h0, h1 + 1)) AS hr FROM ty, b),
+         |g2 AS (SELECT event_type, hr, (hr + 1) * $HourMs AS ts_ms,
+         |       CAST(NULL AS DOUBLE) AS value, 1 AS m FROM grid),
+         |obs AS (SELECT event_type, ts_ms // $HourMs AS hr, ts_ms, value, 0 AS m FROM e),
+         |u AS (SELECT * FROM obs UNION ALL SELECT * FROM g2),
+         |f AS (SELECT event_type, hr, m,
+         |  last_value(value IGNORE NULLS) OVER (PARTITION BY event_type
+         |    ORDER BY hr, m, ts_ms
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled FROM u)
+         |SELECT event_type, hr, filled FROM f WHERE m = 1
+         |ORDER BY event_type, hr""".stripMargin,
+
     "q58_funnel" ->
       s"""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
          |v AS (SELECT user_id, min(ts_ms) AS t_view FROM e
