@@ -184,10 +184,11 @@ object Queries {
     "q36_enrich_origin" -> qEnrichOrigin,
     "q14_computed" -> qComputed,
     "q15_retention" -> qRetention
-  ) ++ QueriesTraining.all ++ QueriesRelational.all ++ QueriesCuration.all
+  ) ++ QueriesTraining.all ++ QueriesRelational.all ++ QueriesCuration.all ++
+    QueriesAnalytics.all
 
   val oracles: Map[String, String] = QueriesTraining.oracles ++ QueriesRelational.oracles ++
-    QueriesCuration.oracles ++ Map(
+    QueriesCuration.oracles ++ QueriesAnalytics.oracles ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,

@@ -1,0 +1,274 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Round-6 analytics battery additions: deterministic dataset split,
+  * star-schema join, iterative PageRank, grok-fed latency histogram,
+  * and moving-window anomaly stats. Every query has a DuckDB oracle
+  * twin in [[oracles]] (same column names, same ORDER BY).
+  */
+object QueriesAnalytics {
+
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** q61: deterministic train/val/test split. The assignment is a pure
+    * per-row function of the stable doc_id — `md5` hex prefix ranges
+    * ('00'..'cc' → train ≈ 80%, 'cd'..'e6' → val ≈ 10%, rest → test) —
+    * so it is reproducible across runs, engines, partitionings, and
+    * corpus growth (a new doc never moves an old one between splits,
+    * unlike `randomSplit` or anything keyed on row position). The
+    * split column itself is the operator; the aggregate is the audit:
+    * per-split doc count, char volume, and an id checksum that proves
+    * membership equality against the oracle, not just counts.
+    *
+    * Scale: narrow codegen projection + one tiny aggregate; no
+    * shuffle wider than 3 rows. At 100 TB the same expression becomes
+    * a partition column on write (`partitionBy("split")`).
+    */
+  private val qSplit: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents")
+    val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+    val split = when(bucket < "cd", lit("train"))
+      .when(bucket < "e7", lit("val"))
+      .otherwise(lit("test"))
+    docs.select(split.as("split"), col("n_chars"), col("doc_id"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("total_chars"),
+        sum("doc_id").as("id_checksum"))
+      .orderBy("split")
+  }
+
+  /** q62: TPC-H Q5-shaped star join — local-supplier revenue per
+    * nation for one region-year (1996, ASIA). The fact path (lineitem ⋈ orders) is
+    * the single unavoidable shuffle, on the join key both sides
+    * already share; every dimension (customer, supplier, nation,
+    * region) rides in as a broadcast hash join, so the fact table
+    * streams through the plan exactly once with no further exchange.
+    * The orderdate filter and the 4-column fact projection reach the
+    * parquet scan (PushedFilters / ReadSchema — guarded by
+    * `PlanShapeSpec`).
+    *
+    * Scale: dims are ~1e-4 of fact bytes in TPC-H and in the
+    * reference's app/space/org model alike — broadcast is the right
+    * call at any SF; AQE would pick it even unhinted, the hint makes
+    * the plan deterministic.
+    */
+  private val qStarJoin: Q = (spark, dir) => {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+    val ord = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables(spark, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val nat = Tables(spark, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val reg = Tables(spark, dir, "region")
+      .filter(col("r_name") === "ASIA").select(col("r_regionkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy("n_name")
+  }
+
+  private[graft] val PrIters = 3
+  private[graft] val PrDamping = 0.85
+
+  /** q63: PageRank over the customer↔supplier trade graph (distinct
+    * (custkey, suppkey) pairs from orders ⋈ lineitem, symmetrized so
+    * no node dangles; node ids disambiguated as 10k / 10k+1). Classic
+    * bulk-synchronous iteration expressed as a Catalyst plan: each of
+    * the [[PrIters]] rounds is ONE join + ONE aggregate — rank mass
+    * flows src→dst as rank/degree, the new rank is
+    * (1-d) + d·Σ contributions.
+    *
+    * Scale: the edge set (with out-degree attached) is materialized
+    * ONCE via localCheckpoint, pre-hashed on src, and reused by every
+    * iteration — ranks (small, 1 row/node) are the only thing that
+    * reshuffles per round. This is the CC loop's shape ([[dedup.Dedup
+    * .connectedComponents]]) with weighted messages; at 100 TB of
+    * edges each round is a single co-partitioned shuffle join, and
+    * iteration count is fixed, not data-dependent.
+    */
+  private val qPageRank: Q = (spark, dir) => {
+    val ord = Tables(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val trade = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 10).as("c"), (col("l_suppkey") * 10 + 1).as("s"))
+      .distinct()
+    val edges = trade.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(trade.select(col("s").as("src"), col("c").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // one eager materialization: iterations re-read this, not the
+    // upstream distinct (lineage-free, freed with the frame)
+    val ew = edges.join(deg, "src").repartition(col("src")).localCheckpoint()
+    var ranks = ew.select(col("src").as("node")).distinct()
+      .withColumn("pr", lit(1.0))
+    for (_ <- 1 to PrIters) {
+      ranks = ew.join(ranks, ew("src") === ranks("node"))
+        .select(col("dst"), (col("pr") / col("deg")).as("contrib"))
+        .groupBy("dst")
+        .agg((lit(1 - PrDamping) + lit(PrDamping) * sum(col("contrib"))).as("pr"))
+        .select(col("dst").as("node"), col("pr"))
+    }
+    ranks.orderBy("node")
+  }
+
+  private[graft] val LatencyBucketMs = 250L
+
+  /** q64: response-time histogram from grok-PARSED access logs — the
+    * reference's gorouter lines (q35's synthesis) pushed through two
+    * grok extracts: the full 22-capture ROUTERACCESS for the typed
+    * status code, and a narrow unanchored `response_time:
+    * %{INT}.%{INT}` for exact integer seconds/millis (the :float
+    * capture would round-trip through a double; int parts keep the
+    * bucket math engine-exact). Buckets are [[LatencyBucketMs]]-wide
+    * per status class.
+    *
+    * Scale: parse + bucket is a narrow codegen projection (grok
+    * expressions implement doGenCode); the aggregate output is
+    * O(status × buckets) = dozens of rows regardless of corpus size.
+    */
+  private val qLatencyHist: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+    val noTags = lit(null).cast("map<string,string>")
+    val parsed = ev.withColumn("family",
+        pipeline.Classifier.family(QueriesRelational.routerSourceInstance, noTags,
+          lit("OTHER"), includeDormant = true))
+      .filter(col("family") === "gorouter_access")
+      .withColumn("g", graft.functions.grok_extract(QueriesRelational.routerAccessLine,
+        pipeline.Classifier.allFamilyPatterns("gorouter_access")))
+      .withColumn("rt", graft.functions.grok_extract(QueriesRelational.routerAccessLine,
+        """response_time:%{INT:rt_s:int}\.%{INT:rt_ms:int} """))
+      .select(col("g.rtr_status").as("status"),
+        (col("rt.rt_s") * 1000 + col("rt.rt_ms")).as("millis"))
+    parsed
+      .groupBy(col("status"), (col("millis") / LatencyBucketMs).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        min("millis").as("min_ms"), max("millis").as("max_ms"))
+      .orderBy("status", "bucket")
+  }
+
+  private[graft] val MaWindow = 7
+  private[graft] val SpikeFactor = 1.5
+
+  /** q65: moving-window revenue stats with anomaly flags — per-nation
+    * daily revenue, a [[MaWindow]]-observation trailing moving
+    * average (full windows only, so every row's frame is exactly 7
+    * observations), and a spike flag where the day exceeds
+    * [[SpikeFactor]]× its trailing mean.
+    *
+    * Scale: the window is PARTITIONED by nation — each series sorts
+    * independently inside its hash partition, no global sort, no
+    * single-partition WindowExec (PlanShapeSpec guards the battery).
+    * Daily pre-aggregation shrinks the fact table to |nation × day|
+    * before any window state is built.
+    */
+  private val qMovingStats: Q = (spark, dir) => {
+    val cust = Tables(spark, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val nat = Tables(spark, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    val daily = Tables(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_totalprice"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("day"))
+      .agg(sum(col("o_totalprice")).as("revenue"))
+    val w = Window.partitionBy("n_name").orderBy("day")
+      .rowsBetween(-(MaWindow - 1), Window.currentRow)
+    daily
+      .withColumn("ma7", avg("revenue").over(w))
+      .withColumn("n7", count(lit(1)).over(w))
+      .filter(col("n7") === MaWindow)
+      .select(col("n_name"), col("day"), col("revenue"), col("ma7"),
+        (col("revenue") > col("ma7") * SpikeFactor).cast("int").as("spike"))
+      .orderBy("n_name", "day")
+  }
+
+  val all: Map[String, Q] = Map(
+    "q61_split" -> qSplit,
+    "q62_star_join" -> qStarJoin,
+    "q63_pagerank" -> qPageRank,
+    "q64_latency_hist" -> qLatencyHist,
+    "q65_moving_stats" -> qMovingStats)
+
+  /** Unrolled PageRank iteration CTEs (r1..rN) for the oracle. */
+  private def prRounds: String =
+    (1 to PrIters).map { i =>
+      s"""r$i AS (SELECT ew.dst AS node,
+         |  ${1 - PrDamping} + $PrDamping * sum(r${i - 1}.pr / ew.deg) AS pr
+         |  FROM ew JOIN r${i - 1} ON r${i - 1}.node = ew.src GROUP BY ew.dst)"""
+        .stripMargin
+    }.mkString(",\n")
+
+  val oracles: Map[String, String] = Map(
+    "q61_split" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS b FROM documents),
+        |s AS (SELECT doc_id, n_chars,
+        |  CASE WHEN b < 'cd' THEN 'train'
+        |       WHEN b < 'e7' THEN 'val' ELSE 'test' END AS split FROM d)
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
+
+    "q62_star_join" ->
+      """SELECT n_name,
+        |  sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q63_pagerank" ->
+      s"""WITH trade AS (SELECT DISTINCT o_custkey * 10 AS c, l_suppkey * 10 + 1 AS s
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |edges AS (SELECT c AS src, s AS dst FROM trade
+         |  UNION ALL SELECT s AS src, c AS dst FROM trade),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+         |ew AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+         |r0 AS (SELECT DISTINCT src AS node, CAST(1.0 AS DOUBLE) AS pr FROM edges),
+         |$prRounds
+         |SELECT node, pr FROM r$PrIters ORDER BY node""".stripMargin,
+
+    "q64_latency_hist" ->
+      s"""WITH p AS (SELECT 200 + (user_id % 3) * 100 AS status,
+         |  (event_id % 10) * 1000 + (event_id % 1000) AS millis
+         |  FROM events WHERE event_type <> 'error')
+         |SELECT status, millis // $LatencyBucketMs AS bucket, count(*) AS cnt,
+         |  min(millis) AS min_ms, max(millis) AS max_ms
+         |FROM p GROUP BY status, bucket ORDER BY status, bucket""".stripMargin,
+
+    "q65_moving_stats" ->
+      s"""WITH daily AS (SELECT n_name, strftime(o_orderdate, '%Y-%m-%d') AS day,
+         |  sum(o_totalprice) AS revenue
+         |  FROM orders
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  GROUP BY n_name, day),
+         |w AS (SELECT n_name, day, revenue,
+         |  avg(revenue) OVER (PARTITION BY n_name ORDER BY day
+         |    ROWS BETWEEN ${MaWindow - 1} PRECEDING AND CURRENT ROW) AS ma7,
+         |  count(*) OVER (PARTITION BY n_name ORDER BY day
+         |    ROWS BETWEEN ${MaWindow - 1} PRECEDING AND CURRENT ROW) AS n7
+         |  FROM daily)
+         |SELECT n_name, day, revenue, ma7,
+         |  CAST(revenue > ma7 * $SpikeFactor AS INT) AS spike
+         |FROM w WHERE n7 = $MaWindow ORDER BY n_name, day""".stripMargin)
+}

@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -200,9 +200,11 @@ object QueriesRelational {
     * is a pure function of the events row, so the DuckDB oracle
     * recomputes the parse output without the grok engine.
     */
-  private val qRouterAccess: Q = (spark, dir) => {
-    val ev = Tables.events(spark, dir)
-    val line = format_string(
+  /** Synthesized gorouter access-log line, every field a pure function
+    * of the events row (so oracles can recompute parse output without
+    * the grok engine). Shared by q35 and q64.
+    */
+  private[graft] def routerAccessLine: Column = format_string(
       "app-%d.example.gov.au - [%s+0000] \"%s /api/%s/%d HTTP/1.1\" %d %d %d " +
         "\"-\" \"Mozilla/5.0\" \"10.0.0.9:%d\" \"10.0.1.12:%d\" " +
         "x_forwarded_for:\"203.0.113.7\" x_forwarded_proto:\"https\" " +
@@ -224,11 +226,20 @@ object QueriesRelational {
       format_string("%08d-0000-4000-8000-%012d", col("user_id"), col("user_id")),
       col("user_id") % 4,
       col("event_id"), col("event_id"), col("event_id"))
-    // dormant routing is exercised for real: errors masquerade as
-    // /var/log sources (→ linux_logs, filtered), the rest as gorouter
-    // access logs (→ gorouter_access, parsed)
-    val si = when(col("event_type") === "error", lit("/var/log/messages"))
+
+  /** The dormant-route source_instance: errors masquerade as /var/log
+    * sources (→ linux_logs, filtered), the rest as gorouter access
+    * logs (→ gorouter_access, parsed). Shared by q35 and q64.
+    */
+  private[graft] def routerSourceInstance: Column =
+    when(col("event_type") === "error", lit("/var/log/messages"))
       .otherwise(lit("/var/vcap/sys/log/gorouter/access.log"))
+
+  private val qRouterAccess: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+    val line = routerAccessLine
+    // dormant routing is exercised for real (see routerSourceInstance)
+    val si = routerSourceInstance
     val noTags = lit(null).cast("map<string,string>")
     ev.withColumn("family",
         pipeline.Classifier.family(si, noTags, lit("OTHER"), includeDormant = true))

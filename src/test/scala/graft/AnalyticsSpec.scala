@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the round-6 analytics queries that the DuckDB oracle
+  * cannot express (determinism under repartitioning, conservation
+  * laws) — the oracle already pins the exact values.
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.get("local[4]", "4")
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q61 split assignment is a pure row function: stable under repartitioning") {
+    val docs = Tables(spark, dir, "documents")
+    val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+    val split = when(bucket < "cd", lit("train"))
+      .when(bucket < "e7", lit("val")).otherwise(lit("test"))
+    val a = docs.select(col("doc_id"), split.as("split"))
+    val b = docs.repartition(13).select(col("doc_id"), split.as("split"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // partition: every doc lands in exactly one split
+    assert(a.count() === docs.count())
+    // ratios in sane bands (md5 prefix is uniform: 205/26/25 of 256)
+    val bysplit = a.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = docs.count().toDouble
+    assert(bysplit("train") / n > 0.7 && bysplit("train") / n < 0.9)
+    assert(bysplit("val") / n > 0.03 && bysplit("val") / n < 0.2)
+    assert(bysplit("test") / n > 0.03 && bysplit("test") / n < 0.2)
+  }
+
+  test("q63 pagerank conserves rank mass each sweep (sum pr == node count)") {
+    // symmetrized graph, no dangling mass: Σ pr stays exactly N through
+    // every iteration — a wrong join key, lost nodes, or a dropped
+    // degree normalization all break this immediately.
+    val df = Queries.all("q63_pagerank")(spark, dir)
+    val agg = df.agg(sum("pr").as("mass"), count(lit(1)).as("n")).collect()(0)
+    val mass = agg.getDouble(0)
+    val n = agg.getLong(1).toDouble
+    assert(math.abs(mass - n) / n < 1e-9, s"mass $mass drifted from n $n")
+  }
+
+  test("q64 grok-parsed latency histogram equals the direct computation") {
+    // the same histogram computed WITHOUT grok (fields derived
+    // arithmetically, as the oracle does) — proves the parse chain
+    // extracts exactly the synthesized values.
+    val direct = Tables.events(spark, dir)
+      .filter(col("event_type") =!= "error")
+      .select((lit(200) + (col("user_id") % 3) * 100).cast("int").as("status"),
+        ((col("event_id") % 10) * 1000 + col("event_id") % 1000).as("millis"))
+      .groupBy(col("status"),
+        (col("millis") / QueriesAnalytics.LatencyBucketMs).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        min("millis").as("min_ms"), max("millis").as("max_ms"))
+    val parsed = Queries.all("q64_latency_hist")(spark, dir)
+    assert(parsed.exceptAll(direct).isEmpty && direct.exceptAll(parsed).isEmpty)
+  }
+}

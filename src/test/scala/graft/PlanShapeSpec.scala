@@ -109,6 +109,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no join keyed on the banded bucket:\n$p")
   }
 
+  test("q62_star_join: dims broadcast, orderdate filter reaches the scan") {
+    val p = plan(Queries.all("q62_star_join")(spark, dir))
+    // all four dimension joins are broadcast hash joins (the fact-fact
+    // lineitem⋈orders exchange is the only shuffle the plan needs)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4,
+      s"expected 4+ broadcast dim joins:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      s"orderdate filter not pushed to the orders scan:\n$p")
+    // fact projection pruned: no lineitem columns beyond the 4 used
+    assert(!p.contains("l_partkey") && !p.contains("l_shipdate"))
+  }
+
   test("grok capture pruning fires on a multi-capture pattern over a real scan") {
     // %{GENERIC} yields 2 captures (GENERIC + log_event,
     // NamedCapturesOnly=false); selecting one prunes the other.
