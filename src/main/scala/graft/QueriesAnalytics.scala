@@ -194,7 +194,32 @@ object QueriesAnalytics {
       .orderBy("n_name", "day")
   }
 
+  /** q68: the SQL front end, exercised as a first-class surface — ONE
+    * dialect-neutral ANSI text (TPC-H Q4 shape: orders with a
+    * late-shipping line item, via EXISTS) runs verbatim through
+    * `spark.sql` over registered views AND as its own DuckDB oracle.
+    * Catalyst rewrites the correlated EXISTS to a left-semi join on
+    * the order key — at scale that is one fact-fact shuffle that
+    * never materializes the matched lineitems.
+    */
+  private[graft] val SqlExistsText: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  private val qSqlExists: Q = (spark, dir) => {
+    Seq("orders", "lineitem")
+      .foreach(t => Tables(spark, dir, t).createOrReplaceTempView(t))
+    spark.sql(SqlExistsText)
+  }
+
   val all: Map[String, Q] = Map(
+    "q68_sql_exists" -> qSqlExists,
     "q61_split" -> qSplit,
     "q62_star_join" -> qStarJoin,
     "q63_pagerank" -> qPageRank,
@@ -211,6 +236,8 @@ object QueriesAnalytics {
     }.mkString(",\n")
 
   val oracles: Map[String, String] = Map(
+    // the whole point: the oracle IS the Spark-side SQL text
+    "q68_sql_exists" -> SqlExistsText,
     "q61_split" ->
       """WITH d AS (SELECT doc_id, n_chars,
         |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS b FROM documents),

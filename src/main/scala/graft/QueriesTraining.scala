@@ -416,6 +416,58 @@ object QueriesTraining {
       .orderBy("cluster_size")
   }
 
+  private[graft] val SpanN = 8
+  private[graft] val EditPfxLen = 80
+  private[graft] val EditMaxDist = 40
+
+  /** Cross-document repeated-span audit (the memorization-risk
+    * signal exact-substring dedup acts on): per doc, how many of its
+    * distinct [[SpanN]]-gram token spans also occur in ANOTHER
+    * document. dup_bp is integer basis points (engine-exact `div`,
+    * no float ratio).
+    *
+    * Scale: spans shuffle as md5-sized group keys twice (df count,
+    * then doc re-aggregation) — text itself never moves after the
+    * explode; both aggregates partial-combine map-side.
+    */
+  private val qDupSpans: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents")
+    val sh8 = Dedup.fanOut(docs.select(col("doc_id"), col("text")), col("doc_id"))
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), Dedup.shinglesFromTokens(col("toks"), SpanN).as("sh"))
+    val spans = sh8.select(col("doc_id"), explode_outer(col("sh")).as("span"))
+    // doc frequency per span; spans are per-doc distinct, so count =
+    // number of documents containing the span
+    val spanDf = spans.groupBy("span").agg(count(lit(1)).as("df"))
+    spans.join(spanDf, "span")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_spans"), col("n_dup"),
+        expr("(n_dup * 10000) div n_spans").as("dup_bp"))
+      .orderBy("doc_id")
+  }
+
+  /** Edit-distance near-dup verify: LSH candidates re-checked with
+    * character-level Levenshtein over the normalized-text prefix —
+    * the cheap fuzzy-match verifier when token Jaccard is too coarse
+    * (e.g. small in-place edits that shift every shingle). Same
+    * scale shape as q22: exact verify touches ONLY candidate pairs.
+    */
+  private val qDedupEdit: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents")
+    val cands = Dedup.lshCandidates(sigs(spark, dir), "doc_id", "sig", 4, 4)
+    val pfx = docs.select(col("doc_id"),
+      substring(regexp_replace(trim(lower(col("text"))), "\\s+", " "), 1, EditPfxLen)
+        .as("pfx"))
+    cands.select("id_a", "id_b")
+      .join(pfx.select(col("doc_id").as("id_a"), col("pfx").as("pfx_a")), "id_a")
+      .join(pfx.select(col("doc_id").as("id_b"), col("pfx").as("pfx_b")), "id_b")
+      .select(col("id_a"), col("id_b"), levenshtein(col("pfx_a"), col("pfx_b")).as("lev"))
+      .filter(col("lev") <= EditMaxDist)
+      .orderBy("id_a", "id_b")
+  }
+
   private val ShardCount = 16
 
   /** Deterministic balanced training-shard assignment: rank docs by
@@ -437,6 +489,8 @@ object QueriesTraining {
   }
 
   val all: Map[String, Q] = Map(
+    "q66_dup_spans" -> qDupSpans,
+    "q67_dedup_edit" -> qDedupEdit,
     "q56_shard_assign" -> qShardAssign,
     "q55_dup_histogram" -> qDupHistogram,
     "q52_tfidf" -> qTfidf,
@@ -487,10 +541,17 @@ object QueriesTraining {
   private def codesSql(c: String = "text"): String =
     s"list_transform(range(1, length($c)+1), i -> unicode($c[i]))"
 
-  private[graft] val shinglesSql =
-    """CASE WHEN len(t) >= 3
-      |  THEN list_distinct(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
-      |  ELSE [array_to_string(t, ' ')] END""".stripMargin
+  /** n-gram token shingles with the same short-doc fallback as
+    * [[Dedup.shinglesFromTokens]]. */
+  private def shinglesNSql(n: Int): String = {
+    val gram = (0 until n).map(k => if (k == 0) "t[i]" else s"t[i+$k]")
+      .mkString(" || ' ' || ")
+    s"""CASE WHEN len(t) >= $n
+       |  THEN list_distinct(list_transform(range(1, len(t)-${n - 2}), i -> $gram))
+       |  ELSE [array_to_string(t, ' ')] END""".stripMargin
+  }
+
+  private[graft] val shinglesSql = shinglesNSql(3)
 
   private val sigElemsSql = (0 until 16)
     .map { j =>
@@ -560,6 +621,26 @@ object QueriesTraining {
   }
 
   val oracles: Map[String, String] = Map(
+    "q66_dup_spans" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sh AS (SELECT doc_id, ${shinglesNSql(SpanN)} AS s FROM toks),
+         |sp AS (SELECT doc_id, unnest(s) AS span FROM sh),
+         |df AS (SELECT span, count(*) AS df FROM sp GROUP BY span),
+         |j AS (SELECT doc_id, df FROM sp JOIN df USING (span)),
+         |a AS (SELECT doc_id, count(*) AS n_spans,
+         |  CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+         |  FROM j GROUP BY doc_id)
+         |SELECT doc_id, n_spans, n_dup, (n_dup * 10000) // n_spans AS dup_bp
+         |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q67_dedup_edit" ->
+      s"""$lshCandidateCtes,
+         |pfx AS (SELECT doc_id, substr($normTextSql, 1, $EditPfxLen) AS pfx FROM documents),
+         |l AS (SELECT id_a, id_b, levenshtein(a.pfx, b.pfx) AS lev
+         |  FROM cand JOIN pfx a ON a.doc_id = id_a JOIN pfx b ON b.doc_id = id_b)
+         |SELECT id_a, id_b, lev FROM l WHERE lev <= $EditMaxDist
+         |ORDER BY id_a, id_b""".stripMargin,
+
     "q56_shard_assign" ->
       s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
          |           FROM documents),
