@@ -218,8 +218,77 @@ object QueriesAnalytics {
     spark.sql(SqlExistsText)
   }
 
+  private[graft] val ChunkSize = 32
+  private[graft] val ChunkStride = 24
+
+  /** q69: document chunking — fixed [[ChunkSize]]-token windows at
+    * [[ChunkStride]] stride (8-token overlap), the unit-of-training
+    * transform every LLM pipeline runs between curation and shard
+    * write. Chunk count is exact integer math; each chunk is audited
+    * by its token span and an md5 of the joined slice, so the oracle
+    * pins CONTENT, not just counts.
+    *
+    * Scale: tokens are materialized once per doc (attribute, not a
+    * re-split per chunk — the HOF trap), chunks explode to
+    * O(tokens/stride) rows per doc, and nothing shuffles until the
+    * final ORDER BY; at 100 TB this is the map-only stage feeding
+    * q56's shard assignment.
+    */
+  private val qChunking: Q = (spark, dir) => {
+    val docs = dedup.Dedup.fanOut(
+      Tables(spark, dir, "documents").select(col("doc_id"), col("text")), col("doc_id"))
+    val t = docs.select(col("doc_id"), text.TextAnalysis.tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("n"))
+      .withColumn("nc", when(col("n") <= ChunkSize, lit(1L))
+        .otherwise(expr(s"(n - $ChunkSize + ${ChunkStride - 1}) div $ChunkStride") + 1L))
+    t.select(col("doc_id"), col("t"), col("n"),
+        explode_outer(sequence(lit(0L), col("nc") - 1L)).as("chunk_id"))
+      .withColumn("chunk_start", col("chunk_id") * ChunkStride + 1L)
+      .withColumn("chunk_tokens", least(lit(ChunkSize.toLong), col("n") - col("chunk_id") * ChunkStride))
+      .select(col("doc_id"), col("chunk_id"), col("chunk_start"), col("chunk_tokens"),
+        md5(concat_ws(" ", slice(col("t"), col("chunk_start"), col("chunk_tokens"))))
+          .as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** q70: dimension snapshot diff — the delta a dimension-cache
+    * refresh must apply (the reference re-fills its app/space/org
+    * cache wholesale; at warehouse scale you diff snapshots and apply
+    * the delta). Two deterministic customer snapshots (t1 drops
+    * key%17, re-prices key%13, inserts key%11 clones) full-outer-join
+    * on the key into added/removed/changed/unchanged, audited by
+    * count and key checksum per status.
+    *
+    * Scale: one co-partitioned shuffle join on the snapshot key;
+    * status classification is a codegen projection; output is 4 rows
+    * regardless of dimension size.
+    */
+  private val qSnapshotDiff: Q = (spark, dir) => {
+    val c = Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("k"), col("c_name").as("name"), col("c_acctbal").as("bal"))
+    val t0 = c
+    val t1 = c.filter(col("k") % 17 =!= 0)
+      .select(col("k"), col("name"),
+        when(col("k") % 13 === 0, col("bal") + 100.0).otherwise(col("bal")).as("bal"))
+      .unionAll(c.filter(col("k") % 11 === 0)
+        .select((col("k") + 200000L).as("k"), col("name"), col("bal")))
+    val a = t0.select(col("k"), col("name").as("name_a"), col("bal").as("bal_a"))
+    val b = t1.select(col("k"), col("name").as("name_b"), col("bal").as("bal_b"))
+    a.join(b, Seq("k"), "full_outer")
+      .select(col("k"),
+        when(col("name_a").isNull, lit("added"))
+          .when(col("name_b").isNull, lit("removed"))
+          .when(col("name_a") =!= col("name_b") || col("bal_a") =!= col("bal_b"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"), sum("k").as("key_checksum"))
+      .orderBy("status")
+  }
+
   val all: Map[String, Q] = Map(
     "q68_sql_exists" -> qSqlExists,
+    "q69_chunking" -> qChunking,
+    "q70_snapshot_diff" -> qSnapshotDiff,
     "q61_split" -> qSplit,
     "q62_star_join" -> qStarJoin,
     "q63_pagerank" -> qPageRank,
@@ -238,6 +307,36 @@ object QueriesAnalytics {
   val oracles: Map[String, String] = Map(
     // the whole point: the oracle IS the Spark-side SQL text
     "q68_sql_exists" -> SqlExistsText,
+
+    "q69_chunking" ->
+      s"""WITH toks AS (SELECT doc_id, ${QueriesTraining.toksSql} AS t FROM documents),
+         |c AS (SELECT doc_id, t, len(t) AS n,
+         |  CASE WHEN len(t) <= $ChunkSize THEN 1
+         |       ELSE (len(t) - $ChunkSize + ${ChunkStride - 1}) // $ChunkStride + 1
+         |  END AS nc FROM toks),
+         |e AS (SELECT doc_id, t, n, unnest(range(0, nc)) AS chunk_id FROM c)
+         |SELECT doc_id, chunk_id, chunk_id * $ChunkStride + 1 AS chunk_start,
+         |  least($ChunkSize, n - chunk_id * $ChunkStride) AS chunk_tokens,
+         |  md5(array_to_string(
+         |    t[(chunk_id * $ChunkStride + 1):(chunk_id * $ChunkStride + least($ChunkSize, n - chunk_id * $ChunkStride))],
+         |    ' ')) AS chunk_md5
+         |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q70_snapshot_diff" ->
+      """WITH c AS (SELECT c_custkey AS k, c_name AS name, c_acctbal AS bal FROM customer),
+        |t1 AS (SELECT k, name,
+        |    CASE WHEN k % 13 = 0 THEN bal + 100.0 ELSE bal END AS bal
+        |  FROM c WHERE k % 17 <> 0
+        |  UNION ALL
+        |  SELECT k + 200000 AS k, name, bal FROM c WHERE k % 11 = 0),
+        |d AS (SELECT coalesce(a.k, b.k) AS k,
+        |  CASE WHEN a.name IS NULL THEN 'added'
+        |       WHEN b.name IS NULL THEN 'removed'
+        |       WHEN a.name <> b.name OR a.bal <> b.bal THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |  FROM c a FULL OUTER JOIN t1 b ON a.k = b.k)
+        |SELECT status, count(*) AS n, CAST(sum(k) AS BIGINT) AS key_checksum
+        |FROM d GROUP BY status ORDER BY status""".stripMargin,
     "q61_split" ->
       """WITH d AS (SELECT doc_id, n_chars,
         |  substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS b FROM documents),
