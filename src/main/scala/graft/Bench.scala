@@ -24,15 +24,24 @@ object Bench {
       s"valid: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
     val selected = (if (args.nonEmpty) SparkEntry.queries.filter { case (n, _) => args.contains(n) }
       else SparkEntry.queries).toSeq.sortBy(_._1)
+    // Execute the DECLARED plan and discard rows. `df.count()` would
+    // wrap the query in Aggregate(count(1)) and let Catalyst prune
+    // every output column — a projection-shaped query (q35, q69, ...)
+    // then benches as a bare scan count, never paying its parse /
+    // decode / sort. toRdd runs the query's own executed plan
+    // (including AQE) to completion — the null-sink measure.
+    def execute(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.queryExecution.toRdd.count(): Unit
+    }
     // warm the JVM/codegen once on the smallest scale so the measured
     // numbers reflect steady-state execution, not first-query JIT.
     selected.foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").count()
+      try execute(fn(spark, "/root/testdata/sf0.001"))
       catch { case _: Throwable => () }
     }
     def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      val ok = try { execute(fn(spark, sfDir)); true } catch { case _: Throwable => false }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
     val runs = 3

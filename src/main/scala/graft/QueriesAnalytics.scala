@@ -139,7 +139,8 @@ object QueriesAnalytics {
     * O(status × buckets) = dozens of rows regardless of corpus size.
     */
   private val qLatencyHist: Q = (spark, dir) => {
-    val ev = Tables.events(spark, dir)
+    // single-split local scans fan out before the parse (no-op at scale)
+    val ev = dedup.Dedup.fanOut(Tables.events(spark, dir), col("event_id"))
     val noTags = lit(null).cast("map<string,string>")
     val parsed = ev.withColumn("family",
         pipeline.Classifier.family(QueriesRelational.routerSourceInstance, noTags,

@@ -236,7 +236,9 @@ object QueriesRelational {
       .otherwise(lit("/var/vcap/sys/log/gorouter/access.log"))
 
   private val qRouterAccess: Q = (spark, dir) => {
-    val ev = Tables.events(spark, dir)
+    // fan a single-split local scan out before the per-row-expensive
+    // parse (no-op at real scale — see Dedup.fanOut)
+    val ev = graft.dedup.Dedup.fanOut(Tables.events(spark, dir), col("event_id"))
     val line = routerAccessLine
     // dormant routing is exercised for real (see routerSourceInstance)
     val si = routerSourceInstance

@@ -21,8 +21,13 @@ object QueriesTraining {
   // ---------------------------------------------------------------- text
 
   /** Tokenization + BPE-ish counting (SURVEY §7.4 text analysis). */
+  // per-row-expensive text stages fan single-split local scans out to
+  // full parallelism first (no-op at real scale — see Dedup.fanOut)
+  private def docsFanned(spark: SparkSession, dir: String): DataFrame =
+    Dedup.fanOut(Tables(spark, dir, "documents"), col("doc_id"))
+
   private val qTextTokens: Q = (spark, dir) => {
-    Tables(spark, dir, "documents").select(
+    docsFanned(spark, dir).select(
         col("doc_id"),
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
         TextAnalysis.bpeTokenCount(col("text")).cast("long").as("n_bpe"),
@@ -32,7 +37,7 @@ object QueriesTraining {
 
   /** Quality scoring: punctuation/stopword ratios + composite score. */
   private val qTextQuality: Q = (spark, dir) => {
-    Tables(spark, dir, "documents").select(
+    docsFanned(spark, dir).select(
         col("doc_id"),
         TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
         TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"),
@@ -42,7 +47,7 @@ object QueriesTraining {
 
   /** Language-ID heuristic (stopword-hit argmax). */
   private val qTextLangid: Q = (spark, dir) => {
-    Tables(spark, dir, "documents").select(
+    docsFanned(spark, dir).select(
         col("doc_id"), col("lang"),
         TextAnalysis.langId(col("text")).as("lang_pred"))
       .orderBy("doc_id")
@@ -50,7 +55,7 @@ object QueriesTraining {
 
   /** Document fingerprinting: rolling polynomial hash + md5 key. */
   private val qTextFingerprint: Q = (spark, dir) => {
-    Tables(spark, dir, "documents").select(
+    docsFanned(spark, dir).select(
         col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"),
         TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))

@@ -28,6 +28,9 @@ object functions {
   def vec_norm(a: Column): Column = col(VectorNorm(expr(a)))
   def vec_cosine(a: Column, b: Column): Column = col(VectorCosine(expr(a), expr(b)))
 
+  /** Codegen'd rolling polynomial text fingerprint; see [[graft.text.RollingHash]]. */
+  def rolling_hash(c: Column): Column = col(graft.text.RollingHash(expr(c)))
+
   private def literalString(e: Expression, fn: String): String = e match {
     case Literal(s, _: StringType) if s != null => s.toString
     case _ => throw new IllegalArgumentException(
@@ -45,5 +48,6 @@ object functions {
     Bridge.registerFunction(spark, "vec_dot", es => VectorDot(es.head, es(1)))
     Bridge.registerFunction(spark, "vec_norm", es => VectorNorm(es.head))
     Bridge.registerFunction(spark, "vec_cosine", es => VectorCosine(es.head, es(1)))
+    Bridge.registerFunction(spark, "rolling_hash", es => graft.text.RollingHash(es.head))
   }
 }

@@ -99,8 +99,18 @@ object TextAnalysis {
   /** Rolling polynomial fingerprint: fold (acc*131 + code) mod 1e9+7
     * over all codepoints. Exact integer math — hash-identical across
     * engines; stays < 2^63 at every step so no overflow anywhere.
+    * Native codegen expression ([[RollingHash]]); [[fingerprintHof]]
+    * is the built-ins-only twin it is spec-checked against.
     */
   def fingerprint(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      RollingHash(org.apache.spark.sql.graft.Bridge.expression(text)))
+
+  /** The same fold via interpreted higher-order built-ins — kept as
+    * the semantic reference for `TrainingOpsSpec`'s parity check (and
+    * as documentation that no UDF was ever needed here).
+    */
+  def fingerprintHof(text: Column): Column =
     aggregate(codepoints(text), lit(0L), (a, c) => (a * 131L + c) % 1000000007L)
 
   /** md5 of whitespace-normalized lowercase text — the exact-dup key. */

@@ -1,0 +1,67 @@
+package graft.text
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `rolling_hash(text)`: fold (acc·131 + codepoint) mod 1e9+7 over the
+  * string's Unicode code points.
+  *
+  * Semantics-identical to the HOF formulation
+  * `aggregate(transform(sequence(1, length(t)), i -> ascii(substr(t, i, 1))), 0L, ...)`
+  * (and to the DuckDB oracle's `unicode()` fold), but a native codegen
+  * expression: the HOF version is interpreted AND materializes an
+  * O(n) codepoint array per row with a fresh single-char UTF8String
+  * per element — ~50× slower on document-sized text, which made the
+  * fingerprint scan the single most expensive line of the round-6
+  * battery before this. Exact integer math, < 2^63 at every step.
+  */
+case class RollingHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"rolling_hash requires string input, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+
+  private[text] val Mod = 1000000007L
+  private[text] val Mult = 131L
+
+  override def nullSafeEval(input: Any): Any = {
+    val str = input.asInstanceOf[UTF8String].toString
+    var acc = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      acc = (acc * Mult + cp) % Mod
+      i += Character.charCount(cp)
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val str = ctx.freshName("str")
+      val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
+      val acc = ctx.freshName("acc")
+      s"""
+        java.lang.String $str = $s.toString();
+        long $acc = 0L;
+        int $i = 0;
+        while ($i < $str.length()) {
+          int $cp = $str.codePointAt($i);
+          $acc = ($acc * ${Mult}L + (long) $cp) % ${Mod}L;
+          $i += java.lang.Character.charCount($cp);
+        }
+        ${ev.value} = $acc;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}

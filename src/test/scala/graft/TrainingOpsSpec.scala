@@ -49,6 +49,23 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(one(TextAnalysis.fingerprint(col("text")), "ab") == expected)
   }
 
+  test("codegen rolling hash == interpreted HOF fold on real corpus + unicode edges") {
+    // the native RollingHash expression must be value-identical to the
+    // built-ins-only formulation the DuckDB oracle mirrors — checked
+    // over every sf0.001 document AND non-ASCII codepoint edge cases
+    import spark.implicits._
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("text"))
+      .unionAll(Seq("", " ", "héllo wörld", "日本語テキスト", "mixed ascii + 中文")
+        .toDF("text"))
+    val diff = docs.select(
+        TextAnalysis.fingerprint(col("text")).as("native"),
+        TextAnalysis.fingerprintHof(col("text")).as("hof"))
+      .filter(col("native") =!= col("hof") ||
+        col("native").isNull =!= col("hof").isNull)
+    assert(diff.isEmpty, s"native/HOF fingerprint mismatch: ${diff.head(3).toSeq}")
+  }
+
   test("shingles: distinct token 3-grams; short docs collapse to whole text") {
     val sh = one(Dedup.shingles(col("text")), "a b c d").asInstanceOf[scala.collection.Seq[String]]
     assert(sh.toSeq == Seq("a b c", "b c d"))
