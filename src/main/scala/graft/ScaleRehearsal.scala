@@ -19,7 +19,8 @@ import org.apache.spark.sql.functions._
 object ScaleRehearsal {
   private val ChainQueries = Seq(
     "q21_dedup_minhash", "q22_dedup_ngram", "q31_dedup_groups",
-    "q43_dedup_incremental", "q52_tfidf", "q53_unigram_xent")
+    "q43_dedup_incremental", "q52_tfidf", "q53_unigram_xent",
+    "q66_dup_spans", "q69_chunking")
 
   private val EmbedDims = 64
 
@@ -104,7 +105,9 @@ object ScaleRehearsal {
 
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir).count()
+      // execute the DECLARED plan (df.count() would column-prune
+      // projection-shaped queries to a scan count — see Bench)
+      SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count(): Unit
       (System.nanoTime() - t0) / 1e9
     }
     Seq("1x" -> base, s"${mult}x" -> scaled).foreach { case (label, dir) =>
