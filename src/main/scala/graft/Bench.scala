@@ -30,8 +30,12 @@ object Bench {
     // then benches as a bare scan count, never paying its parse /
     // decode / sort. toRdd runs the query's own executed plan
     // (including AQE) to completion — the null-sink measure.
+    // SPARK_GRAFT_BENCH_LEGACY=1 restores the pre-round-6 count()
+    // semantics for cross-round comparisons (see BASELINE.md §c).
+    val legacy = sys.env.get("SPARK_GRAFT_BENCH_LEGACY").contains("1")
     def execute(df: org.apache.spark.sql.DataFrame): Unit = {
-      df.queryExecution.toRdd.count(): Unit
+      if (legacy) df.count(): Unit
+      else df.queryExecution.toRdd.count(): Unit
     }
     // warm the JVM/codegen once on the smallest scale so the measured
     // numbers reflect steady-state execution, not first-query JIT.
