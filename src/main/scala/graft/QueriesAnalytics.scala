@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -26,13 +26,21 @@ object QueriesAnalytics {
     * Scale: narrow codegen projection + one tiny aggregate; no
     * shuffle wider than 3 rows. At 100 TB the same expression becomes
     * a partition column on write (`partitionBy("split")`).
+    *
+    * The assignment expression is shared with `AnalyticsSpec` so the
+    * determinism/ratio invariants guard the PRODUCTION expression, not
+    * a copy.
     */
-  private val qSplit: Q = (spark, dir) => {
-    val docs = Tables(spark, dir, "documents")
-    val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
-    val split = when(bucket < "cd", lit("train"))
+  private[graft] def splitAssignment(id: Column): Column = {
+    val bucket = substring(md5(id.cast("string").cast("binary")), 1, 2)
+    when(bucket < "cd", lit("train"))
       .when(bucket < "e7", lit("val"))
       .otherwise(lit("test"))
+  }
+
+  private val qSplit: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents")
+    val split = splitAssignment(col("doc_id"))
     docs.select(split.as("split"), col("n_chars"), col("doc_id"))
       .groupBy("split")
       .agg(count(lit(1)).as("n_docs"),
@@ -237,7 +245,8 @@ object QueriesAnalytics {
     */
   private val qChunking: Q = (spark, dir) => {
     val docs = dedup.Dedup.fanOut(
-      Tables(spark, dir, "documents").select(col("doc_id"), col("text")), col("doc_id"))
+      Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(col("text").isNotNull), col("doc_id"))
     val t = docs.select(col("doc_id"), text.TextAnalysis.tokens(col("text")).as("t"))
       .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("n"))
       .withColumn("nc", when(col("n") <= ChunkSize, lit(1L))
@@ -272,7 +281,8 @@ object QueriesAnalytics {
       .select(col("k"), col("name"),
         when(col("k") % 13 === 0, col("bal") + 100.0).otherwise(col("bal")).as("bal"))
       .unionAll(c.filter(col("k") % 11 === 0)
-        .select((col("k") + 200000L).as("k"), col("name"), col("bal")))
+        .crossJoin(broadcast(c.agg(max(col("k")).as("__maxk"))))
+        .select((col("k") + col("__maxk")).as("k"), col("name"), col("bal")))
     val a = t0.select(col("k"), col("name").as("name_a"), col("bal").as("bal_a"))
     val b = t1.select(col("k"), col("name").as("name_b"), col("bal").as("bal_b"))
     a.join(b, Seq("k"), "full_outer")
@@ -310,7 +320,8 @@ object QueriesAnalytics {
     "q68_sql_exists" -> SqlExistsText,
 
     "q69_chunking" ->
-      s"""WITH toks AS (SELECT doc_id, ${QueriesTraining.toksSql} AS t FROM documents),
+      s"""WITH toks AS (SELECT doc_id, ${QueriesTraining.toksSql} AS t FROM documents
+         |  WHERE text IS NOT NULL),
          |c AS (SELECT doc_id, t, len(t) AS n,
          |  CASE WHEN len(t) <= $ChunkSize THEN 1
          |       ELSE (len(t) - $ChunkSize + ${ChunkStride - 1}) // $ChunkStride + 1
@@ -329,7 +340,7 @@ object QueriesAnalytics {
         |    CASE WHEN k % 13 = 0 THEN bal + 100.0 ELSE bal END AS bal
         |  FROM c WHERE k % 17 <> 0
         |  UNION ALL
-        |  SELECT k + 200000 AS k, name, bal FROM c WHERE k % 11 = 0),
+        |  SELECT k + (SELECT max(k) FROM c) AS k, name, bal FROM c WHERE k % 11 = 0),
         |d AS (SELECT coalesce(a.k, b.k) AS k,
         |  CASE WHEN a.name IS NULL THEN 'added'
         |       WHEN b.name IS NULL THEN 'removed'

@@ -437,7 +437,8 @@ object QueriesTraining {
     */
   private val qDupSpans: Q = (spark, dir) => {
     val docs = Tables(spark, dir, "documents")
-    val sh8 = Dedup.fanOut(docs.select(col("doc_id"), col("text")), col("doc_id"))
+    val sh8 = Dedup.fanOut(docs.select(col("doc_id"), col("text"))
+      .filter(col("text").isNotNull), col("doc_id"))
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
       .select(col("doc_id"), Dedup.shinglesFromTokens(col("toks"), SpanN).as("sh"))
     val spans = sh8.select(col("doc_id"), explode_outer(col("sh")).as("span"))
@@ -627,7 +628,8 @@ object QueriesTraining {
 
   val oracles: Map[String, String] = Map(
     "q66_dup_spans" ->
-      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents
+         |  WHERE text IS NOT NULL),
          |sh AS (SELECT doc_id, ${shinglesNSql(SpanN)} AS s FROM toks),
          |sp AS (SELECT doc_id, unnest(s) AS span FROM sh),
          |df AS (SELECT span, count(*) AS df FROM sp GROUP BY span),

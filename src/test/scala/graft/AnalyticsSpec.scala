@@ -14,9 +14,7 @@ class AnalyticsSpec extends AnyFunSuite {
 
   test("q61 split assignment is a pure row function: stable under repartitioning") {
     val docs = Tables(spark, dir, "documents")
-    val bucket = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
-    val split = when(bucket < "cd", lit("train"))
-      .when(bucket < "e7", lit("val")).otherwise(lit("test"))
+    val split = QueriesAnalytics.splitAssignment(col("doc_id"))
     val a = docs.select(col("doc_id"), split.as("split"))
     val b = docs.repartition(13).select(col("doc_id"), split.as("split"))
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
