@@ -474,6 +474,25 @@ object QueriesTraining {
       .orderBy("id_a", "id_b")
   }
 
+  /** Quantile-threshold curation (the FineWeb-style "keep the top
+    * quartile by quality" cut): exact global quartile assignment by
+    * (quality desc, doc_id) via the scale-safe [[graft.operators
+    * .GlobalRank.withNtile]] — selection is BY RANK, not by a float
+    * threshold, so there is no knife-edge comparison to diverge
+    * between engines — then a per-language audit of what survived.
+    */
+  private val qQualityCut: Q = (spark, dir) => {
+    val scored = docsFanned(spark, dir).select(col("doc_id"), col("lang"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+    graft.operators.GlobalRank.withNtile(scored,
+        Seq(col("quality").desc, col("doc_id")), 4, "qt")
+      .filter(col("qt") === 1)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum("doc_id").as("id_checksum"),
+        round(min("quality"), 6).as("min_q"))
+      .orderBy("lang")
+  }
+
   private val ShardCount = 16
 
   /** Deterministic balanced training-shard assignment: rank docs by
@@ -497,6 +516,7 @@ object QueriesTraining {
   val all: Map[String, Q] = Map(
     "q66_dup_spans" -> qDupSpans,
     "q67_dedup_edit" -> qDedupEdit,
+    "q71_quality_cut" -> qQualityCut,
     "q56_shard_assign" -> qShardAssign,
     "q55_dup_histogram" -> qDupHistogram,
     "q52_tfidf" -> qTfidf,
@@ -536,6 +556,23 @@ object QueriesTraining {
     s"len(list_filter(ltoks, x -> list_contains(${stopListSql(words)}, x)))"
 
   private[graft] val normTextSql = """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""
+
+  /** Quality-score CTE chain (twin of [[TextAnalysis.qualityScore]]),
+    * shared by q17 and q71: `q` yields (doc_id, lang, punct_ratio,
+    * stop_ratio, quality).
+    */
+  private[graft] lazy val qualityScoreCtes =
+    s"""WITH t AS (SELECT doc_id, lang, text, $ltoksSql AS ltoks FROM documents),
+       |s AS (SELECT doc_id, lang,
+       |  CAST(len(ltoks) AS DOUBLE) AS n_tok,
+       |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
+       |  CAST(${hitsSql(TextAnalysis.stopwords.toMap.apply("en"))} AS DOUBLE) / CAST(len(ltoks) AS DOUBLE) AS stop_ratio
+       |  FROM t),
+       |q AS (SELECT doc_id, lang, punct_ratio, stop_ratio,
+       |  0.4*least(1.0, n_tok/100.0)
+       |  + 0.3*(1.0 - least(1.0, punct_ratio*4.0))
+       |  + 0.3*least(1.0, stop_ratio*4.0) AS quality
+       |FROM s)""".stripMargin
 
   /** Left-fold sum of BIGINTs (portable twin of Spark `aggregate`). */
   private def foldSumSql(listExpr: String): String =
@@ -708,17 +745,18 @@ object QueriesTraining {
          |FROM t ORDER BY doc_id""".stripMargin,
 
     "q17_text_quality" ->
-      s"""WITH t AS (SELECT doc_id, text, $ltoksSql AS ltoks FROM documents),
-         |s AS (SELECT doc_id,
-         |  CAST(len(ltoks) AS DOUBLE) AS n_tok,
-         |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) AS punct_ratio,
-         |  CAST(${hitsSql(TextAnalysis.stopwords.toMap.apply("en"))} AS DOUBLE) / CAST(len(ltoks) AS DOUBLE) AS stop_ratio
-         |  FROM t)
-         |SELECT doc_id, punct_ratio, stop_ratio,
-         |  0.4*least(1.0, n_tok/100.0)
-         |  + 0.3*(1.0 - least(1.0, punct_ratio*4.0))
-         |  + 0.3*least(1.0, stop_ratio*4.0) AS quality
-         |FROM s ORDER BY doc_id""".stripMargin,
+      s"""$qualityScoreCtes
+         |SELECT doc_id, punct_ratio, stop_ratio, quality
+         |FROM q ORDER BY doc_id""".stripMargin,
+
+    "q71_quality_cut" ->
+      s"""$qualityScoreCtes,
+         |r AS (SELECT doc_id, lang, quality,
+         |  ntile(4) OVER (ORDER BY quality DESC, doc_id) AS qt FROM q)
+         |SELECT lang, count(*) AS n_kept,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+         |  round(min(quality), 6) AS min_q
+         |FROM r WHERE qt = 1 GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q18_text_langid" ->
       s"""WITH t AS (SELECT doc_id, lang, $ltoksSql AS ltoks FROM documents),
