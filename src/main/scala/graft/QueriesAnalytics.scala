@@ -296,10 +296,39 @@ object QueriesAnalytics {
       .orderBy("status")
   }
 
+  /** q72: TPC-H Q14-shaped promo-revenue share per month — the
+    * conditional-aggregate ratio over a broadcast part dimension (the
+    * one fixture table the battery didn't touch until now). Revenue
+    * is settled to integer CENTS before aggregation, so the monthly
+    * ratio is exact integer basis points — no order-dependent double
+    * sum ever reaches the output.
+    *
+    * Scale: shipdate filter pushed to the lineitem scan; part rides
+    * in broadcast; one shuffle on the 12 month keys with map-side
+    * partial aggregation.
+    */
+  private val qPromoRatio: Q = (spark, dir) => {
+    val li = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_partkey"), date_format(col("l_shipdate"), "yyyy-MM").as("month"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long").as("cents"))
+    val p = Tables(spark, dir, "part").select(col("p_partkey"), col("p_type"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("month")
+      .agg(sum(when(col("p_type") === "PROMO", col("cents")).otherwise(0L)).as("promo_cents"),
+        sum(col("cents")).as("total_cents"))
+      .select(col("month"), col("promo_cents"), col("total_cents"),
+        expr("(promo_cents * 10000) div total_cents").as("promo_bp"))
+      .orderBy("month")
+  }
+
   val all: Map[String, Q] = Map(
     "q68_sql_exists" -> qSqlExists,
     "q69_chunking" -> qChunking,
     "q70_snapshot_diff" -> qSnapshotDiff,
+    "q72_promo_ratio" -> qPromoRatio,
     "q61_split" -> qSplit,
     "q62_star_join" -> qStarJoin,
     "q63_pagerank" -> qPageRank,
@@ -318,6 +347,20 @@ object QueriesAnalytics {
   val oracles: Map[String, String] = Map(
     // the whole point: the oracle IS the Spark-side SQL text
     "q68_sql_exists" -> SqlExistsText,
+
+    "q72_promo_ratio" ->
+      """WITH c AS (SELECT strftime(l_shipdate, '%Y-%m') AS month, p_type,
+        |  CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) AS cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01'),
+        |m AS (SELECT month,
+        |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) AS BIGINT) AS promo_cents,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents
+        |  FROM c GROUP BY month)
+        |SELECT month, promo_cents, total_cents,
+        |  (promo_cents * 10000) // total_cents AS promo_bp
+        |FROM m ORDER BY month""".stripMargin,
 
     "q69_chunking" ->
       s"""WITH toks AS (SELECT doc_id, ${QueriesTraining.toksSql} AS t FROM documents
