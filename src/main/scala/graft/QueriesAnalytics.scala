@@ -116,9 +116,14 @@ object QueriesAnalytics {
     val edges = trade.select(col("c").as("src"), col("s").as("dst"))
       .unionAll(trade.select(col("s").as("src"), col("c").as("dst")))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    // one eager materialization: iterations re-read this, not the
-    // upstream distinct (lineage-free, freed with the frame)
-    val ew = edges.join(deg, "src").repartition(col("src")).localCheckpoint()
+    // persist (NOT localCheckpoint): the cached plan keeps its
+    // hashpartitioning(src) metadata, so every iteration's join reads
+    // the cached blocks with NO edge-side exchange — a checkpoint's
+    // Scan ExistingRDD loses outputPartitioning and re-shuffles the
+    // (at scale, corpus-sized) edge set every round. Same ownership
+    // contract as connectedComponents: materialize the result, then
+    // unpersist before returning.
+    val ew = edges.join(deg, "src").repartition(col("src")).persist()
     var ranks = ew.select(col("src").as("node")).distinct()
       .withColumn("pr", lit(1.0))
     for (_ <- 1 to PrIters) {
@@ -128,7 +133,9 @@ object QueriesAnalytics {
         .agg((lit(1 - PrDamping) + lit(PrDamping) * sum(col("contrib"))).as("pr"))
         .select(col("dst").as("node"), col("pr"))
     }
-    ranks.orderBy("node")
+    val out = dedup.Dedup.materialize(ranks.orderBy("node"))
+    ew.unpersist()
+    out
   }
 
   private[graft] val LatencyBucketMs = 250L
