@@ -252,19 +252,8 @@ object QueriesAnalytics {
     */
   private val qChunking: Q = (spark, dir) => {
     val docs = dedup.Dedup.fanOut(
-      Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
-        .filter(col("text").isNotNull), col("doc_id"))
-    val t = docs.select(col("doc_id"), text.TextAnalysis.tokens(col("text")).as("t"))
-      .select(col("doc_id"), col("t"), size(col("t")).cast("long").as("n"))
-      .withColumn("nc", when(col("n") <= ChunkSize, lit(1L))
-        .otherwise(expr(s"(n - $ChunkSize + ${ChunkStride - 1}) div $ChunkStride") + 1L))
-    t.select(col("doc_id"), col("t"), col("n"),
-        explode_outer(sequence(lit(0L), col("nc") - 1L)).as("chunk_id"))
-      .withColumn("chunk_start", col("chunk_id") * ChunkStride + 1L)
-      .withColumn("chunk_tokens", least(lit(ChunkSize.toLong), col("n") - col("chunk_id") * ChunkStride))
-      .select(col("doc_id"), col("chunk_id"), col("chunk_start"), col("chunk_tokens"),
-        md5(concat_ws(" ", slice(col("t"), col("chunk_start"), col("chunk_tokens"))))
-          .as("chunk_md5"))
+      Tables(spark, dir, "documents").select(col("doc_id"), col("text")), col("doc_id"))
+    curation.Curation.chunk(docs, "doc_id", "text", ChunkSize, ChunkStride)
       .orderBy("doc_id", "chunk_id")
   }
 

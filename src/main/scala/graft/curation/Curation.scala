@@ -252,4 +252,38 @@ object Curation {
     }
     Dedup.hash32(id.cast("string"), salt) % 10000 < rate
   }
+
+  // ------------------------------------------------- document chunking
+
+  /** Fixed-size token windows at `strideTokens` stride — the
+    * unit-of-training transform between curation and shard write.
+    * Returns (idCol, chunk_id, chunk_start, chunk_tokens, chunk_md5):
+    * chunk boundaries by exact integer math, chunk CONTENT pinned by
+    * an md5 of the joined token slice. Null-text rows yield no chunks.
+    *
+    * A pure stateless projection + generate — usable unchanged under
+    * Structured Streaming (`StreamingCurationSpec` diffs stream vs
+    * batch output), and map-only at any scale: tokens are
+    * materialized once per doc (attribute, not a re-split per chunk —
+    * the HOF trap), chunks explode to O(tokens/stride) rows, nothing
+    * shuffles.
+    */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+            chunkTokens: Int, strideTokens: Int): DataFrame = {
+    require(chunkTokens > 0 && strideTokens > 0 && strideTokens <= chunkTokens,
+      s"need 0 < stride <= chunk, got chunk=$chunkTokens stride=$strideTokens")
+    val t = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__t"))
+      .select(col(idCol), col("__t"), size(col("__t")).cast("long").as("__n"))
+      .withColumn("__nc", when(col("__n") <= chunkTokens, lit(1L))
+        .otherwise(expr(s"(__n - $chunkTokens + ${strideTokens - 1}) div $strideTokens") + 1L))
+    t.select(col(idCol), col("__t"), col("__n"),
+        explode_outer(sequence(lit(0L), col("__nc") - 1L)).as("chunk_id"))
+      .withColumn("chunk_start", col("chunk_id") * strideTokens + 1L)
+      .withColumn("chunk_tokens",
+        least(lit(chunkTokens.toLong), col("__n") - col("chunk_id") * strideTokens))
+      .select(col(idCol), col("chunk_id"), col("chunk_start"), col("chunk_tokens"),
+        md5(concat_ws(" ", slice(col("__t"), col("chunk_start"), col("chunk_tokens"))))
+          .as("chunk_md5"))
+  }
 }
