@@ -4,10 +4,12 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Round-6 analytics battery additions: deterministic dataset split,
-  * star-schema join, iterative PageRank, grok-fed latency histogram,
-  * and moving-window anomaly stats. Every query has a DuckDB oracle
-  * twin in [[oracles]] (same column names, same ORDER BY).
+/** Round-6 analytics battery additions (q61–q72): deterministic
+  * dataset split, star-schema join, iterative PageRank, grok-fed
+  * latency histogram, moving-window anomaly stats, SQL-front-end
+  * EXISTS, document chunking, dimension snapshot diff, and the promo
+  * conditional-aggregate ratio. Every query has a DuckDB oracle twin
+  * in [[oracles]] (same column names, same ORDER BY).
   */
 object QueriesAnalytics {
 
@@ -99,8 +101,8 @@ object QueriesAnalytics {
     * flows src→dst as rank/degree, the new rank is
     * (1-d) + d·Σ contributions.
     *
-    * Scale: the edge set (with out-degree attached) is materialized
-    * ONCE via localCheckpoint, pre-hashed on src, and reused by every
+    * Scale: the edge set (with out-degree attached) is persisted ONCE,
+    * pre-hashed on src, and its cached partitioning is reused by every
     * iteration — ranks (small, 1 row/node) are the only thing that
     * reshuffles per round. This is the CC loop's shape ([[dedup.Dedup
     * .connectedComponents]]) with weighted messages; at 100 TB of
@@ -161,14 +163,18 @@ object QueriesAnalytics {
         pipeline.Classifier.family(QueriesRelational.routerSourceInstance, noTags,
           lit("OTHER"), includeDormant = true))
       .filter(col("family") === "gorouter_access")
-      .withColumn("g", graft.functions.grok_extract(QueriesRelational.routerAccessLine,
+      // line materialized as its own column: CollapseProject won't
+      // inline a non-cheap expression referenced twice, so the two
+      // extracts read one formatted string instead of formatting twice
+      .withColumn("line", QueriesRelational.routerAccessLine)
+      .withColumn("g", graft.functions.grok_extract(col("line"),
         pipeline.Classifier.allFamilyPatterns("gorouter_access")))
-      .withColumn("rt", graft.functions.grok_extract(QueriesRelational.routerAccessLine,
+      .withColumn("rt", graft.functions.grok_extract(col("line"),
         """response_time:%{INT:rt_s:int}\.%{INT:rt_ms:int} """))
       .select(col("g.rtr_status").as("status"),
         (col("rt.rt_s") * 1000 + col("rt.rt_ms")).as("millis"))
     parsed
-      .groupBy(col("status"), (col("millis") / LatencyBucketMs).cast("long").as("bucket"))
+      .groupBy(col("status"), expr(s"millis div $LatencyBucketMs").as("bucket"))
       .agg(count(lit(1)).as("cnt"),
         min("millis").as("min_ms"), max("millis").as("max_ms"))
       .orderBy("status", "bucket")
@@ -237,18 +243,12 @@ object QueriesAnalytics {
   private[graft] val ChunkSize = 32
   private[graft] val ChunkStride = 24
 
-  /** q69: document chunking — fixed [[ChunkSize]]-token windows at
-    * [[ChunkStride]] stride (8-token overlap), the unit-of-training
-    * transform every LLM pipeline runs between curation and shard
-    * write. Chunk count is exact integer math; each chunk is audited
-    * by its token span and an md5 of the joined slice, so the oracle
-    * pins CONTENT, not just counts.
-    *
-    * Scale: tokens are materialized once per doc (attribute, not a
-    * re-split per chunk — the HOF trap), chunks explode to
-    * O(tokens/stride) rows per doc, and nothing shuffles until the
-    * final ORDER BY; at 100 TB this is the map-only stage feeding
-    * q56's shard assignment.
+  /** q69: document chunking via [[curation.Curation.chunk]] — fixed
+    * [[ChunkSize]]-token windows at [[ChunkStride]] stride, the
+    * unit-of-training transform between curation and shard write.
+    * Chunk boundaries are exact integer math and each chunk is audited
+    * by an md5 of the joined slice, so the oracle pins CONTENT, not
+    * just counts (scale shape documented on the operator).
     */
   private val qChunking: Q = (spark, dir) => {
     val docs = dedup.Dedup.fanOut(

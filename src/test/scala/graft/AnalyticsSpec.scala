@@ -49,7 +49,7 @@ class AnalyticsSpec extends AnyFunSuite {
       .select((lit(200) + (col("user_id") % 3) * 100).cast("int").as("status"),
         ((col("event_id") % 10) * 1000 + col("event_id") % 1000).as("millis"))
       .groupBy(col("status"),
-        (col("millis") / QueriesAnalytics.LatencyBucketMs).cast("long").as("bucket"))
+        expr(s"millis div ${QueriesAnalytics.LatencyBucketMs}").as("bucket"))
       .agg(count(lit(1)).as("cnt"),
         min("millis").as("min_ms"), max("millis").as("max_ms"))
     val parsed = Queries.all("q64_latency_hist")(spark, dir)
