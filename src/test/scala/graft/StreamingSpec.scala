@@ -264,6 +264,52 @@ class SessionizeStreamSpec extends AnyFunSuite {
     assert(rows.contains((1L, t(1, 0).getTime, 2L, 10 * 60 * 1000L)))
     assert(rows.contains((1L, t(4, 0).getTime, 1L, 0L)))
   }
+
+  test("custom sessionizer agrees with the built-in session_window aggregation") {
+    // same gap semantics, two independent implementations: Spark's
+    // native session_window (state store managed by the engine) must
+    // emit the same (user, start, count) sessions as the
+    // flatMapGroupsWithState operator — a cross-check that the custom
+    // state logic implements standard gap-session semantics, not a
+    // private variant.
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.Sessionize
+    val gapMs = 30 * 60 * 1000L
+    def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val data = Seq(
+      (1L, t(1, 0)), (1L, t(1, 10)), (1L, t(1, 25)), // one 3-event session
+      (1L, t(4, 0)),                                  // second session after gap
+      (2L, t(2, 0)), (2L, t(2, 30)),                  // exactly the gap: BOTH merge (inclusive boundary)
+      (3L, t(5, 0)))
+    val closer = Seq((9L, t(23, 0)))                  // watermark push to close all
+
+    def run[A](name: String)(build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[A]): org.apache.spark.sql.DataFrame = {
+      val stream = MemoryStream[(Long, Timestamp)]
+      val out = build(stream.toDF().toDF("user_id", "ts"))
+      val q = out.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      stream.addData(data); q.processAllAvailable()
+      stream.addData(closer); q.processAllAvailable()
+      q.stop()
+      spark.table(name)
+    }
+
+    val custom = run("cust_sessions")(df =>
+        Sessionize.sessionsFromTimestamps(df, "10 minutes", gapMs))
+      .select(col("user_id"), col("start_ms"), col("n_events"))
+      .filter(col("user_id") < 9)
+    val builtin = run("sw_sessions") { df =>
+      df.withWatermark("ts", "10 minutes")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), unix_millis(col("w.start")).as("start_ms"), col("n_events"))
+        .as[(Long, Long, Long)]
+    }.filter(col("user_id") < 9)
+    assert(custom.count() > 0)
+    assert(custom.exceptAll(builtin).isEmpty && builtin.exceptAll(custom).isEmpty,
+      s"custom=${custom.collect().toSeq} builtin=${builtin.collect().toSeq}")
+  }
 }
 
 /** Per-batch dimension refresh: the stream-static broadcast join sees
