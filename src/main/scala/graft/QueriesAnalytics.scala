@@ -320,11 +320,62 @@ object QueriesAnalytics {
       .orderBy("month")
   }
 
+  /** q73: argmax per group — top supplier by revenue within each
+    * nation, revenue settled to integer cents, ties broken by name.
+    * The window is PARTITIONED by nation (each group ranks inside its
+    * hash partition — same scale shape as q65), and only rank 1
+    * survives, so state per group is one row.
+    */
+  private val qTopSupplier: Q = (spark, dir) => {
+    val li = Tables(spark, dir, "lineitem").select(col("l_suppkey"),
+      round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+        .cast("long").as("cents"))
+    val supp = Tables(spark, dir, "supplier").select(
+      col("s_suppkey"), col("s_name"), col("s_nationkey"))
+    val nat = Tables(spark, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    val rev = li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("s_name"))
+      .agg(sum(col("cents")).as("cents"))
+    val w = Window.partitionBy("n_name").orderBy(col("cents").desc, col("s_name"))
+    rev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("n_name"), col("s_name").as("top_supplier"), col("cents"))
+      .orderBy("n_name")
+  }
+
+  private[graft] val RollDays = 7
+  private[graft] val DayMs = 86400000L
+
+  /** q74: rolling [[RollDays]]-day distinct active users (the WAU
+    * curve) — each event fans out to the ≤7 windows it falls in
+    * (bounded explode, window labeled by its END day), then one
+    * distinct-count per window. No per-user state, no window
+    * function: sliding distinct as a bounded fan-out + aggregate,
+    * which is the shape that survives when the slide count is small
+    * and the corpus is not (contrast: a 7-day range window over
+    * distincts needs the full user set per frame).
+    */
+  private val qRollingActive: Q = (spark, dir) => {
+    val e = Tables.events(spark, dir)
+      .select(expr(s"ts_ms div $DayMs").as("day"), col("user_id"))
+    val maxd = e.agg(max(col("day")).as("__maxd"))
+    e.select(explode(sequence(col("day"), col("day") + (RollDays - 1))).as("win_day"),
+        col("user_id"))
+      .crossJoin(broadcast(maxd))
+      .filter(col("win_day") <= col("__maxd"))
+      .groupBy("win_day")
+      .agg(count_distinct(col("user_id")).as("active_users"))
+      .orderBy("win_day")
+  }
+
   val all: Map[String, Q] = Map(
     "q68_sql_exists" -> qSqlExists,
     "q69_chunking" -> qChunking,
     "q70_snapshot_diff" -> qSnapshotDiff,
     "q72_promo_ratio" -> qPromoRatio,
+    "q73_top_supplier" -> qTopSupplier,
+    "q74_rolling_active" -> qRollingActive,
     "q61_split" -> qSplit,
     "q62_star_join" -> qStarJoin,
     "q63_pagerank" -> qPageRank,
@@ -343,6 +394,27 @@ object QueriesAnalytics {
   val oracles: Map[String, String] = Map(
     // the whole point: the oracle IS the Spark-side SQL text
     "q68_sql_exists" -> SqlExistsText,
+
+    "q73_top_supplier" ->
+      """WITH rev AS (SELECT n_name, s_name,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY n_name, s_name),
+        |r AS (SELECT n_name, s_name, cents,
+        |  row_number() OVER (PARTITION BY n_name ORDER BY cents DESC, s_name) AS rn
+        |  FROM rev)
+        |SELECT n_name, s_name AS top_supplier, cents
+        |FROM r WHERE rn = 1 ORDER BY n_name""".stripMargin,
+
+    "q74_rolling_active" ->
+      s"""WITH e AS (SELECT epoch_ms(ts) // $DayMs AS day, user_id FROM events),
+         |b AS (SELECT max(day) AS maxd FROM e),
+         |w AS (SELECT unnest(range(day, day + $RollDays)) AS win_day, user_id FROM e)
+         |SELECT win_day, count(DISTINCT user_id) AS active_users
+         |FROM w, b WHERE win_day <= maxd
+         |GROUP BY win_day ORDER BY win_day""".stripMargin,
 
     "q72_promo_ratio" ->
       """WITH c AS (SELECT strftime(l_shipdate, '%Y-%m') AS month, p_type,

@@ -41,23 +41,62 @@ object QueriesCuration {
     * and clean sets semi-join back on doc_id. The quality threshold
     * compares the ROUNDED score so the cut is engine-stable.
     */
-  private val qCurationKeep: Q = (spark, dir) => {
+  /** The shared curation stage frames: (scored, canonical, clean).
+    * `scored` is eagerly materialized — it feeds the quality/language
+    * filters AND the canonical fingerprint groupBy (and in q75 five
+    * stage subtrees), so the tokenize+score pass runs once per
+    * invocation, not once per consumer.
+    */
+  private def curationFrames(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val d = Tables(spark, dir, "documents")
     val corpus = d.filter(col("doc_id") % 97 =!= 0)
     val eval_ = d.filter(col("doc_id") % 97 === 0)
-    val scored = Dedup.fanOut(corpus, col("doc_id")).select(col("doc_id"),
-      round(TextAnalysis.qualityScore(col("text")), 6).as("quality"),
-      TextAnalysis.langId(col("text")).as("lang_pred"),
-      TextAnalysis.fingerprintMd5(col("text")).as("fp"))
+    val scored = Dedup.materialize(
+      Dedup.fanOut(corpus, col("doc_id")).select(col("doc_id"),
+        round(TextAnalysis.qualityScore(col("text")), 6).as("quality"),
+        TextAnalysis.langId(col("text")).as("lang_pred"),
+        TextAnalysis.fingerprintMd5(col("text")).as("fp")))
     val canonical = scored.groupBy("fp").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
     val clean = Curation.decontaminate(corpus, eval_, "doc_id", "text", MinOverlap)
       .filter(col("contaminated") === 0).select("doc_id")
+    (scored, canonical, clean)
+  }
+
+  private val qCurationKeep: Q = (spark, dir) => {
+    val (scored, canonical, clean) = curationFrames(spark, dir)
     scored.filter(col("quality") >= KeepQuality && col("lang_pred") === "en")
       .join(canonical, "doc_id")
       .join(clean, "doc_id")
       .select(col("doc_id"), col("quality"))
       .orderBy("doc_id")
+  }
+
+  /** q75: the curation FUNNEL — how many documents (and which: id
+    * checksums) survive each successive stage of q57's keep-set
+    * composition. The observability view a pipeline owner actually
+    * watches: stage-over-stage attrition localizes which rule ate the
+    * corpus. Stage sets are nested by construction, so counts are
+    * monotone non-increasing.
+    */
+  private val qCurationFunnel: Q = (spark, dir) => {
+    val (scored, canonical, clean) = curationFrames(spark, dir)
+    val s1 = scored.select("doc_id")
+    val s2 = scored.filter(col("quality") >= KeepQuality).select("doc_id")
+    val s3 = scored.filter(col("quality") >= KeepQuality && col("lang_pred") === "en")
+      .select("doc_id")
+    val s4 = s3.join(canonical, "doc_id")
+    val s5 = s4.join(clean, "doc_id")
+    def stage(label: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n"), sum("doc_id").as("id_checksum"))
+        .select(lit(label).as("stage"), col("n"), col("id_checksum"))
+    stage("1_total", s1)
+      .unionAll(stage("2_quality", s2))
+      .unionAll(stage("3_lang", s3))
+      .unionAll(stage("4_canonical", s4))
+      .unionAll(stage("5_clean", s5))
+      .orderBy("stage")
   }
 
   /** PII scrubbing: emails / IPv4s / 8+-digit runs redacted, per-kind
@@ -151,6 +190,7 @@ object QueriesCuration {
 
   val all: Map[String, Q] = Map(
     "q57_curation_keep" -> qCurationKeep,
+    "q75_curation_funnel" -> qCurationFunnel,
     "q37_decontam" -> qDecontam,
     "q38_pii_scrub" -> qPiiScrub,
     "q39_seq_pack" -> qSeqPack,
@@ -166,34 +206,57 @@ object QueriesCuration {
   private def saltedHashIdSql(salt: String) =
     s"""('0x' || substr(md5('$salt:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"""
 
+  /** Shared CTE chain for the q57/q75 curation composition: yields
+    * `corpus` (doc_id, text), `q` (doc_id, quality, lang_pred),
+    * `canon` and `clean` (surviving doc_ids).
+    */
+  private lazy val curationCtes =
+    s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+       |t AS (SELECT doc_id, text, ${QueriesTraining.ltoksSql} AS ltoks FROM corpus),
+       |h AS (SELECT doc_id, text, ltoks,
+       |  ${TextAnalysis.stopwords.map { case (l, ws) => s"${QueriesTraining.hitsSql(ws)} AS s_$l" }.mkString(",\n  ")}
+       |  FROM t),
+       |q AS (SELECT doc_id,
+       |  round(0.4*least(1.0, CAST(len(ltoks) AS DOUBLE)/100.0)
+       |    + 0.3*(1.0 - least(1.0, CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) * 4.0))
+       |    + 0.3*least(1.0, CAST(s_en AS DOUBLE) / CAST(len(ltoks) AS DOUBLE) * 4.0), 6) AS quality,
+       |  ${QueriesTraining.langCaseSql} AS lang_pred
+       |  FROM h),
+       |canon AS (SELECT min(doc_id) AS doc_id FROM
+       |  (SELECT doc_id, md5(${QueriesTraining.normTextSql}) AS fp FROM corpus)
+       |  GROUP BY fp),
+       |toksAll AS (SELECT doc_id, ${QueriesTraining.toksSql} AS t FROM documents),
+       |sh AS (SELECT doc_id, ${QueriesTraining.shinglesSql} AS s FROM toksAll),
+       |ev AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 97 = 0),
+       |cs AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id % 97 <> 0),
+       |ov AS (SELECT doc_id, count(DISTINCT shingle) AS overlap
+       |       FROM cs JOIN ev USING (shingle) GROUP BY doc_id),
+       |clean AS (SELECT c.doc_id FROM corpus c LEFT JOIN ov USING (doc_id)
+       |          WHERE coalesce(ov.overlap, 0) < $MinOverlap)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q57_curation_keep" ->
-      s"""WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
-         |t AS (SELECT doc_id, text, ${QueriesTraining.ltoksSql} AS ltoks FROM corpus),
-         |h AS (SELECT doc_id, text, ltoks,
-         |  ${TextAnalysis.stopwords.map { case (l, ws) => s"${QueriesTraining.hitsSql(ws)} AS s_$l" }.mkString(",\n  ")}
-         |  FROM t),
-         |q AS (SELECT doc_id,
-         |  round(0.4*least(1.0, CAST(len(ltoks) AS DOUBLE)/100.0)
-         |    + 0.3*(1.0 - least(1.0, CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) * 4.0))
-         |    + 0.3*least(1.0, CAST(s_en AS DOUBLE) / CAST(len(ltoks) AS DOUBLE) * 4.0), 6) AS quality,
-         |  ${QueriesTraining.langCaseSql} AS lang_pred
-         |  FROM h),
-         |canon AS (SELECT min(doc_id) AS doc_id FROM
-         |  (SELECT doc_id, md5(${QueriesTraining.normTextSql}) AS fp FROM corpus)
-         |  GROUP BY fp),
-         |toksAll AS (SELECT doc_id, ${QueriesTraining.toksSql} AS t FROM documents),
-         |sh AS (SELECT doc_id, ${QueriesTraining.shinglesSql} AS s FROM toksAll),
-         |ev AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 97 = 0),
-         |cs AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id % 97 <> 0),
-         |ov AS (SELECT doc_id, count(DISTINCT shingle) AS overlap
-         |       FROM cs JOIN ev USING (shingle) GROUP BY doc_id),
-         |clean AS (SELECT c.doc_id FROM corpus c LEFT JOIN ov USING (doc_id)
-         |          WHERE coalesce(ov.overlap, 0) < $MinOverlap)
+      s"""$curationCtes
          |SELECT q.doc_id, q.quality
          |FROM q JOIN canon USING (doc_id) JOIN clean USING (doc_id)
          |WHERE q.quality >= $KeepQuality AND q.lang_pred = 'en'
          |ORDER BY doc_id""".stripMargin,
+
+    "q75_curation_funnel" ->
+      s"""$curationCtes,
+         |s3 AS (SELECT doc_id FROM q
+         |       WHERE quality >= $KeepQuality AND lang_pred = 'en'),
+         |s4 AS (SELECT s3.doc_id FROM s3 JOIN canon USING (doc_id)),
+         |s5 AS (SELECT s4.doc_id FROM s4 JOIN clean USING (doc_id)),
+         |u AS (
+         |  SELECT '1_total' AS stage, count(*) AS n,
+         |    CAST(sum(doc_id) AS BIGINT) AS id_checksum FROM corpus
+         |  UNION ALL SELECT '2_quality', count(*), CAST(sum(doc_id) AS BIGINT)
+         |    FROM q WHERE quality >= $KeepQuality
+         |  UNION ALL SELECT '3_lang', count(*), CAST(sum(doc_id) AS BIGINT) FROM s3
+         |  UNION ALL SELECT '4_canonical', count(*), CAST(sum(doc_id) AS BIGINT) FROM s4
+         |  UNION ALL SELECT '5_clean', count(*), CAST(sum(doc_id) AS BIGINT) FROM s5)
+         |SELECT stage, n, id_checksum FROM u ORDER BY stage""".stripMargin,
 
     "q37_decontam" ->
       s"""WITH toks AS (SELECT doc_id, ${QueriesTraining.toksSql} AS t FROM documents),
