@@ -31,6 +31,9 @@ object functions {
   /** Codegen'd rolling polynomial text fingerprint; see [[graft.text.RollingHash]]. */
   def rolling_hash(c: Column): Column = col(graft.text.RollingHash(expr(c)))
 
+  /** Compression-ratio quality signal; see [[graft.text.DeflateRatio]]. */
+  def deflate_ratio_bp(c: Column): Column = col(graft.text.DeflateRatio(expr(c)))
+
   private def literalString(e: Expression, fn: String): String = e match {
     case Literal(s, _: StringType) if s != null => s.toString
     case _ => throw new IllegalArgumentException(
@@ -49,5 +52,6 @@ object functions {
     Bridge.registerFunction(spark, "vec_norm", es => VectorNorm(es.head))
     Bridge.registerFunction(spark, "vec_cosine", es => VectorCosine(es.head, es(1)))
     Bridge.registerFunction(spark, "rolling_hash", es => graft.text.RollingHash(es.head))
+    Bridge.registerFunction(spark, "deflate_ratio_bp", es => graft.text.DeflateRatio(es.head))
   }
 }

@@ -65,3 +65,57 @@ case class RollingHash(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): RollingHash =
     copy(child = newChild)
 }
+
+/** Deterministic zlib helper for [[DeflateRatio]] — referenced from
+  * generated code via `addReferenceObj`.
+  */
+object Zlib extends Serializable {
+  /** deflate(bytes).length at a FIXED level (6), basis points of the
+    * raw length: low = highly compressible (repetitive), ~10000+ =
+    * incompressible. Empty input → 10000 (defined as neutral).
+    */
+  def ratioBp(bytes: Array[Byte]): Long = {
+    if (bytes.isEmpty) return 10000L
+    val d = new java.util.zip.Deflater(6)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total * 10000L / bytes.length
+    } finally d.end()
+  }
+}
+
+/** `deflate_ratio_bp(text)`: zlib-compressed size as basis points of
+  * the UTF-8 byte length — the compression-ratio quality signal
+  * (Gopher-style): near-duplicate boilerplate and degenerate
+  * repetition compress far below natural text, catching what
+  * token-level stats miss. Integer output, deterministic for a fixed
+  * zlib level.
+  *
+  * No DuckDB twin exists (no zlib there), so this ships as a
+  * spec-verified function rather than an oracle-checked battery query.
+  */
+case class DeflateRatio(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"deflate_ratio_bp requires string input, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "deflate_ratio_bp"
+
+  override def nullSafeEval(input: Any): Any =
+    Zlib.ratioBp(input.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val zlib = ctx.addReferenceObj("zlib", Zlib, Zlib.getClass.getName.stripSuffix("$") + "$")
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $zlib.ratioBp($s.getBytes());")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateRatio =
+    copy(child = newChild)
+}

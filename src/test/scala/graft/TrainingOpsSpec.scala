@@ -66,6 +66,26 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(diff.isEmpty, s"native/HOF fingerprint mismatch: ${diff.head(3).toSeq}")
   }
 
+  test("deflate ratio: repetition compresses far below natural text; SQL surface works") {
+    import spark.implicits._
+    val rep = "the same phrase again and again " * 50
+    val natural = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("text")).head().getString(0)
+    val repBp = one(graft.functions.deflate_ratio_bp(col("text")), rep)
+      .asInstanceOf[Long]
+    val natBp = one(graft.functions.deflate_ratio_bp(col("text")), natural)
+      .asInstanceOf[Long]
+    assert(repBp < natBp / 2, s"repetitive=$repBp natural=$natBp")
+    assert(one(graft.functions.deflate_ratio_bp(col("text")), "") === 10000L)
+    // deterministic: same input, same codepath, same value
+    assert(one(graft.functions.deflate_ratio_bp(col("text")), rep) === repBp)
+    // registered for SQL use
+    Seq(rep).toDF("text").createOrReplaceTempView("dfr_t")
+    val viaSql = spark.sql("SELECT deflate_ratio_bp(text) AS r FROM dfr_t")
+      .head().getLong(0)
+    assert(viaSql === repBp)
+  }
+
   test("shingles: distinct token 3-grams; short docs collapse to whole text") {
     val sh = one(Dedup.shingles(col("text")), "a b c d").asInstanceOf[scala.collection.Seq[String]]
     assert(sh.toSeq == Seq("a b c", "b c d"))
