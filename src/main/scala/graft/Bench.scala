@@ -37,7 +37,12 @@ object Bench {
       s"valid: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
     val selected = (if (args.nonEmpty) SparkEntry.queries.filter { case (n, _) => args.contains(n) }
       else SparkEntry.queries).toSeq.sortBy(_._1)
-    val legacyOnly = sys.env.get("SPARK_GRAFT_BENCH_LEGACY").contains("1")
+    // SPARK_GRAFT_BENCH_MODE: dual (default) | honest | legacy.
+    // SPARK_GRAFT_BENCH_LEGACY=1 is the older spelling of legacy-only.
+    val mode = sys.env.get("SPARK_GRAFT_BENCH_MODE")
+      .orElse(sys.env.get("SPARK_GRAFT_BENCH_LEGACY").filter(_ == "1").map(_ => "legacy"))
+      .getOrElse("dual")
+    require(Set("dual", "honest", "legacy")(mode), s"bad bench mode: $mode")
 
     def execute(df: org.apache.spark.sql.DataFrame, legacy: Boolean): Unit = {
       if (legacy) df.count(): Unit
@@ -68,14 +73,22 @@ object Bench {
     def json(results: Seq[(String, Double, Boolean)]): String =
       results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
 
-    val legacyResults = battery(legacy = true)
-    val honest = if (legacyOnly) legacyResults else battery(legacy = false)
-    val failed = honest.collect { case (k, _, false) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${honest.map(_._2).sum},"unit":"sec"""" +
-      s""","queries":${json(honest)},"failed":$failed""" +
-      s""","legacy_value":${legacyResults.map(_._2).sum}""" +
-      s""","legacy_queries":${json(legacyResults)},"sf":"$sfDir"}""")
+    // honest FIRST: the headline numbers must not inherit JIT/page-
+    // cache warmth from a prior full battery (the comparison pass may)
+    val honest = if (mode == "legacy") Seq.empty else battery(legacy = false)
+    val legacyResults = if (mode == "honest") Seq.empty else battery(legacy = true)
+    val head = if (mode == "legacy") legacyResults else honest
+    // a crash in EITHER evaluation mode is a failure — a legacy-only
+    // crash would otherwise corrupt legacy_value invisibly
+    val failed = (honest ++ legacyResults).collect { case (k, _, false) => "\"" + k + "\"" }
+      .distinct.mkString("[", ",", "]")
+    val legacyFields =
+      if (legacyResults.isEmpty) ""
+      else s""","legacy_value":${legacyResults.map(_._2).sum}""" +
+        s""","legacy_queries":${json(legacyResults)}"""
+    println(s"""{"metric":"total","value":${head.map(_._2).sum},"unit":"sec"""" +
+      s""","mode":"$mode","queries":${json(head)},"failed":$failed""" +
+      legacyFields + s""","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -292,6 +292,15 @@ object QueriesAnalytics {
       .orderBy("status")
   }
 
+  /** Line revenue settled to integer cents — shared by q72/q73 so the
+    * settle rule (rounding mode, scale) lives in exactly one place on
+    * each engine side ([[centsSql]] is the oracle twin).
+    */
+  private def revenueCents: Column =
+    round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("long")
+  private val centsSql =
+    "CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)"
+
   /** q72: TPC-H Q14-shaped promo-revenue share per month — the
     * conditional-aggregate ratio over a broadcast part dimension (the
     * one fixture table the battery didn't touch until now). Revenue
@@ -308,8 +317,7 @@ object QueriesAnalytics {
       .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
       .select(col("l_partkey"), date_format(col("l_shipdate"), "yyyy-MM").as("month"),
-        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
-          .cast("long").as("cents"))
+        revenueCents.as("cents"))
     val p = Tables(spark, dir, "part").select(col("p_partkey"), col("p_type"))
     li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .groupBy("month")
@@ -327,9 +335,8 @@ object QueriesAnalytics {
     * survives, so state per group is one row.
     */
   private val qTopSupplier: Q = (spark, dir) => {
-    val li = Tables(spark, dir, "lineitem").select(col("l_suppkey"),
-      round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
-        .cast("long").as("cents"))
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_suppkey"), revenueCents.as("cents"))
     val supp = Tables(spark, dir, "supplier").select(
       col("s_suppkey"), col("s_name"), col("s_nationkey"))
     val nat = Tables(spark, dir, "nation").select(col("n_nationkey"), col("n_name"))
@@ -396,8 +403,8 @@ object QueriesAnalytics {
     "q68_sql_exists" -> SqlExistsText,
 
     "q73_top_supplier" ->
-      """WITH rev AS (SELECT n_name, s_name,
-        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS cents
+      s"""WITH rev AS (SELECT n_name, s_name,
+        |  CAST(sum($centsSql) AS BIGINT) AS cents
         |  FROM lineitem
         |  JOIN supplier ON l_suppkey = s_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey
@@ -417,8 +424,8 @@ object QueriesAnalytics {
          |GROUP BY win_day ORDER BY win_day""".stripMargin,
 
     "q72_promo_ratio" ->
-      """WITH c AS (SELECT strftime(l_shipdate, '%Y-%m') AS month, p_type,
-        |  CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT) AS cents
+      s"""WITH c AS (SELECT strftime(l_shipdate, '%Y-%m') AS month, p_type,
+        |  $centsSql AS cents
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         |    AND l_shipdate < TIMESTAMP '1998-01-01'),

@@ -46,7 +46,12 @@ class StreamingCurationSpec extends AnyFunSuite {
       .format("parquet").option("checkpointLocation", ckDir)
       .option("path", outDir).outputMode("append")
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    // assert the drain: a false return means timeout — without this the
+    // test would read a partial sink and fail with a misleading diff
+    // while the query keeps writing under later suites
+    val drained = q.awaitTermination(120000)
+    if (!drained) q.stop()
+    assert(drained, "AvailableNow drain timed out")
 
     val streamed = spark.read.parquet(outDir)
     val batch = curate(docs.toDF())
