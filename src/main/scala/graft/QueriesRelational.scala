@@ -350,6 +350,28 @@ object QueriesRelational {
       .orderBy("event_type")
   }
 
+  /** q76: the SAME KMV sketch as a typed UDAF
+    * ([[graft.sketch.KmvAggregator]] via `functions.udaf`) — one
+    * mergeable aggregation (map-side partial combine, O(k) state per
+    * group) instead of q41's two window stages, pinned by the
+    * IDENTICAL oracle. Demonstrates the custom-aggregate extension
+    * surface end-to-end: Aggregator → udaf → groupBy().agg.
+    */
+  private val qKmvUdaf: Q = (spark, dir) => {
+    val ev = Tables(spark, dir, "events")
+    val kmvU = udaf(new graft.sketch.KmvAggregator(KmvK),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val sk = ev.select(col("event_type"),
+        graft.dedup.Dedup.hash32(col("user_id").cast("string"), "kmv").as("h"))
+      .groupBy("event_type").agg(kmvU(col("h")).as("sk"))
+    val exact = ev.groupBy("event_type").agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.join(sk, "event_type")
+      .withColumn("n_est",
+        graft.sketch.Sketches.kmvEstimate(col("sk.hk"), col("sk.got"), KmvK))
+      .select(col("event_type"), col("n_exact"), col("n_est"))
+      .orderBy("event_type")
+  }
+
   /** SCD type-2 as-of join: events match the customer-dimension
     * VERSION in effect at their timestamp — v1 from epoch, v2 from a
     * per-customer boundary day inside the event range. Point-in-time
@@ -559,6 +581,7 @@ object QueriesRelational {
     "q50_json_extract" -> qJsonExtract,
     "q51_salted_join" -> qSaltedJoin,
     "q41_kmv_distinct" -> qKmvDistinct,
+    "q76_kmv_udaf" -> qKmvUdaf,
     "q42_scd_asof" -> qScdAsof,
     "q34_pivot" -> qPivot,
     "q32_stats" -> qStats,
@@ -573,6 +596,25 @@ object QueriesRelational {
     "q6_window_agg" -> qWindowAgg,
     "q10_decode" -> qDecode,
     "q35_router_access" -> qRouterAccess)
+
+  /** Shared by q41 (composed two-stage sketch) and q76 (Aggregator
+    * UDAF) — both must produce this exact result.
+    */
+  private lazy val kmvOracle =
+    s"""WITH h AS (SELECT DISTINCT event_type,
+       |  ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+       |  FROM events),
+       |r AS (SELECT event_type, h,
+       |  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+       |s AS (SELECT event_type, max(h) AS hk, CAST(count(*) AS BIGINT) AS got
+       |      FROM r WHERE rn <= $KmvK GROUP BY event_type),
+       |x AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+       |      FROM events GROUP BY event_type)
+       |SELECT x.event_type, x.n_exact,
+       |  CASE WHEN s.got < $KmvK THEN CAST(s.got AS DOUBLE)
+       |       ELSE ${KmvK - 1}.0 * 4294967296.0 / CAST(s.hk AS DOUBLE) END AS n_est
+       |FROM x JOIN s USING (event_type)
+       |ORDER BY event_type""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q60_gapfill" ->
@@ -655,21 +697,10 @@ object QueriesRelational {
          |  min(z) AS min_z, max(z) AS max_z
          |FROM f GROUP BY file_id ORDER BY file_id""".stripMargin,
 
-    "q41_kmv_distinct" ->
-      s"""WITH h AS (SELECT DISTINCT event_type,
-         |  ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
-         |  FROM events),
-         |r AS (SELECT event_type, h,
-         |  row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
-         |s AS (SELECT event_type, max(h) AS hk, CAST(count(*) AS BIGINT) AS got
-         |      FROM r WHERE rn <= $KmvK GROUP BY event_type),
-         |x AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
-         |      FROM events GROUP BY event_type)
-         |SELECT x.event_type, x.n_exact,
-         |  CASE WHEN s.got < $KmvK THEN CAST(s.got AS DOUBLE)
-         |       ELSE ${KmvK - 1}.0 * 4294967296.0 / CAST(s.hk AS DOUBLE) END AS n_est
-         |FROM x JOIN s USING (event_type)
-         |ORDER BY event_type""".stripMargin,
+    "q41_kmv_distinct" -> kmvOracle,
+    // the UDAF formulation computes the IDENTICAL sketch — one oracle
+    // text pins both the composed-ops and the Aggregator paths
+    "q76_kmv_udaf" -> kmvOracle,
 
     "q42_scd_asof" ->
       """WITH dimv AS (
