@@ -33,8 +33,8 @@ object GlobalRank {
     * be a total order — include a unique tiebreak column).
     */
   def withRank(df: DataFrame, sortCols: Seq[Column],
-               rankCol: String = "rank"): DataFrame =
-    ranked(df, sortCols, rankCol)._1
+               rankCol: String = "rank", numPartitions: Int = 0): DataFrame =
+    ranked(df, sortCols, rankCol, numPartitions)._1
 
   /** `df` plus the exact `ntile(k)` bucket (1-based, long) that a
     * global `ntile(k) OVER (ORDER BY sortCols)` would assign — first
@@ -58,9 +58,11 @@ object GlobalRank {
   }
 
   private def ranked(df: DataFrame, sortCols: Seq[Column],
-                     rankCol: String): (DataFrame, Long) = {
+                     rankCol: String, numPartitions: Int = 0): (DataFrame, Long) = {
     require(sortCols.nonEmpty, "global rank needs at least one sort column")
-    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val parallelism =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.sparkContext.defaultParallelism
     // materialized (eager localCheckpoint): two consumers — the
     // histogram job and the output — must see the SAME sampled range
     // boundaries, and the upstream must not recompute per consumer.
@@ -70,12 +72,20 @@ object GlobalRank {
     val hist = parts.groupBy("__pid").count().orderBy("__pid").collect()
       .map(r => (r.getInt(0), r.getLong(1)))
     val total = hist.map(_._2).sum
+    // Dense cumulative-offset array over ALL partition ids (empty
+    // partitions hold 0 rows and are absent from the histogram): one
+    // array literal + O(1) element_at per row. A per-partition
+    // when-chain here would cost O(partitions) per row — fine at
+    // local[32], anti-scaling on a cluster where defaultParallelism
+    // is 10^4+.
+    val numParts = parts.rdd.getNumPartitions
+    val counts = new Array[Long](numParts)
+    hist.foreach { case (pid, c) => counts(pid) = c }
+    val offsetArr = new Array[Long](numParts)
     var acc = 0L
-    val offsets = hist.map { case (pid, c) => val o = (pid, acc); acc += c; o }
-    // ≤ one branch per partition — a metadata-sized case expression
-    val offsetCol = offsets.foldLeft(lit(0L)) { case (e, (pid, off)) =>
-      when(col("__pid") === pid, lit(off)).otherwise(e)
-    }
+    var i = 0
+    while (i < numParts) { offsetArr(i) = acc; acc += counts(i); i += 1 }
+    val offsetCol = element_at(lit(offsetArr), col("__pid") + 1)
     val w = Window.partitionBy("__pid").orderBy(sortCols: _*)
     val out = parts
       .withColumn(rankCol, row_number().over(w).cast("long") + offsetCol)

@@ -54,6 +54,36 @@ class GlobalRankSpec extends AnyFunSuite {
     assert(GlobalRank.withNtile(df, Seq(col("id")), 4, "t").count() === 0L)
   }
 
+  test("offset lookup is O(1) per row: no per-partition CASE over __pid in the plan") {
+    val ranked = GlobalRank.withRank(data(1000), Seq(col("k"), col("id")))
+    val plan = ranked.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("CASE WHEN"),
+      s"per-partition branch chain found in plan (anti-scales with cluster size):\n$plan")
+    assert(plan.contains("element_at"),
+      s"expected O(1) element_at offset lookup in plan:\n$plan")
+  }
+
+  test("cluster-scale rehearsal: 512 partitions, exact ranks, no codegen fallback") {
+    // At 512 branches a when-chain would blow codegen's method-size
+    // limit and fall back to interpreted eval; the array lookup must
+    // keep the rank projection inside WholeStageCodegen.
+    val df = data(5000)
+    val ranked = GlobalRank.withRank(df, Seq(col("k"), col("id")), numPartitions = 512)
+    // collect ranked itself so AQE finalizes ITS executedPlan
+    val got = ranked.collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("rank"))).toSeq.sorted
+    val want = df.withColumn("rank",
+        row_number().over(Window.orderBy("k", "id")).cast("long"))
+      .select("id", "rank").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got == want)
+    // `*(n)` is WholeStageCodegen's marker in the final AQE plan; the
+    // rank projection must carry it (a 512-branch when-chain would
+    // trip the codegen size limit and lose the star).
+    val exec = ranked.queryExecution.executedPlan.toString
+    assert(exec.linesIterator.exists(l => l.contains("Project") && l.contains("*(")),
+      s"rank projection fell out of whole-stage codegen at 512 partitions:\n${exec.take(2000)}")
+  }
+
   test("descending sort columns rank correctly") {
     val df = data(500)
     val got = GlobalRank.withRank(df, Seq(col("k").desc, col("id")))
