@@ -18,10 +18,16 @@ package graft
   *    every output column, so a projection-shaped query (q35, q69, …)
   *    benches as a bare scan count, never paying its parse / decode /
   *    sort;
-  *  - legacy ("legacy_value"/"legacy_queries"): the pre-round-6
-  *    `df.count()` semantics, kept in the SAME output line so
-  *    cross-round ratios against r1–r5 baselines stay apples-to-apples
-  *    without rerunning (see BASELINE.md §c).
+  *  - legacy ("legacy_value"): the pre-round-6 `df.count()` semantics,
+  *    kept so cross-round ratios against r1–r5 baselines stay
+  *    apples-to-apples without rerunning (see BASELINE.md §c).
+  *
+  * Output (round-7 harness fix — the round-6 line overflowed the
+  * driver's tail capture and parsed as null): the stdout line carries
+  * totals for both modes plus the honest per-query map at 3 decimals
+  * (~2 KB); the FULL dual-mode detail (both per-query maps, 4
+  * decimals) is written to SPARK_GRAFT_BENCH_OUT (default
+  * ./BENCH_FULL.json), named in the line's "detail" field.
   *
   * Optional args narrow the run to the named queries (local iteration:
   * `runMain graft.Bench q31_dedup_groups`). SPARK_GRAFT_BENCH_LEGACY=1
@@ -70,8 +76,14 @@ object Bench {
         (name, t, ok)
       }
     }
-    def json(results: Seq[(String, Double, Boolean)]): String =
-      results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // Fixed-width decimals: the round-6 line carried 2×76 values at
+    // full double precision and overflowed the driver's tail capture
+    // ("parsed": null — the honest headline was lost). 4 decimals in
+    // the detail file, 3 on the stdout line keep both well inside it.
+    def fmt(v: Double, dp: Int): String = s"%.${dp}f".format(v)
+    def json(results: Seq[(String, Double, Boolean)], dp: Int): String =
+      results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v, dp) }
+        .mkString("{", ",", "}")
 
     // honest FIRST: the headline numbers must not inherit JIT/page-
     // cache warmth from a prior full battery (the comparison pass may)
@@ -82,13 +94,34 @@ object Bench {
     // crash would otherwise corrupt legacy_value invisibly
     val failed = (honest ++ legacyResults).collect { case (k, _, false) => "\"" + k + "\"" }
       .distinct.mkString("[", ",", "]")
-    val legacyFields =
-      if (legacyResults.isEmpty) ""
-      else s""","legacy_value":${legacyResults.map(_._2).sum}""" +
-        s""","legacy_queries":${json(legacyResults)}"""
-    println(s"""{"metric":"total","value":${head.map(_._2).sum},"unit":"sec"""" +
-      s""","mode":"$mode","queries":${json(head)},"failed":$failed""" +
-      legacyFields + s""","sf":"$sfDir"}""")
+    // Full dual-mode detail goes to a FILE the driver/judge can read
+    // whole; the stdout line stays small enough to survive tail capture.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    // legacy totals ride the headline line ONLY in dual mode — in a
+    // single-mode run each number appears exactly once (value), with
+    // `mode` saying what it measured.
+    val legacyTotal =
+      if (mode == "dual" && legacyResults.nonEmpty)
+        s""","legacy_value":${fmt(legacyResults.map(_._2).sum, 4)}"""
+      else ""
+    val fileFields = (
+      Seq(s""""metric":"total"""", s""""value":${fmt(head.map(_._2).sum, 4)}""",
+        s""""unit":"sec"""", s""""mode":"$mode"""",
+        s""""queries":${json(head, 4)}""", s""""failed":$failed""") ++
+      (if (mode == "dual" && legacyResults.nonEmpty)
+        Seq(s""""legacy_value":${fmt(legacyResults.map(_._2).sum, 4)}""",
+          s""""legacy_queries":${json(legacyResults, 4)}""")
+      else Seq.empty) ++
+      Seq(s""""sf":"$sfDir"""")
+    ).mkString("{", ",", "}")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (fileFields + "\n").getBytes("UTF-8")): Unit
+    // totals-only on stdout: the round-6 tail capture kept only ~2 KB,
+    // so even a rounded 76-entry map risks truncating the line into
+    // invalid JSON. Per-query maps live in the detail file.
+    println(s"""{"metric":"total","value":${fmt(head.map(_._2).sum, 4)},"unit":"sec"""" +
+      s""","mode":"$mode","n_queries":${head.size},"failed":$failed""" +
+      legacyTotal + s""","detail":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }
