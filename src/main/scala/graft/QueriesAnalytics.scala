@@ -362,10 +362,17 @@ object QueriesAnalytics {
     * which is the shape that survives when the slide count is small
     * and the corpus is not (contrast: a 7-day range window over
     * distincts needs the full user set per frame).
+    *
+    * `(day, user_id)` is distinct-ed BEFORE the fan-out: a user active
+    * 50×/day would otherwise ship 50×7 duplicate rows through the
+    * exchange only for `count_distinct` to discard them after the
+    * shuffle. The pre-aggregation is map-side-combining, so the
+    * exchange carries at most |days × active users| rows.
     */
   private val qRollingActive: Q = (spark, dir) => {
     val e = Tables.events(spark, dir)
       .select(expr(s"ts_ms div $DayMs").as("day"), col("user_id"))
+      .distinct()
     val maxd = e.agg(max(col("day")).as("__maxd"))
     e.select(explode(sequence(col("day"), col("day") + (RollDays - 1))).as("win_day"),
         col("user_id"))

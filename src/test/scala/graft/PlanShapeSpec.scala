@@ -121,6 +121,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("l_partkey") && !p.contains("l_shipdate"))
   }
 
+  test("q74_rolling_active: distinct (day,user) aggregate runs BELOW the window fan-out") {
+    // the 7× explode must fan out already-deduplicated (day, user)
+    // pairs — exploding raw events first ships every repeat visit
+    // through the exchange only for count_distinct to discard it
+    val df = Queries.all("q74_rolling_active")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val gen = p.indexOf("Generate explode")
+    val agg = p.lastIndexOf("HashAggregate")
+    assert(gen >= 0, s"expected an explode fan-out:\n$p")
+    // plan prints top-down: a HashAggregate BELOW the Generate means
+    // the distinct pre-aggregation feeds the fan-out
+    assert(agg > gen,
+      s"no distinct aggregate below the explode fan-out:\n$p")
+  }
+
   test("grok capture pruning fires on a multi-capture pattern over a real scan") {
     // %{GENERIC} yields 2 captures (GENERIC + log_event,
     // NamedCapturesOnly=false); selecting one prunes the other.
