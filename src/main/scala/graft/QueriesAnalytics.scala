@@ -234,11 +234,80 @@ object QueriesAnalytics {
       |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
-  private val qSqlExists: Q = (spark, dir) => {
-    Seq("orders", "lineitem")
-      .foreach(t => Tables(spark, dir, t).createOrReplaceTempView(t))
-    spark.sql(SqlExistsText)
+  /** Runs one dialect-neutral SQL text verbatim over the named fixture
+    * tables. The temp views exist only for the (eager) analysis of
+    * `spark.sql` — they are dropped before returning, so running a
+    * SQL-front-end query never leaves `orders`/`lineitem` bound to
+    * whatever dir it last saw in the shared session catalog.
+    */
+  private def sqlVerbatim(spark: org.apache.spark.sql.SparkSession, dir: String,
+                          text: String, tables: Seq[String]): DataFrame = {
+    tables.foreach(t => Tables(spark, dir, t).createOrReplaceTempView(t))
+    try spark.sql(text) // Dataset.ofRows analyzes eagerly: views resolved here
+    finally tables.foreach(t => spark.catalog.dropTempView(t): Unit)
   }
+
+  private val qSqlExists: Q = (spark, dir) =>
+    sqlVerbatim(spark, dir, SqlExistsText, Seq("orders", "lineitem"))
+
+  /** q77: SQL front end #2 — per-region top-3 nations by settled
+    * revenue: a windowed rank OVER the grouped aggregate, written once
+    * in ANSI SQL and executed verbatim by BOTH engines (the text IS
+    * the oracle). The window partitions by region, so no
+    * single-partition WindowExec; revenue settles to integer cents
+    * before ranking (no order-dependent double sums near the rank
+    * boundary).
+    */
+  private[graft] val SqlTopNText: String =
+    s"""SELECT r_name, n_name, cents, rk
+      |FROM (SELECT r_name, n_name,
+      |        CAST(sum($centsSql) AS BIGINT) AS cents,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY r_name
+      |          ORDER BY CAST(sum($centsSql) AS BIGINT) DESC, n_name) AS BIGINT) AS rk
+      |      FROM lineitem
+      |      JOIN supplier ON l_suppkey = s_suppkey
+      |      JOIN nation ON s_nationkey = n_nationkey
+      |      JOIN region ON n_regionkey = r_regionkey
+      |      GROUP BY r_name, n_name) ranked
+      |WHERE rk <= 3
+      |ORDER BY r_name, rk""".stripMargin
+
+  private val qSqlTopN: Q = (spark, dir) =>
+    sqlVerbatim(spark, dir, SqlTopNText,
+      Seq("lineitem", "supplier", "nation", "region"))
+
+  /** q78: SQL front end #3 — ROLLUP over return-flag × line-status,
+    * verbatim on both engines. Quantities are integral by fixture
+    * construction, summed as exact BIGINT; ORDER BY pins NULLS FIRST
+    * explicitly because the engines' defaults differ (Spark ASC =
+    * NULLS FIRST, DuckDB ASC = NULLS LAST).
+    */
+  private[graft] val SqlRollupText: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+      |  CAST(count(*) AS BIGINT) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  private val qSqlRollup: Q = (spark, dir) =>
+    sqlVerbatim(spark, dir, SqlRollupText, Seq("lineitem"))
+
+  /** q79: SQL front end #4 — per-year order mix via FILTER'd
+    * aggregates (the ANSI conditional-aggregation form both engines
+    * codegen as one pass; no self-join, no CASE pyramid).
+    */
+  private[graft] val SqlFilterAggText: String =
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |  CAST(count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) AS BIGINT) AS high_cnt,
+      |  CAST(count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS BIGINT) AS low_cnt,
+      |  CAST(round(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS DOUBLE) AS avg_final_price
+      |FROM orders
+      |GROUP BY year(o_orderdate)
+      |ORDER BY yr""".stripMargin
+
+  private val qSqlFilterAgg: Q = (spark, dir) =>
+    sqlVerbatim(spark, dir, SqlFilterAggText, Seq("orders"))
 
   private[graft] val ChunkSize = 32
   private[graft] val ChunkStride = 24
@@ -385,6 +454,9 @@ object QueriesAnalytics {
 
   val all: Map[String, Q] = Map(
     "q68_sql_exists" -> qSqlExists,
+    "q77_sql_topn" -> qSqlTopN,
+    "q78_sql_rollup" -> qSqlRollup,
+    "q79_sql_filter_agg" -> qSqlFilterAgg,
     "q69_chunking" -> qChunking,
     "q70_snapshot_diff" -> qSnapshotDiff,
     "q72_promo_ratio" -> qPromoRatio,
@@ -408,6 +480,9 @@ object QueriesAnalytics {
   val oracles: Map[String, String] = Map(
     // the whole point: the oracle IS the Spark-side SQL text
     "q68_sql_exists" -> SqlExistsText,
+    "q77_sql_topn" -> SqlTopNText,
+    "q78_sql_rollup" -> SqlRollupText,
+    "q79_sql_filter_agg" -> SqlFilterAggText,
 
     "q73_top_supplier" ->
       s"""WITH rev AS (SELECT n_name, s_name,
