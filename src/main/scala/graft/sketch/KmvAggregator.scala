@@ -25,31 +25,50 @@ case class KmvState(hk: Long, got: Long)
 class KmvAggregator(k: Int) extends Aggregator[Long, Array[Long], KmvState] {
   require(k > 0, s"k must be positive, got $k")
 
+  // Buffer layout: slot 0 = fill count, slots 1..fill = the kept
+  // hashes, sorted ascending. Fixed capacity k+1, mutated IN PLACE —
+  // Aggregator buffers are owned by the framework between calls, so
+  // reduce/merge may mutate and return them; the round-6 version
+  // allocated and copied a fresh array per input row (O(k) GC churn
+  // per row on the advertised scale-ready extension surface).
   override def zero: Array[Long] = Array.emptyLongArray
 
-  /** Insert into the sorted bounded set; no-op for duplicates and for
-    * values above the current k-th minimum when full.
+  /** In-place insert into the sorted bounded set; no-op for duplicates
+    * and for values above the current k-th minimum when full.
     */
-  private def insert(b: Array[Long], h: Long): Array[Long] = {
-    val i = java.util.Arrays.binarySearch(b, h)
+  private def insert(b0: Array[Long], h: Long): Array[Long] = {
+    val b = if (b0.length == 0) new Array[Long](k + 1) else b0
+    val fill = b(0).toInt
+    val i = java.util.Arrays.binarySearch(b, 1, 1 + fill, h)
     if (i >= 0) b // already present (KMV is over DISTINCT hashes)
     else {
-      val p = -i - 1
-      if (b.length >= k && p >= k) b // larger than everything kept
+      val p = -i - 1 // insertion slot in [1, fill+1]
+      if (fill >= k && p > k) b // larger than everything kept
       else {
-        val out = new Array[Long](math.min(b.length + 1, k))
-        System.arraycopy(b, 0, out, 0, p)
-        out(p) = h
-        System.arraycopy(b, p, out, p + 1, out.length - p - 1)
-        out
+        if (fill < k) {
+          System.arraycopy(b, p, b, p + 1, fill - p + 1)
+          b(0) = fill + 1
+        } else { // full: shift right, dropping the current k-th minimum
+          System.arraycopy(b, p, b, p + 1, k - p)
+        }
+        b(p) = h
+        b
       }
     }
   }
 
   override def reduce(b: Array[Long], h: Long): Array[Long] = insert(b, h)
-  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = b.foldLeft(a)(insert)
-  override def finish(b: Array[Long]): KmvState =
-    KmvState(if (b.isEmpty) 0L else b.last, b.length.toLong)
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var out = a
+    val fillB = if (b.length == 0) 0 else b(0).toInt
+    var i = 1
+    while (i <= fillB) { out = insert(out, b(i)); i += 1 }
+    out
+  }
+  override def finish(b: Array[Long]): KmvState = {
+    val fill = if (b.length == 0) 0 else b(0).toInt
+    KmvState(if (fill == 0) 0L else b(fill), fill.toLong)
+  }
   override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
   override def outputEncoder: Encoder[KmvState] = Encoders.product[KmvState]
 }

@@ -56,7 +56,10 @@ class TrainingOpsSpec extends AnyFunSuite {
     import spark.implicits._
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
       .select(col("text"))
-      .unionAll(Seq("", " ", "héllo wörld", "日本語テキスト", "mixed ascii + 中文")
+      .unionAll(Seq("", " ", "héllo wörld", "日本語テキスト", "mixed ascii + 中文",
+          // supplementary-plane (astral) input: surrogate pairs are where
+          // the native codePointAt walk and the HOF twin could diverge
+          "violin key: 𝄞", "emoji 😀🚀 mix", "𝄞")
         .toDF("text"))
     val diff = docs.select(
         TextAnalysis.fingerprint(col("text")).as("native"),
