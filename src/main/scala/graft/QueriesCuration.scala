@@ -124,14 +124,16 @@ object QueriesCuration {
   }
 
   private val PackBudget = 512
-  private val PackShards = 8
 
   /** Sequence packing: concatenate docs in id order within hash
     * shards, record each doc's start offset and context-window bin.
+    * Shard count derived from corpus rows ([[ScaleParams.packShards]]).
     */
   private val qSeqPack: Q = (spark, dir) => {
+    val shards = ScaleParams.packShards(
+      ScaleParams.tableRows(spark, dir, "documents"))
     Curation.packSequences(Tables(spark, dir, "documents"),
-        "doc_id", "text", PackBudget, PackShards)
+        "doc_id", "text", PackBudget, shards)
       .orderBy("doc_id")
   }
 
@@ -297,10 +299,11 @@ object QueriesCuration {
     },
 
     "q39_seq_pack" ->
-      s"""WITH t AS (
+      s"""WITH p AS (SELECT ${ScaleParams.packShardsSql} AS shards FROM documents),
+         |t AS (
          |  SELECT doc_id,
          |    CAST(len(${QueriesTraining.toksSql}) AS BIGINT) AS tok_count,
-         |    $hashIdSql % $PackShards AS shard
+         |    $hashIdSql % (SELECT shards FROM p) AS shard
          |  FROM documents),
          |o AS (
          |  SELECT doc_id, tok_count, shard,

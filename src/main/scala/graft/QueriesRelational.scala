@@ -426,7 +426,6 @@ object QueriesRelational {
   }
 
   private val ZBits = 10
-  private val ZFiles = 16
 
   /** Z-order layout audit: Morton-interleave (user bucket, value
     * bucket), rank-split the corpus into [[ZFiles]] z-ranges, and
@@ -441,12 +440,16 @@ object QueriesRelational {
     * deterministic).
     */
   private val qZorder: Q = (spark, dir) => {
+    // file count derived from corpus rows (ScaleParams.layoutFiles):
+    // a constant file count means unbounded rows per file at scale
+    val files = ScaleParams.layoutFiles(
+      ScaleParams.tableRows(spark, dir, "events"))
     val ev = Tables(spark, dir, "events").select(
       col("event_id"),
       (col("user_id") % 1024).as("ub"),
       (floor(col("value")).cast("long") % 1024).as("vb"))
     val z = ev.withColumn("z", ZOrder.zValue(Seq(col("ub"), col("vb")), ZBits))
-    GlobalRank.withNtile(z, Seq(col("z"), col("event_id")), ZFiles, "file_id")
+    GlobalRank.withNtile(z, Seq(col("z"), col("event_id")), files, "file_id")
       .groupBy("file_id")
       .agg(count(lit(1)).as("cnt"),
         min("ub").as("min_ub"), max("ub").as("max_ub"),
@@ -685,12 +688,13 @@ object QueriesRelational {
          |FROM c LEFT JOIN m USING (click_id) ORDER BY click_id""".stripMargin,
 
     "q47_zorder" ->
-      s"""WITH e AS (SELECT event_id, user_id % 1024 AS ub,
+      s"""WITH p AS (SELECT ${ScaleParams.layoutFilesSql} AS files FROM events),
+         |e AS (SELECT event_id, user_id % 1024 AS ub,
          |  CAST(floor(value) AS BIGINT) % 1024 AS vb FROM events),
          |z AS (SELECT event_id, ub, vb,
          |  ${ZOrder.zValueSql(Seq("ub", "vb"), ZBits)} AS z FROM e),
          |f AS (SELECT ub, vb, z,
-         |  ntile($ZFiles) OVER (ORDER BY z, event_id) AS file_id FROM z)
+         |  ntile((SELECT files FROM p)) OVER (ORDER BY z, event_id) AS file_id FROM z)
          |SELECT file_id, count(*) AS cnt,
          |  min(ub) AS min_ub, max(ub) AS max_ub,
          |  min(vb) AS min_vb, max(vb) AS max_vb,

@@ -156,21 +156,26 @@ object QueriesTraining {
   }
 
   private val EmbedDims = 64
-  private val EmbedPlanes = 4
   private val NearDupCos = 0.3
   private val EmbedBands = 4
-  private val EmbedBandPlanes = 8
 
   /** Embedding-cosine near-dup via BANDED SRP ([[Similarity.srpBandKeys]]):
-    * [[EmbedBands]] independent [[EmbedBandPlanes]]-plane tables; a
-    * pair is a candidate iff it shares any band key, then the exact
-    * cosine filter runs on candidates only. All-pairs would be O(n²);
-    * a single SRP table caps join parallelism at 2^planes buckets
-    * (the round-5 scale finding) — banding gives bands*2^planes key
-    * space (here 1024) with recall 1-(1-p^b)^L, both knobs growable
-    * with corpus size.
+    * [[EmbedBands]] independent planes-per-band tables; a pair is a
+    * candidate iff it shares any band key, then the exact cosine
+    * filter runs on candidates only. All-pairs would be O(n²); a
+    * single SRP table caps join parallelism at 2^planes buckets (the
+    * round-5 scale finding) — banding gives bands*2^planes key space
+    * with recall 1-(1-p^b)^L.
+    *
+    * The planes-per-band count is DERIVED from the corpus row count
+    * ([[ScaleParams.srpBandPlanes]], the occupancy rule BASELINE §e
+    * measured): fixed planes under-bucket at scale and the candidate
+    * join explodes quadratically. The oracle derives the identical
+    * value from `count(*)` and builds its buckets dynamically.
     */
   private val qDedupEmbed: Q = (spark, dir) => {
+    val planes = ScaleParams.srpBandPlanes(
+      ScaleParams.tableRows(spark, dir, "embeddings"))
     val e = Dedup.fanOut(Tables(spark, dir, "embeddings"), col("vec_id"))
       .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("nrm", Similarity.norm(col("v")))
@@ -178,7 +183,7 @@ object QueriesTraining {
     // SAME computed band keys (self-joins don't reuse exchanges)
     val sigs = Dedup.materialize(e.select(col("vec_id"),
       explode_outer(Similarity.srpBandKeys(col("v"), EmbedBands,
-        EmbedBandPlanes, EmbedDims)).as("bucket")))
+        planes, EmbedDims)).as("bucket")))
     val cand = sigs.select(col("vec_id").as("id_a"), col("bucket"))
       .join(sigs.select(col("vec_id").as("id_b"), col("bucket")), "bucket")
       .filter(col("id_a") < col("id_b"))
@@ -203,31 +208,46 @@ object QueriesTraining {
     Similarity.knnBrute(q, e, 10).orderBy("q_id", "rank")
   }
 
-  /** LSH-bucketed ANN: same ranking restricted to the query's bucket. */
+  /** LSH-bucketed ANN: same ranking restricted to the query's bucket.
+    * Plane count derived ([[ScaleParams.lshPlanes]]): the per-probe
+    * rerank set stays ~constant as the corpus grows instead of the
+    * bucket scan growing linearly with n.
+    */
   private val qKnnLsh: Q = (spark, dir) => {
+    val planes = ScaleParams.lshPlanes(
+      ScaleParams.tableRows(spark, dir, "embeddings"))
     val e = Tables(spark, dir, "embeddings").select(
       col("vec_id"), col("embedding").as("vec"))
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
-    Similarity.knnLsh(q, e, 5, EmbedPlanes, EmbedDims).orderBy("q_id", "rank")
+    Similarity.knnLsh(q, e, 5, planes, EmbedDims).orderBy("q_id", "rank")
   }
 
-  private val IvfLists = 8
+  /** K-means K for q49 — a MODEL choice, deliberately NOT derived from
+    * corpus stats (contrast [[ScaleParams.ivfLists]], which is index
+    * parameterization and scales ~√n).
+    */
+  private val KmeansK = 8
   private val IvfProbes = 2
 
   /** IVF-style ANN: deterministic coarse quantizer (first K vectors as
     * centroids), one inverted list per centroid, queries probe the
     * `IvfProbes` nearest lists and rerank exactly. At 100 TB the
     * assignment is a broadcast map stage and the probe join touches
-    * only nprobe/K of the corpus.
+    * only nprobe/K of the corpus. The list count is derived
+    * ([[ScaleParams.ivfLists]], ~√n): a constant K means each probe
+    * scans a constant FRACTION of the corpus — linear probe cost —
+    * while √n lists keep probe cost ~√n.
     */
   private val qKnnIvf: Q = (spark, dir) => {
     import org.apache.spark.sql.expressions.Window
+    val lists = ScaleParams.ivfLists(
+      ScaleParams.tableRows(spark, dir, "embeddings"))
     val parallelism = spark.sparkContext.defaultParallelism
     val e = Tables(spark, dir, "embeddings").select(
         col("vec_id"), col("embedding").as("vec"))
       .repartition(parallelism, col("vec_id"))
-    val cents = e.filter(col("vec_id") < IvfLists)
+    val cents = e.filter(col("vec_id") < lists)
       .select(col("vec_id").as("c_id"), col("vec").as("c_vec"))
     // best-centroid selection is an argmax, not a ranking: max_by gets
     // map-side partial aggregation, so the exchange carries one row per
@@ -272,7 +292,7 @@ object QueriesTraining {
     val e = Tables(spark, dir, "embeddings").select(
         col("vec_id"), col("embedding").as("vec"))
       .repartition(parallelism, col("vec_id"))
-    val cents = e.filter(col("vec_id") < IvfLists)
+    val cents = e.filter(col("vec_id") < KmeansK)
       .select(col("vec_id").as("c_id"), col("vec").as("c_vec"))
     val assign = e.crossJoin(broadcast(cents))
       .withColumn("ccos", Similarity.cosine(col("vec"), col("c_vec")))
@@ -493,21 +513,23 @@ object QueriesTraining {
       .orderBy("lang")
   }
 
-  private val ShardCount = 16
-
   /** Deterministic balanced training-shard assignment: rank docs by
     * token count (longest first, doc_id tiebreak) with the scale-safe
     * [[graft.operators.GlobalRank]] — NO single-partition window —
     * then round-robin `rank mod k`, which balances shard doc counts
     * exactly and token sums to within one stripe. Reports per-shard
-    * doc/token totals — the audit a shard-writer job emits.
+    * doc/token totals — the audit a shard-writer job emits. Shard
+    * count derived from corpus rows ([[ScaleParams.shardCount]]), not
+    * hand-set.
     */
   private val qShardAssign: Q = (spark, dir) => {
+    val shards = ScaleParams.shardCount(
+      ScaleParams.tableRows(spark, dir, "documents"))
     val d = Tables(spark, dir, "documents").select(col("doc_id"),
       TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
     graft.operators.GlobalRank
       .withRank(d, Seq(col("n_tokens").desc, col("doc_id")), "rn")
-      .withColumn("shard_id", (col("rn") - 1) % ShardCount + 1)
+      .withColumn("shard_id", (col("rn") - 1) % shards + 1)
       .groupBy("shard_id")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
       .orderBy("shard_id")
@@ -629,28 +651,42 @@ object QueriesTraining {
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |         FROM bands a JOIN bands b USING (band_key) WHERE a.doc_id < b.doc_id)""".stripMargin
 
-  /** ±1 hyperplane j as a DOUBLE[] literal — built from the identical
-    * [[Similarity.planeSign]] md5 derivation the Spark side uses.
-    */
-  private def planeSql(j: Int): String =
-    (0 until EmbedDims).map(i => s"${Similarity.planeSign(j, i)}.0")
-      .mkString("[", ", ", s"]::DOUBLE[]")
-
   private def dotSql(a: String, b: String): String =
     foldSumDoubleSql(s"list_transform(range(1, ${EmbedDims + 1}), i -> ($a)[i] * ($b)[i])")
 
   private def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
 
-  private def bucketSql(v: String, planes: Int = EmbedPlanes,
-                        planeOffset: Int = 0): String = (0 until planes)
-    .map(j => s"CASE WHEN ${dotSql(v, planeSql(planeOffset + j))} > 0 THEN ${1L << j} ELSE 0 END")
-    .mkString("(", " + ", ")")
+  /** DYNAMIC-plane-count SRP oracle machinery (round 7): the plane
+    * count is now a scalar derived from `count(*)` (the ScaleParams
+    * rule), so the oracle can no longer unroll per-plane SQL at text-
+    * build time. Instead:
+    *
+    *  - `sg` materializes one ±1 sign LIST per plane j (ordered by
+    *    dim) from the identical [[Similarity.planeSign]] derivation —
+    *    md5("j_i") first-hex-digit parity — nplanes×dims md5 calls
+    *    total, reused by every vector;
+    *  - per-(vector, plane) dots use the SAME left-to-right
+    *    `list_reduce` fold as [[Similarity.dot]], so the `> 0` sign
+    *    never sits on an order-of-summation knife edge;
+    *  - bucket bits re-assemble with an integer (order-free) sum.
+    */
+  private def signListsCte(nplanesExpr: String): String =
+    // DuckDB range() takes only constant bounds: enumerate a constant
+    // 256-plane ceiling (bands×planes for any corpus under 2^60 rows)
+    // and filter by the derived scalar
+    s"""sg AS (SELECT j, list(CASE WHEN
+       |    ('0x' || substr(md5(j || '_' || i), 1, 1))::BIGINT % 2 = 0
+       |    THEN 1.0 ELSE -1.0 END ORDER BY i) AS sv
+       |  FROM range(0, 256) t(j), range(0, $EmbedDims) u(i)
+       |  WHERE j < $nplanesExpr
+       |  GROUP BY j)""".stripMargin
 
-  /** Oracle twin of [[Similarity.srpBandKeys]]. */
-  private def bandKeysSql(v: String): String = (0 until EmbedBands)
-    .map(t => s"(${t.toLong << EmbedBandPlanes} + ${bucketSql(v, EmbedBandPlanes, t * EmbedBandPlanes)})")
-    .mkString("[", ", ", "]")
+  /** Per-(vec_id, plane j) signed dot — exact fold order. */
+  private val planeDotsCte: String =
+    s"""d AS (SELECT vec_id, j,
+       |  ${foldSumDoubleSql(s"list_transform(range(1, ${EmbedDims + 1}), i -> v[i] * sv[i])")} AS dt
+       |  FROM e, sg)""".stripMargin
 
   private val simhashTermsSql = (0 until 32)
     .map(i => s"CASE WHEN 2*len(list_filter(hs, h -> ((h >> $i) & 1) = 1)) > len(hs) THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
@@ -686,11 +722,12 @@ object QueriesTraining {
          |ORDER BY id_a, id_b""".stripMargin,
 
     "q56_shard_assign" ->
-      s"""WITH t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
+      s"""WITH p AS (SELECT ${ScaleParams.shardCountSql} AS shards FROM documents),
+         |t AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens
          |           FROM documents),
          |r AS (SELECT doc_id, n_tokens,
          |        row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rn FROM t)
-         |SELECT (rn - 1) % $ShardCount + 1 AS shard_id,
+         |SELECT (rn - 1) % (SELECT shards FROM p) + 1 AS shard_id,
          |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
          |FROM r GROUP BY 1 ORDER BY shard_id""".stripMargin,
 
@@ -815,7 +852,15 @@ object QueriesTraining {
 
     "q24_dedup_embed" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |k AS (SELECT vec_id, unnest(${bandKeysSql("v")}) AS bucket FROM e),
+         |p AS (SELECT ${ScaleParams.srpBandPlanesSql} AS planes FROM e),
+         |${signListsCte(s"$EmbedBands * (SELECT planes FROM p)")},
+         |$planeDotsCte,
+         |bk AS (SELECT vec_id, j // pp.planes AS band, pp.planes AS planes,
+         |  CAST(sum(CASE WHEN dt > 0
+         |    THEN (CAST(1 AS BIGINT) << CAST(j % pp.planes AS INT)) ELSE 0 END) AS BIGINT) AS bits
+         |  FROM d, p pp GROUP BY 1, 2, 3),
+         |k AS (SELECT vec_id,
+         |  (CAST(band AS BIGINT) << CAST(planes AS INT)) + bits AS bucket FROM bk),
          |cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
          |         FROM k a JOIN k b2 USING (bucket) WHERE a.vec_id < b2.vec_id),
          |pairs AS (SELECT id_a, id_b, ${cosSql("ea.v", "eb.v")} AS cos
@@ -835,7 +880,13 @@ object QueriesTraining {
 
     "q26_knn_lsh" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |b AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e),
+         |p AS (SELECT ${ScaleParams.lshPlanesSql} AS planes FROM e),
+         |${signListsCte("(SELECT planes FROM p)")},
+         |$planeDotsCte,
+         |bkt AS (SELECT vec_id, CAST(sum(CASE WHEN dt > 0
+         |    THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM d GROUP BY vec_id),
+         |b AS (SELECT e.vec_id, e.v, bkt.bucket FROM e JOIN bkt USING (vec_id)),
          |q AS (SELECT vec_id AS q_id, v AS q_vec, bucket FROM b WHERE vec_id < 10),
          |scored AS (SELECT q_id, c.vec_id, ${cosSql("q_vec", "c.v")} AS cos
          |           FROM q JOIN b c USING (bucket) WHERE c.vec_id <> q_id),
@@ -869,7 +920,9 @@ object QueriesTraining {
 
     "q29_knn_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |c AS (SELECT vec_id AS c_id, v AS c_vec FROM e WHERE vec_id < $IvfLists),
+         |p AS (SELECT ${ScaleParams.ivfListsSql} AS lists FROM e),
+         |c AS (SELECT vec_id AS c_id, v AS c_vec FROM e
+         |      WHERE vec_id < (SELECT lists FROM p)),
          |assign AS (SELECT vec_id, v, c_id AS list_id FROM (
          |  SELECT e.vec_id, e.v, c.c_id,
          |    row_number() OVER (PARTITION BY e.vec_id
@@ -891,7 +944,7 @@ object QueriesTraining {
 
     "q49_centroid_update" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |c AS (SELECT vec_id AS c_id, v AS c_vec FROM e WHERE vec_id < $IvfLists),
+         |c AS (SELECT vec_id AS c_id, v AS c_vec FROM e WHERE vec_id < $KmeansK),
          |assign AS (SELECT vec_id, v, c_id AS list_id FROM (
          |  SELECT e.vec_id, e.v, c.c_id,
          |    row_number() OVER (PARTITION BY e.vec_id

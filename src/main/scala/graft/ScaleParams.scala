@@ -1,0 +1,109 @@
+package graft
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.SparkSession
+
+/** Corpus-derived scale parameters (round-7, VERDICT r6 #3).
+  *
+  * BASELINE.md §e measures what happens when LSH/layout knobs are
+  * CONSTANTS: fixed SRP planes at 100× data explode quadratically
+  * (~10⁸ candidate pairs, >77 GB spill, aborted) while occupancy-scaled
+  * planes stay ~linear (64 s). The same argument applies to IVF list
+  * counts and shard/file counts. This object is the one place those
+  * knobs are derived from corpus statistics instead of hand-set.
+  *
+  * Each rule has a SQL twin (a scalar aggregate over the same table)
+  * so the DuckDB oracle derives the IDENTICAL value from `count(*)`
+  * that the Spark side derives from parquet footer metadata — the
+  * derivations stay value-equal at every scale factor, which is what
+  * keeps the battery oracle-exact without freezing the knobs.
+  *
+  * Row counts come from parquet FOOTERS (metadata, no data scan): at
+  * 100 TB a `count()` job is a full read, while footers are O(files)
+  * driver-side metadata — the same statistics a table catalog serves.
+  * Cross-engine parity notes: `round`/`ceil` halves never land on
+  * representable boundaries for the constants below (margins ≥ 0.03),
+  * `sqrt` is correctly rounded in both engines, and integer/625.0-style
+  * divisions are exact where they matter, so the Scala and SQL twins
+  * agree on every integer input.
+  *
+  * Distinction kept deliberately: K-means K (q49) is a MODEL choice,
+  * not a corpus statistic — it stays a fixed constant; the IVF list
+  * count (q29) is index parameterization and scales as ~√n.
+  */
+object ScaleParams {
+
+  private val rowCache = new ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Total rows of `sfDir/table.parquet` from footer metadata only. */
+  def tableRows(spark: SparkSession, sfDir: String, table: String): Long = {
+    val key = s"$sfDir/$table.parquet"
+    val cached = rowCache.get(key)
+    if (cached != null) return cached.longValue()
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(key)
+    val fs = root.getFileSystem(conf)
+    val statuses =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      else Array(fs.getFileStatus(root))
+    val n = statuses.map { st =>
+      val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+      try r.getRecordCount finally r.close()
+    }.sum
+    rowCache.put(key, n)
+    n
+  }
+
+  private def log2(x: Double): Double = math.log(x) / math.log(2.0)
+
+  /** Banded-SRP planes per band (q24): occupancy rule from BASELINE §e
+    * — hold n / (bands · 2^planes) ≈ 5 with bands = 4, i.e. planes =
+    * round(log2(n / 20)). Reproduces the measured ladder 5 k→8,
+    * 50 k→11, 500 k→15.
+    */
+  def srpBandPlanes(n: Long): Int =
+    math.max(1L, math.round(log2(n / 20.0))).toInt
+  val srpBandPlanesSql: String =
+    "GREATEST(1, CAST(round(log2(count(*) / 20.0), 0) AS BIGINT))"
+
+  /** Single-table LSH planes (q26): per-probe rerank set n / 2^planes
+    * ≈ 312 vectors (the ANN probe cost), floored at the fixture's 4.
+    */
+  def lshPlanes(n: Long): Int =
+    math.max(4L, math.round(log2(n / 312.0))).toInt
+  val lshPlanesSql: String =
+    "GREATEST(4, CAST(round(log2(count(*) / 312.0), 0) AS BIGINT))"
+
+  /** IVF coarse-quantizer list count (q29): the classic ~√n balance
+    * between probe fan-in (lists scanned) and list length.
+    */
+  def ivfLists(n: Long): Int =
+    math.max(4L, math.round(math.sqrt(n.toDouble))).toInt
+  val ivfListsSql: String =
+    "GREATEST(4, CAST(round(sqrt(count(*)), 0) AS BIGINT))"
+
+  /** Z-order layout file count (q47): ~625 rows per file at fixture
+    * scale (stand-in for a bytes-per-file target at 100 TB).
+    */
+  def layoutFiles(n: Long): Int =
+    math.max(2L, math.ceil(n / 625.0).toLong).toInt
+  val layoutFilesSql: String =
+    "GREATEST(2, CAST(ceil(count(*) / 625.0) AS BIGINT))"
+
+  /** Balanced training-shard count (q56): ~320 docs per shard. */
+  def shardCount(n: Long): Int =
+    math.max(2L, math.ceil(n / 320.0).toLong).toInt
+  val shardCountSql: String =
+    "GREATEST(2, CAST(ceil(count(*) / 320.0) AS BIGINT))"
+
+  /** Sequence-packing shard count (q39): ~640 docs per pack shard. */
+  def packShards(n: Long): Int =
+    math.max(1L, math.ceil(n / 640.0).toLong).toInt
+  val packShardsSql: String =
+    "GREATEST(1, CAST(ceil(count(*) / 640.0) AS BIGINT))"
+}

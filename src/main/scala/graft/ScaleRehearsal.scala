@@ -64,7 +64,17 @@ object ScaleRehearsal {
     }.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$scaled/embeddings.parquet")
     val planes = 8 + (math.log(mult.toDouble) / math.log(2.0)).round.toInt
-    for ((label, p) <- Seq("scaled" -> planes, "fixed" -> 8)) {
+    // "auto" = the battery's own derivation (ScaleParams occupancy
+    // rule from the scaled corpus's footer row count) — the knob the
+    // round-6 verdict asked to stop hand-setting; "scaled" keeps the
+    // hand formula §e was measured with; "fixed" is the contrast case
+    val auto = ScaleParams.srpBandPlanes(
+      ScaleParams.tableRows(spark, scaled, "embeddings"))
+    // fixed-8 at 100× is the measured-abort case (BASELINE §e: ~10⁸
+    // candidate pairs, >77 GB spill) — don't re-detonate it
+    val variants = Seq("auto" -> auto, "scaled" -> planes) ++
+      (if (mult < 100) Seq("fixed" -> 8) else Seq.empty)
+    for ((label, p) <- variants) {
       val t0 = System.nanoTime()
       val pairs = embedPairs(spark, scaled, p)
       val t = (System.nanoTime() - t0) / 1e9
