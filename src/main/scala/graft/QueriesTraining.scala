@@ -239,27 +239,24 @@ object QueriesTraining {
     * scans a constant FRACTION of the corpus — linear probe cost —
     * while √n lists keep probe cost ~√n.
     */
-  private val qKnnIvf: Q = (spark, dir) => {
-    import org.apache.spark.sql.expressions.Window
-    val lists = ScaleParams.ivfLists(
-      ScaleParams.tableRows(spark, dir, "embeddings"))
-    val parallelism = spark.sparkContext.defaultParallelism
-    val e = Tables(spark, dir, "embeddings").select(
-        col("vec_id"), col("embedding").as("vec"))
-      .repartition(parallelism, col("vec_id"))
-    val cents = e.filter(col("vec_id") < lists)
-      .select(col("vec_id").as("c_id"), col("vec").as("c_vec"))
-    // best-centroid selection is an argmax, not a ranking: max_by gets
-    // map-side partial aggregation, so the exchange carries one row per
-    // vector instead of K (a row_number window would shuffle the full
-    // corpus×K crossjoin just to pick its max). Tie-break matches the
-    // previous rank order (ccos desc, then smallest c_id) via -c_id.
-    val assign = e.crossJoin(broadcast(cents))
+  /** argmax assignment of every vector to its nearest centroid.
+    * max_by, not a window rank: map-side partial aggregation means the
+    * exchange carries one row per vector instead of K (a row_number
+    * window would shuffle the full corpus×K crossjoin just to pick its
+    * max). Tie-break = (ccos desc, smallest c_id) via -c_id.
+    */
+  private def ivfAssign(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
       .withColumn("ccos", Similarity.cosine(col("vec"), col("c_vec")))
       .groupBy(col("vec_id"))
       .agg(max_by(struct(col("vec"), col("c_id")),
         struct(col("ccos"), (-col("c_id")).as("neg_c_id"))).as("best"))
       .select(col("vec_id"), col("best.vec").as("vec"), col("best.c_id").as("list_id"))
+
+  /** Probe the `IvfProbes` nearest lists per query and rerank exactly. */
+  private def ivfProbeRerank(e: DataFrame, cents: DataFrame,
+                             assign: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
     val probeW = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("c_id"))
@@ -276,6 +273,60 @@ object QueriesTraining {
       .filter(col("rank") <= 5)
       .select(col("q_id"), col("rank"), col("vec_id"), col("cos"))
       .orderBy("q_id", "rank")
+  }
+
+  private def embeddingsRepartitioned(spark: org.apache.spark.sql.SparkSession,
+                                      dir: String): DataFrame = {
+    val parallelism = spark.sparkContext.defaultParallelism
+    Tables(spark, dir, "embeddings").select(
+        col("vec_id"), col("embedding").as("vec"))
+      .repartition(parallelism, col("vec_id"))
+  }
+
+  private val qKnnIvf: Q = (spark, dir) => {
+    val lists = ScaleParams.ivfLists(
+      ScaleParams.tableRows(spark, dir, "embeddings"))
+    val e = embeddingsRepartitioned(spark, dir)
+    val cents = e.filter(col("vec_id") < lists)
+      .select(col("vec_id").as("c_id"), col("vec").as("c_vec"))
+    ivfProbeRerank(e, cents, ivfAssign(e, cents))
+  }
+
+  private val LloydIters = 2
+
+  /** q80: LEARNED IVF — q49's k-means M-step composed into q29's index
+    * build. The first-K-vectors quantizer is a stand-in no real 100 TB
+    * ANN index would ship; here the coarse quantizer is refined by
+    * [[LloydIters]] Lloyd iterations (assign → per-list component
+    * mean) from the same deterministic seed before the lists are built
+    * and probed.
+    *
+    * Oracle parity: the iteration count is a CONSTANT, so the oracle
+    * unrolls it as CTE pairs; updated centroid components are
+    * `round(avg, 6)` on BOTH engines, so order-of-summation ULP noise
+    * in the mean cannot flip a downstream argmax assignment. Each
+    * M-step shuffle carries K×dim partial sums, never vectors
+    * (map-side combine), and each E-step is a broadcast argmax — the
+    * whole build is `LloydIters` linear passes.
+    */
+  private val qIvfLearned: Q = (spark, dir) => {
+    val lists = ScaleParams.ivfLists(
+      ScaleParams.tableRows(spark, dir, "embeddings"))
+    val e = embeddingsRepartitioned(spark, dir)
+    var cents = e.filter(col("vec_id") < lists)
+      .select(col("vec_id").as("c_id"), col("vec").as("c_vec"))
+    for (_ <- 1 to LloydIters) {
+      cents = ivfAssign(e, cents)
+        .select(col("list_id"), posexplode(col("vec")))
+        .groupBy(col("list_id"), col("pos"))
+        .agg(round(avg(col("col").cast("double")), 6).as("m"))
+        .groupBy(col("list_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("c_vec"))
+        .select(col("list_id").as("c_id"), col("c_vec"))
+    }
+    val learned = Dedup.materialize(cents)
+    ivfProbeRerank(e, learned, ivfAssign(e, learned))
   }
 
   /** K-means M-step at scale (the IVF maintenance job q29 assumes):
@@ -546,6 +597,7 @@ object QueriesTraining {
     "q54_embed_quant" -> qEmbedQuant,
     "q28_frames" -> qFrames,
     "q29_knn_ivf" -> qKnnIvf,
+    "q80_ivf_learned" -> qIvfLearned,
     "q49_centroid_update" -> qCentroidUpdate,
     "q30_ngram_topk" -> qNgramTopk,
     "q31_dedup_groups" -> qDedupGroups,
@@ -687,6 +739,23 @@ object QueriesTraining {
     s"""d AS (SELECT vec_id, j,
        |  ${foldSumDoubleSql(s"list_transform(range(1, ${EmbedDims + 1}), i -> v[i] * sv[i])")} AS dt
        |  FROM e, sg)""".stripMargin
+
+  /** One unrolled Lloyd iteration for the q80 oracle: E-step argmax
+    * assignment against `prev` centroids, M-step per-component mean
+    * rounded to 6 decimals (the cross-engine parity contract — see
+    * the q80 Scaladoc).
+    */
+  private def lloydCteSql(it: Int, prev: String): String =
+    s"""a$it AS (SELECT vec_id, v, c_id AS list_id FROM (
+       |  SELECT e.vec_id, e.v, $prev.c_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.v", s"$prev.c_vec")} DESC, $prev.c_id) AS crk
+       |  FROM e, $prev) WHERE crk = 1),
+       |m$it AS (SELECT list_id, i, round(avg(v[i]), 6) AS m
+       |  FROM a$it, (SELECT unnest(range(1, ${EmbedDims + 1})) AS i) idx
+       |  GROUP BY list_id, i),
+       |c$it AS (SELECT list_id AS c_id, list(m ORDER BY i) AS c_vec
+       |  FROM m$it GROUP BY list_id)""".stripMargin
 
   private val simhashTermsSql = (0 until 32)
     .map(i => s"CASE WHEN 2*len(list_filter(hs, h -> ((h >> $i) & 1) = 1)) > len(hs) THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
@@ -937,6 +1006,31 @@ object QueriesTraining {
          |scored AS (SELECT q_id, a.vec_id, ${cosSql("p.q_vec", "a.v")} AS cos
          |           FROM probes p JOIN assign a USING (list_id)
          |           WHERE a.vec_id <> p.q_id),
+         |ranked AS (SELECT q_id, vec_id, cos,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |           FROM scored)
+         |SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "q80_ivf_learned" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT ${ScaleParams.ivfListsSql} AS lists FROM e),
+         |c0 AS (SELECT vec_id AS c_id, v AS c_vec FROM e
+         |       WHERE vec_id < (SELECT lists FROM p)),
+         |${(1 to LloydIters).map(it => lloydCteSql(it, s"c${it - 1}")).mkString(",\n")},
+         |assign AS (SELECT vec_id, v, c_id AS list_id FROM (
+         |  SELECT e.vec_id, e.v, cL.c_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.v", "cL.c_vec")} DESC, cL.c_id) AS crk
+         |  FROM e, c$LloydIters cL) WHERE crk = 1),
+         |q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 10),
+         |probes AS (SELECT q_id, q_vec, c_id AS list_id FROM (
+         |  SELECT q.q_id, q.q_vec, cL.c_id,
+         |    row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY ${cosSql("q.q_vec", "cL.c_vec")} DESC, cL.c_id) AS crk
+         |  FROM q, c$LloydIters cL) WHERE crk <= $IvfProbes),
+         |scored AS (SELECT q_id, a.vec_id, ${cosSql("p2.q_vec", "a.v")} AS cos
+         |           FROM probes p2 JOIN assign a USING (list_id)
+         |           WHERE a.vec_id <> p2.q_id),
          |ranked AS (SELECT q_id, vec_id, cos,
          |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
          |           FROM scored)
