@@ -61,7 +61,10 @@ object QueriesRelational {
     * a full DuckDB oracle that recomputes the whole program without
     * the codec/grok engines.
     */
-  def flagship(spark: SparkSession, dir: String): DataFrame = {
+  /** The customer→nation→region chain as the app→space→org dimension
+    * (shared by the flagship and the streaming rehearsal).
+    */
+  def flagshipDims(spark: SparkSession, dir: String): DataFrame = {
     def guid(c: org.apache.spark.sql.Column) =
       format_string("%08d-0000-4000-8000-%012d", c, c)
     val apps = Tables(spark, dir, "customer").select(
@@ -75,7 +78,11 @@ object QueriesRelational {
     val orgs = Tables(spark, dir, "region").select(
       guid(col("r_regionkey").cast("long")).as("org_guid"),
       col("r_name").as("name"))
-    val dims = graft.pipeline.Enrich.resolveDims(apps, spaces, orgs)
+    graft.pipeline.Enrich.resolveDims(apps, spaces, orgs)
+  }
+
+  def flagship(spark: SparkSession, dir: String): DataFrame = {
+    val dims = flagshipDims(spark, dir)
     Pipeline.assemble(SyntheticSource.records(spark, dir), dims)
       .select(col("es_index"), col("timestamp"), col("file_path"),
         col("`@cf.env`"), col("`@cf.app`"), col("`@cf.space`"), col("`@cf.org`"),

@@ -192,4 +192,48 @@ class ShardedSourceSpec extends AnyFunSuite {
     // shard files define partitioning: one partition per shard
     assert(df.rdd.getNumPartitions == 2)
   }
+
+  test("10x multi-shard drain: streamed == batch, shard purity + order hold per output file") {
+    // the streaming twin of ScaleRehearsal (VERDICT r6 #5, shrunk to
+    // spec scale): 10x the sf0.001 events across 4 shards through the
+    // FULL pipeline under AvailableNow — then (a) the streamed corpus
+    // equals a batch run over the same shard logs, and (b) every
+    // output parquet file holds exactly one shard's documents in
+    // nondecreasing sequence order, which together certify the
+    // reference consumer's fan-out semantics (per-shard ordering) and
+    // the shuffle-free fact path under MULTIPLE shards.
+    val base = "/root/testdata/sf0.001"
+    val srcDir = Files.createTempDirectory("graft_10x_src").toString
+    val outDir = Files.createTempDirectory("graft_10x_out").toString
+    val ckDir = Files.createTempDirectory("graft_10x_ck").toString
+    val nShards = 4
+    val total = StreamingRehearsal.synthesize(spark, base, 10, nShards, srcDir)
+    assert(total == 10000L)
+
+    val dims = QueriesRelational.flagshipDims(spark, base)
+    val streamRecords = spark.readStream
+      .format(classOf[ShardedRecordSource].getName)
+      .option("path", srcDir)
+      .option("maxRecordsPerBatch", "4096") // force several micro-batches
+      .load()
+    val q = StreamingPipeline.start(streamRecords, dims, ckDir, outDir,
+      Trigger.AvailableNow())
+    q.awaitTermination(300000)
+
+    val audited = StreamingRehearsal.auditShardInvariants(spark, outDir, nShards)
+    assert(audited > nShards,
+      s"expected multiple per-shard output files, audited only $audited")
+
+    val streamed = spark.read.parquet(outDir).select("es_index", "doc_id", "doc")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).sorted
+    val batchRecords = spark.read
+      .format(classOf[ShardedRecordSource].getName)
+      .option("path", srcDir)
+      .load()
+    val batch = graft.pipeline.Pipeline.toJsonDocs(
+        graft.pipeline.Pipeline.assemble(batchRecords, dims))
+      .select("es_index", "doc_id", "doc")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).sorted
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq)
+  }
 }
