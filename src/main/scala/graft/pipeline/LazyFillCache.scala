@@ -55,6 +55,6 @@ object LazyFillCache {
   /** Uniform in [0.75, 1.25) — `caching_lazyfill.go:152-153`. */
   val JitterLo = 0.75
   val JitterHi = 1.25
-  private def defaultJitter: () => Double =
+  def defaultJitter: () => Double =
     () => JitterLo + (JitterHi - JitterLo) * scala.util.Random.nextDouble()
 }
