@@ -23,9 +23,9 @@ package graft
   *    apples-to-apples without rerunning (see BASELINE.md §c).
   *
   * Output (round-7 harness fix — the round-6 line overflowed the
-  * driver's tail capture and parsed as null): the stdout line carries
-  * totals for both modes plus the honest per-query map at 3 decimals
-  * (~2 KB); the FULL dual-mode detail (both per-query maps, 4
+  * driver's tail capture and parsed as null): the stdout line is
+  * TOTALS-ONLY (~250 bytes — both modes' totals, failure list, query
+  * count); the FULL dual-mode detail (both per-query maps, 4
   * decimals) is written to SPARK_GRAFT_BENCH_OUT (default
   * ./BENCH_FULL.json), named in the line's "detail" field.
   *
@@ -78,9 +78,11 @@ object Bench {
     }
     // Fixed-width decimals: the round-6 line carried 2×76 values at
     // full double precision and overflowed the driver's tail capture
-    // ("parsed": null — the honest headline was lost). 4 decimals in
-    // the detail file, 3 on the stdout line keep both well inside it.
-    def fmt(v: Double, dp: Int): String = s"%.${dp}f".format(v)
+    // ("parsed": null — the honest headline was lost). Locale.ROOT:
+    // a default-locale format would emit comma decimal separators on
+    // a de_DE/fr_FR JVM — invalid JSON, the same failure again.
+    def fmt(v: Double, dp: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
     def json(results: Seq[(String, Double, Boolean)], dp: Int): String =
       results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v, dp) }
         .mkString("{", ",", "}")

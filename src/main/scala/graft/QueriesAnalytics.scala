@@ -295,13 +295,20 @@ object QueriesAnalytics {
 
   /** q79: SQL front end #4 — per-year order mix via FILTER'd
     * aggregates (the ANSI conditional-aggregation form both engines
-    * codegen as one pass; no self-join, no CASE pyramid).
+    * codegen as one pass; no self-join, no CASE pyramid). Prices
+    * settle to integer cents BEFORE aggregating (the battery's q72/q73
+    * rule): an `avg` over raw doubles would park a summation-order-
+    * dependent value on a rounding knife edge. The average is then
+    * floor(sum/count) — division of identical BIGINT operands is
+    * correctly rounded IEEE on both engines, so the floor is exact.
     */
   private[graft] val SqlFilterAggText: String =
     """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
       |  CAST(count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) AS BIGINT) AS high_cnt,
       |  CAST(count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS BIGINT) AS low_cnt,
-      |  CAST(round(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS DOUBLE) AS avg_final_price
+      |  CAST(floor(
+      |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+      |    / count(*) FILTER (WHERE o_orderstatus = 'F')) AS BIGINT) AS avg_final_cents
       |FROM orders
       |GROUP BY year(o_orderdate)
       |ORDER BY yr""".stripMargin

@@ -39,18 +39,27 @@ object ScaleParams {
 
   private val rowCache = new ConcurrentHashMap[String, java.lang.Long]()
 
-  /** Total rows of `sfDir/table.parquet` from footer metadata only. */
+  /** Total rows of `sfDir/table.parquet` from footer metadata only.
+    * The memo key includes each file's (length, mtime): overwriting a
+    * path within one JVM (a rehearsal loop, a test fixture rewrite)
+    * must not serve the previous corpus's count — the SQL twin always
+    * sees the true `count(*)`, and a stale Scala side would silently
+    * derive different knob values than the oracle. Listing is always
+    * fresh (cheap); only the footer reads are memoized.
+    */
   def tableRows(spark: SparkSession, sfDir: String, table: String): Long = {
-    val key = s"$sfDir/$table.parquet"
-    val cached = rowCache.get(key)
-    if (cached != null) return cached.longValue()
+    val path = s"$sfDir/$table.parquet"
     val conf = spark.sessionState.newHadoopConf()
-    val root = new Path(key)
+    val root = new Path(path)
     val fs = root.getFileSystem(conf)
     val statuses =
       if (fs.getFileStatus(root).isDirectory)
         fs.listStatus(root).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       else Array(fs.getFileStatus(root))
+    val key = statuses.map(s => s"${s.getPath}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString(path + "|", ",", "")
+    val cached = rowCache.get(key)
+    if (cached != null) return cached.longValue()
     val n = statuses.map { st =>
       val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
       try r.getRecordCount finally r.close()

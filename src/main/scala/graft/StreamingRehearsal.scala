@@ -62,20 +62,34 @@ object StreamingRehearsal {
           s"$eid,$tsMs,${Base64.getEncoder.encodeToString(EnvelopeCodec.encode(env))}")
       }
     }.reduce(_ unionAll _).toDF("shard", "eid", "line")
+    // clean slate: a prior run with a DIFFERENT shard count would
+    // leave extra shard-*.log files that the source happily drains —
+    // phantom records that silently corrupt every downstream number
+    rmTree(new File(srcDir))
     new File(srcDir).mkdirs()
+    // materialized once: the envelope build + protobuf encode + base64
+    // otherwise recomputes per shard write AND for the count (n+1 full
+    // passes over the synthesized corpus)
+    val mat = graft.dedup.Dedup.materialize(lines)
     (0 until nShards).foreach { s =>
       val tmp = s"$srcDir/_shard$s"
       // explicit per-shard seq sort: the log must ascend in id for the
       // per-shard ordering audit to be meaningful downstream
-      lines.filter(col("shard") === s).orderBy("eid").select("line")
+      mat.filter(col("shard") === s).orderBy("eid").select("line")
         .coalesce(1).write.mode("overwrite").text(tmp)
       val part = new File(tmp).listFiles()
         .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".txt"))
         .head
       Files.move(part.toPath, Paths.get(f"$srcDir/shard-$s%03d.log"),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+      rmTree(new File(tmp))
     }
-    lines.count()
+    mat.count()
+  }
+
+  private def rmTree(f: File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete(): Unit
   }
 
   /** Asserts shard purity + per-shard nondecreasing order for every
@@ -114,11 +128,7 @@ object StreamingRehearsal {
     val srcDir = s"/tmp/graft_stream_${mult}x"
     val outDir = s"/tmp/graft_stream_${mult}x_out"
     val ckDir = s"/tmp/graft_stream_${mult}x_ck"
-    def rm(f: File): Unit = {
-      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-      f.delete(): Unit
-    }
-    Seq(outDir, ckDir).foreach(d => rm(new File(d)))
+    Seq(outDir, ckDir).foreach(d => rmTree(new File(d)))
     val total = synthesize(spark, base, mult, nShards, srcDir)
 
     val dims = QueriesRelational.flagshipDims(spark, base)
@@ -129,7 +139,9 @@ object StreamingRehearsal {
       .load()
     val t0 = System.nanoTime()
     val q = StreamingPipeline.start(records, dims, ckDir, outDir, Trigger.AvailableNow())
-    q.awaitTermination(600000)
+    // a timed-out drain must FAIL, not print a success-shaped line over
+    // a partially-written output
+    require(q.awaitTermination(600000), "drain did not finish within 10 minutes")
     val wall = (System.nanoTime() - t0) / 1e9
     val batches = q.recentProgress.toSeq
       .filter(_.numInputRows > 0)

@@ -51,18 +51,27 @@ object RowLazyFillEnrich {
                      orgGuid: String, orgName: String)
 
   // one cache per (cacheId) per JVM — executors each build their own
-  // on first task; local-mode tests share the single JVM's registry
-  private val registry =
-    new ConcurrentHashMap[String, LazyFillCache[String, Option[AppInfo]]]()
+  // on first task; local-mode tests share the single JVM's registry.
+  // The TTL rides along so a config change reusing an id fails loudly
+  // instead of silently serving the FIRST caller's cache (the loader
+  // closure can't be compared, so cacheId + ttl name the config — a
+  // new loader requires a new id or an explicit reset()).
+  private case class Slot(ttlMs: Long, cache: LazyFillCache[String, Option[AppInfo]])
+  private val registry = new ConcurrentHashMap[String, Slot]()
 
   private[pipeline] def executorCache(
       cacheId: String, ttlMs: Long, fill: String => Option[AppInfo],
-      now: () => Long, jitter: () => Double): LazyFillCache[String, Option[AppInfo]] =
-    registry.computeIfAbsent(cacheId,
-      new JFunction[String, LazyFillCache[String, Option[AppInfo]]] {
-        override def apply(k: String): LazyFillCache[String, Option[AppInfo]] =
-          new LazyFillCache(ttlMs, fill, now, jitter)
+      now: () => Long, jitter: () => Double): LazyFillCache[String, Option[AppInfo]] = {
+    val slot = registry.computeIfAbsent(cacheId,
+      new JFunction[String, Slot] {
+        override def apply(k: String): Slot =
+          Slot(ttlMs, new LazyFillCache(ttlMs, fill, now, jitter))
       })
+    require(slot.ttlMs == ttlMs,
+      s"cache '$cacheId' already registered with ttl=${slot.ttlMs}ms, got $ttlMs" +
+        "ms — use a new cacheId (or reset) when the configuration changes")
+    slot.cache
+  }
 
   /** Drop an executor-local cache (test isolation / config reload). */
   def reset(cacheId: String): Unit = registry.remove(cacheId): Unit

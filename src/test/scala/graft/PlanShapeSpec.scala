@@ -129,12 +129,16 @@ class PlanShapeSpec extends AnyFunSuite {
     df.collect()
     val p = df.queryExecution.executedPlan.toString
     val gen = p.indexOf("Generate explode")
-    val agg = p.lastIndexOf("HashAggregate")
     assert(gen >= 0, s"expected an explode fan-out:\n$p")
-    // plan prints top-down: a HashAggregate BELOW the Generate means
-    // the distinct pre-aggregation feeds the fan-out
-    assert(agg > gen,
-      s"no distinct aggregate below the explode fan-out:\n$p")
+    // plan prints top-down: below the Generate there must be a KEYED
+    // (day, user_id) aggregate — the distinct pre-aggregation. The
+    // broadcast max(day) subtree also prints a HashAggregate down
+    // there, so match the grouping keys, not just the node name.
+    val below = p.substring(gen)
+    val keyedDistinct = below.linesIterator.exists(l =>
+      l.contains("HashAggregate(keys=[day") && l.contains("user_id"))
+    assert(keyedDistinct,
+      s"no (day, user_id) distinct aggregate below the explode fan-out:\n$p")
   }
 
   test("grok capture pruning fires on a multi-capture pattern over a real scan") {
