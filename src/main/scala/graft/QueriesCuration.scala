@@ -151,6 +151,42 @@ object QueriesCuration {
       .orderBy("doc_id")
   }
 
+  private val ReservoirK = 50
+  private val ReservoirFudge = 4.0
+
+  /** q81: deterministic FIXED-SIZE per-stratum sample (the balanced-
+    * subset op q40's rate gate can't express — "exactly k docs per
+    * language"). Priority = salted portable hash; the k smallest
+    * priorities per stratum ARE the sample (hash-priority reservoir —
+    * equivalent to a uniform draw, reproducible across engines and
+    * runs).
+    *
+    * Scale shape: ranking a whole stratum would sort the largest
+    * stratum end-to-end, so candidates are PRE-PRUNED by a per-stratum
+    * basis-point threshold derived from the stratum count
+    * (fudge × k / nₛ — candidates ≈ fudge·k per stratum regardless of
+    * stratum size), and only the ~4k survivors reach the window rank.
+    * The threshold derivation is deterministic from counts, so the
+    * oracle replays it exactly: both engines agree even in the
+    * (astronomically unlikely) under-sampled tail.
+    */
+  private val qReservoir: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(spark, dir, "documents").select(
+      col("doc_id"), col("lang"),
+      Dedup.hash32(col("doc_id").cast("string"), "res").as("pri"))
+    val ns = d.groupBy("lang").agg(count(lit(1)).as("ns"))
+    val w = Window.partitionBy("lang").orderBy("pri", "doc_id")
+    d.join(broadcast(ns), "lang")
+      .filter(col("pri") % 10000 <
+        least(lit(10000L),
+          ceil(lit(ReservoirFudge * ReservoirK * 10000) / col("ns")).cast("long")))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= ReservoirK)
+      .select(col("lang"), col("rk"), col("doc_id"))
+      .orderBy("lang", "rk")
+  }
+
   /** Gopher-style repetition quality over the corpus. */
   private val qRepQuality: Q = (spark, dir) => {
     Curation.repetitionMetrics(Tables(spark, dir, "documents"), "doc_id", "text")
@@ -197,6 +233,7 @@ object QueriesCuration {
     "q38_pii_scrub" -> qPiiScrub,
     "q39_seq_pack" -> qSeqPack,
     "q40_stratified" -> qStratified,
+    "q81_reservoir" -> qReservoir,
     "q44_rep_quality" -> qRepQuality,
     "q45_block_dedup" -> qBlockDedup,
     "q48_mixture" -> qMixture)
@@ -320,6 +357,19 @@ object QueriesCuration {
          |            WHEN 'de' THEN ${SampleRatesBp("de")}
          |            ELSE $SampleDefaultBp END
          |ORDER BY doc_id""".stripMargin,
+
+    "q81_reservoir" ->
+      s"""WITH d AS (SELECT doc_id, lang, ${saltedHashIdSql("res")} AS pri
+         |           FROM documents),
+         |n AS (SELECT lang, count(*) AS ns FROM d GROUP BY lang),
+         |c AS (SELECT d.doc_id, d.lang, d.pri FROM d JOIN n USING (lang)
+         |      WHERE d.pri % 10000 < LEAST(10000,
+         |        CAST(ceil($ReservoirFudge * $ReservoirK * 10000 / ns) AS BIGINT))),
+         |r AS (SELECT lang, doc_id, pri,
+         |        row_number() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS rk
+         |      FROM c)
+         |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id
+         |FROM r WHERE rk <= $ReservoirK ORDER BY lang, rk""".stripMargin,
 
     "q44_rep_quality" ->
       s"""WITH toks AS (SELECT doc_id, ${QueriesTraining.toksSql} AS t FROM documents),
