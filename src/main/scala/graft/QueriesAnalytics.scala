@@ -240,8 +240,8 @@ object QueriesAnalytics {
     * SQL-front-end query never leaves `orders`/`lineitem` bound to
     * whatever dir it last saw in the shared session catalog.
     */
-  private def sqlVerbatim(spark: org.apache.spark.sql.SparkSession, dir: String,
-                          text: String, tables: Seq[String]): DataFrame = {
+  private[graft] def sqlVerbatim(spark: org.apache.spark.sql.SparkSession, dir: String,
+                                 text: String, tables: Seq[String]): DataFrame = {
     tables.foreach(t => Tables(spark, dir, t).createOrReplaceTempView(t))
     try spark.sql(text) // Dataset.ofRows analyzes eagerly: views resolved here
     finally tables.foreach(t => spark.catalog.dropTempView(t): Unit)

@@ -586,6 +586,29 @@ object QueriesTraining {
       .orderBy("shard_id")
   }
 
+  /** q82: the REGISTERED custom-function surface driven through the
+    * SQL front end — `rolling_hash` (codegen polynomial fingerprint)
+    * and `vec_cosine` (codegen vector kernel) called from a
+    * `spark.sql` text, joined across documents ⋈ embeddings (next-id
+    * neighbor). The oracle recomputes both through the proven
+    * built-ins-only twins (q19's fold, q24's exact-order cosine), so
+    * this pins that the SQL-registered expressions are value-identical
+    * to their Column-API faces — the registration itself becomes
+    * oracle-checked instead of WARN-log-checked.
+    */
+  private[graft] val SqlFunctionsText: String =
+    """SELECT d.doc_id,
+      |  rolling_hash(d.text) AS fp,
+      |  round(vec_cosine(a.embedding, b.embedding), 6) AS cos_next
+      |FROM documents d
+      |JOIN embeddings a ON a.vec_id = d.doc_id
+      |JOIN embeddings b ON b.vec_id = d.doc_id + 1
+      |ORDER BY doc_id""".stripMargin
+
+  private val qSqlFunctions: Q = (spark, dir) =>
+    QueriesAnalytics.sqlVerbatim(spark, dir, SqlFunctionsText,
+      Seq("documents", "embeddings"))
+
   val all: Map[String, Q] = Map(
     "q66_dup_spans" -> qDupSpans,
     "q67_dedup_edit" -> qDedupEdit,
@@ -598,6 +621,7 @@ object QueriesTraining {
     "q28_frames" -> qFrames,
     "q29_knn_ivf" -> qKnnIvf,
     "q80_ivf_learned" -> qIvfLearned,
+    "q82_sql_functions" -> qSqlFunctions,
     "q49_centroid_update" -> qCentroidUpdate,
     "q30_ngram_topk" -> qNgramTopk,
     "q31_dedup_groups" -> qDedupGroups,
@@ -877,6 +901,16 @@ object QueriesTraining {
          |  list_reduce(list_prepend(CAST(0 AS BIGINT), ${codesSql()}), (a, b) -> (a*131 + b) % 1000000007) AS fp,
          |  md5($normTextSql) AS fp_md5
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q82_sql_functions" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+         |SELECT d.doc_id,
+         |  list_reduce(list_prepend(CAST(0 AS BIGINT), ${codesSql("d.text")}), (a, b) -> (a*131 + b) % 1000000007) AS fp,
+         |  round(${cosSql("a.v", "b.v")}, 6) AS cos_next
+         |FROM documents d
+         |JOIN e a ON a.vec_id = d.doc_id
+         |JOIN e b ON b.vec_id = d.doc_id + 1
+         |ORDER BY doc_id""".stripMargin,
 
     "q20_dedup_exact" ->
       s"""WITH dup AS (SELECT doc_id, text FROM documents
