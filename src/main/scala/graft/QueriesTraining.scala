@@ -449,6 +449,77 @@ object QueriesTraining {
       .orderBy("doc_id")
   }
 
+  private val BigramLambda = 0.75
+
+  /** q83: interpolated-bigram-LM cross-entropy per document — the
+    * perplexity-proxy quality filter one step up from q53's unigram
+    * (CCNet/KenLM-style scoring, degraded to what a SQL oracle can
+    * replay): H(d) = -mean log(λ·P(w|v) + (1-λ)·P(w)) over d's
+    * bigrams, probabilities MLE from the corpus itself.
+    *
+    * Scale shape: ONE posexplode pass; bigrams from a per-doc lag
+    * window (partitioned by doc_id — never global); the three count
+    * tables shuffle term/bigram KEYS only (map-side combined), the
+    * corpus total broadcasts, and the final score is one doc-keyed
+    * aggregation. Like q53, the log-sum rides round(·,6) + the
+    * checker's 1e-9 tolerance over order-of-summation ULPs.
+    */
+  private val qBigramXent: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents")
+    val toks = Dedup.fanOut(docs, col("doc_id"))
+      .select(col("doc_id"), posexplode(TextAnalysis.tokens(col("text"))))
+      .select(col("doc_id"), col("pos"), col("col").as("term"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val bi = toks
+      .withColumn("prev", lag(col("term"), 1).over(w))
+      .filter(col("prev").isNotNull)
+    val uni = toks.groupBy("term").agg(count(lit(1)).as("c1"))
+    val ctx = bi.groupBy(col("prev").as("v")).agg(count(lit(1)).as("cv"))
+    val big = bi.groupBy("prev", "term").agg(count(lit(1)).as("c2"))
+    val tot = toks.select(count(lit(1)).as("tot"))
+    bi.join(big, Seq("prev", "term"))
+      .join(ctx, bi("prev") === ctx("v"))
+      .join(uni, "term")
+      .crossJoin(broadcast(tot))
+      .withColumn("p",
+        lit(BigramLambda) * (col("c2").cast("double") / col("cv")) +
+          lit(1 - BigramLambda) * (col("c1").cast("double") / col("tot")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-sum(log(col("p"))) / count(lit(1)), 6).as("xent"))
+      .orderBy("doc_id")
+  }
+
+  /** q84: SemDeDup-style semantic dedup (Abbas et al. 2023): cluster
+    * the embedding space with the derived-K coarse quantizer, then
+    * find near-duplicate pairs by EXACT pairwise cosine WITHIN each
+    * cluster only. The cluster bound is the whole design: pairwise
+    * work drops from O(n²) to Σc² ≈ n²/K, and with K ~ √n
+    * ([[ScaleParams.ivfLists]]) join parallelism grows with the
+    * corpus instead of capping at a constant cluster count. The
+    * LSH-banded q24 is the recall-tunable variant; this is the
+    * cluster-exact one — same verification kernel, different
+    * candidate generator.
+    */
+  private val qSemDedup: Q = (spark, dir) => {
+    val lists = ScaleParams.ivfLists(
+      ScaleParams.tableRows(spark, dir, "embeddings"))
+    val e = embeddingsRepartitioned(spark, dir)
+    val cents = e.filter(col("vec_id") < lists)
+      .select(col("vec_id").as("c_id"), col("vec").as("c_vec"))
+    val assign = Dedup.materialize(
+      ivfAssign(e, cents).select(col("vec_id"), col("vec"), col("list_id")))
+    val a = assign.select(col("list_id"), col("vec_id").as("id_a"), col("vec").as("va"))
+    val b = assign.select(col("list_id"), col("vec_id").as("id_b"), col("vec").as("vb"))
+    a.join(b, "list_id")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= NearDupCos)
+      .select(col("list_id"), col("id_a"), col("id_b"), col("cos"))
+      .orderBy("list_id", "id_a", "id_b")
+  }
+
   /** Int8 quantization audit for the embedding store: per-vector
     * affine (min, max) → floor-clamped 0..255 codes, emitted as the
     * integer code SUM (exact, engine-portable) plus the rounded range
@@ -617,6 +688,8 @@ object QueriesTraining {
     "q55_dup_histogram" -> qDupHistogram,
     "q52_tfidf" -> qTfidf,
     "q53_unigram_xent" -> qUnigramXent,
+    "q83_bigram_xent" -> qBigramXent,
+    "q84_semdedup" -> qSemDedup,
     "q54_embed_quant" -> qEmbedQuant,
     "q28_frames" -> qFrames,
     "q29_knn_ivf" -> qKnnIvf,
@@ -901,6 +974,39 @@ object QueriesTraining {
          |  list_reduce(list_prepend(CAST(0 AS BIGINT), ${codesSql()}), (a, b) -> (a*131 + b) % 1000000007) AS fp,
          |  md5($normTextSql) AS fp_md5
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q83_bigram_xent" ->
+      s"""WITH tt AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |toks AS (SELECT doc_id, unnest(range(1, len(t)+1)) AS pos, t FROM tt),
+         |tk AS (SELECT doc_id, pos, t[pos] AS term FROM toks),
+         |bi AS (SELECT doc_id, t[pos] AS term, t[pos-1] AS prev FROM toks WHERE pos >= 2),
+         |uni AS (SELECT term, count(*) AS c1 FROM tk GROUP BY 1),
+         |ctx AS (SELECT prev AS v, count(*) AS cv FROM bi GROUP BY 1),
+         |big AS (SELECT prev, term, count(*) AS c2 FROM bi GROUP BY 1, 2),
+         |tot AS (SELECT count(*) AS tot FROM tk)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  round(-sum(ln($BigramLambda * (c2 / CAST(cv AS DOUBLE))
+         |    + ${1 - BigramLambda} * (c1 / CAST(tot AS DOUBLE)))) / count(*), 6) AS xent
+         |FROM bi JOIN big USING (prev, term) JOIN ctx ON bi.prev = ctx.v
+         |  JOIN uni USING (term), tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q84_semdedup" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT ${ScaleParams.ivfListsSql} AS lists FROM e),
+         |c AS (SELECT vec_id AS c_id, v AS c_vec FROM e
+         |      WHERE vec_id < (SELECT lists FROM p)),
+         |assign AS (SELECT vec_id, v, c_id AS list_id FROM (
+         |  SELECT e.vec_id, e.v, c.c_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.v", "c.c_vec")} DESC, c.c_id) AS crk
+         |  FROM e, c) WHERE crk = 1),
+         |pairs AS (SELECT a.list_id, a.vec_id AS id_a, b.vec_id AS id_b,
+         |    ${cosSql("a.v", "b.v")} AS cos
+         |  FROM assign a JOIN assign b
+         |    ON a.list_id = b.list_id AND a.vec_id < b.vec_id)
+         |SELECT list_id, id_a, id_b, cos FROM pairs
+         |WHERE cos >= $NearDupCos ORDER BY list_id, id_a, id_b""".stripMargin,
 
     "q82_sql_functions" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
