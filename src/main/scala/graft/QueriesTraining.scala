@@ -467,13 +467,16 @@ object QueriesTraining {
   private val qBigramXent: Q = (spark, dir) => {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables(spark, dir, "documents")
-    val toks = Dedup.fanOut(docs, col("doc_id"))
+    // materialized: the tokenize+lag stream feeds FOUR consumers (uni,
+    // ctx, big, and the scored probe side) — without this the per-row-
+    // expensive tokenize subtree re-executes per aggregate branch
+    val toks = Dedup.materialize(Dedup.fanOut(docs, col("doc_id"))
       .select(col("doc_id"), posexplode(TextAnalysis.tokens(col("text"))))
-      .select(col("doc_id"), col("pos"), col("col").as("term"))
+      .select(col("doc_id"), col("pos"), col("col").as("term")))
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    val bi = toks
+    val bi = Dedup.materialize(toks
       .withColumn("prev", lag(col("term"), 1).over(w))
-      .filter(col("prev").isNotNull)
+      .filter(col("prev").isNotNull))
     val uni = toks.groupBy("term").agg(count(lit(1)).as("c1"))
     val ctx = bi.groupBy(col("prev").as("v")).agg(count(lit(1)).as("cv"))
     val big = bi.groupBy("prev", "term").agg(count(lit(1)).as("c2"))
