@@ -107,8 +107,11 @@ object ScaleRehearsal {
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
       .select(col("vec_id"), graft.sim.Similarity.asDouble(col("embedding")).as("embedding"))
     (0 until mult).map { k =>
-      val rot = if (k == 0) col("embedding")
-        else concat(slice(col("embedding"), k + 1, EmbedDims - k), slice(col("embedding"), 1, k))
+      // wrap the rotation past the dimension count — same as runEmbed
+      // (k ≥ 64 at mult ≥ 65 would otherwise slice a negative length)
+      val r = k % EmbedDims
+      val rot = if (r == 0) col("embedding")
+        else concat(slice(col("embedding"), r + 1, EmbedDims - r), slice(col("embedding"), 1, r))
       emb.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"), rot.as("embedding"))
     }.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$scaled/embeddings.parquet")
