@@ -1,7 +1,5 @@
 package graft
 
-import java.util.concurrent.ConcurrentHashMap
-
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -37,15 +35,13 @@ import org.apache.spark.sql.SparkSession
   */
 object ScaleParams {
 
-  private val rowCache = new ConcurrentHashMap[String, java.lang.Long]()
-
   /** Total rows of `sfDir/table.parquet` from footer metadata only.
-    * The memo key includes each file's (length, mtime): overwriting a
-    * path within one JVM (a rehearsal loop, a test fixture rewrite)
-    * must not serve the previous corpus's count — the SQL twin always
-    * sees the true `count(*)`, and a stale Scala side would silently
-    * derive different knob values than the oracle. Listing is always
-    * fresh (cheap); only the footer reads are memoized.
+    * NO memo, deliberately: any cache keyed on path/length/mtime has a
+    * residual staleness window (same-length in-place rewrite inside
+    * one mtime tick), and a stale Scala-side count silently derives
+    * different knob values than the oracle's always-fresh `count(*)`.
+    * A footer read is O(files) metadata — milliseconds next to the
+    * query it parameterizes — so freshness wins over the memo.
     */
   def tableRows(spark: SparkSession, sfDir: String, table: String): Long = {
     val path = s"$sfDir/$table.parquet"
@@ -56,16 +52,10 @@ object ScaleParams {
       if (fs.getFileStatus(root).isDirectory)
         fs.listStatus(root).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       else Array(fs.getFileStatus(root))
-    val key = statuses.map(s => s"${s.getPath}:${s.getLen}:${s.getModificationTime}")
-      .sorted.mkString(path + "|", ",", "")
-    val cached = rowCache.get(key)
-    if (cached != null) return cached.longValue()
-    val n = statuses.map { st =>
+    statuses.map { st =>
       val r = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
       try r.getRecordCount finally r.close()
     }.sum
-    rowCache.put(key, n)
-    n
   }
 
   private def log2(x: Double): Double = math.log(x) / math.log(2.0)

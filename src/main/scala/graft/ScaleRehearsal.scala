@@ -24,6 +24,27 @@ object ScaleRehearsal {
 
   private val EmbedDims = 64
 
+  /** Copy k's embedding transform: circular rotation by k mod 64,
+    * NEGATED on odd rotation laps. Each transform is norm-preserving
+    * and intra-copy-cosine-preserving (rotation is a permutation;
+    * cos(-a,-b) = cos(a,b)), and the negation keeps lap-2 copies from
+    * aliasing lap-1 rotations into exact cross-copy duplicates — up to
+    * 128 distinct copies. Beyond that copies WOULD alias and
+    * manufacture guaranteed near-dup cliques, so fail loudly. One
+    * definition for both rehearsal paths: the two inline copies of
+    * this expression diverged once already (the k ≥ 64 negative-slice
+    * crash lived only in the chain path).
+    */
+  private def copyVariant(k: Int): org.apache.spark.sql.Column = {
+    require(k < 2 * EmbedDims,
+      s"only ${2 * EmbedDims} distinct copy transforms exist; got copy $k")
+    val r = k % EmbedDims
+    val rot = if (r == 0) col("embedding")
+      else concat(slice(col("embedding"), r + 1, EmbedDims - r),
+        slice(col("embedding"), 1, r))
+    if ((k / EmbedDims) % 2 == 1) transform(rot, x => -x) else rot
+  }
+
   /** Banded-SRP near-dup pairs with a PARAMETERIZED plane count — the
     * README scale rule made measurable: growing planesPerBand with the
     * corpus holds per-bucket occupancy (and so per-bucket pair work)
@@ -57,10 +78,8 @@ object ScaleRehearsal {
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
       .select(col("vec_id"), graft.sim.Similarity.asDouble(col("embedding")).as("embedding"))
     (0 until mult).map { k =>
-      val rot = if (k % EmbedDims == 0) col("embedding")
-        else concat(slice(col("embedding"), k % EmbedDims + 1, EmbedDims - k % EmbedDims),
-          slice(col("embedding"), 1, k % EmbedDims))
-      emb.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"), rot.as("embedding"))
+      emb.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+        copyVariant(k).as("embedding"))
     }.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$scaled/embeddings.parquet")
     val planes = 8 + (math.log(mult.toDouble) / math.log(2.0)).round.toInt
@@ -107,12 +126,8 @@ object ScaleRehearsal {
     val emb = spark.read.parquet(s"$base/embeddings.parquet")
       .select(col("vec_id"), graft.sim.Similarity.asDouble(col("embedding")).as("embedding"))
     (0 until mult).map { k =>
-      // wrap the rotation past the dimension count — same as runEmbed
-      // (k ≥ 64 at mult ≥ 65 would otherwise slice a negative length)
-      val r = k % EmbedDims
-      val rot = if (r == 0) col("embedding")
-        else concat(slice(col("embedding"), r + 1, EmbedDims - r), slice(col("embedding"), 1, r))
-      emb.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"), rot.as("embedding"))
+      emb.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+        copyVariant(k).as("embedding"))
     }.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$scaled/embeddings.parquet")
 

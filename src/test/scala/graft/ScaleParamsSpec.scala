@@ -42,7 +42,7 @@ class ScaleParamsSpec extends AnyFunSuite {
     assert(ScaleParams.lshPlanes(500) == 4)      // floor holds the fixture value
   }
 
-  test("row-count memo keys on file identity: an overwrite is seen, not served stale") {
+  test("row counts are always fresh: an overwrite is seen, not served stale") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_sp").toString
     Seq(1L, 2L, 3L).toDF("id").coalesce(1)
