@@ -30,6 +30,22 @@ object QueriesCuration {
       .orderBy("doc_id")
   }
 
+  /** q85: q37's decontamination flags through the Bloom-prefilter
+    * composition ([[Curation.decontaminateBloom]]): eval shingles →
+    * Bloom sketch (constant, codegen `might_contain` prune on the
+    * corpus explosion) → exact shuffle-join verify on survivors. The
+    * output is bit-identical to the exact path — the oracle IS q37's
+    * SQL — what changes is the 100 TB shape: no string broadcast, the
+    * join input is ~fpp of the corpus shingles.
+    */
+  private val qDecontamBloom: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+    val eval_ = d.filter(col("doc_id") % 97 === 0)
+    val corpus = d.filter(col("doc_id") % 97 =!= 0)
+    Curation.decontaminateBloom(corpus, eval_, "doc_id", "text", MinOverlap)
+      .orderBy("doc_id")
+  }
+
   private val KeepQuality = 0.5
 
   /** END-TO-END curation keep set — the composition a training-data
@@ -230,6 +246,7 @@ object QueriesCuration {
     "q57_curation_keep" -> qCurationKeep,
     "q75_curation_funnel" -> qCurationFunnel,
     "q37_decontam" -> qDecontam,
+    "q85_decontam_bloom" -> qDecontamBloom,
     "q38_pii_scrub" -> qPiiScrub,
     "q39_seq_pack" -> qSeqPack,
     "q40_stratified" -> qStratified,
@@ -273,6 +290,20 @@ object QueriesCuration {
        |clean AS (SELECT c.doc_id FROM corpus c LEFT JOIN ov USING (doc_id)
        |          WHERE coalesce(ov.overlap, 0) < $MinOverlap)""".stripMargin
 
+  private lazy val decontamSql =
+    s"""WITH toks AS (SELECT doc_id, ${QueriesTraining.toksSql} AS t FROM documents),
+       |sh AS (SELECT doc_id, ${QueriesTraining.shinglesSql} AS s FROM toks),
+       |ev AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 97 = 0),
+       |cs AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id % 97 <> 0),
+       |ov AS (SELECT doc_id, count(DISTINCT shingle) AS overlap
+       |       FROM cs JOIN ev USING (shingle) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(o.overlap, CAST(0 AS BIGINT)) AS overlap,
+       |  CASE WHEN coalesce(o.overlap, 0) >= $MinOverlap THEN 1 ELSE 0 END AS contaminated
+       |FROM documents d LEFT JOIN ov o USING (doc_id)
+       |WHERE d.doc_id % 97 <> 0
+       |ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q57_curation_keep" ->
       s"""$curationCtes
@@ -297,19 +328,10 @@ object QueriesCuration {
          |  UNION ALL SELECT '5_clean', count(*), CAST(sum(doc_id) AS BIGINT) FROM s5)
          |SELECT stage, n, id_checksum FROM u ORDER BY stage""".stripMargin,
 
-    "q37_decontam" ->
-      s"""WITH toks AS (SELECT doc_id, ${QueriesTraining.toksSql} AS t FROM documents),
-         |sh AS (SELECT doc_id, ${QueriesTraining.shinglesSql} AS s FROM toks),
-         |ev AS (SELECT DISTINCT unnest(s) AS shingle FROM sh WHERE doc_id % 97 = 0),
-         |cs AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id % 97 <> 0),
-         |ov AS (SELECT doc_id, count(DISTINCT shingle) AS overlap
-         |       FROM cs JOIN ev USING (shingle) GROUP BY doc_id)
-         |SELECT d.doc_id,
-         |  coalesce(o.overlap, CAST(0 AS BIGINT)) AS overlap,
-         |  CASE WHEN coalesce(o.overlap, 0) >= $MinOverlap THEN 1 ELSE 0 END AS contaminated
-         |FROM documents d LEFT JOIN ov o USING (doc_id)
-         |WHERE d.doc_id % 97 <> 0
-         |ORDER BY doc_id""".stripMargin,
+    "q37_decontam" -> decontamSql,
+
+    // the Bloom prefilter is result-transparent: q85 shares q37's oracle
+    "q85_decontam_bloom" -> decontamSql,
 
     "q38_pii_scrub" -> {
       // DuckDB single-quoted strings don't process backslash escapes,

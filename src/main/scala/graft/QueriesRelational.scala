@@ -403,6 +403,24 @@ object QueriesRelational {
       .orderBy("event_id")
   }
 
+  /** q86: SCD2 dimension BUILD ([[graft.operators.Scd2]]) — the
+    * complement of q42's as-of CONSUME: intervalize the signup change
+    * stream into per-user validity ranges (version, valid_from,
+    * valid_to, is_current). One shuffle on user_id; row_number and
+    * lead share a single distributed WindowExec.
+    */
+  private val qScd2Build: Q = (spark, dir) => {
+    val ch = Tables.events(spark, dir)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts_ms"), col("event_id"), col("value"))
+    graft.operators.Scd2.intervalize(ch, Seq("user_id"), "ts_ms", Seq("event_id"))
+      .select(col("user_id"), col("version"),
+        col("valid_from").as("valid_from_ms"),
+        col("valid_to").as("valid_to_ms"),
+        col("value").as("attr_value"), col("is_current"))
+      .orderBy("user_id", "version")
+  }
+
   private val AttribWindowMicros = 300000000L // 5-minute attribution window
 
   /** Bucketed interval join ([[RangeJoin]]): click→purchase
@@ -593,6 +611,7 @@ object QueriesRelational {
     "q41_kmv_distinct" -> qKmvDistinct,
     "q76_kmv_udaf" -> qKmvUdaf,
     "q42_scd_asof" -> qScdAsof,
+    "q86_scd2_build" -> qScd2Build,
     "q34_pivot" -> qPivot,
     "q32_stats" -> qStats,
     "q33_rollup" -> qRollup,
@@ -726,6 +745,20 @@ object QueriesRelational {
         |FROM events e LEFT JOIN d ON d.user_id = e.user_id
         |  AND epoch_ms(e.ts) >= d.vfrom AND (d.vto IS NULL OR epoch_ms(e.ts) < d.vto)
         |ORDER BY event_id""".stripMargin,
+
+    "q86_scd2_build" ->
+      """WITH ch AS (
+        |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, value
+        |  FROM events WHERE event_type = 'signup')
+        |SELECT user_id,
+        |  row_number() OVER w AS version,
+        |  ts_ms AS valid_from_ms,
+        |  lead(ts_ms) OVER w AS valid_to_ms,
+        |  value AS attr_value,
+        |  CASE WHEN lead(ts_ms) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM ch
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+        |ORDER BY user_id, version""".stripMargin,
 
     // the whole reference program, recomputed without codec/grok/join
     // engines: LogMessage filter = not-error; gorouter family = click

@@ -48,6 +48,61 @@ object Curation {
         when(col("overlap") >= minOverlap, lit(1)).otherwise(lit(0)))
   }
 
+  /** [[decontaminate]]'s 100 TB form — identical output, composed the
+    * way a run whose eval shingle set does NOT fit in broadcast memory
+    * must be. The eval shingles collapse to a Bloom sketch (Spark's own
+    * runtime-filter machinery: `BloomFilterAggregate` over `xxhash64`,
+    * built with one map-side-combined aggregation pass) that ships to
+    * executors as a ~1.2 bytes/key constant inside a codegen'd
+    * `BloomFilterMightContain` predicate. That predicate prunes the
+    * corpus shingle explosion BEFORE any join — at ~1% fpp it drops
+    * ~99% of non-contaminated shingles inside the scan stage — and the
+    * exact join then runs as an ordinary shuffle join on the survivors
+    * only, so NEITHER side is ever broadcast as strings. False
+    * positives die in the exact join; false negatives are impossible:
+    * the result is bit-identical to [[decontaminate]] and shares its
+    * oracle (q85 vs q37).
+    *
+    * Sizing: ~10 bits/key ⇒ ~1% fpp. Spark clamps the sketch at
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`/`maxNumBits`
+    * (4M keys / 8 MB default) — on a real cluster raise those confs
+    * with the eval-set cardinality; fpp degrades gracefully (the exact
+    * verify keeps correctness, only the prune selectivity suffers).
+    */
+  def decontaminateBloom(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+                         textCol: String, minOverlap: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.types.BinaryType
+
+    // small side materialized once: it feeds the count, the sketch
+    // build, and the exact verify join
+    val evalShingles = Dedup.materialize(
+      Dedup.shingleTable(evalSet, idCol, textCol)
+        .select(explode_outer(col("sh")).as("shingle")).distinct())
+    val nKeys = math.max(evalShingles.count(), 1L)
+    val hashed = new XxHash64(Seq(Bridge.expression(col("shingle"))))
+    val sketch = evalShingles.agg(Bridge.column(
+      new BloomFilterAggregate(hashed, Literal(nKeys), Literal(nKeys * 10))
+        .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val mightContain = Bridge.column(new BloomFilterMightContain(
+      Literal.create(sketch, BinaryType), hashed))
+
+    val overlaps = Dedup.shingleTable(corpus, idCol, textCol)
+      .select(col(idCol), explode_outer(col("sh")).as("shingle"))
+      .filter(mightContain)        // codegen Bloom prune, pre-shuffle
+      .join(evalShingles, "shingle") // exact verify: shuffle join, no broadcast
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("shingle")).as("overlap"))
+    corpus.select(col(idCol))
+      .join(overlaps, Seq(idCol), "left")
+      .withColumn("overlap", coalesce(col("overlap"), lit(0L)))
+      .withColumn("contaminated",
+        when(col("overlap") >= minOverlap, lit(1)).otherwise(lit(0)))
+  }
+
   // ---------------------------------------------------- PII scrubbing
 
   /** Redaction patterns — deliberately in the regex subset shared by

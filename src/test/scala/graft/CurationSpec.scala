@@ -37,6 +37,29 @@ class CurationSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"eval set must broadcast:\n$p")
   }
 
+  test("decontaminateBloom: bit-identical to the exact path") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val eval_ = docs.filter(col("doc_id") % 97 === 0)
+    val exact = Curation.decontaminate(corpus, eval_, "doc_id", "text", 5)
+      .orderBy("doc_id").collect()
+    val bloom = Curation.decontaminateBloom(corpus, eval_, "doc_id", "text", 5)
+      .orderBy("doc_id").collect()
+    assert(bloom.toSeq === exact.toSeq)
+  }
+
+  test("decontaminateBloom: codegen bloom prune sits in the plan before the exact join") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val df = Curation.decontaminateBloom(
+      docs.filter(col("doc_id") % 97 =!= 0), docs.filter(col("doc_id") % 97 === 0),
+      "doc_id", "text", 5)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // BloomFilterMightContain pretty-prints as might_contain; it must
+    // survive optimization as a Filter predicate (not get collapsed away)
+    assert(p.contains("might_contain"), s"bloom prune missing from plan:\n$p")
+  }
+
   test("scrubPii: all three kinds redacted; counts on original text") {
     val df = Seq(
       ("a", "mail bob.smith+x@corp.example.org and 10.1.2.3 then 12345678901"),

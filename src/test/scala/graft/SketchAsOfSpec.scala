@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, Scd2}
 import graft.sketch.Sketches
 
 /** Unit properties for the KMV sketch and the as-of join (oracle
@@ -73,6 +73,50 @@ class SketchAsOfSpec extends AnyFunSuite {
     // column alone would funnel the whole corpus through one window
     // partition at scale
     assert(p.contains("salt"), s"expected salted stage-1 exchange:\n$p")
+  }
+
+  test("scd2 intervalize: half-open intervals tile each key's timeline; one current row") {
+    val changes = Seq(
+      (1L, 100L, 1L, "a"), (1L, 200L, 2L, "b"), (1L, 200L, 3L, "c"), // same-ts tie
+      (2L, 50L, 4L, "x")
+    ).toDF("k", "ts", "seq", "attr")
+    val out = Scd2.intervalize(changes, Seq("k"), "ts", Seq("seq"))
+      .orderBy("k", "version").collect()
+    val k1 = out.filter(_.getLong(0) == 1L)
+    // versions dense from 1; tie broken by seq
+    assert(k1.map(_.getLong(4)).toSeq === Seq(1L, 2L, 3L))
+    assert(k1.map(_.getString(3)).toSeq === Seq("a", "b", "c"))
+    // each version's valid_to = next version's valid_from; last is open
+    assert(k1.map(r => Option(r.get(6))).toSeq === Seq(Some(200L), Some(200L), None))
+    // exactly one current row per key
+    val cur = out.filter(_.getInt(7) == 1).map(_.getLong(0)).toSeq
+    assert(cur.sorted === Seq(1L, 2L))
+  }
+
+  test("scd2 intervalize: round-trips through the as-of join (build then consume)") {
+    val changes = Seq(
+      (7L, 100L, 1L, "v1"), (7L, 300L, 2L, "v2")).toDF("k", "ts", "seq", "attr")
+    val dim = Scd2.intervalize(changes, Seq("k"), "ts", Seq("seq"))
+      .select(col("k").as("user_id"), col("attr"), col("valid_from").as("vfrom"))
+    val facts = Seq((10L, 7L, 150L), (11L, 7L, 300L), (12L, 7L, 50L))
+      .toDF("event_id", "user_id", "ts_ms")
+    val joined = AsOfJoin.asOf(facts, dim, Seq("user_id"), "vfrom", "ts_ms")
+      .select("event_id", "attr").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(joined === Map(10L -> "v1", 11L -> "v2", 12L -> null))
+  }
+
+  test("scd2 intervalize: single distributed WindowExec (shared frame, partitioned by key)") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts_ms"), col("event_id"))
+    val df = Scd2.intervalize(ev, Seq("user_id"), "ts_ms", Seq("event_id"))
+    df.collect()
+    // AQE toString prints Final AND Initial plan sections — count the final only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert("Window \\[".r.findAllIn(p).size == 1,
+      s"row_number+lead must share one WindowExec:\n$p")
+    // the window partitions by the key — never a global (empty-partition) sort
+    assert(p.contains("hashpartitioning(user_id"), s"window must be key-partitioned:\n$p")
   }
 
   test("asOf: dimension broadcasts; fact side never sort-merges") {
