@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Scd2
+import graft.streaming.Scd2Stream
+import graft.streaming.Scd2Stream.Change
+
+/** Stream/batch parity for SCD2: the incremental maintainer's closed
+  * intervals must equal the batch builder's `valid_to IS NOT NULL`
+  * rows over the same change set — including versions whose open and
+  * close straddle a micro-batch boundary (state carries across).
+  */
+class Scd2StreamSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.get("local[4]", "4")
+
+  test("streamed closed versions equal the batch builder's closed intervals") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val changes = Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("event_type") === "signup")
+      .select(col("user_id").as("k"), col("ts_ms"),
+        col("event_id").as("seq"), col("value").as("attr"))
+      .as[Change].collect().toSeq
+      .sortBy(c => (c.ts_ms, c.seq)) // global arrival order ⇒ per-key in order
+
+    val stream = MemoryStream[Change]
+    val outDir = Files.createTempDirectory("graft_scd2_out").toString
+    val ckDir = Files.createTempDirectory("graft_scd2_ck").toString
+    // three adds → three micro-batches: most versions open in one batch
+    // and close in a later one, exercising the cross-batch state path
+    val third = changes.size / 3
+    stream.addData(changes.take(third))
+    stream.addData(changes.slice(third, 2 * third))
+    stream.addData(changes.drop(2 * third))
+    val q = Scd2Stream.closedVersions(stream.toDS()).writeStream
+      .format("parquet").option("checkpointLocation", ckDir)
+      .option("path", outDir).outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    val drained = q.awaitTermination(120000)
+    if (!drained) q.stop()
+    assert(drained, "AvailableNow drain timed out")
+
+    val streamed = spark.read.parquet(outDir)
+      .select("k", "version", "valid_from_ms", "valid_to_ms", "attr_value")
+    val batch = Scd2.intervalize(
+        changes.toDF("k", "ts_ms", "seq", "attr"), Seq("k"), "ts_ms", Seq("seq"))
+      .filter(col("valid_to").isNotNull)
+      .select(col("k"), col("version"), col("valid_from").as("valid_from_ms"),
+        col("valid_to").as("valid_to_ms"), col("attr").as("attr_value"))
+    assert(streamed.count() > 0, "no closed versions emitted — fixture too small")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "stream/batch SCD2 closed intervals diverge")
+  }
+}
