@@ -223,6 +223,22 @@ object QueriesTraining {
     Similarity.knnLsh(q, e, 5, planes, EmbedDims).orderBy("q_id", "rank")
   }
 
+  /** q87: multi-probe LSH ANN — q26's index probed at Hamming
+    * distance ≤ 1 ([[Similarity.knnLshMultiProbe]]): recall recovered
+    * from SRP boundary losses by exploding the QUERY side to planes+1
+    * probe buckets; the corpus keeps one bucket per vector and zero
+    * extra shuffles.
+    */
+  private val qKnnLshProbe: Q = (spark, dir) => {
+    val planes = ScaleParams.lshPlanes(
+      ScaleParams.tableRows(spark, dir, "embeddings"))
+    val e = Tables(spark, dir, "embeddings").select(
+      col("vec_id"), col("embedding").as("vec"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
+    Similarity.knnLshMultiProbe(q, e, 5, planes, EmbedDims).orderBy("q_id", "rank")
+  }
+
   /** K-means K for q49 — a MODEL choice, deliberately NOT derived from
     * corpus stats (contrast [[ScaleParams.ivfLists]], which is index
     * parameterization and scales ~√n).
@@ -713,6 +729,7 @@ object QueriesTraining {
     "q24_dedup_embed" -> qDedupEmbed,
     "q25_knn_brute" -> qKnnBrute,
     "q26_knn_lsh" -> qKnnLsh,
+    "q87_knn_multiprobe" -> qKnnLshProbe,
     "q27_multimodal" -> qMultimodal)
 
   // -------------------------------------------------- oracle generation
@@ -1102,6 +1119,28 @@ object QueriesTraining {
          |q AS (SELECT vec_id AS q_id, v AS q_vec, bucket FROM b WHERE vec_id < 10),
          |scored AS (SELECT q_id, c.vec_id, ${cosSql("q_vec", "c.v")} AS cos
          |           FROM q JOIN b c USING (bucket) WHERE c.vec_id <> q_id),
+         |ranked AS (SELECT q_id, vec_id, cos,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |           FROM scored)
+         |SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    "q87_knn_multiprobe" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT ${ScaleParams.lshPlanesSql} AS planes FROM e),
+         |${signListsCte("(SELECT planes FROM p)")},
+         |$planeDotsCte,
+         |bkt AS (SELECT vec_id, CAST(sum(CASE WHEN dt > 0
+         |    THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM d GROUP BY vec_id),
+         |b AS (SELECT e.vec_id, e.v, bkt.bucket FROM e JOIN bkt USING (vec_id)),
+         |q AS (SELECT vec_id AS q_id, v AS q_vec, bucket FROM b WHERE vec_id < 10),
+         |masks AS (SELECT CASE WHEN j < 0 THEN CAST(0 AS BIGINT)
+         |    ELSE (CAST(1 AS BIGINT) << CAST(j AS INT)) END AS mask
+         |  FROM (SELECT unnest(range(-1, 64)) AS j)
+         |  WHERE j < (SELECT planes FROM p)),
+         |probes AS (SELECT q_id, q_vec, xor(bucket, mask) AS bucket FROM q, masks),
+         |scored AS (SELECT q_id, c.vec_id, ${cosSql("q_vec", "c.v")} AS cos
+         |           FROM probes JOIN b c USING (bucket) WHERE c.vec_id <> q_id),
          |ranked AS (SELECT q_id, vec_id, cos,
          |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
          |           FROM scored)

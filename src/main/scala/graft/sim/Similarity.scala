@@ -135,4 +135,37 @@ object Similarity {
       col("bucket"))
     rankTopK(cb.join(broadcast(qb), Seq("bucket")), k)
   }
+
+  /** Multi-probe ANN: rank within the union of the query's own bucket
+    * and every bucket at Hamming distance 1 (one sign bit flipped) —
+    * the standard recall fix for SRP's boundary losses: a neighbor
+    * whose dot with ONE hyperplane straddles zero lands one bit away,
+    * and single-probe never sees it.
+    *
+    * Scale shape: the QUERY side explodes to `planes + 1` probe rows
+    * (queries are small by contract — the broadcast grows by that
+    * factor, the corpus side is untouched: still one bucket per vector,
+    * no re-hash, no extra corpus shuffle). Candidate volume per query
+    * is ~(planes+1)/2^planes of the corpus vs 1/2^planes single-probe —
+    * the recall/cost knob turns WITHOUT rebuilding the index, which is
+    * what makes it the right first lever at 100 TB (contrast adding
+    * bands: another full corpus pass). Probe buckets are distinct by
+    * construction (distinct XOR masks), and each vector lives in
+    * exactly one bucket, so no (query, candidate) pair duplicates and
+    * no dedup pass is needed before ranking.
+    */
+  def knnLshMultiProbe(queries: DataFrame, candidates: DataFrame, k: Int,
+                       planes: Int, dims: Int): DataFrame = {
+    val masks = lit(0L) +: (0 until planes).map(j => lit(1L << j))
+    val qb = queries.withColumn("bucket0", srpBucket(col("q_vec"), planes, dims))
+      .withColumn("qn", norm(col("q_vec")))
+      .withColumn("bucket",
+        explode(array(masks.map(m => col("bucket0").bitwiseXOR(m)): _*)))
+      .drop("bucket0")
+    val cb = fanOut(
+      candidates.withColumn("bucket", srpBucket(col("vec"), planes, dims))
+        .withColumn("cn", norm(col("vec"))),
+      col("bucket"))
+    rankTopK(cb.join(broadcast(qb), Seq("bucket")), k)
+  }
 }
