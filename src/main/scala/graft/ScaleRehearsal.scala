@@ -101,6 +101,45 @@ object ScaleRehearsal {
     }
   }
 
+  /** Bloom-prune selectivity audit (BASELINE §g): on the given corpus,
+    * count the corpus shingle explosion, the rows surviving the q85
+    * sketch prune, and the true-overlap rows — the measured join-input
+    * reduction the Bloom composition buys, plus the realized false-
+    * positive rate vs the ~1% design point (10 bits/key).
+    */
+  private def runBloom(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       label: String): Unit = {
+    import graft.curation.Curation
+    import graft.dedup.Dedup
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val eval_ = d.filter(col("doc_id") % 97 === 0)
+    val corpus = d.filter(col("doc_id") % 97 =!= 0)
+    val evalShingles = Dedup.materialize(
+      Dedup.shingleTable(eval_, "doc_id", "text")
+        .select(explode_outer(col("sh")).as("shingle")).distinct())
+    val nEval = evalShingles.count()
+    val sketch = Curation.bloomSketch(evalShingles, "shingle", nEval)
+    val corpusShingles = Dedup.materialize(
+      Dedup.shingleTable(corpus, "doc_id", "text")
+        .select(col("doc_id"), explode_outer(col("sh")).as("shingle")))
+    val total = corpusShingles.count()
+    val survive = corpusShingles
+      .filter(Curation.bloomMightContain(sketch, col("shingle"))).count()
+    val trueHits = corpusShingles.join(evalShingles, "shingle").count()
+    val fpRate = (survive - trueHits).toDouble / math.max(total - trueHits, 1L)
+    def time(q: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, dir).queryExecution.toRdd.count(): Unit
+      (System.nanoTime() - t0) / 1e9
+    }
+    Seq("q37_decontam", "q85_decontam_bloom").foreach(time) // warm
+    val (tExact, tBloom) = (time("q37_decontam"), time("q85_decontam_bloom"))
+    println(s"""{"metric":"bloom_prune","scale":"$label","sketch_bytes":${sketch.length},""" +
+      s""""eval_shingles":$nEval,"corpus_shingles":$total,"bloom_survivors":$survive,""" +
+      s""""true_overlaps":$trueHits,"fp_rate":$fpRate,""" +
+      s""""q37_exact_sec":$tExact,"q85_bloom_sec":$tBloom}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mult = args.headOption.map(_.toInt).getOrElse(10)
@@ -108,9 +147,22 @@ object ScaleRehearsal {
     // for the larger multiples where the SRP parameterization contrast
     // actually bites but 100x text synthesis would dominate the run
     val embedOnly = args.length > 1 && args(1) == "embed"
+    // "bloom" second arg: q85 selectivity audit over base + Nx docs
+    val bloomOnly = args.length > 1 && args(1) == "bloom"
     val scaled = s"/tmp/graft_scale_${mult}x"
     val spark = GraftSession.get("local[32]", "32")
     if (embedOnly) { runEmbed(spark, base, scaled, mult); spark.stop(); return }
+    if (bloomOnly) {
+      runBloom(spark, base, "1x")
+      val docs = spark.read.parquet(s"$base/documents.parquet")
+      (0 until mult).map { k =>
+        docs.withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
+          .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"c${k}_$$1"))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$scaled/documents.parquet")
+      runBloom(spark, scaled, s"${mult}x")
+      spark.stop(); return
+    }
 
     val docs = spark.read.parquet(s"$base/documents.parquet")
     (0 until mult).map { k =>

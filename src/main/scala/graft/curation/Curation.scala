@@ -69,30 +69,44 @@ object Curation {
     * with the eval-set cardinality; fpp degrades gracefully (the exact
     * verify keeps correctness, only the prune selectivity suffers).
     */
-  def decontaminateBloom(corpus: DataFrame, evalSet: DataFrame, idCol: String,
-                         textCol: String, minOverlap: Int): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+  /** Bloom sketch of a string column, ~10 bits/key (≈1% fpp), built
+    * with Spark's runtime-filter aggregate (map-side partial merge —
+    * the sketch, not the strings, rides the final reduce).
+    */
+  def bloomSketch(keys: DataFrame, keyCol: String, nKeys: Long): Array[Byte] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graft.Bridge
-    import org.apache.spark.sql.types.BinaryType
+    val n = math.max(nKeys, 1L)
+    keys.agg(Bridge.column(
+      new BloomFilterAggregate(new XxHash64(Seq(Bridge.expression(col(keyCol)))),
+        Literal(n), Literal(n * 10))
+        .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+  }
 
+  /** Codegen membership predicate against a [[bloomSketch]] constant. */
+  def bloomMightContain(sketch: Array[Byte], c: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, XxHash64}
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.types.BinaryType
+    Bridge.column(new BloomFilterMightContain(
+      Literal.create(sketch, BinaryType),
+      new XxHash64(Seq(Bridge.expression(c)))))
+  }
+
+  def decontaminateBloom(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+                         textCol: String, minOverlap: Int): DataFrame = {
     // small side materialized once: it feeds the count, the sketch
     // build, and the exact verify join
     val evalShingles = Dedup.materialize(
       Dedup.shingleTable(evalSet, idCol, textCol)
         .select(explode_outer(col("sh")).as("shingle")).distinct())
-    val nKeys = math.max(evalShingles.count(), 1L)
-    val hashed = new XxHash64(Seq(Bridge.expression(col("shingle"))))
-    val sketch = evalShingles.agg(Bridge.column(
-      new BloomFilterAggregate(hashed, Literal(nKeys), Literal(nKeys * 10))
-        .toAggregateExpression()).as("bf"))
-      .head().getAs[Array[Byte]](0)
-    val mightContain = Bridge.column(new BloomFilterMightContain(
-      Literal.create(sketch, BinaryType), hashed))
+    val sketch = bloomSketch(evalShingles, "shingle", evalShingles.count())
 
     val overlaps = Dedup.shingleTable(corpus, idCol, textCol)
       .select(col(idCol), explode_outer(col("sh")).as("shingle"))
-      .filter(mightContain)        // codegen Bloom prune, pre-shuffle
+      .filter(bloomMightContain(sketch, col("shingle"))) // codegen prune, pre-shuffle
       .join(evalShingles, "shingle") // exact verify: shuffle join, no broadcast
       .groupBy(col(idCol))
       .agg(countDistinct(col("shingle")).as("overlap"))
