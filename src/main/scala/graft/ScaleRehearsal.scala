@@ -140,6 +140,20 @@ object ScaleRehearsal {
       s""""q37_exact_sec":$tExact,"q85_bloom_sec":$tBloom}""")
   }
 
+  /** N× documents synthesis shared by the chain and bloom paths — one
+    * definition (the embedding copyVariant diverged once when inlined
+    * twice; don't repeat that with the text transform).
+    */
+  private def scaleDocs(spark: org.apache.spark.sql.SparkSession,
+                        base: String, scaled: String, mult: Int): Unit = {
+    val docs = spark.read.parquet(s"$base/documents.parquet")
+    (0 until mult).map { k =>
+      docs.withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
+        .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"c${k}_$$1"))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$scaled/documents.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mult = args.headOption.map(_.toInt).getOrElse(10)
@@ -154,22 +168,12 @@ object ScaleRehearsal {
     if (embedOnly) { runEmbed(spark, base, scaled, mult); spark.stop(); return }
     if (bloomOnly) {
       runBloom(spark, base, "1x")
-      val docs = spark.read.parquet(s"$base/documents.parquet")
-      (0 until mult).map { k =>
-        docs.withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
-          .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"c${k}_$$1"))
-      }.reduce(_ unionAll _)
-        .write.mode("overwrite").parquet(s"$scaled/documents.parquet")
+      scaleDocs(spark, base, scaled, mult)
       runBloom(spark, scaled, s"${mult}x")
       spark.stop(); return
     }
 
-    val docs = spark.read.parquet(s"$base/documents.parquet")
-    (0 until mult).map { k =>
-      docs.withColumn("doc_id", col("doc_id") + lit(k * 10000000L))
-        .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"c${k}_$$1"))
-    }.reduce(_ unionAll _)
-      .write.mode("overwrite").parquet(s"$scaled/documents.parquet")
+    scaleDocs(spark, base, scaled, mult)
 
     // embeddings xN: vec_id offset + circular dimension rotation per
     // copy — a permutation (orthogonal), so intra-copy cosine

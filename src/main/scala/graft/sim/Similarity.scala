@@ -125,16 +125,28 @@ object Similarity {
     * query's SRP bucket. A query whose bucket holds < k neighbors
     * returns fewer rows — the standard ANN recall trade-off.
     */
-  def knnLsh(queries: DataFrame, candidates: DataFrame, k: Int,
-             planes: Int, dims: Int): DataFrame = {
-    val qb = queries.withColumn("bucket", srpBucket(col("q_vec"), planes, dims))
+  /** One body for the single- and multi-probe variants: queries land
+    * on `bucket XOR mask` for each probe mask (masks distinct ⇒ probe
+    * buckets distinct ⇒ no duplicate (query, candidate) pairs), the
+    * corpus keeps one bucket per vector either way.
+    */
+  private def knnLshProbes(queries: DataFrame, candidates: DataFrame, k: Int,
+                           planes: Int, dims: Int, masks: Seq[Column]): DataFrame = {
+    val qb = queries.withColumn("bucket0", srpBucket(col("q_vec"), planes, dims))
       .withColumn("qn", norm(col("q_vec")))
+      .withColumn("bucket",
+        explode(array(masks.map(m => col("bucket0").bitwiseXOR(m)): _*)))
+      .drop("bucket0")
     val cb = fanOut(
       candidates.withColumn("bucket", srpBucket(col("vec"), planes, dims))
         .withColumn("cn", norm(col("vec"))),
       col("bucket"))
     rankTopK(cb.join(broadcast(qb), Seq("bucket")), k)
   }
+
+  def knnLsh(queries: DataFrame, candidates: DataFrame, k: Int,
+             planes: Int, dims: Int): DataFrame =
+    knnLshProbes(queries, candidates, k, planes, dims, Seq(lit(0L)))
 
   /** Multi-probe ANN: rank within the union of the query's own bucket
     * and every bucket at Hamming distance 1 (one sign bit flipped) —
@@ -155,17 +167,7 @@ object Similarity {
     * no dedup pass is needed before ranking.
     */
   def knnLshMultiProbe(queries: DataFrame, candidates: DataFrame, k: Int,
-                       planes: Int, dims: Int): DataFrame = {
-    val masks = lit(0L) +: (0 until planes).map(j => lit(1L << j))
-    val qb = queries.withColumn("bucket0", srpBucket(col("q_vec"), planes, dims))
-      .withColumn("qn", norm(col("q_vec")))
-      .withColumn("bucket",
-        explode(array(masks.map(m => col("bucket0").bitwiseXOR(m)): _*)))
-      .drop("bucket0")
-    val cb = fanOut(
-      candidates.withColumn("bucket", srpBucket(col("vec"), planes, dims))
-        .withColumn("cn", norm(col("vec"))),
-      col("bucket"))
-    rankTopK(cb.join(broadcast(qb), Seq("bucket")), k)
-  }
+                       planes: Int, dims: Int): DataFrame =
+    knnLshProbes(queries, candidates, k, planes, dims,
+      lit(0L) +: (0 until planes).map(j => lit(1L << j)))
 }

@@ -43,6 +43,12 @@ object Scd2Stream {
           sorted.foreach { c =>
             st match {
               case Some(v) =>
+                // a change OLDER than the open version violates the
+                // per-key-order contract; emitting would produce
+                // valid_to < valid_from and silently break batch
+                // parity — fail the task instead of corrupting output
+                if (c.ts_ms < v.ts_ms) throw new IllegalStateException(
+                  s"out-of-order change for key $k: ts ${c.ts_ms} after open version at ${v.ts_ms}")
                 out += ClosedVersion(k, v.version, v.ts_ms, c.ts_ms, v.attr)
                 st = Some(VerState(v.version + 1, c.ts_ms, c.seq, c.attr))
               case None =>

@@ -48,16 +48,24 @@ class CurationSpec extends AnyFunSuite {
     assert(bloom.toSeq === exact.toSeq)
   }
 
-  test("decontaminateBloom: codegen bloom prune sits in the plan before the exact join") {
+  test("decontaminateBloom: codegen bloom prune sits in the plan BELOW the exact join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join}
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
     val df = Curation.decontaminateBloom(
       docs.filter(col("doc_id") % 97 =!= 0), docs.filter(col("doc_id") % 97 === 0),
       "doc_id", "text", 5)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
-    // BloomFilterMightContain pretty-prints as might_contain; it must
-    // survive optimization as a Filter predicate (not get collapsed away)
-    assert(p.contains("might_contain"), s"bloom prune missing from plan:\n$p")
+    val lp = df.queryExecution.optimizedPlan
+    val bloomFilters = lp.collect {
+      case f @ Filter(cond, _) if cond.toString.contains("might_contain") => f
+    }
+    // the predicate must survive optimization as a Filter...
+    assert(bloomFilters.nonEmpty, s"bloom prune missing from plan:\n$lp")
+    // ...and sit on the SCAN side of every join (no join among its
+    // descendants) — a prune that migrated above the exact join would
+    // defeat the composition's whole point (pre-shuffle reduction)
+    assert(bloomFilters.forall(f => f.collect { case j: Join => j }.isEmpty),
+      s"bloom prune sits above a join:\n$lp")
+    assert(lp.collect { case j: Join => j }.nonEmpty, "exact verify join vanished")
   }
 
   test("scrubPii: all three kinds redacted; counts on original text") {

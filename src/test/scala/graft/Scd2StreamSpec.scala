@@ -33,19 +33,21 @@ class Scd2StreamSpec extends AnyFunSuite {
     val stream = MemoryStream[Change]
     val outDir = Files.createTempDirectory("graft_scd2_out").toString
     val ckDir = Files.createTempDirectory("graft_scd2_ck").toString
-    // three adds → three micro-batches: most versions open in one batch
-    // and close in a later one, exercising the cross-batch state path
-    val third = changes.size / 3
-    stream.addData(changes.take(third))
-    stream.addData(changes.slice(third, 2 * third))
-    stream.addData(changes.drop(2 * third))
+    // processAllAvailable BETWEEN adds forces a micro-batch per add —
+    // MemoryStream under AvailableNow would drain pre-queued adds as
+    // ONE batch (its latestOffset ignores the read limit), and the
+    // whole point is versions that open in one batch and close in a
+    // LATER one (GroupState carry, the only nontrivial streaming path)
     val q = Scd2Stream.closedVersions(stream.toDS()).writeStream
       .format("parquet").option("checkpointLocation", ckDir)
       .option("path", outDir).outputMode("append")
-      .trigger(Trigger.AvailableNow()).start()
-    val drained = q.awaitTermination(120000)
-    if (!drained) q.stop()
-    assert(drained, "AvailableNow drain timed out")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    val third = changes.size / 3
+    Seq(changes.take(third), changes.slice(third, 2 * third), changes.drop(2 * third))
+      .foreach { chunk => stream.addData(chunk); q.processAllAvailable() }
+    val batchesRun = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    assert(batchesRun >= 3, s"expected >=3 data micro-batches, got $batchesRun")
 
     val streamed = spark.read.parquet(outDir)
       .select("k", "version", "valid_from_ms", "valid_to_ms", "attr_value")
