@@ -60,4 +60,40 @@ class Scd2StreamSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
       "stream/batch SCD2 closed intervals diverge")
   }
+
+  test("open versions survive a checkpoint restart and close in the resumed query") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val outDir = Files.createTempDirectory("graft_scd2r_out").toString
+    val ckDir = Files.createTempDirectory("graft_scd2r_ck").toString
+    def start(s: MemoryStream[Change]) =
+      Scd2Stream.closedVersions(s.toDS()).writeStream
+        .format("parquet").option("checkpointLocation", ckDir)
+        .option("path", outDir).outputMode("append")
+        .trigger(Trigger.ProcessingTime(0)).start()
+
+    // first incarnation: open versions for keys 1 and 2, then STOP
+    val s1 = MemoryStream[Change]
+    val q1 = start(s1)
+    s1.addData(Seq(Change(1L, 100L, 1L, 1.0), Change(2L, 50L, 2L, 2.0)))
+    q1.processAllAvailable()
+    q1.stop()
+    // (no read here: an all-open sink holds only _spark_metadata and
+    // parquet schema inference would fail; the final single-row assert
+    // also proves nothing closed before the restart)
+
+    // second incarnation from the same checkpoint: the restored state
+    // must close key 1's interval with the ORIGINAL valid_from
+    val s2 = MemoryStream[Change]
+    s2.addData(Seq(Change(1L, 100L, 1L, 1.0), Change(2L, 50L, 2L, 2.0))) // replayed batch
+    val q2 = start(s2)
+    s2.addData(Seq(Change(1L, 300L, 3L, 3.0)))
+    q2.processAllAvailable()
+    q2.stop()
+    val rows = spark.read.parquet(outDir)
+      .select("k", "version", "valid_from_ms", "valid_to_ms").collect()
+    assert(rows.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      === Seq((1L, 1L, 100L, 300L)),
+      s"restart must close key 1's open version exactly once: ${rows.toSeq}")
+  }
 }
