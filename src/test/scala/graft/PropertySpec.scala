@@ -126,4 +126,34 @@ class PropertySpec extends AnyFunSuite {
     // enrichment may drop rows with no usable key; bound, don't equate
     assert(rows.length <= expected)
   }
+
+  test("scd2 intervalize invariants hold on arbitrary change sets") {
+    import spark.implicits._
+    val genChange = for {
+      k <- Gen.choose(1L, 8L)
+      ts <- Gen.choose(0L, 50L)
+      seq <- Gen.choose(1L, 100000L)
+    } yield (k, ts, seq)
+    // distinct triples: duplicate (k, ts, seq) rows would make the
+    // window tie-break (and so the invariants) ill-defined by contract
+    val changes = samples(genChange, 400).distinct
+    val out = graft.operators.Scd2
+      .intervalize(changes.toDF("k", "ts", "seq"), Seq("k"), "ts", Seq("seq"))
+      .select("k", "ts", "seq", "version", "valid_from", "valid_to", "is_current")
+      .collect()
+    out.groupBy(_.getLong(0)).foreach { case (k, rows) =>
+      val byVer = rows.sortBy(_.getLong(3))
+      // versions dense from 1 in (ts, seq) order
+      assert(byVer.map(_.getLong(3)).toSeq == (1L to rows.length).toSeq, s"key $k versions")
+      val order = byVer.map(r => (r.getLong(1), r.getLong(2)))
+      assert(order.sorted.toSeq == order.toSeq, s"key $k version order != (ts, seq) order")
+      // intervals tile: valid_to(i) == valid_from(i+1); only the last is open
+      byVer.init.zip(byVer.tail).foreach { case (a, b) =>
+        assert(a.getLong(5) == b.getLong(4), s"key $k: gap between versions")
+      }
+      assert(byVer.init.forall(!_.isNullAt(5)) && byVer.last.isNullAt(5), s"key $k open tail")
+      // exactly one current version, and it is the last
+      assert(byVer.map(_.getInt(6)).toSeq == (Seq.fill(rows.length - 1)(0) :+ 1), s"key $k current")
+    }
+  }
 }
