@@ -421,6 +421,30 @@ object QueriesRelational {
       .orderBy("user_id", "version")
   }
 
+  private val Scd2CutoffMs = 1705708800000L // 2024-01-20 UTC — inside the event span at every SF
+
+  /** q88: incremental SCD2 MERGE ([[graft.operators.Scd2.applyChanges]])
+    * — history built from pre-cutoff changes, then the post-cutoff
+    * batch folded in WITHOUT recomputing history. The oracle is q86's
+    * full-rebuild SQL verbatim: incremental maintenance must equal the
+    * rebuild row-for-row, which is the operator's entire contract.
+    */
+  private val qScd2Merge: Q = (spark, dir) => {
+    val ch = Tables.events(spark, dir)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts_ms"), col("event_id"), col("value"))
+    val dim = graft.operators.Scd2.intervalize(
+      ch.filter(col("ts_ms") < Scd2CutoffMs), Seq("user_id"), "ts_ms", Seq("event_id"))
+    graft.operators.Scd2.applyChanges(
+        dim, ch.filter(col("ts_ms") >= Scd2CutoffMs),
+        Seq("user_id"), "ts_ms", Seq("event_id"))
+      .select(col("user_id"), col("version"),
+        col("valid_from").as("valid_from_ms"),
+        col("valid_to").as("valid_to_ms"),
+        col("value").as("attr_value"), col("is_current"))
+      .orderBy("user_id", "version")
+  }
+
   private val AttribWindowMicros = 300000000L // 5-minute attribution window
 
   /** Bucketed interval join ([[RangeJoin]]): click→purchase
@@ -612,6 +636,7 @@ object QueriesRelational {
     "q76_kmv_udaf" -> qKmvUdaf,
     "q42_scd_asof" -> qScdAsof,
     "q86_scd2_build" -> qScd2Build,
+    "q88_scd2_merge" -> qScd2Merge,
     "q34_pivot" -> qPivot,
     "q32_stats" -> qStats,
     "q33_rollup" -> qRollup,
@@ -644,6 +669,23 @@ object QueriesRelational {
        |       ELSE ${KmvK - 1}.0 * 4294967296.0 / CAST(s.hk AS DOUBLE) END AS n_est
        |FROM x JOIN s USING (event_type)
        |ORDER BY event_type""".stripMargin
+
+  /** q86's full-rebuild SQL; q88's incremental merge must reproduce it
+    * row-for-row (incremental == rebuild is the merge's contract).
+    */
+  private lazy val scd2BuildSql =
+    """WITH ch AS (
+      |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, value
+      |  FROM events WHERE event_type = 'signup')
+      |SELECT user_id,
+      |  row_number() OVER w AS version,
+      |  ts_ms AS valid_from_ms,
+      |  lead(ts_ms) OVER w AS valid_to_ms,
+      |  value AS attr_value,
+      |  CASE WHEN lead(ts_ms) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+      |FROM ch
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+      |ORDER BY user_id, version""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q60_gapfill" ->
@@ -746,19 +788,10 @@ object QueriesRelational {
         |  AND epoch_ms(e.ts) >= d.vfrom AND (d.vto IS NULL OR epoch_ms(e.ts) < d.vto)
         |ORDER BY event_id""".stripMargin,
 
-    "q86_scd2_build" ->
-      """WITH ch AS (
-        |  SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, value
-        |  FROM events WHERE event_type = 'signup')
-        |SELECT user_id,
-        |  row_number() OVER w AS version,
-        |  ts_ms AS valid_from_ms,
-        |  lead(ts_ms) OVER w AS valid_to_ms,
-        |  value AS attr_value,
-        |  CASE WHEN lead(ts_ms) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
-        |FROM ch
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
-        |ORDER BY user_id, version""".stripMargin,
+    "q86_scd2_build" -> scd2BuildSql,
+
+    // incremental merge == full rebuild: q88 shares q86's oracle text
+    "q88_scd2_merge" -> scd2BuildSql,
 
     // the whole reference program, recomputed without codec/grok/join
     // engines: LogMessage filter = not-error; gorouter family = click

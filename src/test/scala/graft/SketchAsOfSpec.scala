@@ -119,6 +119,34 @@ class SketchAsOfSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(user_id"), s"window must be key-partitioned:\n$p")
   }
 
+  test("scd2 applyChanges: only-old keys untouched, only-new keys start at v1, mixed keys close and renumber") {
+    val old = Seq(
+      (1L, 100L, 1L, "a"), (1L, 200L, 2L, "b"), // key 1: v1 closed, v2 open
+      (2L, 50L, 3L, "x")                        // key 2: v1 open, no new changes
+    ).toDF("k", "ts", "seq", "attr")
+    val dim = Scd2.intervalize(old, Seq("k"), "ts", Seq("seq"))
+    val nw = Seq(
+      (1L, 400L, 4L, "c"),                      // closes key 1's v2, becomes v3
+      (3L, 10L, 5L, "n")                        // brand-new key: v1 open
+    ).toDF("k", "ts", "seq", "attr")
+    val out = Scd2.applyChanges(dim, nw, Seq("k"), "ts", Seq("seq"))
+      .orderBy("k", "version")
+      .select("k", "version", "valid_from", "valid_to", "is_current", "attr")
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.get(3)), r.getInt(4), r.getString(5)))
+    assert(out.toSeq === Seq(
+      (1L, 1L, Some(200L), 0, "a"),
+      (1L, 2L, Some(400L), 0, "b"), // open version closed at the first new change
+      (1L, 3L, None, 1, "c"),       // renumbered past the existing max
+      (2L, 1L, None, 1, "x"),       // untouched: still open
+      (3L, 1L, None, 1, "n")))      // only-new key starts at v1
+    // and the invariant the q88 oracle pins: merge == full rebuild
+    val rebuild = Scd2.intervalize(old.unionByName(nw), Seq("k"), "ts", Seq("seq"))
+    val merged = Scd2.applyChanges(dim, nw, Seq("k"), "ts", Seq("seq"))
+    assert(merged.select("k", "version", "valid_from", "valid_to", "is_current", "attr")
+      .exceptAll(rebuild.select("k", "version", "valid_from", "valid_to", "is_current", "attr"))
+      .isEmpty)
+  }
+
   test("asOf: dimension broadcasts; fact side never sort-merges") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("event_id"), col("user_id"), col("ts_ms"))
