@@ -430,11 +430,14 @@ object QueriesRelational {
     * rebuild row-for-row, which is the operator's entire contract.
     */
   private val qScd2Merge: Q = (spark, dir) => {
-    val ch = Tables.events(spark, dir)
+    // both applyChanges consumers of each side project differently, so
+    // materialize once (the repo's multi-consumer convention): without
+    // this the signup scan runs 4x and the history window 2x
+    val ch = graft.dedup.Dedup.materialize(Tables.events(spark, dir)
       .filter(col("event_type") === "signup")
-      .select(col("user_id"), col("ts_ms"), col("event_id"), col("value"))
-    val dim = graft.operators.Scd2.intervalize(
-      ch.filter(col("ts_ms") < Scd2CutoffMs), Seq("user_id"), "ts_ms", Seq("event_id"))
+      .select(col("user_id"), col("ts_ms"), col("event_id"), col("value")))
+    val dim = graft.dedup.Dedup.materialize(graft.operators.Scd2.intervalize(
+      ch.filter(col("ts_ms") < Scd2CutoffMs), Seq("user_id"), "ts_ms", Seq("event_id")))
     graft.operators.Scd2.applyChanges(
         dim, ch.filter(col("ts_ms") >= Scd2CutoffMs),
         Seq("user_id"), "ts_ms", Seq("event_id"))

@@ -53,14 +53,26 @@ object Scd2 {
     * intervalize(old ∪ new)` row-for-row — incremental maintenance
     * equals the full rebuild.
     *
-    * Contract: every new change is at-or-after the key's open
-    * `valid_from` (the batch twin of [[graft.streaming.Scd2Stream]]'s
-    * ordering contract).
+    * Contract (the batch twin of [[graft.streaming.Scd2Stream]]'s
+    * ordering contract): every new change is STRICTLY after the key's
+    * open `valid_from` — or at the same timestamp only if it sorts
+    * after it on the tie columns (a same-ts change with a SMALLER tie
+    * would win the rebuild's ordering race, which no append-only merge
+    * can reproduce). A new change EARLIER than the open `valid_from`
+    * raises at execution (`raise_error` in the close expression) —
+    * silently emitting a `valid_to < valid_from` interval would
+    * corrupt every downstream as-of consumer.
     *
     * Scale shape: everything shuffles on the dimension key only —
-    * intervalize's window, the two per-key aggregates, and the joins
-    * co-partition; history size never enters a window function, so a
-    * key's closed past rides through as a scan-union, not a re-sort.
+    * intervalize's window, the per-key first-change aggregate, and the
+    * joins co-partition; history size never enters a window function,
+    * so a key's closed past rides through as a scan-union, not a
+    * re-sort. The version offset comes from the key's OPEN row (the
+    * max version by construction), not an aggregate over history.
+    *
+    * Callers feeding both consumers from a recomputed plan should
+    * materialize `dim` and `changes` once (see q88): the two uses
+    * project differently, so ReuseExchange alone won't dedupe them.
     *
     * @param dim existing table in [[intervalize]]'s output shape
     * @param changes new rows in the same shape intervalize consumes
@@ -70,11 +82,19 @@ object Scd2 {
     val keys = keyCols.map(col)
     val firstNew = changes.groupBy(keys: _*)
       .agg(min(col(tsCol)).as("__first_new"))
-    val maxOld = dim.groupBy(keys: _*)
-      .agg(max(col("version")).as("__v0"))
+    // the open row carries the key's max version by construction —
+    // a filter, not an aggregate over the whole history
+    val maxOld = dim.filter(col("is_current") === 1)
+      .select(keys :+ col("version").as("__v0"): _*)
+    val closeAt = when(col("__first_new") >= col("valid_from"), col("__first_new"))
+      .otherwise(raise_error(concat(
+        lit("out-of-order change batch: first new change at "),
+        col("__first_new").cast("string"),
+        lit(" precedes the open version's valid_from "),
+        col("valid_from").cast("string"))))
     val oldRows = dim.join(firstNew, keyCols, "left")
       .withColumn("valid_to",
-        when(col("is_current") === 1 && col("__first_new").isNotNull, col("__first_new"))
+        when(col("is_current") === 1 && col("__first_new").isNotNull, closeAt)
           .otherwise(col("valid_to")))
       .withColumn("is_current",
         when(col("__first_new").isNotNull, lit(0)).otherwise(col("is_current")))

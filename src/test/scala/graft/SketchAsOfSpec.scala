@@ -147,6 +147,19 @@ class SketchAsOfSpec extends AnyFunSuite {
       .isEmpty)
   }
 
+  test("scd2 applyChanges: an out-of-order batch raises instead of emitting an inverted interval") {
+    val dim = Scd2.intervalize(
+      Seq((1L, 200L, 1L, "a")).toDF("k", "ts", "seq", "attr"), Seq("k"), "ts", Seq("seq"))
+    val late = Seq((1L, 100L, 2L, "b")).toDF("k", "ts", "seq", "attr")
+    val ex = intercept[Exception] {
+      Scd2.applyChanges(dim, late, Seq("k"), "ts", Seq("seq")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("out-of-order")),
+      s"expected the out-of-order raise, got: $ex")
+  }
+
   test("asOf: dimension broadcasts; fact side never sort-merges") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("event_id"), col("user_id"), col("ts_ms"))
