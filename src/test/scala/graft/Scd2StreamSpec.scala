@@ -61,6 +61,45 @@ class Scd2StreamSpec extends AnyFunSuite {
       "stream/batch SCD2 closed intervals diverge")
   }
 
+  test("as-of enrichment runs unchanged on a STREAMING fact side (stream-static, event-time correct)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // versioned dim from the change stream (built once, static side)
+    val dim = graft.operators.Scd2.intervalize(
+        Tables.events(spark, "/root/testdata/sf0.001")
+          .filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts_ms"), col("event_id"), col("value")),
+        Seq("user_id"), "ts_ms", Seq("event_id"))
+      .select(col("user_id"), col("value").as("attr"), col("valid_from").as("vfrom"))
+    val facts = Tables.events(spark, "/root/testdata/sf0.001")
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_ms"))
+      .as[(Long, Long, Long)].collect().toSeq
+
+    val stream = MemoryStream[(Long, Long, Long)]
+    val outDir = Files.createTempDirectory("graft_asof_out").toString
+    val ckDir = Files.createTempDirectory("graft_asof_ck").toString
+    val enriched = graft.operators.AsOfJoin.asOf(
+      stream.toDS().toDF("event_id", "user_id", "ts_ms"),
+      dim, Seq("user_id"), "vfrom", "ts_ms")
+    val q = enriched.writeStream
+      .format("parquet").option("checkpointLocation", ckDir)
+      .option("path", outDir).outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    val (a, b) = facts.splitAt(facts.size / 2)
+    Seq(a, b).foreach { chunk => stream.addData(chunk); q.processAllAvailable() }
+    q.stop()
+
+    val streamed = spark.read.parquet(outDir).select("event_id", "user_id", "attr")
+    val batch = graft.operators.AsOfJoin.asOf(
+        facts.toDF("event_id", "user_id", "ts_ms"),
+        dim, Seq("user_id"), "vfrom", "ts_ms")
+      .select("event_id", "user_id", "attr")
+    assert(streamed.count() === facts.size, "left as-of must keep every fact row")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "stream-static as-of enrichment diverges from the batch as-of join")
+  }
+
   test("open versions survive a checkpoint restart and close in the resumed query") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
