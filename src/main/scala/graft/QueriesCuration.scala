@@ -224,6 +224,32 @@ object QueriesCuration {
       .orderBy("doc_id")
   }
 
+  private val WSampleK = 100
+
+  /** q90: deterministic WEIGHTED sample without replacement
+    * (Efraimidis–Spirakis exponential keys): doc i gets priority
+    * −ln(u_i)/w_i from a salted-md5 uniform u_i and weight w_i =
+    * n_chars; the k smallest priorities are exactly a weighted draw
+    * without replacement. The weighted complement of q81's uniform
+    * per-stratum reservoir (and q48's rate-based temperature gate —
+    * this one is EXACTLY k docs, weight-proportional).
+    *
+    * Scale shape: priorities are a pure row function (no shuffle);
+    * the k smallest ride a TakeOrdered partial top-k, never a global
+    * sort. Priorities round to 12 decimals on both engines before
+    * ranking (ties broken by doc_id) so the selection can't straddle
+    * a 1-ulp libm difference in ln.
+    */
+  private val qWeightedSample: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+    val u = (Dedup.hash32(col("doc_id").cast("string"), "wsample") + lit(0.5)) /
+      lit(4294967296.0)
+    d.select(col("doc_id"), col("n_chars"),
+        round(log(lit(1.0) / u) / col("n_chars"), 12).as("pri"))
+      .orderBy(col("pri"), col("doc_id"))
+      .limit(WSampleK)
+  }
+
   private val MixTargetBp = 2500
 
   /** Temperature-based mixture sampling: sqrt-weight the sources
@@ -253,7 +279,8 @@ object QueriesCuration {
     "q81_reservoir" -> qReservoir,
     "q44_rep_quality" -> qRepQuality,
     "q45_block_dedup" -> qBlockDedup,
-    "q48_mixture" -> qMixture)
+    "q48_mixture" -> qMixture,
+    "q90_weighted_sample" -> qWeightedSample)
 
   // -------------------------------------------------- oracle generation
 
@@ -305,6 +332,13 @@ object QueriesCuration {
        |ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q90_weighted_sample" ->
+      s"""WITH h AS (SELECT doc_id, n_chars,
+         |  (${saltedHashIdSql("wsample")} + 0.5) / 4294967296.0 AS u
+         |  FROM documents)
+         |SELECT doc_id, n_chars, round(ln(1.0 / u) / n_chars, 12) AS pri
+         |FROM h ORDER BY pri, doc_id LIMIT $WSampleK""".stripMargin,
+
     "q57_curation_keep" ->
       s"""$curationCtes
          |SELECT q.doc_id, q.quality

@@ -331,6 +331,23 @@ object QueriesRelational {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** q89: full CUBE over (status, priority) — all four grouping sets
+    * in one pass (rollup covers the hierarchical prefix sets; cube
+    * completes the grouping-set surface). Same scale shape as any
+    * hash aggregate: one shuffle on the expanded grouping keys, with
+    * map-side partial aggregation over the 4x expanded rows.
+    */
+  private val qCube: Q = (spark, dir) => {
+    Tables(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice")).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
+        col("cnt"), col("sum_price"))
+      .orderBy("o_orderstatus", "o_orderpriority")
+  }
+
   /** Pivot: per-user daily activity matrix (wide conditional aggs). */
   private val qPivot: Q = (spark, dir) => {
     Tables.events(spark, dir)
@@ -643,6 +660,7 @@ object QueriesRelational {
     "q34_pivot" -> qPivot,
     "q32_stats" -> qStats,
     "q33_rollup" -> qRollup,
+    "q89_cube" -> qCube,
     "q9_pipeline_etl" -> qPipelineEtl,
     "q7_salted_distinct" -> qSaltedDistinct,
     "q8_setops" -> qSetOps,
@@ -869,6 +887,14 @@ object QueriesRelational {
         |  quantile_cont(n_chars, 0.5) AS median_chars,
         |  quantile_cont(n_chars, 0.95) AS p95_chars
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "q89_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+        |  coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+        |  count(*) AS cnt, sum(o_totalprice) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
 
     "q33_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
