@@ -40,6 +40,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("ShuffledHashJoin"))
   }
 
+  test("q90_weighted_sample: priority top-k is TakeOrdered, not a global sort") {
+    val p = plan(Queries.all("q90_weighted_sample")(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k:\n$p")
+    // priorities are a pure row function — nothing shuffles before the top-k
+    assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$p")
+  }
+
   test("q2_join_topk: top-k is TakeOrdered, not a global sort") {
     val p = plan(Queries.all("q2_join_topk")(spark, dir))
     assert(p.contains("TakeOrderedAndProject"))
