@@ -23,9 +23,13 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** Left as-of join. `dims` must have `keys` + `versionCol`
-    * (ascending effective-from, one row per version) + payload
-    * columns; payload names must not clash with fact columns. Facts
-    * whose ts precedes every version get null payloads (left join).
+    * (ascending effective-from, UNIQUE per key — the interval
+    * derivation orders by `versionCol` alone, so two versions sharing
+    * an effective timestamp would split their intervals
+    * nondeterministically; collapse same-timestamp versions to the
+    * last writer first) + payload columns; payload names must not
+    * clash with fact columns. Facts whose ts precedes every version
+    * get null payloads (left join).
     */
   def asOf(facts: DataFrame, dims: DataFrame, keys: Seq[String],
            versionCol: String, factTsCol: String): DataFrame = {

@@ -70,7 +70,13 @@ class Scd2StreamSpec extends AnyFunSuite {
           .filter(col("event_type") === "signup")
           .select(col("user_id"), col("ts_ms"), col("event_id"), col("value")),
         Seq("user_id"), "ts_ms", Seq("event_id"))
-      .select(col("user_id"), col("value").as("attr"), col("valid_from").as("vfrom"))
+      .select(col("user_id"), col("value").as("attr"),
+        col("valid_from").as("vfrom"), col("version"))
+      // asOf requires one row per (key, vfrom): same-ts versions (none
+      // in this seed, but ms-truncated ts makes them possible) collapse
+      // to the last writer, whose interval is the non-empty one
+      .groupBy("user_id", "vfrom")
+      .agg(max_by(col("attr"), col("version")).as("attr"))
     val facts = Tables.events(spark, "/root/testdata/sf0.001")
       .filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts_ms"))
@@ -88,7 +94,9 @@ class Scd2StreamSpec extends AnyFunSuite {
       .trigger(Trigger.ProcessingTime(0)).start()
     val (a, b) = facts.splitAt(facts.size / 2)
     Seq(a, b).foreach { chunk => stream.addData(chunk); q.processAllAvailable() }
+    val batchesRun = q.recentProgress.count(_.numInputRows > 0)
     q.stop()
+    assert(batchesRun >= 2, s"expected >=2 data micro-batches, got $batchesRun")
 
     val streamed = spark.read.parquet(outDir).select("event_id", "user_id", "attr")
     val batch = graft.operators.AsOfJoin.asOf(
