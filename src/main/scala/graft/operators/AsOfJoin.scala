@@ -23,17 +23,22 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** Left as-of join. `dims` must have `keys` + `versionCol`
-    * (ascending effective-from, UNIQUE per key — the interval
-    * derivation orders by `versionCol` alone, so two versions sharing
-    * an effective timestamp would split their intervals
-    * nondeterministically; collapse same-timestamp versions to the
-    * last writer first) + payload columns; payload names must not
-    * clash with fact columns. Facts whose ts precedes every version
-    * get null payloads (left join).
+    * (ascending effective-from) + payload columns; payload names must
+    * not clash with fact columns. Facts whose ts precedes every
+    * version get null payloads (left join).
+    *
+    * Same-timestamp versions: pass `tieCols` (e.g. a sequence id) and
+    * the interval derivation resolves them deterministically — the
+    * earlier tie gets the empty [t, t) interval (matches no fact), the
+    * last writer at t carries [t, next). Without `tieCols`,
+    * `versionCol` must be unique per key or the split is
+    * nondeterministic.
     */
   def asOf(facts: DataFrame, dims: DataFrame, keys: Seq[String],
-           versionCol: String, factTsCol: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(versionCol))
+           versionCol: String, factTsCol: String,
+           tieCols: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((versionCol +: tieCols).map(col): _*)
     val d0 = dims.withColumn("__valid_to", lead(col(versionCol), 1).over(w))
     // rename dim keys so the join output has no ambiguous columns
     val d = keys.foldLeft(d0)((acc, k) => acc.withColumnRenamed(k, s"__d_$k"))

@@ -160,6 +160,21 @@ class SketchAsOfSpec extends AnyFunSuite {
       s"expected the out-of-order raise, got: $ex")
   }
 
+  test("asOf: same-timestamp versions resolve deterministically to the last writer via tieCols") {
+    val dims = Seq(
+      (7L, 100L, 1L, "first"), (7L, 100L, 2L, "last"), // same effective ts
+      (7L, 300L, 3L, "next")
+    ).toDF("user_id", "vfrom", "seq", "ver")
+    val facts = Seq((10L, 7L, 100L), (11L, 7L, 250L)).toDF("event_id", "user_id", "ts_ms")
+    val joined = AsOfJoin.asOf(facts, dims, Seq("user_id"), "vfrom", "ts_ms", Seq("seq"))
+      .select("event_id", "ver").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the earlier tie holds the empty [100,100) interval — no fact
+    // lands in it; facts at and after 100 see the last writer
+    assert(joined === Map(10L -> "last", 11L -> "last"))
+    // and no fact row duplicates across the tied versions
+    assert(AsOfJoin.asOf(facts, dims, Seq("user_id"), "vfrom", "ts_ms", Seq("seq")).count() === 2)
+  }
+
   test("asOf: dimension broadcasts; fact side never sort-merges") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
       .select(col("event_id"), col("user_id"), col("ts_ms"))
