@@ -335,16 +335,21 @@ object QueriesRelational {
     * in one pass (rollup covers the hierarchical prefix sets; cube
     * completes the grouping-set surface). Same scale shape as any
     * hash aggregate: one shuffle on the expanded grouping keys, with
-    * map-side partial aggregation over the 4x expanded rows.
+    * map-side partial aggregation over the 4x expanded rows. Prices
+    * settle to integer cents before summing (the battery's q72/q73
+    * parity rule): the ALL/ALL grand total accumulates every row, so
+    * a raw-double sum would drift with engine summation order as the
+    * scale factor grows.
     */
   private val qCube: Q = (spark, dir) => {
     Tables(spark, dir, "orders")
       .cube(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice")).as("sum_price"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("sum_price_cents"))
       .select(
         coalesce(col("o_orderstatus"), lit("ALL")).as("o_orderstatus"),
         coalesce(col("o_orderpriority"), lit("ALL")).as("o_orderpriority"),
-        col("cnt"), col("sum_price"))
+        col("cnt"), col("sum_price_cents"))
       .orderBy("o_orderstatus", "o_orderpriority")
   }
 
@@ -891,7 +896,8 @@ object QueriesRelational {
     "q89_cube" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
         |  coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
-        |  count(*) AS cnt, sum(o_totalprice) AS sum_price
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,

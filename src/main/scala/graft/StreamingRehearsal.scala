@@ -100,24 +100,33 @@ object StreamingRehearsal {
     // monotonicity needs row order within the file: parquet preserves
     // row order per file, and monotonically_increasing_id() ascends
     // within a partition read in file order — a per-file window over
-    // it recovers the written order.
-    val ordered = spark.read.option("basePath", outDir).parquet(outDir)
-      .select(input_file_name().as("file"),
-        monotonically_increasing_id().as("pos"),
-        expr("CAST(regexp_extract(get_json_object(doc, '$.fields.file_path')," +
-          " 'APP/PROC/WEB/([0-9]+)', 1) AS BIGINT)").as("eid"))
-      .filter(col("eid").isNotNull)
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("file").orderBy("pos")
-    val bad = ordered
-      .withColumn("prev", lag(col("eid"), 1).over(w))
-      .withColumn("shard", col("eid") % nShards)
-      .withColumn("prev_shard", lag(col("shard"), 1).over(w))
-      .filter((col("prev").isNotNull && col("eid") < col("prev")) ||
-        (col("prev_shard").isNotNull && col("shard") =!= col("prev_shard")))
-      .count()
-    require(bad == 0L, s"$bad output rows violate shard purity/order")
-    ordered.select("file").distinct().count()
+    // it recovers the written order ONLY if each file maps to exactly
+    // one read split. Size-based bin packing would split a file larger
+    // than maxPartitionBytes across partitions and scramble pos vs
+    // file offset, so pin the conf to one-split-per-file for the
+    // audit's actions and restore it after.
+    val conf = spark.conf
+    val savedMax = conf.get("spark.sql.files.maxPartitionBytes")
+    conf.set("spark.sql.files.maxPartitionBytes", (1L << 40).toString)
+    try {
+      val ordered = spark.read.option("basePath", outDir).parquet(outDir)
+        .select(input_file_name().as("file"),
+          monotonically_increasing_id().as("pos"),
+          expr("CAST(regexp_extract(get_json_object(doc, '$.fields.file_path')," +
+            " 'APP/PROC/WEB/([0-9]+)', 1) AS BIGINT)").as("eid"))
+        .filter(col("eid").isNotNull)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("file").orderBy("pos")
+      val bad = ordered
+        .withColumn("prev", lag(col("eid"), 1).over(w))
+        .withColumn("shard", col("eid") % nShards)
+        .withColumn("prev_shard", lag(col("shard"), 1).over(w))
+        .filter((col("prev").isNotNull && col("eid") < col("prev")) ||
+          (col("prev_shard").isNotNull && col("shard") =!= col("prev_shard")))
+        .count()
+      require(bad == 0L, s"$bad output rows violate shard purity/order")
+      ordered.select("file").distinct().count()
+    } finally conf.set("spark.sql.files.maxPartitionBytes", savedMax)
   }
 
   def main(args: Array[String]): Unit = {

@@ -56,12 +56,14 @@ object Scd2 {
     * Contract (the batch twin of [[graft.streaming.Scd2Stream]]'s
     * ordering contract): every new change is STRICTLY after the key's
     * open `valid_from` — or at the same timestamp only if it sorts
-    * after it on the tie columns (a same-ts change with a SMALLER tie
-    * would win the rebuild's ordering race, which no append-only merge
-    * can reproduce). A new change EARLIER than the open `valid_from`
-    * raises at execution (`raise_error` in the close expression) —
-    * silently emitting a `valid_to < valid_from` interval would
-    * corrupt every downstream as-of consumer.
+    * strictly after it on the tie columns (a same-ts change with a
+    * smaller-or-equal tie would win or tie the rebuild's ordering
+    * race, which no append-only merge can reproduce). BOTH violations
+    * raise at execution (`raise_error` in the close expression): a
+    * strictly-earlier change, and — when `tieCols` are given — a
+    * same-ts change whose tie tuple does not sort after the open
+    * row's. Silently emitting either would corrupt every downstream
+    * as-of consumer.
     *
     * Scale shape: everything shuffles on the dimension key only —
     * intervalize's window, the per-key first-change aggregate, and the
@@ -80,17 +82,33 @@ object Scd2 {
   def applyChanges(dim: DataFrame, changes: DataFrame, keyCols: Seq[String],
                    tsCol: String, tieCols: Seq[String] = Nil): DataFrame = {
     val keys = keyCols.map(col)
+    val tieHelpers = tieCols.map(t => s"__first_tie_$t")
+    // the earliest new change per key WITH its tie columns: min over
+    // the (ts, ties…) struct is the same lexicographic order
+    // intervalize sorts by, so the guard compares against exactly the
+    // change that would close the open version
     val firstNew = changes.groupBy(keys: _*)
-      .agg(min(col(tsCol)).as("__first_new"))
+      .agg(min(struct((tsCol +: tieCols).map(col): _*)).as("__first"))
+      .select(keys ++ (col("__first").getField(tsCol).as("__first_new") +:
+        tieCols.map(t => col("__first").getField(t).as(s"__first_tie_$t"))): _*)
     // the open row carries the key's max version by construction —
     // a filter, not an aggregate over the whole history
     val maxOld = dim.filter(col("is_current") === 1)
       .select(keys :+ col("version").as("__v0"): _*)
-    val closeAt = when(col("__first_new") >= col("valid_from"), col("__first_new"))
+    // valid iff the first new change sorts strictly after the open row
+    // on (ts, ties…); without tieCols a same-ts change is accepted (no
+    // order is defined — the documented caller responsibility)
+    val inOrder =
+      if (tieCols.isEmpty) col("__first_new") >= col("valid_from")
+      else (col("__first_new") > col("valid_from")) ||
+        (col("__first_new") === col("valid_from") &&
+          struct(tieHelpers.map(col): _*) > struct(tieCols.map(col): _*))
+    val closeAt = when(inOrder, col("__first_new"))
       .otherwise(raise_error(concat(
         lit("out-of-order change batch: first new change at "),
         col("__first_new").cast("string"),
-        lit(" precedes the open version's valid_from "),
+        lit(if (tieCols.isEmpty) " precedes the open version's valid_from "
+            else " does not sort after the open version at "),
         col("valid_from").cast("string"))))
     val oldRows = dim.join(firstNew, keyCols, "left")
       .withColumn("valid_to",
@@ -98,7 +116,7 @@ object Scd2 {
           .otherwise(col("valid_to")))
       .withColumn("is_current",
         when(col("__first_new").isNotNull, lit(0)).otherwise(col("is_current")))
-      .drop("__first_new")
+      .drop("__first_new" +: tieHelpers: _*)
     val newRows = intervalize(changes, keyCols, tsCol, tieCols)
       .join(maxOld, keyCols, "left")
       .withColumn("version", col("version") + coalesce(col("__v0"), lit(0L)))

@@ -52,24 +52,34 @@ object RowLazyFillEnrich {
 
   // one cache per (cacheId) per JVM — executors each build their own
   // on first task; local-mode tests share the single JVM's registry.
-  // The TTL rides along so a config change reusing an id fails loudly
-  // instead of silently serving the FIRST caller's cache (the loader
-  // closure can't be compared, so cacheId + ttl name the config — a
-  // new loader requires a new id or an explicit reset()).
-  private case class Slot(ttlMs: Long, cache: LazyFillCache[String, Option[AppInfo]])
+  // The TTL AND a loader fingerprint ride along so a config change
+  // reusing an id fails loudly instead of silently serving the FIRST
+  // caller's cache: loader closures can't be compared by value, but
+  // their synthetic class name is stable per definition site, so two
+  // callers sharing an id with DIFFERENT fill functions collide on the
+  // tag even when their ttl happens to match. Callers generating
+  // loaders dynamically from config should pass an explicit
+  // `loaderTag` (a config fingerprint) instead.
+  private case class Slot(ttlMs: Long, loaderTag: String,
+                          cache: LazyFillCache[String, Option[AppInfo]])
   private val registry = new ConcurrentHashMap[String, Slot]()
 
   private[pipeline] def executorCache(
       cacheId: String, ttlMs: Long, fill: String => Option[AppInfo],
-      now: () => Long, jitter: () => Double): LazyFillCache[String, Option[AppInfo]] = {
+      now: () => Long, jitter: () => Double,
+      loaderTag: String = null): LazyFillCache[String, Option[AppInfo]] = {
+    val tag = Option(loaderTag).getOrElse(fill.getClass.getName)
     val slot = registry.computeIfAbsent(cacheId,
       new JFunction[String, Slot] {
         override def apply(k: String): Slot =
-          Slot(ttlMs, new LazyFillCache(ttlMs, fill, now, jitter))
+          Slot(ttlMs, tag, new LazyFillCache(ttlMs, fill, now, jitter))
       })
     require(slot.ttlMs == ttlMs,
       s"cache '$cacheId' already registered with ttl=${slot.ttlMs}ms, got $ttlMs" +
         "ms — use a new cacheId (or reset) when the configuration changes")
+    require(slot.loaderTag == tag,
+      s"cache '$cacheId' already registered with loader '${slot.loaderTag}', " +
+        s"got '$tag' — use a new cacheId (or reset) when the loader changes")
     slot.cache
   }
 
@@ -83,6 +93,13 @@ object RowLazyFillEnrich {
     * @param cacheId names the per-executor cache instance; reuse the
     *                same id across micro-batches to KEEP the cache warm
     *                between triggers (the whole point of the design)
+    * @param loaderTag overrides the loader fingerprint (default: the
+    *                loader closure's class name). REQUIRED whenever the
+    *                loader's behavior is configured at runtime (same
+    *                definition site, different captured config) — pass
+    *                a fingerprint of that config so a reconfigured
+    *                loader under an old cacheId fails fast instead of
+    *                serving the first configuration's fills
     */
   def mapWithAppInfo[T, R: Encoder](
       ds: Dataset[T], cacheId: String, ttlMs: Long,
@@ -90,9 +107,10 @@ object RowLazyFillEnrich {
       keyOf: T => String)(
       combine: (T, Option[AppInfo]) => R,
       now: () => Long = () => System.currentTimeMillis(),
-      jitter: () => Double = LazyFillCache.defaultJitter): Dataset[R] =
+      jitter: () => Double = LazyFillCache.defaultJitter,
+      loaderTag: String = null): Dataset[R] =
     ds.mapPartitions { it =>
-      val cache = executorCache(cacheId, ttlMs, loader, now, jitter)
+      val cache = executorCache(cacheId, ttlMs, loader, now, jitter, loaderTag)
       it.map { t =>
         val k = keyOf(t)
         val info = if (k == null || k.isEmpty) None else cache.get(k)

@@ -46,9 +46,17 @@ object Scd2Stream {
                 // a change OLDER than the open version violates the
                 // per-key-order contract; emitting would produce
                 // valid_to < valid_from and silently break batch
-                // parity — fail the task instead of corrupting output
-                if (c.ts_ms < v.ts_ms) throw new IllegalStateException(
-                  s"out-of-order change for key $k: ts ${c.ts_ms} after open version at ${v.ts_ms}")
+                // parity — fail the task instead of corrupting output.
+                // Same-ts with seq <= the open version's is the
+                // cross-batch twin: the batch builder's (ts, seq)
+                // ordering would sort it BEFORE the open version, an
+                // ordering no append-only maintainer can reproduce —
+                // reject it as loudly as the strict-ts case instead of
+                // silently assigning it the losing side of the race.
+                if (c.ts_ms < v.ts_ms ||
+                    (c.ts_ms == v.ts_ms && c.seq <= v.seq)) throw new IllegalStateException(
+                  s"out-of-order change for key $k: (ts ${c.ts_ms}, seq ${c.seq}) " +
+                    s"not after open version at (ts ${v.ts_ms}, seq ${v.seq})")
                 out += ClosedVersion(k, v.version, v.ts_ms, c.ts_ms, v.attr)
                 st = Some(VerState(v.version + 1, c.ts_ms, c.seq, c.attr))
               case None =>

@@ -81,6 +81,43 @@ class LazyFillEnrichSpec extends AnyFunSuite {
     fills.forEach((k, n) => assert(n.get() == 1, s"key $k filled ${n.get()} times"))
   }
 
+  test("a DIFFERENT loader reusing a cacheId fails fast even when the ttl matches") {
+    import spark.implicits._
+    RowLazyFillEnrich.reset("loadertag")
+    val one = spark.createDataset(Seq(Rec("a1", "x"))).coalesce(1)
+    RowLazyFillEnrich.mapWithAppInfo(
+        one, "loadertag", ttlMs = 3600000L, loader = countingLoader)(_.appId)(
+        (r, i) => i.map(_.appName).orNull)
+      .collect()
+    // same id, same ttl, different fill function: before the loader
+    // fingerprint this silently served the FIRST loader's cache
+    val otherLoader: String => Option[AppInfo] = _ => None
+    val ex = intercept[Exception] {
+      RowLazyFillEnrich.mapWithAppInfo(
+          one, "loadertag", ttlMs = 3600000L, loader = otherLoader)(_.appId)(
+          (r, i) => i.map(_.appName).orNull)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("loader")),
+      s"expected the loader-fingerprint mismatch, got: $ex")
+    // an explicit loaderTag names runtime config the closure class can't
+    RowLazyFillEnrich.reset("loadertag")
+    RowLazyFillEnrich.mapWithAppInfo(
+        one, "loadertag", ttlMs = 3600000L, loader = otherLoader)(_.appId)(
+        (r, i) => i.map(_.appName).orNull, loaderTag = "cfg-v1")
+      .collect()
+    val ex2 = intercept[Exception] {
+      RowLazyFillEnrich.mapWithAppInfo(
+          one, "loadertag", ttlMs = 3600000L, loader = otherLoader)(_.appId)(
+          (r, i) => i.map(_.appName).orNull, loaderTag = "cfg-v2")
+        .collect()
+    }
+    assert(messages(ex2).exists(_.contains("cfg-v1")),
+      s"expected the explicit-tag mismatch, got: $ex2")
+  }
+
   test("TTL lapse refills through the injected clock; fresh entries don't") {
     import spark.implicits._
     RowLazyFillEnrich.reset("ttl")

@@ -108,6 +108,38 @@ class Scd2StreamSpec extends AnyFunSuite {
       "stream-static as-of enrichment diverges from the batch as-of join")
   }
 
+  test("cross-batch same-ts changes: a later seq closes, a smaller-or-equal seq fails loudly") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Change]
+    val outDir = Files.createTempDirectory("graft_scd2t_out").toString
+    val ckDir = Files.createTempDirectory("graft_scd2t_ck").toString
+    val q = Scd2Stream.closedVersions(stream.toDS()).writeStream
+      .format("parquet").option("checkpointLocation", ckDir)
+      .option("path", outDir).outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    stream.addData(Seq(Change(1L, 100L, 5L, 1.0)))
+    q.processAllAvailable()
+    // same ts, LARGER seq in a later batch: the batch builder's
+    // (ts, seq) order puts it after — valid, closes a [100,100) interval
+    stream.addData(Seq(Change(1L, 100L, 7L, 2.0)))
+    q.processAllAvailable()
+    val closed = spark.read.parquet(outDir)
+      .select("k", "version", "valid_from_ms", "valid_to_ms").collect()
+    assert(closed.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      === Seq((1L, 1L, 100L, 100L)))
+    // same ts, SMALLER seq: the batch builder would sort it BEFORE the
+    // open version — no append-only maintainer can reproduce that, so
+    // the task must fail instead of silently mis-assigning the race
+    stream.addData(Seq(Change(1L, 100L, 6L, 3.0)))
+    val ex = intercept[Exception] { q.processAllAvailable() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("out-of-order")),
+      s"expected the cross-batch tie rejection, got: $ex")
+    q.stop()
+  }
+
   test("open versions survive a checkpoint restart and close in the resumed query") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._

@@ -160,6 +160,39 @@ class SketchAsOfSpec extends AnyFunSuite {
       s"expected the out-of-order raise, got: $ex")
   }
 
+  test("scd2 applyChanges: a same-ts change that ties or loses on tieCols raises; a winning tie merges") {
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    val old = Seq((1L, 200L, 5L, "a")).toDF("k", "ts", "seq", "attr")
+    val dim = Scd2.intervalize(old, Seq("k"), "ts", Seq("seq"))
+    // same ts, SMALLER seq: the rebuild would sort it BEFORE the open
+    // version — the documented-invalid case must raise, not silently
+    // diverge from the full rebuild
+    val losing = Seq((1L, 200L, 3L, "b")).toDF("k", "ts", "seq", "attr")
+    val exLose = intercept[Exception] {
+      Scd2.applyChanges(dim, losing, Seq("k"), "ts", Seq("seq")).collect()
+    }
+    assert(messages(exLose).exists(_.contains("out-of-order")),
+      s"expected the same-ts losing-tie raise, got: $exLose")
+    // equal tie (a duplicate change) is just as unmergeable
+    val dup = Seq((1L, 200L, 5L, "b")).toDF("k", "ts", "seq", "attr")
+    val exDup = intercept[Exception] {
+      Scd2.applyChanges(dim, dup, Seq("k"), "ts", Seq("seq")).collect()
+    }
+    assert(messages(exDup).exists(_.contains("out-of-order")),
+      s"expected the same-ts equal-tie raise, got: $exDup")
+    // same ts, LARGER seq sorts after the open version: valid, and the
+    // merge still equals the full rebuild (zero-length [200,200) open
+    // interval closes, last writer wins — the q88 invariant holds)
+    val winning = Seq((1L, 200L, 7L, "c")).toDF("k", "ts", "seq", "attr")
+    val merged = Scd2.applyChanges(dim, winning, Seq("k"), "ts", Seq("seq"))
+      .select("k", "version", "valid_from", "valid_to", "is_current", "attr")
+    val rebuild = Scd2.intervalize(old.unionByName(winning), Seq("k"), "ts", Seq("seq"))
+      .select("k", "version", "valid_from", "valid_to", "is_current", "attr")
+    assert(merged.exceptAll(rebuild).isEmpty && rebuild.exceptAll(merged).isEmpty,
+      "winning-tie merge must equal the full rebuild")
+  }
+
   test("asOf: same-timestamp versions resolve deterministically to the last writer via tieCols") {
     val dims = Seq(
       (7L, 100L, 1L, "first"), (7L, 100L, 2L, "last"), // same effective ts
