@@ -459,7 +459,53 @@ object QueriesAnalytics {
       .orderBy("win_day")
   }
 
+  /** q93: event-type transition matrix (first-order Markov counts) —
+    * per-user lag over (ts, event_id) then a count per (prev, next)
+    * pair. The session-behavior profile behind funnel design (q58)
+    * and synthetic-stream generation. Scale shape: ONE shuffle on
+    * user_id for the partitioned lag window (per-user history is
+    * bounded), then a map-side-combining aggregate whose exchange
+    * carries at most |types|² rows.
+    */
+  private val qTransitions: Q = (spark, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_ms"), col("event_id"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("prev_type", "event_type")
+  }
+
+  /** q95: daily volume spikes per event type — the top-2 days whose
+    * count deviates most from the type's mean. The deviation is kept
+    * in INTEGER space (`n_days·cnt − total` is the mean-deviation
+    * scaled by n_days), so spike selection has no float knife edge
+    * anywhere — the portable alternative to a z-score cut. Scale
+    * shape: the only full-data pass is the (type, day) count with
+    * map-side combine; both windows then run over the tiny daily
+    * aggregate, partitioned by type.
+    */
+  private val SpikeTopN = 2
+  private val qDailySpikes: Q = (spark, dir) => {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_format(col("ts_t"), "yyyy-MM-dd").as("dt"))
+      .agg(count(lit(1)).as("cnt"))
+    val wt = Window.partitionBy("event_type")
+    val daily2 = daily.withColumn("dev",
+      col("cnt") * count(lit(1)).over(wt) - sum(col("cnt")).over(wt))
+    val wr = Window.partitionBy("event_type").orderBy(abs(col("dev")).desc, col("dt"))
+    daily2
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= SpikeTopN)
+      .select(col("event_type"), col("dt"), col("cnt"), col("dev"))
+      .orderBy("event_type", "dt")
+  }
+
   val all: Map[String, Q] = Map(
+    "q93_transitions" -> qTransitions,
+    "q95_daily_spikes" -> qDailySpikes,
     "q68_sql_exists" -> qSqlExists,
     "q77_sql_topn" -> qSqlTopN,
     "q78_sql_rollup" -> qSqlRollup,
@@ -485,6 +531,32 @@ object QueriesAnalytics {
     }.mkString(",\n")
 
   val oracles: Map[String, String] = Map(
+    "q93_transitions" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id
+        |  FROM events),
+        |x AS (SELECT event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)
+        |    AS prev_type
+        |  FROM e)
+        |SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS cnt
+        |FROM x WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, event_type
+        |ORDER BY prev_type, event_type""".stripMargin,
+
+    "q95_daily_spikes" ->
+      s"""WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS dt,
+         |  CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1, 2),
+         |s AS (SELECT event_type, dt, cnt,
+         |  cnt * CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+         |    - CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS dev
+         |  FROM d),
+         |r AS (SELECT event_type, dt, cnt, dev,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY abs(dev) DESC, dt)
+         |    AS rk
+         |  FROM s)
+         |SELECT event_type, dt, cnt, dev FROM r WHERE rk <= $SpikeTopN
+         |ORDER BY event_type, dt""".stripMargin,
+
     // the whole point: the oracle IS the Spark-side SQL text
     "q68_sql_exists" -> SqlExistsText,
     "q77_sql_topn" -> SqlTopNText,

@@ -268,7 +268,34 @@ object QueriesCuration {
       .orderBy("source")
   }
 
+  /** q94: per-domain document cap — at most [[DomainCap]] docs kept
+    * per source, chosen by salted-hash rank (deterministic, unbiased
+    * within the domain). The standard web-curation guard against any
+    * single domain dominating the training mixture — the hard-cap
+    * complement of q48's proportional temperature sampling. Scale
+    * shape: one shuffle on source for the partitioned rank window;
+    * per-domain state is the running count, and the cap bounds output
+    * per group no matter how skewed the domain sizes are. (A
+    * pathologically hot single domain would skew the window shuffle
+    * itself — that domain's rows all land on one partition; cap
+    * selection can then ride the salted-hash bucket trick q7 uses, at
+    * the price of an extra pre-aggregation. Not needed while domains
+    * stay below partition-size scale.)
+    */
+  private val DomainCap = 15
+  private val qDomainCap: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(Dedup.hash32(col("doc_id").cast("string"), "cap"), col("doc_id"))
+    Tables(spark, dir, "documents")
+      .select(col("source"), col("doc_id"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= DomainCap)
+      .orderBy("source", "rk")
+  }
+
   val all: Map[String, Q] = Map(
+    "q94_domain_cap" -> qDomainCap,
     "q57_curation_keep" -> qCurationKeep,
     "q75_curation_funnel" -> qCurationFunnel,
     "q37_decontam" -> qDecontam,
@@ -332,6 +359,14 @@ object QueriesCuration {
        |ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q94_domain_cap" ->
+      s"""WITH r AS (SELECT source, doc_id,
+         |  CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY ${saltedHashIdSql("cap")}, doc_id) AS BIGINT) AS rk
+         |  FROM documents)
+         |SELECT source, doc_id, rk FROM r WHERE rk <= $DomainCap
+         |ORDER BY source, rk""".stripMargin,
+
     "q90_weighted_sample" ->
       s"""WITH h AS (SELECT doc_id, n_chars,
          |  (${saltedHashIdSql("wsample")} + 0.5) / 4294967296.0 AS u

@@ -649,7 +649,39 @@ object QueriesRelational {
       .orderBy("event_type", "hr")
   }
 
+  /** q92: key-skew profile via the one-pass Misra–Gries summary
+    * ([[graft.sketch.MgAggregator]]) — find every key carrying more
+    * than 1/[[HhK]] of the table in ONE bounded-memory pass plus an
+    * exact recount of the ≤ [[MgCounters]] candidates. This is the
+    * measurement that legitimizes the salting/skew machinery (q51,
+    * AQE skew joins): at 100 TB you cannot groupBy an unbounded key
+    * domain just to learn which keys are hot, but k counters per
+    * partition merge to a guaranteed superset of the heavy keys
+    * (freq > n/(k+1)), and only candidate rows ever shuffle for the
+    * recount. The exact integer threshold makes the output
+    * deterministic no matter what extra candidates the summary holds.
+    * Profiled key: floor(value) — the events table's one skewed
+    * column (its exponential-ish tail gives 11 stable heavy buckets).
+    */
+  private val HhK = 64
+  private val MgCounters = 128 // > HhK ⇒ the MG guarantee covers the threshold
+  private val qHeavyKeys: Q = (spark, dir) => {
+    val ev = Tables(spark, dir, "events")
+      .select(floor(col("value")).cast("long").as("k"))
+    val mg = udaf(new graft.sketch.MgAggregator(MgCounters),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val cands = ev.agg(mg(col("k")).as("cand"), count(lit(1)).as("n"))
+      .select(explode(col("cand")).as("k"), col("n"))
+    ev.join(broadcast(cands), "k")
+      .groupBy(col("k"), col("n"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * HhK > col("n"))
+      .select(col("k"), col("cnt"))
+      .orderBy("k")
+  }
+
   val all: Map[String, Q] = Map(
+    "q92_heavy_keys" -> qHeavyKeys,
     "q60_gapfill" -> qGapfill,
     "q58_funnel" -> qFunnel,
     "q59_cohort" -> qCohort,
@@ -714,6 +746,12 @@ object QueriesRelational {
       |ORDER BY user_id, version""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q92_heavy_keys" ->
+      s"""WITH e AS (SELECT CAST(floor(value) AS BIGINT) AS k FROM events)
+         |SELECT k, CAST(count(*) AS BIGINT) AS cnt FROM e
+         |GROUP BY k HAVING count(*) * $HhK > (SELECT count(*) FROM e)
+         |ORDER BY k""".stripMargin,
+
     "q60_gapfill" ->
       s"""WITH e AS (SELECT event_type, epoch_ms(ts) AS ts_ms, value FROM events),
          |b AS (SELECT min(ts_ms) // $HourMs AS h0, max(ts_ms) // $HourMs AS h1 FROM e),

@@ -699,7 +699,24 @@ object QueriesTraining {
     QueriesAnalytics.sqlVerbatim(spark, dir, SqlFunctionsText,
       Seq("documents", "embeddings"))
 
+  /** q91: EXACT all-pairs near-dup join ([[graft.dedup.AllPairs]]) —
+    * every pair with trigram-shingle Jaccard ≥ 1/2, found by prefix
+    * filtering instead of LSH. The completeness statement IS the
+    * oracle: the prefix-filtered plan must hash-match the brute-force
+    * all-pairs join (which the oracle runs; at sf0.01 the LSH chain's
+    * q22 finds the same 25 pairs — recall 1.0 on this corpus, now
+    * proven rather than sampled). Threshold and outputs are all
+    * integer — no float knife edges.
+    */
+  private val qAllPairs: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents").filter(col("text").isNotNull)
+    graft.dedup.AllPairs.similarPairs(
+        Dedup.shingleTable(docs, "doc_id", "text"), "doc_id", "sh", 1, 2)
+      .orderBy("id_a", "id_b")
+  }
+
   val all: Map[String, Q] = Map(
+    "q91_allpairs" -> qAllPairs,
     "q66_dup_spans" -> qDupSpans,
     "q67_dedup_edit" -> qDedupEdit,
     "q71_quality_cut" -> qQualityCut,
@@ -886,6 +903,26 @@ object QueriesTraining {
   }
 
   val oracles: Map[String, String] = Map(
+    // brute-force all-pairs — the exactness claim: prefix filtering
+    // must lose nothing vs comparing every pair
+    "q91_allpairs" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents
+         |  WHERE text IS NOT NULL),
+         |sh AS (SELECT doc_id, $shinglesSql AS s FROM toks),
+         |ss AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n FROM sh),
+         |e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |ov AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         CAST(count(*) AS BIGINT) AS n_inter
+         |       FROM e a JOIN e b USING (g)
+         |       WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_inter,
+         |  sa.n + sb.n - n_inter AS n_union
+         |FROM ov
+         |JOIN ss sa ON sa.doc_id = ov.id_a
+         |JOIN ss sb ON sb.doc_id = ov.id_b
+         |WHERE n_inter * 2 >= (sa.n + sb.n - n_inter) * 1
+         |ORDER BY id_a, id_b""".stripMargin,
+
     "q66_dup_spans" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents
          |  WHERE text IS NOT NULL),

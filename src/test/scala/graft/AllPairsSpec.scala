@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.{AllPairs, Dedup}
+
+/** Exact all-pairs similarity join: completeness vs brute force (the
+  * prefix filter must lose NOTHING), threshold edge cases in integer
+  * space, and the plan shape that makes it scale.
+  */
+class AllPairsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.get("local[4]", "4")
+
+  private def brute(sets: Seq[(Long, Seq[String])], tNum: Int, tDen: Int) =
+    (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      inter = sa.toSet.intersect(sb.toSet).size
+      union = sa.toSet.union(sb.toSet).size
+      if inter * tDen >= union * tNum
+    } yield (ia, ib, inter.toLong, union.toLong)).sorted
+
+  test("prefix-filtered result equals brute force on adversarial random sets") {
+    import spark.implicits._
+    // seeded generator: skewed element frequencies (some near-universal
+    // elements, a long unique tail) — the regime where prefix ordering
+    // matters most; sizes 1..12 include singleton sets (prefix must
+    // stay >= 1) and near-duplicates (planted pairs)
+    val rnd = new scala.util.Random(20260813L)
+    val base = (1L to 60L).map { i =>
+      val n = 1 + rnd.nextInt(12)
+      val elems = (0 until n).map { _ =>
+        val r = rnd.nextInt(100)
+        if (r < 30) s"common${rnd.nextInt(3)}"          // hot elements
+        else if (r < 60) s"mid${rnd.nextInt(15)}"
+        else s"rare${rnd.nextInt(500)}"
+      }.distinct
+      (i, elems)
+    }
+    // planted near-dups: copy with one element changed
+    val planted = base.take(8).map { case (i, es) =>
+      (i + 1000L, if (es.size > 1) es.tail :+ s"swap$i" else es)
+    }
+    val sets = base ++ planted
+    for ((tNum, tDen) <- Seq((1, 2), (3, 10), (4, 5), (1, 1))) {
+      val df = sets.toDF("id", "s")
+      val got = AllPairs.similarPairs(df, "id", "s", tNum, tDen)
+        .orderBy("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      assert(got === brute(sets, tNum, tDen), s"mismatch at t=$tNum/$tDen")
+    }
+  }
+
+  test("t=1 finds exactly the identical sets; disjoint corpus finds none") {
+    import spark.implicits._
+    val sets = Seq(
+      (1L, Seq("a", "b")), (2L, Seq("b", "a")), // same set, different order
+      (3L, Seq("a", "b", "c")), (4L, Seq("x")))
+    val eq = AllPairs.similarPairs(sets.toDF("id", "s"), "id", "s", 1, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(eq === Seq((1L, 2L)))
+    val disjoint = (1L to 10L).map(i => (i, Seq(s"only$i")))
+    assert(AllPairs.similarPairs(disjoint.toDF("id", "s"), "id", "s", 1, 2).count() === 0L)
+  }
+
+  test("plan shape: candidate generation never compares non-prefix elements") {
+    // the filter that makes this NOT O(n²): with a 1/2 threshold only
+    // ~half of each set's elements (the rare half) enter the self-join
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("text").isNotNull)
+    val sh = Dedup.shingleTable(docs, "doc_id", "text")
+    val out = AllPairs.similarPairs(sh, "doc_id", "sh", 1, 2)
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the rank filter gates the join input (__rk <= __p present)
+    assert(p.contains("__rk") && p.contains("__p"),
+      s"prefix rank filter missing from plan:\n$p")
+    // the per-set rank window is key-partitioned, never a global sort
+    assert(p.contains("hashpartitioning(__id"),
+      s"prefix window must partition by set id:\n$p")
+    // verify side sort-merges (spillable), not a corpus-sized hash build
+    assert("SortMergeJoin".r.findAllIn(p).nonEmpty,
+      s"verify join should sort-merge:\n$p")
+  }
+}
