@@ -680,8 +680,38 @@ object QueriesRelational {
       .orderBy("k")
   }
 
+  /** q96: HyperLogLog distinct-count per group
+    * ([[graft.sketch.HllAggregator]]) — the constant-memory third
+    * face of the sketch surface: q41/q76's KMV is O(k) state and
+    * exact below k; HLL is FIXED 2^b registers per group forever,
+    * the only shape that survives a 100 TB distinct-count over a
+    * high-cardinality group key. Parity is exact-integer: the UDAF
+    * emits `K = Σ 2^(25−M_j)` (every term a power of two, K ≤ 2^33 —
+    * exact in BIGINT on both engines) and the float estimate
+    * `α·m²·2^25 / K` is one identically-evaluated literal and one
+    * exact-rounded division per row on each side. Exact
+    * `count(distinct)` rides along as the error witness.
+    */
+  private val HllB = 8
+  private val qHll: Q = (spark, dir) => {
+    val ev = Tables(spark, dir, "events").filter(col("user_id").isNotNull)
+    val hllU = udaf(new graft.sketch.HllAggregator(HllB),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val sk = ev.select(col("event_type"),
+        graft.dedup.Dedup.hash32(col("user_id").cast("string"), "hll").as("h"))
+      .groupBy("event_type").agg(hllU(col("h")).as("hll_k"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.join(sk, "event_type")
+      .withColumn("hll_est",
+        round(lit(graft.sketch.HllAggregator.alphaNum(HllB)) / col("hll_k"), 4))
+      .select(col("event_type"), col("n_exact"), col("hll_k"), col("hll_est"))
+      .orderBy("event_type")
+  }
+
   val all: Map[String, Q] = Map(
     "q92_heavy_keys" -> qHeavyKeys,
+    "q96_hll" -> qHll,
     "q60_gapfill" -> qGapfill,
     "q58_funnel" -> qFunnel,
     "q59_cohort" -> qCohort,
@@ -751,6 +781,29 @@ object QueriesRelational {
          |SELECT k, CAST(count(*) AS BIGINT) AS cnt FROM e
          |GROUP BY k HAVING count(*) * $HhK > (SELECT count(*) FROM e)
          |ORDER BY k""".stripMargin,
+
+    // register maxima from the same 32-bit md5 hash, K as exact
+    // integer, the estimate via the identically-folded constant
+    "q96_hll" ->
+      s"""WITH h AS (SELECT DISTINCT event_type,
+         |    ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS v
+         |  FROM events WHERE user_id IS NOT NULL),
+         |r AS (SELECT event_type, v // 16777216 AS reg,
+         |    CASE WHEN v % 16777216 = 0 THEN 25
+         |         ELSE 25 - length(printf('%b', v % 16777216)) END AS rho
+         |  FROM h),
+         |mx AS (SELECT event_type, reg, max(rho) AS mj FROM r GROUP BY 1, 2),
+         |k AS (SELECT event_type,
+         |    CAST(sum(1::BIGINT << (25 - mj)) AS BIGINT)
+         |      + (256 - CAST(count(*) AS BIGINT)) * 33554432 AS hll_k
+         |  FROM mx GROUP BY 1),
+         |x AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+         |  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+         |SELECT x.event_type, x.n_exact, k.hll_k,
+         |  round((${graft.sketch.HllAggregator.alphaNumSql(HllB)}) / k.hll_k, 4)
+         |    AS hll_est
+         |FROM x JOIN k USING (event_type)
+         |ORDER BY event_type""".stripMargin,
 
     "q60_gapfill" ->
       s"""WITH e AS (SELECT event_type, epoch_ms(ts) AS ts_ms, value FROM events),
