@@ -709,9 +709,63 @@ object QueriesRelational {
       .orderBy("event_type")
   }
 
+  /** q97: top-k per group via the bounded
+    * [[graft.sketch.TopKAggregator]] — the partial-aggregating shape
+    * of q2's window top-k: the map side keeps k rows per (group,
+    * partition) and only those cross the exchange, where the window
+    * form shuffles and sorts EVERY row of every group. The oracle IS
+    * the window form — same rows, same (v DESC, id ASC) total order,
+    * proving the aggregator path is a drop-in for the sort path.
+    */
+  private val TopKPerGroup = 3
+  private val qTopkUdaf: Q = (spark, dir) => {
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_orderpriority"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+        col("o_orderkey").cast("long").as("okey"))
+    val tk = udaf(new graft.sketch.TopKAggregator(TopKPerGroup),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong))
+    o.groupBy("o_orderpriority").agg(tk(col("cents"), col("okey")).as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")))
+      .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rk"),
+        col("col._1").as("cents"), col("col._2").as("o_orderkey"))
+      .orderBy("o_orderpriority", "rk")
+  }
+
+  /** q99: exact percentiles by GLOBAL RANK, not global sort-window —
+    * the rank targets `ceil(p·n/100)` are integers, the rank is
+    * [[graft.operators.GlobalRank]]'s exact two-phase one (range
+    * repartition + per-partition row_number + O(1)/row offset
+    * lookup), so the selection has no single-partition WindowExec and
+    * no float knife edge; the oracle's `row_number() OVER (ORDER BY
+    * …)` global window is exactly what the operator replaces at
+    * scale. Quantiles-by-rank is the 100 TB shape: one range shuffle,
+    * then a broadcast of 5 target ranks picks the rows.
+    */
+  private val QuantPs = Seq(25, 50, 75, 90, 99)
+  private val qQuantiles: Q = (spark, dir) => {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("value"))
+    val ranked = graft.operators.GlobalRank.withRank(
+      e, Seq(col("value"), col("event_id")), "rk")
+    val n = e.agg(count(lit(1)).as("n"))
+    val targets = QuantPs.toDF("p").crossJoin(broadcast(n))
+      .select(col("p").cast("long").as("p"),
+        ((col("p") * col("n") + 99) / 100).cast("long").as("target"))
+    ranked.join(broadcast(targets), col("rk") === col("target"))
+      .select(col("p"), col("rk"), col("value"), col("event_id"))
+      .orderBy("p")
+  }
+
   val all: Map[String, Q] = Map(
     "q92_heavy_keys" -> qHeavyKeys,
     "q96_hll" -> qHll,
+    "q97_topk_udaf" -> qTopkUdaf,
+    "q99_quantiles" -> qQuantiles,
     "q60_gapfill" -> qGapfill,
     "q58_funnel" -> qFunnel,
     "q59_cohort" -> qCohort,
@@ -781,6 +835,30 @@ object QueriesRelational {
          |SELECT k, CAST(count(*) AS BIGINT) AS cnt FROM e
          |GROUP BY k HAVING count(*) * $HhK > (SELECT count(*) FROM e)
          |ORDER BY k""".stripMargin,
+
+    // the oracle's global window is what GlobalRank replaces
+    "q99_quantiles" ->
+      """WITH e AS (SELECT event_id, value FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT event_id, value,
+        |    CAST(row_number() OVER (ORDER BY value, event_id) AS BIGINT) AS rk
+        |  FROM e),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+        |p AS (SELECT CAST(unnest([25, 50, 75, 90, 99]) AS BIGINT) AS p),
+        |t AS (SELECT p.p, (p.p * n.n + 99) // 100 AS target FROM p, n)
+        |SELECT t.p, r.rk, r.value, r.event_id FROM t JOIN r ON r.rk = t.target
+        |ORDER BY p""".stripMargin,
+
+    // the oracle is the window form the aggregator replaces
+    "q97_topk_udaf" ->
+      s"""WITH c AS (SELECT o_orderpriority,
+         |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         |    CAST(o_orderkey AS BIGINT) AS o_orderkey FROM orders),
+         |r AS (SELECT o_orderpriority, cents, o_orderkey,
+         |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+         |      ORDER BY cents DESC, o_orderkey) AS BIGINT) AS rk FROM c)
+         |SELECT o_orderpriority, rk, cents, o_orderkey FROM r
+         |WHERE rk <= $TopKPerGroup
+         |ORDER BY o_orderpriority, rk""".stripMargin,
 
     // register maxima from the same 32-bit md5 hash, K as exact
     // integer, the estimate via the identically-folded constant

@@ -715,8 +715,26 @@ object QueriesTraining {
       .orderBy("id_a", "id_b")
   }
 
+  /** q98: triangle census of the exact near-dup graph
+    * ([[graft.graph.Triangles]] over q91's pair set) — the
+    * transitivity audit behind cluster-collapse dedup: q31 keeps one
+    * doc per CONNECTED COMPONENT, which is only safe if near-dup is
+    * (mostly) transitive; the closure rate (closed wedges / wedges)
+    * measures exactly that. Low closure = chained false merges. The
+    * census itself is the degree-oriented count whose wedge join is
+    * bounded by √m out-degrees — the only triangle shape that
+    * survives a power-law dup graph at corpus scale.
+    */
+  private val qDupTriangles: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents").filter(col("text").isNotNull)
+    val pairs = graft.dedup.AllPairs.similarPairs(
+      Dedup.shingleTable(docs, "doc_id", "text"), "doc_id", "sh", 1, 2)
+    graft.graph.Triangles.audit(pairs, "id_a", "id_b")
+  }
+
   val all: Map[String, Q] = Map(
     "q91_allpairs" -> qAllPairs,
+    "q98_dup_triangles" -> qDupTriangles,
     "q66_dup_spans" -> qDupSpans,
     "q67_dedup_edit" -> qDedupEdit,
     "q71_quality_cut" -> qQualityCut,
@@ -803,6 +821,28 @@ object QueriesTraining {
   }
 
   private[graft] val shinglesSql = shinglesNSql(3)
+
+  /** Brute-force exact all-pairs Jaccard ≥ 1/2 over trigram shingles,
+    * ending in `apairs(id_a, id_b, n_inter, n_union)` — the oracle of
+    * q91 (prefix filtering must lose nothing vs comparing every pair)
+    * and the edge set of q98's triangle census.
+    */
+  private lazy val allPairsCtes =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents
+       |  WHERE text IS NOT NULL),
+       |sh AS (SELECT doc_id, $shinglesSql AS s FROM toks),
+       |ss AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n FROM sh),
+       |e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       |ov AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         CAST(count(*) AS BIGINT) AS n_inter
+       |       FROM e a JOIN e b USING (g)
+       |       WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+       |apairs AS (SELECT id_a, id_b, n_inter,
+       |    sa.n + sb.n - n_inter AS n_union
+       |  FROM ov
+       |  JOIN ss sa ON sa.doc_id = ov.id_a
+       |  JOIN ss sb ON sb.doc_id = ov.id_b
+       |  WHERE n_inter * 2 >= (sa.n + sb.n - n_inter) * 1)""".stripMargin
 
   private val sigElemsSql = (0 until 16)
     .map { j =>
@@ -906,22 +946,30 @@ object QueriesTraining {
     // brute-force all-pairs — the exactness claim: prefix filtering
     // must lose nothing vs comparing every pair
     "q91_allpairs" ->
-      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents
-         |  WHERE text IS NOT NULL),
-         |sh AS (SELECT doc_id, $shinglesSql AS s FROM toks),
-         |ss AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n FROM sh),
-         |e AS (SELECT doc_id, unnest(s) AS g FROM sh),
-         |ov AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |         CAST(count(*) AS BIGINT) AS n_inter
-         |       FROM e a JOIN e b USING (g)
-         |       WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
-         |SELECT id_a, id_b, n_inter,
-         |  sa.n + sb.n - n_inter AS n_union
-         |FROM ov
-         |JOIN ss sa ON sa.doc_id = ov.id_a
-         |JOIN ss sb ON sb.doc_id = ov.id_b
-         |WHERE n_inter * 2 >= (sa.n + sb.n - n_inter) * 1
+      s"""$allPairsCtes
+         |SELECT id_a, id_b, n_inter, n_union FROM apairs
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // the near-dup graph's triangle census: edges = q91's exact pair
+    // set; triangles by the brute 3-way join (u<v normalization makes
+    // each triangle appear once), wedges = sum C(deg, 2)
+    "q98_dup_triangles" ->
+      s"""$allPairsCtes,
+         |g AS (SELECT id_a AS u, id_b AS v FROM apairs),
+         |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+         |  FROM (SELECT u AS node FROM g UNION ALL SELECT v AS node FROM g)
+         |  GROUP BY node),
+         |tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+         |  FROM g ab JOIN g ac ON ab.u = ac.u AND ab.v < ac.v
+         |            JOIN g bc ON bc.u = ab.v AND bc.v = ac.v),
+         |agg AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM g) AS n_edges,
+         |  (SELECT COALESCE(CAST(sum(d * (d - 1) // 2) AS BIGINT), 0) FROM deg)
+         |    AS n_wedges,
+         |  (SELECT n_triangles FROM tri) AS n_triangles)
+         |SELECT n_edges, n_wedges, n_triangles,
+         |  CASE WHEN n_wedges > 0 THEN 3 * n_triangles * 10000 // n_wedges
+         |       ELSE 0 END AS closure_bp
+         |FROM agg""".stripMargin,
 
     "q66_dup_spans" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents

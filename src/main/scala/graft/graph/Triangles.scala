@@ -1,0 +1,68 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact triangle census over an undirected simple graph, by
+  * degree-ordered orientation — the construction that makes triangle
+  * counting feasible on power-law graphs at scale: orienting every
+  * edge from its (degree, id)-smaller endpoint to its larger one
+  * turns the graph into a DAG whose max out-degree is O(√m) no matter
+  * how skewed the degree distribution (a node of degree d only keeps
+  * out-edges to HIGHER-degree neighbors, and there can be at most
+  * ~√(2m) of those), so the wedge join — the quadratic step — is
+  * bounded by Σ C(outdeg, 2) ≤ m·√(2m)/2 instead of the hub node's
+  * C(d, 2) blowing up alone. Every triangle {a,b,c} ordered
+  * a < b < c by the total order appears exactly once: as the wedge
+  * (a→b, a→c) closed by the oriented edge b→c.
+  *
+  * Everything is edge- or node-keyed shuffles (degree aggregate, two
+  * co-keyed joins, a semi-join); no windows, no driver state. The
+  * companion metric, global clustering (closed wedges / all wedges),
+  * is reported in integer basis points — `3·triangles·10⁴ div
+  * wedges` — so the output stays hash-exact across engines.
+  */
+object Triangles {
+
+  /** One-row census `(n_edges, n_wedges, n_triangles, closure_bp)` of
+    * the undirected graph `edges(uCol, vCol)` — rows must be
+    * normalized (u < v, distinct); wedges = Σ_node C(deg, 2).
+    */
+  def audit(edges: DataFrame, uCol: String, vCol: String): DataFrame = {
+    val e = edges.select(col(uCol).as("u"), col(vCol).as("v"))
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+
+    // orient by (degree, id): src is the smaller endpoint under the
+    // total order; carry the dst side's degree for the wedge ordering
+    val du = deg.select(col("node").as("u"), col("d").as("du"))
+    val dv = deg.select(col("node").as("v"), col("d").as("dv"))
+    val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = e.join(du, "u").join(dv, "v")
+      .select(
+        when(fwd, col("u")).otherwise(col("v")).as("src"),
+        when(fwd, col("v")).otherwise(col("u")).as("dst"),
+        when(fwd, col("dv")).otherwise(col("du")).as("ddeg"))
+
+    // wedge (src→a, src→b) with a before b in the SAME total order ⇒
+    // the closing edge of any triangle is oriented a→b, so one
+    // semi-join probe per wedge decides it
+    val oa = oriented.select(col("src"), col("dst").as("a"), col("ddeg").as("da"))
+    val ob = oriented.select(col("src"), col("dst").as("b"), col("ddeg").as("db"))
+    val wedges = oa.join(ob, "src")
+      .filter(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")))
+      .select(col("a"), col("b"))
+    val closed = wedges.join(
+      oriented.select(col("src").as("a"), col("dst").as("b")),
+      Seq("a", "b"), "left_semi")
+
+    val nE = e.agg(count(lit(1)).as("n_edges"))
+    val nW = deg.agg(coalesce(sum(expr("d * (d - 1) DIV 2")), lit(0L)).as("n_wedges"))
+    val nT = closed.agg(count(lit(1)).as("n_triangles"))
+    nE.crossJoin(broadcast(nW)).crossJoin(broadcast(nT))
+      .withColumn("closure_bp",
+        when(col("n_wedges") > 0,
+          expr("3 * n_triangles * 10000 DIV n_wedges")).otherwise(0L))
+  }
+}
