@@ -29,7 +29,11 @@ object Triangles {
     * normalized (u < v, distinct); wedges = Σ_node C(deg, 2).
     */
   def audit(edges: DataFrame, uCol: String, vCol: String): DataFrame = {
-    val e = edges.select(col(uCol).as("u"), col(vCol).as("v"))
+    // the edge table feeds degree, orientation, AND the edge count —
+    // and its producer may be arbitrarily expensive (q98's is the
+    // whole AllPairs chain): compute it exactly once
+    val e = graft.dedup.Dedup.materialize(
+      edges.select(col(uCol).as("u"), col(vCol).as("v")))
     val deg = e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
@@ -39,11 +43,13 @@ object Triangles {
     val du = deg.select(col("node").as("u"), col("d").as("du"))
     val dv = deg.select(col("node").as("v"), col("d").as("dv"))
     val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
-    val oriented = e.join(du, "u").join(dv, "v")
-      .select(
-        when(fwd, col("u")).otherwise(col("v")).as("src"),
-        when(fwd, col("v")).otherwise(col("u")).as("dst"),
-        when(fwd, col("dv")).otherwise(col("du")).as("ddeg"))
+    // three consumers (both wedge sides + the closing-edge probe)
+    val oriented = graft.dedup.Dedup.materialize(
+      e.join(du, "u").join(dv, "v")
+        .select(
+          when(fwd, col("u")).otherwise(col("v")).as("src"),
+          when(fwd, col("v")).otherwise(col("u")).as("dst"),
+          when(fwd, col("dv")).otherwise(col("du")).as("ddeg")))
 
     // wedge (src→a, src→b) with a before b in the SAME total order ⇒
     // the closing edge of any triangle is oriented a→b, so one
