@@ -20,7 +20,12 @@ object ScaleRehearsal {
   private val ChainQueries = Seq(
     "q21_dedup_minhash", "q22_dedup_ngram", "q31_dedup_groups",
     "q43_dedup_incremental", "q52_tfidf", "q53_unigram_xent",
-    "q66_dup_spans", "q69_chunking")
+    "q66_dup_spans", "q69_chunking",
+    // round 8: exact prefix-filter all-pairs + its triangle census —
+    // the copy transform keeps cross-copy shingles disjoint, so the
+    // exact pair set at Nx is N× the 1x set and candidate growth
+    // measures the prefix filter, not manufactured dups
+    "q91_allpairs", "q98_dup_triangles")
 
   private val EmbedDims = 64
 
