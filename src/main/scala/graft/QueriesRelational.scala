@@ -667,6 +667,7 @@ object QueriesRelational {
   private val MgCounters = 128 // > HhK ⇒ the MG guarantee covers the threshold
   private val qHeavyKeys: Q = (spark, dir) => {
     val ev = Tables(spark, dir, "events")
+      .filter(col("value").isNotNull) // Long-encoded UDAF input
       .select(floor(col("value")).cast("long").as("k"))
     val mg = udaf(new graft.sketch.MgAggregator(MgCounters),
       org.apache.spark.sql.Encoders.scalaLong)
@@ -831,7 +832,8 @@ object QueriesRelational {
 
   val oracles: Map[String, String] = Map(
     "q92_heavy_keys" ->
-      s"""WITH e AS (SELECT CAST(floor(value) AS BIGINT) AS k FROM events)
+      s"""WITH e AS (SELECT CAST(floor(value) AS BIGINT) AS k FROM events
+         |  WHERE value IS NOT NULL)
          |SELECT k, CAST(count(*) AS BIGINT) AS cnt FROM e
          |GROUP BY k HAVING count(*) * $HhK > (SELECT count(*) FROM e)
          |ORDER BY k""".stripMargin,
@@ -861,19 +863,23 @@ object QueriesRelational {
          |ORDER BY o_orderpriority, rk""".stripMargin,
 
     // register maxima from the same 32-bit md5 hash, K as exact
-    // integer, the estimate via the identically-folded constant
-    "q96_hll" ->
+    // integer, the estimate via the identically-folded constant; all
+    // register constants derive from HllB like the Spark side's
+    "q96_hll" -> {
+      val m = 1 << HllB // registers
+      val w = 1L << (32 - HllB) // remainder-space size
+      val rhoMax = 32 - HllB + 1
       s"""WITH h AS (SELECT DISTINCT event_type,
          |    ('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS v
          |  FROM events WHERE user_id IS NOT NULL),
-         |r AS (SELECT event_type, v // 16777216 AS reg,
-         |    CASE WHEN v % 16777216 = 0 THEN 25
-         |         ELSE 25 - length(printf('%b', v % 16777216)) END AS rho
+         |r AS (SELECT event_type, v // $w AS reg,
+         |    CASE WHEN v % $w = 0 THEN $rhoMax
+         |         ELSE $rhoMax - length(printf('%b', v % $w)) END AS rho
          |  FROM h),
          |mx AS (SELECT event_type, reg, max(rho) AS mj FROM r GROUP BY 1, 2),
          |k AS (SELECT event_type,
-         |    CAST(sum(1::BIGINT << (25 - mj)) AS BIGINT)
-         |      + (256 - CAST(count(*) AS BIGINT)) * 33554432 AS hll_k
+         |    CAST(sum(1::BIGINT << ($rhoMax - mj)) AS BIGINT)
+         |      + ($m - CAST(count(*) AS BIGINT)) * ${1L << rhoMax} AS hll_k
          |  FROM mx GROUP BY 1),
          |x AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
          |  FROM events WHERE user_id IS NOT NULL GROUP BY 1)
@@ -881,7 +887,8 @@ object QueriesRelational {
          |  round((${graft.sketch.HllAggregator.alphaNumSql(HllB)}) / k.hll_k, 4)
          |    AS hll_est
          |FROM x JOIN k USING (event_type)
-         |ORDER BY event_type""".stripMargin,
+         |ORDER BY event_type""".stripMargin
+    },
 
     "q60_gapfill" ->
       s"""WITH e AS (SELECT event_type, epoch_ms(ts) AS ts_ms, value FROM events),

@@ -38,18 +38,8 @@ object Triangles {
       .unionAll(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
 
-    // orient by (degree, id): src is the smaller endpoint under the
-    // total order; carry the dst side's degree for the wedge ordering
-    val du = deg.select(col("node").as("u"), col("d").as("du"))
-    val dv = deg.select(col("node").as("v"), col("d").as("dv"))
-    val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
     // three consumers (both wedge sides + the closing-edge probe)
-    val oriented = graft.dedup.Dedup.materialize(
-      e.join(du, "u").join(dv, "v")
-        .select(
-          when(fwd, col("u")).otherwise(col("v")).as("src"),
-          when(fwd, col("v")).otherwise(col("u")).as("dst"),
-          when(fwd, col("dv")).otherwise(col("du")).as("ddeg")))
+    val oriented = graft.dedup.Dedup.materialize(orientedEdges(e, deg))
 
     // wedge (src→a, src→b) with a before b in the SAME total order ⇒
     // the closing edge of any triangle is oriented a→b, so one
@@ -70,5 +60,21 @@ object Triangles {
       .withColumn("closure_bp",
         when(col("n_wedges") > 0,
           expr("3 * n_triangles * 10000 DIV n_wedges")).otherwise(0L))
+  }
+
+  /** Orient `e(u, v)` by (degree, id): src is the smaller endpoint
+    * under the total order, `ddeg` carries the dst side's degree for
+    * the wedge ordering. Package-private so the spec asserts the
+    * out-degree bound on the SHIPPED orientation, not a copy.
+    */
+  private[graft] def orientedEdges(e: DataFrame, deg: DataFrame): DataFrame = {
+    val du = deg.select(col("node").as("u"), col("d").as("du"))
+    val dv = deg.select(col("node").as("v"), col("d").as("dv"))
+    val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    e.join(du, "u").join(dv, "v")
+      .select(
+        when(fwd, col("u")).otherwise(col("v")).as("src"),
+        when(fwd, col("v")).otherwise(col("u")).as("dst"),
+        when(fwd, col("dv")).otherwise(col("du")).as("ddeg"))
   }
 }

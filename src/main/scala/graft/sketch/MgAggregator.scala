@@ -29,7 +29,14 @@ import org.apache.spark.sql.expressions.Aggregator
   *      (extra candidates die in step 3).
   *
   * Like [[KmvAggregator]], the buffer is a flat Long array mutated in
-  * place: `[fill, key₁, count₁, key₂, count₂, …]`, capacity 1 + 2k.
+  * place: `[fill, key₁, count₁, key₂, count₂, …]`, capacity 1 + 2k,
+  * kept SORTED by key so the per-row lookup is an O(log k) binary
+  * search, not an O(k) scan — at k = 128 on a full-table pass that is
+  * ~7 comparisons per input row instead of up to 128 in the hottest
+  * loop of the aggregation. Insertion shifts are O(k) but only fire
+  * on NEW keys (bounded by eviction cycles), and the decrement pass
+  * is amortized O(1) per row since each pass cancels k prior
+  * increments; both preserve the sort order.
   */
 class MgAggregator(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
   require(k > 0, s"k must be positive, got $k")
@@ -39,19 +46,26 @@ class MgAggregator(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
   override def reduce(b0: Array[Long], key: Long): Array[Long] = {
     val b = if (b0.length == 0) new Array[Long](1 + 2 * k) else b0
     val fill = b(0).toInt
-    var i = 0
-    while (i < fill) {
-      if (b(1 + 2 * i) == key) { b(2 + 2 * i) += 1; return b }
-      i += 1
+    // binary search over the key-sorted pair slots
+    var lo = 0
+    var hi = fill - 1
+    var pos = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      val km = b(1 + 2 * mid)
+      if (km == key) { pos = mid; lo = hi + 1 }
+      else if (km < key) lo = mid + 1
+      else hi = mid - 1
     }
-    if (fill < k) {
-      b(1 + 2 * fill) = key
-      b(2 + 2 * fill) = 1L
+    if (pos >= 0) b(2 + 2 * pos) += 1
+    else if (fill < k) { // lo = insertion point that keeps the sort
+      System.arraycopy(b, 1 + 2 * lo, b, 3 + 2 * lo, 2 * (fill - lo))
+      b(1 + 2 * lo) = key
+      b(2 + 2 * lo) = 1L
       b(0) = fill + 1
     } else {
       // table full and key absent: decrement every counter, compact
-      // zeros (the Misra–Gries step — amortized O(1) per input row,
-      // since each decrement pass cancels k prior increments)
+      // zeros (the Misra–Gries step; order-preserving)
       var w = 0
       var r = 0
       while (r < fill) {
@@ -78,22 +92,25 @@ class MgAggregator(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
         }
       }
       addAll(a0); addAll(b0)
+      // subtract the (k+1)-th largest count from everyone when over
+      // capacity; at most k entries stay positive and the per-key
+      // undercount stays bounded by n/(k+1) in total (the
+      // mergeable-summaries argument)
+      val cut =
+        if (m.size > k) {
+          val counts = m.values.toArray
+          java.util.Arrays.sort(counts)
+          counts(counts.length - k - 1)
+        } else 0L
+      val keys = m.keysIterator.toArray
+      java.util.Arrays.sort(keys) // the buffer contract: key-sorted
       val out = new Array[Long](1 + 2 * k)
       var w = 0
-      if (m.size > k) {
-        // subtract the (k+1)-th largest count from everyone; at most k
-        // entries stay positive and the per-key undercount stays
-        // bounded by n/(k+1) in total (mergeable-summaries argument)
-        val counts = m.values.toArray
-        java.util.Arrays.sort(counts)
-        val cut = counts(counts.length - k - 1)
-        m.foreach { case (key, c) =>
-          if (c - cut > 0) { out(1 + 2 * w) = key; out(2 + 2 * w) = c - cut; w += 1 }
-        }
-      } else {
-        m.foreach { case (key, c) =>
-          out(1 + 2 * w) = key; out(2 + 2 * w) = c; w += 1
-        }
+      var i = 0
+      while (i < keys.length) {
+        val c = m(keys(i)) - cut
+        if (c > 0) { out(1 + 2 * w) = keys(i); out(2 + 2 * w) = c; w += 1 }
+        i += 1
       }
       out(0) = w
       out

@@ -58,11 +58,7 @@ class TrianglesSpec extends AnyFunSuite {
     val e = star.toDF("u", "v")
     val deg = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
-    val du = deg.select(col("node").as("u"), col("d").as("du"))
-    val dv = deg.select(col("node").as("v"), col("d").as("dv"))
-    val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
-    val outDeg = e.join(du, "u").join(dv, "v")
-      .select(when(fwd, col("u")).otherwise(col("v")).as("src"))
+    val outDeg = Triangles.orientedEdges(e, deg)
       .groupBy("src").agg(count(lit(1)).as("od"))
       .agg(max(col("od"))).collect()(0).getLong(0)
     assert(outDeg === 1L, s"hub should never fan out, got out-degree $outDeg")
