@@ -762,11 +762,59 @@ object QueriesRelational {
       .orderBy("p")
   }
 
+  /** q100: KMV sketch SET ALGEBRA ([[graft.sketch.KmvSetAggregator]])
+    * — union and intersection cardinality estimates over two
+    * audiences (distinct (user, day) activity keys of two event
+    * types) from their k-minimum-value sketches alone. The theta-
+    * sketch composition: union sketch = k smallest of the merged hash
+    * sets; θ = its k-th minimum; intersection ≈ (common hashes ≤ θ) /
+    * (union kept) × union estimate. This is how audience overlap is
+    * answered at 100 TB — two O(k) sketches meet on the driver
+    * instead of a distinct-join of two corpus-sized key sets — and
+    * because KMV is deterministic given the hash, BOTH estimates are
+    * oracle-exact, with the true cardinalities riding along as error
+    * witnesses.
+    */
+  private val KmvSetK = 256
+  private val qKmvSetops: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"),
+        concat(col("user_id").cast("string"), lit(":"),
+          date_format(col("ts_t"), "yyyy-MM-dd")).as("key"))
+    val ks = udaf(new graft.sketch.KmvSetAggregator(KmvSetK),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val sk = ev
+      .select(col("event_type"), graft.dedup.Dedup.hash32(col("key"), "kmvset").as("h"))
+      .groupBy("event_type").agg(ks(col("h")).as("s"))
+    val sa = sk.filter(col("event_type") === "click").select(col("s").as("sa"))
+    val sb = sk.filter(col("event_type") === "purchase").select(col("s").as("sb"))
+    val exact = ev.groupBy("key").agg(
+        max(when(col("event_type") === "click", 1).otherwise(0)).as("fa"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("fb"))
+      .agg(sum(col("fa")).cast("long").as("n_a"),
+        sum(col("fb")).cast("long").as("n_b"),
+        sum(col("fa") * col("fb")).cast("long").as("n_inter"))
+    exact.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+      .withColumn("u", slice(array_sort(array_union(col("sa"), col("sb"))), 1, KmvSetK))
+      .withColumn("got_u", size(col("u")).cast("long"))
+      .withColumn("hk_u", element_at(col("u"), size(col("u"))))
+      .withColumn("est_u",
+        graft.sketch.Sketches.kmvEstimate(col("hk_u"), col("got_u"), KmvSetK))
+      .withColumn("m",
+        size(filter(array_intersect(col("sa"), col("sb")),
+          x => x <= col("hk_u"))).cast("long"))
+      .select(col("n_a"), col("n_b"), col("n_inter"), col("got_u"), col("hk_u"),
+        round(col("est_u"), 4).as("est_union"),
+        round(col("m").cast("double") / col("got_u") * col("est_u"), 4).as("est_inter"))
+  }
+
   val all: Map[String, Q] = Map(
     "q92_heavy_keys" -> qHeavyKeys,
     "q96_hll" -> qHll,
     "q97_topk_udaf" -> qTopkUdaf,
     "q99_quantiles" -> qQuantiles,
+    "q100_kmv_setops" -> qKmvSetops,
     "q60_gapfill" -> qGapfill,
     "q58_funnel" -> qFunnel,
     "q59_cohort" -> qCohort,
@@ -837,6 +885,39 @@ object QueriesRelational {
          |SELECT k, CAST(count(*) AS BIGINT) AS cnt FROM e
          |GROUP BY k HAVING count(*) * $HhK > (SELECT count(*) FROM e)
          |ORDER BY k""".stripMargin,
+
+    // k-min sets per audience, union/θ/common-fraction re-derived
+    // relationally; estimates re-rounded identically
+    "q100_kmv_setops" ->
+      s"""WITH ev AS (SELECT event_type,
+         |    CAST(user_id AS VARCHAR) || ':' || strftime(ts, '%Y-%m-%d') AS key
+         |  FROM events WHERE event_type IN ('click', 'purchase')),
+         |hx AS (SELECT DISTINCT event_type,
+         |    ('0x' || substr(md5('kmvset:' || key), 1, 8))::BIGINT AS h FROM ev),
+         |rk AS (SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM hx),
+         |ka AS (SELECT h FROM rk WHERE event_type = 'click' AND rn <= $KmvSetK),
+         |kb AS (SELECT h FROM rk WHERE event_type = 'purchase' AND rn <= $KmvSetK),
+         |un AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+         |       ORDER BY h LIMIT $KmvSetK),
+         |us AS (SELECT CAST(count(*) AS BIGINT) AS got_u, max(h) AS hk_u FROM un),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ka JOIN kb USING (h)
+         |       WHERE h <= (SELECT hk_u FROM us)),
+         |fl AS (SELECT key,
+         |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS fa,
+         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS fb
+         |  FROM ev GROUP BY key),
+         |ex AS (SELECT CAST(sum(fa) AS BIGINT) AS n_a,
+         |    CAST(sum(fb) AS BIGINT) AS n_b,
+         |    CAST(sum(fa * fb) AS BIGINT) AS n_inter FROM fl),
+         |est AS (SELECT got_u, hk_u,
+         |    CASE WHEN got_u < $KmvSetK THEN CAST(got_u AS DOUBLE)
+         |         ELSE ${KmvSetK - 1}.0 * 4294967296.0 / CAST(hk_u AS DOUBLE)
+         |    END AS est_u FROM us)
+         |SELECT ex.n_a, ex.n_b, ex.n_inter, est.got_u, est.hk_u,
+         |  round(est.est_u, 4) AS est_union,
+         |  round(CAST(mm.m AS DOUBLE) / est.got_u * est.est_u, 4) AS est_inter
+         |FROM ex, est, mm""".stripMargin,
 
     // the oracle's global window is what GlobalRank replaces
     "q99_quantiles" ->

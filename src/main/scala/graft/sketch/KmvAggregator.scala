@@ -72,3 +72,24 @@ class KmvAggregator(k: Int) extends Aggregator[Long, Array[Long], KmvState] {
   override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
   override def outputEncoder: Encoder[KmvState] = Encoders.product[KmvState]
 }
+
+/** KMV variant that returns the kept k-minimum hash SET (ascending) —
+  * the carrier of sketch set algebra (q100): the union of two sets'
+  * sketches is the k smallest of the merged hash sets, the
+  * intersection estimate is the Jaccard-style common fraction below
+  * the union's k-th minimum scaled by the union estimate. Same
+  * buffer, same in-place insert as [[KmvAggregator]]; only `finish`
+  * differs (the full kept set instead of its max).
+  */
+class KmvSetAggregator(k: Int) extends Aggregator[Long, Array[Long], Seq[Long]] {
+  private val kmv = new KmvAggregator(k)
+  override def zero: Array[Long] = kmv.zero
+  override def reduce(b: Array[Long], h: Long): Array[Long] = kmv.reduce(b, h)
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = kmv.merge(a, b)
+  override def finish(b: Array[Long]): Seq[Long] = {
+    val fill = if (b.length == 0) 0 else b(0).toInt
+    (1 to fill).map(b(_))
+  }
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+}
