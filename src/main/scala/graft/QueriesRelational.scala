@@ -809,8 +809,44 @@ object QueriesRelational {
         round(col("m").cast("double") / col("got_u") * col("est_u"), 4).as("est_inter"))
   }
 
+  /** q101: COUNT-MIN SKETCH frequency estimation
+    * ([[graft.sketch.CmsAggregator]]) — the activity count of the top
+    * heavy users answered from a fixed d×w counter grid instead of a
+    * per-key aggregate. The sketch rides map-side partial aggregation
+    * (merge = elementwise sum, LINEAR — the identity q43-style
+    * incremental maintenance needs), probes read `min_i
+    * counters[i][h_i(x)]`, and because hash rows are exact integer
+    * affine mixes of the portable md5 hash, the DuckDB oracle rebuilds
+    * the identical counter table with a GROUP BY. Exact counts ride
+    * along as the one-sided error witness (`est ≥ n_exact` always;
+    * w=64 intentionally small enough that collisions are visible).
+    */
+  private val CmsD = 4
+  private val CmsW = 64
+  private val qCms: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir).filter(col("user_id").isNotNull)
+      .select(col("user_id"),
+        graft.dedup.Dedup.hash32(col("user_id").cast("string"), "cms").as("h"))
+    val cms = udaf(new graft.sketch.CmsAggregator(CmsD, CmsW),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val sk = ev.agg(cms(col("h")).as("c"))
+    val probes = ev.groupBy("user_id", "h")
+      .agg(count(lit(1)).cast("long").as("n_exact"))
+      .orderBy(col("n_exact").desc, col("user_id")).limit(10)
+    probes.crossJoin(broadcast(sk))
+      .withColumn("est", least((0 until CmsD).map { i =>
+        val bkt = ((lit(graft.sketch.CmsAggregator.A(i)) * col("h")
+          + lit(graft.sketch.CmsAggregator.B(i)))
+          % lit(graft.sketch.CmsAggregator.M)) % lit(CmsW.toLong)
+        element_at(col("c"), (lit(i.toLong * CmsW) + bkt + 1).cast("int"))
+      }: _*))
+      .select(col("user_id"), col("n_exact"), col("est"))
+      .orderBy(col("n_exact").desc, col("user_id"))
+  }
+
   val all: Map[String, Q] = Map(
     "q92_heavy_keys" -> qHeavyKeys,
+    "q101_cms" -> qCms,
     "q96_hll" -> qHll,
     "q97_topk_udaf" -> qTopkUdaf,
     "q99_quantiles" -> qQuantiles,
@@ -918,6 +954,30 @@ object QueriesRelational {
          |  round(est.est_u, 4) AS est_union,
          |  round(CAST(mm.m AS DOUBLE) / est.got_u * est.est_u, 4) AS est_inter
          |FROM ex, est, mm""".stripMargin,
+
+    // the full d×w counter grid rebuilt relationally; min over the
+    // probe's d buckets = the CMS point estimate
+    "q101_cms" -> {
+      val rowsVals = (0 until CmsD).map(i =>
+        s"(${i}, ${graft.sketch.CmsAggregator.A(i)}, ${graft.sketch.CmsAggregator.B(i)})")
+        .mkString(", ")
+      val M = graft.sketch.CmsAggregator.M
+      s"""WITH e AS (SELECT user_id,
+         |    ('0x' || substr(md5('cms:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+         |  FROM events WHERE user_id IS NOT NULL),
+         |hr AS (SELECT * FROM (VALUES $rowsVals) AS t(i, a, b)),
+         |cnt AS (SELECT hr.i, ((hr.a * e.h + hr.b) % $M) % $CmsW AS bkt,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM e CROSS JOIN hr GROUP BY 1, 2),
+         |probes AS (SELECT user_id, h, CAST(count(*) AS BIGINT) AS n_exact
+         |  FROM e GROUP BY 1, 2 ORDER BY n_exact DESC, user_id LIMIT 10)
+         |SELECT p.user_id, p.n_exact, min(c.c) AS est
+         |FROM probes p
+         |CROSS JOIN hr
+         |JOIN cnt c ON c.i = hr.i AND c.bkt = ((hr.a * p.h + hr.b) % $M) % $CmsW
+         |GROUP BY 1, 2
+         |ORDER BY n_exact DESC, user_id""".stripMargin
+    },
 
     // the oracle's global window is what GlobalRank replaces
     "q99_quantiles" ->
