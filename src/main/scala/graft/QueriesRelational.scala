@@ -844,9 +844,54 @@ object QueriesRelational {
       .orderBy(col("n_exact").desc, col("user_id"))
   }
 
+  /** q102: MERGEABLE QUANTILE SKETCH by log₂ histogram — the sketch
+    * counterpart of q99's exact global-rank percentiles. Values settle
+    * to exact integer micros, bin = bit length (floor(log₂)+1, an
+    * exact integer on both engines via the binary-string length), and
+    * the per-(group, bin) counts ARE the sketch: ≤64 longs per group,
+    * merged by plain addition, built by one narrow groupBy that
+    * Catalyst partial-aggregates map-side — no custom state, no
+    * global shuffle of values, no single-partition window (the
+    * cumulative scan runs per-group over ≤64 rows). The quantile
+    * answer is the first bin whose cumulative count reaches
+    * `ceil(p·n/100)` with its exact lower bound `2^(bin−1)` — integer
+    * end-to-end, so the DuckDB oracle matches bit-for-bit. This is
+    * the 100 TB shape for "p99 per key over a torrent": t-digest-like
+    * accuracy knobs traded for a deterministic, relational,
+    * merge-anywhere summary.
+    */
+  private val HistPs = Seq(50, 90, 99)
+  private val qHistQuantiles: Q = (spark, dir) => {
+    import spark.implicits._
+    val e = Tables.events(spark, dir).filter(col("value").isNotNull)
+      .select(col("event_type"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("v"))
+    val binned = e
+      .withColumn("bin",
+        when(col("v") <= 0, lit(0))
+          .otherwise(length(bin(col("v")))).cast("long"))
+      .groupBy("event_type", "bin").agg(count(lit(1)).cast("long").as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("bin")
+    val cum = binned.withColumn("cum", sum(col("c")).over(w).cast("long"))
+    val n = e.groupBy("event_type").agg(count(lit(1)).cast("long").as("n"))
+    cum.join(broadcast(n), "event_type")
+      .crossJoin(broadcast(HistPs.toDF("p")))
+      .filter(col("cum") >= expr("(p * n + 99) div 100"))
+      .groupBy("event_type", "p")
+      .agg(min(col("bin")).as("bin"), min(col("cum")).as("cum_le"))
+      .select(col("event_type"), col("p").cast("long").as("p"), col("bin"),
+        when(col("bin") <= 0, lit(0L))
+          .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(bin - 1 AS INT))"))
+          .as("lo"),
+        col("cum_le"))
+      .orderBy("event_type", "p")
+  }
+
   val all: Map[String, Q] = Map(
     "q92_heavy_keys" -> qHeavyKeys,
     "q101_cms" -> qCms,
+    "q102_hist_quantiles" -> qHistQuantiles,
     "q96_hll" -> qHll,
     "q97_topk_udaf" -> qTopkUdaf,
     "q99_quantiles" -> qQuantiles,
@@ -978,6 +1023,29 @@ object QueriesRelational {
          |GROUP BY 1, 2
          |ORDER BY n_exact DESC, user_id""".stripMargin
     },
+
+    // same log2 binning, cumulative scan, and ceil-rank pick — every
+    // step exact integer arithmetic on both engines
+    "q102_hist_quantiles" ->
+      """WITH e AS (SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT event_type,
+        |    CAST(CASE WHEN v <= 0 THEN 0 ELSE length(bin(v)) END AS BIGINT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM e GROUP BY 1, 2),
+        |cum AS (SELECT event_type, bin,
+        |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum
+        |  FROM b),
+        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1),
+        |hit AS (SELECT c.event_type, p.p, min(c.bin) AS bin, min(c.cum) AS cum_le
+        |  FROM cum c JOIN n USING (event_type)
+        |  CROSS JOIN (VALUES (50), (90), (99)) AS p(p)
+        |  WHERE c.cum >= (p.p * n.n + 99) // 100
+        |  GROUP BY 1, 2)
+        |SELECT event_type, CAST(p AS BIGINT) AS p, bin,
+        |  CAST(CASE WHEN bin <= 0 THEN 0 ELSE 1::BIGINT << (bin - 1) END AS BIGINT) AS lo,
+        |  cum_le
+        |FROM hit ORDER BY event_type, p""".stripMargin,
 
     // the oracle's global window is what GlobalRank replaces
     "q99_quantiles" ->
