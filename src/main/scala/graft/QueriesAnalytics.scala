@@ -216,6 +216,20 @@ object QueriesAnalytics {
       .orderBy("n_name", "day")
   }
 
+  /** Line revenue settled to integer cents — shared by q72/q73/q77 so
+    * the settle rule (rounding mode, scale) lives in exactly one place
+    * on each engine side ([[centsSql]] is the oracle twin). Defined
+    * BEFORE any SQL text that interpolates it: object vals initialize
+    * in declaration order, and a forward reference interpolates as the
+    * string "null" — which is syntactically valid SQL (`sum(null)`)
+    * and self-consistent across both engines, so nothing downstream
+    * catches it (the round-8 q77 bug; `OracleTextSpec` now guards).
+    */
+  private def revenueCents: Column =
+    round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("long")
+  private[graft] val centsSql =
+    "CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)"
+
   /** q68: the SQL front end, exercised as a first-class surface — ONE
     * dialect-neutral ANSI text (TPC-H Q4 shape: orders with a
     * late-shipping line item, via EXISTS) runs verbatim through
@@ -368,15 +382,6 @@ object QueriesAnalytics {
       .orderBy("status")
   }
 
-  /** Line revenue settled to integer cents — shared by q72/q73 so the
-    * settle rule (rounding mode, scale) lives in exactly one place on
-    * each engine side ([[centsSql]] is the oracle twin).
-    */
-  private def revenueCents: Column =
-    round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100).cast("long")
-  private val centsSql =
-    "CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)"
-
   /** q72: TPC-H Q14-shaped promo-revenue share per month — the
     * conditional-aggregate ratio over a broadcast part dimension (the
     * one fixture table the battery didn't touch until now). Revenue
@@ -503,7 +508,87 @@ object QueriesAnalytics {
       .orderBy("event_type", "dt")
   }
 
+  /** q105: single-pass column profiling of the documents table — the
+    * data-quality audit every ingestion front door runs before a
+    * corpus is admitted: per column, null count, exact distinct
+    * count, and a lo/hi envelope (value range for numerics, length
+    * range for strings), emitted as one tidy row per column.
+    *
+    * Scale: ONE aggregation job over the table. The multi-column
+    * `count_distinct` plans as a single Expand(×5)+partial-agg — the
+    * classic one-pass profiler shape; the expanded rows each carry
+    * one column's value, so the exchange is ~Σ column volumes, not
+    * rows × columns × width. At 100 TB the exact distincts swap for
+    * the repo's mergeable HLL UDAF (q96) without changing this
+    * query's shape; the nulls/min/max side is a plain map-side
+    * partial agg either way. The `stack` unpivot runs on the single
+    * 1-row aggregate output — free.
+    */
+  private val qProfile: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+    def nulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
+    val a = d.agg(
+      nulls("doc_id").as("id_nu"), count_distinct(col("doc_id")).as("id_nd"),
+      min(col("doc_id")).as("id_lo"), max(col("doc_id")).as("id_hi"),
+      nulls("text").as("tx_nu"), count_distinct(col("text")).as("tx_nd"),
+      min(length(col("text"))).cast("long").as("tx_lo"),
+      max(length(col("text"))).cast("long").as("tx_hi"),
+      nulls("lang").as("lg_nu"), count_distinct(col("lang")).as("lg_nd"),
+      min(length(col("lang"))).cast("long").as("lg_lo"),
+      max(length(col("lang"))).cast("long").as("lg_hi"),
+      nulls("source").as("sr_nu"), count_distinct(col("source")).as("sr_nd"),
+      min(length(col("source"))).cast("long").as("sr_lo"),
+      max(length(col("source"))).cast("long").as("sr_hi"),
+      nulls("n_chars").as("nc_nu"), count_distinct(col("n_chars")).as("nc_nd"),
+      min(col("n_chars")).as("nc_lo"), max(col("n_chars")).as("nc_hi"))
+    a.selectExpr(
+      """stack(5,
+        |  'doc_id',  id_nu, id_nd, id_lo, id_hi,
+        |  'lang',    lg_nu, lg_nd, lg_lo, lg_hi,
+        |  'n_chars', nc_nu, nc_nd, nc_lo, nc_hi,
+        |  'source',  sr_nu, sr_nd, sr_lo, sr_hi,
+        |  'text',    tx_nu, tx_nd, tx_lo, tx_hi
+        |) AS (col_name, nulls, n_distinct, lo, hi)""".stripMargin)
+      .orderBy("col_name")
+  }
+
+  private[graft] val EwmaLags = 16
+
+  /** q107: per-user EWMA (α = 1/2) of the event value series — the
+    * smoothing primitive behind per-entity trend/burst monitors —
+    * computed EXACTLY in integers: values settle to cents, α = 1/2
+    * makes every weight dyadic, and the [[EwmaLags]]-term truncated
+    * tail is emitted scaled by 2^15 (`ewma_x32768 =
+    * Σ_{j<16} cents_{t-j}·2^(15-j)`), so no float ever exists on
+    * either engine and the oracle match is bit-exact rather than
+    * tolerance-assisted.
+    *
+    * Scale: hash-partitioned window (PARTITION BY user_id), frame
+    * state = 16 lag slots per row — constant memory, no unbounded
+    * frame, no collect_list; all 16 terms are codegen lag reads over
+    * one sort. Contrast an α-generic EWMA, which is a sequential
+    * recurrence (y_t needs y_{t-1}) — the truncated dyadic form is
+    * what stays embarrassingly parallel at corpus scale, with error
+    * bounded by 2^-16 of the value range.
+    */
+  private val qEwma: Q = (spark, dir) => {
+    val e = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts_ms"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    val terms = (0 until EwmaLags).map { j =>
+      val x = if (j == 0) col("cents") else coalesce(lag(col("cents"), j).over(w), lit(0L))
+      x * lit(1L << (EwmaLags - 1 - j))
+    }
+    e.withColumn("ewma_x32768", terms.reduce(_ + _))
+      .select("user_id", "event_id", "cents", "ewma_x32768")
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Map[String, Q] = Map(
+    "q105_profile" -> qProfile,
+    "q107_ewma" -> qEwma,
     "q93_transitions" -> qTransitions,
     "q95_daily_spikes" -> qDailySpikes,
     "q68_sql_exists" -> qSqlExists,
@@ -530,7 +615,42 @@ object QueriesAnalytics {
         .stripMargin
     }.mkString(",\n")
 
+  /** One DuckDB profile row per column, generated from the same
+    * (name, null-test expr, distinct expr, lo, hi) tuples the Spark
+    * side aggregates so the two query texts cannot drift. */
+  private def profileRowSql(cn: String, valExpr: String, loHi: String): String =
+    s"""SELECT '$cn' AS col_name,
+       |  CAST(count(*) - count($valExpr) AS BIGINT) AS nulls,
+       |  CAST(count(DISTINCT $valExpr) AS BIGINT) AS n_distinct,
+       |  CAST(min($loHi) AS BIGINT) AS lo, CAST(max($loHi) AS BIGINT) AS hi
+       |FROM documents""".stripMargin
+
+  /** Twin of the q107 term list: Σ_{j<EwmaLags} cents_{t-j}·2^(15-j). */
+  private def ewmaTermsSql: String =
+    (0 until EwmaLags).map { j =>
+      val w = 1L << (EwmaLags - 1 - j)
+      if (j == 0) s"cents * $w"
+      else s"coalesce(lag(cents, $j) OVER w, CAST(0 AS BIGINT)) * $w"
+    }.mkString(" + ")
+
   val oracles: Map[String, String] = Map(
+    "q105_profile" ->
+      s"""SELECT * FROM (
+         |${profileRowSql("doc_id", "doc_id", "doc_id")}
+         |UNION ALL ${profileRowSql("lang", "lang", "length(lang)")}
+         |UNION ALL ${profileRowSql("n_chars", "n_chars", "n_chars")}
+         |UNION ALL ${profileRowSql("source", "source", "length(source)")}
+         |UNION ALL ${profileRowSql("text", "text", "length(text)")}
+         |) ORDER BY col_name""".stripMargin,
+
+    "q107_ewma" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+         |  CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events WHERE value IS NOT NULL)
+         |SELECT user_id, event_id, cents, $ewmaTermsSql AS ewma_x32768
+         |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+         |ORDER BY user_id, event_id""".stripMargin,
+
     "q93_transitions" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id
         |  FROM events),
