@@ -888,7 +888,43 @@ object QueriesRelational {
       .orderBy("event_type", "p")
   }
 
+  /** q103: INCREMENTAL MATERIALIZED-VIEW MERGE
+    * ([[graft.operators.MaterializedAgg]]) — the per-(event_type, day)
+    * traffic/revenue rollup maintained the way a 100 TB warehouse
+    * must: the historical 95% of events is aggregated once into a
+    * key-granular MV, the 5% "new arrivals" delta (event_id % 20 = 0 —
+    * a deterministic stand-in for yesterday's partition) is aggregated
+    * alone, and the two states COMBINE by key union + re-sum. The
+    * full-granularity shuffle touches only delta rows; the combine is
+    * bounded by key cardinality.
+    *
+    * The oracle never sees the split: it is the single groupBy over
+    * ALL events, so the merge-equals-rebuild identity is what the
+    * driver hashes (the strongest oracle form, per q86/q88). All MV
+    * state is BIGINT (counts + cents sums) — order-free merging with
+    * no float drift; [[MaterializedAggSpec]] property-checks the same
+    * identity on arbitrary data and split choice.
+    */
+  private val qMvMerge: Q = (spark, dir) => {
+    import graft.operators.MaterializedAgg
+    val ev = Tables.events(spark, dir).select(
+      col("event_type"),
+      date_format(col("ts_t"), "yyyy-MM-dd").as("day"),
+      col("event_id"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val view = MaterializedAgg.ViewDef(
+      keys = Seq("event_type", "day"),
+      partials = Seq(
+        "cnt" -> lit(1L),
+        "sum_cents" -> col("cents"),
+        "n_null_value" -> when(col("cents").isNull, 1L).otherwise(0L)))
+    val mv = MaterializedAgg.build(ev.filter(col("event_id") % 20 =!= 0), view)
+    MaterializedAgg.merge(mv, ev.filter(col("event_id") % 20 === 0), view)
+      .orderBy("event_type", "day")
+  }
+
   val all: Map[String, Q] = Map(
+    "q103_mv_merge" -> qMvMerge,
     "q92_heavy_keys" -> qHeavyKeys,
     "q101_cms" -> qCms,
     "q102_hist_quantiles" -> qHistQuantiles,
@@ -960,6 +996,17 @@ object QueriesRelational {
       |ORDER BY user_id, version""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the oracle is the full rebuild — it never sees the base/delta
+    // split, so it hashes the merge≡rebuild identity itself
+    "q103_mv_merge" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_value
+        |FROM events GROUP BY event_type, day
+        |ORDER BY event_type, day""".stripMargin,
+
     "q92_heavy_keys" ->
       s"""WITH e AS (SELECT CAST(floor(value) AS BIGINT) AS k FROM events
          |  WHERE value IS NOT NULL)
