@@ -139,6 +139,46 @@ object QueriesTraining {
       .orderBy("id_a", "id_b")
   }
 
+  private[graft] val ContainmentBp = 5000
+
+  /** q104: ASYMMETRIC CONTAINMENT on LSH candidates — |A∩B|/|A| (and
+    * /|B|), the directed measure Jaccard can't express: a short doc
+    * fully quoted inside a long one scores near-zero Jaccard (union is
+    * dominated by the long doc) but containment ≈ 1 in the short→long
+    * direction. This is the detector for boilerplate wrapping, quote
+    * inclusion, and prefix/suffix-padded near-copies — the dup classes
+    * a training-corpus pipeline must catch that symmetric dedup (q21/
+    * q22) structurally misses. Emits both directions in integer basis
+    * points (`n_inter·10⁴ div |side|` — no float knife edges), keeping
+    * pairs where either direction ≥ [[ContainmentBp]].
+    *
+    * Scale shape is q22's: exact set intersection runs ONLY on pairs
+    * that collide in an LSH band; the shingle table materializes once
+    * and feeds signature aggregation plus both MERGE-pinned sides of
+    * the verify join (sort-merge spills; a corpus-sized hash build
+    * would not). NOTE: min-hash LSH recall is driven by Jaccard, so
+    * high-containment/low-Jaccard pairs need the banding tuned low
+    * (or a suffix-array pass, q66) at production thresholds — the
+    * operator contract here is exact verification on the candidate
+    * set, matching the reference battery's LSH-candidates-then-verify
+    * design.
+    */
+  private val qContainment: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents")
+    val sh = Dedup.materialize(Dedup.shingleTable(docs, "doc_id", "text"))
+    val s = Dedup.minhashSigsFromShingles(sh, "doc_id", 16)
+    val cands = Dedup.lshCandidates(s, "doc_id", "sig", 4, 4)
+    val shA = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")).hint("MERGE")
+    val shB = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")).hint("MERGE")
+    cands.select("id_a", "id_b").join(shA, "id_a").join(shB, "id_b")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .select(col("id_a"), col("id_b"),
+        expr("n_inter * 10000 div size(sh_a)").as("cont_ab_bp"),
+        expr("n_inter * 10000 div size(sh_b)").as("cont_ba_bp"))
+      .filter(greatest(col("cont_ab_bp"), col("cont_ba_bp")) >= ContainmentBp)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Near-dup *groups*: connected components over the verified pair
     * graph; canonical id = component minimum. The step that turns
     * pairwise similarity into an actionable keep/drop decision.
@@ -760,6 +800,7 @@ object QueriesTraining {
     "q21_dedup_minhash" -> qDedupMinhash,
     "q43_dedup_incremental" -> qDedupIncremental,
     "q22_dedup_ngram" -> qDedupNgram,
+    "q104_containment" -> qContainment,
     "q23_dedup_simhash" -> qDedupSimhash,
     "q24_dedup_embed" -> qDedupEmbed,
     "q25_knn_brute" -> qKnnBrute,
@@ -1156,6 +1197,19 @@ object QueriesTraining {
          |    / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS jacc
          |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
          |SELECT id_a, id_b, jacc FROM jac WHERE jacc >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    "q104_containment" ->
+      s"""$lshCandidateCtes,
+         |x AS (SELECT id_a, id_b,
+         |  CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS n_inter,
+         |  CAST(len(sa.s) AS BIGINT) AS n_a, CAST(len(sb.s) AS BIGINT) AS n_b
+         |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b),
+         |c AS (SELECT id_a, id_b,
+         |  (n_inter * 10000) // n_a AS cont_ab_bp,
+         |  (n_inter * 10000) // n_b AS cont_ba_bp FROM x)
+         |SELECT id_a, id_b, cont_ab_bp, cont_ba_bp FROM c
+         |WHERE greatest(cont_ab_bp, cont_ba_bp) >= $ContainmentBp
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q23_dedup_simhash" ->
       s"""WITH t AS (SELECT doc_id,
