@@ -294,7 +294,53 @@ object QueriesCuration {
       .orderBy("source", "rk")
   }
 
+  /** q106: URL CANONICALIZATION ([[graft.text.UrlCanon]]) — collapse
+    * the surface variants a crawler actually sees (case-mangled
+    * scheme/host, explicit default port, trailing slash, unsorted
+    * query params, fragments) onto one canonical key, then the
+    * per-canonical-URL rollup that key exists for: hit count, distinct
+    * raw variants collapsed, distinct users. Without this step,
+    * per-URL dedup and per-domain caps (q94) fracture across cosmetic
+    * variants and under-count every page.
+    *
+    * The messy URLs are synthesized deterministically from events rows
+    * (every canonicalization rule is exercised: 2 schemes × 4
+    * host:port spellings × optional trailing slash × 2 param orders ×
+    * optional fragment), so the DuckDB oracle rebuilds the identical
+    * input and applies the identical rule chain — both sides pure
+    * codegen string/array functions in the Java∩RE2 regex subset.
+    * Scale: narrow per-row projection, one hash aggregation on the
+    * canonical key; the multi-distinct plans as Expand(×2).
+    */
+  private val qUrlCanon: Q = (spark, dir) => {
+    import graft.text.UrlCanon
+    val ev = Tables.events(spark, dir)
+    val raw = concat(
+      when(col("event_id") % 2 === 0, lit("https")).otherwise(lit("HTTPS")),
+      lit("://"),
+      when(col("event_id") % 4 === 0, lit("Example.COM:443"))
+        .when(col("event_id") % 4 === 1, lit("example.com"))
+        .when(col("event_id") % 4 === 2, lit("EXAMPLE.com:8443"))
+        .otherwise(lit("example.com:443")),
+      lit("/"), col("event_type"),
+      when(col("event_id") % 5 === 0, lit("/")).otherwise(lit("")),
+      when(col("event_id") % 2 === 0,
+        concat(lit("?a="), (col("user_id") % 10).cast("string"),
+          lit("&b="), (col("user_id") % 7).cast("string")))
+        .otherwise(concat(lit("?b="), (col("user_id") % 7).cast("string"),
+          lit("&a="), (col("user_id") % 10).cast("string"))),
+      when(col("event_id") % 7 === 0, lit("#s")).otherwise(lit("")))
+    ev.select(col("user_id"), raw.as("u"))
+      .select(col("user_id"), col("u"), UrlCanon.canonicalize(col("u")).as("url"))
+      .groupBy("url")
+      .agg(count(lit(1)).as("cnt"),
+        count_distinct(col("u")).as("n_variants"),
+        count_distinct(col("user_id")).as("n_users"))
+      .orderBy("url")
+  }
+
   val all: Map[String, Q] = Map(
+    "q106_url_canon" -> qUrlCanon,
     "q94_domain_cap" -> qDomainCap,
     "q57_curation_keep" -> qCurationKeep,
     "q75_curation_funnel" -> qCurationFunnel,
@@ -359,6 +405,51 @@ object QueriesCuration {
        |ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q106_url_canon" ->
+      """WITH r AS (SELECT user_id,
+        |  (CASE WHEN event_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END)
+        |  || '://'
+        |  || (CASE WHEN event_id % 4 = 0 THEN 'Example.COM:443'
+        |           WHEN event_id % 4 = 1 THEN 'example.com'
+        |           WHEN event_id % 4 = 2 THEN 'EXAMPLE.com:8443'
+        |           ELSE 'example.com:443' END)
+        |  || '/' || event_type
+        |  || (CASE WHEN event_id % 5 = 0 THEN '/' ELSE '' END)
+        |  || (CASE WHEN event_id % 2 = 0
+        |        THEN '?a=' || CAST(user_id % 10 AS VARCHAR)
+        |          || '&b=' || CAST(user_id % 7 AS VARCHAR)
+        |        ELSE '?b=' || CAST(user_id % 7 AS VARCHAR)
+        |          || '&a=' || CAST(user_id % 10 AS VARCHAR) END)
+        |  || (CASE WHEN event_id % 7 = 0 THEN '#s' ELSE '' END) AS u
+        |  FROM events),
+        |c AS (SELECT user_id, u,
+        |  lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+        |  regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hp,
+        |  regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS pth,
+        |  regexp_extract(u, '\?([^#]*)', 1) AS qry
+        |  FROM r),
+        |n AS (SELECT user_id, u, sch,
+        |  lower(regexp_extract(hp, '^([^:]*)', 1)) AS hst,
+        |  regexp_extract(hp, ':([0-9]+)$', 1) AS prt,
+        |  CASE WHEN regexp_replace(pth, '/+$', '', 'g') = '' THEN '/'
+        |       ELSE regexp_replace(pth, '/+$', '', 'g') END AS cpath,
+        |  array_to_string(list_sort(list_filter(string_split(qry, '&'),
+        |    x -> x <> '')), '&') AS sq
+        |  FROM c),
+        |k AS (SELECT user_id, u,
+        |  sch || '://' || hst
+        |  || (CASE WHEN prt = '' THEN ''
+        |           WHEN sch = 'http' AND prt = '80' THEN ''
+        |           WHEN sch = 'https' AND prt = '443' THEN ''
+        |           ELSE ':' || prt END)
+        |  || cpath
+        |  || (CASE WHEN sq = '' THEN '' ELSE '?' || sq END) AS url
+        |  FROM n)
+        |SELECT url, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(count(DISTINCT u) AS BIGINT) AS n_variants,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM k GROUP BY url ORDER BY url""".stripMargin,
+
     "q94_domain_cap" ->
       s"""WITH r AS (SELECT source, doc_id,
          |  CAST(row_number() OVER (PARTITION BY source
