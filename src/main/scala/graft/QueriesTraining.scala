@@ -141,6 +141,54 @@ object QueriesTraining {
 
   private[graft] val ContainmentBp = 5000
 
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25Terms = Seq("join", "stream", "vector")
+
+  /** q108: BM25 RELEVANCE SCORING — the ranking function behind
+    * retrieval-based curation (finding the corpus documents most
+    * relevant to a probe query: contamination triage, topical subset
+    * extraction, RAG index audits). Okapi BM25 with the standard
+    * k₁ = 1.2, b = 0.75 and idf = ln(1 + (N−df+½)/(df+½)), over the
+    * battery's shared lowercase-whitespace tokenizer.
+    *
+    * Scale shape is an inverted-index probe, not a scan-and-score:
+    * tokens explode and are filtered to the [[Bm25Terms]] postings
+    * BEFORE any shuffle, so the exchange carries only matching
+    * (doc, term) postings — O(postings of the query terms), not
+    * O(corpus tokens). Corpus stats (N, avgdl) and per-term df ride
+    * in broadcasts. Per-(doc, term) contributions are pure arithmetic
+    * on (tf, dl) — no float aggregation anywhere except the final
+    * ≤|terms|-element per-doc sum (within the checker's 1e-9 rel-tol
+    * like q21/q22's unrounded doubles).
+    */
+  private val qBm25: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents").filter(col("text").isNotNull)
+    val toks = docs.select(col("doc_id"),
+      split(trim(lower(col("text"))), "\\s+").as("ltoks"))
+    val dl = Dedup.materialize(
+      toks.select(col("doc_id"), size(col("ltoks")).cast("long").as("dl")))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    // postings: explode → filter to query terms → count. The filter
+    // sits under the aggregation's exchange, so only hits shuffle.
+    val tf = toks.select(col("doc_id"), explode_outer(col("ltoks")).as("term"))
+      .filter(col("term").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).cast("long").as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+    tf.join(broadcast(df_), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * (Bm25K1 + 1.0)) /
+          (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) +
+            lit(Bm25B) * col("dl") * col("n_docs") / col("sum_dl"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_terms"), sum(col("contrib")).as("score"))
+      .orderBy("doc_id")
+  }
+
   /** q104: ASYMMETRIC CONTAINMENT on LSH candidates — |A∩B|/|A| (and
     * /|B|), the directed measure Jaccard can't express: a short doc
     * fully quoted inside a long one scores near-zero Jaccard (union is
@@ -187,6 +235,45 @@ object QueriesTraining {
     val docs = Tables(spark, dir, "documents").select(col("doc_id"))
     Dedup.connectedComponents(docs, ngramPairs(spark, dir), "doc_id", "id_a", "id_b")
       .orderBy("doc_id")
+  }
+
+  /** q109: DEDUP-CLUSTER REPRESENTATIVE SELECTION — the decision step
+    * that turns clustering into curation: q31 keeps the MINIMUM id per
+    * near-dup component (deterministic but quality-blind); a training
+    * pipeline should keep the BEST member. Joins the connected
+    * components with the battery's quality score (settled to integer
+    * micros — the scores are bit-identical deterministic expressions,
+    * but ranking on integers removes even the theoretical ULP
+    * knife-edge) and emits each multi-member cluster's argmax-quality
+    * representative with its member count.
+    *
+    * Scale: components and quality are both doc_id-keyed; the argmax
+    * window partitions by cluster id (no global window), and the
+    * member-count join is co-partitioned on the same key.
+    */
+  private val qClusterRep: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"))
+    val comp = Dedup.connectedComponents(docs, ngramPairs(spark, dir),
+      "doc_id", "id_a", "id_b")
+    // round in a SECOND projection: an alias-shadowing select would
+    // capture the rounded column in same-select dependents (q54 trap)
+    val qual = docsFanned(spark, dir)
+      .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+      .select(col("doc_id"),
+        expr("CAST(round(quality * 1000000) AS BIGINT)").as("q_micro"))
+    val members = comp.groupBy("canonical_id")
+      .agg(count(lit(1)).as("n_members"))
+    val w = Window.partitionBy("canonical_id")
+      .orderBy(col("q_micro").desc, col("doc_id"))
+    comp.join(qual, "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .join(members, "canonical_id")
+      .filter(col("n_members") >= 2)
+      .select(col("canonical_id"), col("doc_id").as("rep_doc_id"),
+        col("q_micro").as("rep_q_micro"), col("n_members"))
+      .orderBy("canonical_id")
   }
 
   /** SimHash sketch per document (32-bit sign-sum). */
@@ -801,6 +888,8 @@ object QueriesTraining {
     "q43_dedup_incremental" -> qDedupIncremental,
     "q22_dedup_ngram" -> qDedupNgram,
     "q104_containment" -> qContainment,
+    "q108_bm25" -> qBm25,
+    "q109_cluster_rep" -> qClusterRep,
     "q23_dedup_simhash" -> qDedupSimhash,
     "q24_dedup_embed" -> qDedupEmbed,
     "q25_knn_brute" -> qKnnBrute,
@@ -1197,6 +1286,59 @@ object QueriesTraining {
          |    / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS jacc
          |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
          |SELECT id_a, id_b, jacc FROM jac WHERE jacc >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    "q108_bm25" -> {
+      val termsIn = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, $ltoksSql AS ltoks FROM documents
+         |  WHERE text IS NOT NULL),
+         |dl AS (SELECT doc_id, CAST(len(ltoks) AS BIGINT) AS dl FROM toks),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(ltoks) AS term FROM toks)
+         |  WHERE term IN ($termsIn) GROUP BY doc_id, term),
+         |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |c AS (SELECT tf.doc_id,
+         |  ln(CAST(1.0 AS DOUBLE) + (st.n_docs - dfq.df + CAST(0.5 AS DOUBLE))
+         |      / (dfq.df + CAST(0.5 AS DOUBLE)))
+         |  * (tf.tf * CAST(${Bm25K1 + 1.0} AS DOUBLE))
+         |  / (tf.tf + CAST($Bm25K1 AS DOUBLE) * (CAST(${1.0 - Bm25B} AS DOUBLE)
+         |      + CAST($Bm25B AS DOUBLE) * dl.dl * st.n_docs / st.sum_dl)) AS contrib
+         |  FROM tf JOIN dfq USING (term) JOIN dl ON dl.doc_id = tf.doc_id, st)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         |  sum(contrib) AS score
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "q109_cluster_rep" ->
+      s"""${lshCandidateCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |jac AS (SELECT id_a, id_b,
+         |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         |    / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS jacc
+         |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b),
+         |pairs AS (SELECT id_a, id_b FROM jac WHERE jacc >= 0.4),
+         |sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |        UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT sym.d, reach.lbl FROM reach JOIN sym ON sym.s = reach.id),
+         |comp AS (SELECT id AS doc_id, min(lbl) AS canonical_id
+         |  FROM reach GROUP BY id),
+         |${qualityScoreCtes.replaceFirst("^WITH ", "")},
+         |qm AS (SELECT doc_id,
+         |  CAST(round(quality * 1000000) AS BIGINT) AS q_micro FROM q),
+         |m AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS n_members
+         |  FROM comp GROUP BY canonical_id),
+         |r AS (SELECT comp.canonical_id, comp.doc_id, qm.q_micro,
+         |  row_number() OVER (PARTITION BY comp.canonical_id
+         |    ORDER BY qm.q_micro DESC, comp.doc_id) AS rn
+         |  FROM comp JOIN qm ON qm.doc_id = comp.doc_id)
+         |SELECT r.canonical_id, r.doc_id AS rep_doc_id,
+         |  r.q_micro AS rep_q_micro, m.n_members
+         |FROM r JOIN m ON m.canonical_id = r.canonical_id
+         |WHERE r.rn = 1 AND m.n_members >= 2
+         |ORDER BY r.canonical_id""".stripMargin,
 
     "q104_containment" ->
       s"""$lshCandidateCtes,
