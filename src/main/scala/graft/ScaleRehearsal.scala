@@ -25,7 +25,15 @@ object ScaleRehearsal {
     // the copy transform keeps cross-copy shingles disjoint, so the
     // exact pair set at Nx is N× the 1x set and candidate growth
     // measures the prefix filter, not manufactured dups
-    "q91_allpairs", "q98_dup_triangles")
+    "q91_allpairs", "q98_dup_triangles",
+    // round-8 late additions over the same documents corpus:
+    // containment verify on LSH candidates; BM25 (copy tags make the
+    // constant probe terms match nothing at Nx, so the timing isolates
+    // the O(corpus) tokenize→filter stage — the postings exchange is
+    // empty, which IS the scale claim: work below the exchange grows
+    // linearly, the shuffle doesn't); cluster representative
+    // selection (components + quality argmax)
+    "q104_containment", "q108_bm25", "q109_cluster_rep")
 
   private val EmbedDims = 64
 
