@@ -586,9 +586,50 @@ object QueriesAnalytics {
       .orderBy("user_id", "event_id")
   }
 
+  private[graft] val AttribLookbackMs = 3600000L
+
+  /** q110: LAST-TOUCH ATTRIBUTION — each purchase credits the user's
+    * most recent click (within a [[AttribLookbackMs]] lookback), by
+    * acquisition channel. The textbook formulation is a fact-to-fact
+    * as-of join (purchases ↔ latest preceding click), which at corpus
+    * scale would shuffle both streams into a pair join; the shape here
+    * is the one that survives: ONE user-partitioned window over the
+    * interleaved event stream, where `last(click-only column,
+    * ignoreNulls)` with an [unbounded, -1) row frame carries the
+    * latest click's (ts, channel) forward to every later row — no
+    * join, no stream expansion, state = one value per frame walk.
+    * Same-timestamp interleavings are pinned by the (ts, event_id)
+    * sort, so "preceding" is deterministic on both engines.
+    *
+    * Channels are synthesized deterministically from click event_ids
+    * (the events fixture carries no channel column); purchases outside
+    * the lookback (or with no prior click) land in 'unattributed'.
+    */
+  private val qAttribution: Q = (spark, dir) => {
+    val e = Tables.events(spark, dir).select(
+      col("user_id"), col("event_id"), col("ts_ms"), col("event_type"),
+      when(col("event_type") === "click",
+        when(col("event_id") % 4 === 0, lit("search"))
+          .when(col("event_id") % 4 === 1, lit("social"))
+          .when(col("event_id") % 4 === 2, lit("email"))
+          .otherwise(lit("direct"))).as("channel"))
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("lc_ts",
+        last(when(col("event_type") === "click", col("ts_ms")), ignoreNulls = true).over(w))
+      .withColumn("lc_ch", last(col("channel"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(when(col("lc_ts").isNotNull &&
+          col("ts_ms") - col("lc_ts") <= AttribLookbackMs, col("lc_ch"))
+        .otherwise(lit("unattributed")).as("channel"))
+      .agg(count(lit(1)).as("purchases"))
+      .orderBy("channel")
+  }
+
   val all: Map[String, Q] = Map(
     "q105_profile" -> qProfile,
     "q107_ewma" -> qEwma,
+    "q110_attribution" -> qAttribution,
     "q93_transitions" -> qTransitions,
     "q95_daily_spikes" -> qDailySpikes,
     "q68_sql_exists" -> qSqlExists,
@@ -642,6 +683,27 @@ object QueriesAnalytics {
          |UNION ALL ${profileRowSql("source", "source", "length(source)")}
          |UNION ALL ${profileRowSql("text", "text", "length(text)")}
          |) ORDER BY col_name""".stripMargin,
+
+    "q110_attribution" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type,
+         |  CASE WHEN event_type = 'click' THEN
+         |    CASE WHEN event_id % 4 = 0 THEN 'search'
+         |         WHEN event_id % 4 = 1 THEN 'social'
+         |         WHEN event_id % 4 = 2 THEN 'email'
+         |         ELSE 'direct' END END AS channel
+         |  FROM events),
+         |x AS (SELECT user_id, event_id, ts_ms, event_type,
+         |  last_value(CASE WHEN event_type = 'click' THEN ts_ms END IGNORE NULLS)
+         |    OVER w AS lc_ts,
+         |  last_value(channel IGNORE NULLS) OVER w AS lc_ch
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         |SELECT CASE WHEN lc_ts IS NOT NULL AND ts_ms - lc_ts <= $AttribLookbackMs
+         |       THEN lc_ch ELSE 'unattributed' END AS channel,
+         |  CAST(count(*) AS BIGINT) AS purchases
+         |FROM x WHERE event_type = 'purchase'
+         |GROUP BY 1 ORDER BY channel""".stripMargin,
 
     "q107_ewma" ->
       s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,

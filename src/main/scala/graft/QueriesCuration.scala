@@ -339,8 +339,47 @@ object QueriesCuration {
       .orderBy("url")
   }
 
+  private val TempCap = 40L
+
+  /** q111: TEMPERATURE-BALANCED DOMAIN DOWNSAMPLING — the α = 0.5
+    * corpus-rebalancing rule multilingual/multi-source training mixes
+    * use (mT5-style): source s keeps each doc with probability
+    * min(1, (cap/n_s)^α), flattening over-represented domains while
+    * touching small ones not at all. Fully deterministic and exactly
+    * integer on both engines: the keep threshold is
+    * `least(10⁴, floor(sqrt((10⁸·cap) div n_s)))` — integer division
+    * first, then sqrt of an exactly-representable integer (correctly
+    * rounded, and exact on perfect squares, so the floor never sits on
+    * a ULP boundary) — and membership is the battery's salted-md5 hash
+    * of doc_id against that threshold in basis points of 2⁻¹⁰⁰⁰⁰ⁱˢʰ…
+    * of 10⁴. Contrast q94 (hard per-domain CAP by ranked hash): caps
+    * truncate, temperature FLATTENS — both are deterministic set
+    * selections any retry reproduces.
+    *
+    * Scale: per-source counts are one tiny aggregate broadcast back;
+    * membership is a narrow per-row codegen predicate — no shuffle of
+    * the corpus at all beyond the count.
+    */
+  private val qTempSample: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents").select(col("doc_id"), col("source"))
+    val counts = d.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("thr_bp",
+        least(lit(10000L),
+          floor(sqrt(expr(s"CAST(${100000000L * TempCap} div n_docs AS DOUBLE)")))
+            .cast("long")))
+    d.join(broadcast(counts), "source")
+      .withColumn("kept",
+        when(Dedup.hash32(col("doc_id").cast("string"), "tsamp") % 10000 < col("thr_bp"), 1L)
+          .otherwise(0L))
+      .groupBy("source")
+      .agg(max(col("n_docs")).as("n_docs"), max(col("thr_bp")).as("thr_bp"),
+        sum(col("kept")).as("n_kept"))
+      .orderBy("source")
+  }
+
   val all: Map[String, Q] = Map(
     "q106_url_canon" -> qUrlCanon,
+    "q111_temp_sample" -> qTempSample,
     "q94_domain_cap" -> qDomainCap,
     "q57_curation_keep" -> qCurationKeep,
     "q75_curation_funnel" -> qCurationFunnel,
@@ -405,6 +444,21 @@ object QueriesCuration {
        |ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q111_temp_sample" ->
+      s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM documents GROUP BY source),
+         |t AS (SELECT source, n_docs,
+         |  least(CAST(10000 AS BIGINT), CAST(floor(sqrt(
+         |    CAST(${100000000L * TempCap} // n_docs AS DOUBLE))) AS BIGINT)) AS thr_bp
+         |  FROM c),
+         |k AS (SELECT d.source, t.n_docs, t.thr_bp,
+         |  CASE WHEN ${saltedHashIdSql("tsamp")} % 10000 < t.thr_bp
+         |       THEN 1 ELSE 0 END AS kept
+         |  FROM documents d JOIN t ON t.source = d.source)
+         |SELECT source, max(n_docs) AS n_docs, max(thr_bp) AS thr_bp,
+         |  CAST(sum(kept) AS BIGINT) AS n_kept
+         |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
     "q106_url_canon" ->
       """WITH r AS (SELECT user_id,
         |  (CASE WHEN event_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END)
