@@ -314,7 +314,9 @@ object QueriesCuration {
     */
   private val qUrlCanon: Q = (spark, dir) => {
     import graft.text.UrlCanon
-    val ev = Tables.events(spark, dir)
+    // single-split local parquet serializes the per-row regex chain —
+    // fan out BEFORE the synth+canonicalize projection (q35 precedent)
+    val ev = Dedup.fanOut(Tables.events(spark, dir), col("event_id"))
     val raw = concat(
       when(col("event_id") % 2 === 0, lit("https")).otherwise(lit("HTTPS")),
       lit("://"),
