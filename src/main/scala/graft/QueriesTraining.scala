@@ -350,6 +350,39 @@ object QueriesTraining {
     Similarity.knnLsh(q, e, 5, planes, EmbedDims).orderBy("q_id", "rank")
   }
 
+  /** q112: ANN RECALL AUDIT — the index-quality measurement that
+    * turns "approximate" from a hope into a number: per query point,
+    * how many of the brute-force top-5 neighbors (q25's ground truth)
+    * the single-probe LSH index (q26) and the multi-probe index (q87)
+    * actually returned. Integer hit counts out of 5 — no float
+    * comparisons, membership by exact (q_id, vec_id) identity under
+    * the shared deterministic tie order. This is the observability
+    * query a 100 TB vector store runs on a sampled query set after
+    * every index rebuild; on this fixture it PROVES the README's
+    * multi-probe claim (recall 0.15 → 0.48) as an oracle-checked
+    * result rather than a notebook anecdote.
+    *
+    * Scale: ground truth runs on the sampled query set only (brute
+    * top-k over queries × corpus — the audit's budget knob is the
+    * sample size); the joins are (q_id, vec_id)-keyed against 5-row
+    * groups.
+    */
+  private val qAnnRecall: Q = (spark, dir) => {
+    val gt = qKnnBrute(spark, dir).filter(col("rank") <= 5)
+      .select("q_id", "vec_id")
+    val l = qKnnLsh(spark, dir).select("q_id", "vec_id")
+    val m = qKnnLshProbe(spark, dir).select("q_id", "vec_id")
+    val base = gt.select("q_id").distinct()
+    val nl = gt.join(l, Seq("q_id", "vec_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("lsh_hits"))
+    val nm = gt.join(m, Seq("q_id", "vec_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("mp_hits"))
+    base.join(nl, Seq("q_id"), "left").join(nm, Seq("q_id"), "left")
+      .select(col("q_id"), coalesce(col("lsh_hits"), lit(0L)).as("lsh_hits"),
+        coalesce(col("mp_hits"), lit(0L)).as("mp_hits"))
+      .orderBy("q_id")
+  }
+
   /** q87: multi-probe LSH ANN — q26's index probed at Hamming
     * distance ≤ 1 ([[Similarity.knnLshMultiProbe]]): recall recovered
     * from SRP boundary losses by exploding the QUERY side to planes+1
@@ -890,6 +923,7 @@ object QueriesTraining {
     "q104_containment" -> qContainment,
     "q108_bm25" -> qBm25,
     "q109_cluster_rep" -> qClusterRep,
+    "q112_ann_recall" -> qAnnRecall,
     "q23_dedup_simhash" -> qDedupSimhash,
     "q24_dedup_embed" -> qDedupEmbed,
     "q25_knn_brute" -> qKnnBrute,
@@ -1071,6 +1105,60 @@ object QueriesTraining {
       .map { case (l, _) => s"WHEN s_$l = $best THEN '$l'" }.mkString("\n  ")
     s"CASE WHEN $best = 0 THEN 'und'\n  $whens\n  ELSE 'und' END"
   }
+
+  /** The three ANN oracle texts, hoisted so q112's recall audit can
+    * nest them verbatim as subqueries (a WITH chain is a valid
+    * parenthesized subquery in DuckDB) — one source of truth for
+    * ranking semantics across q25/q26/q87 and the audit.
+    */
+  private lazy val knnBruteOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 10),
+       |scored AS (SELECT q_id, vec_id, ${cosSql("q_vec", "v")} AS cos
+       |           FROM q, e WHERE vec_id <> q_id),
+       |ranked AS (SELECT q_id, vec_id, cos,
+       |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |           FROM scored)
+       |SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+
+  private lazy val knnLshOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT ${ScaleParams.lshPlanesSql} AS planes FROM e),
+         |${signListsCte("(SELECT planes FROM p)")},
+         |$planeDotsCte,
+         |bkt AS (SELECT vec_id, CAST(sum(CASE WHEN dt > 0
+         |    THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM d GROUP BY vec_id),
+         |b AS (SELECT e.vec_id, e.v, bkt.bucket FROM e JOIN bkt USING (vec_id)),
+         |q AS (SELECT vec_id AS q_id, v AS q_vec, bucket FROM b WHERE vec_id < 10),
+         |scored AS (SELECT q_id, c.vec_id, ${cosSql("q_vec", "c.v")} AS cos
+         |           FROM q JOIN b c USING (bucket) WHERE c.vec_id <> q_id),
+         |ranked AS (SELECT q_id, vec_id, cos,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |           FROM scored)
+         |SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  private lazy val knnMultiProbeOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT ${ScaleParams.lshPlanesSql} AS planes FROM e),
+         |${signListsCte("(SELECT planes FROM p)")},
+         |$planeDotsCte,
+         |bkt AS (SELECT vec_id, CAST(sum(CASE WHEN dt > 0
+         |    THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM d GROUP BY vec_id),
+         |b AS (SELECT e.vec_id, e.v, bkt.bucket FROM e JOIN bkt USING (vec_id)),
+         |q AS (SELECT vec_id AS q_id, v AS q_vec, bucket FROM b WHERE vec_id < 10),
+         |masks AS (SELECT CASE WHEN j < 0 THEN CAST(0 AS BIGINT)
+         |    ELSE (CAST(1 AS BIGINT) << CAST(j AS INT)) END AS mask
+         |  FROM (SELECT unnest(range(-1, 64)) AS j)
+         |  WHERE j < (SELECT planes FROM p)),
+         |probes AS (SELECT q_id, q_vec, xor(bucket, mask) AS bucket FROM q, masks),
+         |scored AS (SELECT q_id, c.vec_id, ${cosSql("q_vec", "c.v")} AS cos
+         |           FROM probes JOIN b c USING (bucket) WHERE c.vec_id <> q_id),
+         |ranked AS (SELECT q_id, vec_id, cos,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |           FROM scored)
+         |SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // brute-force all-pairs — the exactness claim: prefix filtering
@@ -1378,54 +1466,30 @@ object QueriesTraining {
          |                    JOIN e eb ON eb.vec_id = id_b)
          |SELECT id_a, id_b, cos FROM pairs WHERE cos >= $NearDupCos ORDER BY id_a, id_b""".stripMargin,
 
-    "q25_knn_brute" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 10),
-         |scored AS (SELECT q_id, vec_id, ${cosSql("q_vec", "v")} AS cos
-         |           FROM q, e WHERE vec_id <> q_id),
-         |ranked AS (SELECT q_id, vec_id, cos,
-         |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
-         |           FROM scored)
-         |SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "q25_knn_brute" -> knnBruteOracle,
 
-    "q26_knn_lsh" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |p AS (SELECT ${ScaleParams.lshPlanesSql} AS planes FROM e),
-         |${signListsCte("(SELECT planes FROM p)")},
-         |$planeDotsCte,
-         |bkt AS (SELECT vec_id, CAST(sum(CASE WHEN dt > 0
-         |    THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS bucket
-         |  FROM d GROUP BY vec_id),
-         |b AS (SELECT e.vec_id, e.v, bkt.bucket FROM e JOIN bkt USING (vec_id)),
-         |q AS (SELECT vec_id AS q_id, v AS q_vec, bucket FROM b WHERE vec_id < 10),
-         |scored AS (SELECT q_id, c.vec_id, ${cosSql("q_vec", "c.v")} AS cos
-         |           FROM q JOIN b c USING (bucket) WHERE c.vec_id <> q_id),
-         |ranked AS (SELECT q_id, vec_id, cos,
-         |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
-         |           FROM scored)
-         |SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "q26_knn_lsh" -> knnLshOracle,
 
-    "q87_knn_multiprobe" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |p AS (SELECT ${ScaleParams.lshPlanesSql} AS planes FROM e),
-         |${signListsCte("(SELECT planes FROM p)")},
-         |$planeDotsCte,
-         |bkt AS (SELECT vec_id, CAST(sum(CASE WHEN dt > 0
-         |    THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS bucket
-         |  FROM d GROUP BY vec_id),
-         |b AS (SELECT e.vec_id, e.v, bkt.bucket FROM e JOIN bkt USING (vec_id)),
-         |q AS (SELECT vec_id AS q_id, v AS q_vec, bucket FROM b WHERE vec_id < 10),
-         |masks AS (SELECT CASE WHEN j < 0 THEN CAST(0 AS BIGINT)
-         |    ELSE (CAST(1 AS BIGINT) << CAST(j AS INT)) END AS mask
-         |  FROM (SELECT unnest(range(-1, 64)) AS j)
-         |  WHERE j < (SELECT planes FROM p)),
-         |probes AS (SELECT q_id, q_vec, xor(bucket, mask) AS bucket FROM q, masks),
-         |scored AS (SELECT q_id, c.vec_id, ${cosSql("q_vec", "c.v")} AS cos
-         |           FROM probes JOIN b c USING (bucket) WHERE c.vec_id <> q_id),
-         |ranked AS (SELECT q_id, vec_id, cos,
-         |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
-         |           FROM scored)
-         |SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "q87_knn_multiprobe" -> knnMultiProbeOracle,
+
+    // the three index-family oracles nested verbatim: the audit's
+    // ground truth and candidates are BY CONSTRUCTION the same rows
+    // the driver already hash-verified for q25/q26/q87
+    "q112_ann_recall" ->
+      s"""WITH gt AS (SELECT q_id, vec_id FROM ($knnBruteOracle) WHERE rank <= 5),
+         |l AS (SELECT q_id, vec_id FROM ($knnLshOracle)),
+         |m AS (SELECT q_id, vec_id FROM ($knnMultiProbeOracle)),
+         |base AS (SELECT DISTINCT q_id FROM gt),
+         |nl AS (SELECT gt.q_id, CAST(count(*) AS BIGINT) AS lsh_hits
+         |  FROM gt JOIN l USING (q_id, vec_id) GROUP BY gt.q_id),
+         |nm AS (SELECT gt.q_id, CAST(count(*) AS BIGINT) AS mp_hits
+         |  FROM gt JOIN m USING (q_id, vec_id) GROUP BY gt.q_id)
+         |SELECT base.q_id AS q_id, coalesce(nl.lsh_hits, CAST(0 AS BIGINT)) AS lsh_hits,
+         |  coalesce(nm.mp_hits, CAST(0 AS BIGINT)) AS mp_hits
+         |FROM base
+         |LEFT JOIN nl ON nl.q_id = base.q_id
+         |LEFT JOIN nm ON nm.q_id = base.q_id
+         |ORDER BY base.q_id""".stripMargin,
 
     "q30_ngram_topk" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
