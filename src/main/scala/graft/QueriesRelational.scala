@@ -425,6 +425,40 @@ object QueriesRelational {
       .orderBy("event_id")
   }
 
+  private val FwdTolMs = 7L * 86400000L
+
+  /** q113: FORWARD as-of with tolerance ([[AsOfJoin.asOfForward]],
+    * the other half of the pandas-`merge_asof` surface q42 opened) —
+    * each event matches its user's NEXT scheduled dimension change
+    * at-or-after the event time, but only if it lands within 7 days
+    * ("what rate/config change will this event be billed under, if
+    * one is coming soon"). Events whose next change is beyond the
+    * tolerance (or who have none) keep null payloads. Same dims as
+    * q42, so the two queries together pin both directions of the
+    * interval derivation against one fixture.
+    *
+    * Scale: identical to q42 — lag() over the broadcast-sized
+    * dimension, facts never shuffle, at most one interval per ts.
+    */
+  private val qAsofForward: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts_ms"))
+    val c = Tables(spark, dir, "customer")
+    val epoch20240101 = 1704067200000L
+    val v1 = c.select(col("c_custkey").cast("long").as("user_id"),
+      concat(col("c_name"), lit("/v1")).as("cust_ver"),
+      lit(0L).as("valid_from_ms"))
+    val v2 = c.select(col("c_custkey").cast("long").as("user_id"),
+      concat(col("c_name"), lit("/v2")).as("cust_ver"),
+      (lit(epoch20240101) + (col("c_custkey") % 28) * 86400000L).as("valid_from_ms"))
+    graft.operators.AsOfJoin.asOfForward(ev, v1.unionByName(v2),
+        Seq("user_id"), "valid_from_ms", "ts_ms",
+        toleranceMs = Some(FwdTolMs))
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("cust_ver"), lit("")).as("next_ver"))
+      .orderBy("event_id")
+  }
+
   /** q86: SCD2 dimension BUILD ([[graft.operators.Scd2]]) — the
     * complement of q42's as-of CONSUME: intervalize the signup change
     * stream into per-user validity ranges (version, valid_from,
@@ -942,6 +976,7 @@ object QueriesRelational {
     "q41_kmv_distinct" -> qKmvDistinct,
     "q76_kmv_udaf" -> qKmvUdaf,
     "q42_scd_asof" -> qScdAsof,
+    "q113_asof_forward" -> qAsofForward,
     "q86_scd2_build" -> qScd2Build,
     "q88_scd2_merge" -> qScd2Merge,
     "q34_pivot" -> qPivot,
@@ -1245,6 +1280,22 @@ object QueriesRelational {
         |FROM events e LEFT JOIN d ON d.user_id = e.user_id
         |  AND epoch_ms(e.ts) >= d.vfrom AND (d.vto IS NULL OR epoch_ms(e.ts) < d.vto)
         |ORDER BY event_id""".stripMargin,
+
+    "q113_asof_forward" ->
+      s"""WITH dimv AS (
+         |  SELECT c_custkey AS user_id, c_name || '/v1' AS cust_ver,
+         |    CAST(0 AS BIGINT) AS vfrom FROM customer
+         |  UNION ALL
+         |  SELECT c_custkey, c_name || '/v2',
+         |    1704067200000 + (c_custkey % 28) * 86400000 FROM customer),
+         |d AS (SELECT user_id, cust_ver, vfrom,
+         |  lag(vfrom) OVER (PARTITION BY user_id ORDER BY vfrom) AS vprev FROM dimv)
+         |SELECT e.event_id, e.user_id, coalesce(d.cust_ver, '') AS next_ver
+         |FROM events e LEFT JOIN d ON d.user_id = e.user_id
+         |  AND epoch_ms(e.ts) <= d.vfrom
+         |  AND (d.vprev IS NULL OR epoch_ms(e.ts) > d.vprev)
+         |  AND d.vfrom - epoch_ms(e.ts) <= $FwdTolMs
+         |ORDER BY event_id""".stripMargin,
 
     "q86_scd2_build" -> scd2BuildSql,
 

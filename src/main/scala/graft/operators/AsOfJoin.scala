@@ -36,7 +36,8 @@ object AsOfJoin {
     */
   def asOf(facts: DataFrame, dims: DataFrame, keys: Seq[String],
            versionCol: String, factTsCol: String,
-           tieCols: Seq[String] = Nil): DataFrame = {
+           tieCols: Seq[String] = Nil,
+           toleranceMs: Option[Long] = None): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy((versionCol +: tieCols).map(col): _*)
     val d0 = dims.withColumn("__valid_to", lead(col(versionCol), 1).over(w))
@@ -44,9 +45,46 @@ object AsOfJoin {
     val d = keys.foldLeft(d0)((acc, k) => acc.withColumnRenamed(k, s"__d_$k"))
     val cond = keys.map(k => facts(k) === d(s"__d_$k")).reduce(_ && _) &&
       facts(factTsCol) >= d(versionCol) &&
-      (d("__valid_to").isNull || facts(factTsCol) < d("__valid_to"))
+      (d("__valid_to").isNull || facts(factTsCol) < d("__valid_to")) &&
+      toleranceMs.map(t => facts(factTsCol) - d(versionCol) <= t)
+        .getOrElse(lit(true))
     facts.join(broadcast(d), cond, "left")
       .drop(versionCol).drop("__valid_to")
+      .drop(keys.map(k => s"__d_$k"): _*)
+  }
+
+  /** FORWARD as-of join (the other half of the pandas `merge_asof`
+    * surface): each fact matches the EARLIEST dimension version whose
+    * effective timestamp is ≥ the fact's — "the next rate change /
+    * maintenance window / schedule entry at-or-after this event" —
+    * optionally within `toleranceMs` (facts whose next version is
+    * further out get null payloads, like a backward fact before the
+    * first version).
+    *
+    * Same scale shape as [[asOf]], mirrored: `lag(version)` over the
+    * dimension converts versions into half-open (prev, version]
+    * intervals, the fact side broadcast-joins with the interval (and
+    * tolerance) as residual predicates — one interval contains any
+    * timestamp, so the fact side never expands and never shuffles.
+    * Same-timestamp versions resolve by `tieCols` as [[asOf]]'s
+    * mirror image: the FIRST tie at t carries (prev, t] and wins;
+    * every later tie gets an empty (t, t] interval matching no fact.
+    */
+  def asOfForward(facts: DataFrame, dims: DataFrame, keys: Seq[String],
+                  versionCol: String, factTsCol: String,
+                  tieCols: Seq[String] = Nil,
+                  toleranceMs: Option[Long] = None): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy((versionCol +: tieCols).map(col): _*)
+    val d0 = dims.withColumn("__valid_from_excl", lag(col(versionCol), 1).over(w))
+    val d = keys.foldLeft(d0)((acc, k) => acc.withColumnRenamed(k, s"__d_$k"))
+    val cond = keys.map(k => facts(k) === d(s"__d_$k")).reduce(_ && _) &&
+      facts(factTsCol) <= d(versionCol) &&
+      (d("__valid_from_excl").isNull || facts(factTsCol) > d("__valid_from_excl")) &&
+      toleranceMs.map(t => d(versionCol) - facts(factTsCol) <= t)
+        .getOrElse(lit(true))
+    facts.join(broadcast(d), cond, "left")
+      .drop(versionCol).drop("__valid_from_excl")
       .drop(keys.map(k => s"__d_$k"): _*)
   }
 }

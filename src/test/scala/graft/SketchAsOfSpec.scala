@@ -222,4 +222,48 @@ class SketchAsOfSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       s"interval predicate must ride the hash join as residual, not force NLJ:\n$p")
   }
+
+  test("asOfForward: facts pick the NEXT version at-or-after their timestamp") {
+    val facts = Seq((1L, 10L, 50L), (2L, 10L, 100L), (3L, 10L, 150L),
+        (4L, 10L, 250L), (5L, 99L, 100L))
+      .toDF("event_id", "key", "ts")
+    val dims = Seq((10L, "v1", 100L), (10L, "v2", 200L))
+      .toDF("key", "name", "vfrom")
+    val out = AsOfJoin.asOfForward(facts, dims, Seq("key"), "vfrom", "ts")
+      .select("event_id", "name")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // boundary ts == vfrom matches that version; past the last → null
+    assert(out === Map(1L -> "v1", 2L -> "v1", 3L -> "v2", 4L -> null, 5L -> null))
+  }
+
+  test("asOfForward: tolerance drops matches beyond the horizon; no row duplication") {
+    val facts = Seq((1L, 10L, 50L), (2L, 10L, 95L)).toDF("event_id", "key", "ts")
+    val dims = Seq((10L, "v1", 100L)).toDF("key", "name", "vfrom")
+    val out = AsOfJoin.asOfForward(facts, dims, Seq("key"), "vfrom", "ts",
+        toleranceMs = Some(10L))
+      .select("event_id", "name")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> null, 2L -> "v1"))
+  }
+
+  test("asOf: tolerance bounds the backward lookback the same way") {
+    val facts = Seq((1L, 10L, 150L), (2L, 10L, 105L)).toDF("event_id", "key", "ts")
+    val dims = Seq((10L, "v1", 100L)).toDF("key", "name", "vfrom")
+    val out = AsOfJoin.asOf(facts, dims, Seq("key"), "vfrom", "ts",
+        toleranceMs = Some(10L))
+      .select("event_id", "name")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> null, 2L -> "v1"))
+  }
+
+  test("asOfForward: same-timestamp versions — FIRST tie in tieCols order carries the interval") {
+    val facts = Seq((1L, 10L, 100L)).toDF("event_id", "key", "ts")
+    val dims = Seq((10L, "a", 100L, 1L), (10L, "b", 100L, 2L))
+      .toDF("key", "name", "vfrom", "seq")
+    val out = AsOfJoin.asOfForward(facts, dims, Seq("key"), "vfrom", "ts",
+        tieCols = Seq("seq"))
+      .select("event_id", "name")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "a"))
+  }
 }
