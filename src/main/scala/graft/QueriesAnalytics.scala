@@ -626,8 +626,57 @@ object QueriesAnalytics {
       .orderBy("channel")
   }
 
+  private[graft] val MaxFillGapH = 48
+
+  /** q114: LINEAR GAP INTERPOLATION — the resampling twin of q60's
+    * step-gapfill: where gapfill forward-fills a missing grid point
+    * with the last value, this emits the linearly interpolated value
+    * between the two surrounding observations, per (user, hour) —
+    * the sensor/metric-series repair every time-series store offers
+    * (and the honest one: gaps longer than [[MaxFillGapH]] hours stay
+    * unfilled rather than fabricating a two-week line).
+    *
+    * Exactly integer on both engines: the lerp is
+    * `cents + floor((Δcents·k) / gap)` with the division done in
+    * doubles on EXACT integer operands — products are < 2³⁰, and a
+    * rational a/b with b ≤ 48 is never within an ULP of a non-equal
+    * integer, so the floor never sits on a rounding boundary.
+    *
+    * Scale: one (user, hour) dedup window + one per-user lead window
+    * (both hash-partitioned), then a BOUNDED explode (≤ 47 rows per
+    * gap, only for gaps that exist). No global state, no unbounded
+    * fan-out.
+    */
+  private val qInterpolate: Q = (spark, dir) => {
+    val e = Tables.events(spark, dir).filter(col("value").isNotNull)
+      .select(col("user_id"), expr("ts_ms div 3600000").as("hour"),
+        col("ts_ms"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val wLast = Window.partitionBy("user_id", "hour")
+      .orderBy(col("ts_ms").desc, col("event_id").desc)
+    val obs = e.withColumn("rn", row_number().over(wLast))
+      .filter(col("rn") === 1).select("user_id", "hour", "cents")
+    val wNext = Window.partitionBy("user_id").orderBy("hour")
+    val gaps = obs
+      .withColumn("nh", lead(col("hour"), 1).over(wNext))
+      .withColumn("nc", lead(col("cents"), 1).over(wNext))
+      .filter(col("nh").isNotNull &&
+        col("nh") - col("hour") >= 2 && col("nh") - col("hour") <= MaxFillGapH)
+    // alias h to "hour" only in a SECOND projection (q54 trap: a
+    // same-select alias would capture in the lerp's col("hour"))
+    gaps.select(col("user_id"), col("hour"), col("cents"), col("nh"), col("nc"),
+        explode_outer(sequence(col("hour") + 1, col("nh") - 1)).as("h"))
+      .select(col("user_id"), col("h"),
+        (col("cents") + floor(
+          ((col("nc") - col("cents")) * (col("h") - col("hour"))).cast("double")
+            / (col("nh") - col("hour"))).cast("long")).as("cents"))
+      .select(col("user_id"), col("h").as("hour"), col("cents"))
+      .orderBy("user_id", "hour")
+  }
+
   val all: Map[String, Q] = Map(
     "q105_profile" -> qProfile,
+    "q114_interpolate" -> qInterpolate,
     "q107_ewma" -> qEwma,
     "q110_attribution" -> qAttribution,
     "q93_transitions" -> qTransitions,
@@ -683,6 +732,24 @@ object QueriesAnalytics {
          |UNION ALL ${profileRowSql("source", "source", "length(source)")}
          |UNION ALL ${profileRowSql("text", "text", "length(text)")}
          |) ORDER BY col_name""".stripMargin,
+
+    "q114_interpolate" ->
+      s"""WITH e AS (SELECT user_id, epoch_ms(ts) // 3600000 AS hour,
+         |    epoch_ms(ts) AS ts_ms, event_id,
+         |    CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events WHERE value IS NOT NULL),
+         |o AS (SELECT user_id, hour, cents FROM (
+         |  SELECT e.*, row_number() OVER (PARTITION BY user_id, hour
+         |    ORDER BY ts_ms DESC, event_id DESC) AS rn FROM e) WHERE rn = 1),
+         |g AS (SELECT user_id, hour, cents,
+         |  lead(hour) OVER w AS nh, lead(cents) OVER w AS nc
+         |  FROM o WINDOW w AS (PARTITION BY user_id ORDER BY hour)),
+         |f AS (SELECT user_id, hour, cents, nh, nc, unnest(range(hour+1, nh)) AS h
+         |  FROM g WHERE nh IS NOT NULL AND nh - hour BETWEEN 2 AND $MaxFillGapH)
+         |SELECT user_id, h AS hour,
+         |  cents + CAST(floor(CAST((nc - cents) * (h - hour) AS DOUBLE)
+         |    / (nh - hour)) AS BIGINT) AS cents
+         |FROM f ORDER BY user_id, hour""".stripMargin,
 
     "q110_attribution" ->
       s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type,
