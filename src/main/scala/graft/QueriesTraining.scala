@@ -237,6 +237,40 @@ object QueriesTraining {
       .orderBy("doc_id")
   }
 
+  /** q115: CHARACTER-ENTROPY QUALITY SIGNAL — Shannon entropy of the
+    * per-document character distribution, the cheap noise detector
+    * that catches what token ratios miss: base64/hex blobs and
+    * minified code score HIGH (near-uniform bytes), boilerplate runs
+    * and repeated-char padding score LOW — both tails are cut in
+    * C4/Gopher-style cleaning. Computed as `ln n − (Σ c·ln c)/n` over
+    * per-char counts.
+    *
+    * Scale: the groupBy(doc, code) is map-side combined, so the
+    * exchange carries ≤ |docs| × |charset| rows (≈ 70/doc), NOT
+    * corpus characters — the explode collapses before it ships. The
+    * only float aggregation is the ≤ |charset|-term per-doc sum
+    * (checker rel-tol, q108 precedent). Empty/null docs are excluded
+    * on both sides (`sequence(1, 0)` steps DOWNWARD in Spark — the
+    * round-6 trap).
+    */
+  private val qCharEntropy: Q = (spark, dir) => {
+    val codes = docsFanned(spark, dir)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
+      .select(col("doc_id"), explode_outer(expr(
+        "transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1)))"))
+        .as("code"))
+    val counts = codes.groupBy("doc_id", "code")
+      .agg(count(lit(1)).cast("long").as("c"))
+    counts.groupBy("doc_id")
+      .agg(sum(col("c")).as("n_chars"),
+        count(lit(1)).cast("long").as("n_distinct_chars"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("clogc"))
+      .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
+        (log(col("n_chars").cast("double"))
+          - col("clogc") / col("n_chars").cast("double")).as("entropy"))
+      .orderBy("doc_id")
+  }
+
   /** q109: DEDUP-CLUSTER REPRESENTATIVE SELECTION — the decision step
     * that turns clustering into curation: q31 keeps the MINIMUM id per
     * near-dup component (deterministic but quality-blind); a training
@@ -924,6 +958,7 @@ object QueriesTraining {
     "q108_bm25" -> qBm25,
     "q109_cluster_rep" -> qClusterRep,
     "q112_ann_recall" -> qAnnRecall,
+    "q115_char_entropy" -> qCharEntropy,
     "q23_dedup_simhash" -> qDedupSimhash,
     "q24_dedup_embed" -> qDedupEmbed,
     "q25_knn_brute" -> qKnnBrute,
@@ -1440,6 +1475,20 @@ object QueriesTraining {
          |SELECT id_a, id_b, cont_ab_bp, cont_ba_bp FROM c
          |WHERE greatest(cont_ab_bp, cont_ba_bp) >= $ContainmentBp
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q115_char_entropy" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents
+         |  WHERE text IS NOT NULL AND length(text) > 0),
+         |codes AS (SELECT doc_id, unnest(${codesSql("text")}) AS code FROM d),
+         |cc AS (SELECT doc_id, code, CAST(count(*) AS BIGINT) AS c
+         |  FROM codes GROUP BY doc_id, code),
+         |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+         |  CAST(count(*) AS BIGINT) AS n_distinct_chars,
+         |  sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clogc
+         |  FROM cc GROUP BY doc_id)
+         |SELECT doc_id, n_chars, n_distinct_chars,
+         |  ln(CAST(n_chars AS DOUBLE)) - clogc / CAST(n_chars AS DOUBLE) AS entropy
+         |FROM agg ORDER BY doc_id""".stripMargin,
 
     "q23_dedup_simhash" ->
       s"""WITH t AS (SELECT doc_id,
