@@ -459,6 +459,29 @@ object QueriesRelational {
       .orderBy("event_id")
   }
 
+  /** q116: SCD2 build from a TOMBSTONED change stream
+    * ([[graft.operators.Scd2.intervalizeTombstones]]) — the CDC-feed
+    * reality q86 idealizes away: deletes (here: a user's 'error'
+    * events standing in for Debezium `op='d'`) close the open version
+    * and open nothing, so a key can have gaps in its validity
+    * timeline and no current row at all if its last change was a
+    * delete. Same fixture family as q86, so the two queries bracket
+    * the change-stream surface: append-only vs tombstoned.
+    */
+  private val qScd2Tombstones: Q = (spark, dir) => {
+    val ch = Tables.events(spark, dir)
+      .filter(col("event_type").isin("signup", "error"))
+      .select(col("user_id"), col("ts_ms"), col("event_id"), col("value"),
+        (col("event_type") === "error").as("is_del"))
+    graft.operators.Scd2.intervalizeTombstones(
+        ch, Seq("user_id"), "ts_ms", Seq("event_id"), "is_del")
+      .select(col("user_id"), col("version"),
+        col("valid_from").as("valid_from_ms"),
+        col("valid_to").as("valid_to_ms"),
+        col("value").as("attr_value"), col("is_current"))
+      .orderBy("user_id", "version")
+  }
+
   /** q86: SCD2 dimension BUILD ([[graft.operators.Scd2]]) — the
     * complement of q42's as-of CONSUME: intervalize the signup change
     * stream into per-user validity ranges (version, valid_from,
@@ -977,6 +1000,7 @@ object QueriesRelational {
     "q76_kmv_udaf" -> qKmvUdaf,
     "q42_scd_asof" -> qScdAsof,
     "q113_asof_forward" -> qAsofForward,
+    "q116_scd2_tombstones" -> qScd2Tombstones,
     "q86_scd2_build" -> qScd2Build,
     "q88_scd2_merge" -> qScd2Merge,
     "q34_pivot" -> qPivot,
@@ -1296,6 +1320,21 @@ object QueriesRelational {
          |  AND (d.vprev IS NULL OR epoch_ms(e.ts) > d.vprev)
          |  AND d.vfrom - epoch_ms(e.ts) <= $FwdTolMs
          |ORDER BY event_id""".stripMargin,
+
+    "q116_scd2_tombstones" ->
+      """WITH ch AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, value,
+        |    event_type = 'error' AS is_del
+        |  FROM events WHERE event_type IN ('signup', 'error')),
+        |m AS (SELECT ch.*, lead(ts_ms) OVER w AS next_ts FROM ch
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+        |v AS (SELECT user_id, ts_ms, event_id, value, next_ts,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts_ms, event_id) AS BIGINT) AS version
+        |  FROM m WHERE NOT is_del)
+        |SELECT user_id, version, ts_ms AS valid_from_ms, next_ts AS valid_to_ms,
+        |  value AS attr_value,
+        |  CASE WHEN next_ts IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM v ORDER BY user_id, version""".stripMargin,
 
     "q86_scd2_build" -> scd2BuildSql,
 

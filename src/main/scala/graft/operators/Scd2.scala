@@ -41,6 +41,38 @@ object Scd2 {
       .withColumn("is_current", when(col("valid_to").isNull, lit(1)).otherwise(lit(0)))
   }
 
+  /** [[intervalize]] for a change stream that carries DELETE
+    * tombstones — the shape real CDC feeds have (Debezium `op = 'd'`,
+    * Kafka log-compaction nulls). A tombstone closes the key's open
+    * version at its timestamp and opens NOTHING: the key has no
+    * current row until a later change re-inserts it, so an as-of
+    * lookup between delete and re-insert correctly resolves to null
+    * (q42's "fact before every version" path, now also "fact after
+    * the deletion").
+    *
+    * Derivation: `lead(ts)` over ALL changes (both kinds) bounds each
+    * version by the next change of either kind, THEN tombstones drop
+    * out and `row_number` renumbers the surviving versions. A leading
+    * or repeated tombstone bounds nothing and vanishes — idempotent
+    * by construction. Same single-exchange scale shape as
+    * [[intervalize]] (the second window reuses the first's
+    * partitioning and sort).
+    */
+  def intervalizeTombstones(changes: DataFrame, keyCols: Seq[String],
+                            tsCol: String, tieCols: Seq[String],
+                            isDeleteCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((tsCol +: tieCols).map(col): _*)
+    changes
+      .withColumn("__next_ts", lead(col(tsCol), 1).over(w))
+      .filter(!col(isDeleteCol))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", col("__next_ts"))
+      .withColumn("is_current", when(col("valid_to").isNull, lit(1)).otherwise(lit(0)))
+      .drop("__next_ts", isDeleteCol)
+  }
+
   /** Incremental SCD2 MERGE — the nightly operation a warehouse
     * actually runs: fold a batch of NEW changes into an existing
     * interval table without recomputing history. Closed history rows
