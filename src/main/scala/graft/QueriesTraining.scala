@@ -171,9 +171,13 @@ object QueriesTraining {
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     // postings: explode → filter to query terms → count. The filter
     // sits under the aggregation's exchange, so only hits shuffle.
-    val tf = toks.select(col("doc_id"), explode_outer(col("ltoks")).as("term"))
-      .filter(col("term").isin(Bm25Terms: _*))
-      .groupBy("doc_id", "term").agg(count(lit(1)).cast("long").as("tf"))
+    // Materialized: tf feeds BOTH the score join and the df aggregate,
+    // and without it the corpus tokenize+explode runs twice (explain-
+    // audited; postings are tiny, the two consumers are not).
+    val tf = Dedup.materialize(
+      toks.select(col("doc_id"), explode_outer(col("ltoks")).as("term"))
+        .filter(col("term").isin(Bm25Terms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).cast("long").as("tf")))
     val df_ = tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
     tf.join(broadcast(df_), "term")
       .join(dl, "doc_id")
