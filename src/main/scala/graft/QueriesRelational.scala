@@ -167,6 +167,35 @@ object QueriesRelational {
       .orderBy("user_id", "sess_id")
   }
 
+  /** q117: SESSIONIZED CONVERSION RATE — q5's gap-sessions carried one
+    * step further into the metric a growth team actually tracks: per
+    * session, did ANY purchase land in it; per day (of session start),
+    * converted sessions / sessions in integer basis points. Session
+    * identity, conversion flag, and the rate are all integer — the
+    * composition stays engine-exact end to end.
+    *
+    * Scale: the same single user-partitioned window pass as q5 (lag +
+    * running sum share one frame), then two key-granular aggregates.
+    */
+  private val qSessionConversion: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = ev.withColumn("prev_ms", lag(col("ts_ms"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > 1800000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum(col("is_new")).over(cum))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(min(col("ts_ms")).as("start_ms"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("converted"))
+    sess.groupBy(expr("start_ms div 86400000").as("day"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("converted")).as("n_converted"))
+      .select(col("day"), col("n_sessions"), col("n_converted"),
+        expr("n_converted * 10000 div n_sessions").as("conv_bp"))
+      .orderBy("day")
+  }
+
   /** Tumbling 1-hour event-time window aggregation — the batch twin of
     * the streaming watermarked aggregation (same `window()` operator).
     */
@@ -1014,6 +1043,7 @@ object QueriesRelational {
     "q3_join_agg" -> qJoinAgg,
     "q4_window_fn" -> qWindowFn,
     "q5_sessionize" -> qSessionize,
+    "q117_session_conversion" -> qSessionConversion,
     "q6_window_agg" -> qWindowAgg,
     "q10_decode" -> qDecode,
     "q35_router_access" -> qRouterAccess)
@@ -1490,6 +1520,28 @@ object QueriesRelational {
         |SELECT user_id, sess_id, count(*) AS n_events,
         |  max(ts_ms) - min(ts_ms) AS dur_ms
         |FROM s GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
+
+    "q117_session_conversion" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+        |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_type, ts_ms,
+        |    CAST(sum(CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_id
+        |  FROM t),
+        |g AS (SELECT user_id, sess_id, min(ts_ms) AS start_ms,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+        |  FROM s GROUP BY user_id, sess_id),
+        |d AS (SELECT start_ms // 86400000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n_sessions,
+        |    CAST(sum(converted) AS BIGINT) AS n_converted
+        |  FROM g GROUP BY 1)
+        |SELECT day, n_sessions, n_converted,
+        |  (n_converted * 10000) // n_sessions AS conv_bp
+        |FROM d ORDER BY day""".stripMargin,
 
     "q6_window_agg" ->
       """SELECT date_trunc('hour', ts) AS win_start, event_type,

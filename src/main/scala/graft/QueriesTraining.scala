@@ -314,6 +314,33 @@ object QueriesTraining {
       .orderBy("canonical_id")
   }
 
+  /** q118: PER-SOURCE NEAR-DUP RATE — the curation observability
+    * report that tells a pipeline owner WHERE the duplication lives:
+    * share of each source's documents that participate in at least
+    * one verified near-dup pair (q22's edge set), in integer basis
+    * points. High-dup sources are mirror/scraper domains — exactly
+    * what q94's caps and q111's temperature sampling then act on;
+    * this query is the measurement that justifies those knobs.
+    *
+    * Scale: the pair derivation is the LSH chain (shared shape with
+    * q22); the report side is a doc_id semi-join + one source-keyed
+    * aggregate.
+    */
+  private val qDupRate: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("source"))
+    val pairs = ngramPairs(spark, dir)
+    val dup = pairs.select(col("id_a").as("doc_id"))
+      .unionAll(pairs.select(col("id_b").as("doc_id"))).distinct()
+      .withColumn("is_dup", lit(1L))
+    docs.join(dup, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup"))
+      .select(col("source"), col("n_docs"), col("n_dup"),
+        expr("n_dup * 10000 div n_docs").as("dup_bp"))
+      .orderBy("source")
+  }
+
   /** SimHash sketch per document (32-bit sign-sum). */
   private val qDedupSimhash: Q = (spark, dir) => {
     Dedup.simhashTable(Tables(spark, dir, "documents"), "doc_id", "text")
@@ -963,6 +990,7 @@ object QueriesTraining {
     "q109_cluster_rep" -> qClusterRep,
     "q112_ann_recall" -> qAnnRecall,
     "q115_char_entropy" -> qCharEntropy,
+    "q118_dup_rate" -> qDupRate,
     "q23_dedup_simhash" -> qDedupSimhash,
     "q24_dedup_embed" -> qDedupEmbed,
     "q25_knn_brute" -> qKnnBrute,
@@ -1466,6 +1494,22 @@ object QueriesTraining {
          |FROM r JOIN m ON m.canonical_id = r.canonical_id
          |WHERE r.rn = 1 AND m.n_members >= 2
          |ORDER BY r.canonical_id""".stripMargin,
+
+    "q118_dup_rate" ->
+      s"""$lshCandidateCtes,
+         |jac AS (SELECT id_a, id_b,
+         |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         |    / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS jacc
+         |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b),
+         |p AS (SELECT id_a, id_b FROM jac WHERE jacc >= 0.4),
+         |ids AS (SELECT id_a AS doc_id FROM p UNION SELECT id_b FROM p),
+         |dd AS (SELECT d.source,
+         |    CASE WHEN ids.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+         |  FROM documents d LEFT JOIN ids ON ids.doc_id = d.doc_id)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(is_dup) AS BIGINT) AS n_dup,
+         |  (CAST(sum(is_dup) AS BIGINT) * 10000) // CAST(count(*) AS BIGINT) AS dup_bp
+         |FROM dd GROUP BY source ORDER BY source""".stripMargin,
 
     "q104_containment" ->
       s"""$lshCandidateCtes,
