@@ -314,6 +314,38 @@ object QueriesTraining {
       .orderBy("canonical_id")
   }
 
+  /** q119: PER-SOURCE PERCENTILE-RANK NORMALIZATION of the quality
+    * score — the calibration step in front of any cross-domain
+    * quality cut: raw scores are not comparable across sources (a
+    * mediocre doc from a clean domain outscores a good doc from a
+    * noisy one), so each doc gets its quality PERCENTILE within its
+    * own source, in integer basis points `(rank−1)·10⁴ div (n−1)`.
+    * A global threshold over `pct_bp` then takes the same fraction
+    * from every domain — q71's rank-not-value lesson applied
+    * per-group. Integer end to end (quality settles to micros before
+    * ranking, rank arithmetic is exact).
+    *
+    * Scale: one source-partitioned window (rank and the per-source
+    * count share the partition's exchange); no global window, no
+    * floats.
+    */
+  private val qPctRank: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val qual = docsFanned(spark, dir)
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .select(col("doc_id"), col("source"),
+        expr("CAST(round(quality * 1000000) AS BIGINT)").as("q_micro"))
+    val w = Window.partitionBy("source").orderBy("q_micro", "doc_id")
+    val wn = Window.partitionBy("source")
+    qual.withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wn).cast("long"))
+      .select(col("doc_id"), col("source"), col("q_micro"),
+        when(col("n") === 1L, lit(0L))
+          .otherwise(expr("(rk - 1) * 10000 div (n - 1)")).as("pct_bp"))
+      .orderBy("doc_id")
+  }
+
   /** q118: PER-SOURCE NEAR-DUP RATE — the curation observability
     * report that tells a pipeline owner WHERE the duplication lives:
     * share of each source's documents that participate in at least
@@ -991,6 +1023,7 @@ object QueriesTraining {
     "q112_ann_recall" -> qAnnRecall,
     "q115_char_entropy" -> qCharEntropy,
     "q118_dup_rate" -> qDupRate,
+    "q119_pct_rank" -> qPctRank,
     "q23_dedup_simhash" -> qDedupSimhash,
     "q24_dedup_embed" -> qDedupEmbed,
     "q25_knn_brute" -> qKnnBrute,
@@ -1494,6 +1527,20 @@ object QueriesTraining {
          |FROM r JOIN m ON m.canonical_id = r.canonical_id
          |WHERE r.rn = 1 AND m.n_members >= 2
          |ORDER BY r.canonical_id""".stripMargin,
+
+    "q119_pct_rank" ->
+      s"""$qualityScoreCtes,
+         |qm AS (SELECT q.doc_id, d.source,
+         |    CAST(round(q.quality * 1000000) AS BIGINT) AS q_micro
+         |  FROM q JOIN documents d ON d.doc_id = q.doc_id),
+         |r AS (SELECT doc_id, source, q_micro,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY q_micro, doc_id) AS BIGINT) AS rk,
+         |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+         |  FROM qm)
+         |SELECT doc_id, source, q_micro,
+         |  CASE WHEN n = 1 THEN 0 ELSE ((rk - 1) * 10000) // (n - 1) END AS pct_bp
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     "q118_dup_rate" ->
       s"""$lshCandidateCtes,
