@@ -18,13 +18,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * the store instead of accumulating.
   *
   * Ordering contract: within a micro-batch the group iterator is
-  * sorted by (ts, event_id) before folding, and the fold applies
-  * clicks/purchases in that order — so a batch boundary placed
-  * ANYWHERE in the event stream yields the same attributions as the
-  * batch window (proved by `StreamingAttributionSpec`'s parity test).
-  * Late events that arrive after the watermark passed them are
-  * dropped by the upstream watermark, which is the standard streaming
-  * trade the batch query does not face.
+  * sorted by (ts, event_id) before folding; across batches, clicks
+  * update state only if they are NEWER by (ts, event_id) — a lenient
+  * watermark can admit a late batch whose clicks precede the stored
+  * one, and overwriting would regress last-touch to an older click.
+  * With those two rules, a batch boundary placed anywhere in an
+  * event-time-ordered stream yields the same attributions as the
+  * batch window (proved by `StreamingAttributionSpec`'s parity test),
+  * and late CLICKS never corrupt state. The residual streaming trade:
+  * a late PURCHASE that arrives after a newer click was stored
+  * attributes to that (event-time-future) click — exact repair would
+  * need the full click history inside the watermark, which is the
+  * batch query's job; events past the watermark are dropped upstream.
   */
 object Attribution {
 
@@ -32,7 +37,7 @@ object Attribution {
                 is_click: Boolean, channel: String) {
     def ts_ms: Long = ts.getTime
   }
-  case class LastClick(ts_ms: Long, channel: String)
+  case class LastClick(ts_ms: Long, event_id: Long, channel: String)
   case class Attributed(user_id: Long, event_id: Long, ts_ms: Long, channel: String)
 
   def attribute(events: Dataset[Ev], lookbackMs: Long): Dataset[Attributed] = {
@@ -55,8 +60,15 @@ object Attribution {
             var st = state.getOption
             val out = Seq.newBuilder[Attributed]
             sorted.foreach { e =>
-              if (e.is_click) st = Some(LastClick(e.ts_ms, e.channel))
-              else {
+              if (e.is_click) {
+                // keep the latest click by EVENT time, not arrival: a
+                // lenient watermark admits a late batch whose clicks
+                // precede the stored one — overwriting would regress
+                // last-touch to an older click
+                if (st.forall(c => c.ts_ms < e.ts_ms ||
+                    (c.ts_ms == e.ts_ms && c.event_id < e.event_id)))
+                  st = Some(LastClick(e.ts_ms, e.event_id, e.channel))
+              } else {
                 val ch = st match {
                   case Some(c) if e.ts_ms - c.ts_ms <= lookbackMs => c.channel
                   case _ => "unattributed"

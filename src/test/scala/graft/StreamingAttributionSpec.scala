@@ -99,6 +99,29 @@ class StreamingAttributionSpec extends AnyFunSuite {
       (2L, 4L, "social")))
   }
 
+  test("a late OLDER click under a lenient watermark does not regress stored last-touch state") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Ev]
+    val name = s"attr_late_${System.nanoTime()}"
+    // 10-minute watermark delay admits cross-batch event-time disorder
+    val q = Attribution.attribute(
+        stream.toDS().withWatermark("ts", "10 minutes").as[Ev], LookbackMs)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    stream.addData(Seq(ev(1, 2, 3700000, click = true, "newer")))
+    q.processAllAvailable()
+    // late but within watermark: an OLDER click, then a purchase after both
+    stream.addData(Seq(
+      ev(1, 1, 3650000, click = true, "older"),
+      ev(1, 3, 3710000, click = false)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name).collect()
+      .map(r => (r.getLong(1), r.getString(3))).toSet
+    assert(got === Set((3L, "newer")), "last-touch must stay on the newest click by event time")
+  }
+
   test("event-time timeout removes expired per-user click state") {
     val b1 = Seq(ev(1, 1, 1000, click = true, "a"), ev(2, 2, 1000, click = true, "b"))
     // watermark jumps far past both clicks' lookback horizons — their
