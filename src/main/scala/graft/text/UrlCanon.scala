@@ -64,7 +64,13 @@ object UrlCanon {
     when(joined === "", lit("")).otherwise(concat(lit("?"), joined))
   }
 
+  /** Null for inputs with no parseable `scheme://host` prefix (crawl
+    * data is full of them; fabricating `://…` keys would silently
+    * merge all garbage into pseudo-URLs). Callers drop or route
+    * nulls explicitly.
+    */
   def canonicalize(url: Column): Column =
-    concat(scheme(url), lit("://"), host(url), portPart(url),
-      path(url), queryPart(url))
+    when(scheme(url) === "" || host(url) === "", lit(null).cast("string"))
+      .otherwise(concat(scheme(url), lit("://"), host(url), portPart(url),
+        path(url), queryPart(url)))
 }

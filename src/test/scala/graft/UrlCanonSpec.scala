@@ -49,6 +49,11 @@ class UrlCanonSpec extends AnyFunSuite {
     assert(canon(variants: _*).distinct === Seq("https://example.com/t?a=3&b=9"))
   }
 
+  test("unparseable inputs (no scheme://host) canonicalize to null, not pseudo-keys") {
+    assert(canon("not a url", "/relative/path", "example.com/no-scheme", "http://")
+      === Seq(null, null, null, null))
+  }
+
   test("canonicalize is idempotent on its own output") {
     val ins = Seq("HTTPS://Example.COM:443/a/b/?z=1&y=2#f",
       "http://h.net:8080/", "https://a.com/p?")
