@@ -78,8 +78,17 @@ object Attribution {
             }
             st match {
               case Some(c) =>
-                state.update(c)
-                state.setTimeoutTimestamp(c.ts_ms + lookbackMs)
+                // the stored click may already be beyond the lookback
+                // horizon (back-to-back data batches never take the
+                // hasTimedOut path): setTimeoutTimestamp below the
+                // current watermark THROWS and kills the query — an
+                // expired click can never attribute, so drop it
+                val horizon = c.ts_ms + lookbackMs
+                if (horizon <= state.getCurrentWatermarkMs()) state.remove()
+                else {
+                  state.update(c)
+                  state.setTimeoutTimestamp(horizon)
+                }
               case None => // only purchases seen, nothing to retain
             }
             out.result().iterator

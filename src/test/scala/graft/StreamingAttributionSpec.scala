@@ -122,6 +122,44 @@ class StreamingAttributionSpec extends AnyFunSuite {
     assert(got === Set((3L, "newer")), "last-touch must stay on the newest click by event time")
   }
 
+  test("stale stored click past the horizon in a DATA batch: drop, don't set a below-watermark timeout") {
+    // back-to-back data batches (file source, 1 file/trigger) never
+    // take the hasTimedOut path; batch 3's fold sees user 1's stored
+    // click with horizon far below the watermark batch 2 advanced —
+    // setTimeoutTimestamp there throws and kills the query unless the
+    // expired click is dropped
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("attr_files").toFile
+    try {
+      def write(n: String, mtime: Long, rows: Seq[Ev]): Unit = {
+        rows.toDS().coalesce(1).write.parquet(s"$dir/in/$n")
+        // the file source orders by modification time — pin it so the
+        // three files become three ordered micro-batches
+        new java.io.File(s"$dir/in/$n").listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .foreach(_.setLastModified(mtime))
+      }
+      write("f1", 1000000L, Seq(ev(1, 1, 100000, click = true, "a")))
+      write("f2", 2000000L, Seq(ev(9, 2, 5000000, click = true, "b")))
+      write("f3", 3000000L, Seq(ev(1, 3, 5100000, click = false)))
+      val name = s"attr_files_${System.nanoTime()}"
+      val q = Attribution.attribute(
+          spark.readStream.schema(Seq.empty[Ev].toDS().schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*")
+            .withWatermark("ts", "0 seconds").as[Ev], LookbackMs)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+      q.processAllAvailable()
+      q.stop()
+      assert(q.exception.isEmpty, s"query died: ${q.exception}")
+      val got = spark.table(name).collect()
+        .map(r => (r.getLong(1), r.getString(3))).toSet
+      assert(got === Set((3L, "unattributed")))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    }
+  }
+
   test("event-time timeout removes expired per-user click state") {
     val b1 = Seq(ev(1, 1, 1000, click = true, "a"), ev(2, 2, 1000, click = true, "b"))
     // watermark jumps far past both clicks' lookback horizons — their
