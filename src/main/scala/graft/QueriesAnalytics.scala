@@ -264,6 +264,45 @@ object QueriesAnalytics {
   private val qSqlExists: Q = (spark, dir) =>
     sqlVerbatim(spark, dir, SqlExistsText, Seq("orders", "lineitem"))
 
+  /** q120: SQL front end #5 — gap-sessionization + conversion rate in
+    * ONE dialect-neutral ANSI text (the most stateful shared-text
+    * query in the battery: lag window → running-sum session ids →
+    * nested aggregation → integer rate), executed verbatim by both
+    * engines over the raw events view. Notably exercises portable
+    * INTERVAL arithmetic (`ts − lag(ts) > INTERVAL '30' MINUTE`) and
+    * date rendering via double CAST — the two dialect cliffs that
+    * usually force split texts. Windows partition by user; rates
+    * floor through an exact small-rational double (never within an
+    * ULP of a wrong integer at these magnitudes).
+    */
+  private[graft] val SqlSessionsText: String =
+    """WITH t AS (
+      |  SELECT user_id, event_id, event_type, ts,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, event_type, ts,
+      |    SUM(CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL '30' MINUTE
+      |             THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS UNBOUNDED PRECEDING) AS sess_id
+      |  FROM t),
+      |g AS (
+      |  SELECT user_id, sess_id, min(ts) AS start_ts,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      |  FROM s GROUP BY user_id, sess_id),
+      |d AS (
+      |  SELECT CAST(CAST(start_ts AS DATE) AS STRING) AS day,
+      |    CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      |    CAST(SUM(converted) AS BIGINT) AS n_converted
+      |  FROM g GROUP BY CAST(CAST(start_ts AS DATE) AS STRING))
+      |SELECT day, n_sessions, n_converted,
+      |  CAST(FLOOR(CAST(n_converted * 10000 AS DOUBLE) / n_sessions) AS BIGINT) AS conv_bp
+      |FROM d ORDER BY day""".stripMargin
+
+  private val qSqlSessions: Q = (spark, dir) =>
+    sqlVerbatim(spark, dir, SqlSessionsText, Seq("events"))
+
   /** q77: SQL front end #2 — per-region top-3 nations by settled
     * revenue: a windowed rank OVER the grouped aggregate, written once
     * in ANSI SQL and executed verbatim by BOTH engines (the text IS
@@ -682,6 +721,7 @@ object QueriesAnalytics {
     "q93_transitions" -> qTransitions,
     "q95_daily_spikes" -> qDailySpikes,
     "q68_sql_exists" -> qSqlExists,
+    "q120_sql_sessions" -> qSqlSessions,
     "q77_sql_topn" -> qSqlTopN,
     "q78_sql_rollup" -> qSqlRollup,
     "q79_sql_filter_agg" -> qSqlFilterAgg,
@@ -808,6 +848,7 @@ object QueriesAnalytics {
 
     // the whole point: the oracle IS the Spark-side SQL text
     "q68_sql_exists" -> SqlExistsText,
+    "q120_sql_sessions" -> SqlSessionsText,
     "q77_sql_topn" -> SqlTopNText,
     "q78_sql_rollup" -> SqlRollupText,
     "q79_sql_filter_agg" -> SqlFilterAggText,
