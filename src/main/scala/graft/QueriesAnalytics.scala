@@ -300,8 +300,18 @@ object QueriesAnalytics {
       |  CAST(FLOOR(CAST(n_converted * 10000 AS DOUBLE) / n_sessions) AS BIGINT) AS conv_bp
       |FROM d ORDER BY day""".stripMargin
 
-  private val qSqlSessions: Q = (spark, dir) =>
-    sqlVerbatim(spark, dir, SqlSessionsText, Seq("events"))
+  private val qSqlSessions: Q = (spark, dir) => {
+    // register the SCHEMA-ADAPTIVE events view (ts always a timestamp
+    // via Tables.events), not the raw parquet: on INT64-nanos-format
+    // testdata the raw ts reads as BIGINT and the verbatim text's
+    // interval arithmetic fails analysis on the Spark side only
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("props"), col("ts_t").as("ts"))
+      .createOrReplaceTempView("events")
+    try spark.sql(SqlSessionsText)
+    finally spark.catalog.dropTempView("events"): Unit
+  }
 
   /** q77: SQL front end #2 — per-region top-3 nations by settled
     * revenue: a windowed rank OVER the grouped aggregate, written once

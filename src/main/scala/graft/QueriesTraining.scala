@@ -336,7 +336,12 @@ object QueriesTraining {
         TextAnalysis.qualityScore(col("text")).as("quality"))
       .select(col("doc_id"), col("source"),
         expr("CAST(round(quality * 1000000) AS BIGINT)").as("q_micro"))
-    val w = Window.partitionBy("source").orderBy("q_micro", "doc_id")
+    // explicit NULLS LAST: Spark ASC defaults nulls FIRST, DuckDB
+    // LAST — a null-text doc (null quality) would shift every rank
+    // in its source and break oracle parity (the battery's other
+    // quality rankings are DESC, where the engines happen to agree)
+    val w = Window.partitionBy("source")
+      .orderBy(col("q_micro").asc_nulls_last, col("doc_id"))
     val wn = Window.partitionBy("source")
     qual.withColumn("rk", row_number().over(w).cast("long"))
       .withColumn("n", count(lit(1)).over(wn).cast("long"))
@@ -1535,7 +1540,7 @@ object QueriesTraining {
          |  FROM q JOIN documents d ON d.doc_id = q.doc_id),
          |r AS (SELECT doc_id, source, q_micro,
          |    CAST(row_number() OVER (PARTITION BY source
-         |      ORDER BY q_micro, doc_id) AS BIGINT) AS rk,
+         |      ORDER BY q_micro NULLS LAST, doc_id) AS BIGINT) AS rk,
          |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
          |  FROM qm)
          |SELECT doc_id, source, q_micro,

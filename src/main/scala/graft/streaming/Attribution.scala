@@ -69,8 +69,17 @@ object Attribution {
                     (c.ts_ms == e.ts_ms && c.event_id < e.event_id)))
                   st = Some(LastClick(e.ts_ms, e.event_id, e.channel))
               } else {
+                // the stored click must PRECEDE the purchase by
+                // (ts, event_id) — a late purchase arriving after a
+                // newer click was stored must not credit an
+                // event-time-future click (it goes unattributed; the
+                // exact 'older click' answer needs history only the
+                // batch window has — documented residual trade)
                 val ch = st match {
-                  case Some(c) if e.ts_ms - c.ts_ms <= lookbackMs => c.channel
+                  case Some(c)
+                      if (c.ts_ms < e.ts_ms ||
+                        (c.ts_ms == e.ts_ms && c.event_id < e.event_id)) &&
+                        e.ts_ms - c.ts_ms <= lookbackMs => c.channel
                   case _ => "unattributed"
                 }
                 out += Attributed(userId, e.event_id, e.ts_ms, ch)
@@ -83,8 +92,12 @@ object Attribution {
                 // hasTimedOut path): setTimeoutTimestamp below the
                 // current watermark THROWS and kills the query — an
                 // expired click can never attribute, so drop it
+                // strict <: Spark retains state at horizon == watermark
+                // (setTimeoutTimestamp throws only on BELOW-watermark,
+                // timeouts fire only on strictly-past), and a purchase
+                // at ts == horizon still legitimately attributes
                 val horizon = c.ts_ms + lookbackMs
-                if (horizon <= state.getCurrentWatermarkMs()) state.remove()
+                if (horizon < state.getCurrentWatermarkMs()) state.remove()
                 else {
                   state.update(c)
                   state.setTimeoutTimestamp(horizon)

@@ -122,6 +122,30 @@ class StreamingAttributionSpec extends AnyFunSuite {
     assert(got === Set((3L, "newer")), "last-touch must stay on the newest click by event time")
   }
 
+  test("a late purchase never credits an event-time-FUTURE stored click") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val stream = MemoryStream[Ev]
+    val name = s"attr_future_${System.nanoTime()}"
+    val q = Attribution.attribute(
+        stream.toDS().withWatermark("ts", "10 minutes").as[Ev], LookbackMs)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    stream.addData(Seq(ev(1, 5, 3700000, click = true, "newer")))
+    q.processAllAvailable()
+    // late batch inside the watermark: an older click then a purchase
+    // BEFORE the stored click's event time — crediting "newer" would
+    // attribute a click that happens after the purchase
+    stream.addData(Seq(
+      ev(1, 1, 3650000, click = true, "older"),
+      ev(1, 2, 3655000, click = false)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name).collect()
+      .map(r => (r.getLong(1), r.getString(3))).toSet
+    assert(got === Set((2L, "unattributed")))
+  }
+
   test("stale stored click past the horizon in a DATA batch: drop, don't set a below-watermark timeout") {
     // back-to-back data batches (file source, 1 file/trigger) never
     // take the hasTimedOut path; batch 3's fold sees user 1's stored
