@@ -378,6 +378,30 @@ object QueriesTraining {
       .orderBy("source")
   }
 
+  /** q121: INCREMENTAL dedup-cluster maintenance
+    * ([[Dedup.incrementalComponents]]) — yesterday's component labels
+    * plus today's verified pairs, folded by star contraction: each old
+    * component collapses to |members| star edges, so the propagation
+    * re-runs over |V|+|ΔE| edges instead of |E|+|ΔE| and converges in
+    * Δ-chain-bounded iterations. The oracle IS q31's full-rebuild text
+    * (it never sees the 80/20 edge split), so the driver hashes the
+    * merge≡rebuild identity itself — completing the incremental
+    * family: candidates (q43), SCD2 (q88), MVs (q103), components
+    * (q121).
+    */
+  private val qCcIncremental: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"))
+    // materialized: the pair derivation feeds both split sides
+    val pairs = Dedup.materialize(ngramPairs(spark, dir).select("id_a", "id_b"))
+    val split = Dedup.hash32(
+      concat_ws(":", col("id_a"), col("id_b")), "ccsplit") % 5
+    val baseLabels = Dedup.connectedComponents(
+      docs, pairs.filter(split =!= 0), "doc_id", "id_a", "id_b")
+    Dedup.incrementalComponents(baseLabels, docs,
+        pairs.filter(split === 0), "doc_id", "id_a", "id_b")
+      .orderBy("doc_id")
+  }
+
   /** SimHash sketch per document (32-bit sign-sum). */
   private val qDedupSimhash: Q = (spark, dir) => {
     Dedup.simhashTable(Tables(spark, dir, "documents"), "doc_id", "text")
@@ -1028,6 +1052,7 @@ object QueriesTraining {
     "q112_ann_recall" -> qAnnRecall,
     "q115_char_entropy" -> qCharEntropy,
     "q118_dup_rate" -> qDupRate,
+    "q121_cc_incremental" -> qCcIncremental,
     "q119_pct_rank" -> qPctRank,
     "q23_dedup_simhash" -> qDedupSimhash,
     "q24_dedup_embed" -> qDedupEmbed,
@@ -1264,6 +1289,26 @@ object QueriesTraining {
          |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
          |           FROM scored)
          |SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** Full-rebuild components oracle — shared by q31 (direct build)
+    * and q121 (incremental star-contraction build): the text never
+    * sees q121's edge split, so the compare hashes merge≡rebuild.
+    */
+  private lazy val componentsOracle: String =
+    s"""${lshCandidateCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+       |jac AS (SELECT id_a, id_b,
+       |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+       |    / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS jacc
+       |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b),
+       |pairs AS (SELECT id_a, id_b FROM jac WHERE jacc >= 0.4),
+       |sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+       |        UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT sym.d, reach.lbl FROM reach JOIN sym ON sym.s = reach.id)
+       |SELECT id AS doc_id, min(lbl) AS canonical_id
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // brute-force all-pairs — the exactness claim: prefix filtering
@@ -1647,21 +1692,11 @@ object QueriesTraining {
          |SELECT shingle, count(*) AS df FROM u
          |GROUP BY shingle ORDER BY df DESC, shingle LIMIT 20""".stripMargin,
 
-    "q31_dedup_groups" ->
-      s"""${lshCandidateCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
-         |jac AS (SELECT id_a, id_b,
-         |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-         |    / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS jacc
-         |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b),
-         |pairs AS (SELECT id_a, id_b FROM jac WHERE jacc >= 0.4),
-         |sym AS (SELECT id_a AS s, id_b AS d FROM pairs
-         |        UNION ALL SELECT id_b, id_a FROM pairs),
-         |reach(id, lbl) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT sym.d, reach.lbl FROM reach JOIN sym ON sym.s = reach.id)
-         |SELECT id AS doc_id, min(lbl) AS canonical_id
-         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q31_dedup_groups" -> componentsOracle,
+
+    // merge == rebuild: the incremental star-contraction composition
+    // shares the FULL-rebuild oracle text (q37/q85, q86/q88 precedent)
+    "q121_cc_incremental" -> componentsOracle,
 
     "q29_knn_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -299,6 +299,7 @@ object Dedup {
     var labels = nodes.select(col(idCol).as("id"), col(idCol).as("lbl")).persist()
     val lblType = labels.schema("lbl").dataType
     var changed = 1L
+    var iters = 0
     while (changed > 0) {
       val msgs = sym.join(labels, sym("src") === labels("id"))
         .select(col("dst").as("id"), col("lbl"), lit(null).cast(lblType).as("prev"))
@@ -318,11 +319,53 @@ object Dedup {
       // `prev` column is re-derived at the top of the next iteration
       // and dropped by the final select.
       labels = next
+      // persist caches BLOCKS but not the LOGICAL plan: each round's
+      // frame still nests the previous round's, so plan size grows
+      // with iteration count and on a high-diameter graph the
+      // analyzer/AQE plan STRINGS alone OOM the driver (hit by the
+      // incremental-components random-graph spec). Cut the lineage
+      // every few rounds with an eager localCheckpoint.
+      iters += 1
+      if (iters % 8 == 0) {
+        val cut = materialize(labels)
+        labels.unpersist()
+        labels = cut.persist()
+      }
     }
     val out = materialize(labels.select(col("id").as(idCol), col("lbl").as("canonical_id")))
     labels.unpersist()
     sym.unpersist()
     e.unpersist()
     out
+  }
+
+  /** INCREMENTAL connected components — fold a batch of NEW edges into
+    * an existing labeling without re-propagating over the historical
+    * edge set. Each old component is replaced by its STAR (member →
+    * canonical edges): the star preserves the old connectivity exactly
+    * with |V| edges of diameter 2, so
+    *
+    *   `incrementalComponents(cc(base), Δ) ≡ cc(base ∪ Δ)`
+    *
+    * while the per-iteration join volume drops from |E|+|ΔE| to
+    * |V|+|ΔE| (near-dup pair graphs have |E| ≫ |V|), and the
+    * iteration count is bounded by the Δ-chain length + 2 instead of
+    * the full graph's diameter. The day-to-day shape of dedup-cluster
+    * maintenance: yesterday's labels are the state, today's verified
+    * pairs are the delta — the same merge-equals-rebuild contract as
+    * q43 (candidates), q88 (SCD2), and q103 (MVs).
+    *
+    * `oldLabels` must cover every pre-existing node ((id,
+    * canonical_id) — [[connectedComponents]] output shape); `nodes`
+    * is the FULL node set after the append (old ∪ new).
+    */
+  def incrementalComponents(oldLabels: DataFrame, nodes: DataFrame,
+                            newEdges: DataFrame, idCol: String,
+                            srcCol: String, dstCol: String): DataFrame = {
+    val star = oldLabels.filter(col(idCol) =!= col("canonical_id"))
+      .select(col(idCol).as("__s"), col("canonical_id").as("__d"))
+    val edges = newEdges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .unionAll(star)
+    connectedComponents(nodes, edges, idCol, "__s", "__d")
   }
 }

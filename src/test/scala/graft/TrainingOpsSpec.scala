@@ -197,4 +197,50 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 5L))
   }
+
+  test("incremental star-contraction == full rebuild on random graphs and splits") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41L)
+    for (trial <- 0 until 3) {
+      val n = 120
+      val nodes = (0L until n).toDF("id")
+      // sparse random graph: component merges, chains, isolates
+      val all = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val (base, delta) = all.partition(_ => rnd.nextInt(5) != 0)
+      val rebuild = graft.dedup.Dedup.connectedComponents(
+          nodes, all.toDF("a", "b"), "id", "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val baseLabels = graft.dedup.Dedup.connectedComponents(
+        nodes, base.toDF("a", "b"), "id", "a", "b")
+      val inc = graft.dedup.Dedup.incrementalComponents(
+          baseLabels, nodes, delta.toDF("a", "b"), "id", "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(inc === rebuild, s"trial $trial diverged")
+    }
+  }
+
+  test("incremental with an empty delta reproduces the existing labels") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val base = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+    val labels = graft.dedup.Dedup.connectedComponents(nodes, base, "id", "a", "b")
+    val inc = graft.dedup.Dedup.incrementalComponents(
+        labels, nodes, Seq.empty[(Long, Long)].toDF("a", "b"), "id", "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc === Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("a delta edge merging two old components relabels BOTH components' members") {
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 12L).toDF("id")
+    val base = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L)).toDF("a", "b")
+    val labels = graft.dedup.Dedup.connectedComponents(nodes, base, "id", "a", "b")
+    // bridge the two chains at their FAR ends: members 10..12 must all
+    // flow down to canonical 1 through the star, not just node 12
+    val inc = graft.dedup.Dedup.incrementalComponents(
+        labels, nodes, Seq((3L, 12L)).toDF("a", "b"), "id", "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L, 12L -> 1L))
+  }
 }
