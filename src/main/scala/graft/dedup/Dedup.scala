@@ -323,10 +323,11 @@ object Dedup {
       // frame still nests the previous round's, so plan size grows
       // with iteration count and on a high-diameter graph the
       // analyzer/AQE plan STRINGS alone OOM the driver (hit by the
-      // incremental-components random-graph spec). Cut the lineage
-      // every few rounds with an eager localCheckpoint.
+      // incremental-components random-graph spec — at full-suite
+      // heap pressure even an 8-round window overflowed). Cut the
+      // lineage every few rounds with an eager localCheckpoint.
       iters += 1
-      if (iters % 8 == 0) {
+      if (iters % 4 == 0) {
         val cut = materialize(labels)
         labels.unpersist()
         labels = cut.persist()

@@ -201,11 +201,13 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   test("incremental star-contraction == full rebuild on random graphs and splits") {
     import spark.implicits._
     val rnd = new scala.util.Random(41L)
-    for (trial <- 0 until 3) {
-      val n = 120
+    for (trial <- 0 until 2) {
+      // moderately dense: enough structure for merges/chains/isolates,
+      // small enough diameter that the shared-suite JVM's heap absorbs
+      // the per-round plan growth between lineage cuts
+      val n = 60
       val nodes = (0L until n).toDF("id")
-      // sparse random graph: component merges, chains, isolates
-      val all = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val all = Seq.fill(110)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
         .filter { case (a, b) => a != b }
       val (base, delta) = all.partition(_ => rnd.nextInt(5) != 0)
       val rebuild = graft.dedup.Dedup.connectedComponents(
