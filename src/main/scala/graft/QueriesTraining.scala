@@ -35,6 +35,14 @@ object QueriesTraining {
       .orderBy("doc_id")
   }
 
+  /** q122: BPE vocabulary induction — the first K merge rules of a
+    * subword tokenizer, learned distributed (corpus touched once by
+    * the word-frequency pass; each merge iteration is vocab-sized).
+    * See [[graft.text.Bpe]] for the full scale argument.
+    */
+  private val qBpeMerges: Q = (spark, dir) =>
+    graft.text.Bpe.train(Tables(spark, dir, "documents"), col("text"))
+
   /** Quality scoring: punctuation/stopword ratios + composite score. */
   private val qTextQuality: Q = (spark, dir) => {
     docsFanned(spark, dir).select(
@@ -1039,6 +1047,7 @@ object QueriesTraining {
     "q30_ngram_topk" -> qNgramTopk,
     "q31_dedup_groups" -> qDedupGroups,
     "q16_text_tokens" -> qTextTokens,
+    "q122_bpe_merges" -> qBpeMerges,
     "q17_text_quality" -> qTextQuality,
     "q18_text_langid" -> qTextLangid,
     "q19_text_fingerprint" -> qTextFingerprint,
@@ -1311,6 +1320,10 @@ object QueriesTraining {
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // K-stage unrolled BPE twin, generated from the same sentinel,
+    // merge count, and tie-break constants as the Spark trainer
+    "q122_bpe_merges" -> graft.text.Bpe.oracleSql(graft.text.Bpe.DefaultMerges),
+
     // brute-force all-pairs — the exactness claim: prefix filtering
     // must lose nothing vs comparing every pair
     "q91_allpairs" ->
