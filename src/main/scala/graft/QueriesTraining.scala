@@ -43,6 +43,53 @@ object QueriesTraining {
   private val qBpeMerges: Q = (spark, dir) =>
     graft.text.Bpe.train(Tables(spark, dir, "documents"), col("text"))
 
+  private val DsirBuckets = 1024
+
+  /** q123: DSIR importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): per-document
+    * log p_target(x) − log p_raw(x) under hashed-n-gram bag models —
+    * the score DSIR feeds into Gumbel/weighted resampling to tilt a
+    * raw crawl toward a target domain (here: the `lang = 'en'` slice;
+    * the resampling step itself is q90's Efraimidis–Spirakis operator,
+    * composed downstream).
+    *
+    * The hashing is the whole scale story: uni+bigram features map
+    * into a FIXED [[DsirBuckets]]-bucket space, so both LMs are
+    * B-row tables regardless of corpus size — they aggregate with
+    * map-side combine and broadcast back to the feature stream; the
+    * only corpus-sized shuffle is the per-doc score aggregation on
+    * doc_id. Token arrays materialize once and feed the unigram and
+    * bigram branches (the tokenize subtree never re-executes).
+    * Laplace (+1) smoothing; round(·,6) + checker rel-tol rides the
+    * summation-order ULPs like q53/q83.
+    */
+  private val qDsir: Q = (spark, dir) => {
+    val tk = Dedup.materialize(
+      docsFanned(spark, dir).select(col("doc_id"), col("lang"),
+        TextAnalysis.tokens(lower(col("text"))).as("t")))
+    val uni = tk.select(col("doc_id"), col("lang"), explode(col("t")).as("gram"))
+    val bigrams = when(size(col("t")) >= 2,
+      transform(sequence(lit(2), size(col("t"))),
+        i => concat(element_at(col("t"), i - 1), lit(" "), element_at(col("t"), i))))
+      .otherwise(array().cast("array<string>"))
+    val big = tk.select(col("doc_id"), col("lang"), explode(bigrams).as("gram"))
+    val feats = Dedup.materialize(uni.unionByName(big).withColumn("bucket",
+      conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long") % DsirBuckets))
+    // both LMs in ONE bucket-keyed aggregation: B rows out
+    val model = feats.groupBy("bucket").agg(
+      count(lit(1)).as("cr"),
+      count(when(col("lang") === "en", 1)).as("ct"))
+    val totals = model.agg(sum("cr").as("nr"), sum("ct").as("nt"))
+    feats.join(broadcast(model), "bucket")
+      .crossJoin(broadcast(totals))
+      .withColumn("lw",
+        log((col("ct") + 1).cast("double") / (col("nt") + DsirBuckets).cast("double")) -
+          log((col("cr") + 1).cast("double") / (col("nr") + DsirBuckets).cast("double")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), round(sum("lw"), 6).as("dsir_logw"))
+      .orderBy("doc_id")
+  }
+
   /** Quality scoring: punctuation/stopword ratios + composite score. */
   private val qTextQuality: Q = (spark, dir) => {
     docsFanned(spark, dir).select(
@@ -1048,6 +1095,7 @@ object QueriesTraining {
     "q31_dedup_groups" -> qDedupGroups,
     "q16_text_tokens" -> qTextTokens,
     "q122_bpe_merges" -> qBpeMerges,
+    "q123_dsir_weights" -> qDsir,
     "q17_text_quality" -> qTextQuality,
     "q18_text_langid" -> qTextLangid,
     "q19_text_fingerprint" -> qTextFingerprint,
@@ -1323,6 +1371,26 @@ object QueriesTraining {
     // K-stage unrolled BPE twin, generated from the same sentinel,
     // merge count, and tie-break constants as the Spark trainer
     "q122_bpe_merges" -> graft.text.Bpe.oracleSql(graft.text.Bpe.DefaultMerges),
+
+    // DSIR twin: same bucket hash, Laplace smoothing, and lowercase
+    // tokenizer; bigrams by 1-based list index (q83's pattern)
+    "q123_dsir_weights" ->
+      s"""WITH tt AS (SELECT doc_id, lang, $ltoksSql AS t FROM documents),
+         |toks AS (SELECT doc_id, lang, unnest(range(1, len(t) + 1)) AS pos, t FROM tt),
+         |g AS (SELECT doc_id, lang, t[pos] AS gram FROM toks
+         |      UNION ALL
+         |      SELECT doc_id, lang, t[pos - 1] || ' ' || t[pos] AS gram FROM toks WHERE pos >= 2),
+         |f AS (SELECT doc_id, lang,
+         |  ('0x' || substr(md5(gram), 1, 8))::BIGINT % $DsirBuckets AS bucket FROM g),
+         |m AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr,
+         |  CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS ct
+         |  FROM f GROUP BY bucket),
+         |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt FROM m)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         |  round(sum(ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + $DsirBuckets AS DOUBLE))
+         |          - ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + $DsirBuckets AS DOUBLE))), 6) AS dsir_logw
+         |FROM f JOIN m USING (bucket), tot
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // brute-force all-pairs — the exactness claim: prefix filtering
     // must lose nothing vs comparing every pair

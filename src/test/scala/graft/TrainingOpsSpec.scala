@@ -245,4 +245,19 @@ class ConnectedComponentsSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(inc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L, 12L -> 1L))
   }
+
+  test("DSIR weights tilt toward the target domain: mean log-ratio of " +
+      "en docs exceeds non-en") {
+    val dir = "/root/testdata/sf0.001"
+    val w = Queries.all("q123_dsir_weights")(spark, dir)
+      .join(Tables(spark, dir, "documents").select(col("doc_id"), col("lang")), "doc_id")
+    val means = w
+      .groupBy((col("lang") === "en").as("is_en"))
+      .agg(avg("dsir_logw").as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    val (en, rest) = (means(true), means(false))
+    // the target slice must score strictly higher on its own model —
+    // and by a margin, not a tie broken by smoothing noise
+    assert(en > rest + 0.1, s"en mean $en vs rest $rest")
+  }
 }
