@@ -585,6 +585,34 @@ object QueriesRelational {
       .orderBy("click_id")
   }
 
+  /** q124: interval × interval overlap join
+    * ([[RangeJoin.overlapJoin]]) — per-user view windows (30 min)
+    * overlapping purchase windows (10 min), with the exact overlap
+    * duration in integer millis. The two-sided bucketed decomposition:
+    * both interval sets explode onto 15-minute buckets (≤ 3 rows per
+    * view, ≤ 2 per purchase), the join is a plain shuffled equi-join
+    * on (user_id, bucket), and the ownership rule — a pair is kept
+    * only in the bucket holding max(start, start) — makes the output
+    * duplicate-free with NO distinct pass. The oracle is the naive
+    * overlap-predicate join, so the bucketing must lose nothing and
+    * invent nothing.
+    */
+  private val qOverlapJoin: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts_ms").as("v_start"), (col("ts_ms") + lit(1800000L)).as("v_end"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_ms").as("p_start"), (col("ts_ms") + lit(600000L)).as("p_end"))
+    RangeJoin.overlapJoin(views, "v_start", "v_end",
+        purchases, "p_start", "p_end", bucketWidth = 900000L, equiKeys = Seq("user_id"))
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        (least(col("v_end"), col("p_end")) -
+          greatest(col("v_start"), col("p_start"))).as("overlap_ms"))
+      .orderBy("user_id", "view_id", "purchase_id")
+  }
+
   private val ZBits = 10
 
   /** Z-order layout audit: Morton-interleave (user bucket, value
@@ -1022,6 +1050,7 @@ object QueriesRelational {
     "q58_funnel" -> qFunnel,
     "q59_cohort" -> qCohort,
     "q46_range_join" -> qRangeJoin,
+    "q124_overlap_join" -> qOverlapJoin,
     "q47_zorder" -> qZorder,
     "q50_json_extract" -> qJsonExtract,
     "q51_salted_join" -> qSaltedJoin,
@@ -1301,6 +1330,20 @@ object QueriesRelational {
          |  coalesce(m.n_purchases, CAST(0 AS BIGINT)) AS n_purchases,
          |  coalesce(m.total_value, 0.0) AS total_value
          |FROM c LEFT JOIN m USING (click_id) ORDER BY click_id""".stripMargin,
+
+    // the naive overlap join IS the oracle: the bucketed+ownership
+    // decomposition must reproduce it pair-for-pair
+    "q124_overlap_join" ->
+      s"""WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ms FROM events),
+         |v AS (SELECT event_id AS view_id, user_id, ms AS v_start, ms + 1800000 AS v_end
+         |      FROM e WHERE event_type = 'view'),
+         |p AS (SELECT event_id AS purchase_id, user_id, ms AS p_start, ms + 600000 AS p_end
+         |      FROM e WHERE event_type = 'purchase')
+         |SELECT v.user_id AS user_id, view_id, purchase_id,
+         |  least(v_end, p_end) - greatest(v_start, p_start) AS overlap_ms
+         |FROM v JOIN p ON v.user_id = p.user_id
+         |  AND v_start < p_end AND p_start < v_end
+         |ORDER BY user_id, view_id, purchase_id""".stripMargin,
 
     "q47_zorder" ->
       s"""WITH p AS (SELECT ${ScaleParams.layoutFilesSql} AS files FROM events),

@@ -61,4 +61,50 @@ object RangeJoin {
       .drop("__bucket")
       .drop(equiKeys.map(k => s"__i_$k"): _*)
   }
+
+  /** Interval × interval overlap join — the two-sided sibling of
+    * [[intervalJoin]]: emit (l, r) pairs whose half-open intervals
+    * `[lStart, lEnd)` and `[rStart, rEnd)` intersect, optionally under
+    * extra equi-keys.
+    *
+    * Same bucketed decomposition, plus the standard ownership trick to
+    * keep the output duplicate-free WITHOUT a distinct pass: both
+    * sides explode onto their covered buckets, but a matched pair is
+    * emitted only in the bucket containing `max(lStart, rStart)` — the
+    * overlap's first instant, which provably lies in both sides'
+    * bucket ranges, so each overlapping pair survives in exactly one
+    * bucket. The join itself is a plain shuffled equi-join on
+    * (equiKeys..., bucket) that AQE can re-plan and skew-split; the
+    * overlap predicate and the ownership test are cheap integer
+    * residuals.
+    *
+    * Bounds are LONG columns (any fixed unit — millis, micros); bucket
+    * arithmetic goes through `floor(x / width)` on doubles, exact for
+    * |x| < 2^53 (epoch micros are ~2^51). Degenerate intervals
+    * (`end <= start`) are dropped on both sides — they contain no
+    * instant, so they can overlap nothing. Column names of the two
+    * inputs must be disjoint apart from `equiKeys`.
+    */
+  def overlapJoin(left: DataFrame, lStart: String, lEnd: String,
+                  right: DataFrame, rStart: String, rEnd: String,
+                  bucketWidth: Long, equiKeys: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    def bucketOf(c: Column): Column = floor(c / bucketWidth).cast("long")
+    def buckets(s: Column, e: Column): Column =
+      sequence(bucketOf(s), bucketOf(e - 1))
+    val r0 = equiKeys.foldLeft(right)((acc, k) =>
+      acc.withColumnRenamed(k, s"__r_$k"))
+    val l = left.filter(col(lEnd) > col(lStart))
+      .withColumn("__bucket", explode(buckets(col(lStart), col(lEnd))))
+    val r = r0.filter(col(rEnd) > col(rStart))
+      .withColumn("__rbucket", explode(buckets(col(rStart), col(rEnd))))
+    val cond = (equiKeys.map(k => l(k) === r(s"__r_$k")) ++ Seq(
+      l("__bucket") === r("__rbucket"),
+      l(lStart) < r(rEnd),
+      r(rStart) < l(lEnd),
+      l("__bucket") === bucketOf(greatest(l(lStart), r(rStart))))).reduce(_ && _)
+    l.join(r, cond, "inner")
+      .drop("__bucket").drop("__rbucket")
+      .drop(equiKeys.map(k => s"__r_$k"): _*)
+  }
 }

@@ -64,6 +64,41 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(out.count() === 0L) // and the inverted row exploded onto 0 buckets, not 900k
   }
 
+  private def mkIv(cols: (String, String, String), rows: (Long, Long, Long, Long)*) =
+    rows.toSeq.toDF(cols._1, "k0", cols._2, cols._3)
+      .withColumnRenamed("k0", "k")
+
+  test("overlap join equals the naive overlap predicate, duplicate-free") {
+    // intervals straddle many buckets so every pair meets in SEVERAL
+    // buckets — the ownership rule must collapse each to exactly one
+    val a = mkIv(("aid", "as", "ae"),
+      (1L, 1L, 0L, 1000L), (2L, 1L, 950L, 2000L), (3L, 1L, 5000L, 5001L),
+      (4L, 2L, 0L, 10000L))
+    val b = mkIv(("bid", "bs", "be"),
+      (10L, 1L, 500L, 1500L), (11L, 1L, 999L, 1000L), (12L, 1L, 1000L, 1001L),
+      (13L, 2L, 9999L, 20000L), (14L, 2L, 10000L, 10001L))
+    val got = RangeJoin.overlapJoin(a, "as", "ae", b, "bs", "be",
+        bucketWidth = 100L, equiKeys = Seq("k"))
+      .select("aid", "bid").as[(Long, Long)].collect().toList
+    val naive = a.join(b.withColumnRenamed("k", "k2"),
+        col("k") === col("k2") && col("as") < col("be") && col("bs") < col("ae"))
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    assert(got.size === got.toSet.size, s"duplicates in $got")
+    assert(got.toSet === naive)
+    // spot-check half-open edges: [0,1000) vs [999,1000) overlaps at
+    // 999; vs [1000,1001) does not (end exclusive); cross-key never
+    assert(got.toSet === Set((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L),
+      (2L, 12L), (4L, 13L)))
+  }
+
+  test("overlap join drops degenerate intervals on both sides") {
+    val a = mkIv(("aid", "as", "ae"), (1L, 1L, 0L, 100L), (2L, 1L, 50L, 50L))
+    val b = mkIv(("bid", "bs", "be"), (10L, 1L, 0L, 100L), (11L, 1L, 60L, 10L))
+    val got = RangeJoin.overlapJoin(a, "as", "ae", b, "bs", "be", 10L, Seq("k"))
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 10L)))
+  }
+
   test("plan is an equi-join on the bucket, never a nested loop") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val clicks = ev.filter(col("event_type") === "click")
