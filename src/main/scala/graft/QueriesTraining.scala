@@ -580,6 +580,42 @@ object QueriesTraining {
     Similarity.knnLshMultiProbe(q, e, 5, planes, EmbedDims).orderBy("q_id", "rank")
   }
 
+  private val RrfK = 60
+  /** lcm(61..70): scaling each reciprocal-rank term 1/(60+rank) to an
+    * EXACT integer for rank ≤ 10, so fusion scores compare with no
+    * float anywhere — bit-identical ordering on both engines.
+    */
+  private val RrfScale = 142813628717760L
+
+  /** q125: reciprocal-rank fusion (Cormack et al. 2009) of the three
+    * approximate indexes — single-probe LSH (q26), multi-probe LSH
+    * (q87), IVF (q29). RRF is THE standard zero-tuning rank combiner
+    * for hybrid retrieval (vector + keyword, or several ANN indexes):
+    * score(d) = Σ_lists 1/(k + rank_list(d)). A vector that several
+    * cheap indexes agree on outranks a single index's artifact.
+    *
+    * Exactness: each term is the integer [[RrfScale]] div (60+rank)
+    * (scale = lcm of all denominators), so scores are exact BIGINTs —
+    * no float knife-edge in the fused ordering; ties break on vec_id.
+    * Scale: inherits the three index probes (each touches ~1/√n of
+    * the corpus per query); fusion itself is a (q_id, vec_id)-keyed
+    * aggregation over ≤ 15 rows per query and a per-query window.
+    */
+  private val qRrfFusion: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val lists = Seq(qKnnLsh(spark, dir), qKnnLshProbe(spark, dir), qKnnIvf(spark, dir))
+    val contribs = lists.map(_.select(col("q_id"), col("vec_id"), col("rank")))
+      .reduce(_ unionByName _)
+      .withColumn("c", expr(s"${RrfScale}L div ($RrfK + rank)"))
+    contribs.groupBy("q_id", "vec_id")
+      .agg(sum("c").as("rrf_scaled"), count(lit(1)).as("n_lists"))
+      .withColumn("frank", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("rrf_scaled").desc, col("vec_id"))))
+      .filter(col("frank") <= 5)
+      .select("q_id", "frank", "vec_id", "rrf_scaled", "n_lists")
+      .orderBy("q_id", "frank")
+  }
+
   /** K-means K for q49 — a MODEL choice, deliberately NOT derived from
     * corpus stats (contrast [[ScaleParams.ivfLists]], which is index
     * parameterization and scales ~√n).
@@ -1107,6 +1143,7 @@ object QueriesTraining {
     "q108_bm25" -> qBm25,
     "q109_cluster_rep" -> qClusterRep,
     "q112_ann_recall" -> qAnnRecall,
+    "q125_rrf_fusion" -> qRrfFusion,
     "q115_char_entropy" -> qCharEntropy,
     "q118_dup_rate" -> qDupRate,
     "q121_cc_incremental" -> qCcIncremental,
@@ -1342,6 +1379,30 @@ object QueriesTraining {
          |probes AS (SELECT q_id, q_vec, xor(bucket, mask) AS bucket FROM q, masks),
          |scored AS (SELECT q_id, c.vec_id, ${cosSql("q_vec", "c.v")} AS cos
          |           FROM probes JOIN b c USING (bucket) WHERE c.vec_id <> q_id),
+         |ranked AS (SELECT q_id, vec_id, cos,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |           FROM scored)
+         |SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  private lazy val knnIvfOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT ${ScaleParams.ivfListsSql} AS lists FROM e),
+         |c AS (SELECT vec_id AS c_id, v AS c_vec FROM e
+         |      WHERE vec_id < (SELECT lists FROM p)),
+         |assign AS (SELECT vec_id, v, c_id AS list_id FROM (
+         |  SELECT e.vec_id, e.v, c.c_id,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${cosSql("e.v", "c.c_vec")} DESC, c.c_id) AS crk
+         |  FROM e, c) WHERE crk = 1),
+         |q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 10),
+         |probes AS (SELECT q_id, q_vec, c_id AS list_id FROM (
+         |  SELECT q.q_id, q.q_vec, c.c_id,
+         |    row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY ${cosSql("q.q_vec", "c.c_vec")} DESC, c.c_id) AS crk
+         |  FROM q, c) WHERE crk <= $IvfProbes),
+         |scored AS (SELECT q_id, a.vec_id, ${cosSql("p.q_vec", "a.v")} AS cos
+         |           FROM probes p JOIN assign a USING (list_id)
+         |           WHERE a.vec_id <> p.q_id),
          |ranked AS (SELECT q_id, vec_id, cos,
          |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
          |           FROM scored)
@@ -1779,29 +1840,23 @@ object QueriesTraining {
     // shares the FULL-rebuild oracle text (q37/q85, q86/q88 precedent)
     "q121_cc_incremental" -> componentsOracle,
 
-    "q29_knn_ivf" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |p AS (SELECT ${ScaleParams.ivfListsSql} AS lists FROM e),
-         |c AS (SELECT vec_id AS c_id, v AS c_vec FROM e
-         |      WHERE vec_id < (SELECT lists FROM p)),
-         |assign AS (SELECT vec_id, v, c_id AS list_id FROM (
-         |  SELECT e.vec_id, e.v, c.c_id,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY ${cosSql("e.v", "c.c_vec")} DESC, c.c_id) AS crk
-         |  FROM e, c) WHERE crk = 1),
-         |q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 10),
-         |probes AS (SELECT q_id, q_vec, c_id AS list_id FROM (
-         |  SELECT q.q_id, q.q_vec, c.c_id,
-         |    row_number() OVER (PARTITION BY q.q_id
-         |      ORDER BY ${cosSql("q.q_vec", "c.c_vec")} DESC, c.c_id) AS crk
-         |  FROM q, c) WHERE crk <= $IvfProbes),
-         |scored AS (SELECT q_id, a.vec_id, ${cosSql("p.q_vec", "a.v")} AS cos
-         |           FROM probes p JOIN assign a USING (list_id)
-         |           WHERE a.vec_id <> p.q_id),
-         |ranked AS (SELECT q_id, vec_id, cos,
-         |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
-         |           FROM scored)
-         |SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+    "q29_knn_ivf" -> knnIvfOracle,
+
+    // RRF fusion of the three nested index oracles; integer-scaled
+    // reciprocal terms (exact lcm division) — no float ordering
+    "q125_rrf_fusion" ->
+      s"""WITH l AS (SELECT q_id, vec_id, rank FROM ($knnLshOracle)),
+         |m AS (SELECT q_id, vec_id, rank FROM ($knnMultiProbeOracle)),
+         |i AS (SELECT q_id, vec_id, rank FROM ($knnIvfOracle)),
+         |u AS (SELECT * FROM l UNION ALL SELECT * FROM m UNION ALL SELECT * FROM i),
+         |f AS (SELECT q_id, vec_id,
+         |  CAST(sum($RrfScale // ($RrfK + rank)) AS BIGINT) AS rrf_scaled,
+         |  CAST(count(*) AS BIGINT) AS n_lists FROM u GROUP BY q_id, vec_id),
+         |r AS (SELECT q_id, vec_id, rrf_scaled, n_lists,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY rrf_scaled DESC, vec_id) AS frank
+         |  FROM f)
+         |SELECT q_id, frank, vec_id, rrf_scaled, n_lists FROM r
+         |WHERE frank <= 5 ORDER BY q_id, frank""".stripMargin,
 
     "q80_ivf_learned" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
