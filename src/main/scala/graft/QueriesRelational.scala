@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.layout.ZOrder
-import graft.operators.{GlobalRank, RangeJoin, SaltedJoin}
+import graft.operators.{EntityResolution, GlobalRank, RangeJoin, SaltedJoin}
 import graft.pipeline.{Envelope, EnvelopeCodec, LogMessage, Pipeline}
 
 /** Synthesizes Kinesis-shaped source records (binary protobuf-ish
@@ -613,6 +613,61 @@ object QueriesRelational {
       .orderBy("user_id", "view_id", "purchase_id")
   }
 
+  /** q126: ENTITY RESOLUTION — the full record-linkage pipeline
+    * (blocking → fuzzy verify → connected components → canonical) over
+    * a deterministically dirtied customer registry: every customer
+    * yields a clean record, customers ≡0 (mod 3) add a variant with a
+    * truncated name (phone intact), customers ≡1 (mod 4) add a variant
+    * with a replaced phone (name intact) — so neither blocking key
+    * alone finds every duplicate, and when both variants exist the
+    * 3-record cluster only assembles transitively through the clean
+    * record (CC is load-bearing, not decorative).
+    *
+    * Blocking ([[EntityResolution.candidates]]): pass 1 on exact
+    * phone, pass 2 on exact (nation, name). Verify on the candidates
+    * only: same nation AND (same phone with name edit-distance ≤ 2,
+    * OR identical name). Canonical = min rec_id via the same
+    * star-contraction CC as q31; output adds the resolved cluster
+    * size.
+    *
+    * Scale: blocks are near-unique-key-sized, the verify join touches
+    * candidates only, CC runs on the duplicate-pair edge set (≪ n),
+    * and everything shuffles on ids/keys — never on record payloads.
+    */
+  private val qEntityResolution: Q = (spark, dir) => {
+    val c = Tables(spark, dir, "customer")
+    def phoneOf(k: Column): Column = substring(md5(k.cast("string")), 1, 12)
+    val base = c.select((col("c_custkey") * 3).as("rec_id"), col("c_name").as("name"),
+      phoneOf(col("c_custkey")).as("phone"), col("c_nationkey").as("nation"))
+    val dirtyName = c.filter(col("c_custkey") % 3 === 0)
+      .select((col("c_custkey") * 3 + 1).as("rec_id"),
+        expr("substring(c_name, 1, length(c_name) - 1)").as("name"),
+        phoneOf(col("c_custkey")).as("phone"), col("c_nationkey").as("nation"))
+    val dirtyPhone = c.filter(col("c_custkey") % 4 === 1)
+      .select((col("c_custkey") * 3 + 2).as("rec_id"), col("c_name").as("name"),
+        concat(lit("x"), substring(md5(concat(lit("p"), col("c_custkey").cast("string"))), 1, 11)).as("phone"),
+        col("c_nationkey").as("nation"))
+    val records = graft.dedup.Dedup.materialize(
+      base.unionByName(dirtyName).unionByName(dirtyPhone))
+    val cand = EntityResolution.candidates(records, "rec_id",
+      Seq(col("phone"), concat_ws("|", col("nation"), col("name"))))
+    val a = records.select(col("rec_id").as("id_a"), col("name").as("na"),
+      col("phone").as("pa"), col("nation").as("ta"))
+    val b = records.select(col("rec_id").as("id_b"), col("name").as("nb"),
+      col("phone").as("pb"), col("nation").as("tb"))
+    val edges = cand.join(a, "id_a").join(b, "id_b")
+      .filter(col("ta") === col("tb") &&
+        ((col("pa") === col("pb") && levenshtein(col("na"), col("nb")) <= 2) ||
+          col("na") === col("nb")))
+      .select("id_a", "id_b")
+    val labels = graft.dedup.Dedup.connectedComponents(
+      records.select("rec_id"), edges, "rec_id", "id_a", "id_b")
+    val sizes = labels.groupBy(col("canonical_id")).agg(count(lit(1)).as("n_records"))
+    labels.join(sizes, "canonical_id")
+      .select(col("rec_id"), col("canonical_id"), col("n_records"))
+      .orderBy("rec_id")
+  }
+
   private val ZBits = 10
 
   /** Z-order layout audit: Morton-interleave (user bucket, value
@@ -1051,6 +1106,7 @@ object QueriesRelational {
     "q59_cohort" -> qCohort,
     "q46_range_join" -> qRangeJoin,
     "q124_overlap_join" -> qOverlapJoin,
+    "q126_entity_resolution" -> qEntityResolution,
     "q47_zorder" -> qZorder,
     "q50_json_extract" -> qJsonExtract,
     "q51_salted_join" -> qSaltedJoin,
@@ -1330,6 +1386,40 @@ object QueriesRelational {
          |  coalesce(m.n_purchases, CAST(0 AS BIGINT)) AS n_purchases,
          |  coalesce(m.total_value, 0.0) AS total_value
          |FROM c LEFT JOIN m USING (click_id) ORDER BY click_id""".stripMargin,
+
+    // ER: same dirtying, blocking, verify rule, and min-label CC
+    // (recursive reach, q31's pattern) as the Spark pipeline
+    "q126_entity_resolution" ->
+      s"""WITH RECURSIVE base AS (SELECT c_custkey * 3 AS rec_id, c_name AS name,
+         |  substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12) AS phone,
+         |  c_nationkey AS nation FROM customer),
+         |dn AS (SELECT c_custkey * 3 + 1, substr(c_name, 1, length(c_name) - 1),
+         |  substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12), c_nationkey
+         |  FROM customer WHERE c_custkey % 3 = 0),
+         |dp AS (SELECT c_custkey * 3 + 2, c_name,
+         |  'x' || substr(md5('p' || CAST(c_custkey AS VARCHAR)), 1, 11), c_nationkey
+         |  FROM customer WHERE c_custkey % 4 = 1),
+         |r AS (SELECT * FROM base UNION ALL SELECT * FROM dn UNION ALL SELECT * FROM dp),
+         |cand AS (
+         |  SELECT a.rec_id AS id_a, b.rec_id AS id_b FROM r a JOIN r b
+         |    ON a.phone = b.phone AND a.rec_id < b.rec_id
+         |  UNION
+         |  SELECT a.rec_id, b.rec_id FROM r a JOIN r b
+         |    ON a.nation = b.nation AND a.name = b.name AND a.rec_id < b.rec_id),
+         |e AS (SELECT id_a, id_b FROM cand
+         |  JOIN r a ON a.rec_id = id_a JOIN r b ON b.rec_id = id_b
+         |  WHERE a.nation = b.nation AND
+         |    ((a.phone = b.phone AND levenshtein(a.name, b.name) <= 2) OR a.name = b.name)),
+         |sym AS (SELECT id_a AS s, id_b AS d FROM e UNION ALL SELECT id_b, id_a FROM e),
+         |reach(id, lbl) AS (
+         |  SELECT rec_id, rec_id FROM r
+         |  UNION
+         |  SELECT sym.d, reach.lbl FROM reach JOIN sym ON sym.s = reach.id),
+         |lab AS (SELECT id AS rec_id, min(lbl) AS canonical_id FROM reach GROUP BY id),
+         |sz AS (SELECT canonical_id, CAST(count(*) AS BIGINT) AS n_records
+         |  FROM lab GROUP BY canonical_id)
+         |SELECT lab.rec_id AS rec_id, lab.canonical_id AS canonical_id, sz.n_records
+         |FROM lab JOIN sz USING (canonical_id) ORDER BY rec_id""".stripMargin,
 
     // the naive overlap join IS the oracle: the bucketed+ownership
     // decomposition must reproduce it pair-for-pair
