@@ -140,6 +140,53 @@ object QueriesAnalytics {
     out
   }
 
+  private[graft] val LpaIters = 3
+
+  /** q127: label-propagation community detection (Raghavan et al.
+    * 2007) over q63's trade graph — the graph-analytics sibling that
+    * finds COMMUNITIES where connected components (q31) find mere
+    * connectivity: each round every node adopts the label most
+    * frequent among its neighbors, so labels pool inside densely
+    * linked groups instead of flooding anything reachable.
+    *
+    * Determinism (the part naive LPA lacks): synchronous rounds, a
+    * FIXED iteration count, and ties broken toward the smaller label —
+    * both engines replay the identical sequence, so the oracle can
+    * unroll the rounds as CTE pairs (count → arg-max). The arg-max is
+    * `max(struct(cnt, -lbl))`, an aggregate — never a global window.
+    *
+    * Scale: same loop shape as PageRank/CC — the symmetrized edge set
+    * persists pre-hashed ONCE; each round shuffles only label-count
+    * keys ((dst, lbl), then dst), both with map-side combine.
+    */
+  private val qLabelProp: Q = (spark, dir) => {
+    val ord = Tables(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val trade = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 10).as("c"), (col("l_suppkey") * 10 + 1).as("s"))
+      .distinct()
+    val edges = trade.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(trade.select(col("s").as("src"), col("c").as("dst")))
+      .repartition(col("src")).persist()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to LpaIters) {
+      labels = edges.join(labels, edges("src") === labels("node"))
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("dst").as("node"), (-col("m.nl")).as("lbl"))
+    }
+    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
+    val out = dedup.Dedup.materialize(
+      labels.join(sizes, "lbl")
+        .select(col("node"), col("lbl").as("community"), col("n_members"))
+        .orderBy("node"))
+    edges.unpersist()
+    out
+  }
+
   private[graft] val LatencyBucketMs = 250L
 
   /** q64: response-time histogram from grok-PARSED access logs — the
@@ -743,6 +790,7 @@ object QueriesAnalytics {
     "q61_split" -> qSplit,
     "q62_star_join" -> qStarJoin,
     "q63_pagerank" -> qPageRank,
+    "q127_label_prop" -> qLabelProp,
     "q64_latency_hist" -> qLatencyHist,
     "q65_moving_stats" -> qMovingStats)
 
@@ -963,6 +1011,28 @@ object QueriesAnalytics {
          |r0 AS (SELECT DISTINCT src AS node, CAST(1.0 AS DOUBLE) AS pr FROM edges),
          |$prRounds
          |SELECT node, pr FROM r$PrIters ORDER BY node""".stripMargin,
+
+    // LPA rounds unrolled as (count, arg-max) CTE pairs from the same
+    // iteration constant; arg-max tie-break = smaller label
+    "q127_label_prop" -> {
+      val rounds = (1 to LpaIters).map { i =>
+        s"""c$i AS (SELECT e.dst AS node, l.lbl, count(*) AS cnt
+           |  FROM edges e JOIN l${i - 1} l ON l.node = e.src GROUP BY 1, 2),
+           |l$i AS (SELECT node, lbl FROM (
+           |  SELECT node, lbl, row_number() OVER (PARTITION BY node
+           |    ORDER BY cnt DESC, lbl) AS rk FROM c$i) WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH trade AS (SELECT DISTINCT o_custkey * 10 AS c, l_suppkey * 10 + 1 AS s
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |edges AS (SELECT c AS src, s AS dst FROM trade
+         |  UNION ALL SELECT s AS src, c AS dst FROM trade),
+         |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+         |$rounds,
+         |sz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS n_members
+         |  FROM l$LpaIters GROUP BY lbl)
+         |SELECT node, l.lbl AS community, sz.n_members
+         |FROM l$LpaIters l JOIN sz USING (lbl) ORDER BY node""".stripMargin
+    },
 
     "q64_latency_hist" ->
       s"""WITH p AS (SELECT 200 + (user_id % 3) * 100 AS status,
