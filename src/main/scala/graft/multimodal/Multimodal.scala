@@ -30,6 +30,16 @@ case class MediaFrame(
     width: Int,
     height: Int)
 
+/** One media embedding with batch provenance: `batch_size` is the
+  * actual size of the model-call batch this row rode in, `batch_idx`
+  * its index within the partition — what a batching audit inspects.
+  */
+case class MediaEmbedding(
+    doc_id: Long,
+    batch_idx: Int,
+    batch_size: Int,
+    embedding: Array[Float])
+
 /** Multimodal column plumbing: batch-shaped decode / feature-extract /
   * frame-sample over binary payloads via `mapPartitions` on a typed
   * `Dataset` (the Scala analogue of `mapInPandas` batch UDFs — one
@@ -88,6 +98,61 @@ object Multimodal {
         MediaFrame(r.doc_id, i,
           r.media.slice(i * FrameBytes, (i + 1) * FrameBytes),
           math.max(1, r.declared_w / 2), math.max(1, r.declared_h / 2))
+      }
+    }
+  }
+
+  val EmbedBatchSize = 16
+  val EmbedDims = 8
+
+  /** STUB batch "model call": one embedding per payload, derived only
+    * from payload bytes (mean of each of `dims` byte chunks, scaled to
+    * [0, 1]). Takes the whole batch at once — the signature a real
+    * vision/audio encoder (ONNX/TensorRT server) has, so swapping the
+    * stub for a real forward pass changes nothing upstream.
+    */
+  def embedBatchStub(batch: Seq[Array[Byte]], dims: Int): Seq[Array[Float]] =
+    batch.map { bytes =>
+      val out = new Array[Float](dims)
+      if (bytes.nonEmpty) {
+        val chunk = math.max(1, (bytes.length + dims - 1) / dims)
+        var d = 0
+        while (d < dims) {
+          var sum = 0L; var n = 0; var i = d * chunk
+          val end = math.min(bytes.length, (d + 1) * chunk)
+          while (i < end) { sum += bytes(i) & 0xff; n += 1; i += 1 }
+          out(d) = if (n == 0) 0f else (sum.toFloat / n) / 255f
+          d += 1
+        }
+      }
+      out
+    }
+
+  /** Batched embedding extraction — the GPU-inference plumbing shape:
+    * each partition's iterator is re-chunked into fixed
+    * [[EmbedBatchSize]] batches (`grouped` — ONE buffered batch in
+    * memory at a time, never the partition), the stub model is called
+    * once per batch, and rows flatten back out with batch provenance
+    * so a shape audit can assert exactly what a model server would
+    * have seen. Narrow transformation: no shuffle, parallelism = input
+    * partitioning; at 100 TB the only tuning knobs are partition size
+    * (executor memory) and batch size (model-server throughput).
+    *
+    * Embeddings depend ONLY on the payload — never on batch
+    * composition or partitioning — so repartitioning reshapes batches
+    * without changing a single output vector (spec-pinned; the
+    * property that makes retries/speculative tasks safe).
+    */
+  def batchedEmbed(media: Dataset[MediaRecord],
+                   batchSize: Int = EmbedBatchSize,
+                   dims: Int = EmbedDims): Dataset[MediaEmbedding] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).zipWithIndex.flatMap { case (batch, bi) =>
+        val embs = embedBatchStub(batch.map(_.media), dims)
+        batch.lazyZip(embs).map { (m, e) =>
+          MediaEmbedding(m.doc_id, bi, batch.size, e)
+        }
       }
     }
   }

@@ -156,6 +156,51 @@ class TrainingOpsSpec extends AnyFunSuite {
     val f = Multimodal.extractFeatures(media).collect().head
     assert(f.n_bytes == 100L && f.mean_byte == 65.0 && f.n_frames == 3)
   }
+
+  test("batched embed: model-call batch shapes are exactly grouped(batchSize)") {
+    import spark.implicits._
+    val media = (0L until 40L)
+      .map(i => MediaRecord(i, "png", Array.fill(8)(i.toByte), 64, 64))
+      .toDS().repartition(1)
+    val out = Multimodal.batchedEmbed(media, batchSize = 16, dims = 4).collect()
+    val shapes = out.groupBy(_.batch_idx).view
+      .mapValues(_.map(_.batch_size).distinct.toSeq).toMap
+    // 40 rows in one partition → batches of 16, 16, 8, in order
+    assert(shapes === Map(0 -> Seq(16), 1 -> Seq(16), 2 -> Seq(8)))
+    assert(out.forall(_.embedding.length == 4))
+  }
+
+  test("batched embed: embeddings depend only on payload, never on batching") {
+    import spark.implicits._
+    val media = (0L until 50L)
+      .map(i => MediaRecord(i, "wav", Array.tabulate(32)(j => (i + j).toByte), 64, 64))
+    val a = Multimodal.batchedEmbed(media.toDS().repartition(1), batchSize = 7)
+      .collect().map(e => e.doc_id -> e.embedding.toSeq).toMap
+    val b = Multimodal.batchedEmbed(media.toDS().repartition(13), batchSize = 16)
+      .collect().map(e => e.doc_id -> e.embedding.toSeq).toMap
+    assert(a === b)
+    // hand-check: doc 0 payload bytes 0..31, dims 8 → chunk 4; dim d
+    // mean = (4d + 1.5) / 255
+    val e0 = a(0L)
+    (0 until 8).foreach { d =>
+      assert(math.abs(e0(d) - (4 * d + 1.5f) / 255f) < 1e-6f)
+    }
+  }
+
+  test("DSIR weights tilt toward the target domain: mean log-ratio of " +
+      "en docs exceeds non-en") {
+    val dir = "/root/testdata/sf0.001"
+    val w = Queries.all("q123_dsir_weights")(spark, dir)
+      .join(Tables(spark, dir, "documents").select(col("doc_id"), col("lang")), "doc_id")
+    val means = w
+      .groupBy((col("lang") === "en").as("is_en"))
+      .agg(avg("dsir_logw").as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    val (en, rest) = (means(true), means(false))
+    // the target slice must score strictly higher on its own model —
+    // and by a margin, not a tie broken by smoothing noise
+    assert(en > rest + 0.1, s"en mean $en vs rest $rest")
+  }
 }
 
 /** SQL surface: the custom expressions usable from spark.sql. */
@@ -246,18 +291,4 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(inc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L, 12L -> 1L))
   }
 
-  test("DSIR weights tilt toward the target domain: mean log-ratio of " +
-      "en docs exceeds non-en") {
-    val dir = "/root/testdata/sf0.001"
-    val w = Queries.all("q123_dsir_weights")(spark, dir)
-      .join(Tables(spark, dir, "documents").select(col("doc_id"), col("lang")), "doc_id")
-    val means = w
-      .groupBy((col("lang") === "en").as("is_en"))
-      .agg(avg("dsir_logw").as("m"))
-      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
-    val (en, rest) = (means(true), means(false))
-    // the target slice must score strictly higher on its own model —
-    // and by a margin, not a tie broken by smoothing noise
-    assert(en > rest + 0.1, s"en mean $en vs rest $rest")
-  }
 }
