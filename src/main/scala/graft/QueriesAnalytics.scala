@@ -426,6 +426,34 @@ object QueriesAnalytics {
   private val qSqlFilterAgg: Q = (spark, dir) =>
     sqlVerbatim(spark, dir, SqlFilterAggText, Seq("orders"))
 
+  /** q128: SQL front end #6 — customer churn/retention cohorts via
+    * bag-of-set-operators in ONE dialect-neutral ANSI text: EXCEPT and
+    * INTERSECT (both DISTINCT by default on both engines) over
+    * year-sliced DISTINCT customer sets, recombined by UNION ALL with
+    * cohort labels. Catalyst plans EXCEPT/INTERSECT as left-anti /
+    * left-semi joins — the same shuffle shapes the battery's
+    * DataFrame-side q8 uses; this pins the SQL SURFACE for them.
+    */
+  private[graft] val SqlSetOpsText: String =
+    """WITH o95 AS (SELECT DISTINCT o_custkey AS ck FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      |    AND o_orderdate < TIMESTAMP '1996-01-01'),
+      |o96 AS (SELECT DISTINCT o_custkey AS ck FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o_orderdate < TIMESTAMP '1997-01-01'),
+      |churned AS (SELECT ck FROM o95 EXCEPT SELECT ck FROM o96),
+      |acquired AS (SELECT ck FROM o96 EXCEPT SELECT ck FROM o95),
+      |retained AS (SELECT ck FROM o95 INTERSECT SELECT ck FROM o96)
+      |SELECT 'acquired' AS cohort, CAST(count(*) AS BIGINT) AS n FROM acquired
+      |UNION ALL
+      |SELECT 'churned' AS cohort, CAST(count(*) AS BIGINT) AS n FROM churned
+      |UNION ALL
+      |SELECT 'retained' AS cohort, CAST(count(*) AS BIGINT) AS n FROM retained
+      |ORDER BY cohort""".stripMargin
+
+  private val qSqlSetOps: Q = (spark, dir) =>
+    sqlVerbatim(spark, dir, SqlSetOpsText, Seq("orders"))
+
   private[graft] val ChunkSize = 32
   private[graft] val ChunkStride = 24
 
@@ -782,6 +810,7 @@ object QueriesAnalytics {
     "q77_sql_topn" -> qSqlTopN,
     "q78_sql_rollup" -> qSqlRollup,
     "q79_sql_filter_agg" -> qSqlFilterAgg,
+    "q128_sql_setops" -> qSqlSetOps,
     "q69_chunking" -> qChunking,
     "q70_snapshot_diff" -> qSnapshotDiff,
     "q72_promo_ratio" -> qPromoRatio,
@@ -910,6 +939,7 @@ object QueriesAnalytics {
     "q77_sql_topn" -> SqlTopNText,
     "q78_sql_rollup" -> SqlRollupText,
     "q79_sql_filter_agg" -> SqlFilterAggText,
+    "q128_sql_setops" -> SqlSetOpsText,
 
     "q73_top_supplier" ->
       s"""WITH rev AS (SELECT n_name, s_name,

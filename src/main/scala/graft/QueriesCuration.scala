@@ -379,7 +379,41 @@ object QueriesCuration {
       .orderBy("source")
   }
 
+  /** Power-of-two caps enumerated to 2^20 — shared by the Spark and
+    * oracle sides so the bucket edges are the SAME integers (a float
+    * `2^ceil(log2 n)` can land on either side of an exact power of
+    * two depending on the engine's log; an enumerated CASE cannot).
+    */
+  private val PadCaps: Seq[Long] = (0 to 20).map(1L << _)
+
+  /** q129: sequence-length bucketing / padding-waste audit — the batch
+    * -efficiency measurement behind bucketed batching (length-sorted
+    * batches are how training pipelines avoid padding short sequences
+    * to the global max): docs bucket to the smallest power-of-two cap
+    * ≥ their token count, and each bucket reports its doc count, token
+    * mass, absolute pad waste (n·cap − Σtokens), and waste in integer
+    * basis points. ONE aggregation over the corpus, all-integer math;
+    * compare Σ per-bucket waste against padding everything to the top
+    * bucket to see the win bucketing buys.
+    */
+  private val qPadBuckets: Q = (spark, dir) => {
+    val caps = PadCaps.foldRight(lit(null).cast("long")) { (cap, rest) =>
+      when(col("n_tokens") <= cap, lit(cap)).otherwise(rest)
+    }
+    Dedup.fanOut(Tables(spark, dir, "documents"), col("doc_id"))
+      .select(TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("bucket_cap", caps)
+      .groupBy("bucket_cap")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("pad_waste", col("bucket_cap") * col("n_docs") - col("sum_tokens"))
+      .withColumn("waste_bp",
+        expr("(pad_waste * 10000) div (bucket_cap * n_docs)"))
+      .select("bucket_cap", "n_docs", "sum_tokens", "pad_waste", "waste_bp")
+      .orderBy("bucket_cap")
+  }
+
   val all: Map[String, Q] = Map(
+    "q129_pad_buckets" -> qPadBuckets,
     "q106_url_canon" -> qUrlCanon,
     "q111_temp_sample" -> qTempSample,
     "q94_domain_cap" -> qDomainCap,
@@ -446,6 +480,21 @@ object QueriesCuration {
        |ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // bucket edges from the SAME enumerated power-of-two list; all
+    // integer math, `//` = Spark's `div` on non-negative longs
+    "q129_pad_buckets" -> {
+      val capCase = "CASE " + PadCaps.map(c =>
+        s"WHEN n_tokens <= $c THEN CAST($c AS BIGINT)").mkString(" ") + " END"
+      s"""WITH t AS (SELECT CAST(len(${QueriesTraining.toksSql}) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |b AS (SELECT $capCase AS bucket_cap, n_tokens FROM t),
+         |a AS (SELECT bucket_cap, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens FROM b GROUP BY bucket_cap)
+         |SELECT bucket_cap, n_docs, sum_tokens,
+         |  bucket_cap * n_docs - sum_tokens AS pad_waste,
+         |  ((bucket_cap * n_docs - sum_tokens) * 10000) // (bucket_cap * n_docs) AS waste_bp
+         |FROM a ORDER BY bucket_cap""".stripMargin
+    },
     "q111_temp_sample" ->
       s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
          |  FROM documents GROUP BY source),
