@@ -43,6 +43,15 @@ object QueriesTraining {
   private val qBpeMerges: Q = (spark, dir) =>
     graft.text.Bpe.train(Tables(spark, dir, "documents"), col("text"))
 
+  /** q130: the learned vocabulary APPLIED back to the corpus
+    * ([[graft.text.Bpe.tokenizedCounts]]) — per doc, word count vs
+    * subword count under the K-merge segmentation. The induce→apply
+    * pair is the full tokenizer lifecycle; the oracle nests the same
+    * K-stage chain and joins its final state to the documents.
+    */
+  private val qBpeApply: Q = (spark, dir) =>
+    graft.text.Bpe.tokenizedCounts(Tables(spark, dir, "documents"), col("text"))
+
   private val DsirBuckets = 1024
 
   /** q123: DSIR importance weights (Xie et al. 2023, "Data Selection
@@ -1132,6 +1141,7 @@ object QueriesTraining {
     "q16_text_tokens" -> qTextTokens,
     "q122_bpe_merges" -> qBpeMerges,
     "q123_dsir_weights" -> qDsir,
+    "q130_bpe_apply" -> qBpeApply,
     "q17_text_quality" -> qTextQuality,
     "q18_text_langid" -> qTextLangid,
     "q19_text_fingerprint" -> qTextFingerprint,
@@ -1432,6 +1442,7 @@ object QueriesTraining {
     // K-stage unrolled BPE twin, generated from the same sentinel,
     // merge count, and tie-break constants as the Spark trainer
     "q122_bpe_merges" -> graft.text.Bpe.oracleSql(graft.text.Bpe.DefaultMerges),
+    "q130_bpe_apply" -> graft.text.Bpe.applyOracleSql(graft.text.Bpe.DefaultMerges),
 
     // DSIR twin: same bucket hash, Laplace smoothing, and lowercase
     // tokenizer; bigrams by 1-based list index (q83's pattern)

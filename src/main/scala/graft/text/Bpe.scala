@@ -99,13 +99,22 @@ object Bpe {
     * fixed-K oracle.
     */
   def train(docs: DataFrame, textCol: Column, merges: Int = DefaultMerges): DataFrame = {
-    require(merges >= 1, s"merges must be >= 1: $merges")
     val spark = docs.sparkSession
     import spark.implicits._
+    val (out, state) = trainState(docs, textCol, merges)
+    state.unpersist(blocking = false)
+    out.toDF("step", "pair", "merged", "cnt")
+  }
 
+  /** The trainer's loop, also returning the final PERSISTED
+    * segmentation state `(word, freq, sym)` — the learned tokenizer's
+    * application table ([[q130]]'s input). Caller owns the unpersist.
+    */
+  private[graft] def trainState(docs: DataFrame, textCol: Column,
+                                merges: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
+    require(merges >= 1, s"merges must be >= 1: $merges")
     var state = wordFreq(docs, textCol)
       .withColumn("sym", wrapChars(col("word")))
-      .select("freq", "sym")
       .persist()
     state.count() // materialize: no later job re-reads the corpus
 
@@ -135,8 +144,32 @@ object Bpe {
       state.unpersist(blocking = false)
       state = next
     }
+    (out.result(), state)
+  }
+
+  /** Apply the learned vocabulary back to the corpus: per document,
+    * whitespace-word count and the subword count under the final
+    * segmentation — the compression measurement that tells you whether
+    * K merges were worth it. One more corpus pass (docs re-explode to
+    * words) joined against the vocab-sized state on the word key; the
+    * per-word subword count is projected BEFORE the join ships it, so
+    * the join carries (word, int), never symbol strings.
+    */
+  def tokenizedCounts(docs: DataFrame, textCol: Column,
+                      merges: Int = DefaultMerges): DataFrame = {
+    val (_, state) = trainState(docs, textCol, merges)
+    val sizes = state.select(col("word"),
+      size(split(col("sym"), " ")).cast("long").as("n_sub"))
+    val words = graft.dedup.Dedup.fanOut(docs, textCol)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(lower(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+    val out = graft.dedup.Dedup.materialize(
+      words.join(sizes, "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("n_sub").as("n_subwords"))
+        .orderBy("doc_id"))
     state.unpersist(blocking = false)
-    out.result().toDF("step", "pair", "merged", "cnt")
+    out
   }
 
   /** DuckDB twin: the same K iterations unrolled as CTE stages from
@@ -145,13 +178,18 @@ object Bpe {
     * `s(k-1)`, picks the arg-max into `b(k)`, and applies it into
     * `s(k)`; the result unions the K winners.
     */
-  def oracleSql(merges: Int, table: String = "documents", textCol: String = "text"): String = {
+  /** The shared K-stage CTE chain: word frequencies, initial
+    * segmentation, and per-stage (pair-count, arg-max, apply) triples.
+    * `word` rides through every stage so [[applyOracleSql]] can join
+    * the final state back to documents.
+    */
+  private def stagesSql(merges: Int, table: String, textCol: String): String = {
     val head =
-      s"""WITH wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+      s"""wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
          |  FROM (SELECT unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS word
          |        FROM $table)
          |  WHERE length(word) > 0 GROUP BY word),
-         |s0 AS (SELECT freq, array_to_string(list_transform(range(1, length(word) + 1),
+         |s0 AS (SELECT word, freq, array_to_string(list_transform(range(1, length(word) + 1),
          |    i -> '$Sep' || substr(word, i, 1) || '$Sep'), ' ') AS sym FROM wf)""".stripMargin
     val stages = (1 to merges).map { k =>
       s""",
@@ -161,10 +199,28 @@ object Bpe {
          |  GROUP BY pair),
          |b$k AS (SELECT CAST($k AS INT) AS step, pair, replace(pair, '$Sep $Sep', '') AS merged, cnt
          |  FROM p$k ORDER BY cnt DESC, pair LIMIT 1),
-         |s$k AS (SELECT freq, replace(sym, (SELECT pair FROM b$k), (SELECT merged FROM b$k)) AS sym
+         |s$k AS (SELECT word, freq, replace(sym, (SELECT pair FROM b$k), (SELECT merged FROM b$k)) AS sym
          |  FROM s${k - 1})""".stripMargin
     }.mkString
-    val union = (1 to merges).map(k => s"SELECT * FROM b$k").mkString(" UNION ALL ")
-    s"$head$stages\nSELECT step, pair, merged, cnt FROM ($union) ORDER BY step"
+    head + stages
   }
+
+  def oracleSql(merges: Int, table: String = "documents", textCol: String = "text"): String = {
+    val union = (1 to merges).map(k => s"SELECT * FROM b$k").mkString(" UNION ALL ")
+    s"""WITH ${stagesSql(merges, table, textCol)}
+       |SELECT step, pair, merged, cnt FROM ($union) ORDER BY step""".stripMargin
+  }
+
+  /** DuckDB twin of [[tokenizedCounts]]: the same chain, then the
+    * corpus re-exploded to words and joined to the final stage.
+    */
+  def applyOracleSql(merges: Int, table: String = "documents", textCol: String = "text"): String =
+    s"""WITH ${stagesSql(merges, table, textCol)},
+       |sz AS (SELECT word, CAST(len(string_split(sym, ' ')) AS BIGINT) AS n_sub FROM s$merges),
+       |w AS (SELECT doc_id, unnest(string_split_regex(trim(lower($textCol)), '\\s+')) AS word
+       |      FROM $table)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(n_sub) AS BIGINT) AS n_subwords
+       |FROM w JOIN sz USING (word) WHERE length(word) > 0
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

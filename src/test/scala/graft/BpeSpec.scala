@@ -54,6 +54,20 @@ class BpeSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("§b§ §a§", 2L)))
   }
 
+  test("apply: per-doc subword counts under the learned segmentation") {
+    import spark.implicits._
+    val d = Seq((0L, "aaab aaab ab")).toDF("doc_id", "text")
+    // after 2 merges (see the 3-step test): aaab → §aa§ §ab§ (2
+    // subwords), ab → §ab§ (1); doc = 3 words → 2+2+1 = 5 subwords
+    val out = Bpe.tokenizedCounts(d, col("text"), merges = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 3L, 5L)))
+    // 3rd merge collapses aaab entirely: 1+1+1
+    val out3 = Bpe.tokenizedCounts(d, col("text"), merges = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(out3.toSeq == Seq((3L, 3L)))
+  }
+
   test("exhausted vocabulary raises instead of short-tabling") {
     // single-char words only: no adjacent pair exists at step 1
     val e = intercept[IllegalStateException] {
