@@ -589,6 +589,50 @@ object QueriesTraining {
     Similarity.knnLshMultiProbe(q, e, 5, planes, EmbedDims).orderBy("q_id", "rank")
   }
 
+  private val JlDims = 16
+  private val JlOffsets = Seq(1L, 17L, 289L)
+  private val JlSample = 500L
+
+  /** q131: random-projection (Johnson–Lindenstrauss) distortion audit
+    * — the measurement that justifies projecting wide embeddings down
+    * before indexing at 100 TB: each 64-dim vector maps to the 16-dim
+    * vector of its signed-plane dots (the SAME deterministic ±1
+    * hyperplane family the SRP index uses, so this audits the index's
+    * own geometry), and a fixed offset-lattice pair sample compares
+    * exact cosine against projected cosine. Output per offset: pair
+    * count, mean and max absolute cosine error.
+    *
+    * Scale: projection is a per-row map (16 codegen dot products);
+    * the audit joins a BOUNDED sample (JlSample × |offsets| pairs) —
+    * the corpus-sized part never exceeds one projection pass, which
+    * the real pipeline pays anyway to build the reduced index.
+    */
+  private val qJlDistortion: Q = (spark, dir) => {
+    import spark.implicits._
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val proj = array((0 until JlDims).map { j =>
+      val plane = array((0 until EmbedDims).map(i =>
+        lit(Similarity.planeSign(j, i).toDouble)): _*)
+      Similarity.dot(col("v"), plane)
+    }: _*)
+    val ep = Dedup.materialize(e.withColumn("y", proj))
+    val offsets = JlOffsets.toDF("off")
+    val a = ep.filter(col("vec_id") < JlSample)
+      .select(col("vec_id").as("id_a"), col("v").as("va"), col("y").as("ya"))
+    val b = ep.select(col("vec_id").as("id_b"), col("v").as("vb"), col("y").as("yb"))
+    a.crossJoin(broadcast(offsets))
+      .withColumn("id_b", col("id_a") + col("off"))
+      .join(b, "id_b")
+      .withColumn("ae", abs(Similarity.cosine(col("va"), col("vb")) -
+        Similarity.cosine(col("ya"), col("yb"))))
+      .groupBy("off")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg("ae"), 6).as("mean_abs_err"),
+        round(max("ae"), 6).as("max_abs_err"))
+      .orderBy("off")
+  }
+
   private val RrfK = 60
   /** lcm(61..70): scaling each reciprocal-rank term 1/(60+rank) to an
     * EXACT integer for rank ≤ 10, so fusion scores compare with no
@@ -1154,6 +1198,7 @@ object QueriesTraining {
     "q109_cluster_rep" -> qClusterRep,
     "q112_ann_recall" -> qAnnRecall,
     "q125_rrf_fusion" -> qRrfFusion,
+    "q131_jl_distortion" -> qJlDistortion,
     "q115_char_entropy" -> qCharEntropy,
     "q118_dup_rate" -> qDupRate,
     "q121_cc_incremental" -> qCcIncremental,
@@ -1280,6 +1325,15 @@ object QueriesTraining {
 
   private def cosSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** Dims-parameterized twins for non-64-dim vectors (q131's 16-dim
+    * projections) — same exact left-to-right fold.
+    */
+  private def dotSqlN(a: String, b: String, n: Int): String =
+    foldSumDoubleSql(s"list_transform(range(1, ${n + 1}), i -> ($a)[i] * ($b)[i])")
+
+  private def cosSqlN(a: String, b: String, n: Int): String =
+    s"${dotSqlN(a, b, n)} / (sqrt(${dotSqlN(a, a, n)}) * sqrt(${dotSqlN(b, b, n)}))"
 
   /** DYNAMIC-plane-count SRP oracle machinery (round 7): the plane
     * count is now a scalar derived from `count(*)` (the ScaleParams
@@ -1852,6 +1906,24 @@ object QueriesTraining {
     "q121_cc_incremental" -> componentsOracle,
 
     "q29_knn_ivf" -> knnIvfOracle,
+
+    // JL audit: same sign lists + exact plane-dot fold as the SRP
+    // oracles; projected cosine via the 16-dim fold twin
+    "q131_jl_distortion" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |${signListsCte(JlDims.toString)},
+         |$planeDotsCte,
+         |y AS (SELECT vec_id, list(dt ORDER BY j) AS yv FROM d GROUP BY vec_id),
+         |o(off) AS (VALUES ${JlOffsets.map(o => s"(CAST($o AS BIGINT))").mkString(", ")}),
+         |p AS (SELECT a.vec_id AS id_a, a.vec_id + off AS id_b, off
+         |      FROM e a, o WHERE a.vec_id < $JlSample),
+         |err AS (SELECT off,
+         |  abs(${cosSql("ea.v", "eb.v")} - ${cosSqlN("ya.yv", "yb.yv", JlDims)}) AS ae
+         |  FROM p JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
+         |    JOIN y ya ON ya.vec_id = id_a JOIN y yb ON yb.vec_id = id_b)
+         |SELECT off, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  round(avg(ae), 6) AS mean_abs_err, round(max(ae), 6) AS max_abs_err
+         |FROM err GROUP BY off ORDER BY off""".stripMargin,
 
     // RRF fusion of the three nested index oracles; integer-scaled
     // reciprocal terms (exact lcm division) — no float ordering
