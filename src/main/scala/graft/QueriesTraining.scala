@@ -1084,6 +1084,27 @@ object QueriesTraining {
       .orderBy("lang")
   }
 
+  /** q132: CURRICULUM ORDERING — the deterministic global training
+    * order a curriculum-scheduled run consumes: docs bin into quality
+    * quartiles (phase 1 = best quality first, the FineWeb-style
+    * easy/clean-first schedule), and WITHIN each phase the order is a
+    * hash shuffle (md5 of doc_id), so each phase is internally
+    * decorrelated while the phase sequence is the curriculum. Both
+    * steps are the scale-safe [[graft.operators.GlobalRank]] — bin
+    * assignment and the global position are exact ntile/rank semantics
+    * with NO single-partition window anywhere.
+    */
+  private val qCurriculum: Q = (spark, dir) => {
+    val scored = docsFanned(spark, dir).select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+    val binned = graft.operators.GlobalRank.withNtile(scored,
+      Seq(col("quality").desc, col("doc_id")), 4, "bin")
+    graft.operators.GlobalRank.withRank(binned,
+        Seq(col("bin"), md5(col("doc_id").cast("string")), col("doc_id")), "pos")
+      .select(col("doc_id"), col("bin"), col("pos").cast("long").as("pos"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic balanced training-shard assignment: rank docs by
     * token count (longest first, doc_id tiebreak) with the scale-safe
     * [[graft.operators.GlobalRank]] — NO single-partition window —
@@ -1199,6 +1220,7 @@ object QueriesTraining {
     "q112_ann_recall" -> qAnnRecall,
     "q125_rrf_fusion" -> qRrfFusion,
     "q131_jl_distortion" -> qJlDistortion,
+    "q132_curriculum" -> qCurriculum,
     "q115_char_entropy" -> qCharEntropy,
     "q118_dup_rate" -> qDupRate,
     "q121_cc_incremental" -> qCcIncremental,
@@ -1631,6 +1653,19 @@ object QueriesTraining {
       s"""$qualityScoreCtes
          |SELECT doc_id, punct_ratio, stop_ratio, quality
          |FROM q ORDER BY doc_id""".stripMargin,
+
+    // curriculum: quartile phases by quality rank, hash-shuffled
+    // within phase; windows are the oracle's job only — the Spark
+    // side is two GlobalRank passes
+    "q132_curriculum" ->
+      s"""$qualityScoreCtes,
+         |r AS (SELECT doc_id, quality,
+         |  ntile(4) OVER (ORDER BY quality DESC, doc_id) AS bin FROM q),
+         |c AS (SELECT doc_id, CAST(bin AS BIGINT) AS bin,
+         |  CAST(row_number() OVER (
+         |    ORDER BY bin, md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
+         |  FROM r)
+         |SELECT doc_id, bin, pos FROM c ORDER BY doc_id""".stripMargin,
 
     "q71_quality_cut" ->
       s"""$qualityScoreCtes,
