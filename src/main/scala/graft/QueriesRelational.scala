@@ -634,7 +634,12 @@ object QueriesRelational {
     * candidates only, CC runs on the duplicate-pair edge set (≪ n),
     * and everything shuffles on ids/keys — never on record payloads.
     */
-  private val qEntityResolution: Q = (spark, dir) => {
+  /** The dirtied customer registry shared by the ER pipelines (q126
+    * blocking, q133 sorted-neighborhood): clean record per customer,
+    * a truncated-name variant for ≡0 (mod 3), a replaced-phone variant
+    * for ≡1 (mod 4). MATERIALIZED — both consumers fan out from it.
+    */
+  private def erRecords(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables(spark, dir, "customer")
     def phoneOf(k: Column): Column = substring(md5(k.cast("string")), 1, 12)
     val base = c.select((col("c_custkey") * 3).as("rec_id"), col("c_name").as("name"),
@@ -647,8 +652,19 @@ object QueriesRelational {
       .select((col("c_custkey") * 3 + 2).as("rec_id"), col("c_name").as("name"),
         concat(lit("x"), substring(md5(concat(lit("p"), col("c_custkey").cast("string"))), 1, 11)).as("phone"),
         col("c_nationkey").as("nation"))
-    val records = graft.dedup.Dedup.materialize(
+    graft.dedup.Dedup.materialize(
       base.unionByName(dirtyName).unionByName(dirtyPhone))
+  }
+
+  /** The shared match rule: same nation AND (same phone with name
+    * edit-distance ≤ 2, OR identical name).
+    */
+  private def erMatch(na: Column, pa: Column, ta: Column,
+                      nb: Column, pb: Column, tb: Column): Column =
+    ta === tb && ((pa === pb && levenshtein(na, nb) <= 2) || na === nb)
+
+  private val qEntityResolution: Q = (spark, dir) => {
+    val records = erRecords(spark, dir)
     val cand = EntityResolution.candidates(records, "rec_id",
       Seq(col("phone"), concat_ws("|", col("nation"), col("name"))))
     val a = records.select(col("rec_id").as("id_a"), col("name").as("na"),
@@ -656,9 +672,8 @@ object QueriesRelational {
     val b = records.select(col("rec_id").as("id_b"), col("name").as("nb"),
       col("phone").as("pb"), col("nation").as("tb"))
     val edges = cand.join(a, "id_a").join(b, "id_b")
-      .filter(col("ta") === col("tb") &&
-        ((col("pa") === col("pb") && levenshtein(col("na"), col("nb")) <= 2) ||
-          col("na") === col("nb")))
+      .filter(erMatch(col("na"), col("pa"), col("ta"),
+        col("nb"), col("pb"), col("tb")))
       .select("id_a", "id_b")
     val labels = graft.dedup.Dedup.connectedComponents(
       records.select("rec_id"), edges, "rec_id", "id_a", "id_b")
@@ -666,6 +681,49 @@ object QueriesRelational {
     labels.join(sizes, "canonical_id")
       .select(col("rec_id"), col("canonical_id"), col("n_records"))
       .orderBy("rec_id")
+  }
+
+  private val SnmWindow = 4L
+
+  /** q133: SORTED-NEIGHBORHOOD dedup — the other classic ER candidate
+    * generator (Hernández–Stolfo): rank all records by a sort key
+    * (name, then rec_id), compare only records within [[SnmWindow]]
+    * rank positions. Where q126's blocking needs a key that SURVIVES
+    * the dirt, SNM needs the dirt to keep records NEARBY in sort
+    * order — truncated names and replaced phones both sort adjacent to
+    * their clean twin here, so the window finds them; the two
+    * generators fail differently, which is why production ER runs
+    * both.
+    *
+    * Scale shape: the global rank is the two-phase [[GlobalRank]]
+    * (no single-partition window), and the rank-window self-join is
+    * bucketized — records join on rank div w and rank div w + 1, so
+    * each pair meets in EXACTLY one bucket (rb − ra < w pins b's
+    * bucket to a's or the next) and the join is a plain equi-join,
+    * never a non-equi nested loop.
+    */
+  private val qSortedNeighborhood: Q = (spark, dir) => {
+    val records = erRecords(spark, dir)
+    val ranked = graft.dedup.Dedup.materialize(
+      GlobalRank.withRank(records, Seq(col("name"), col("rec_id")), "rk")
+        .withColumn("bk", expr(s"rk div $SnmWindow")))
+    val a = ranked.select(col("rec_id").as("id_a"), col("name").as("na"),
+      col("phone").as("pa"), col("nation").as("ta"), col("rk").as("ra"), col("bk"))
+    val b = ranked.select(col("rec_id").as("id_b"), col("name").as("nb"),
+      col("phone").as("pb"), col("nation").as("tb"), col("rk").as("rb"), col("bk"))
+    Seq(0L, 1L).map(d => a.withColumn("bk", col("bk") + d).join(b, "bk"))
+      .reduce(_ unionByName _)
+      .filter(col("rb") > col("ra") && col("rb") < col("ra") + SnmWindow)
+      .filter(erMatch(col("na"), col("pa"), col("ta"),
+        col("nb"), col("pb"), col("tb")))
+      // two-step projection: aliasing the normalized pair straight to
+      // id_a/id_b would let the second expression capture the FIRST's
+      // aliased output (the round-6 q54 resolution trap)
+      .select(least(col("id_a"), col("id_b")).as("lo"),
+        greatest(col("id_a"), col("id_b")).as("hi"),
+        (col("rb") - col("ra")).as("gap"))
+      .select(col("lo").as("id_a"), col("hi").as("id_b"), col("gap"))
+      .orderBy("id_a", "id_b")
   }
 
   private val ZBits = 10
@@ -1107,6 +1165,7 @@ object QueriesRelational {
     "q46_range_join" -> qRangeJoin,
     "q124_overlap_join" -> qOverlapJoin,
     "q126_entity_resolution" -> qEntityResolution,
+    "q133_sorted_neighborhood" -> qSortedNeighborhood,
     "q47_zorder" -> qZorder,
     "q50_json_extract" -> qJsonExtract,
     "q51_salted_join" -> qSaltedJoin,
@@ -1168,6 +1227,26 @@ object QueriesRelational {
       |FROM ch
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
       |ORDER BY user_id, version""".stripMargin
+
+  /** The dirtied-registry CTEs shared by the q126/q133 oracles —
+    * generated text twins of [[erRecords]].
+    */
+  private lazy val erRecordsCtes: String =
+    """base AS (SELECT c_custkey * 3 AS rec_id, c_name AS name,
+      |  substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12) AS phone,
+      |  c_nationkey AS nation FROM customer),
+      |dn AS (SELECT c_custkey * 3 + 1, substr(c_name, 1, length(c_name) - 1),
+      |  substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12), c_nationkey
+      |  FROM customer WHERE c_custkey % 3 = 0),
+      |dp AS (SELECT c_custkey * 3 + 2, c_name,
+      |  'x' || substr(md5('p' || CAST(c_custkey AS VARCHAR)), 1, 11), c_nationkey
+      |  FROM customer WHERE c_custkey % 4 = 1),
+      |r AS (SELECT * FROM base UNION ALL SELECT * FROM dn UNION ALL SELECT * FROM dp)""".stripMargin
+
+  /** SQL twin of [[erMatch]]. */
+  private def erMatchSql(na: String, pa: String, ta: String,
+                         nb: String, pb: String, tb: String): String =
+    s"$ta = $tb AND (($pa = $pb AND levenshtein($na, $nb) <= 2) OR $na = $nb)"
 
   val oracles: Map[String, String] = Map(
     // the oracle is the full rebuild — it never sees the base/delta
@@ -1390,16 +1469,7 @@ object QueriesRelational {
     // ER: same dirtying, blocking, verify rule, and min-label CC
     // (recursive reach, q31's pattern) as the Spark pipeline
     "q126_entity_resolution" ->
-      s"""WITH RECURSIVE base AS (SELECT c_custkey * 3 AS rec_id, c_name AS name,
-         |  substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12) AS phone,
-         |  c_nationkey AS nation FROM customer),
-         |dn AS (SELECT c_custkey * 3 + 1, substr(c_name, 1, length(c_name) - 1),
-         |  substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12), c_nationkey
-         |  FROM customer WHERE c_custkey % 3 = 0),
-         |dp AS (SELECT c_custkey * 3 + 2, c_name,
-         |  'x' || substr(md5('p' || CAST(c_custkey AS VARCHAR)), 1, 11), c_nationkey
-         |  FROM customer WHERE c_custkey % 4 = 1),
-         |r AS (SELECT * FROM base UNION ALL SELECT * FROM dn UNION ALL SELECT * FROM dp),
+      s"""WITH RECURSIVE $erRecordsCtes,
          |cand AS (
          |  SELECT a.rec_id AS id_a, b.rec_id AS id_b FROM r a JOIN r b
          |    ON a.phone = b.phone AND a.rec_id < b.rec_id
@@ -1408,8 +1478,7 @@ object QueriesRelational {
          |    ON a.nation = b.nation AND a.name = b.name AND a.rec_id < b.rec_id),
          |e AS (SELECT id_a, id_b FROM cand
          |  JOIN r a ON a.rec_id = id_a JOIN r b ON b.rec_id = id_b
-         |  WHERE a.nation = b.nation AND
-         |    ((a.phone = b.phone AND levenshtein(a.name, b.name) <= 2) OR a.name = b.name)),
+         |  WHERE ${erMatchSql("a.name", "a.phone", "a.nation", "b.name", "b.phone", "b.nation")}),
          |sym AS (SELECT id_a AS s, id_b AS d FROM e UNION ALL SELECT id_b, id_a FROM e),
          |reach(id, lbl) AS (
          |  SELECT rec_id, rec_id FROM r
@@ -1420,6 +1489,20 @@ object QueriesRelational {
          |  FROM lab GROUP BY canonical_id)
          |SELECT lab.rec_id AS rec_id, lab.canonical_id AS canonical_id, sz.n_records
          |FROM lab JOIN sz USING (canonical_id) ORDER BY rec_id""".stripMargin,
+
+    // SNM: the oracle's rank window is the naive non-equi join the
+    // Spark side bucketizes
+    "q133_sorted_neighborhood" ->
+      s"""WITH $erRecordsCtes,
+         |rk AS (SELECT rec_id, name, phone, nation,
+         |  CAST(row_number() OVER (ORDER BY name, rec_id) AS BIGINT) AS rk FROM r),
+         |cand AS (SELECT a.rec_id AS id_a, b.rec_id AS id_b, b.rk - a.rk AS gap,
+         |    a.name AS na, a.phone AS pa, a.nation AS ta,
+         |    b.name AS nb, b.phone AS pb, b.nation AS tb
+         |  FROM rk a JOIN rk b ON b.rk > a.rk AND b.rk < a.rk + $SnmWindow)
+         |SELECT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b, gap
+         |FROM cand WHERE ${erMatchSql("na", "pa", "ta", "nb", "pb", "tb")}
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // the naive overlap join IS the oracle: the bucketed+ownership
     // decomposition must reproduce it pair-for-pair
