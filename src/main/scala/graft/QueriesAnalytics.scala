@@ -632,6 +632,40 @@ object QueriesAnalytics {
       .orderBy("event_type", "dt")
   }
 
+  /** q134: ROBUST per-series outlier audit — median/MAD instead of
+    * mean/stddev (q65/q95's moment stats), the estimator that doesn't
+    * let the outlier inflate its own threshold. Everything is exact
+    * integer arithmetic via the doubling trick: medians interpolate
+    * halves, so `med2 = median(2·cents)` and `mad4 = median(2·dev2)`
+    * are integer-valued on both engines, and the flag
+    * `dev > 3·MAD ⟺ 2·dev2 > 3·mad4` is a pure BIGINT compare — no
+    * float knife-edge anywhere.
+    *
+    * Scale: daily cents aggregate (one shuffle), then two
+    * nation-keyed exact-percentile aggregations whose groups are
+    * days-per-nation — time-bounded metadata, the same legitimacy as
+    * q32's exact percentiles; swap in the mergeable histogram sketch
+    * (q102) when groups outgrow that.
+    */
+  private val qRobustOutliers: Q = (spark, dir) => {
+    val daily = Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    val med = daily.groupBy("n_name")
+      .agg(expr("CAST(percentile(cents * 2, 0.5) AS BIGINT)").as("med2"))
+    val dev = daily.join(med, "n_name")
+      .withColumn("dev2", abs(col("cents") * 2 - col("med2")))
+    val mad = dev.groupBy("n_name")
+      .agg(expr("CAST(percentile(dev2 * 2, 0.5) AS BIGINT)").as("mad4"))
+    dev.join(mad, "n_name")
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_days"), max("med2").as("med2"), max("mad4").as("mad4"),
+        count(when(col("dev2") * 2 > col("mad4") * 3, 1)).as("n_outliers"))
+      .orderBy("n_name")
+  }
+
   /** q105: single-pass column profiling of the documents table — the
     * data-quality audit every ingestion front door runs before a
     * corpus is admitted: per column, null count, exact distinct
@@ -805,6 +839,7 @@ object QueriesAnalytics {
     "q110_attribution" -> qAttribution,
     "q93_transitions" -> qTransitions,
     "q95_daily_spikes" -> qDailySpikes,
+    "q134_robust_outliers" -> qRobustOutliers,
     "q68_sql_exists" -> qSqlExists,
     "q120_sql_sessions" -> qSqlSessions,
     "q77_sql_topn" -> qSqlTopN,
@@ -918,6 +953,26 @@ object QueriesAnalytics {
         |FROM x WHERE prev_type IS NOT NULL
         |GROUP BY prev_type, event_type
         |ORDER BY prev_type, event_type""".stripMargin,
+
+    // median/MAD with the doubling trick: both medians are
+    // integer-valued, the flag is a BIGINT compare
+    "q134_robust_outliers" ->
+      s"""WITH daily AS (SELECT n_name, strftime(o_orderdate, '%Y-%m-%d') AS day,
+         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  GROUP BY n_name, day),
+         |med AS (SELECT n_name, CAST(median(cents * 2) AS BIGINT) AS med2
+         |  FROM daily GROUP BY n_name),
+         |dev AS (SELECT d.n_name, abs(d.cents * 2 - m.med2) AS dev2
+         |  FROM daily d JOIN med m USING (n_name)),
+         |mad AS (SELECT n_name, CAST(median(dev2 * 2) AS BIGINT) AS mad4
+         |  FROM dev GROUP BY n_name)
+         |SELECT v.n_name AS n_name, CAST(count(*) AS BIGINT) AS n_days,
+         |  m.med2 AS med2, a.mad4 AS mad4,
+         |  CAST(count(CASE WHEN 2 * v.dev2 > 3 * a.mad4 THEN 1 END) AS BIGINT) AS n_outliers
+         |FROM dev v JOIN med m USING (n_name) JOIN mad a USING (n_name)
+         |GROUP BY v.n_name, m.med2, a.mad4 ORDER BY n_name""".stripMargin,
 
     "q95_daily_spikes" ->
       s"""WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS dt,

@@ -33,7 +33,14 @@ object ScaleRehearsal {
     // empty, which IS the scale claim: work below the exchange grows
     // linearly, the shuffle doesn't); cluster representative
     // selection (components + quality argmax)
-    "q104_containment", "q108_bm25", "q109_cluster_rep")
+    "q104_containment", "q108_bm25", "q109_cluster_rep",
+    // round-8 continuation: BPE induce (vocab grows ~Nx under the
+    // copy tags, so the per-iteration vocab jobs scale too, not just
+    // the one corpus pass) + apply, DSIR's bucket models (B stays
+    // FIXED at Nx — the point), padding buckets, curriculum ranks,
+    // and the JL projection pass over the rotated embeddings
+    "q122_bpe_merges", "q123_dsir_weights", "q129_pad_buckets",
+    "q132_curriculum", "q131_jl_distortion")
 
   private val EmbedDims = 64
 
@@ -153,6 +160,36 @@ object ScaleRehearsal {
       s""""q37_exact_sec":$tExact,"q85_bloom_sec":$tBloom}""")
   }
 
+  /** ER-pipeline rehearsal: synthesize an N× customer registry —
+    * offset keys (so derived phones stay distinct) and copy-tagged
+    * names (so exact-name blocks and the SNM sort neighborhood stay
+    * intra-copy) — and time the two candidate generators + verify +
+    * CC end-to-end at 1× and N×. The claim under test: block sizes
+    * and rank-window width are corpus-independent, so both pipelines
+    * grow ~linearly.
+    */
+  private def runEr(spark: org.apache.spark.sql.SparkSession, base: String,
+                    scaled: String, mult: Int): Unit = {
+    val c = spark.read.parquet(s"$base/customer.parquet")
+    (0 until mult).map { k =>
+      c.withColumn("c_custkey", col("c_custkey") + lit(k * 10000000L))
+        .withColumn("c_name", concat(lit(s"c${k}_"), col("c_name")))
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$scaled/customer.parquet")
+    val qs = Seq("q126_entity_resolution", "q133_sorted_neighborhood")
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count(): Unit
+      (System.nanoTime() - t0) / 1e9
+    }
+    Seq("1x" -> base, s"${mult}x" -> scaled).foreach { case (label, dir) =>
+      qs.foreach(q => time(q, dir)) // warm
+      val timed = qs.map(q => "\"" + q + "\":" + time(q, dir))
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"scale_rehearsal_er","scale":"$label","queries":$timed}""")
+    }
+  }
+
   /** N× documents synthesis shared by the chain and bloom paths — one
     * definition (the embedding copyVariant diverged once when inlined
     * twice; don't repeat that with the text transform).
@@ -176,9 +213,12 @@ object ScaleRehearsal {
     val embedOnly = args.length > 1 && args(1) == "embed"
     // "bloom" second arg: q85 selectivity audit over base + Nx docs
     val bloomOnly = args.length > 1 && args(1) == "bloom"
+    // "er" second arg: entity-resolution pipelines over an Nx registry
+    val erOnly = args.length > 1 && args(1) == "er"
     val scaled = s"/tmp/graft_scale_${mult}x"
     val spark = GraftSession.get("local[32]", "32")
     if (embedOnly) { runEmbed(spark, base, scaled, mult); spark.stop(); return }
+    if (erOnly) { runEr(spark, base, scaled, mult); spark.stop(); return }
     if (bloomOnly) {
       runBloom(spark, base, "1x")
       scaleDocs(spark, base, scaled, mult)
