@@ -397,6 +397,9 @@ object QueriesCuration {
     * bucket to see the win bucketing buys.
     */
   private val qPadBuckets: Q = (spark, dir) => {
+    // a doc beyond the top cap gets a NULL bucket on BOTH engines
+    // (and a NULL waste row — visible, not silently mis-binned); the
+    // oracle pins NULLS FIRST to match Spark's ASC default
     val caps = PadCaps.foldRight(lit(null).cast("long")) { (cap, rest) =>
       when(col("n_tokens") <= cap, lit(cap)).otherwise(rest)
     }
@@ -493,7 +496,7 @@ object QueriesCuration {
          |SELECT bucket_cap, n_docs, sum_tokens,
          |  bucket_cap * n_docs - sum_tokens AS pad_waste,
          |  ((bucket_cap * n_docs - sum_tokens) * 10000) // (bucket_cap * n_docs) AS waste_bp
-         |FROM a ORDER BY bucket_cap""".stripMargin
+         |FROM a ORDER BY bucket_cap NULLS FIRST""".stripMargin
     },
     "q111_temp_sample" ->
       s"""WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs

@@ -147,17 +147,26 @@ object ScaleRehearsal {
       .filter(Curation.bloomMightContain(sketch, col("shingle"))).count()
     val trueHits = corpusShingles.join(evalShingles, "shingle").count()
     val fpRate = (survive - trueHits).toDouble / math.max(total - trueHits, 1L)
-    def time(q: String): Double = {
-      val t0 = System.nanoTime()
-      SparkEntry.queries(q)(spark, dir).queryExecution.toRdd.count(): Unit
-      (System.nanoTime() - t0) / 1e9
-    }
+    def time(q: String): Double = timeQuery(spark, q, dir)
     Seq("q37_decontam", "q85_decontam_bloom").foreach(time) // warm
     val (tExact, tBloom) = (time("q37_decontam"), time("q85_decontam_bloom"))
     println(s"""{"metric":"bloom_prune","scale":"$label","sketch_bytes":${sketch.length},""" +
       s""""eval_shingles":$nEval,"corpus_shingles":$total,"bloom_survivors":$survive,""" +
       s""""true_overlaps":$trueHits,"fp_rate":$fpRate,""" +
       s""""q37_exact_sec":$tExact,"q85_bloom_sec":$tBloom}""")
+  }
+
+  /** Time one battery query's DECLARED plan on `dir`. The shared
+    * methodology for every rehearsal path: `queryExecution.toRdd
+    * .count()`, never `df.count()` — the latter wraps the query in
+    * Aggregate(count(1)) and lets Catalyst column-prune
+    * projection-shaped queries down to a bare scan count (see Bench).
+    */
+  private def timeQuery(spark: org.apache.spark.sql.SparkSession,
+                        name: String, dir: String): Double = {
+    val t0 = System.nanoTime()
+    SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count(): Unit
+    (System.nanoTime() - t0) / 1e9
   }
 
   /** ER-pipeline rehearsal: synthesize an N× customer registry —
@@ -177,11 +186,7 @@ object ScaleRehearsal {
     }.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$scaled/customer.parquet")
     val qs = Seq("q126_entity_resolution", "q133_sorted_neighborhood")
-    def time(name: String, dir: String): Double = {
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count(): Unit
-      (System.nanoTime() - t0) / 1e9
-    }
+    def time(name: String, dir: String): Double = timeQuery(spark, name, dir)
     Seq("1x" -> base, s"${mult}x" -> scaled).foreach { case (label, dir) =>
       qs.foreach(q => time(q, dir)) // warm
       val timed = qs.map(q => "\"" + q + "\":" + time(q, dir))
@@ -240,13 +245,7 @@ object ScaleRehearsal {
     }.reduce(_ unionAll _)
       .write.mode("overwrite").parquet(s"$scaled/embeddings.parquet")
 
-    def time(name: String, dir: String): Double = {
-      val t0 = System.nanoTime()
-      // execute the DECLARED plan (df.count() would column-prune
-      // projection-shaped queries to a scan count — see Bench)
-      SparkEntry.queries(name)(spark, dir).queryExecution.toRdd.count(): Unit
-      (System.nanoTime() - t0) / 1e9
-    }
+    def time(name: String, dir: String): Double = timeQuery(spark, name, dir)
     Seq("1x" -> base, s"${mult}x" -> scaled).foreach { case (label, dir) =>
       ChainQueries.foreach(q => time(q, dir)) // warm
       val qs = ChainQueries.map(q => "\"" + q + "\":" + time(q, dir))

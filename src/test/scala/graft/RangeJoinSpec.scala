@@ -99,6 +99,23 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got === Set((1L, 10L)))
   }
 
+  test("overlap join plans as an equi-join on the bucket, never a nested loop") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("vid"), col("user_id"),
+        col("ts_ms").as("vs"), (col("ts_ms") + 1800000L).as("ve"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid2"),
+        col("ts_ms").as("ps"), (col("ts_ms") + 600000L).as("pe"))
+    val df = RangeJoin.overlapJoin(views.drop("user_id"), "vs", "ve",
+      buys, "ps", "pe", bucketWidth = 900000L)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"overlap join must decompose to an equi-join:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
+  }
+
   test("plan is an equi-join on the bucket, never a nested loop") {
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val clicks = ev.filter(col("event_type") === "click")
