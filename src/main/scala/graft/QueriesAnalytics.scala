@@ -666,6 +666,42 @@ object QueriesAnalytics {
       .orderBy("n_name")
   }
 
+  /** q135: per-series OLS trend (least-squares slope of daily revenue
+    * over time) with the numerator and denominator kept as EXACT
+    * BIGINTs: slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) needs only the
+    * four classic sufficient statistics, all integers once x is the
+    * per-series-centered day index and y is cents. One corpus shuffle
+    * (daily aggregate) + one tiny min-day join + one series-keyed
+    * aggregate — sufficient-statistics regression is THE
+    * shuffle-friendly estimator (map-side combinable, mergeable
+    * across partitions, no per-series sort). Centering x bounds the
+    * products: |nΣxy| ≲ n²·x_max·y_max ≈ 2400²·2400·1e8 at sf0.1 —
+    * comfortably inside int64; the float division happens once, on
+    * the two exact integers, rounded for display.
+    */
+  private val qTrend: Q = (spark, dir) => {
+    val daily = Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000").as("d"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    val mins = daily.groupBy("n_name").agg(min("d").as("d0"))
+    daily.join(mins, "n_name")
+      .withColumn("x", col("d") - col("d0"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("cents")).as("sy"),
+        sum(col("x") * col("cents")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("n_name"), col("n_days"),
+        (col("n_days") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n_days") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+      .withColumn("slope_cents_day",
+        round(col("slope_num").cast("double") / col("slope_den"), 4))
+      .orderBy("n_name")
+  }
+
   /** q105: single-pass column profiling of the documents table — the
     * data-quality audit every ingestion front door runs before a
     * corpus is admitted: per column, null count, exact distinct
@@ -840,6 +876,7 @@ object QueriesAnalytics {
     "q93_transitions" -> qTransitions,
     "q95_daily_spikes" -> qDailySpikes,
     "q134_robust_outliers" -> qRobustOutliers,
+    "q135_trend" -> qTrend,
     "q68_sql_exists" -> qSqlExists,
     "q120_sql_sessions" -> qSqlSessions,
     "q77_sql_topn" -> qSqlTopN,
@@ -953,6 +990,28 @@ object QueriesAnalytics {
         |FROM x WHERE prev_type IS NOT NULL
         |GROUP BY prev_type, event_type
         |ORDER BY prev_type, event_type""".stripMargin,
+
+    // OLS via exact integer sufficient statistics; one float division
+    // at the very end
+    "q135_trend" ->
+      s"""WITH daily AS (SELECT n_name, epoch_ms(o_orderdate) // 86400000 AS d,
+         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  GROUP BY n_name, d),
+         |m AS (SELECT n_name, min(d) AS d0 FROM daily GROUP BY n_name),
+         |c AS (SELECT daily.n_name, d - d0 AS x, cents
+         |  FROM daily JOIN m USING (n_name)),
+         |s AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n_days,
+         |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(cents) AS BIGINT) AS sy,
+         |  CAST(sum(x * cents) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+         |  FROM c GROUP BY n_name)
+         |SELECT n_name, n_days,
+         |  n_days * sxy - sx * sy AS slope_num,
+         |  n_days * sxx - sx * sx AS slope_den,
+         |  round(CAST(n_days * sxy - sx * sy AS DOUBLE)
+         |    / (n_days * sxx - sx * sx), 4) AS slope_cents_day
+         |FROM s ORDER BY n_name""".stripMargin,
 
     // median/MAD with the doubling trick: both medians are
     // integer-valued, the flag is a BIGINT compare
