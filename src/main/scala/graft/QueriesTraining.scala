@@ -1183,9 +1183,23 @@ object QueriesTraining {
     graft.graph.Triangles.audit(pairs, "id_a", "id_b")
   }
 
+  /** q136: per-node clustering coefficient over the near-dup graph —
+    * tells duplicate-cluster CORES (clique-like neighborhoods,
+    * coeff → 10000) apart from template/boilerplate BRIDGES
+    * (high degree, low closure). Composes q91's exact edge set with
+    * [[graft.graph.Triangles.perNode]].
+    */
+  private val qClusterCoeff: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents").filter(col("text").isNotNull)
+    val pairs = graft.dedup.AllPairs.similarPairs(
+      Dedup.shingleTable(docs, "doc_id", "text"), "doc_id", "sh", 1, 2)
+    graft.graph.Triangles.perNode(pairs, "id_a", "id_b").orderBy("node")
+  }
+
   val all: Map[String, Q] = Map(
     "q91_allpairs" -> qAllPairs,
     "q98_dup_triangles" -> qDupTriangles,
+    "q136_cluster_coeff" -> qClusterCoeff,
     "q66_dup_spans" -> qDupSpans,
     "q67_dedup_edit" -> qDedupEdit,
     "q71_quality_cut" -> qQualityCut,
@@ -1567,6 +1581,29 @@ object QueriesTraining {
          |  CASE WHEN n_wedges > 0 THEN 3 * n_triangles * 10000 // n_wedges
          |       ELSE 0 END AS closure_bp
          |FROM agg""".stripMargin,
+
+    // per-node closure over the same exact edge set; triangles fan
+    // out to endpoints, integer-bp coefficient
+    "q136_cluster_coeff" ->
+      s"""$allPairsCtes,
+         |g AS (SELECT id_a AS u, id_b AS v FROM apairs),
+         |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree
+         |  FROM (SELECT u AS node FROM g UNION ALL SELECT v AS node FROM g)
+         |  GROUP BY node),
+         |tri AS (SELECT ab.u AS a, ab.v AS b, ac.v AS c
+         |  FROM g ab JOIN g ac ON ab.u = ac.u AND ab.v < ac.v
+         |            JOIN g bc ON bc.u = ab.v AND bc.v = ac.v),
+         |tn AS (SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM
+         |  (SELECT a AS node FROM tri UNION ALL SELECT b AS node FROM tri
+         |   UNION ALL SELECT c AS node FROM tri)
+         |  GROUP BY node)
+         |SELECT deg.node AS node, degree,
+         |  coalesce(tn.n_triangles, CAST(0 AS BIGINT)) AS n_triangles,
+         |  CASE WHEN degree >= 2
+         |    THEN (2 * coalesce(tn.n_triangles, CAST(0 AS BIGINT)) * 10000)
+         |      // (degree * (degree - 1))
+         |    ELSE CAST(0 AS BIGINT) END AS coeff_bp
+         |FROM deg LEFT JOIN tn USING (node) ORDER BY node""".stripMargin,
 
     "q66_dup_spans" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents

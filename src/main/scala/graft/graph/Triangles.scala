@@ -62,6 +62,41 @@ object Triangles {
           expr("3 * n_triangles * 10000 DIV n_wedges")).otherwise(0L))
   }
 
+  /** Per-node census: `(node, degree, n_triangles, coeff_bp)` where
+    * `coeff_bp` is the LOCAL clustering coefficient
+    * `2·triangles / (deg·(deg−1))` in integer basis points — the
+    * per-node density signal (a doc whose neighborhood is a clique is
+    * the core of a duplicate cluster; a high-degree node with low
+    * closure is a template bridging unrelated groups). Same
+    * degree-ordered orientation and wedge join as [[audit]], but the
+    * closing-edge probe is an inner join and each found triangle
+    * fans out to its three endpoints (×3 rows, still edge-bounded)
+    * for a node-keyed count.
+    */
+  def perNode(edges: DataFrame, uCol: String, vCol: String): DataFrame = {
+    val e = graft.dedup.Dedup.materialize(
+      edges.select(col(uCol).as("u"), col(vCol).as("v")))
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+    val oriented = graft.dedup.Dedup.materialize(
+      orientedEdges(e, deg.select(col("node"), col("degree").as("d"))))
+    val oa = oriented.select(col("src"), col("dst").as("a"), col("ddeg").as("da"))
+    val ob = oriented.select(col("src"), col("dst").as("b"), col("ddeg").as("db"))
+    val wedges = oa.join(ob, "src")
+      .filter(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")))
+      .select(col("src"), col("a"), col("b"))
+    val tris = wedges
+      .join(oriented.select(col("src").as("a"), col("dst").as("b")), Seq("a", "b"))
+      .select(explode(array(col("src"), col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("t"))
+    deg.join(tris, Seq("node"), "left")
+      .withColumn("n_triangles", coalesce(col("t"), lit(0L)))
+      .withColumn("coeff_bp", when(col("degree") >= 2,
+        expr("2 * n_triangles * 10000 DIV (degree * (degree - 1))")).otherwise(lit(0L)))
+      .select("node", "degree", "n_triangles", "coeff_bp")
+  }
+
   /** Orient `e(u, v)` by (degree, id): src is the smaller endpoint
     * under the total order, `ddeg` carries the dst side's degree for
     * the wedge ordering. Package-private so the spec asserts the
