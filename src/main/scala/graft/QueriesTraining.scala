@@ -99,6 +99,57 @@ object QueriesTraining {
       .orderBy("doc_id")
   }
 
+  private val PmiWindow = 2
+  private val PmiTopK = 40
+
+  /** q137: PMI co-occurrence statistics — the word2vec/GloVe-era
+    * corpus measurement: for token pairs co-occurring within
+    * ±[[PmiWindow]] positions, pointwise mutual information
+    * ln(p(a,b) / (p(a)·p(b))) with the pair distribution from the
+    * windowed counts and marginals from the unigram distribution.
+    * Top-[[PmiTopK]] pairs by COUNT (integer ordering, pair-string
+    * tiebreak — the selection never touches the float PMI).
+    *
+    * Scale: pairs come straight off the token array (one explode of
+    * a per-row transform — no self-join, no window function); the
+    * count table shuffles pair KEYS with map-side combine; marginals
+    * join only the top-K slice. Both engines fold the same
+    * normalized (least, greatest) pair key.
+    */
+  private val qPmi: Q = (spark, dir) => {
+    val tk = Dedup.materialize(
+      docsFanned(spark, dir).select(
+        TextAnalysis.tokens(lower(col("text"))).as("t")))
+    def pairsAt(k: Int) = {
+      val t = col("t")
+      when(size(t) >= k + 1,
+        transform(sequence(lit(1), size(t) - k), i =>
+          concat(least(element_at(t, i), element_at(t, i + k)), lit(" "),
+            greatest(element_at(t, i), element_at(t, i + k)))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val pairs = tk.select(explode(concat(
+      (1 to PmiWindow).map(pairsAt): _*)).as("pair"))
+    val topPairs = pairs.groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair")).limit(PmiTopK)
+    val toks = tk.select(explode(col("t")).as("term"))
+    val tc = toks.groupBy("term").agg(count(lit(1)).as("c"))
+    val totals = pairs.agg(count(lit(1)).as("np"))
+      .crossJoin(toks.agg(count(lit(1)).as("nt")))
+    topPairs
+      .withColumn("wa", split(col("pair"), " ").getItem(0))
+      .withColumn("wb", split(col("pair"), " ").getItem(1))
+      .join(tc.select(col("term").as("wa"), col("c").as("ca")), "wa")
+      .join(tc.select(col("term").as("wb"), col("c").as("cb")), "wb")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi", round(
+        log((col("cnt").cast("double") / col("np")) /
+          ((col("ca").cast("double") / col("nt")) *
+            (col("cb").cast("double") / col("nt")))), 6))
+      .select(col("pair"), col("cnt"), col("pmi"))
+      .orderBy(col("cnt").desc, col("pair"))
+  }
+
   /** Quality scoring: punctuation/stopword ratios + composite score. */
   private val qTextQuality: Q = (spark, dir) => {
     docsFanned(spark, dir).select(
@@ -1221,6 +1272,7 @@ object QueriesTraining {
     "q122_bpe_merges" -> qBpeMerges,
     "q123_dsir_weights" -> qDsir,
     "q130_bpe_apply" -> qBpeApply,
+    "q137_pmi" -> qPmi,
     "q17_text_quality" -> qTextQuality,
     "q18_text_langid" -> qTextLangid,
     "q19_text_fingerprint" -> qTextFingerprint,
@@ -1581,6 +1633,30 @@ object QueriesTraining {
          |  CASE WHEN n_wedges > 0 THEN 3 * n_triangles * 10000 // n_wedges
          |       ELSE 0 END AS closure_bp
          |FROM agg""".stripMargin,
+
+    // PMI: same windowed (least, greatest) pair keys, count-ordered
+    // top-K, marginals joined on the K slice only
+    "q137_pmi" ->
+      s"""WITH tt AS (SELECT $ltoksSql AS t FROM documents),
+         |pr AS (SELECT unnest(list_concat(
+         |    CASE WHEN len(t) >= 2 THEN list_transform(range(1, len(t)), i ->
+         |      least(t[i], t[i+1]) || ' ' || greatest(t[i], t[i+1]))
+         |      ELSE CAST([] AS VARCHAR[]) END,
+         |    CASE WHEN len(t) >= 3 THEN list_transform(range(1, len(t) - 1), i ->
+         |      least(t[i], t[i+2]) || ' ' || greatest(t[i], t[i+2]))
+         |      ELSE CAST([] AS VARCHAR[]) END)) AS pair
+         |  FROM tt),
+         |pc AS (SELECT pair, CAST(count(*) AS BIGINT) AS cnt FROM pr GROUP BY pair),
+         |top AS (SELECT pair, cnt FROM pc ORDER BY cnt DESC, pair LIMIT $PmiTopK),
+         |tok AS (SELECT unnest(t) AS term FROM tt),
+         |tc AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY term),
+         |tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM pr) AS np,
+         |        (SELECT CAST(count(*) AS BIGINT) FROM tok) AS nt)
+         |SELECT pair, cnt, round(ln((CAST(cnt AS DOUBLE) / np) /
+         |  ((CAST(ca.c AS DOUBLE) / nt) * (CAST(cb.c AS DOUBLE) / nt))), 6) AS pmi
+         |FROM top JOIN tc ca ON ca.term = string_split(pair, ' ')[1]
+         |  JOIN tc cb ON cb.term = string_split(pair, ' ')[2], tot
+         |ORDER BY cnt DESC, pair""".stripMargin,
 
     // per-node closure over the same exact edge set; triangles fan
     // out to endpoints, integer-bp coefficient
