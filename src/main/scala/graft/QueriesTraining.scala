@@ -99,6 +99,45 @@ object QueriesTraining {
       .orderBy("doc_id")
   }
 
+  private val SimhashHamMax = 3
+  private val SimhashBands = 4
+
+  /** q138: SimHash near-dup PAIRS by Hamming distance — the Manku et
+    * al. (WWW'07) web-dedup design that q23 computes fingerprints
+    * for: a pair is near-dup iff hamming(simhash_a, simhash_b) ≤
+    * [[SimhashHamMax]], and the pigeonhole principle turns that into
+    * a JOIN — split the 32-bit fingerprint into [[SimhashBands]]
+    * 8-bit bands; ≤ 3 differing bits can touch at most 3 bands, so
+    * every qualifying pair agrees EXACTLY on ≥ 1 band and the
+    * candidate join is a plain equi-join on (band index, band value).
+    * Exact `bit_count(xor)` verifies candidates only.
+    *
+    * Scale: fingerprints are one codegen pass (q23); the bands
+    * explode ×4; band-value collision groups are the only quadratic
+    * exposure and band width (8 bits here, 16 in Manku's 64-bit
+    * design) is the occupancy knob — same argument as the SRP/LSH
+    * family, integer-exact end to end.
+    */
+  private val qSimhashDedup: Q = (spark, dir) => {
+    val s = Dedup.materialize(docsFanned(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), Dedup.simhash32(col("text")).as("simhash")))
+    val b = s.select(col("doc_id"), col("simhash"),
+        explode(array((0 until SimhashBands).map(k =>
+          struct(lit(k).as("k"),
+            expr(s"(simhash >> (8 * $k)) & 255").as("bv"))): _*)).as("bd"))
+      .select(col("doc_id"), col("simhash"), col("bd.k"), col("bd.bv"))
+    b.select(col("doc_id").as("id_a"), col("simhash").as("ha"), col("k"), col("bv"))
+      .join(b.select(col("doc_id").as("id_b"), col("simhash").as("hb"),
+        col("k"), col("bv")), Seq("k", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "ha", "hb").distinct()
+      .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+      .filter(col("hamming") <= SimhashHamMax)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
   private val PmiWindow = 2
   private val PmiTopK = 40
 
@@ -1273,6 +1312,7 @@ object QueriesTraining {
     "q123_dsir_weights" -> qDsir,
     "q130_bpe_apply" -> qBpeApply,
     "q137_pmi" -> qPmi,
+    "q138_simhash_dedup" -> qSimhashDedup,
     "q17_text_quality" -> qTextQuality,
     "q18_text_langid" -> qTextLangid,
     "q19_text_fingerprint" -> qTextFingerprint,
@@ -1996,6 +2036,22 @@ object QueriesTraining {
          |  FROM documents)
          |SELECT doc_id, $simhashTermsSql AS simhash
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    // Hamming-banded pairs over q23's fingerprints: pigeonhole makes
+    // the distance predicate an equi-join; exact bit_count verify
+    "q138_simhash_dedup" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  list_transform($toksSql, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
+         |  FROM documents WHERE text IS NOT NULL),
+         |s AS (SELECT doc_id, $simhashTermsSql AS simhash FROM t),
+         |b AS (SELECT doc_id, simhash, k, (simhash >> (8 * k)) & 255 AS bv
+         |  FROM s, (SELECT unnest(range(0, $SimhashBands)) AS k)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+         |    a.simhash AS ha, c.simhash AS hb
+         |  FROM b a JOIN b c ON a.k = c.k AND a.bv = c.bv AND a.doc_id < c.doc_id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= $SimhashHamMax
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q24_dedup_embed" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
