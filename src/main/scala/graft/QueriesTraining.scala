@@ -865,6 +865,87 @@ object QueriesTraining {
     ivfProbeRerank(e, learned, ivfAssign(e, learned))
   }
 
+  private val PqM = 4        // subspaces
+  private val PqSubDim = EmbedDims / PqM
+  private val PqK = 8        // centroids per subspace codebook
+  private val PqIters = 1    // Lloyd refinements per subspace
+
+  /** q139: PRODUCT-QUANTIZATION ANN with asymmetric-distance (ADC)
+    * scoring — the memory story a 100 TB vector store actually ships:
+    * each 64-dim float vector (256 B) compresses to [[PqM]] one-byte
+    * codes (4 B, 64×), and query scoring touches ONLY the codes plus a
+    * per-query M×K distance table — the raw corpus vectors are never
+    * read again after encoding.
+    *
+    * Build: sub-vector slices become rows `(vec_id, m, sv)`, so one
+    * generic Lloyd pass trains all M codebooks at once (subspace is a
+    * grouping key, not an unrolled program). Init = first-[[PqK]]
+    * vectors per subspace; [[PqIters]] assign/mean refinements with
+    * `round(·,6)` means (the cross-engine parity contract q80 uses).
+    * Encode: broadcast argmin over the M×K codebook — the shuffle
+    * carries one row per (vector, subspace), never vectors×K.
+    * Score: per-query distance table `(q_id, m, code) → d_us` scaled
+    * to integer micro-units, broadcast onto the codes table; the ADC
+    * sum is an exact BIGINT aggregation (order-free — no float
+    * summation knife-edge across engines) with map-side combine, so
+    * the exchange carries one row per (query, vector).
+    *
+    * All distances are the codegen [[graft.functions.vec_l2sq]] —
+    * bit-identical to the oracle's left-to-right `list_reduce` fold.
+    */
+  private val qPqAdc: Q = (spark, dir) => {
+    val e = embeddingsRepartitioned(spark, dir)
+    val sub = e.select(col("vec_id"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("m"), col("vec"))
+      .withColumn("sv", slice(col("vec"), col("m") * PqSubDim + 1, lit(PqSubDim)))
+      .select("vec_id", "m", "sv")
+    var cb = sub.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").as("c_id"), col("sv").as("c_vec"))
+    // generic Lloyd pass over the (vec_id, m) sub-vector table: one
+    // E-step broadcast argmin + one M-step carrying M×K×subdim sums
+    for (_ <- 1 to PqIters) {
+      cb = sub.join(broadcast(cb), "m")
+        .withColumn("d2", round(graft.functions.vec_l2sq(col("sv"), col("c_vec")), 6))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min_by(struct(col("sv"), col("c_id")), struct(col("d2"), col("c_id"))).as("best"))
+        .select(col("m"), col("best.c_id").as("list_id"), col("best.sv").as("sv"))
+        .select(col("m"), col("list_id"), posexplode(col("sv")))
+        .groupBy(col("m"), col("list_id"), col("pos"))
+        .agg(round(avg(col("col").cast("double")), 6).as("mu"))
+        .groupBy(col("m"), col("list_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mu")))),
+          s => s.getField("mu")).as("c_vec"))
+        .select(col("m"), col("list_id").as("c_id"), col("c_vec"))
+    }
+    val codebook = Dedup.materialize(cb)
+    val codes = sub.join(broadcast(codebook), "m")
+      .withColumn("d2", round(graft.functions.vec_l2sq(col("sv"), col("c_vec")), 6))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("c_id"), struct(col("d2"), col("c_id"))).as("code"))
+    val q = sub.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("m"), col("sv").as("q_sv"))
+    val dt = q.join(broadcast(codebook), "m")
+      .select(col("q_id"), col("m"), col("c_id"),
+        round(graft.functions.vec_l2sq(col("q_sv"), col("c_vec")) * 1e6)
+          .cast("long").as("d_us"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("adist_us"), col("vec_id"))
+    // aliased probe table: codes and dt share the `sub` lineage, so an
+    // unaliased codes("m") === dt("m") degenerates to a trivially-true
+    // self-reference
+    val dtA = dt.select(col("q_id"), col("m").as("dm"),
+      col("c_id").as("dc"), col("d_us"))
+    codes.join(broadcast(dtA),
+        col("m") === col("dm") && col("code") === col("dc"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d_us")).as("adist_us"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("adist_us"))
+      .orderBy("q_id", "rank")
+  }
+
   /** K-means M-step at scale (the IVF maintenance job q29 assumes):
     * re-assign every vector to its nearest centroid, recompute each
     * centroid as the elementwise mean of its list, and report the
@@ -1303,6 +1384,7 @@ object QueriesTraining {
     "q28_frames" -> qFrames,
     "q29_knn_ivf" -> qKnnIvf,
     "q80_ivf_learned" -> qIvfLearned,
+    "q139_pq_adc" -> qPqAdc,
     "q82_sql_functions" -> qSqlFunctions,
     "q49_centroid_update" -> qCentroidUpdate,
     "q30_ngram_topk" -> qNgramTopk,
@@ -1462,6 +1544,14 @@ object QueriesTraining {
 
   private def cosSqlN(a: String, b: String, n: Int): String =
     s"${dotSqlN(a, b, n)} / (sqrt(${dotSqlN(a, a, n)}) * sqrt(${dotSqlN(b, b, n)}))"
+
+  /** Squared-L2 twin of [[graft.functions.vec_l2sq]] — identical
+    * left-to-right fold over (a_i−b_i)², so PQ codebook assignment
+    * never sits on a float knife-edge across engines.
+    */
+  private def l2Sql(a: String, b: String, n: Int): String =
+    foldSumDoubleSql(
+      s"list_transform(range(1, ${n + 1}), i -> (($a)[i] - ($b)[i]) * (($a)[i] - ($b)[i]))")
 
   /** DYNAMIC-plane-count SRP oracle machinery (round 7): the plane
     * count is now a scalar derived from `count(*)` (the ScaleParams
@@ -2169,6 +2259,42 @@ object QueriesTraining {
          |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
          |           FROM scored)
          |SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // PQ: the generic (vec_id, m) sub-vector Lloyd pass + integer-
+    // micro-unit ADC sum — the BIGINT sum is order-free, and every
+    // float comparison is on a round(·,6) of a bit-identical fold
+    "q139_pq_adc" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |sub AS (SELECT vec_id, m, v[m*$PqSubDim+1 : m*$PqSubDim+$PqSubDim] AS sv
+         |        FROM e, range(0, $PqM) t(m)),
+         |c0 AS (SELECT m, vec_id AS c_id, sv AS c_vec FROM sub WHERE vec_id < $PqK),
+         |a1 AS (SELECT vec_id, m, sv, c_id AS list_id FROM (
+         |  SELECT s.vec_id, s.m, s.sv, c.c_id,
+         |    row_number() OVER (PARTITION BY s.vec_id, s.m
+         |      ORDER BY round(${l2Sql("s.sv", "c.c_vec", PqSubDim)}, 6), c.c_id) AS crk
+         |  FROM sub s JOIN c0 c USING (m)) WHERE crk = 1),
+         |m1 AS (SELECT m, list_id, i, round(avg(sv[i]), 6) AS mu
+         |  FROM a1, (SELECT unnest(range(1, ${PqSubDim + 1})) AS i) idx
+         |  GROUP BY m, list_id, i),
+         |c1 AS (SELECT m, list_id AS c_id, list(mu ORDER BY i) AS c_vec
+         |  FROM m1 GROUP BY m, list_id),
+         |codes AS (SELECT vec_id, m, c_id AS code FROM (
+         |  SELECT s.vec_id, s.m, c.c_id,
+         |    row_number() OVER (PARTITION BY s.vec_id, s.m
+         |      ORDER BY round(${l2Sql("s.sv", "c.c_vec", PqSubDim)}, 6), c.c_id) AS crk
+         |  FROM sub s JOIN c1 c USING (m)) WHERE crk = 1),
+         |q AS (SELECT vec_id AS q_id, m, sv AS q_sv FROM sub WHERE vec_id < 10),
+         |dt AS (SELECT q_id, q2.m, c.c_id,
+         |  CAST(round(${l2Sql("q2.q_sv", "c.c_vec", PqSubDim)} * 1000000) AS BIGINT) AS d_us
+         |  FROM q q2 JOIN c1 c USING (m)),
+         |sc AS (SELECT q_id, vec_id, CAST(sum(d_us) AS BIGINT) AS adist_us
+         |  FROM codes k JOIN dt ON dt.m = k.m AND dt.c_id = k.code
+         |  GROUP BY q_id, vec_id),
+         |r AS (SELECT q_id, vec_id, adist_us,
+         |  row_number() OVER (PARTITION BY q_id ORDER BY adist_us, vec_id) AS rank
+         |  FROM sc WHERE vec_id <> q_id)
+         |SELECT q_id, rank, vec_id, adist_us FROM r WHERE rank <= 5
+         |ORDER BY q_id, rank""".stripMargin,
 
     "q49_centroid_update" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

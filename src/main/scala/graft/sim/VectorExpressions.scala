@@ -184,3 +184,60 @@ case class VectorCosine(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VectorCosine =
     copy(left = l, right = r)
 }
+
+/** `vec_l2sq(a, b)`: Σ (a_i−b_i)² over min(|a|,|b|) elements — the
+  * squared Euclidean distance product-quantization codebooks train
+  * and score on. Sequential left-to-right accumulation, bit-identical
+  * to the DuckDB `list_reduce` fold over
+  * `list_transform(range(...), i -> (a[i]-b[i])*(a[i]-b[i]))` the
+  * oracle runs on `::DOUBLE[]` lists.
+  */
+case class VectorL2Sq(left: Expression, right: Expression)
+    extends BinaryExpression with VectorExprHelpers {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = checkVec(left.dataType, "left")
+    if (l != TypeCheckResult.TypeCheckSuccess) l else checkVec(right.dataType, "right")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null array element => null
+  override def prettyName: String = "vec_l2sq"
+
+  @transient private lazy val lFloat = isFloat(left.dataType)
+  @transient private lazy val rFloat = isFloat(right.dataType)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val d = readElem(x, i, lFloat) - readElem(y, i, rFloat)
+      s += d * d; i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        double $s = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+          double $d = ${readElem(a, i, lFloat)} - ${readElem(b, i, rFloat)};
+          $s += $d * $d;
+        }
+        ${ev.value} = $s;
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VectorL2Sq =
+    copy(left = l, right = r)
+}

@@ -148,6 +148,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"no (day, user_id) distinct aggregate below the explode fan-out:\n$p")
   }
 
+  test("q139_pq_adc: codebook/distance tables broadcast; corpus never self-joins") {
+    val df = Queries.all("q139_pq_adc")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // every join in the PQ build/score path has a metadata-sized side
+    // (M×K codebook, queries×M×K distance table) — a sort-merge or
+    // cartesian join would mean corpus sub-vectors met corpus
+    // sub-vectors, the O(n²) shape PQ exists to avoid
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-sized join side:\n$p")
+    assert(!p.contains("CartesianProduct"), s"corpus cross join:\n$p")
+  }
+
   test("grok capture pruning fires on a multi-capture pattern over a real scan") {
     // %{GENERIC} yields 2 captures (GENERIC + log_event,
     // NamedCapturesOnly=false); selecting one prunes the other.
