@@ -178,9 +178,13 @@ object QueriesAnalytics {
         .agg(max(struct(col("cnt"), (-col("lbl")).as("nl"))).as("m"))
         .select(col("dst").as("node"), (-col("m.nl")).as("lbl"))
     }
-    val sizes = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
+    // materialized BEFORE fan-out to two consumers (the size aggregate
+    // and the join back) — otherwise the whole LpaIters-round
+    // propagation chain recomputes once per consumer
+    val finalLabels = dedup.Dedup.materialize(labels)
+    val sizes = finalLabels.groupBy(col("lbl")).agg(count(lit(1)).as("n_members"))
     val out = dedup.Dedup.materialize(
-      labels.join(sizes, "lbl")
+      finalLabels.join(sizes, "lbl")
         .select(col("node"), col("lbl").as("community"), col("n_members"))
         .orderBy("node"))
     edges.unpersist()

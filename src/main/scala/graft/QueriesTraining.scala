@@ -946,6 +946,48 @@ object QueriesTraining {
       .orderBy("q_id", "rank")
   }
 
+  /** q140: PARETO-FRONTIER (skyline) document selection — keep every
+    * document no other document dominates on (token count, lexical
+    * diversity): the multi-criteria keep-rule a curation pipeline
+    * applies when no single scalar score exists. The oracle is the
+    * O(n²) dominance NOT-EXISTS; the engine computes the identical
+    * set in three LINEAR passes, because 2-D dominance reduces
+    * exactly to an exclusive prefix max:
+    *  1. per-token-count aggregate: best diversity per length group
+    *     (one key-sized shuffle with map-side combine);
+    *  2. exclusive global prefix max over strictly-LONGER groups via
+    *     [[graft.operators.GlobalRank.withPrefixMax]] — range
+    *     partition + metadata-sized collect, no single-partition
+    *     window;
+    *  3. a length group is on the frontier iff its best strictly
+    *     beats every longer group's; a document survives iff its
+    *     group is on the frontier and it attains the group best
+    *     (ties on both axes: neither dominates, both kept).
+    * Diversity is integer basis points (floor(1e4·distinct/total)) —
+    * every dominance comparison is BIGINT, no float knife-edge.
+    */
+  private val qSkyline: Q = (spark, dir) => {
+    val toks = docsFanned(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+    val s = Dedup.materialize( // feeds the group agg AND the final join
+      toks.filter(size(col("t")) > 0)
+        .select(col("doc_id"), size(col("t")).cast("long").as("tok_cnt"),
+          size(array_distinct(col("t"))).cast("long").as("ud"))
+        .withColumn("uniq_bp",
+          floor(lit(10000.0) * col("ud") / col("tok_cnt")).cast("long"))
+        .select("doc_id", "tok_cnt", "uniq_bp"))
+    val g = s.groupBy("tok_cnt").agg(max(col("uniq_bp")).as("gq"))
+    val skyGroups = graft.operators.GlobalRank
+      .withPrefixMax(g, Seq(col("tok_cnt").desc), "gq", "pm")
+      .filter(col("gq") > col("pm"))
+      .select(col("tok_cnt"), col("gq"))
+    s.join(skyGroups, "tok_cnt")
+      .filter(col("uniq_bp") === col("gq"))
+      .select(col("doc_id"), col("tok_cnt"), col("uniq_bp"))
+      .orderBy("doc_id")
+  }
+
   /** K-means M-step at scale (the IVF maintenance job q29 assumes):
     * re-assign every vector to its nearest centroid, recompute each
     * centroid as the elementwise mean of its list, and report the
@@ -1385,6 +1427,7 @@ object QueriesTraining {
     "q29_knn_ivf" -> qKnnIvf,
     "q80_ivf_learned" -> qIvfLearned,
     "q139_pq_adc" -> qPqAdc,
+    "q140_skyline" -> qSkyline,
     "q82_sql_functions" -> qSqlFunctions,
     "q49_centroid_update" -> qCentroidUpdate,
     "q30_ngram_topk" -> qNgramTopk,
@@ -2259,6 +2302,20 @@ object QueriesTraining {
          |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
          |           FROM scored)
          |SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin,
+
+    // skyline: the oracle is the O(n²) dominance definition itself —
+    // the engine's 3-linear-pass reduction must reproduce it exactly
+    "q140_skyline" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS t FROM documents
+         |  WHERE text IS NOT NULL),
+         |s AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS tok_cnt,
+         |    CAST(FLOOR(10000.0 * len(list_distinct(t)) / len(t)) AS BIGINT) AS uniq_bp
+         |  FROM t WHERE len(t) > 0),
+         |sky AS (SELECT a.doc_id, a.tok_cnt, a.uniq_bp FROM s a
+         |  WHERE NOT EXISTS (SELECT 1 FROM s b
+         |    WHERE b.tok_cnt >= a.tok_cnt AND b.uniq_bp >= a.uniq_bp
+         |      AND (b.tok_cnt > a.tok_cnt OR b.uniq_bp > a.uniq_bp)))
+         |SELECT doc_id, tok_cnt, uniq_bp FROM sky ORDER BY doc_id""".stripMargin,
 
     // PQ: the generic (vec_id, m) sub-vector Lloyd pass + integer-
     // micro-unit ADC sum — the BIGINT sum is order-free, and every

@@ -57,6 +57,51 @@ object GlobalRank {
     r.withColumn(tileCol, tile.cast("long")).drop("__rank")
   }
 
+  /** `df` plus the exact EXCLUSIVE global running max of long column
+    * `valCol` over `sortCols` (strictly-preceding rows only) — what a
+    * `max(v) OVER (ORDER BY ... ROWS BETWEEN UNBOUNDED PRECEDING AND
+    * 1 PRECEDING)` global window computes, without the
+    * single-partition WindowExec. Same two-phase shape as
+    * [[withRank]]: range-partition on the sort key, per-partition max
+    * (metadata-sized collect), exclusive cross-partition prefix
+    * maxima as an array literal (`element_at`, O(1)/row), plus a
+    * partitioned exclusive running-max window within each range.
+    *
+    * Rows with NO strict predecessor get [[Long.MinValue]] (the
+    * natural identity for max — callers comparing `v > prefix` keep
+    * the global optimum without a null branch). `sortCols` must be a
+    * total order for a deterministic result wherever ties would
+    * straddle a comparison.
+    */
+  def withPrefixMax(df: DataFrame, sortCols: Seq[Column], valCol: String,
+                    outCol: String, numPartitions: Int = 0): DataFrame = {
+    require(sortCols.nonEmpty, "global prefix max needs a sort column")
+    val parallelism =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.sparkContext.defaultParallelism
+    val parts = Dedup.materialize(
+      df.repartitionByRange(parallelism, sortCols: _*)
+        .withColumn("__pid", spark_partition_id()))
+    val hist = parts.groupBy("__pid").agg(max(col(valCol)).as("mx"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    val numParts = parts.rdd.getNumPartitions
+    val maxes = Array.fill(numParts)(Long.MinValue)
+    hist.foreach { case (pid, m) => maxes(pid) = m }
+    // exclusive prefix: partition p sees the max over partitions < p
+    val prefixArr = new Array[Long](numParts)
+    var acc = Long.MinValue
+    var i = 0
+    while (i < numParts) {
+      prefixArr(i) = acc
+      acc = math.max(acc, maxes(i)); i += 1
+    }
+    val partPrefix = element_at(lit(prefixArr), col("__pid") + 1)
+    val w = Window.partitionBy("__pid").orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val localPrefix = coalesce(max(col(valCol)).over(w), lit(Long.MinValue))
+    parts.withColumn(outCol, greatest(partPrefix, localPrefix)).drop("__pid")
+  }
+
   private def ranked(df: DataFrame, sortCols: Seq[Column],
                      rankCol: String, numPartitions: Int = 0): (DataFrame, Long) = {
     require(sortCols.nonEmpty, "global rank needs at least one sort column")

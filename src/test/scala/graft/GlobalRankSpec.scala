@@ -54,6 +54,27 @@ class GlobalRankSpec extends AnyFunSuite {
     assert(GlobalRank.withNtile(df, Seq(col("id")), 4, "t").count() === 0L)
   }
 
+  test("withPrefixMax equals the global exclusive running max (asc, desc, 512 parts)") {
+    // value column deliberately NOT monotone in the sort key
+    val df = data(1000).withColumn("v", (col("id") * 6007 % 389).cast("long"))
+    for ((sort, parts) <- Seq((col("k").asc, 0), (col("k").desc, 0), (col("k").asc, 512))) {
+      val got = GlobalRank
+        .withPrefixMax(df, Seq(sort, col("id")), "v", "pm", numPartitions = parts)
+        .select("id", "pm").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val w = Window.orderBy(sort, col("id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val want = df
+        .withColumn("pm", coalesce(max(col("v")).over(w), lit(Long.MinValue)))
+        .select("id", "pm").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(got == want, s"prefix-max mismatch for sort=$sort parts=$parts")
+    }
+  }
+
+  test("withPrefixMax on an empty frame yields empty output") {
+    val df = data(10).filter(col("id") < 0).withColumn("v", col("id"))
+    assert(GlobalRank.withPrefixMax(df, Seq(col("id")), "v", "pm").count() === 0L)
+  }
+
   test("offset lookup is O(1) per row: no per-partition CASE over __pid in the plan") {
     val ranked = GlobalRank.withRank(data(1000), Seq(col("k"), col("id")))
     val plan = ranked.queryExecution.optimizedPlan.toString
