@@ -706,6 +706,73 @@ object QueriesAnalytics {
       .orderBy("n_name")
   }
 
+  private[graft] val RidgeLambda = 1000L
+
+  /** Shared Cramer-solve text for q141 — the SAME arithmetic string
+    * runs on both engines (every operand is a CAST of an exact BIGINT
+    * sufficient statistic, so identical IEEE ops in identical order ⇒
+    * identical doubles). The 3×3 system is the ridge normal equations
+    * (XᵀX + λI')θ = Xᵀy with the intercept unpenalized (I' zeroes the
+    * bias row/col, the standard convention).
+    */
+  private[graft] val ridgeThetaSql: Seq[(String, String)] = {
+    def cd(c: String) = s"CAST($c AS DOUBLE)"
+    val (a11, a12, a13) = (cd("n"), cd("sx1"), cd("sx2"))
+    val a22 = s"(${cd("sx11")} + $RidgeLambda)"
+    val a23 = cd("sx12")
+    val a33 = s"(${cd("sx22")} + $RidgeLambda)"
+    val (b1, b2, b3) = (cd("sy"), cd("sx1y"), cd("sx2y"))
+    val det =
+      s"($a11*($a22*$a33 - $a23*$a23) - $a12*($a12*$a33 - $a23*$a13) + $a13*($a12*$a23 - $a22*$a13))"
+    val n0 =
+      s"($b1*($a22*$a33 - $a23*$a23) - $a12*($b2*$a33 - $a23*$b3) + $a13*($b2*$a23 - $a22*$b3))"
+    val n1 =
+      s"($a11*($b2*$a33 - $a23*$b3) - $b1*($a12*$a33 - $a23*$a13) + $a13*($a12*$b3 - $b2*$a13))"
+    val n2 =
+      s"($a11*($a22*$b3 - $b2*$a23) - $a12*($a12*$b3 - $b2*$a13) + $b1*($a12*$a23 - $a22*$a13))"
+    Seq("theta0" -> s"round($n0 / $det, 6)",
+      "theta1" -> s"round($n1 / $det, 6)",
+      "theta2" -> s"round($n2 / $det, 6)")
+  }
+
+  /** q141: RIDGE REGRESSION by normal equations — distributed ML as
+    * sufficient statistics: fit price_cents ~ quantity + discount_bp
+    * per return flag. The entire fit is ONE aggregation whose exchange
+    * carries nine exact BIGINTs per group (n, Σx₁, Σx₂, Σx₁², Σx₁x₂,
+    * Σx₂², Σy, Σx₁y, Σx₂y — all map-side combinable, mergeable across
+    * partitions and across days for incremental refits), then a
+    * closed-form 3×3 Cramer solve on the 3-row aggregate output. At
+    * 100 TB the model fits in the shuffle of a single metadata-sized
+    * row per group — the same shape q135 uses for 1-D slopes,
+    * generalized to a multi-feature system with an L2 penalty
+    * ([[RidgeLambda]] on the non-intercept diagonal).
+    *
+    * Parity: the statistics are exact integers (cents / integral
+    * quantity / discount basis points), and the solve is a SHARED
+    * expression text ([[ridgeThetaSql]]) evaluated by both engines on
+    * those integers — identical IEEE operation order, identical
+    * doubles, rounded to 6dp for display.
+    */
+  private val qRidge: Q = (spark, dir) => {
+    val stats = Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("x1"),
+        expr("CAST(round(l_discount * 100) AS BIGINT)").as("x2"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x1")).as("sx1"), sum(col("x2")).as("sx2"),
+        sum(col("x1") * col("x1")).as("sx11"),
+        sum(col("x1") * col("x2")).as("sx12"),
+        sum(col("x2") * col("x2")).as("sx22"),
+        sum(col("y")).as("sy"),
+        sum(col("x1") * col("y")).as("sx1y"),
+        sum(col("x2") * col("y")).as("sx2y"))
+    stats.select(col("l_returnflag") +: col("n") +:
+        ridgeThetaSql.map { case (name, e) => expr(e).as(name) }: _*)
+      .orderBy("l_returnflag")
+  }
+
   /** q105: single-pass column profiling of the documents table — the
     * data-quality audit every ingestion front door runs before a
     * corpus is admitted: per column, null count, exact distinct
@@ -881,6 +948,7 @@ object QueriesAnalytics {
     "q95_daily_spikes" -> qDailySpikes,
     "q134_robust_outliers" -> qRobustOutliers,
     "q135_trend" -> qTrend,
+    "q141_ridge" -> qRidge,
     "q68_sql_exists" -> qSqlExists,
     "q120_sql_sessions" -> qSqlSessions,
     "q77_sql_topn" -> qSqlTopN,
@@ -997,6 +1065,26 @@ object QueriesAnalytics {
 
     // OLS via exact integer sufficient statistics; one float division
     // at the very end
+    // ridge: BIGINT sufficient stats + the SAME Cramer text as Spark
+    "q141_ridge" ->
+      s"""WITH f AS (SELECT l_returnflag,
+         |  CAST(round(l_quantity) AS BIGINT) AS x1,
+         |  CAST(round(l_discount * 100) AS BIGINT) AS x2,
+         |  CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+         |  FROM lineitem),
+         |s AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(x1) AS BIGINT) AS sx1, CAST(sum(x2) AS BIGINT) AS sx2,
+         |  CAST(sum(x1 * x1) AS BIGINT) AS sx11,
+         |  CAST(sum(x1 * x2) AS BIGINT) AS sx12,
+         |  CAST(sum(x2 * x2) AS BIGINT) AS sx22,
+         |  CAST(sum(y) AS BIGINT) AS sy,
+         |  CAST(sum(x1 * y) AS BIGINT) AS sx1y,
+         |  CAST(sum(x2 * y) AS BIGINT) AS sx2y
+         |  FROM f GROUP BY l_returnflag)
+         |SELECT l_returnflag, n,
+         |  ${ridgeThetaSql.map { case (nm, e) => s"$e AS $nm" }.mkString(",\n  ")}
+         |FROM s ORDER BY l_returnflag""".stripMargin,
+
     "q135_trend" ->
       s"""WITH daily AS (SELECT n_name, epoch_ms(o_orderdate) // 86400000 AS d,
          |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents

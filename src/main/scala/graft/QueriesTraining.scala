@@ -988,6 +988,46 @@ object QueriesTraining {
       .orderBy("doc_id")
   }
 
+  /** q142: CONTENT-DEFINED CHUNKING dedup — the shift-robust sibling
+    * of q45's fixed-width block dedup: chunk boundaries fall where a
+    * trailing-window polynomial hash matches a mask
+    * ([[graft.text.CdcChunker]]), a PURELY LOCAL decision, so an
+    * insertion early in a document moves chunk content by at most one
+    * window instead of re-aligning every downstream block (rsync /
+    * LBFS / storage-dedup lineage). Emits each chunk's span + md5 and
+    * its corpus-wide copy count — the join that turns chunking into
+    * dedup.
+    *
+    * Scale: the chunker is ONE O(n) codegen pass per document (the
+    * `cdc_chunks` expression — no per-position explode); the explode
+    * that follows is output-sized (≈ len/64 chunks per doc), and the
+    * copy-count join shuffles md5 keys only. The oracle recomputes
+    * the identical boundaries via the unrolled 16-term polynomial —
+    * same integers mod 1e9+7.
+    */
+  private val qCdcChunks: Q = (spark, dir) => {
+    val ch = docsFanned(spark, dir)
+      .filter(col("text").isNotNull && length(col("text")) >= 1)
+      .select(col("doc_id"), col("text"),
+        graft.functions.cdc_chunks(col("text")).as("ch"))
+      // posexplode_outer: ch is provably non-empty for len>=1 docs,
+      // and the _outer variant keeps InferFiltersFromGenerate from
+      // re-inlining the chunker below the fan-out repartition
+      .select(col("doc_id"), col("text"), posexplode_outer(col("ch")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("chunk_idx"),
+        col("col.start").cast("long").as("start_pos"),
+        col("col.len").cast("long").as("chunk_len"), col("text"))
+      .withColumn("chunk_md5",
+        md5(expr("substring(text, CAST(start_pos AS INT), CAST(chunk_len AS INT))")))
+      .drop("text")
+    val chM = Dedup.materialize(ch) // feeds the copy-count agg AND the join
+    val copies = chM.groupBy("chunk_md5").agg(count(lit(1)).as("n_copies"))
+    chM.join(copies, "chunk_md5")
+      .select(col("doc_id"), col("chunk_idx"), col("start_pos"),
+        col("chunk_len"), col("chunk_md5"), col("n_copies"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** K-means M-step at scale (the IVF maintenance job q29 assumes):
     * re-assign every vector to its nearest centroid, recompute each
     * centroid as the elementwise mean of its list, and report the
@@ -1428,6 +1468,7 @@ object QueriesTraining {
     "q80_ivf_learned" -> qIvfLearned,
     "q139_pq_adc" -> qPqAdc,
     "q140_skyline" -> qSkyline,
+    "q142_cdc_chunks" -> qCdcChunks,
     "q82_sql_functions" -> qSqlFunctions,
     "q49_centroid_update" -> qCentroidUpdate,
     "q30_ngram_topk" -> qNgramTopk,
@@ -2316,6 +2357,44 @@ object QueriesTraining {
          |    WHERE b.tok_cnt >= a.tok_cnt AND b.uniq_bp >= a.uniq_bp
          |      AND (b.tok_cnt > a.tok_cnt OR b.uniq_bp > a.uniq_bp)))
          |SELECT doc_id, tok_cnt, uniq_bp FROM sky ORDER BY doc_id""".stripMargin,
+
+    // CDC: the oracle recomputes each boundary from the UNROLLED
+    // 16-term window polynomial — mathematically the same integers
+    // mod 1e9+7 as the engine's O(n) rolling kernel
+    "q142_cdc_chunks" -> {
+      import graft.text.CdcChunker
+      val whTerms = (0 until CdcChunker.Window).map { k =>
+        val off = CdcChunker.Window - 1 - k
+        s"cs[i-$off]*CAST(${CdcChunker.Coef(k)} AS BIGINT)"
+      }.mkString(" + ")
+      s"""WITH c AS (SELECT doc_id, text, ${codesSql()} AS cs,
+         |  CAST(length(text) AS INT) AS n FROM documents
+         |  WHERE text IS NOT NULL AND length(text) >= 1),
+         |p AS (SELECT doc_id, unnest(range(${CdcChunker.Window}, n+1)) AS i
+         |  FROM c WHERE n >= ${CdcChunker.Window}),
+         |wh AS (SELECT p.doc_id, i, ($whTerms) % ${CdcChunker.Mod} AS h
+         |  FROM p JOIN c USING (doc_id)),
+         |b AS (SELECT doc_id, i FROM wh
+         |  WHERE h % ${CdcChunker.BoundaryMod} = ${CdcChunker.BoundaryMod - 1}),
+         |seg AS (SELECT doc_id,
+         |  coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1 AS s,
+         |  i AS e FROM b),
+         |mb AS (SELECT doc_id, max(i) AS mi FROM b GROUP BY doc_id),
+         |tail AS (SELECT c.doc_id, coalesce(mi, 0) + 1 AS s, n AS e
+         |  FROM c LEFT JOIN mb USING (doc_id)),
+         |allseg AS (SELECT * FROM seg UNION ALL
+         |  SELECT doc_id, s, e FROM tail WHERE s <= e),
+         |r AS (SELECT a.doc_id AS doc_id,
+         |  row_number() OVER (PARTITION BY a.doc_id ORDER BY s) AS chunk_idx,
+         |  CAST(s AS BIGINT) AS start_pos, CAST(e - s + 1 AS BIGINT) AS chunk_len,
+         |  md5(substr(c2.text, CAST(s AS INT), CAST(e - s + 1 AS INT))) AS chunk_md5
+         |  FROM allseg a JOIN c c2 USING (doc_id)),
+         |cn AS (SELECT chunk_md5, CAST(count(*) AS BIGINT) AS n_copies
+         |  FROM r GROUP BY chunk_md5)
+         |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, start_pos,
+         |  chunk_len, r.chunk_md5 AS chunk_md5, n_copies
+         |FROM r JOIN cn USING (chunk_md5) ORDER BY doc_id, chunk_idx""".stripMargin
+    },
 
     // PQ: the generic (vec_id, m) sub-vector Lloyd pass + integer-
     // micro-unit ADC sum — the BIGINT sum is order-free, and every

@@ -35,6 +35,9 @@ object functions {
   /** Compression-ratio quality signal; see [[graft.text.DeflateRatio]]. */
   def deflate_ratio_bp(c: Column): Column = col(graft.text.DeflateRatio(expr(c)))
 
+  /** Content-defined chunk spans; see [[graft.text.CdcChunks]]. */
+  def cdc_chunks(c: Column): Column = col(graft.text.CdcChunks(expr(c)))
+
   private def literalString(e: Expression, fn: String): String = e match {
     case Literal(s, _: StringType) if s != null => s.toString
     case _ => throw new IllegalArgumentException(
@@ -55,5 +58,6 @@ object functions {
     Bridge.registerFunction(spark, "vec_l2sq", es => VectorL2Sq(es.head, es(1)))
     Bridge.registerFunction(spark, "rolling_hash", es => graft.text.RollingHash(es.head))
     Bridge.registerFunction(spark, "deflate_ratio_bp", es => graft.text.DeflateRatio(es.head))
+    Bridge.registerFunction(spark, "cdc_chunks", es => graft.text.CdcChunks(es.head))
   }
 }

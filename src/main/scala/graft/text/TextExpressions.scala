@@ -1,8 +1,9 @@
 package graft.text
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -63,6 +64,92 @@ case class RollingHash(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+/** Content-defined-chunking kernel for [[CdcChunks]] — referenced from
+  * generated code via `addReferenceObj`.
+  */
+object CdcChunker extends Serializable {
+  val Window = 16
+  val Mult = 131L
+  val Mod = 1000000007L
+  /** boundary iff windowHash % BoundaryMod == BoundaryMod - 1 (mean
+    * chunk length = BoundaryMod chars) */
+  val BoundaryMod = 64L
+  /** 131^Window mod Mod — the outgoing-char coefficient */
+  val PowW: Long = {
+    var p = 1L
+    for (_ <- 1 to Window) p = p * Mult % Mod
+    p
+  }
+  /** 131^(Window-1-k) mod Mod for k = 0..Window-1 — the unrolled
+    * per-position coefficients the DuckDB oracle twin interpolates. */
+  val Coef: Array[Long] = Array.tabulate(Window) { k =>
+    var p = 1L
+    for (_ <- 1 until Window - k) p = p * Mult % Mod
+    p
+  }
+
+  /** Gear/Rabin-style content-defined chunk boundaries: a boundary
+    * falls after char i iff the polynomial hash of the trailing
+    * [[Window]] chars matches the [[BoundaryMod]] mask — a PURELY
+    * LOCAL decision, so inserting or deleting bytes early in a
+    * document shifts chunk CONTENT by at most one window instead of
+    * re-aligning every fixed-width block (the property that makes
+    * chunk-hash dedup shift-robust where q45's fixed blocks are not).
+    * Operates on bytes (== chars on the ASCII fixture — q19/q28
+    * note); one O(n) pass, exact integer math, < 2^63 throughout.
+    *
+    * Returns (start, len) pairs, 1-based char starts; a document
+    * shorter than one window is a single chunk.
+    */
+  def chunks(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val out = new scala.collection.mutable.ArrayBuffer[Any]
+    var h = 0L
+    var start = 0 // 0-based start of the open chunk
+    var i = 0
+    while (i < n) {
+      h = (h * Mult + (bytes(i) & 0xff)) % Mod
+      if (i >= Window) h = ((h - (bytes(i - Window) & 0xff) * PowW) % Mod + Mod) % Mod
+      if (i >= Window - 1 && h % BoundaryMod == BoundaryMod - 1) {
+        out += new GenericInternalRow(Array[Any](start + 1, i - start + 1))
+        start = i + 1
+      }
+      i += 1
+    }
+    if (start < n) out += new GenericInternalRow(Array[Any](start + 1, n - start))
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `cdc_chunks(text)`: content-defined chunk spans as
+  * `array<struct<start int, len int>>` — see [[CdcChunker.chunks]].
+  */
+case class CdcChunks(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"cdc_chunks requires string input, got $other")
+  }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("start", IntegerType, nullable = false),
+      StructField("len", IntegerType, nullable = false))), containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+
+  override def nullSafeEval(input: Any): Any =
+    CdcChunker.chunks(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = ctx.addReferenceObj("cdcChunker", CdcChunker,
+      CdcChunker.getClass.getName.stripSuffix("$") + "$")
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $kernel.chunks($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunks =
     copy(child = newChild)
 }
 
