@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.layout.ZOrder
+import graft.layout.{Hilbert, ZOrder}
 import graft.operators.{EntityResolution, GlobalRank, RangeJoin, SaltedJoin}
 import graft.pipeline.{Envelope, EnvelopeCodec, LogMessage, Pipeline}
 
@@ -759,6 +759,37 @@ object QueriesRelational {
       .orderBy("file_id")
   }
 
+  /** q143: HILBERT-CURVE layout audit — q47's Z-order twin on the
+    * locality-preserving curve: the Hilbert walk visits every cell of
+    * the 2^bits grid one step at a time (no Morton diagonal jumps),
+    * so consecutive index ranges tile compact squares and each file's
+    * (min,max) envelope stays tight on BOTH dimensions — tighter
+    * envelopes = more files skipped by any 2-D box predicate (the
+    * reason lakehouse formats offer Hilbert clustering over Z-order).
+    * Identical shape to q47 (derived file count, rank-exact ntile, no
+    * global window) so the two layouts' envelope stats are directly
+    * comparable; `LayoutSpec` quantifies the pruning delta.
+    *
+    * Scale: the index is a per-row O(bits) codegen kernel
+    * ([[graft.layout.Hilbert]]); everything after is q47's shape.
+    */
+  private val qHilbert: Q = (spark, dir) => {
+    val files = ScaleParams.layoutFiles(
+      ScaleParams.tableRows(spark, dir, "events"))
+    val ev = Tables(spark, dir, "events").select(
+      col("event_id"),
+      (col("user_id") % 1024).as("ub"),
+      (floor(col("value")).cast("long") % 1024).as("vb"))
+    val h = ev.withColumn("h", Hilbert.hValue(col("ub"), col("vb"), ZBits))
+    GlobalRank.withNtile(h, Seq(col("h"), col("event_id")), files, "file_id")
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("cnt"),
+        min("ub").as("min_ub"), max("ub").as("max_ub"),
+        min("vb").as("min_vb"), max("vb").as("max_vb"),
+        min("h").as("min_h"), max("h").as("max_h"))
+      .orderBy("file_id")
+  }
+
   /** Semi-structured extraction: the `props` JSON column parsed with a
     * declared schema (`from_json`), field promoted to a typed column,
     * aggregated per event type. The parse is per-row and
@@ -1167,6 +1198,7 @@ object QueriesRelational {
     "q126_entity_resolution" -> qEntityResolution,
     "q133_sorted_neighborhood" -> qSortedNeighborhood,
     "q47_zorder" -> qZorder,
+    "q143_hilbert" -> qHilbert,
     "q50_json_extract" -> qJsonExtract,
     "q51_salted_join" -> qSaltedJoin,
     "q41_kmv_distinct" -> qKmvDistinct,
@@ -1530,6 +1562,20 @@ object QueriesRelational {
          |  min(ub) AS min_ub, max(ub) AS max_ub,
          |  min(vb) AS min_vb, max(vb) AS max_vb,
          |  min(z) AS min_z, max(z) AS max_z
+         |FROM f GROUP BY file_id ORDER BY file_id""".stripMargin,
+
+    "q143_hilbert" ->
+      s"""WITH p AS (SELECT ${ScaleParams.layoutFilesSql} AS files FROM events),
+         |e AS (SELECT event_id, user_id % 1024 AS ub,
+         |  CAST(floor(value) AS BIGINT) % 1024 AS vb FROM events),
+         |${Hilbert.hValueCtesSql("e", Seq("event_id", "ub", "vb"), "ub", "vb", ZBits)},
+         |f AS (SELECT ub, vb, hd AS h,
+         |  ntile((SELECT files FROM p)) OVER (ORDER BY hd, event_id) AS file_id
+         |  FROM h$ZBits)
+         |SELECT file_id, count(*) AS cnt,
+         |  min(ub) AS min_ub, max(ub) AS max_ub,
+         |  min(vb) AS min_vb, max(vb) AS max_vb,
+         |  min(h) AS min_h, max(h) AS max_h
          |FROM f GROUP BY file_id ORDER BY file_id""".stripMargin,
 
     "q41_kmv_distinct" -> kmvOracle,

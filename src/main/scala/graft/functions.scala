@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{IntegerType, StringType}
 
 import graft.grok.{GrokExtract, GrokExtractMap, GrokMatch}
 import graft.sim.{VectorCosine, VectorDot, VectorL2Sq, VectorNorm}
@@ -38,6 +38,10 @@ object functions {
   /** Content-defined chunk spans; see [[graft.text.CdcChunks]]. */
   def cdc_chunks(c: Column): Column = col(graft.text.CdcChunks(expr(c)))
 
+  /** Hilbert-curve index; see [[graft.layout.Hilbert]]. */
+  def hilbert_d(x: Column, y: Column, bits: Int): Column =
+    graft.layout.Hilbert.hValue(x, y, bits)
+
   private def literalString(e: Expression, fn: String): String = e match {
     case Literal(s, _: StringType) if s != null => s.toString
     case _ => throw new IllegalArgumentException(
@@ -59,5 +63,11 @@ object functions {
     Bridge.registerFunction(spark, "rolling_hash", es => graft.text.RollingHash(es.head))
     Bridge.registerFunction(spark, "deflate_ratio_bp", es => graft.text.DeflateRatio(es.head))
     Bridge.registerFunction(spark, "cdc_chunks", es => graft.text.CdcChunks(es.head))
+    Bridge.registerFunction(spark, "hilbert_d", es =>
+      graft.layout.HilbertD(es.head, es(1), es(2) match {
+        case Literal(v, _: IntegerType) if v != null => v.asInstanceOf[Int]
+        case other => throw new IllegalArgumentException(
+          s"hilbert_d requires a foldable int literal bit width, got: $other")
+      }))
   }
 }
