@@ -790,6 +790,36 @@ object QueriesRelational {
       .orderBy("file_id")
   }
 
+  /** q144: FILE-SKIPPING AUDIT — the measurement that turns the
+    * layout choice into a number: for six deterministic 128×128 probe
+    * boxes, how many of the laid-out files' min/max envelopes
+    * intersect the box under Z-order (q47) vs Hilbert (q143). This is
+    * precisely the file-pruning decision a lakehouse scan planner
+    * makes from footer stats; fewer touched files = less I/O for the
+    * same predicate. Both layout tables are metadata-sized (one row
+    * per file), the boxes broadcast, and the oracle nests the two
+    * layout oracle texts verbatim (q112 precedent).
+    */
+  private val qSkippingAudit: Q = (spark, dir) => {
+    val boxes = spark.createDataFrame(SkipBoxes)
+      .toDF("box_id", "lo_u", "hi_u", "lo_v", "hi_v")
+    def touched(f: DataFrame, out: String): DataFrame =
+      broadcast(boxes).join(f,
+        f("min_ub") <= col("hi_u") && f("max_ub") >= col("lo_u") &&
+          f("min_vb") <= col("hi_v") && f("max_vb") >= col("lo_v"))
+        .groupBy("box_id").agg(count(lit(1)).as(out))
+    val files = ScaleParams.layoutFiles(
+      ScaleParams.tableRows(spark, dir, "events"))
+    boxes.select("box_id")
+      .join(touched(qZorder(spark, dir), "z_files"), Seq("box_id"), "left")
+      .join(touched(qHilbert(spark, dir), "h_files"), Seq("box_id"), "left")
+      .select(col("box_id"),
+        coalesce(col("z_files"), lit(0L)).as("z_files"),
+        coalesce(col("h_files"), lit(0L)).as("h_files"),
+        lit(files.toLong).as("n_files"))
+      .orderBy("box_id")
+  }
+
   /** Semi-structured extraction: the `props` JSON column parsed with a
     * declared schema (`from_json`), field promoted to a typed column,
     * aggregated per event type. The parse is per-row and
@@ -1199,6 +1229,7 @@ object QueriesRelational {
     "q133_sorted_neighborhood" -> qSortedNeighborhood,
     "q47_zorder" -> qZorder,
     "q143_hilbert" -> qHilbert,
+    "q144_skipping_audit" -> qSkippingAudit,
     "q50_json_extract" -> qJsonExtract,
     "q51_salted_join" -> qSaltedJoin,
     "q41_kmv_distinct" -> qKmvDistinct,
@@ -1227,6 +1258,50 @@ object QueriesRelational {
   /** Shared by q41 (composed two-stage sketch) and q76 (Aggregator
     * UDAF) — both must produce this exact result.
     */
+  /** q47 / q143 oracle texts hoisted (q112 precedent) so the skipping
+    * audit can nest both verbatim as parenthesized subqueries.
+    */
+  private lazy val zorderOracle: String =
+    s"""WITH p AS (SELECT ${ScaleParams.layoutFilesSql} AS files FROM events),
+       |e AS (SELECT event_id, user_id % 1024 AS ub,
+       |  CAST(floor(value) AS BIGINT) % 1024 AS vb FROM events),
+       |z AS (SELECT event_id, ub, vb,
+       |  ${ZOrder.zValueSql(Seq("ub", "vb"), ZBits)} AS z FROM e),
+       |f AS (SELECT ub, vb, z,
+       |  ntile((SELECT files FROM p)) OVER (ORDER BY z, event_id) AS file_id FROM z)
+       |SELECT file_id, count(*) AS cnt,
+       |  min(ub) AS min_ub, max(ub) AS max_ub,
+       |  min(vb) AS min_vb, max(vb) AS max_vb,
+       |  min(z) AS min_z, max(z) AS max_z
+       |FROM f GROUP BY file_id ORDER BY file_id""".stripMargin
+
+  private lazy val hilbertOracle: String =
+    s"""WITH p AS (SELECT ${ScaleParams.layoutFilesSql} AS files FROM events),
+       |e AS (SELECT event_id, user_id % 1024 AS ub,
+       |  CAST(floor(value) AS BIGINT) % 1024 AS vb FROM events),
+       |${Hilbert.hValueCtesSql("e", Seq("event_id", "ub", "vb"), "ub", "vb", ZBits)},
+       |f AS (SELECT ub, vb, hd AS h,
+       |  ntile((SELECT files FROM p)) OVER (ORDER BY hd, event_id) AS file_id
+       |  FROM h$ZBits)
+       |SELECT file_id, count(*) AS cnt,
+       |  min(ub) AS min_ub, max(ub) AS max_ub,
+       |  min(vb) AS min_vb, max(vb) AS max_vb,
+       |  min(h) AS min_h, max(h) AS max_h
+       |FROM f GROUP BY file_id ORDER BY file_id""".stripMargin
+
+  /** q144's deterministic probe boxes: (box_id, lo_u, hi_u, lo_v,
+    * hi_v) — six 24×48 rectangles scattered by coprime strides inside
+    * the region the events fixture actually occupies at every SF
+    * (ub ≤ 149 at sf0.01; vb ≤ 490), so each probe exercises a real
+    * pruning decision instead of trivially missing the data.
+    */
+  private[graft] val SkipBoxes: Seq[(Int, Long, Long, Long, Long)] =
+    (0 until 6).map { b =>
+      val loU = (b * 23L) % 120
+      val loV = (b * 79L) % 440
+      (b, loU, loU + 23, loV, loV + 47)
+    }
+
   private lazy val kmvOracle =
     s"""WITH h AS (SELECT DISTINCT event_type,
        |  ('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
@@ -1550,33 +1625,33 @@ object QueriesRelational {
          |  AND v_start < p_end AND p_start < v_end
          |ORDER BY user_id, view_id, purchase_id""".stripMargin,
 
-    "q47_zorder" ->
-      s"""WITH p AS (SELECT ${ScaleParams.layoutFilesSql} AS files FROM events),
-         |e AS (SELECT event_id, user_id % 1024 AS ub,
-         |  CAST(floor(value) AS BIGINT) % 1024 AS vb FROM events),
-         |z AS (SELECT event_id, ub, vb,
-         |  ${ZOrder.zValueSql(Seq("ub", "vb"), ZBits)} AS z FROM e),
-         |f AS (SELECT ub, vb, z,
-         |  ntile((SELECT files FROM p)) OVER (ORDER BY z, event_id) AS file_id FROM z)
-         |SELECT file_id, count(*) AS cnt,
-         |  min(ub) AS min_ub, max(ub) AS max_ub,
-         |  min(vb) AS min_vb, max(vb) AS max_vb,
-         |  min(z) AS min_z, max(z) AS max_z
-         |FROM f GROUP BY file_id ORDER BY file_id""".stripMargin,
+    "q47_zorder" -> zorderOracle,
 
-    "q143_hilbert" ->
-      s"""WITH p AS (SELECT ${ScaleParams.layoutFilesSql} AS files FROM events),
-         |e AS (SELECT event_id, user_id % 1024 AS ub,
-         |  CAST(floor(value) AS BIGINT) % 1024 AS vb FROM events),
-         |${Hilbert.hValueCtesSql("e", Seq("event_id", "ub", "vb"), "ub", "vb", ZBits)},
-         |f AS (SELECT ub, vb, hd AS h,
-         |  ntile((SELECT files FROM p)) OVER (ORDER BY hd, event_id) AS file_id
-         |  FROM h$ZBits)
-         |SELECT file_id, count(*) AS cnt,
-         |  min(ub) AS min_ub, max(ub) AS max_ub,
-         |  min(vb) AS min_vb, max(vb) AS max_vb,
-         |  min(h) AS min_h, max(h) AS max_h
-         |FROM f GROUP BY file_id ORDER BY file_id""".stripMargin,
+    "q143_hilbert" -> hilbertOracle,
+
+    // skipping audit: nests both layout oracles verbatim; per probe
+    // box, a file is TOUCHED iff its envelope intersects the box
+    "q144_skipping_audit" -> {
+      val boxRows = SkipBoxes.map { case (b, lu, hu, lv, hv) =>
+        s"($b, CAST($lu AS BIGINT), CAST($hu AS BIGINT), CAST($lv AS BIGINT), CAST($hv AS BIGINT))"
+      }.mkString(", ")
+      s"""WITH zf AS (SELECT * FROM ($zorderOracle)),
+         |hf AS (SELECT * FROM ($hilbertOracle)),
+         |boxes(box_id, lo_u, hi_u, lo_v, hi_v) AS (VALUES $boxRows),
+         |zt AS (SELECT box_id, CAST(count(*) AS BIGINT) AS z_files
+         |  FROM boxes b JOIN zf ON zf.min_ub <= b.hi_u AND zf.max_ub >= b.lo_u
+         |    AND zf.min_vb <= b.hi_v AND zf.max_vb >= b.lo_v
+         |  GROUP BY box_id),
+         |ht AS (SELECT box_id, CAST(count(*) AS BIGINT) AS h_files
+         |  FROM boxes b JOIN hf ON hf.min_ub <= b.hi_u AND hf.max_ub >= b.lo_u
+         |    AND hf.min_vb <= b.hi_v AND hf.max_vb >= b.lo_v
+         |  GROUP BY box_id),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_files FROM zf)
+         |SELECT b.box_id AS box_id, coalesce(z_files, 0) AS z_files,
+         |  coalesce(h_files, 0) AS h_files, n_files
+         |FROM boxes b LEFT JOIN zt USING (box_id) LEFT JOIN ht USING (box_id), tot
+         |ORDER BY box_id""".stripMargin
+    },
 
     "q41_kmv_distinct" -> kmvOracle,
     // the UDAF formulation computes the IDENTICAL sketch — one oracle
