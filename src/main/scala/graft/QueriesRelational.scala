@@ -1132,6 +1132,54 @@ object QueriesRelational {
       .orderBy(col("n_exact").desc, col("user_id"))
   }
 
+  /** q146: JOIN-CARDINALITY ESTIMATION by CMS inner product — the
+    * optimizer-statistics job that answers "how big is events ⋈ orders
+    * on this key" WITHOUT running the join: |A ⋈ B| = Σ_k fA(k)·fB(k),
+    * and the count-min row dot products min_i Σ_j cA[i][j]·cB[i][j]
+    * upper-bound it (collisions only ever add). Each side builds one
+    * mergeable sketch in a single pass (the same CmsAggregator as
+    * q101); the estimate itself touches 2·d·w counters — at 100 TB
+    * that is two metadata-sized sketches meeting on the driver instead
+    * of a corpus × corpus shuffle. Alongside: the exact join size and
+    * the estimator's relative error in basis points, integer
+    * end-to-end (counters and dot products are exact BIGINTs — no
+    * float anywhere).
+    *
+    * The width derives from the stream length
+    * ([[ScaleParams.cmsJoinWidth]]): additive error ≈ ΣfA·ΣfB / w, so
+    * a FIXED width degrades to noise at 100× while a length-tracking
+    * width holds relative error roughly flat.
+    */
+  private val qJoinCard: Q = (spark, dir) => {
+    val w = ScaleParams.cmsJoinWidth(
+      ScaleParams.tableRows(spark, dir, "events"))
+    val he = Tables.events(spark, dir).filter(col("user_id").isNotNull)
+      .select(graft.dedup.Dedup.hash32(col("user_id").cast("string"), "cms").as("h"))
+    val ho = Tables(spark, dir, "orders")
+      .select(graft.dedup.Dedup.hash32(col("o_custkey").cast("string"), "cms").as("h"))
+    val cms = udaf(new graft.sketch.CmsAggregator(CmsD, w),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val ske = he.agg(cms(col("h")).as("ca"))
+    val sko = ho.agg(cms(col("h")).as("cb"))
+    val dots = (0 until CmsD).map { i =>
+      expr(s"""aggregate(
+              |  zip_with(slice(ca, ${i * w} + 1, $w), slice(cb, ${i * w} + 1, $w),
+              |    (x, y) -> x * y),
+              |  CAST(0 AS BIGINT), (acc, t) -> acc + t)""".stripMargin)
+    }
+    val est = ske.crossJoin(sko).select(least(dots: _*).as("cms_est"))
+    val fe = Tables.events(spark, dir).filter(col("user_id").isNotNull)
+      .groupBy(col("user_id").as("k")).agg(count(lit(1)).as("ce"))
+    val fo = Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("co"))
+    val exact = fe.join(fo, "k")
+      .agg(sum(col("ce") * col("co")).as("n_exact"))
+    exact.crossJoin(broadcast(est))
+      .withColumn("err_bp",
+        expr("(cms_est - n_exact) * 10000 div n_exact"))
+      .select(col("n_exact"), col("cms_est"), col("err_bp"))
+  }
+
   /** q102: MERGEABLE QUANTILE SKETCH by log₂ histogram — the sketch
     * counterpart of q99's exact global-rank percentiles. Values settle
     * to exact integer micros, bin = bit length (floor(log₂)+1, an
@@ -1215,6 +1263,7 @@ object QueriesRelational {
     "q103_mv_merge" -> qMvMerge,
     "q92_heavy_keys" -> qHeavyKeys,
     "q101_cms" -> qCms,
+    "q146_join_card" -> qJoinCard,
     "q102_hist_quantiles" -> qHistQuantiles,
     "q96_hll" -> qHll,
     "q97_topk_udaf" -> qTopkUdaf,
@@ -1409,6 +1458,38 @@ object QueriesRelational {
 
     // the full d×w counter grid rebuilt relationally; min over the
     // probe's d buckets = the CMS point estimate
+    // join-cardinality estimate: bucket-grouped counts per sketch row,
+    // inner product per row, min over rows — all exact BIGINTs
+    "q146_join_card" -> {
+      val rowsVals = (0 until CmsD).map(i =>
+        s"(${i}, ${graft.sketch.CmsAggregator.A(i)}, ${graft.sketch.CmsAggregator.B(i)})")
+        .mkString(", ")
+      val M = graft.sketch.CmsAggregator.M
+      s"""WITH p AS (SELECT ${ScaleParams.cmsJoinWidthSql} AS w FROM events),
+         |e AS (SELECT ('0x' || substr(md5('cms:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+         |  FROM events WHERE user_id IS NOT NULL),
+         |o AS (SELECT ('0x' || substr(md5('cms:' || CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT AS h
+         |  FROM orders),
+         |hr AS (SELECT * FROM (VALUES $rowsVals) AS t(i, a, b)),
+         |ca AS (SELECT hr.i, ((hr.a * e.h + hr.b) % $M) % (SELECT w FROM p) AS bkt,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM e CROSS JOIN hr GROUP BY 1, 2),
+         |cb AS (SELECT hr.i, ((hr.a * o.h + hr.b) % $M) % (SELECT w FROM p) AS bkt,
+         |    CAST(count(*) AS BIGINT) AS c
+         |  FROM o CROSS JOIN hr GROUP BY 1, 2),
+         |dots AS (SELECT ca.i, CAST(sum(ca.c * cb.c) AS BIGINT) AS dot
+         |  FROM ca JOIN cb ON ca.i = cb.i AND ca.bkt = cb.bkt GROUP BY ca.i),
+         |est AS (SELECT min(dot) AS cms_est FROM dots),
+         |ex AS (SELECT CAST(sum(fe.c * fo.c) AS BIGINT) AS n_exact FROM
+         |  (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS c FROM events
+         |   WHERE user_id IS NOT NULL GROUP BY 1) fe
+         |  JOIN (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS c FROM orders
+         |   GROUP BY 1) fo USING (k))
+         |SELECT n_exact, cms_est,
+         |  CAST((cms_est - n_exact) * 10000 // n_exact AS BIGINT) AS err_bp
+         |FROM ex, est""".stripMargin
+    },
+
     "q101_cms" -> {
       val rowsVals = (0 until CmsD).map(i =>
         s"(${i}, ${graft.sketch.CmsAggregator.A(i)}, ${graft.sketch.CmsAggregator.B(i)})")

@@ -988,6 +988,63 @@ object QueriesTraining {
       .orderBy("doc_id")
   }
 
+  private[graft] val ZipfTopK = 100
+
+  /** Shared OLS-fit text for q145 (q141's shared-Cramer pattern, 1-D):
+    * slope/intercept/R² of y~x from the six exact BIGINT sufficient
+    * statistics (n, Σx, Σy, Σxy, Σx², Σy²) — identical IEEE ops on
+    * identical integers on both engines.
+    */
+  private[graft] val zipfFitSql: Seq[(String, String)] = {
+    def cd(c: String) = s"CAST($c AS DOUBLE)"
+    val num = s"(${cd("n")}*${cd("sxy")} - ${cd("sx")}*${cd("sy")})"
+    val denX = s"(${cd("n")}*${cd("sxx")} - ${cd("sx")}*${cd("sx")})"
+    val denY = s"(${cd("n")}*${cd("syy")} - ${cd("sy")}*${cd("sy")})"
+    val slope = s"($num / $denX)"
+    Seq(
+      "slope" -> s"round($slope, 6)",
+      "intercept_ln" -> s"round((${cd("sy")} - $slope*${cd("sx")}) / ${cd("n")} / 1000000.0, 6)",
+      "r2" -> s"round($num*$num / ($denX*$denY), 6)")
+  }
+
+  /** q145: ZIPF rank-frequency fit — the corpus-health diagnostic
+    * (natural text follows freq ∝ rank^s with s ≈ −1; template spam,
+    * boilerplate floods and synthetic junk bend the curve): per
+    * source, OLS of ln(freq) over ln(rank) for the top-[[ZipfTopK]]
+    * terms, with slope / intercept / R².
+    *
+    * Parity + scale: ln is evaluated PER ROW and settled to integer
+    * micro-units immediately (a raw Σln would be an order-of-summation
+    * float; micro-rounding kills the engines' ≤1-ulp libm disagreement
+    * long before it can flip anything), so the fit reduces to six
+    * exact BIGINT sums — one term-count shuffle, one source-partitioned
+    * top-k window, one metadata-sized aggregate. Same
+    * sufficient-statistics shape as q141/q135.
+    */
+  private val qZipf: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docsFanned(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("source"),
+        explode_outer(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("f"))
+    val w = Window.partitionBy("source").orderBy(col("f").desc, col("term"))
+    val xy = tf.withColumn("r", row_number().over(w))
+      .filter(col("r") <= ZipfTopK)
+      .select(col("source"),
+        expr("CAST(round(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT)").as("x"),
+        expr("CAST(round(ln(CAST(f AS DOUBLE)) * 1000000) AS BIGINT)").as("y"))
+    xy.groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("source") +: col("n") +:
+        zipfFitSql.map { case (nm, e) => expr(e).as(nm) }: _*)
+      .orderBy("source")
+  }
+
   /** q142: CONTENT-DEFINED CHUNKING dedup — the shift-robust sibling
     * of q45's fixed-width block dedup: chunk boundaries fall where a
     * trailing-window polynomial hash matches a mask
@@ -1469,6 +1526,7 @@ object QueriesTraining {
     "q139_pq_adc" -> qPqAdc,
     "q140_skyline" -> qSkyline,
     "q142_cdc_chunks" -> qCdcChunks,
+    "q145_zipf" -> qZipf,
     "q82_sql_functions" -> qSqlFunctions,
     "q49_centroid_update" -> qCentroidUpdate,
     "q30_ngram_topk" -> qNgramTopk,
@@ -2357,6 +2415,30 @@ object QueriesTraining {
          |    WHERE b.tok_cnt >= a.tok_cnt AND b.uniq_bp >= a.uniq_bp
          |      AND (b.tok_cnt > a.tok_cnt OR b.uniq_bp > a.uniq_bp)))
          |SELECT doc_id, tok_cnt, uniq_bp FROM sky ORDER BY doc_id""".stripMargin,
+
+    // Zipf: per-row micro-scaled ln, then exact BIGINT sufficient
+    // statistics and the shared OLS text (q141 pattern)
+    "q145_zipf" ->
+      s"""WITH tt AS (SELECT source, unnest($toksSql) AS term FROM documents
+         |  WHERE text IS NOT NULL),
+         |tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS f
+         |  FROM tt GROUP BY source, term),
+         |rk AS (SELECT source, term, f,
+         |  row_number() OVER (PARTITION BY source ORDER BY f DESC, term) AS r
+         |  FROM tf),
+         |xy AS (SELECT source,
+         |  CAST(round(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+         |  CAST(round(ln(CAST(f AS DOUBLE)) * 1000000) AS BIGINT) AS y
+         |  FROM rk WHERE r <= $ZipfTopK),
+         |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |  CAST(sum(x * y) AS BIGINT) AS sxy,
+         |  CAST(sum(x * x) AS BIGINT) AS sxx,
+         |  CAST(sum(y * y) AS BIGINT) AS syy
+         |  FROM xy GROUP BY source)
+         |SELECT source, n,
+         |  ${zipfFitSql.map { case (nm, e) => s"$e AS $nm" }.mkString(",\n  ")}
+         |FROM s ORDER BY source""".stripMargin,
 
     // CDC: the oracle recomputes each boundary from the UNROLLED
     // 16-term window polynomial — mathematically the same integers

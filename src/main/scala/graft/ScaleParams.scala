@@ -105,4 +105,17 @@ object ScaleParams {
     math.max(1L, math.ceil(n / 640.0).toLong).toInt
   val packShardsSql: String =
     "GREATEST(1, CAST(ceil(count(*) / 640.0) AS BIGINT))"
+
+  /** CMS width for join-cardinality estimation (q146): the inner
+    * product's additive error is ≈ ΣfA·ΣfB / w, so the width tracks
+    * the stream length (nearest power of two, floored at 256) to hold
+    * RELATIVE error roughly flat as the corpus grows; a fixed width
+    * would make the estimate drift toward pure noise at 100×. log2 of
+    * an integer can never be exactly k+0.5, so the round never sits on
+    * a representable half.
+    */
+  def cmsJoinWidth(n: Long): Int =
+    1 << math.max(8L, math.round(log2(n.toDouble))).toInt
+  val cmsJoinWidthSql: String =
+    "CAST(power(2, GREATEST(8, CAST(round(log2(count(*)), 0) AS BIGINT))) AS BIGINT)"
 }
