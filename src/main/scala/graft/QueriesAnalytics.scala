@@ -706,6 +706,45 @@ object QueriesAnalytics {
       .orderBy("n_name")
   }
 
+  /** q148: CUSUM CHANGEPOINT detection — the classic offline "where
+    * did this series shift" statistic: per nation's daily-revenue
+    * series, the day t maximizing |S_t| where S_t = Σ_{i≤t}(x_i − x̄).
+    * Kept EXACT by scaling: n·S_t = n·cum_t − t·total is a BIGINT
+    * identity (no float mean ever exists), so the argmax is integer
+    * arithmetic on both engines, ties broken toward the earliest day.
+    *
+    * Scale: one daily aggregate (corpus shuffle), then a per-series
+    * partitioned cumulative window and a per-series argmax aggregate —
+    * no global window, state per series is O(1). The same shape
+    * monitors 10⁶ per-key metric streams for level shifts in one job.
+    */
+  private val qCusum: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000").as("d"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    val dailyM = dedup.Dedup.materialize(daily) // window pass + stats join
+    val stats = dailyM.groupBy("n_name")
+      .agg(count(lit(1)).as("n"), sum("cents").as("tot"))
+    val w = Window.partitionBy("n_name").orderBy("d")
+    val s = dailyM
+      .withColumn("t", row_number().over(w).cast("long"))
+      .withColumn("cum", sum("cents").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(stats, "n_name")
+      .withColumn("sv", col("n") * col("cum") - col("t") * col("tot"))
+    s.groupBy("n_name")
+      .agg(max(col("n")).as("n_days"),
+        max(struct(abs(col("sv")).as("a"), (-col("d")).as("nd"),
+          col("d").as("d"))).as("m"))
+      .select(col("n_name"), col("n_days"),
+        col("m.d").as("cp_day"), col("m.a").as("s_abs_scaled"))
+      .orderBy("n_name")
+  }
+
   private[graft] val RidgeLambda = 1000L
 
   /** Shared Cramer-solve text for q141 — the SAME arithmetic string
@@ -949,6 +988,7 @@ object QueriesAnalytics {
     "q134_robust_outliers" -> qRobustOutliers,
     "q135_trend" -> qTrend,
     "q141_ridge" -> qRidge,
+    "q148_cusum" -> qCusum,
     "q68_sql_exists" -> qSqlExists,
     "q120_sql_sessions" -> qSqlSessions,
     "q77_sql_topn" -> qSqlTopN,
@@ -1065,6 +1105,28 @@ object QueriesAnalytics {
 
     // OLS via exact integer sufficient statistics; one float division
     // at the very end
+    // CUSUM: n·S_t = n·cum_t − t·total, all exact BIGINTs; argmax by
+    // (|S|, earliest day)
+    "q148_cusum" ->
+      s"""WITH daily AS (SELECT n_name, epoch_ms(o_orderdate) // 86400000 AS d,
+         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  GROUP BY n_name, d),
+         |stats AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(cents) AS BIGINT) AS tot FROM daily GROUP BY n_name),
+         |ser AS (SELECT n_name, d,
+         |  CAST(row_number() OVER (PARTITION BY n_name ORDER BY d) AS BIGINT) AS t,
+         |  CAST(sum(cents) OVER (PARTITION BY n_name ORDER BY d) AS BIGINT) AS cum
+         |  FROM daily),
+         |s AS (SELECT ser.n_name AS n_name, d, n,
+         |  n * cum - t * tot AS sv FROM ser JOIN stats USING (n_name)),
+         |r AS (SELECT n_name, n AS n_days, d AS cp_day, abs(sv) AS s_abs_scaled,
+         |  row_number() OVER (PARTITION BY n_name ORDER BY abs(sv) DESC, d) AS rk
+         |  FROM s)
+         |SELECT n_name, n_days, cp_day, s_abs_scaled FROM r WHERE rk = 1
+         |ORDER BY n_name""".stripMargin,
+
     // ridge: BIGINT sufficient stats + the SAME Cramer text as Spark
     "q141_ridge" ->
       s"""WITH f AS (SELECT l_returnflag,

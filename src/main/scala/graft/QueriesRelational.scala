@@ -1180,6 +1180,56 @@ object QueriesRelational {
       .select(col("n_exact"), col("cms_est"), col("err_bp"))
   }
 
+  private val HistBins = 32
+  private[graft] val SelThresholds =
+    Seq(1000000L, 2500000L, 5000000L, 7500000L, 9000000L)
+
+  /** q147: SELECTIVITY ESTIMATION from an equi-depth histogram — the
+    * range-predicate half of the optimizer-statistics pair (q146 does
+    * join sizes): build a [[HistBins]]-bucket equi-depth histogram
+    * over price cents (exact rank-based buckets via GlobalRank — the
+    * catalog's ANALYZE job, no single-partition window), then for
+    * each probe threshold estimate `rows(cents ≤ x)` as full buckets
+    * plus linear interpolation inside the boundary bucket, against
+    * the exact count. Integer end-to-end (cents, counts, interpolation
+    * by integer division; error as abs basis points so floor and
+    * truncating division agree).
+    *
+    * Scale: the ANALYZE pass is one range-partitioned rank + a
+    * 32-row aggregate; every estimate afterwards reads 32 rows —
+    * that asymmetry (one pass, then free predicates) is the entire
+    * point of histogram statistics at 100 TB. The exact side is one
+    * conditional-aggregation pass for all thresholds at once.
+    */
+  private val qSelectivity: Q = (spark, dir) => {
+    val li = Tables(spark, dir, "lineitem").select(
+      expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+      col("l_orderkey"), col("l_linenumber"))
+    val binned = GlobalRank.withNtile(li,
+      Seq(col("cents"), col("l_orderkey"), col("l_linenumber")), HistBins, "bin")
+    val hist = binned.groupBy("bin")
+      .agg(min("cents").as("lo"), max("cents").as("hi"),
+        count(lit(1)).as("cnt"))
+    val probes = spark.createDataFrame(SelThresholds.map(Tuple1(_))).toDF("x")
+    val est = broadcast(probes).crossJoin(hist)
+      .groupBy("x")
+      .agg((sum(when(col("hi") <= col("x"), col("cnt")).otherwise(0L)) +
+        sum(when(col("lo") <= col("x") && col("hi") > col("x"),
+          expr("cnt * (x - lo + 1) div (hi - lo + 1)")).otherwise(0L)))
+        .cast("long").as("est_rows"))
+    val exactAggs = SelThresholds.map(t =>
+      sum(when(col("cents") <= t, 1L).otherwise(0L)).as(s"e_$t"))
+    val exact = li.agg(exactAggs.head, exactAggs.tail: _*)
+    val exactRows = exact.selectExpr(
+      s"""stack(${SelThresholds.size}, ${SelThresholds
+        .map(t => s"CAST($t AS BIGINT), e_$t").mkString(", ")})
+         | AS (x, n_exact)""".stripMargin)
+    exactRows.join(broadcast(est), "x")
+      .withColumn("err_bp", expr("abs(est_rows - n_exact) * 10000 div n_exact"))
+      .select(col("x"), col("n_exact"), col("est_rows"), col("err_bp"))
+      .orderBy("x")
+  }
+
   /** q102: MERGEABLE QUANTILE SKETCH by log₂ histogram — the sketch
     * counterpart of q99's exact global-rank percentiles. Values settle
     * to exact integer micros, bin = bit length (floor(log₂)+1, an
@@ -1264,6 +1314,7 @@ object QueriesRelational {
     "q92_heavy_keys" -> qHeavyKeys,
     "q101_cms" -> qCms,
     "q146_join_card" -> qJoinCard,
+    "q147_selectivity" -> qSelectivity,
     "q102_hist_quantiles" -> qHistQuantiles,
     "q96_hll" -> qHll,
     "q97_topk_udaf" -> qTopkUdaf,
@@ -1458,6 +1509,31 @@ object QueriesRelational {
 
     // the full d×w counter grid rebuilt relationally; min over the
     // probe's d buckets = the CMS point estimate
+    // selectivity: the same rank-exact equi-depth buckets (ntile) and
+    // the same integer interpolation rule
+    "q147_selectivity" -> {
+      val xs = SelThresholds.map(t => s"(CAST($t AS BIGINT))").mkString(", ")
+      s"""WITH li AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         |  l_orderkey, l_linenumber FROM lineitem),
+         |b AS (SELECT cents,
+         |  ntile($HistBins) OVER (ORDER BY cents, l_orderkey, l_linenumber) AS bin
+         |  FROM li),
+         |h AS (SELECT bin, min(cents) AS lo, max(cents) AS hi,
+         |  CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY bin),
+         |xs(x) AS (VALUES $xs),
+         |est AS (SELECT x,
+         |  CAST(sum(CASE WHEN hi <= x THEN cnt ELSE 0 END)
+         |     + sum(CASE WHEN lo <= x AND hi > x
+         |            THEN cnt * (x - lo + 1) // (hi - lo + 1) ELSE 0 END)
+         |    AS BIGINT) AS est_rows
+         |  FROM xs CROSS JOIN h GROUP BY x),
+         |ex AS (SELECT x, CAST(count(CASE WHEN cents <= x THEN 1 END) AS BIGINT) AS n_exact
+         |  FROM xs CROSS JOIN li GROUP BY x)
+         |SELECT x, n_exact, est_rows,
+         |  CAST(abs(est_rows - n_exact) * 10000 // n_exact AS BIGINT) AS err_bp
+         |FROM ex JOIN est USING (x) ORDER BY x""".stripMargin
+    },
+
     // join-cardinality estimate: bucket-grouped counts per sketch row,
     // inner product per row, min over rows — all exact BIGINTs
     "q146_join_card" -> {
