@@ -140,6 +140,51 @@ object QueriesAnalytics {
     out
   }
 
+  /** q150: PAGERANK WITH DANGLING-MASS REDISTRIBUTION — the global
+    * correctness detail q63's symmetrized graph never exercises: on
+    * the ASYMMETRIC customer→supplier graph every supplier is a sink,
+    * and without redistribution the walk's probability mass drains to
+    * zero. Each sweep aggregates the dangling nodes' rank into ONE
+    * scalar (an anti-join + sum → a broadcast 1-row frame riding the
+    * lazy plan — no extra job per iteration) and spreads it uniformly:
+    * r' = 0.15/N + 0.85·(Σ_in r/deg + D/N). Total mass stays 1.0
+    * every sweep (spec-asserted).
+    *
+    * Scale: q63's loop shape — edges persisted pre-partitioned once,
+    * only the rank table reshuffles per sweep — plus the dangling
+    * scalar, which is the piece naive distributed ports drop because
+    * it LOOKS like a global dependency but is just a broadcast double.
+    */
+  private val qPagerankDangling: Q = (spark, dir) => {
+    val ord = Tables(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val trade = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 10).as("c"), (col("l_suppkey") * 10 + 1).as("s"))
+      .distinct()
+    val nodes = dedup.Dedup.materialize(
+      trade.select(col("c").as("node"))
+        .union(trade.select(col("s").as("node"))).distinct())
+    val nN = nodes.count()
+    val deg = trade.groupBy("c").agg(count(lit(1)).as("deg"))
+    val edges = trade.join(deg, "c").repartition(col("c")).persist()
+    var ranks = nodes.withColumn("pr", lit(1.0 / nN))
+    for (_ <- 1 to PrIters) {
+      val dang = ranks.join(broadcast(deg), ranks("node") === deg("c"), "left_anti")
+        .agg(coalesce(sum("pr"), lit(0.0)).as("dm"))
+      val contrib = edges.join(ranks, edges("c") === ranks("node"))
+        .select(col("s").as("node"), (col("pr") / col("deg")).as("ct"))
+        .groupBy("node").agg(sum("ct").as("cin"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          (lit(0.15) / nN + lit(0.85) *
+            (coalesce(col("cin"), lit(0.0)) + col("dm") / nN)).as("pr"))
+    }
+    val out = dedup.Dedup.materialize(ranks.orderBy("node"))
+    edges.unpersist()
+    out
+  }
+
   private[graft] val LpaIters = 3
 
   /** q127: label-propagation community detection (Raghavan et al.
@@ -989,6 +1034,7 @@ object QueriesAnalytics {
     "q135_trend" -> qTrend,
     "q141_ridge" -> qRidge,
     "q148_cusum" -> qCusum,
+    "q150_pagerank_dangling" -> qPagerankDangling,
     "q68_sql_exists" -> qSqlExists,
     "q120_sql_sessions" -> qSqlSessions,
     "q77_sql_topn" -> qSqlTopN,
@@ -1105,6 +1151,30 @@ object QueriesAnalytics {
 
     // OLS via exact integer sufficient statistics; one float division
     // at the very end
+    // dangling-aware PageRank: per-round CTE triple (dangling scalar,
+    // in-contributions, update); same 0.15/0.85 literals as Spark
+    "q150_pagerank_dangling" -> {
+      val rounds = (1 to PrIters).map { i =>
+        s"""d$i AS (SELECT coalesce(sum(pr), 0.0) AS dm
+           |  FROM r${i - 1} r LEFT JOIN deg ON r.node = deg.c WHERE deg.c IS NULL),
+           |c$i AS (SELECT t.s AS node, sum(r.pr / deg.deg) AS cin
+           |  FROM trade t JOIN r${i - 1} r ON r.node = t.c
+           |  JOIN deg ON deg.c = t.c GROUP BY t.s),
+           |r$i AS (SELECT n2.node,
+           |  0.15 / (SELECT n FROM nn) + 0.85 *
+           |    (coalesce(cin, 0.0) + (SELECT dm FROM d$i) / (SELECT n FROM nn)) AS pr
+           |  FROM nodes n2 LEFT JOIN c$i USING (node))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH trade AS (SELECT DISTINCT o_custkey * 10 AS c, l_suppkey * 10 + 1 AS s
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |nodes AS (SELECT c AS node FROM trade UNION SELECT s FROM trade),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+         |deg AS (SELECT c, CAST(count(*) AS BIGINT) AS deg FROM trade GROUP BY c),
+         |r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
+         |$rounds
+         |SELECT node, pr FROM r$PrIters ORDER BY node""".stripMargin
+    },
+
     // CUSUM: n·S_t = n·cum_t − t·total, all exact BIGINTs; argmax by
     // (|S|, earliest day)
     "q148_cusum" ->

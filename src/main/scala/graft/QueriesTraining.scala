@@ -988,6 +988,48 @@ object QueriesTraining {
       .orderBy("doc_id")
   }
 
+  private[graft] val ApportionBudget = 10000L
+
+  /** q149: TOKEN-BUDGET APPORTIONMENT by largest remainder (Hamilton's
+    * method) — the allocation step of mixture construction: given a
+    * training budget of [[ApportionBudget]] slots, each source's share
+    * is proportional to its token mass, but shares must be INTEGERS
+    * that sum exactly to the budget. floor(N·w_s/T) under-allocates by
+    * L slots; the L sources with the largest integer remainders
+    * N·w_s mod T get one extra. Every quantity is exact BIGINT
+    * arithmetic (no float quotas), so the allocation is deterministic
+    * and auditable — the property a reproducible data-mixture config
+    * needs.
+    *
+    * Scale: one token-count aggregate (corpus shuffle), then the
+    * entire method runs on the source-sized table; the remainder rank
+    * is [[graft.operators.GlobalRank]] (no single-partition window
+    * even on the small table, battery invariant).
+    */
+  private val qApportion: Q = (spark, dir) => {
+    val toks = docsFanned(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("source"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
+      .groupBy("source").agg(sum("nt").as("tok"))
+    val toksM = Dedup.materialize(toks) // total + per-source consumers
+    val total = toksM.agg(sum("tok").as("t_total"))
+    val quotas = toksM.crossJoin(broadcast(total))
+      .withColumn("base", expr(s"tok * $ApportionBudget div t_total"))
+      .withColumn("rem", expr(s"(tok * $ApportionBudget) % t_total"))
+    val quotasM = Dedup.materialize(
+      graft.operators.GlobalRank.withRank(quotas,
+        Seq(col("rem").desc, col("source")), "rk"))
+    val leftover = quotasM.agg(
+      (lit(ApportionBudget) - sum(col("base"))).as("l"))
+    quotasM.crossJoin(broadcast(leftover))
+      .withColumn("alloc",
+        col("base") + when(col("rk") <= col("l"), 1L).otherwise(0L))
+      .select(col("source"), col("tok"), col("base"), col("rem"),
+        col("rk"), col("alloc"))
+      .orderBy("source")
+  }
+
   private[graft] val ZipfTopK = 100
 
   /** Shared OLS-fit text for q145 (q141's shared-Cramer pattern, 1-D):
@@ -1527,6 +1569,7 @@ object QueriesTraining {
     "q140_skyline" -> qSkyline,
     "q142_cdc_chunks" -> qCdcChunks,
     "q145_zipf" -> qZipf,
+    "q149_apportion" -> qApportion,
     "q82_sql_functions" -> qSqlFunctions,
     "q49_centroid_update" -> qCentroidUpdate,
     "q30_ngram_topk" -> qNgramTopk,
@@ -2415,6 +2458,24 @@ object QueriesTraining {
          |    WHERE b.tok_cnt >= a.tok_cnt AND b.uniq_bp >= a.uniq_bp
          |      AND (b.tok_cnt > a.tok_cnt OR b.uniq_bp > a.uniq_bp)))
          |SELECT doc_id, tok_cnt, uniq_bp FROM sky ORDER BY doc_id""".stripMargin,
+
+    // apportionment: pure integer Hamilton method — floor quotas by
+    // BIGINT division, remainders ranked exactly
+    "q149_apportion" ->
+      s"""WITH s AS (SELECT source, CAST(sum(len($toksSql)) AS BIGINT) AS tok
+         |  FROM documents WHERE text IS NOT NULL GROUP BY source),
+         |t AS (SELECT CAST(sum(tok) AS BIGINT) AS t_total FROM s),
+         |q AS (SELECT source, tok,
+         |  tok * $ApportionBudget // t_total AS base,
+         |  (tok * $ApportionBudget) % t_total AS rem FROM s, t),
+         |r AS (SELECT source, tok, base, rem,
+         |  CAST(row_number() OVER (ORDER BY rem DESC, source) AS BIGINT) AS rk
+         |  FROM q),
+         |l AS (SELECT $ApportionBudget - CAST(sum(base) AS BIGINT) AS lv FROM q)
+         |SELECT source, tok, CAST(base AS BIGINT) AS base,
+         |  CAST(rem AS BIGINT) AS rem, rk,
+         |  CAST(base + CASE WHEN rk <= lv THEN 1 ELSE 0 END AS BIGINT) AS alloc
+         |FROM r, l ORDER BY source""".stripMargin,
 
     // Zipf: per-row micro-scaled ln, then exact BIGINT sufficient
     // statistics and the shared OLS text (q141 pattern)

@@ -40,6 +40,16 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(math.abs(mass - n) / n < 1e-9, s"mass $mass drifted from n $n")
   }
 
+  test("q150 dangling-aware pagerank conserves total probability mass 1.0") {
+    // the asymmetric graph makes every supplier a sink: without the
+    // dangling-mass redistribution Σ pr decays by ~0.85·(sink share)
+    // per sweep — conservation at 1.0 is exactly the property the
+    // dangling scalar exists to preserve.
+    val df = Queries.all("q150_pagerank_dangling")(spark, dir)
+    val mass = df.agg(sum("pr")).collect()(0).getDouble(0)
+    assert(math.abs(mass - 1.0) < 1e-9, s"probability mass drifted: $mass")
+  }
+
   test("q64 grok-parsed latency histogram equals the direct computation") {
     // the same histogram computed WITHOUT grok (fields derived
     // arithmetically, as the oracle does) — proves the parse chain
