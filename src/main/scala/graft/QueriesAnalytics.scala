@@ -144,9 +144,10 @@ object QueriesAnalytics {
     * correctness detail q63's symmetrized graph never exercises: on
     * the ASYMMETRIC customer→supplier graph every supplier is a sink,
     * and without redistribution the walk's probability mass drains to
-    * zero. Each sweep aggregates the dangling nodes' rank into ONE
-    * scalar (an anti-join + sum → a broadcast 1-row frame riding the
-    * lazy plan — no extra job per iteration) and spreads it uniformly:
+    * zero. Each sweep derives the dangling mass as ONE scalar with no
+    * extra pass over the rank table — conservation gives D = 1 − Σ cin
+    * from the already-aggregated contribution table — and spreads it
+    * uniformly:
     * r' = 0.15/N + 0.85·(Σ_in r/deg + D/N). Total mass stays 1.0
     * every sweep (spec-asserted).
     *
@@ -169,11 +170,19 @@ object QueriesAnalytics {
     val edges = trade.join(deg, "c").repartition(col("c")).persist()
     var ranks = nodes.withColumn("pr", lit(1.0 / nN))
     for (_ <- 1 to PrIters) {
-      val dang = ranks.join(broadcast(deg), ranks("node") === deg("c"), "left_anti")
-        .agg(coalesce(sum("pr"), lit(0.0)).as("dm"))
-      val contrib = edges.join(ranks, edges("c") === ranks("node"))
-        .select(col("s").as("node"), (col("pr") / col("deg")).as("ct"))
-        .groupBy("node").agg(sum("ct").as("cin"))
+      // the dangling scalar needs NO extra pass over the rank table:
+      // every non-dangling node's rank distributes fully, so
+      // D = 1 − Σ cin (mass conservation). The contribution table is
+      // materialized once per sweep — it feeds both the scalar and
+      // the update, and it checkpoints the sweep's lineage so the
+      // chain never re-evaluates (first cut re-read ranks 3×/sweep:
+      // 14.5 s → this shape)
+      val contrib = dedup.Dedup.materialize(
+        edges.join(ranks, edges("c") === ranks("node"))
+          .select(col("s").as("node"), (col("pr") / col("deg")).as("ct"))
+          .groupBy("node").agg(sum("ct").as("cin")))
+      val dang = contrib.agg(
+        (lit(1.0) - coalesce(sum("cin"), lit(0.0))).as("dm"))
       ranks = nodes.join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(dang))
         .select(col("node"),
@@ -1155,11 +1164,10 @@ object QueriesAnalytics {
     // in-contributions, update); same 0.15/0.85 literals as Spark
     "q150_pagerank_dangling" -> {
       val rounds = (1 to PrIters).map { i =>
-        s"""d$i AS (SELECT coalesce(sum(pr), 0.0) AS dm
-           |  FROM r${i - 1} r LEFT JOIN deg ON r.node = deg.c WHERE deg.c IS NULL),
-           |c$i AS (SELECT t.s AS node, sum(r.pr / deg.deg) AS cin
+        s"""c$i AS (SELECT t.s AS node, sum(r.pr / deg.deg) AS cin
            |  FROM trade t JOIN r${i - 1} r ON r.node = t.c
            |  JOIN deg ON deg.c = t.c GROUP BY t.s),
+           |d$i AS (SELECT 1.0 - coalesce(sum(cin), 0.0) AS dm FROM c$i),
            |r$i AS (SELECT n2.node,
            |  0.15 / (SELECT n FROM nn) + 0.85 *
            |    (coalesce(cin, 0.0) + (SELECT dm FROM d$i) / (SELECT n FROM nn)) AS pr

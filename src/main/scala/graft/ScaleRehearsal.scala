@@ -220,8 +220,31 @@ object ScaleRehearsal {
     val bloomOnly = args.length > 1 && args(1) == "bloom"
     // "er" second arg: entity-resolution pipelines over an Nx registry
     val erOnly = args.length > 1 && args(1) == "er"
+    // "new8" second arg: the round-8 continuation's doc/embedding
+    // operators (skyline, CDC chunking, Zipf, apportionment, PQ-ADC)
+    // at 1x vs Nx
+    val new8Only = args.length > 1 && args(1) == "new8"
     val scaled = s"/tmp/graft_scale_${mult}x"
     val spark = GraftSession.get("local[32]", "32")
+    if (new8Only) {
+      scaleDocs(spark, base, scaled, mult)
+      val emb0 = spark.read.parquet(s"$base/embeddings.parquet")
+        .select(col("vec_id"), graft.sim.Similarity.asDouble(col("embedding")).as("embedding"))
+      (0 until mult).map { k =>
+        emb0.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+          copyVariant(k).as("embedding"))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$scaled/embeddings.parquet")
+      val qs = Seq("q140_skyline", "q142_cdc_chunks", "q145_zipf",
+        "q149_apportion", "q139_pq_adc")
+      Seq("1x" -> base, s"${mult}x" -> scaled).foreach { case (label, dir) =>
+        qs.foreach(q => timeQuery(spark, q, dir)) // warm
+        val line = qs.map(q => "\"" + q + "\":" + timeQuery(spark, q, dir))
+          .mkString("{", ",", "}")
+        println(s"""{"metric":"scale_rehearsal_new8","scale":"$label","dir":"$dir","queries":$line}""")
+      }
+      spark.stop(); return
+    }
     if (embedOnly) { runEmbed(spark, base, scaled, mult); spark.stop(); return }
     if (erOnly) { runEr(spark, base, scaled, mult); spark.stop(); return }
     if (bloomOnly) {
