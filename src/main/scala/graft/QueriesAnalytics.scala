@@ -984,6 +984,60 @@ object QueriesAnalytics {
       .orderBy("channel")
   }
 
+  private[graft] val MultiTouchLookbackMs = 604800000L // 7 days
+
+  /** q152: POSITION-BASED MULTI-TOUCH ATTRIBUTION — q110's last-touch
+    * sibling with the industry-standard U-shape: a purchase's credit
+    * splits 40% to the first click in the lookback window, 40% to the
+    * last, and the middle 20% across interior clicks — in EXACT
+    * integer basis points, with the interior share divided by the
+    * largest-remainder rule (q149's method), so every purchase's
+    * weights sum to exactly 10000 and the report is deterministic.
+    * Zero-click purchases carry their 10000 bp as `unattributed`.
+    *
+    * Scale: one user-partitioned bounded range join (purchase ×
+    * lookback clicks — fan-out capped by the window), per-purchase
+    * position windows (partitioned by purchase id), and a channel
+    * aggregate; no global window, no floats.
+    */
+  private val qMultiTouch: Q = (spark, dir) => {
+    val e = Tables.events(spark, dir).select(
+      col("user_id"), col("event_id"), col("ts_ms"), col("event_type"),
+      when(col("event_type") === "click",
+        when(col("event_id") % 4 === 0, lit("search"))
+          .when(col("event_id") % 4 === 1, lit("social"))
+          .when(col("event_id") % 4 === 2, lit("email"))
+          .otherwise(lit("direct"))).as("channel"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts_ms").as("p_ts"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_id"), col("ts_ms").as("c_ts"),
+        col("channel"))
+    val touches = purchases.join(clicks, Seq("user_id"))
+      .filter(col("c_ts") < col("p_ts") &&
+        col("p_ts") - col("c_ts") <= MultiTouchLookbackMs)
+    val wPos = Window.partitionBy("p_id").orderBy("c_ts", "c_id")
+    val wN = Window.partitionBy("p_id")
+    val weighted = touches
+      .withColumn("pos", row_number().over(wPos).cast("long"))
+      .withColumn("n", count(lit(1)).over(wN).cast("long"))
+      .withColumn("w_bp", expr(
+        """CASE WHEN n = 1 THEN 10000
+          |     WHEN n = 2 THEN 5000
+          |     WHEN pos = 1 OR pos = n THEN 4000
+          |     ELSE 2000 div (n - 2)
+          |        + (CASE WHEN pos - 1 <= 2000 % (n - 2) THEN 1 ELSE 0 END)
+          |END""".stripMargin))
+    val attributed = weighted.groupBy("channel")
+      .agg(count(lit(1)).as("n_touches"), sum("w_bp").cast("long").as("weight_bp"))
+    val unattributed = purchases
+      .join(weighted.select("p_id").distinct(), Seq("p_id"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("unattributed").as("channel"), lit(0L).as("n_touches"),
+        (col("n") * 10000L).as("weight_bp"))
+    attributed.unionByName(unattributed).orderBy("channel")
+  }
+
   private[graft] val MaxFillGapH = 48
 
   /** q114: LINEAR GAP INTERPOLATION — the resampling twin of q60's
@@ -1044,6 +1098,7 @@ object QueriesAnalytics {
     "q141_ridge" -> qRidge,
     "q148_cusum" -> qCusum,
     "q150_pagerank_dangling" -> qPagerankDangling,
+    "q152_multi_touch" -> qMultiTouch,
     "q68_sql_exists" -> qSqlExists,
     "q120_sql_sessions" -> qSqlSessions,
     "q77_sql_topn" -> qSqlTopN,
@@ -1137,6 +1192,43 @@ object QueriesAnalytics {
          |  CAST(count(*) AS BIGINT) AS purchases
          |FROM x WHERE event_type = 'purchase'
          |GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    // multi-touch: U-shaped integer bp weights; interior share by the
+    // largest-remainder rule — weights sum to exactly 10000/purchase
+    "q152_multi_touch" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type,
+         |  CASE WHEN event_type = 'click' THEN
+         |    CASE WHEN event_id % 4 = 0 THEN 'search'
+         |         WHEN event_id % 4 = 1 THEN 'social'
+         |         WHEN event_id % 4 = 2 THEN 'email'
+         |         ELSE 'direct' END END AS channel
+         |  FROM events),
+         |p AS (SELECT user_id, event_id AS p_id, ts_ms AS p_ts FROM e
+         |  WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, event_id AS c_id, ts_ms AS c_ts, channel FROM e
+         |  WHERE event_type = 'click'),
+         |t AS (SELECT p.p_id, c.c_id, c.c_ts, c.channel
+         |  FROM p JOIN c USING (user_id)
+         |  WHERE c.c_ts < p.p_ts AND p.p_ts - c.c_ts <= $MultiTouchLookbackMs),
+         |w AS (SELECT channel, p_id,
+         |  CAST(row_number() OVER (PARTITION BY p_id ORDER BY c_ts, c_id) AS BIGINT) AS pos,
+         |  CAST(count(*) OVER (PARTITION BY p_id) AS BIGINT) AS n
+         |  FROM t),
+         |wb AS (SELECT channel, p_id,
+         |  CASE WHEN n = 1 THEN 10000
+         |       WHEN n = 2 THEN 5000
+         |       WHEN pos = 1 OR pos = n THEN 4000
+         |       ELSE 2000 // (n - 2)
+         |          + (CASE WHEN pos - 1 <= 2000 % (n - 2) THEN 1 ELSE 0 END)
+         |  END AS w_bp FROM w),
+         |att AS (SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+         |  CAST(sum(w_bp) AS BIGINT) AS weight_bp FROM wb GROUP BY channel),
+         |un AS (SELECT 'unattributed' AS channel, CAST(0 AS BIGINT) AS n_touches,
+         |  CAST(count(*) * 10000 AS BIGINT) AS weight_bp
+         |  FROM p WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.p_id = p.p_id))
+         |SELECT channel, n_touches, weight_bp FROM att
+         |UNION ALL SELECT channel, n_touches, weight_bp FROM un
+         |ORDER BY channel""".stripMargin,
 
     "q107_ewma" ->
       s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,

@@ -1180,6 +1180,45 @@ object QueriesRelational {
       .select(col("n_exact"), col("cms_est"), col("err_bp"))
   }
 
+  /** q151: REFERENTIAL-INTEGRITY AUDIT — the data-contract check an
+    * ingestion front door runs before admitting a snapshot: for every
+    * foreign-key edge of the schema graph, how many child rows have
+    * no parent (orphans) and how many distinct parent keys are
+    * actually referenced. Each edge is one LEFT ANTI join on the key —
+    * at 100 TB these are the same co-partitioned/broadcast shapes the
+    * production joins use, so the audit costs one pass per edge and
+    * the output is one row per edge regardless of corpus size.
+    */
+  private val qFkAudit: Q = (spark, dir) => {
+    def edge(name: String, child: DataFrame, ck: String,
+             parent: DataFrame, pk: String): DataFrame = {
+      val c = child.select(col(ck).as("k"))
+      val p = parent.select(col(pk).as("k"))
+      val orphans = c.join(p, Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      val stats = c.agg(count(lit(1)).as("n_children"),
+        count_distinct(col("k")).as("n_ref_keys"))
+      stats.crossJoin(broadcast(orphans))
+        .select(lit(name).as("fk_edge"), col("n_children"),
+          col("n_ref_keys"), col("n_orphans"))
+    }
+    val li = Tables(spark, dir, "lineitem")
+    val ord = Tables(spark, dir, "orders")
+    val cust = Tables(spark, dir, "customer")
+    val supp = Tables(spark, dir, "supplier")
+    val part = Tables(spark, dir, "part")
+    val nat = Tables(spark, dir, "nation")
+    Seq(
+      edge("customer.nation", cust, "c_nationkey", nat, "n_nationkey"),
+      edge("lineitem.order", li, "l_orderkey", ord, "o_orderkey"),
+      edge("lineitem.part", li, "l_partkey", part, "p_partkey"),
+      edge("lineitem.supplier", li, "l_suppkey", supp, "s_suppkey"),
+      edge("orders.customer", ord, "o_custkey", cust, "c_custkey"),
+      edge("supplier.nation", supp, "s_nationkey", nat, "n_nationkey"))
+      .reduce(_ unionByName _)
+      .orderBy("fk_edge")
+  }
+
   private val HistBins = 32
   private[graft] val SelThresholds =
     Seq(1000000L, 2500000L, 5000000L, 7500000L, 9000000L)
@@ -1315,6 +1354,7 @@ object QueriesRelational {
     "q101_cms" -> qCms,
     "q146_join_card" -> qJoinCard,
     "q147_selectivity" -> qSelectivity,
+    "q151_fk_audit" -> qFkAudit,
     "q102_hist_quantiles" -> qHistQuantiles,
     "q96_hll" -> qHll,
     "q97_topk_udaf" -> qTopkUdaf,
@@ -1509,6 +1549,25 @@ object QueriesRelational {
 
     // the full d×w counter grid rebuilt relationally; min over the
     // probe's d buckets = the CMS point estimate
+    // FK audit: one anti-join row per schema edge
+    "q151_fk_audit" -> {
+      def edgeSql(name: String, child: String, ck: String,
+                  parent: String, pk: String): String =
+        s"""SELECT '$name' AS fk_edge,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $child) AS n_children,
+           |  (SELECT CAST(count(DISTINCT $ck) AS BIGINT) FROM $child) AS n_ref_keys,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM $child c
+           |     WHERE NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.$ck)) AS n_orphans""".stripMargin
+      Seq(
+        edgeSql("customer.nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        edgeSql("lineitem.order", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        edgeSql("lineitem.part", "lineitem", "l_partkey", "part", "p_partkey"),
+        edgeSql("lineitem.supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        edgeSql("orders.customer", "orders", "o_custkey", "customer", "c_custkey"),
+        edgeSql("supplier.nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY fk_edge")
+    },
+
     // selectivity: the same rank-exact equi-depth buckets (ntile) and
     // the same integer interpolation rule
     "q147_selectivity" -> {
