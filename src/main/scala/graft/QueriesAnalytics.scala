@@ -1038,6 +1038,112 @@ object QueriesAnalytics {
     attributed.unionByName(unattributed).orderBy("channel")
   }
 
+  private[graft] val PsiBuckets = 20
+  private[graft] val PsiBucketCents = 3000000L
+  private[graft] val PsiSplitDate = "1995-01-01"
+
+  /** Shared PSI term text: Laplace-smoothed shares from exact BIGINT
+    * counts, one ln per bucket settled to integer nano-units — the
+    * q145 discipline (identical IEEE ops both engines, micro-rounding
+    * beats libm's ≤1-ulp disagreement), summed exactly.
+    */
+  private[graft] val psiTermSql: String = {
+    val pa = s"(CAST(n_a + 1 AS DOUBLE) / CAST(tot_a + $PsiBuckets AS DOUBLE))"
+    val pb = s"(CAST(n_b + 1 AS DOUBLE) / CAST(tot_b + $PsiBuckets AS DOUBLE))"
+    s"CAST(round((($pa - $pb) * ln($pa / $pb)) * 1000000000) AS BIGINT)"
+  }
+
+  /** q153: POPULATION STABILITY INDEX — the production data-drift
+    * gate: did the order-value distribution shift between the pre-
+    * and post-[[PsiSplitDate]] snapshots? Fixed equi-width cent
+    * buckets (data-independent, so the two snapshots and every future
+    * one bucket identically), Laplace-smoothed shares (empty buckets
+    * well-defined), per-bucket drift terms in exact integer
+    * nano-units, and the headline PSI as their exact sum (industry
+    * read: <0.1 stable, >0.25 investigate).
+    *
+    * Scale: ONE conditional aggregation pass over the corpus (both
+    * snapshots counted in the same groupBy), then everything runs on
+    * the [[PsiBuckets]]-row table. Monitoring 1000 features is 1000
+    * columns in the same pass, not 1000 jobs.
+    */
+  private val qPsi: Q = (spark, dir) => {
+    val b = Tables(spark, dir, "orders")
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+        (col("o_orderdate") < lit(PsiSplitDate).cast("timestamp")).as("in_a"))
+      .withColumn("bucket",
+        least(lit(PsiBuckets - 1L), expr(s"cents div $PsiBucketCents")))
+      .groupBy("bucket")
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"))
+    val tot = b.agg(sum("n_a").as("tot_a"), sum("n_b").as("tot_b"))
+    val terms = dedup.Dedup.materialize(
+      b.crossJoin(broadcast(tot))
+        .withColumn("term_nano", expr(psiTermSql)))
+    val psi = terms.agg(sum("term_nano").as("psi_nano"))
+    terms.crossJoin(broadcast(psi))
+      .select(col("bucket"), col("n_a"), col("n_b"), col("term_nano"),
+        col("psi_nano"))
+      .orderBy("bucket")
+  }
+
+  /** Shared two-proportion test text for q154: z-score and per-variant
+    * Wilson 95% bounds from the four exact BIGINT counts.
+    */
+  private[graft] def abStatSql: Seq[(String, String)] = {
+    def p(c: String, n: String) = s"(CAST($c AS DOUBLE) / CAST($n AS DOUBLE))"
+    val (pa, pb) = (p("conv_a", "n_a"), p("conv_b", "n_b"))
+    val pool = s"(CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
+    val z =
+      s"(($pa - $pb) / sqrt($pool * (1.0 - $pool) * (1.0/CAST(n_a AS DOUBLE) + 1.0/CAST(n_b AS DOUBLE))))"
+    def wilson(pv: String, n: String, side: String): String = {
+      val nd = s"CAST($n AS DOUBLE)"
+      val z2 = "3.8416" // 1.96^2, exact decimal literal both engines
+      s"(($pv + $z2/(2.0*$nd) $side 1.96*sqrt($pv*(1.0-$pv)/$nd + $z2/(4.0*$nd*$nd))) / (1.0 + $z2/$nd))"
+    }
+    Seq(
+      "z_score" -> s"round($z, 6)",
+      "lift_bp" -> s"CAST(round(($pa - $pb) * 10000) AS BIGINT)",
+      "wilson_lo_a" -> s"round(${wilson(pa, "n_a", "-")}, 6)",
+      "wilson_hi_a" -> s"round(${wilson(pa, "n_a", "+")}, 6)",
+      "wilson_lo_b" -> s"round(${wilson(pb, "n_b", "-")}, 6)",
+      "wilson_hi_b" -> s"round(${wilson(pb, "n_b", "+")}, 6)")
+  }
+
+  private[graft] val AbConvCents = 60000L
+
+  /** q154: A/B TEST ANALYSIS — deterministic hash-split experiment
+    * readout: users split into variants by the battery's portable
+    * md5 hash (a pure row function — assignment is reproducible and
+    * join-free), conversion = lifetime purchase value ≥
+    * [[AbConvCents]] cents (~the median, so both outcomes are
+    * populated at every SF); output is the
+    * two-proportion z-score, the lift in basis points, and
+    * per-variant Wilson 95% intervals, all computed by a SHARED
+    * expression text over four exact BIGINT counts (the q141
+    * discipline: identical IEEE ops ⇒ identical doubles).
+    *
+    * Scale: one per-user aggregate (the only corpus shuffle), one
+    * 2-row variant aggregate, then arithmetic on a single row.
+    */
+  private val qAbTest: Q = (spark, dir) => {
+    val users = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(when(sum(when(col("event_type") === "purchase",
+          expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L)) >= AbConvCents,
+        1L).otherwise(0L).as("converted"))
+      .withColumn("variant",
+        (graft.dedup.Dedup.hash32(col("user_id").cast("string"), "ab") % 2 === 0))
+    val row = users.agg(
+      sum(when(col("variant"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant"), col("converted")).otherwise(0L)).as("conv_a"),
+      sum(when(!col("variant"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(!col("variant"), col("converted")).otherwise(0L)).as("conv_b"))
+    row.select(col("n_a") +: col("conv_a") +: col("n_b") +: col("conv_b") +:
+      abStatSql.map { case (nm, e) => expr(e).as(nm) }: _*)
+  }
+
   private[graft] val MaxFillGapH = 48
 
   /** q114: LINEAR GAP INTERPOLATION — the resampling twin of q60's
@@ -1099,6 +1205,8 @@ object QueriesAnalytics {
     "q148_cusum" -> qCusum,
     "q150_pagerank_dangling" -> qPagerankDangling,
     "q152_multi_touch" -> qMultiTouch,
+    "q153_psi" -> qPsi,
+    "q154_ab_test" -> qAbTest,
     "q68_sql_exists" -> qSqlExists,
     "q120_sql_sessions" -> qSqlSessions,
     "q77_sql_topn" -> qSqlTopN,
@@ -1192,6 +1300,41 @@ object QueriesAnalytics {
          |  CAST(count(*) AS BIGINT) AS purchases
          |FROM x WHERE event_type = 'purchase'
          |GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    // PSI: same fixed buckets, smoothing, and nano-unit term text
+    "q153_psi" ->
+      s"""WITH b AS (SELECT
+         |  least(${PsiBuckets - 1},
+         |    CAST(round(o_totalprice * 100) AS BIGINT) // $PsiBucketCents) AS bucket,
+         |  CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '$PsiSplitDate 00:00:00'
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |  CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '$PsiSplitDate 00:00:00'
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+         |  FROM orders GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS tot_a,
+         |  CAST(sum(n_b) AS BIGINT) AS tot_b FROM b),
+         |terms AS (SELECT bucket, n_a, n_b, $psiTermSql AS term_nano FROM b, t),
+         |p AS (SELECT CAST(sum(term_nano) AS BIGINT) AS psi_nano FROM terms)
+         |SELECT bucket, n_a, n_b, term_nano, psi_nano FROM terms, p
+         |ORDER BY bucket""".stripMargin,
+
+    // A/B: portable hash split + the shared z/Wilson text
+    "q154_ab_test" ->
+      s"""WITH u AS (SELECT user_id,
+         |  CASE WHEN sum(CASE WHEN event_type = 'purchase'
+         |    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) >= $AbConvCents
+         |    THEN 1 ELSE 0 END AS converted,
+         |  ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 AS variant
+         |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+         |s AS (SELECT
+         |  CAST(sum(CASE WHEN variant THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |  CAST(sum(CASE WHEN variant THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+         |  CAST(sum(CASE WHEN NOT variant THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |  CAST(sum(CASE WHEN NOT variant THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+         |  FROM u)
+         |SELECT n_a, conv_a, n_b, conv_b,
+         |  ${abStatSql.map { case (nm, e) => s"$e AS $nm" }.mkString(",\n  ")}
+         |FROM s""".stripMargin,
 
     // multi-touch: U-shaped integer bp weights; interior share by the
     // largest-remainder rule — weights sum to exactly 10000/purchase
