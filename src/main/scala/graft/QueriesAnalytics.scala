@@ -1038,6 +1038,55 @@ object QueriesAnalytics {
     attributed.unionByName(unattributed).orderBy("channel")
   }
 
+  /** q155: RANGE-frame trailing window — the VALUE-based frame the
+    * battery's other windows (ROWS frames, q65/q74) don't exercise:
+    * per nation, the trailing-7-DAY revenue sum over an IRREGULAR
+    * daily series, where a gap day must shrink the window (a ROWS
+    * frame would wrongly reach 7 observations back regardless of
+    * dates). Exact integers (cents, epoch-day keys); the frame is
+    * `RANGE BETWEEN 6 PRECEDING AND CURRENT ROW` over the day index
+    * on both engines.
+    *
+    * Scale: one daily aggregate + one nation-partitioned window —
+    * range frames cost the same sorted scan as rows frames.
+    */
+  private val qRangeFrame: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        expr("unix_millis(CAST(o_orderdate AS TIMESTAMP)) div 86400000").as("d"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    val w = Window.partitionBy("n_name").orderBy(col("d"))
+      .rangeBetween(-6, Window.currentRow)
+    daily
+      .withColumn("w7_cents", sum("cents").over(w).cast("long"))
+      .withColumn("w7_days", count(lit(1)).over(w).cast("long"))
+      .select(col("n_name"), col("d"), col("cents"), col("w7_cents"), col("w7_days"))
+      .orderBy("n_name", "d")
+  }
+
+  /** q156: SQL front end #7 — explicit GROUPING SETS + grouping bits,
+    * completing the grouped-aggregation trio (q33 ROLLUP, q89 CUBE):
+    * three chosen sets in ONE pass (each input row expands to all its
+    * sets map-side), with the level id built from `grouping()` bits —
+    * portable where `grouping_id()`'s bit order is not guaranteed
+    * across engines. ONE dialect-neutral text runs verbatim on both;
+    * money in integer cents per the battery's parity rule.
+    */
+  private[graft] val GroupingSetsText: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin
+
+  private val qGroupingSets: Q = (spark, dir) =>
+    sqlVerbatim(spark, dir, GroupingSetsText, Seq("orders"))
+
   private[graft] val PsiBuckets = 20
   private[graft] val PsiBucketCents = 3000000L
   private[graft] val PsiSplitDate = "1995-01-01"
@@ -1207,6 +1256,8 @@ object QueriesAnalytics {
     "q152_multi_touch" -> qMultiTouch,
     "q153_psi" -> qPsi,
     "q154_ab_test" -> qAbTest,
+    "q155_range_frame" -> qRangeFrame,
+    "q156_grouping_sets" -> qGroupingSets,
     "q68_sql_exists" -> qSqlExists,
     "q120_sql_sessions" -> qSqlSessions,
     "q77_sql_topn" -> qSqlTopN,
@@ -1300,6 +1351,25 @@ object QueriesAnalytics {
          |  CAST(count(*) AS BIGINT) AS purchases
          |FROM x WHERE event_type = 'purchase'
          |GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    // RANGE frame over the irregular day index — value-based trailing
+    // window, exact cents
+    "q155_range_frame" ->
+      s"""WITH daily AS (SELECT n_name, epoch_ms(o_orderdate) // 86400000 AS d,
+         |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  JOIN nation ON c_nationkey = n_nationkey
+         |  GROUP BY n_name, d)
+         |SELECT n_name, d, cents,
+         |  CAST(sum(cents) OVER w AS BIGINT) AS w7_cents,
+         |  CAST(count(*) OVER w AS BIGINT) AS w7_days
+         |FROM daily
+         |WINDOW w AS (PARTITION BY n_name ORDER BY d
+         |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+         |ORDER BY n_name, d""".stripMargin,
+
+    // grouping sets: the Spark side runs this IDENTICAL text
+    "q156_grouping_sets" -> GroupingSetsText,
 
     // PSI: same fixed buckets, smoothing, and nano-unit term text
     "q153_psi" ->

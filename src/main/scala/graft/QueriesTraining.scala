@@ -138,6 +138,53 @@ object QueriesTraining {
       .orderBy("id_a", "id_b")
   }
 
+  private val PhashFrame = 32
+  private val PhashBands = 4
+  private val PhashHamMax = 3L
+
+  /** q157: PERCEPTUAL-HASH media dedup — the image/audio sibling of
+    * q138's text SimHash: each payload's first [[PhashFrame]]-byte
+    * frame (the q28 sample) reduces to a 32-bit average-hash — bit i
+    * set iff 32·bᵢ > Σb, a PURE INTEGER threshold (no float mean), so
+    * re-encoded or slightly-corrupted copies that preserve coarse
+    * structure land within a small Hamming ball. Near-dup pairs by
+    * Hamming ≤ [[PhashHamMax]] via the same pigeonhole banding
+    * (4 × 8-bit bands: ≤3 flipped bits cannot touch all 4 bands, so
+    * band-equality candidates are EXACT, not probabilistic).
+    *
+    * Scale: hash is a per-row codegen projection; the self-join keys
+    * on (band, 8-bit value) — max 4·256 buckets of hash keys, never
+    * payload bytes; verify is an integer popcount on candidates only.
+    * (Payload = text bytes on this fixture — the q27/q28 ASCII note.)
+    */
+  private val qPhashDedup: Q = (spark, dir) => {
+    val m = docsFanned(spark, dir)
+      .filter(col("text").isNotNull && length(col("text")) >= PhashFrame)
+      .select(col("doc_id"), substring(col("text"), 1, PhashFrame).as("frame"))
+    val withSum = m.withColumn("fsum", expr(
+      s"aggregate(transform(sequence(1, $PhashFrame), i -> CAST(ascii(substr(frame, i, 1)) AS BIGINT)), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+    val bitTerms = (0 until PhashFrame).map(i =>
+      s"(CASE WHEN CAST(ascii(substr(frame, ${i + 1}, 1)) AS BIGINT) * $PhashFrame > fsum THEN ${1L << i} ELSE 0 END)")
+      .mkString("\n      + ")
+    val h = Dedup.materialize(
+      withSum.withColumn("phash", expr(s"CAST($bitTerms AS BIGINT)"))
+        .select("doc_id", "phash"))
+    val b = h.select(col("doc_id"), col("phash"),
+        explode(array((0 until PhashBands).map(k =>
+          struct(lit(k).as("k"),
+            expr(s"(phash >> (8 * $k)) & 255").as("bv"))): _*)).as("bd"))
+      .select(col("doc_id"), col("phash"), col("bd.k"), col("bd.bv"))
+    b.select(col("doc_id").as("id_a"), col("phash").as("ha"), col("k"), col("bv"))
+      .join(b.select(col("doc_id").as("id_b"), col("phash").as("hb"),
+        col("k"), col("bv")), Seq("k", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "ha", "hb").distinct()
+      .withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+      .filter(col("hamming") <= PhashHamMax)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+
   private val PmiWindow = 2
   private val PmiTopK = 40
 
@@ -1580,6 +1627,7 @@ object QueriesTraining {
     "q130_bpe_apply" -> qBpeApply,
     "q137_pmi" -> qPmi,
     "q138_simhash_dedup" -> qSimhashDedup,
+    "q157_phash_dedup" -> qPhashDedup,
     "q17_text_quality" -> qTextQuality,
     "q18_text_langid" -> qTextLangid,
     "q19_text_fingerprint" -> qTextFingerprint,
@@ -2314,6 +2362,29 @@ object QueriesTraining {
 
     // Hamming-banded pairs over q23's fingerprints: pigeonhole makes
     // the distance predicate an equi-join; exact bit_count verify
+    // aHash: integer threshold bits over the first frame's codes;
+    // same pigeonhole banding + popcount verify as q138
+    "q157_phash_dedup" -> {
+      val bitTermsSql = (1 to PhashFrame).map(i =>
+        s"(CASE WHEN cs[$i] * $PhashFrame > fsum THEN ${1L << (i - 1)} ELSE 0 END)")
+        .mkString("\n    + ")
+      s"""WITH m AS (SELECT doc_id, substr(text, 1, $PhashFrame) AS frame
+         |  FROM documents WHERE text IS NOT NULL AND length(text) >= $PhashFrame),
+         |c AS (SELECT doc_id,
+         |  list_transform(range(1, ${PhashFrame + 1}), i -> unicode(frame[i])) AS cs
+         |  FROM m),
+         |s AS (SELECT doc_id, cs, ${foldSumSql("cs")} AS fsum FROM c),
+         |h AS (SELECT doc_id, CAST($bitTermsSql AS BIGINT) AS phash FROM s),
+         |b AS (SELECT doc_id, phash, k, (phash >> (8 * k)) & 255 AS bv
+         |  FROM h, (SELECT unnest(range(0, $PhashBands)) AS k)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, c2.doc_id AS id_b,
+         |    a.phash AS ha, c2.phash AS hb
+         |  FROM b a JOIN b c2 ON a.k = c2.k AND a.bv = c2.bv AND a.doc_id < c2.doc_id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(ha, hb)) <= $PhashHamMax
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
     "q138_simhash_dedup" ->
       s"""WITH t AS (SELECT doc_id,
          |  list_transform($toksSql, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
