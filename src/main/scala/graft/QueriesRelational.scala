@@ -1219,6 +1219,40 @@ object QueriesRelational {
       .orderBy("fk_edge")
   }
 
+  private[graft] val DigestMod = 2305843009213693951L // 2^61 - 1
+
+  /** q158: ORDER-INDEPENDENT TABLE DIGEST — the replication-integrity
+    * primitive: does this copy of the table hold exactly the same
+    * rows as that one, WITHOUT sorting or shuffling either? Each row
+    * canonicalizes to a '|'-joined string (money in cents, dates via
+    * the portable `%Y-%m-%d`), hashes to a 60-bit integer, and the
+    * digest is the exact modular sum — commutative and associative,
+    * so any partitioning, any row order, and any merge tree produce
+    * the identical value (map-side combine does all the work; the
+    * HUGEINT/DECIMAL intermediate keeps the sum exact before the
+    * mod). Cross-region comparison at 100 TB is then one scan per
+    * side and an 8-byte exchange.
+    */
+  private val qTableDigest: Q = (spark, dir) => {
+    def digest(name: String, df: DataFrame, canonical: String): DataFrame =
+      df.select(expr(canonical).as("s"))
+        .select(expr("CAST(conv(substr(md5(s), 1, 15), 16, 10) AS DECIMAL(38,0))").as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr(s"CAST(sum(h) % $DigestMod AS BIGINT)").as("digest"))
+        .select(lit(name).as("table_name"), col("n_rows"), col("digest"))
+    val li = digest("lineitem", Tables(spark, dir, "lineitem"),
+      """concat_ws('|', CAST(l_orderkey AS STRING), CAST(l_linenumber AS STRING),
+        |CAST(l_partkey AS STRING), CAST(l_suppkey AS STRING),
+        |CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS STRING))""".stripMargin)
+    val ord = digest("orders", Tables(spark, dir, "orders"),
+      """concat_ws('|', CAST(o_orderkey AS STRING), CAST(o_custkey AS STRING),
+        |CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING),
+        |date_format(o_orderdate, 'yyyy-MM-dd'))""".stripMargin)
+    val cust = digest("customer", Tables(spark, dir, "customer"),
+      "concat_ws('|', CAST(c_custkey AS STRING), c_name, CAST(c_nationkey AS STRING))")
+    li.unionByName(ord).unionByName(cust).orderBy("table_name")
+  }
+
   private val HistBins = 32
   private[graft] val SelThresholds =
     Seq(1000000L, 2500000L, 5000000L, 7500000L, 9000000L)
@@ -1355,6 +1389,7 @@ object QueriesRelational {
     "q146_join_card" -> qJoinCard,
     "q147_selectivity" -> qSelectivity,
     "q151_fk_audit" -> qFkAudit,
+    "q158_table_digest" -> qTableDigest,
     "q102_hist_quantiles" -> qHistQuantiles,
     "q96_hll" -> qHll,
     "q97_topk_udaf" -> qTopkUdaf,
@@ -1549,6 +1584,27 @@ object QueriesRelational {
 
     // the full d×w counter grid rebuilt relationally; min over the
     // probe's d buckets = the CMS point estimate
+    // digest: identical canonical strings, 60-bit md5-prefix ints,
+    // exact HUGEINT sum mod 2^61-1 — order-free on both engines
+    "q158_table_digest" -> {
+      def d(name: String, table: String, canonical: String): String =
+        s"""SELECT '$name' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CAST(('0x' || substr(md5($canonical), 1, 15)) AS BIGINT)) % $DigestMod AS BIGINT) AS digest
+           |FROM $table""".stripMargin
+      Seq(
+        d("lineitem", "lineitem",
+          """concat_ws('|', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+            |CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR),
+            |CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR))""".stripMargin),
+        d("orders", "orders",
+          """concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+            |CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+            |strftime(o_orderdate, '%Y-%m-%d'))""".stripMargin),
+        d("customer", "customer",
+          "concat_ws('|', CAST(c_custkey AS VARCHAR), c_name, CAST(c_nationkey AS VARCHAR))"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+    },
+
     // FK audit: one anti-join row per schema edge
     "q151_fk_audit" -> {
       def edgeSql(name: String, child: String, ck: String,
