@@ -1219,6 +1219,37 @@ object QueriesRelational {
       .orderBy("fk_edge")
   }
 
+  private val CoTopK = 5
+
+  /** q159: ITEM-ITEM CO-PURCHASE counts — "customers who bought X
+    * also bought Y", the classic collaborative-filtering statistics
+    * job: directional part pairs from each order's item set, counted
+    * corpus-wide, top-[[CoTopK]] co-items per part. The pair explode
+    * is BOUNDED by the per-order item count (≤7 on TPC-H; a real
+    * pipeline caps basket size first — the skew guard that keeps a
+    * 10⁴-item wholesale order from generating 10⁸ pairs), the count
+    * shuffle carries (a, b) integer keys with map-side combine, and
+    * the per-item top-k is a partitioned window.
+    */
+  private val qCoPurchase: Q = (spark, dir) => {
+    val items = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val pairs = items.select(col("ok"), col("pk").as("a"))
+      .join(items.select(col("ok"), col("pk").as("b")), "ok")
+      .filter(col("a") =!= col("b"))
+    val counts = pairs.groupBy("a", "b").agg(count(lit(1)).as("n_orders"))
+    val w = Window.partitionBy("a").orderBy(col("n_orders").desc, col("b"))
+    counts.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= CoTopK)
+      // keep output bounded + meaningful: only parts with a repeat
+      // co-purchase signal (top co-item seen in ≥2 orders)
+      .withColumn("mx", max(col("n_orders")).over(Window.partitionBy("a")))
+      .filter(col("mx") >= 2)
+      .select(col("a").as("part_a"), col("rk"), col("b").as("part_b"),
+        col("n_orders"))
+      .orderBy("part_a", "rk")
+  }
+
   private[graft] val DigestMod = 2305843009213693951L // 2^61 - 1
 
   /** q158: ORDER-INDEPENDENT TABLE DIGEST — the replication-integrity
@@ -1390,6 +1421,7 @@ object QueriesRelational {
     "q147_selectivity" -> qSelectivity,
     "q151_fk_audit" -> qFkAudit,
     "q158_table_digest" -> qTableDigest,
+    "q159_copurchase" -> qCoPurchase,
     "q102_hist_quantiles" -> qHistQuantiles,
     "q96_hll" -> qHll,
     "q97_topk_udaf" -> qTopkUdaf,
@@ -1584,6 +1616,22 @@ object QueriesRelational {
 
     // the full d×w counter grid rebuilt relationally; min over the
     // probe's d buckets = the CMS point estimate
+    // co-purchase: same directional pairs, counts, windowed top-k
+    "q159_copurchase" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem),
+         |pairs AS (SELECT a.pk AS a, b.pk AS b FROM items a
+         |  JOIN items b USING (ok) WHERE a.pk <> b.pk),
+         |counts AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_orders
+         |  FROM pairs GROUP BY a, b),
+         |r AS (SELECT a, b, n_orders,
+         |  CAST(row_number() OVER (PARTITION BY a ORDER BY n_orders DESC, b) AS BIGINT) AS rk,
+         |  CAST(max(n_orders) OVER (PARTITION BY a) AS BIGINT) AS mx
+         |  FROM counts)
+         |SELECT a AS part_a, rk, b AS part_b, n_orders
+         |FROM r WHERE rk <= $CoTopK AND mx >= 2
+         |ORDER BY part_a, rk""".stripMargin,
+
     // digest: identical canonical strings, 60-bit md5-prefix ints,
     // exact HUGEINT sum mod 2^61-1 — order-free on both engines
     "q158_table_digest" -> {

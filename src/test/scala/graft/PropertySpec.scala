@@ -156,4 +156,34 @@ class PropertySpec extends AnyFunSuite {
       assert(byVer.map(_.getInt(6)).toSeq == (Seq.fill(rows.length - 1)(0) :+ 1), s"key $k current")
     }
   }
+
+  test("cdc chunks tile arbitrary strings and boundaries are content-local") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.text.CdcChunker
+    def spans(s: String): Seq[(Int, Int)] = {
+      val arr = CdcChunker.chunks(UTF8String.fromString(s))
+      (0 until arr.numElements()).map { i =>
+        val r = arr.getStruct(i, 2); (r.getInt(0), r.getInt(1))
+      }
+    }
+    val genText = Gen.oneOf(
+      Gen.listOfN(500, Gen.alphaNumChar).map(_.mkString),
+      Gen.listOfN(2000, Gen.oneOf('a', 'b')).map(_.mkString), // low-entropy
+      Gen.alphaNumStr.map(_.take(60)),
+      Gen.const("x" * 31), Gen.const("y" * 32), Gen.const("z"))
+    samples(genText, 200).filter(_.nonEmpty).foreach { s =>
+      val sp = spans(s)
+      // tiling: 1-based contiguous cover, positive lengths
+      assert(sp.head._1 == 1 && sp.map(_._2).sum == s.length, s"cover: ${s.take(30)}")
+      assert(sp.forall(_._2 > 0))
+      sp.sliding(2).foreach {
+        case Seq((a, l), (b, _)) => assert(b == a + l, "gap/overlap")
+        case _ =>
+      }
+      // locality: appending a suffix never changes earlier boundaries
+      // (every boundary decision reads only the trailing window)
+      val sp2 = spans(s + "SUFFIX-APPENDED-0123456789")
+      assert(sp2.startsWith(sp.dropRight(1)), "appending text moved an earlier boundary")
+    }
+  }
 }
