@@ -138,6 +138,41 @@ object QueriesTraining {
       .orderBy("id_a", "id_b")
   }
 
+  private val NoveltyBatchSize = 50L
+
+  /** q160: CRAWL-INCREMENT NOVELTY RATE — the content-freshness
+    * measurement a continuously-crawled corpus runs per increment:
+    * what fraction of this batch's shingles has never been seen in
+    * any EARLIER batch? (A collapsing novelty rate means the crawl is
+    * re-fetching what it already has.) Batches simulated as doc_id
+    * ranges ([[NoveltyBatchSize]] docs per increment).
+    *
+    * Scale: the naive form joins each batch against the union of all
+    * prior batches (quadratic re-scans); this reduces the WHOLE
+    * history to ONE shuffle — first_batch(shingle) = min(batch) over
+    * the corpus — then novelty per batch is a count over (shingle,
+    * first_batch) keys. Incremental form: the min-aggregate is
+    * mergeable, so yesterday's first-seen table absorbs today's
+    * increment in O(delta).
+    */
+  private val qNovelty: Q = (spark, dir) => {
+    val sh = Dedup.shingleTable(
+      Tables(spark, dir, "documents"), "doc_id", "text")
+      .withColumn("batch", expr(s"doc_id div $NoveltyBatchSize"))
+      .select(col("batch"), explode_outer(col("sh")).as("g"))
+    val shM = Dedup.materialize(sh.distinct()) // (batch, shingle) pairs
+    val firstSeen = shM.groupBy("g").agg(min("batch").as("first_batch"))
+    val perBatch = shM.groupBy("batch").agg(count(lit(1)).as("n_shingles"))
+    val novel = shM.join(firstSeen, "g")
+      .filter(col("batch") === col("first_batch"))
+      .groupBy("batch").agg(count(lit(1)).as("n_novel"))
+    perBatch.join(novel, Seq("batch"), "left")
+      .select(col("batch"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_bp", expr("n_novel * 10000 div n_shingles"))
+      .orderBy("batch")
+  }
+
   private val PhashFrame = 32
   private val PhashBands = 4
   private val PhashHamMax = 3L
@@ -1628,6 +1663,7 @@ object QueriesTraining {
     "q137_pmi" -> qPmi,
     "q138_simhash_dedup" -> qSimhashDedup,
     "q157_phash_dedup" -> qPhashDedup,
+    "q160_novelty" -> qNovelty,
     "q17_text_quality" -> qTextQuality,
     "q18_text_langid" -> qTextLangid,
     "q19_text_fingerprint" -> qTextFingerprint,
@@ -2362,6 +2398,22 @@ object QueriesTraining {
 
     // Hamming-banded pairs over q23's fingerprints: pigeonhole makes
     // the distance predicate an equi-join; exact bit_count verify
+    // novelty: history reduced to one min-aggregate over shingle keys
+    "q160_novelty" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |shl AS (SELECT doc_id, $shinglesSql AS s FROM toks),
+         |u AS (SELECT doc_id // $NoveltyBatchSize AS batch, unnest(s) AS g FROM shl),
+         |pairs AS (SELECT DISTINCT batch, g FROM u),
+         |fs AS (SELECT g, min(batch) AS first_batch FROM pairs GROUP BY g),
+         |pb AS (SELECT batch, CAST(count(*) AS BIGINT) AS n_shingles
+         |  FROM pairs GROUP BY batch),
+         |nv AS (SELECT batch, CAST(count(*) AS BIGINT) AS n_novel
+         |  FROM pairs JOIN fs USING (g) WHERE batch = first_batch GROUP BY batch)
+         |SELECT pb.batch AS batch, n_shingles,
+         |  coalesce(n_novel, 0) AS n_novel,
+         |  CAST(coalesce(n_novel, 0) * 10000 // n_shingles AS BIGINT) AS novelty_bp
+         |FROM pb LEFT JOIN nv USING (batch) ORDER BY batch""".stripMargin,
+
     // aHash: integer threshold bits over the first frame's codes;
     // same pigeonhole banding + popcount verify as q138
     "q157_phash_dedup" -> {
