@@ -138,6 +138,60 @@ object QueriesTraining {
       .orderBy("id_a", "id_b")
   }
 
+  /** q161: LANGUAGE CONFUSION MATRIX — the label-quality audit that
+    * gates trusting either signal: declared `lang` metadata vs the
+    * engine's own n-gram detector (q18), counted per (declared,
+    * detected) cell with the cell share of its declared row in
+    * integer basis points. Diagonal mass = agreement; heavy
+    * off-diagonal cells localize which declared labels (or which
+    * detector languages) to distrust before filtering a corpus on
+    * either.
+    *
+    * Scale: one detector projection (codegen stopword hits) + one
+    * cells-sized aggregate; the row totals join |langs| rows.
+    */
+  private val qLangConfusion: Q = (spark, dir) => {
+    val pred = docsFanned(spark, dir)
+      .filter(col("text").isNotNull)
+      .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+    val cells = pred.groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+    val rows = cells.groupBy("lang").agg(sum("n").as("row_n"))
+    cells.join(rows, "lang")
+      .select(col("lang"), col("lang_pred"), col("n"),
+        expr("n * 10000 div row_n").as("share_bp"))
+      .orderBy("lang", "lang_pred")
+  }
+
+  /** q162: SOURCE-OVERLAP MATRIX — corpus-provenance diagnostics: the
+    * shingle-level Jaccard between every pair of sources (which feeds
+    * dedup priorities and mixture weights — two sources at 0.9
+    * overlap should not both get full budget). The quadratic
+    * "compare every source pair's shingle sets" collapses to one
+    * self-join on SHINGLE keys of the distinct (shingle, source)
+    * table: intersections come from co-occurrence counts, unions from
+    * per-source totals — output is |sources|² regardless of corpus
+    * size, and no shuffle ever carries text.
+    */
+  private val qSourceOverlap: Q = (spark, dir) => {
+    val sg = Dedup.materialize(
+      Dedup.shingleTable(Tables(spark, dir, "documents"), "doc_id", "text")
+        .join(Tables(spark, dir, "documents").select("doc_id", "source"), "doc_id")
+        .select(col("source"), explode_outer(col("sh")).as("g"))
+        .distinct())
+    val sizes = sg.groupBy("source").agg(count(lit(1)).as("sz"))
+    val inter = sg.select(col("source").as("src_a"), col("g"))
+      .join(sg.select(col("source").as("src_b"), col("g")), "g")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("source").as("src_a"), col("sz").as("sza")), "src_a")
+      .join(sizes.select(col("source").as("src_b"), col("sz").as("szb")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_inter"),
+        (col("sza") + col("szb") - col("n_inter")).as("n_union"))
+      .withColumn("jaccard_bp", expr("n_inter * 10000 div n_union"))
+      .orderBy("src_a", "src_b")
+  }
+
   private val NoveltyBatchSize = 50L
 
   /** q160: CRAWL-INCREMENT NOVELTY RATE — the content-freshness
@@ -1664,6 +1718,8 @@ object QueriesTraining {
     "q138_simhash_dedup" -> qSimhashDedup,
     "q157_phash_dedup" -> qPhashDedup,
     "q160_novelty" -> qNovelty,
+    "q161_lang_confusion" -> qLangConfusion,
+    "q162_source_overlap" -> qSourceOverlap,
     "q17_text_quality" -> qTextQuality,
     "q18_text_langid" -> qTextLangid,
     "q19_text_fingerprint" -> qTextFingerprint,
@@ -2398,6 +2454,43 @@ object QueriesTraining {
 
     // Hamming-banded pairs over q23's fingerprints: pigeonhole makes
     // the distance predicate an equi-join; exact bit_count verify
+    // confusion matrix: q18's detector CTEs + a cells aggregate
+    "q161_lang_confusion" ->
+      s"""WITH t AS (SELECT doc_id, lang, $ltoksSql AS ltoks FROM documents
+         |  WHERE text IS NOT NULL),
+         |s AS (SELECT doc_id, lang,
+         |  ${TextAnalysis.stopwords.map { case (l, ws) => s"${hitsSql(ws)} AS s_$l" }.mkString(",\n  ")}
+         |  FROM t),
+         |p AS (SELECT lang, $langCaseSql AS lang_pred FROM s),
+         |cells AS (SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+         |  FROM p GROUP BY lang, lang_pred),
+         |r AS (SELECT lang, CAST(sum(n) AS BIGINT) AS row_n FROM cells GROUP BY lang)
+         |SELECT cells.lang AS lang, lang_pred, n,
+         |  CAST(n * 10000 // row_n AS BIGINT) AS share_bp
+         |FROM cells JOIN r USING (lang)
+         |ORDER BY lang, lang_pred""".stripMargin,
+
+    // source overlap: distinct (shingle, source) self-join on shingle
+    "q162_source_overlap" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |shl AS (SELECT doc_id, $shinglesSql AS s FROM toks),
+         |u AS (SELECT d.source AS source, unnest(shl.s) AS g
+         |  FROM shl JOIN documents d USING (doc_id)),
+         |sg AS (SELECT DISTINCT source, g FROM u),
+         |sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS sz
+         |  FROM sg GROUP BY source),
+         |inter AS (SELECT a.source AS src_a, b.source AS src_b,
+         |    CAST(count(*) AS BIGINT) AS n_inter
+         |  FROM sg a JOIN sg b USING (g) WHERE a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT src_a, src_b, n_inter,
+         |  CAST(sa.sz + sb.sz - n_inter AS BIGINT) AS n_union,
+         |  CAST(n_inter * 10000 // (sa.sz + sb.sz - n_inter) AS BIGINT) AS jaccard_bp
+         |FROM inter
+         |JOIN sizes sa ON sa.source = src_a
+         |JOIN sizes sb ON sb.source = src_b
+         |ORDER BY src_a, src_b""".stripMargin,
+
     // novelty: history reduced to one min-aggregate over shingle keys
     "q160_novelty" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
