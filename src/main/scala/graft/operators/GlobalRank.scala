@@ -82,8 +82,11 @@ object GlobalRank {
     val parts = Dedup.materialize(
       df.repartitionByRange(parallelism, sortCols: _*)
         .withColumn("__pid", spark_partition_id()))
+    // a partition whose values are ALL null has a null max — keep the
+    // identity rather than silently reading 0 from the null cell
     val hist = parts.groupBy("__pid").agg(max(col(valCol)).as("mx"))
-      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .collect().filterNot(_.isNullAt(1))
+      .map(r => (r.getInt(0), r.getLong(1)))
     val numParts = parts.rdd.getNumPartitions
     val maxes = Array.fill(numParts)(Long.MinValue)
     hist.foreach { case (pid, m) => maxes(pid) = m }

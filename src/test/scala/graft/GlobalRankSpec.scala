@@ -70,6 +70,20 @@ class GlobalRankSpec extends AnyFunSuite {
     }
   }
 
+  test("withPrefixMax ignores null values; sparse all-null partitions keep the identity") {
+    val df = data(200).withColumn("v",
+      when(col("id") % 3 === 0, (col("id") * 13 % 101).cast("long")))
+    val got = GlobalRank
+      .withPrefixMax(df, Seq(col("k"), col("id")), "v", "pm", numPartitions = 64)
+      .select("id", "pm").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val w = Window.orderBy(col("k"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = df
+      .withColumn("pm", coalesce(max(col("v")).over(w), lit(Long.MinValue)))
+      .select("id", "pm").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got == want)
+  }
+
   test("withPrefixMax on an empty frame yields empty output") {
     val df = data(10).filter(col("id") < 0).withColumn("v", col("id"))
     assert(GlobalRank.withPrefixMax(df, Seq(col("id")), "v", "pm").count() === 0L)
