@@ -192,6 +192,79 @@ object QueriesTraining {
       .orderBy("src_a", "src_b")
   }
 
+  /** q164: EXACT WEIGHTED MEDIAN per group — the robust-statistics
+    * primitive (median price weighted by quantity): the scan-friendly
+    * shape aggregates (group, value) → weight sums FIRST (key-sized
+    * shuffle with map-side combine), so the cumulative window runs
+    * over DISTINCT VALUES per group, not rows — the difference
+    * between a window over 10⁹ rows and one over 10⁴ prices at
+    * 100 TB. Median = least value whose doubled cumulative weight
+    * reaches the group total (the lower weighted median —
+    * deterministic, integer end-to-end).
+    */
+  private val qWeightedMedian: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val vw = Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+        expr("CAST(round(l_quantity) AS BIGINT)").as("w"))
+      .groupBy("l_returnflag", "cents").agg(sum("w").as("wsum"))
+    val wCum = Window.partitionBy("l_returnflag").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy("l_returnflag")
+    vw.withColumn("cum", sum("wsum").over(wCum))
+      .withColumn("tot", sum("wsum").over(wTot))
+      .filter(col("cum") * 2 >= col("tot"))
+      .groupBy("l_returnflag")
+      .agg(min("cents").as("w_median_cents"), max("tot").as("total_weight"))
+      .orderBy("l_returnflag")
+  }
+
+  private val SetCoverRounds = 3
+
+  /** q163: GREEDY COVERAGE SELECTION — the submodular data-selection
+    * primitive (eval-set construction, dedup-aware sampling): pick
+    * the document covering the most shingles, remove those shingles,
+    * repeat. [[SetCoverRounds]] deterministic rounds (greedy is the
+    * canonical (1−1/e) approximation; ties → smallest doc_id), each
+    * emitting (round, doc_id, marginal_gain, covered_total).
+    *
+    * Scale: the corpus-sized (doc, shingle) table is built ONCE; each
+    * round is one arg-max aggregate (max_by, map-side combinable) +
+    * one broadcast semi-join removing the winner's shingles — the
+    * covered set grows by one document's shingles per round, so the
+    * broadcast stays document-sized however big the corpus is.
+    */
+  private val qSetCover: Q = (spark, dir) => {
+    val ds = Dedup.materialize(
+      Dedup.shingleTable(Tables(spark, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), explode_outer(col("sh")).as("g")).distinct())
+    var uncovered = ds
+    var coveredTotal = 0L
+    val picks = (1 to SetCoverRounds).map { round =>
+      val top = uncovered.groupBy("doc_id").agg(count(lit(1)).as("gain"))
+        .agg(max_by(struct(col("doc_id"), col("gain")),
+          struct(col("gain"), (-col("doc_id")).as("nd"))).as("b"))
+        .select(col("b.doc_id"), col("b.gain")).collect()(0)
+      val (winner, gain) = (top.getLong(0), top.getLong(1))
+      coveredTotal += gain
+      val winnerShingles = uncovered.filter(col("doc_id") === winner)
+        .select(col("g"))
+      uncovered = Dedup.materialize(
+        uncovered.join(broadcast(winnerShingles), Seq("g"), "left_anti"))
+      (round.toLong, winner, gain, coveredTotal)
+    }
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(picks.map(p => Row(p._1, p._2, p._3, p._4)), 1),
+      StructType(Seq(StructField("round", LongType, nullable = false),
+        StructField("doc_id", LongType, nullable = false),
+        StructField("marginal_gain", LongType, nullable = false),
+        StructField("covered_total", LongType, nullable = false))))
+      .orderBy("round")
+  }
+
   private val NoveltyBatchSize = 50L
 
   /** q160: CRAWL-INCREMENT NOVELTY RATE — the content-freshness
@@ -1720,6 +1793,8 @@ object QueriesTraining {
     "q160_novelty" -> qNovelty,
     "q161_lang_confusion" -> qLangConfusion,
     "q162_source_overlap" -> qSourceOverlap,
+    "q163_set_cover" -> qSetCover,
+    "q164_weighted_median" -> qWeightedMedian,
     "q17_text_quality" -> qTextQuality,
     "q18_text_langid" -> qTextLangid,
     "q19_text_fingerprint" -> qTextFingerprint,
@@ -2454,6 +2529,49 @@ object QueriesTraining {
 
     // Hamming-banded pairs over q23's fingerprints: pigeonhole makes
     // the distance predicate an equi-join; exact bit_count verify
+    // weighted median: aggregate-then-scan, lower-median pick
+    "q164_weighted_median" ->
+      s"""WITH vw AS (SELECT l_returnflag,
+         |  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+         |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS wsum
+         |  FROM lineitem GROUP BY l_returnflag, cents),
+         |c AS (SELECT l_returnflag, cents, wsum,
+         |  CAST(sum(wsum) OVER (PARTITION BY l_returnflag ORDER BY cents) AS BIGINT) AS cum,
+         |  CAST(sum(wsum) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tot
+         |  FROM vw)
+         |SELECT l_returnflag, min(cents) AS w_median_cents,
+         |  max(tot) AS total_weight
+         |FROM c WHERE cum * 2 >= tot
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // greedy set cover: rounds unrolled as (arg-max, anti-join) CTE
+    // pairs — same tie order, same covered-set removal
+    "q163_set_cover" -> {
+      val rounds = (1 to SetCoverRounds).map { i =>
+        s"""w$i AS (SELECT doc_id, gain FROM (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS gain,
+           |    row_number() OVER (ORDER BY count(*) DESC, doc_id) AS rk
+           |  FROM u${i - 1} GROUP BY doc_id) WHERE rk = 1),
+           |u$i AS (SELECT u.doc_id, u.g FROM u${i - 1} u
+           |  WHERE NOT EXISTS (SELECT 1 FROM u${i - 1} x
+           |    JOIN w$i ww ON x.doc_id = ww.doc_id WHERE x.g = u.g))""".stripMargin
+      }.mkString(",\n")
+      val outRows = (1 to SetCoverRounds).map { i =>
+        val cum = (1 to i).map(j => s"w$j.gain").mkString(" + ")
+        val from = (1 to i).map(j => s"w$j").mkString(", ")
+        s"""SELECT CAST($i AS BIGINT) AS round, w$i.doc_id AS doc_id,
+           |  w$i.gain AS marginal_gain, CAST($cum AS BIGINT) AS covered_total
+           |FROM $from""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |shl AS (SELECT doc_id, $shinglesSql AS s FROM toks),
+         |e0 AS (SELECT doc_id, unnest(s) AS g FROM shl),
+         |u0 AS (SELECT DISTINCT doc_id, g FROM e0),
+         |$rounds
+         |$outRows
+         |ORDER BY round""".stripMargin
+    },
+
     // confusion matrix: q18's detector CTEs + a cells aggregate
     "q161_lang_confusion" ->
       s"""WITH t AS (SELECT doc_id, lang, $ltoksSql AS ltoks FROM documents
