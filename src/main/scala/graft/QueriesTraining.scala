@@ -502,6 +502,33 @@ object QueriesTraining {
       .orderBy("id_a", "id_b")
   }
 
+  /** q165: LSH CANDIDATE PRECISION — the index-tuning complement of
+    * q112's recall audit: of the pairs the MinHash bands surface, what
+    * fraction survives the exact Jaccard verify? Low precision means
+    * the band parameters waste the verify budget on noise (add rows
+    * per band); q112-low recall means they miss true pairs (add
+    * bands). Together the two numbers ARE the LSH tuning loop.
+    * Candidate and survivor counts are exact integers; the rate is
+    * integer basis points.
+    *
+    * Scale: identical shape to q22 (banded candidates, verify only on
+    * collisions) — the audit adds one counting aggregate.
+    */
+  private val qLshPrecision: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents")
+    val sh = Dedup.materialize(Dedup.shingleTable(docs, "doc_id", "text"))
+    val s = Dedup.minhashSigsFromShingles(sh, "doc_id", 16)
+    val cands = Dedup.lshCandidates(s, "doc_id", "sig", 4, 4)
+    val shA = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")).hint("MERGE")
+    val shB = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")).hint("MERGE")
+    cands.select("id_a", "id_b").join(shA, "id_a").join(shB, "id_b")
+      .withColumn("jacc", Dedup.jaccard(col("sh_a"), col("sh_b")))
+      .agg(count(lit(1)).as("n_cand"),
+        sum(when(col("jacc") >= 0.4, 1L).otherwise(0L)).as("n_true"))
+      .withColumn("precision_bp", expr("n_true * 10000 div n_cand"))
+      .select("n_cand", "n_true", "precision_bp")
+  }
+
   private[graft] val ContainmentBp = 5000
 
   private val Bm25K1 = 1.2
@@ -1795,6 +1822,7 @@ object QueriesTraining {
     "q162_source_overlap" -> qSourceOverlap,
     "q163_set_cover" -> qSetCover,
     "q164_weighted_median" -> qWeightedMedian,
+    "q165_lsh_precision" -> qLshPrecision,
     "q17_text_quality" -> qTextQuality,
     "q18_text_langid" -> qTextLangid,
     "q19_text_fingerprint" -> qTextFingerprint,
@@ -2409,6 +2437,20 @@ object QueriesTraining {
          |    / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS jacc
          |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
          |SELECT id_a, id_b, jacc FROM jac WHERE jacc >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    // precision audit: same candidates and verify expression as q22,
+    // plus the counting aggregate
+    "q165_lsh_precision" ->
+      s"""$lshCandidateCtes,
+         |jac AS (SELECT id_a, id_b,
+         |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         |    / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS jacc
+         |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b),
+         |s2 AS (SELECT CAST(count(*) AS BIGINT) AS n_cand,
+         |  CAST(sum(CASE WHEN jacc >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+         |  FROM jac)
+         |SELECT n_cand, n_true,
+         |  CAST(n_true * 10000 // n_cand AS BIGINT) AS precision_bp FROM s2""".stripMargin,
 
     "q108_bm25" -> {
       val termsIn = Bm25Terms.map(t => s"'$t'").mkString(", ")
