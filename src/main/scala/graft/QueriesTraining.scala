@@ -529,6 +529,40 @@ object QueriesTraining {
       .select("n_cand", "n_true", "precision_bp")
   }
 
+  /** q166: EXACT ROC-AUC — the classifier-evaluation primitive behind
+    * quality-filter tuning (does the scorer actually separate the
+    * classes before you gate the corpus on it?). Here: the en-stopword
+    * -ratio scorer judged against the declared `lang = 'en'` labels.
+    * AUC is computed from pair concordance counts, all integers:
+    * aggregate per distinct score first (score domain ≤ 10⁶ micro
+    * values however big the corpus), exclusive global prefix sum of
+    * negatives by score ([[graft.operators.GlobalRank.withPrefixSums]]
+    * — no single-partition window), then
+    * AUC = (concordant + ties/2) / (pos·neg) in exact basis points.
+    * Exact while pos·neg < 2⁶³ (~3·10⁹ per class — per-slice audits;
+    * shard-and-average beyond that).
+    */
+  private val qAuc: Q = (spark, dir) => {
+    val byScore = docsFanned(spark, dir)
+      .select(TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .select(
+        expr("CAST(round(stop_ratio * 1000000) AS BIGINT)").as("score_micro"),
+        col("pos"))
+      .groupBy("score_micro")
+      .agg(sum("pos").as("pos_s"),
+        (count(lit(1)) - sum("pos")).as("neg_s"))
+    val cum = graft.operators.GlobalRank.withPrefixSums(
+      byScore, Seq(col("score_micro")), Seq("neg_s"), Seq("cum_neg"),
+      inclusive = false)
+    cum.agg(sum("pos_s").as("n_pos"), sum("neg_s").as("n_neg"),
+        sum(col("pos_s") * col("cum_neg")).as("concordant"),
+        sum(col("pos_s") * col("neg_s")).as("tied"))
+      .select(col("n_pos"), col("n_neg"), col("concordant"), col("tied"),
+        expr("(2 * concordant + tied) * 10000 div (2 * n_pos * n_neg)")
+          .as("auc_bp"))
+  }
+
   private[graft] val ContainmentBp = 5000
 
   private val Bm25K1 = 1.2
@@ -1823,6 +1857,7 @@ object QueriesTraining {
     "q163_set_cover" -> qSetCover,
     "q164_weighted_median" -> qWeightedMedian,
     "q165_lsh_precision" -> qLshPrecision,
+    "q166_auc" -> qAuc,
     "q17_text_quality" -> qTextQuality,
     "q18_text_langid" -> qTextLangid,
     "q19_text_fingerprint" -> qTextFingerprint,
@@ -2451,6 +2486,27 @@ object QueriesTraining {
          |  FROM jac)
          |SELECT n_cand, n_true,
          |  CAST(n_true * 10000 // n_cand AS BIGINT) AS precision_bp FROM s2""".stripMargin,
+
+    // exact AUC from integer pair-concordance counts; the exclusive
+    // cumulative-negatives window mirrors withPrefixSums
+    "q166_auc" ->
+      s"""$qualityScoreCtes,
+         |sc AS (SELECT CAST(round(stop_ratio * 1000000) AS BIGINT) AS score_micro,
+         |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM q),
+         |by_s AS (SELECT score_micro, CAST(sum(pos) AS BIGINT) AS pos_s,
+         |  CAST(count(*) - sum(pos) AS BIGINT) AS neg_s
+         |  FROM sc GROUP BY score_micro),
+         |cum AS (SELECT pos_s, neg_s,
+         |  CAST(coalesce(sum(neg_s) OVER (ORDER BY score_micro
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_neg
+         |  FROM by_s),
+         |a AS (SELECT CAST(sum(pos_s) AS BIGINT) AS n_pos,
+         |  CAST(sum(neg_s) AS BIGINT) AS n_neg,
+         |  CAST(sum(pos_s * cum_neg) AS BIGINT) AS concordant,
+         |  CAST(sum(pos_s * neg_s) AS BIGINT) AS tied FROM cum)
+         |SELECT n_pos, n_neg, concordant, tied,
+         |  CAST((2 * concordant + tied) * 10000 // (2 * n_pos * n_neg) AS BIGINT) AS auc_bp
+         |FROM a""".stripMargin,
 
     "q108_bm25" -> {
       val termsIn = Bm25Terms.map(t => s"'$t'").mkString(", ")

@@ -105,6 +105,65 @@ object GlobalRank {
     parts.withColumn(outCol, greatest(partPrefix, localPrefix)).drop("__pid")
   }
 
+  /** `df` plus exact global running SUMS of the long columns `valCols`
+    * over `sortCols` — what `sum(v) OVER (ORDER BY ...)` global windows
+    * compute (inclusive frame, or exclusive with
+    * `inclusive = false`) — without the single-partition WindowExec.
+    * The distributed-ECDF primitive: AUC, KS statistics, cumulative
+    * shares all reduce to it.
+    *
+    * One range shuffle serves ALL requested columns: the per-partition
+    * totals for every column ride a single metadata-sized collect
+    * (≤ one row per partition), the per-column offsets are array
+    * literals (`element_at`, O(1)/row), and the partitioned local
+    * windows share one frame spec so Spark evaluates them in a single
+    * WindowExec pass. Null values count as 0. Exact while every
+    * running sum stays inside Long range (callers summing counts are
+    * safe to ~9.2e18 rows).
+    */
+  def withPrefixSums(df: DataFrame, sortCols: Seq[Column],
+                     valCols: Seq[String], outCols: Seq[String],
+                     inclusive: Boolean = true,
+                     numPartitions: Int = 0): DataFrame = {
+    require(sortCols.nonEmpty, "global prefix sum needs a sort column")
+    require(valCols.nonEmpty && valCols.length == outCols.length,
+      s"valCols/outCols must align, got $valCols vs $outCols")
+    val parallelism =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.sparkContext.defaultParallelism
+    val parts = Dedup.materialize(
+      df.repartitionByRange(parallelism, sortCols: _*)
+        .withColumn("__pid", spark_partition_id()))
+    // one aggregate carries every column's partition total; sum()
+    // ignores nulls, and an all-null/empty partition's null total is
+    // the additive identity 0
+    val aggs = valCols.map(c => sum(col(c)).as(c))
+    val totals = parts.groupBy("__pid").agg(aggs.head, aggs.tail: _*)
+      .collect()
+    val numParts = parts.rdd.getNumPartitions
+    val offsetArrs = valCols.indices.map { ci =>
+      val perPart = new Array[Long](numParts)
+      totals.foreach { r =>
+        if (!r.isNullAt(ci + 1)) perPart(r.getInt(0)) = r.getLong(ci + 1)
+      }
+      // exclusive prefix over partitions: partition p's base is the
+      // sum over partitions < p
+      val arr = new Array[Long](numParts)
+      var acc = 0L
+      var i = 0
+      while (i < numParts) { arr(i) = acc; acc += perPart(i); i += 1 }
+      arr
+    }
+    val w = Window.partitionBy("__pid").orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, if (inclusive) 0 else -1)
+    val out = valCols.indices.foldLeft(parts) { (acc, i) =>
+      acc.withColumn(outCols(i),
+        element_at(lit(offsetArrs(i)), col("__pid") + 1)
+          + coalesce(sum(col(valCols(i))).over(w), lit(0L)))
+    }
+    out.drop("__pid")
+  }
+
   private def ranked(df: DataFrame, sortCols: Seq[Column],
                      rankCol: String, numPartitions: Int = 0): (DataFrame, Long) = {
     require(sortCols.nonEmpty, "global rank needs at least one sort column")

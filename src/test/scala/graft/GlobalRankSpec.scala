@@ -119,6 +119,31 @@ class GlobalRankSpec extends AnyFunSuite {
       s"rank projection fell out of whole-stage codegen at 512 partitions:\n${exec.take(2000)}")
   }
 
+  test("withPrefixSums equals global running sums: inclusive+exclusive, multi-col, 512 parts") {
+    val df = data(1000)
+      .withColumn("a", (col("id") * 31 % 17).cast("long"))
+      .withColumn("b", when(col("id") % 4 === 0, (col("id") % 7).cast("long"))) // nulls
+    for ((inclusive, parts) <- Seq((true, 0), (false, 0), (true, 512))) {
+      val got = GlobalRank.withPrefixSums(df, Seq(col("k"), col("id")),
+          Seq("a", "b"), Seq("ca", "cb"), inclusive, numPartitions = parts)
+        .select("id", "ca", "cb").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+      val w = Window.orderBy("k", "id")
+        .rowsBetween(Window.unboundedPreceding, if (inclusive) 0 else -1)
+      val want = df
+        .withColumn("ca", coalesce(sum(col("a")).over(w), lit(0L)))
+        .withColumn("cb", coalesce(sum(col("b")).over(w), lit(0L)))
+        .select("id", "ca", "cb").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+      assert(got == want, s"prefix-sum mismatch inclusive=$inclusive parts=$parts")
+    }
+  }
+
+  test("withPrefixSums on an empty frame yields empty output") {
+    val df = data(10).filter(col("id") < 0).withColumn("v", col("id"))
+    assert(GlobalRank.withPrefixSums(df, Seq(col("id")), Seq("v"), Seq("cv")).count() === 0L)
+  }
+
   test("descending sort columns rank correctly") {
     val df = data(500)
     val got = GlobalRank.withRank(df, Seq(col("k").desc, col("id")))
