@@ -1102,6 +1102,43 @@ object QueriesAnalytics {
     s"CAST(round((($pa - $pb) * ln($pa / $pb)) * 1000000000) AS BIGINT)"
   }
 
+  /** q167: TWO-SAMPLE KOLMOGOROV–SMIRNOV DRIFT — the exact sup-norm
+    * complement of q153's binned PSI: did the event-value distribution
+    * shift between the first and second half of the time range? No
+    * binning choice to defend — D = max |F_a(x) − F_b(x)| over every
+    * distinct value. Integer-exact via cross-multiplication:
+    * |cum_a·n_b − cum_b·n_a| avoids forming either ECDF as a float.
+    *
+    * Scale: aggregate to DISTINCT CENT VALUES first (both halves
+    * counted in one conditional groupBy pass — domain-sized shuffle,
+    * map-side combine), inclusive global prefix sums over the value
+    * domain via [[graft.operators.GlobalRank.withPrefixSums]] (no
+    * single-partition window), one arg-max aggregate. Exact while
+    * n_a·n_b < 2⁶³ (~3·10⁹ per sample; shard the audit beyond).
+    */
+  private val qKsDrift: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+      .select(expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        col("ts_ms"))
+    val mid = ev.agg(min("ts_ms").as("lo"), max("ts_ms").as("hi"))
+    val byV = ev.crossJoin(broadcast(mid))
+      .select(col("cents"), (col("ts_ms") * 2 < col("lo") + col("hi")).as("in_a"))
+      .groupBy("cents")
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"))
+    val cum = graft.operators.GlobalRank.withPrefixSums(
+      byV, Seq(col("cents")), Seq("n_a", "n_b"), Seq("cum_a", "cum_b"))
+    val tot = cum.agg(sum("n_a").as("tot_a"), sum("n_b").as("tot_b"))
+    val d = cum.crossJoin(broadcast(tot))
+      .withColumn("d_num", abs(col("cum_a") * col("tot_b") - col("cum_b") * col("tot_a")))
+    d.agg(max(struct(col("d_num"), (-col("cents")).as("cneg"),
+        col("tot_a"), col("tot_b"))).as("m"))
+      .select(col("m.d_num").as("d_num"), (-col("m.cneg")).as("at_cents"),
+        col("m.tot_a").as("tot_a"), col("m.tot_b").as("tot_b"))
+      .withColumn("ks_bp", expr("d_num * 10000 div (tot_a * tot_b)"))
+      .select("tot_a", "tot_b", "at_cents", "d_num", "ks_bp")
+  }
+
   /** q153: POPULATION STABILITY INDEX — the production data-drift
     * gate: did the order-value distribution shift between the pre-
     * and post-[[PsiSplitDate]] snapshots? Fixed equi-width cent
@@ -1255,6 +1292,7 @@ object QueriesAnalytics {
     "q150_pagerank_dangling" -> qPagerankDangling,
     "q152_multi_touch" -> qMultiTouch,
     "q153_psi" -> qPsi,
+    "q167_ks_drift" -> qKsDrift,
     "q154_ab_test" -> qAbTest,
     "q155_range_frame" -> qRangeFrame,
     "q156_grouping_sets" -> qGroupingSets,
@@ -1370,6 +1408,27 @@ object QueriesAnalytics {
 
     // grouping sets: the Spark side runs this IDENTICAL text
     "q156_grouping_sets" -> GroupingSetsText,
+
+    // KS: exact sup-norm via integer cross-multiplication; same
+    // midpoint split, distinct-value ECDF, tie → smallest value
+    "q167_ks_drift" ->
+      """WITH m AS (SELECT min(epoch_ms(ts)) AS lo, max(epoch_ms(ts)) AS hi FROM events),
+        |v AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+        |  epoch_ms(ts) * 2 < (SELECT lo + hi FROM m) AS in_a FROM events),
+        |b AS (SELECT cents,
+        |  CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+        |  FROM v GROUP BY cents),
+        |c AS (SELECT cents,
+        |  CAST(sum(n_a) OVER (ORDER BY cents) AS BIGINT) AS cum_a,
+        |  CAST(sum(n_b) OVER (ORDER BY cents) AS BIGINT) AS cum_b FROM b),
+        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS tot_a,
+        |  CAST(sum(n_b) AS BIGINT) AS tot_b FROM b),
+        |d AS (SELECT tot_a, tot_b, cents AS at_cents,
+        |  abs(cum_a * tot_b - cum_b * tot_a) AS d_num FROM c, t)
+        |SELECT tot_a, tot_b, at_cents, CAST(d_num AS BIGINT) AS d_num,
+        |  CAST(d_num * 10000 // (tot_a * tot_b) AS BIGINT) AS ks_bp
+        |FROM d ORDER BY d_num DESC, at_cents ASC LIMIT 1""".stripMargin,
 
     // PSI: same fixed buckets, smoothing, and nano-unit term text
     "q153_psi" ->
