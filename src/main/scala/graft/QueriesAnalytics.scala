@@ -1102,6 +1102,56 @@ object QueriesAnalytics {
     s"CAST(round((($pa - $pb) * ln($pa / $pb)) * 1000000000) AS BIGINT)"
   }
 
+  private val HitsIters = 2
+  private val HitsTopK = 10
+
+  /** q168: HITS HUBS & AUTHORITIES — the bipartite-graph twin of
+    * q63's PageRank on the natural customer→supplier purchase graph:
+    * hub(c) = Σ auth(s), auth(s) = Σ hub(c), sum-normalized each
+    * half-step. [[HitsIters]] fixed iterations; scores live in exact
+    * integer micro-units (the normalizer `raw div (tot div 10⁶)` is a
+    * floor on both engines), so every sum is order-free — no float
+    * accumulation for the oracle compare to hinge on.
+    *
+    * Scale: the edge set is materialized once and cached TWICE, each
+    * copy pre-partitioned on the key its half-step joins on — per
+    * iteration only node-sized score tables move through the shuffle,
+    * never the corpus-sized edge set (q63's loop invariant, kept
+    * under alternating join keys).
+    */
+  private val qHits: Q = (spark, dir) => {
+    val ord = Tables(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val e = dedup.Dedup.materialize(
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+        .distinct())
+    val eBySupp = e.repartition(col("supp")).persist()
+    val eByCust = e.repartition(col("cust")).persist()
+    var auth = eBySupp.select("supp").distinct().withColumn("a", lit(1000000L))
+    var hub = eByCust.select("cust").distinct().withColumn("h", lit(1000000L))
+    for (_ <- 1 to HitsIters) {
+      val hubRaw = eBySupp.join(auth, "supp").groupBy("cust").agg(sum("a").as("raw"))
+      val hubTot = hubRaw.agg(sum("raw").as("tot"))
+      hub = hubRaw.crossJoin(broadcast(hubTot))
+        .select(col("cust"), expr("raw div (tot div 1000000)").as("h"))
+      val authRaw = eByCust.join(hub, "cust").groupBy("supp").agg(sum("h").as("raw"))
+      val authTot = authRaw.agg(sum("raw").as("tot"))
+      auth = authRaw.crossJoin(broadcast(authTot))
+        .select(col("supp"), expr("raw div (tot div 1000000)").as("a"))
+    }
+    val out = dedup.Dedup.materialize(
+      auth.orderBy(col("a").desc, col("supp")).limit(HitsTopK)
+        .select(lit("supplier_authority").as("role"),
+          col("supp").as("node_id"), col("a").as("score_micro"))
+        .unionAll(hub.orderBy(col("h").desc, col("cust")).limit(HitsTopK)
+          .select(lit("customer_hub").as("role"),
+            col("cust").as("node_id"), col("h").as("score_micro")))
+        .orderBy(col("role"), col("score_micro").desc, col("node_id")))
+    eBySupp.unpersist(); eByCust.unpersist()
+    out
+  }
+
   /** q167: TWO-SAMPLE KOLMOGOROV–SMIRNOV DRIFT — the exact sup-norm
     * complement of q153's binned PSI: did the event-value distribution
     * shift between the first and second half of the time range? No
@@ -1293,6 +1343,7 @@ object QueriesAnalytics {
     "q152_multi_touch" -> qMultiTouch,
     "q153_psi" -> qPsi,
     "q167_ks_drift" -> qKsDrift,
+    "q168_hits" -> qHits,
     "q154_ab_test" -> qAbTest,
     "q155_range_frame" -> qRangeFrame,
     "q156_grouping_sets" -> qGroupingSets,
@@ -1408,6 +1459,33 @@ object QueriesAnalytics {
 
     // grouping sets: the Spark side runs this IDENTICAL text
     "q156_grouping_sets" -> GroupingSetsText,
+
+    // HITS: half-steps unrolled as CTE pairs, identical integer
+    // micro-unit floor normalization
+    "q168_hits" -> {
+      val iters = (1 to HitsIters).map { i =>
+        val prevA = if (i == 1) "a0" else s"a${i - 1}"
+        s"""h${i}r AS (SELECT cust, CAST(sum(a) AS BIGINT) AS raw
+           |  FROM e JOIN $prevA USING (supp) GROUP BY cust),
+           |h$i AS (SELECT cust, CAST(raw // ((SELECT CAST(sum(raw) AS BIGINT)
+           |  FROM h${i}r) // 1000000) AS BIGINT) AS h FROM h${i}r),
+           |a${i}r AS (SELECT supp, CAST(sum(h) AS BIGINT) AS raw
+           |  FROM e JOIN h$i USING (cust) GROUP BY supp),
+           |a$i AS (SELECT supp, CAST(raw // ((SELECT CAST(sum(raw) AS BIGINT)
+           |  FROM a${i}r) // 1000000) AS BIGINT) AS a FROM a${i}r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT DISTINCT o_custkey AS cust, l_suppkey AS supp
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |a0 AS (SELECT DISTINCT supp, CAST(1000000 AS BIGINT) AS a FROM e),
+         |$iters
+         |SELECT role, node_id, score_micro FROM (
+         |  (SELECT 'supplier_authority' AS role, supp AS node_id, a AS score_micro
+         |     FROM a$HitsIters ORDER BY a DESC, supp LIMIT $HitsTopK)
+         |  UNION ALL
+         |  (SELECT 'customer_hub' AS role, cust AS node_id, h AS score_micro
+         |     FROM h$HitsIters ORDER BY h DESC, cust LIMIT $HitsTopK))
+         |ORDER BY role, score_micro DESC, node_id""".stripMargin
+    },
 
     // KS: exact sup-norm via integer cross-multiplication; same
     // midpoint split, distinct-value ECDF, tie → smallest value
