@@ -563,6 +563,52 @@ object QueriesTraining {
           .as("auc_bp"))
   }
 
+  private[graft] val WinnowK = 8 // char k-gram width
+  private[graft] val WinnowW = 4 // winnowing window (k-grams per window)
+
+  /** q169: WINNOWING FINGERPRINTS (the MOSS selection rule) — the
+    * LOCAL document-fingerprinting alternative to MinHash: slide a
+    * [[WinnowW]]-gram window over the char [[WinnowK]]-gram hashes
+    * and keep the window minimum (rightmost on ties — robust
+    * winnowing), which GUARANTEES a fingerprint in every window (any
+    * shared substring of length ≥ k+w−1 is detected — the coverage
+    * property MinHash cannot promise; `WinnowSpec` asserts it).
+    * Output: per-doc fingerprint profile — gram/window/fingerprint
+    * counts, density in basis points, and the exact integer digest of
+    * the selected hashes (content-pinning the selection itself).
+    *
+    * Scale: embarrassingly row-local — one narrow projection, no
+    * shuffle until the final metadata-sized sort; the downstream
+    * shared-fingerprint join (q66's span shape) would shuffle only
+    * the selected ~1/w of grams.
+    */
+  /** Adds `t, m, hs, nw, sel` winnowing columns to a frame with a
+    * `text` column — shared by q169 and `WinnowSpec` (which asserts
+    * the every-window coverage and shared-substring detection
+    * guarantees on the same expressions the query ships).
+    */
+  private[graft] def winnowSelect(df: DataFrame): DataFrame = {
+    val (k, w) = (WinnowK, WinnowW)
+    df.withColumn("t", lower(col("text")))
+      .withColumn("m", greatest(lit(1), length(col("t")) - (k - 1)).cast("long"))
+      .withColumn("hs", expr(
+        s"transform(sequence(1L, m), i -> CAST(conv(substr(md5(substr(t, CAST(i AS INT), $k)), 1, 8), 16, 10) AS BIGINT))"))
+      .withColumn("nw", greatest(lit(1L), col("m") - (w - 1)))
+      .withColumn("sel", expr(
+        s"""array_distinct(transform(sequence(1L, nw), j ->
+           |  array_max(filter(transform(sequence(0L, least(CAST($w AS BIGINT), m) - 1L), o -> j + o),
+           |    p -> element_at(hs, CAST(p AS INT)) = array_min(slice(hs, CAST(j AS INT), CAST(least(CAST($w AS BIGINT), m) AS INT)))))))""".stripMargin))
+  }
+
+  private val qWinnow: Q = (spark, dir) => {
+    winnowSelect(docsFanned(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("m").as("n_grams"), col("nw").as("n_windows"),
+        size(col("sel")).cast("long").as("n_fp"),
+        expr("CAST(size(sel) AS BIGINT) * 10000 div nw").as("density_bp"),
+        expr("aggregate(sel, CAST(0 AS BIGINT), (acc, p) -> acc + element_at(hs, CAST(p AS INT)))").as("fp_digest"))
+      .orderBy("doc_id")
+  }
+
   private[graft] val ContainmentBp = 5000
 
   private val Bm25K1 = 1.2
@@ -1858,6 +1904,7 @@ object QueriesTraining {
     "q164_weighted_median" -> qWeightedMedian,
     "q165_lsh_precision" -> qLshPrecision,
     "q166_auc" -> qAuc,
+    "q169_winnow" -> qWinnow,
     "q17_text_quality" -> qTextQuality,
     "q18_text_langid" -> qTextLangid,
     "q19_text_fingerprint" -> qTextFingerprint,
@@ -2507,6 +2554,29 @@ object QueriesTraining {
          |SELECT n_pos, n_neg, concordant, tied,
          |  CAST((2 * concordant + tied) * 10000 // (2 * n_pos * n_neg) AS BIGINT) AS auc_bp
          |FROM a""".stripMargin,
+
+    // winnowing: same k-gram hashes, window-min selection with
+    // rightmost-tie rule, distinct positions, integer digest
+    "q169_winnow" -> {
+      val (k, w) = (WinnowK, WinnowW)
+      s"""WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
+         |g AS (SELECT doc_id, t, greatest(1, length(t) - ${k - 1}) AS m FROM t),
+         |h AS (SELECT doc_id, m, greatest(1, m - ${w - 1}) AS nw,
+         |  list_transform(range(1, m + 1),
+         |    i -> ('0x' || substr(md5(substr(t, CAST(i AS INT), $k)), 1, 8))::BIGINT) AS hs
+         |  FROM g),
+         |s AS (SELECT doc_id, m, nw, hs,
+         |  list_distinct(list_transform(range(1, nw + 1), j ->
+         |    list_max(list_filter(list_transform(range(0, least($w, m)), o -> j + o),
+         |      p -> hs[CAST(p AS INT)] = list_min(hs[CAST(j AS INT) : CAST(j + least($w, m) - 1 AS INT)]))))) AS sel
+         |  FROM h)
+         |SELECT doc_id, CAST(m AS BIGINT) AS n_grams, CAST(nw AS BIGINT) AS n_windows,
+         |  CAST(len(sel) AS BIGINT) AS n_fp,
+         |  CAST(CAST(len(sel) AS BIGINT) * 10000 // nw AS BIGINT) AS density_bp,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(sel, p -> hs[CAST(p AS INT)])), (a, b) -> a + b) AS BIGINT) AS fp_digest
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
 
     "q108_bm25" -> {
       val termsIn = Bm25Terms.map(t => s"'$t'").mkString(", ")
