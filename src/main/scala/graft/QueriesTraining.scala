@@ -563,6 +563,53 @@ object QueriesTraining {
           .as("auc_bp"))
   }
 
+  private[graft] val NbSeedSource = "src0"
+
+  /** q170: NAIVE-BAYES QUALITY CLASSIFIER — the CCNet/GPT-3-style
+    * "looks like the curated seed" filter as one distributed
+    * train+score pipeline: multinomial NB with add-one smoothing,
+    * positive class = the [[NbSeedSource]] documents, token weights
+    * w(t) = ln p(t|pos) − ln p(t|neg) settled to integer micro-units
+    * PER TERM (the q145 rule: micro-rounding before any sum kills
+    * both libm-ulp and float-ordering drift), doc score = Σ w(t) over
+    * occurrences, exact BIGINT. Output: per-source doc counts, exact
+    * score sums, and the floored mean — the audit that says which
+    * sources the classifier would up/down-sample.
+    *
+    * Scale: corpus tokenized ONCE (materialized); the count table
+    * shuffles term keys with map-side combine; the three training
+    * scalars ride one broadcast row; scoring is a term-keyed join of
+    * occurrences against the vocab-sized weight table, re-aggregated
+    * per doc then per source. Nothing ever holds a corpus-sized
+    * structure on one node.
+    */
+  private val qNbQuality: Q = (spark, dir) => {
+    val toks = Dedup.materialize(
+      docsFanned(spark, dir)
+        .select(col("doc_id"), col("source"),
+          explode_outer(TextAnalysis.tokens(col("text"))).as("term")))
+    val counts = toks.groupBy("term")
+      .agg(sum(when(col("source") === NbSeedSource, 1L).otherwise(0L)).as("pos_ct"),
+        count(lit(1)).as("tot_ct"))
+      .withColumn("neg_ct", col("tot_ct") - col("pos_ct"))
+    val scalars = counts.agg(count(lit(1)).as("v"),
+      sum("pos_ct").as("pos_tot"), sum("neg_ct").as("neg_tot"))
+    val weights = counts.crossJoin(broadcast(scalars))
+      .select(col("term"), expr(
+        """CAST(round(ln(CAST(pos_ct + 1 AS DOUBLE) / CAST(pos_tot + v AS DOUBLE)) * 1000000) AS BIGINT)
+          | - CAST(round(ln(CAST(neg_ct + 1 AS DOUBLE) / CAST(neg_tot + v AS DOUBLE)) * 1000000) AS BIGINT)""".stripMargin)
+        .as("w"))
+    toks.join(weights, "term")
+      .groupBy("doc_id", "source").agg(sum("w").as("score"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("score").as("sum_w_micro"))
+      // floor (not Spark's truncating div): sums are negative and the
+      // oracle's // floors; exact while |sum| < 2^53 micro-units
+      .withColumn("mean_w_micro",
+        expr("CAST(FLOOR(CAST(sum_w_micro AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS BIGINT)"))
+      .orderBy("source")
+  }
+
   private[graft] val WinnowK = 8 // char k-gram width
   private[graft] val WinnowW = 4 // winnowing window (k-grams per window)
 
@@ -1905,6 +1952,7 @@ object QueriesTraining {
     "q165_lsh_precision" -> qLshPrecision,
     "q166_auc" -> qAuc,
     "q169_winnow" -> qWinnow,
+    "q170_nb_quality" -> qNbQuality,
     "q17_text_quality" -> qTextQuality,
     "q18_text_langid" -> qTextLangid,
     "q19_text_fingerprint" -> qTextFingerprint,
@@ -2554,6 +2602,28 @@ object QueriesTraining {
          |SELECT n_pos, n_neg, concordant, tied,
          |  CAST((2 * concordant + tied) * 10000 // (2 * n_pos * n_neg) AS BIGINT) AS auc_bp
          |FROM a""".stripMargin,
+
+    // NB classifier: same smoothing, per-term micro-rounded ln
+    // weights, floor mean
+    "q170_nb_quality" ->
+      s"""WITH toks AS (SELECT doc_id, source, unnest($toksSql) AS term FROM documents),
+         |c AS (SELECT term,
+         |  CAST(sum(CASE WHEN source = '$NbSeedSource' THEN 1 ELSE 0 END) AS BIGINT) AS pos_ct,
+         |  CAST(count(*) AS BIGINT) AS tot_ct FROM toks GROUP BY term),
+         |c2 AS (SELECT term, pos_ct, tot_ct - pos_ct AS neg_ct FROM c),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS v,
+         |  CAST(sum(pos_ct) AS BIGINT) AS pos_tot,
+         |  CAST(sum(neg_ct) AS BIGINT) AS neg_tot FROM c2),
+         |w AS (SELECT term,
+         |  CAST(round(ln(CAST(pos_ct + 1 AS DOUBLE) / CAST(pos_tot + v AS DOUBLE)) * 1000000) AS BIGINT)
+         |  - CAST(round(ln(CAST(neg_ct + 1 AS DOUBLE) / CAST(neg_tot + v AS DOUBLE)) * 1000000) AS BIGINT) AS w
+         |  FROM c2, s),
+         |d AS (SELECT doc_id, source, CAST(sum(w) AS BIGINT) AS score
+         |  FROM toks JOIN w USING (term) GROUP BY doc_id, source)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(score) AS BIGINT) AS sum_w_micro,
+         |  CAST(FLOOR(CAST(sum(score) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_w_micro
+         |FROM d GROUP BY source ORDER BY source""".stripMargin,
 
     // winnowing: same k-gram hashes, window-min selection with
     // rightmost-tie rule, distinct positions, integer digest
