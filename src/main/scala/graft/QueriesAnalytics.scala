@@ -1130,15 +1130,22 @@ object QueriesAnalytics {
     val eByCust = e.repartition(col("cust")).persist()
     var auth = eBySupp.select("supp").distinct().withColumn("a", lit(1000000L))
     var hub = eByCust.select("cust").distinct().withColumn("h", lit(1000000L))
+    // materialize each half-step (q150's lesson): the `tot` scalar's
+    // broadcast evaluates its subtree SEPARATELY from the next join's
+    // — an unmaterialized score chain would re-run the whole edge-join
+    // lineage once per downstream consumer, exponentially in the
+    // iteration count
     for (_ <- 1 to HitsIters) {
-      val hubRaw = eBySupp.join(auth, "supp").groupBy("cust").agg(sum("a").as("raw"))
+      val hubRaw = dedup.Dedup.materialize(
+        eBySupp.join(auth, "supp").groupBy("cust").agg(sum("a").as("raw")))
       val hubTot = hubRaw.agg(sum("raw").as("tot"))
-      hub = hubRaw.crossJoin(broadcast(hubTot))
-        .select(col("cust"), expr("raw div (tot div 1000000)").as("h"))
-      val authRaw = eByCust.join(hub, "cust").groupBy("supp").agg(sum("h").as("raw"))
+      hub = dedup.Dedup.materialize(hubRaw.crossJoin(broadcast(hubTot))
+        .select(col("cust"), expr("raw div (tot div 1000000)").as("h")))
+      val authRaw = dedup.Dedup.materialize(
+        eByCust.join(hub, "cust").groupBy("supp").agg(sum("h").as("raw")))
       val authTot = authRaw.agg(sum("raw").as("tot"))
-      auth = authRaw.crossJoin(broadcast(authTot))
-        .select(col("supp"), expr("raw div (tot div 1000000)").as("a"))
+      auth = dedup.Dedup.materialize(authRaw.crossJoin(broadcast(authTot))
+        .select(col("supp"), expr("raw div (tot div 1000000)").as("a")))
     }
     val out = dedup.Dedup.materialize(
       auth.orderBy(col("a").desc, col("supp")).limit(HitsTopK)
