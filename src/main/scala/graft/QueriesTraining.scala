@@ -610,8 +610,8 @@ object QueriesTraining {
       .orderBy("source")
   }
 
-  private[graft] val WinnowK = 8 // char k-gram width
-  private[graft] val WinnowW = 4 // winnowing window (k-grams per window)
+  private[graft] val WinnowK = graft.text.Winnower.K
+  private[graft] val WinnowW = graft.text.Winnower.W
 
   /** q169: WINNOWING FINGERPRINTS (the MOSS selection rule) — the
     * LOCAL document-fingerprinting alternative to MinHash: slide a
@@ -630,9 +630,10 @@ object QueriesTraining {
     * the selected ~1/w of grams.
     */
   /** Adds `t, m, hs, nw, sel` winnowing columns to a frame with a
-    * `text` column — shared by q169 and `WinnowSpec` (which asserts
-    * the every-window coverage and shared-substring detection
-    * guarantees on the same expressions the query ships).
+    * `text` column — the interpreted HOF REFERENCE formulation of the
+    * winnowing rule. q169 ships the O(m) codegen kernel
+    * ([[graft.text.Winnower]]); `WinnowSpec` asserts the guarantees on
+    * this formulation AND pins the kernel to it element-by-element.
     */
   private[graft] def winnowSelect(df: DataFrame): DataFrame = {
     val (k, w) = (WinnowK, WinnowW)
@@ -648,11 +649,18 @@ object QueriesTraining {
   }
 
   private val qWinnow: Q = (spark, dir) => {
-    winnowSelect(docsFanned(spark, dir).select(col("doc_id"), col("text")))
+    val (k, w) = (WinnowK, WinnowW)
+    docsFanned(spark, dir)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .withColumn("m", greatest(lit(1), length(col("t")) - (k - 1)).cast("long"))
+      .withColumn("nw", greatest(lit(1L), col("m") - (w - 1)))
+      // codegen kernel (one O(m) deque pass) — WinnowSpec pins it to
+      // the interpreted HOF reference formulation in [[winnowSelect]]
+      .withColumn("fps", graft.functions.winnow_fps(col("t")))
       .select(col("doc_id"), col("m").as("n_grams"), col("nw").as("n_windows"),
-        size(col("sel")).cast("long").as("n_fp"),
-        expr("CAST(size(sel) AS BIGINT) * 10000 div nw").as("density_bp"),
-        expr("aggregate(sel, CAST(0 AS BIGINT), (acc, p) -> acc + element_at(hs, CAST(p AS INT)))").as("fp_digest"))
+        size(col("fps")).cast("long").as("n_fp"),
+        expr("CAST(size(fps) AS BIGINT) * 10000 div nw").as("density_bp"),
+        expr("aggregate(fps, CAST(0 AS BIGINT), (acc, f) -> acc + f.hash)").as("fp_digest"))
       .orderBy("doc_id")
   }
 

@@ -38,6 +38,9 @@ object functions {
   /** Content-defined chunk spans; see [[graft.text.CdcChunks]]. */
   def cdc_chunks(c: Column): Column = col(graft.text.CdcChunks(expr(c)))
 
+  /** Winnowing fingerprints; see [[graft.text.WinnowFps]]. */
+  def winnow_fps(c: Column): Column = col(graft.text.WinnowFps(expr(c)))
+
   /** Hilbert-curve index; see [[graft.layout.Hilbert]]. */
   def hilbert_d(x: Column, y: Column, bits: Int): Column =
     graft.layout.Hilbert.hValue(x, y, bits)
@@ -63,6 +66,7 @@ object functions {
     Bridge.registerFunction(spark, "rolling_hash", es => graft.text.RollingHash(es.head))
     Bridge.registerFunction(spark, "deflate_ratio_bp", es => graft.text.DeflateRatio(es.head))
     Bridge.registerFunction(spark, "cdc_chunks", es => graft.text.CdcChunks(es.head))
+    Bridge.registerFunction(spark, "winnow_fps", es => graft.text.WinnowFps(es.head))
     Bridge.registerFunction(spark, "hilbert_d", es =>
       graft.layout.HilbertD(es.head, es(1), es(2) match {
         case Literal(v, _: IntegerType) if v != null => v.asInstanceOf[Int]

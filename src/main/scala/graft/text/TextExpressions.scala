@@ -153,6 +153,91 @@ case class CdcChunks(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Winnowing kernel for [[WinnowFps]] — referenced from generated
+  * code via `addReferenceObj`. Semantics-identical to the HOF
+  * formulation q169 first shipped (k-gram md5-prefix hashes, window
+  * min, rightmost on ties, distinct positions — `WinnowSpec` asserts
+  * kernel ≡ HOF on fixtures and corpus samples), but one O(m) pass:
+  * a monotonic deque replaces the O(m·w²) interpreted min/filter
+  * lambdas, and one reused MessageDigest replaces per-gram expression
+  * trees.
+  */
+object Winnower extends Serializable {
+  val K = 8 // char k-gram width
+  val W = 4 // winnowing window, in k-grams
+
+  /** Selected fingerprints as (pos, hash) pairs, 1-based positions in
+    * first-selection order. Hash = first 8 md5 hex digits of the
+    * k-gram as an unsigned int — exactly Spark's
+    * `conv(substr(md5(substr(t, i, K)), 1, 8), 16, 10)`; grams come
+    * from `UTF8String.substringSQL`, the same char semantics as the
+    * SQL `substr` the oracle twin uses.
+    */
+  def fps(s: UTF8String): ArrayData = {
+    val m = math.max(1, s.numChars() - K + 1)
+    val width = math.min(W, m)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val d = md.digest(s.substringSQL(i + 1, K).getBytes)
+      hs(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      md.reset()
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any]
+    val deque = new java.util.ArrayDeque[Int]()
+    var lastSel = -1
+    var j = 0
+    while (j < m) {
+      // tail-evict on >=: among equal minima only the rightmost survives
+      while (!deque.isEmpty && hs(deque.peekLast) >= hs(j)) deque.pollLast()
+      deque.addLast(j)
+      if (j >= width - 1) {
+        while (deque.peekFirst < j - width + 1) deque.pollFirst()
+        val sel = deque.peekFirst
+        // selections are nondecreasing in position, so adjacent-dedupe
+        // IS distinct
+        if (sel != lastSel) {
+          out += new GenericInternalRow(Array[Any](sel + 1, hs(sel)))
+          lastSel = sel
+        }
+      }
+      j += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/** `winnow_fps(text)`: winnowing fingerprint (pos, hash) pairs — see
+  * [[Winnower.fps]].
+  */
+case class WinnowFps(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fps requires string input, got $other")
+  }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("pos", IntegerType, nullable = false),
+      StructField("hash", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "winnow_fps"
+
+  override def nullSafeEval(input: Any): Any =
+    Winnower.fps(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = ctx.addReferenceObj("winnower", Winnower,
+      Winnower.getClass.getName.stripSuffix("$") + "$")
+    nullSafeCodeGen(ctx, ev, s => s"${ev.value} = $kernel.fps($s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFps =
+    copy(child = newChild)
+}
+
 /** Deterministic zlib helper for [[DeflateRatio]] — referenced from
   * generated code via `addReferenceObj`.
   */

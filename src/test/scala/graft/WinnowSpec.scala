@@ -73,6 +73,29 @@ class WinnowSpec extends AnyFunSuite {
       "no shared fingerprint despite a shared k+w-1 substring")
   }
 
+  test("codegen kernel matches the HOF reference: positions AND hashes, fixtures + corpus") {
+    import spark.implicits._
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text")).limit(40).collect().map(_.getString(0)).toSeq
+    val texts = fixtures ++ corpus
+    val reference = winnowed(texts).map { case (id, _, _, hs, sel) =>
+      id -> sel.map(p => (p, hs(p.toInt - 1)))
+    }.toMap
+    val kernel = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").repartition(4)
+      .select(col("doc_id"), graft.functions.winnow_fps(lower(col("text"))).as("fps"))
+      .select(col("doc_id"), expr("transform(fps, f -> f.pos)").as("ps"),
+        expr("transform(fps, f -> f.hash)").as("hh"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Int](1).map(_.toLong).zip(r.getSeq[Long](2)))
+      .toMap
+    for (id <- reference.keys.toSeq.sorted)
+      // reference sel is array_distinct (first-occurrence order) ==
+      // kernel's nondecreasing selection order
+      assert(kernel(id) == reference(id), s"doc $id kernel != HOF reference")
+  }
+
   test("fingerprint density sits near the theoretical 2/(w+1)") {
     val text = ("the common crawl corpus holds many web documents with natural text. " * 20)
     val Seq((_, _, nw, _, sel)) = winnowed(Seq(text)).toSeq
