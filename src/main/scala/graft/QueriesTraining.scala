@@ -664,6 +664,39 @@ object QueriesTraining {
       .orderBy("doc_id")
   }
 
+  private[graft] val WinnowMaxDf = 20 // stop-fingerprint cap
+  private[graft] val WinnowMinShared = 3 // pair-report threshold
+
+  /** q171: WINNOWING CANDIDATE PAIRS — the MOSS application of q169's
+    * fingerprints: documents sharing ≥ [[WinnowMinShared]] selected
+    * hashes are substring-level copy candidates (the guarantee: any
+    * shared run ≥ k+w−1 chars yields a shared fingerprint). Hashes in
+    * more than [[WinnowMaxDf]] documents are dropped as
+    * stop-fingerprints BEFORE the self-join — boilerplate blocks
+    * would otherwise pair quadratically (the blocking-skew guard
+    * every LSH-style self-join here ships).
+    *
+    * Scale: only the selected ~2/(w+1) of grams ever shuffle; the
+    * df-capped self-join is sort-merge (spills, no corpus-sized hash
+    * maps) with each block ≤ MaxDf rows.
+    */
+  private val qWinnowPairs: Q = (spark, dir) => {
+    val fp = Dedup.materialize(
+      docsFanned(spark, dir)
+        .select(col("doc_id"),
+          explode_outer(graft.functions.winnow_fps(lower(col("text")))).as("f"))
+        .select(col("doc_id"), col("f.hash").as("h")).distinct())
+    val keep = fp.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= WinnowMaxDf)
+    val kept = Dedup.materialize(fp.join(keep, "h").select("doc_id", "h"))
+    val a = kept.select(col("h"), col("doc_id").as("id_a")).hint("MERGE")
+    val b = kept.select(col("h"), col("doc_id").as("id_b")).hint("MERGE")
+    a.join(b, "h").filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+      .orderBy("id_a", "id_b")
+  }
+
   private[graft] val ContainmentBp = 5000
 
   private val Bm25K1 = 1.2
@@ -1961,6 +1994,7 @@ object QueriesTraining {
     "q166_auc" -> qAuc,
     "q169_winnow" -> qWinnow,
     "q170_nb_quality" -> qNbQuality,
+    "q171_winnow_pairs" -> qWinnowPairs,
     "q17_text_quality" -> qTextQuality,
     "q18_text_langid" -> qTextLangid,
     "q19_text_fingerprint" -> qTextFingerprint,
@@ -2018,6 +2052,25 @@ object QueriesTraining {
        |  + 0.3*(1.0 - least(1.0, punct_ratio*4.0))
        |  + 0.3*least(1.0, stop_ratio*4.0) AS quality
        |FROM s)""".stripMargin
+
+  /** Winnowing CTE chain (twin of [[graft.text.Winnower.fps]] /
+    * [[winnowSelect]]): `s` yields (doc_id, m, nw, hs, sel) — shared
+    * by q169 and q171.
+    */
+  private[graft] lazy val winnowCtes = {
+    val (k, w) = (WinnowK, WinnowW)
+    s"""WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
+       |g AS (SELECT doc_id, t, greatest(1, length(t) - ${k - 1}) AS m FROM t),
+       |h AS (SELECT doc_id, m, greatest(1, m - ${w - 1}) AS nw,
+       |  list_transform(range(1, m + 1),
+       |    i -> ('0x' || substr(md5(substr(t, CAST(i AS INT), $k)), 1, 8))::BIGINT) AS hs
+       |  FROM g),
+       |s AS (SELECT doc_id, m, nw, hs,
+       |  list_distinct(list_transform(range(1, nw + 1), j ->
+       |    list_max(list_filter(list_transform(range(0, least($w, m)), o -> j + o),
+       |      p -> hs[CAST(p AS INT)] = list_min(hs[CAST(j AS INT) : CAST(j + least($w, m) - 1 AS INT)]))))) AS sel
+       |  FROM h)""".stripMargin
+  }
 
   /** Left-fold sum of BIGINTs (portable twin of Spark `aggregate`). */
   private def foldSumSql(listExpr: String): String =
@@ -2635,26 +2688,29 @@ object QueriesTraining {
 
     // winnowing: same k-gram hashes, window-min selection with
     // rightmost-tie rule, distinct positions, integer digest
-    "q169_winnow" -> {
-      val (k, w) = (WinnowK, WinnowW)
-      s"""WITH t AS (SELECT doc_id, lower(text) AS t FROM documents),
-         |g AS (SELECT doc_id, t, greatest(1, length(t) - ${k - 1}) AS m FROM t),
-         |h AS (SELECT doc_id, m, greatest(1, m - ${w - 1}) AS nw,
-         |  list_transform(range(1, m + 1),
-         |    i -> ('0x' || substr(md5(substr(t, CAST(i AS INT), $k)), 1, 8))::BIGINT) AS hs
-         |  FROM g),
-         |s AS (SELECT doc_id, m, nw, hs,
-         |  list_distinct(list_transform(range(1, nw + 1), j ->
-         |    list_max(list_filter(list_transform(range(0, least($w, m)), o -> j + o),
-         |      p -> hs[CAST(p AS INT)] = list_min(hs[CAST(j AS INT) : CAST(j + least($w, m) - 1 AS INT)]))))) AS sel
-         |  FROM h)
+    "q169_winnow" ->
+      s"""$winnowCtes
          |SELECT doc_id, CAST(m AS BIGINT) AS n_grams, CAST(nw AS BIGINT) AS n_windows,
          |  CAST(len(sel) AS BIGINT) AS n_fp,
          |  CAST(CAST(len(sel) AS BIGINT) * 10000 // nw AS BIGINT) AS density_bp,
          |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
          |    list_transform(sel, p -> hs[CAST(p AS INT)])), (a, b) -> a + b) AS BIGINT) AS fp_digest
-         |FROM s ORDER BY doc_id""".stripMargin
-    },
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // winnowing candidate pairs: same fingerprints, df-capped
+    // blocking, exact shared-hash counts
+    "q171_winnow_pairs" ->
+      s"""$winnowCtes,
+         |fp AS (SELECT DISTINCT doc_id, h FROM
+         |  (SELECT doc_id, hs[CAST(unnest(sel) AS INT)] AS h FROM s)),
+         |d AS (SELECT h, count(*) AS df FROM fp GROUP BY h),
+         |k AS (SELECT doc_id, h FROM fp JOIN d USING (h)
+         |  WHERE df BETWEEN 2 AND $WinnowMaxDf)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(count(*) AS BIGINT) AS n_shared
+         |FROM k a JOIN k b ON a.h = b.h AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q108_bm25" -> {
       val termsIn = Bm25Terms.map(t => s"'$t'").mkString(", ")
