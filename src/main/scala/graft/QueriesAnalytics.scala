@@ -1102,6 +1102,87 @@ object QueriesAnalytics {
     s"CAST(round((($pa - $pb) * ln($pa / $pb)) * 1000000000) AS BIGINT)"
   }
 
+  /** q174: BENFORD FIRST-DIGIT AUDIT — the classic fabricated-data /
+    * broken-ETL smell test: the leading significant digit of the
+    * order amounts against the Benford expectation
+    * log10(1 + 1/d), per digit in integer basis points with the
+    * signed deviation. (TPC-H-style uniform prices genuinely violate
+    * Benford — the audit reports that honestly; the point is the
+    * operator, which flags any distributional regime change between
+    * loads.) First digit via the decimal string head — exact, no
+    * float log in the hot path; the nine expectation constants are
+    * micro-rounded per row (q145's ln rule).
+    *
+    * Scale: one conditional-aggregation pass to a 9-row table.
+    */
+  private val qBenford: Q = (spark, dir) => {
+    val byDigit = Tables(spark, dir, "orders")
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .filter(col("cents") > 0)
+      .select(expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS BIGINT)").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = byDigit.agg(sum("n").as("tot"))
+    byDigit.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        expr("n * 10000 div tot").as("share_bp"),
+        expr("CAST(round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) * 10000) AS BIGINT)")
+          .as("benford_bp"))
+      .withColumn("delta_bp", col("share_bp") - col("benford_bp"))
+      .orderBy("digit")
+  }
+
+  private val BfsIters = 3
+
+  /** q173: MULTI-SOURCE BFS LAYERS — exact hop distance from a seed
+    * set (nation-0 suppliers) over the symmetrized trade graph, as a
+    * per-hop reach histogram plus the unreached remainder — the
+    * "blast radius" primitive (contamination spread, influence
+    * frontier). FRONTIER form, not relax-everything: each sweep joins
+    * edges against only the nodes FIRST REACHED last sweep and
+    * anti-joins the settled set, so total work is O(edges touched by
+    * growth), not O(iters × nodes) — at 100 TB the difference between
+    * a BFS and [[BfsIters]] full corpus passes.
+    *
+    * Scale: edges persisted pre-partitioned on src once (q63's loop
+    * invariant); per sweep only the frontier and settled tables
+    * shuffle; each sweep materialized (q150's broadcast-subtree
+    * lesson).
+    */
+  private val qBfsLayers: Q = (spark, dir) => {
+    val ord = Tables(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val trade = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 10).as("c"), (col("l_suppkey") * 10 + 1).as("s"))
+      .distinct()
+    val edges = trade.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(trade.select(col("s").as("src"), col("c").as("dst")))
+    val eBySrc = edges.repartition(col("src")).persist()
+    val seeds = Tables(spark, dir, "supplier").filter(col("s_nationkey") === 0)
+      .select((col("s_suppkey") * 10 + 1).as("node"))
+      // only graph members: a nation-0 supplier nobody buys from is
+      // not a node of the trade graph
+      .join(eBySrc.select(col("src").as("node")).distinct(), Seq("node"), "left_semi")
+    var dist = dedup.Dedup.materialize(seeds.withColumn("hop", lit(0L)))
+    var frontier = dist
+    for (i <- 1 to BfsIters) {
+      val reached = eBySrc.join(frontier, eBySrc("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+      frontier = dedup.Dedup.materialize(
+        reached.join(dist, Seq("node"), "left_anti").withColumn("hop", lit(i.toLong)))
+      dist = dedup.Dedup.materialize(dist.unionAll(frontier))
+    }
+    val layers = dist.groupBy("hop").agg(count(lit(1)).as("n_nodes"))
+    val total = eBySrc.select(col("src").as("node")).distinct()
+      .agg(count(lit(1)).as("n_total"))
+    val reachedN = dist.agg(count(lit(1)).as("n_reached"))
+    val out = dedup.Dedup.materialize(
+      layers.unionAll(total.crossJoin(broadcast(reachedN))
+          .select(lit(-1L).as("hop"), (col("n_total") - col("n_reached")).as("n_nodes")))
+        .orderBy("hop"))
+    eBySrc.unpersist()
+    out
+  }
+
   private val HitsIters = 2
   private val HitsTopK = 10
 
@@ -1351,6 +1432,8 @@ object QueriesAnalytics {
     "q153_psi" -> qPsi,
     "q167_ks_drift" -> qKsDrift,
     "q168_hits" -> qHits,
+    "q173_bfs_layers" -> qBfsLayers,
+    "q174_benford" -> qBenford,
     "q154_ab_test" -> qAbTest,
     "q155_range_frame" -> qRangeFrame,
     "q156_grouping_sets" -> qGroupingSets,
@@ -1466,6 +1549,46 @@ object QueriesAnalytics {
 
     // grouping sets: the Spark side runs this IDENTICAL text
     "q156_grouping_sets" -> GroupingSetsText,
+
+    // Benford: same string-head digit, micro-rounded expectation
+    "q174_benford" ->
+      """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders WHERE round(o_totalprice * 100) > 0),
+        |b AS (SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |  CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM b)
+        |SELECT digit, n, CAST(n * 10000 // tot AS BIGINT) AS share_bp,
+        |  CAST(round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) * 10000) AS BIGINT) AS benford_bp,
+        |  CAST(n * 10000 // tot AS BIGINT)
+        |    - CAST(round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) * 10000) AS BIGINT) AS delta_bp
+        |FROM b, t ORDER BY digit""".stripMargin,
+
+    // BFS: frontier sweeps unrolled as (frontier, settled) CTE pairs;
+    // empty layers suppressed on both sides
+    "q173_bfs_layers" -> {
+      val sweeps = (1 to BfsIters).map { i =>
+        s"""f$i AS (SELECT DISTINCT e.dst AS node FROM e JOIN f${i - 1} ON e.src = f${i - 1}.node
+           |  WHERE e.dst NOT IN (SELECT node FROM s${i - 1})),
+           |s$i AS (SELECT node FROM s${i - 1} UNION SELECT node FROM f$i)""".stripMargin
+      }.mkString(",\n")
+      val layerRows = (1 to BfsIters)
+        .map(i => s"UNION ALL SELECT $i AS hop, count(*) AS n FROM f$i")
+        .mkString("\n")
+      s"""WITH tr AS (SELECT DISTINCT o_custkey * 10 AS c, l_suppkey * 10 + 1 AS s
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS (SELECT c AS src, s AS dst FROM tr UNION ALL SELECT s, c FROM tr),
+         |nn AS (SELECT DISTINCT src AS node FROM e),
+         |f0 AS (SELECT DISTINCT s_suppkey * 10 + 1 AS node FROM supplier
+         |  WHERE s_nationkey = 0 AND s_suppkey * 10 + 1 IN (SELECT node FROM nn)),
+         |s0 AS (SELECT node FROM f0),
+         |$sweeps
+         |SELECT CAST(hop AS BIGINT) AS hop, CAST(n AS BIGINT) AS n_nodes FROM (
+         |  SELECT 0 AS hop, count(*) AS n FROM f0
+         |  $layerRows
+         |  UNION ALL SELECT -1 AS hop,
+         |    (SELECT count(*) FROM nn) - (SELECT count(*) FROM s$BfsIters) AS n)
+         |WHERE hop = -1 OR n > 0 ORDER BY hop""".stripMargin
+    },
 
     // HITS: half-steps unrolled as CTE pairs, identical integer
     // micro-unit floor normalization

@@ -583,7 +583,11 @@ object QueriesTraining {
     * per doc then per source. Nothing ever holds a corpus-sized
     * structure on one node.
     */
-  private val qNbQuality: Q = (spark, dir) => {
+  /** Per-doc NB scores (doc_id, source, score) — the shared
+    * train+score core of q170 (per-source audit) and q172
+    * (calibration bins).
+    */
+  private def nbDocScores(spark: SparkSession, dir: String): DataFrame = {
     val toks = Dedup.materialize(
       docsFanned(spark, dir)
         .select(col("doc_id"), col("source"),
@@ -601,6 +605,10 @@ object QueriesTraining {
         .as("w"))
     toks.join(weights, "term")
       .groupBy("doc_id", "source").agg(sum("w").as("score"))
+  }
+
+  private val qNbQuality: Q = (spark, dir) => {
+    nbDocScores(spark, dir)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("score").as("sum_w_micro"))
       // floor (not Spark's truncating div): sums are negative and the
@@ -662,6 +670,28 @@ object QueriesTraining {
         expr("CAST(size(fps) AS BIGINT) * 10000 div nw").as("density_bp"),
         expr("aggregate(fps, CAST(0 AS BIGINT), (acc, f) -> acc + f.hash)").as("fp_digest"))
       .orderBy("doc_id")
+  }
+
+  private[graft] val NbCalBins = 10
+
+  /** q172: CLASSIFIER CALIBRATION (reliability bins) — is q170's NB
+    * score actually monotone in seed-likeness? Docs ranked by score
+    * into [[NbCalBins]] exact rank-ntiles (no float knife-edge; the
+    * two-phase [[graft.operators.GlobalRank.withNtile]], no global
+    * window), per bin the realized seed share in integer basis
+    * points. A calibrated quality filter shows the share falling
+    * across bins; an inversion localizes exactly which score range
+    * lies.
+    */
+  private val qNbCalibration: Q = (spark, dir) => {
+    val binned = graft.operators.GlobalRank.withNtile(
+      nbDocScores(spark, dir), Seq(col("score").desc, col("doc_id")),
+      NbCalBins, "bin")
+    binned.groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("source") === NbSeedSource, 1L).otherwise(0L)).as("n_seed"))
+      .withColumn("seed_share_bp", expr("n_seed * 10000 div n_docs"))
+      .orderBy("bin")
   }
 
   private[graft] val WinnowMaxDf = 20 // stop-fingerprint cap
@@ -1995,6 +2025,7 @@ object QueriesTraining {
     "q169_winnow" -> qWinnow,
     "q170_nb_quality" -> qNbQuality,
     "q171_winnow_pairs" -> qWinnowPairs,
+    "q172_nb_calibration" -> qNbCalibration,
     "q17_text_quality" -> qTextQuality,
     "q18_text_langid" -> qTextLangid,
     "q19_text_fingerprint" -> qTextFingerprint,
@@ -2052,6 +2083,25 @@ object QueriesTraining {
        |  + 0.3*(1.0 - least(1.0, punct_ratio*4.0))
        |  + 0.3*least(1.0, stop_ratio*4.0) AS quality
        |FROM s)""".stripMargin
+
+  /** NB train+score CTE chain (twin of [[nbDocScores]]): `d` yields
+    * (doc_id, source, score) — shared by q170 and q172.
+    */
+  private[graft] lazy val nbScoreCtes =
+    s"""WITH toks AS (SELECT doc_id, source, unnest($toksSql) AS term FROM documents),
+       |c AS (SELECT term,
+       |  CAST(sum(CASE WHEN source = '$NbSeedSource' THEN 1 ELSE 0 END) AS BIGINT) AS pos_ct,
+       |  CAST(count(*) AS BIGINT) AS tot_ct FROM toks GROUP BY term),
+       |c2 AS (SELECT term, pos_ct, tot_ct - pos_ct AS neg_ct FROM c),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS v,
+       |  CAST(sum(pos_ct) AS BIGINT) AS pos_tot,
+       |  CAST(sum(neg_ct) AS BIGINT) AS neg_tot FROM c2),
+       |w AS (SELECT term,
+       |  CAST(round(ln(CAST(pos_ct + 1 AS DOUBLE) / CAST(pos_tot + v AS DOUBLE)) * 1000000) AS BIGINT)
+       |  - CAST(round(ln(CAST(neg_ct + 1 AS DOUBLE) / CAST(neg_tot + v AS DOUBLE)) * 1000000) AS BIGINT) AS w
+       |  FROM c2, s),
+       |d AS (SELECT doc_id, source, CAST(sum(w) AS BIGINT) AS score
+       |  FROM toks JOIN w USING (term) GROUP BY doc_id, source)""".stripMargin
 
   /** Winnowing CTE chain (twin of [[graft.text.Winnower.fps]] /
     * [[winnowSelect]]): `s` yields (doc_id, m, nw, hs, sel) — shared
@@ -2667,20 +2717,7 @@ object QueriesTraining {
     // NB classifier: same smoothing, per-term micro-rounded ln
     // weights, floor mean
     "q170_nb_quality" ->
-      s"""WITH toks AS (SELECT doc_id, source, unnest($toksSql) AS term FROM documents),
-         |c AS (SELECT term,
-         |  CAST(sum(CASE WHEN source = '$NbSeedSource' THEN 1 ELSE 0 END) AS BIGINT) AS pos_ct,
-         |  CAST(count(*) AS BIGINT) AS tot_ct FROM toks GROUP BY term),
-         |c2 AS (SELECT term, pos_ct, tot_ct - pos_ct AS neg_ct FROM c),
-         |s AS (SELECT CAST(count(*) AS BIGINT) AS v,
-         |  CAST(sum(pos_ct) AS BIGINT) AS pos_tot,
-         |  CAST(sum(neg_ct) AS BIGINT) AS neg_tot FROM c2),
-         |w AS (SELECT term,
-         |  CAST(round(ln(CAST(pos_ct + 1 AS DOUBLE) / CAST(pos_tot + v AS DOUBLE)) * 1000000) AS BIGINT)
-         |  - CAST(round(ln(CAST(neg_ct + 1 AS DOUBLE) / CAST(neg_tot + v AS DOUBLE)) * 1000000) AS BIGINT) AS w
-         |  FROM c2, s),
-         |d AS (SELECT doc_id, source, CAST(sum(w) AS BIGINT) AS score
-         |  FROM toks JOIN w USING (term) GROUP BY doc_id, source)
+      s"""$nbScoreCtes
          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(score) AS BIGINT) AS sum_w_micro,
          |  CAST(FLOOR(CAST(sum(score) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_w_micro
@@ -2696,6 +2733,16 @@ object QueriesTraining {
          |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
          |    list_transform(sel, p -> hs[CAST(p AS INT)])), (a, b) -> a + b) AS BIGINT) AS fp_digest
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    // calibration: same score CTEs, exact rank-ntile bins
+    "q172_nb_calibration" ->
+      s"""$nbScoreCtes,
+         |r AS (SELECT source, CAST(ntile($NbCalBins) OVER
+         |  (ORDER BY score DESC, doc_id) AS BIGINT) AS bin FROM d)
+         |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN source = '$NbSeedSource' THEN 1 ELSE 0 END) AS BIGINT) AS n_seed,
+         |  CAST(sum(CASE WHEN source = '$NbSeedSource' THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS seed_share_bp
+         |FROM r GROUP BY bin ORDER BY bin""".stripMargin,
 
     // winnowing candidate pairs: same fingerprints, df-capped
     // blocking, exact shared-hash counts
