@@ -1102,6 +1102,36 @@ object QueriesAnalytics {
     s"CAST(round((($pa - $pb) * ln($pa / $pb)) * 1000000000) AS BIGINT)"
   }
 
+  /** q175: ACTIVITY BITMAPS — each user's active-day set as ONE
+    * 64-bit mask (day index rebased to the corpus min day via a
+    * broadcast scalar), built by a map-side-combinable `bit_or`
+    * aggregate: the roaring-bitmap idea at its word-sized core. All
+    * downstream set algebra is then bit ops, never re-scans of the
+    * event log — here the active-day histogram (`bit_count`) and, per
+    * bucket, how many users have ≥ 2 CONSECUTIVE active days
+    * (`mask & (mask >> 1) ≠ 0` — a streak test no per-row window
+    * could do this cheaply).
+    *
+    * Scale: one user-keyed shuffle carrying one long per user
+    * (partial bit_or on the map side), then a ≤ 64-row histogram.
+    * Longer horizons widen to an array of words, same algebra.
+    */
+  private val qActivityBitmap: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts_ms div 86400000").as("day"))
+      .filter(col("user_id").isNotNull)
+    val day0 = ev.agg(min("day").as("day0"))
+    val masks = ev.crossJoin(broadcast(day0))
+      .select(col("user_id"), expr("shiftleft(1L, CAST(day - day0 AS INT))").as("bit"))
+      .groupBy("user_id").agg(expr("bit_or(bit)").as("mask"))
+    masks.select(expr("bit_count(mask)").cast("long").as("active_days"),
+        (expr("mask & shiftright(mask, 1)") =!= 0L).as("streak"))
+      .groupBy("active_days")
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("streak"), 1L).otherwise(0L)).as("streak_users"))
+      .orderBy("active_days")
+  }
+
   /** q174: BENFORD FIRST-DIGIT AUDIT — the classic fabricated-data /
     * broken-ETL smell test: the leading significant digit of the
     * order amounts against the Benford expectation
@@ -1434,6 +1464,7 @@ object QueriesAnalytics {
     "q168_hits" -> qHits,
     "q173_bfs_layers" -> qBfsLayers,
     "q174_benford" -> qBenford,
+    "q175_activity_bitmap" -> qActivityBitmap,
     "q154_ab_test" -> qAbTest,
     "q155_range_frame" -> qRangeFrame,
     "q156_grouping_sets" -> qGroupingSets,
@@ -1549,6 +1580,21 @@ object QueriesAnalytics {
 
     // grouping sets: the Spark side runs this IDENTICAL text
     "q156_grouping_sets" -> GroupingSetsText,
+
+    // bitmaps: same rebased day bits, bit_or masks, popcount/shift
+    // algebra
+    "q175_activity_bitmap" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day
+        |  FROM events WHERE user_id IS NOT NULL),
+        |d0 AS (SELECT min(day) AS day0 FROM e),
+        |m AS (SELECT user_id,
+        |  bit_or(CAST(1 AS BIGINT) << CAST(day - (SELECT day0 FROM d0) AS INT)) AS mask
+        |  FROM e GROUP BY user_id),
+        |s AS (SELECT CAST(bit_count(mask) AS BIGINT) AS active_days,
+        |  (mask & (mask >> 1)) <> 0 AS streak FROM m)
+        |SELECT active_days, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(CASE WHEN streak THEN 1 ELSE 0 END) AS BIGINT) AS streak_users
+        |FROM s GROUP BY active_days ORDER BY active_days""".stripMargin,
 
     // Benford: same string-head digit, micro-rounded expectation
     "q174_benford" ->

@@ -672,6 +672,54 @@ object QueriesTraining {
       .orderBy("doc_id")
   }
 
+  /** q176: SOURCE JS-DIVERGENCE MATRIX — pairwise Jensen–Shannon
+    * divergence between the sources' unigram distributions: the
+    * mixture-design signal (which sources are interchangeable, which
+    * add diversity) that q162's doc-overlap Jaccard cannot see.
+    * Split exactly into the shared-term sum plus a CLOSED-FORM tail:
+    * terms present in only one source contribute p·ln2/2, so the tail
+    * is ln2/2·(2 − sharedMassA − sharedMassB) with the shared masses
+    * as exact INTEGER count ratios — no sum over either side's
+    * disjoint vocabulary, no order-dependent double accumulation
+    * anywhere (per-term lns settle to micro-units first, q145's
+    * rule).
+    *
+    * Scale: one (source, term) count pass (map-side combine), source
+    * totals broadcast (one row per source), the pair join keyed on
+    * term — each term's row count is (sources having it)², bounded by
+    * the source count squared, never by corpus size.
+    */
+  private val qJsMatrix: Q = (spark, dir) => {
+    val toks = Dedup.materialize(
+      docsFanned(spark, dir)
+        .select(col("source"), explode_outer(TextAnalysis.tokens(col("text"))).as("term")))
+    val totals = toks.groupBy("source").agg(count(lit(1)).as("tot"))
+    val st = Dedup.materialize(
+      toks.groupBy("source", "term").agg(count(lit(1)).as("c"))
+        .join(broadcast(totals), "source"))
+    val a = st.select(col("term"), col("source").as("src_a"),
+      col("c").as("ca"), col("tot").as("tota")).hint("MERGE")
+    val b = st.select(col("term"), col("source").as("src_b"),
+      col("c").as("cb"), col("tot").as("totb")).hint("MERGE")
+    val perTerm = a.join(b, "term").filter(col("src_a") < col("src_b"))
+      .withColumn("pa", expr("CAST(ca AS DOUBLE) / CAST(tota AS DOUBLE)"))
+      .withColumn("pb", expr("CAST(cb AS DOUBLE) / CAST(totb AS DOUBLE)"))
+      .withColumn("ln_a", expr("CAST(round(ln(2.0 * pa / (pa + pb)) * 1000000) AS BIGINT)"))
+      .withColumn("ln_b", expr("CAST(round(ln(2.0 * pb / (pa + pb)) * 1000000) AS BIGINT)"))
+      .withColumn("t_nano", expr("CAST(round((pa * ln_a + pb * ln_b) * 500.0) AS BIGINT)"))
+    perTerm.groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared"), sum("t_nano").as("inner_nano"),
+        sum("ca").as("sca"), sum("cb").as("scb"),
+        max("tota").as("tota"), max("totb").as("totb"))
+      .withColumn("tail_nano", expr(
+        """CAST(round(ln(2.0) * 500000000.0 *
+          |  ((1.0 - CAST(sca AS DOUBLE) / CAST(tota AS DOUBLE))
+          |   + (1.0 - CAST(scb AS DOUBLE) / CAST(totb AS DOUBLE)))) AS BIGINT)""".stripMargin))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        (col("inner_nano") + col("tail_nano")).as("js_nano"))
+      .orderBy("src_a", "src_b")
+  }
+
   private[graft] val NbCalBins = 10
 
   /** q172: CLASSIFIER CALIBRATION (reliability bins) — is q170's NB
@@ -2026,6 +2074,7 @@ object QueriesTraining {
     "q170_nb_quality" -> qNbQuality,
     "q171_winnow_pairs" -> qWinnowPairs,
     "q172_nb_calibration" -> qNbCalibration,
+    "q176_js_matrix" -> qJsMatrix,
     "q17_text_quality" -> qTextQuality,
     "q18_text_langid" -> qTextLangid,
     "q19_text_fingerprint" -> qTextFingerprint,
@@ -2733,6 +2782,35 @@ object QueriesTraining {
          |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
          |    list_transform(sel, p -> hs[CAST(p AS INT)])), (a, b) -> a + b) AS BIGINT) AS fp_digest
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    // JS matrix: same per-term micro lns, integer shared masses,
+    // closed-form disjoint tail
+    "q176_js_matrix" ->
+      s"""WITH toks AS (SELECT source, unnest($toksSql) AS term FROM documents),
+         |tt AS (SELECT source, CAST(count(*) AS BIGINT) AS tot FROM toks GROUP BY source),
+         |st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY source, term),
+         |j AS (SELECT a.term, a.source AS src_a, b.source AS src_b,
+         |    a.c AS ca, b.c AS cb, ta.tot AS tota, tb.tot AS totb
+         |  FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+         |  JOIN tt ta ON ta.source = a.source JOIN tt tb ON tb.source = b.source),
+         |p AS (SELECT src_a, src_b, ca, cb, tota, totb,
+         |  CAST(ca AS DOUBLE) / CAST(tota AS DOUBLE) AS pa,
+         |  CAST(cb AS DOUBLE) / CAST(totb AS DOUBLE) AS pb FROM j),
+         |l AS (SELECT src_a, src_b, ca, cb, tota, totb, pa, pb,
+         |  CAST(round(ln(2.0 * pa / (pa + pb)) * 1000000) AS BIGINT) AS ln_a,
+         |  CAST(round(ln(2.0 * pb / (pa + pb)) * 1000000) AS BIGINT) AS ln_b FROM p),
+         |t AS (SELECT src_a, src_b, ca, cb, tota, totb,
+         |  CAST(round((pa * ln_a + pb * ln_b) * 500.0) AS BIGINT) AS t_nano FROM l),
+         |g AS (SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_shared,
+         |  CAST(sum(t_nano) AS BIGINT) AS inner_nano,
+         |  CAST(sum(ca) AS BIGINT) AS sca, CAST(sum(cb) AS BIGINT) AS scb,
+         |  max(tota) AS tota, max(totb) AS totb
+         |  FROM t GROUP BY src_a, src_b)
+         |SELECT src_a, src_b, n_shared,
+         |  inner_nano + CAST(round(ln(2.0) * 500000000.0 *
+         |    ((1.0 - CAST(sca AS DOUBLE) / CAST(tota AS DOUBLE))
+         |     + (1.0 - CAST(scb AS DOUBLE) / CAST(totb AS DOUBLE)))) AS BIGINT) AS js_nano
+         |FROM g ORDER BY src_a, src_b""".stripMargin,
 
     // calibration: same score CTEs, exact rank-ntile bins
     "q172_nb_calibration" ->
