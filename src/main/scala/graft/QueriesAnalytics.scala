@@ -1102,6 +1102,52 @@ object QueriesAnalytics {
     s"CAST(round((($pa - $pb) * ln($pa / $pb)) * 1000000000) AS BIGINT)"
   }
 
+  /** q178: ENCODING / MOJIBAKE AUDIT — per (source, lang): how many
+    * documents carry broken-pipeline markers — C0 control characters
+    * (other than tab/newline/CR), the U+FFFD replacement character
+    * (the "decoded with the wrong charset" tombstone), or any
+    * non-ASCII at all (expected for zh/de/es/fr, a smell for en
+    * boilerplate). Boolean per-doc FLAGS, not char counts — flags are
+    * invariant to the Java-UTF-16 vs RE2-codepoint counting
+    * difference on astral chars, so the audit stays portable whatever
+    * the corpus. The regexes live in the Java∩RE2 subset.
+    *
+    * Scale: one narrow projection pass, (source, lang)-sized output.
+    */
+  private val qMojibake: Q = (spark, dir) => {
+    Tables(spark, dir, "documents")
+      .select(col("source"), col("lang"),
+        (length(regexp_extract(col("text"), "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]", 0)) > 0).as("ctrl"),
+        col("text").contains("�").as("repl"),
+        (length(regexp_extract(col("text"), "[^\\x00-\\x7f]", 0)) > 0).as("non_ascii"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ctrl"), 1L).otherwise(0L)).as("n_ctrl"),
+        sum(when(col("repl"), 1L).otherwise(0L)).as("n_replacement"),
+        sum(when(col("non_ascii"), 1L).otherwise(0L)).as("n_non_ascii"))
+      .orderBy("source", "lang")
+  }
+
+  /** q179: TOP EVENT PATHS — the navigation-mining primitive: the
+    * most frequent 3-step event-type sequences over each user's
+    * time-ordered stream ((ts, event_id) total order, so ties are
+    * deterministic). `lead` over the user-partitioned window — no
+    * self-joins, one shuffle on user_id, then a path-keyed count.
+    */
+  private val qPaths: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), col("ts_ms"), col("event_id"), col("event_type"))
+      .withColumn("e2", lead("event_type", 1).over(w))
+      .withColumn("e3", lead("event_type", 2).over(w))
+      .filter(col("e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(15)
+  }
+
   /** q175: ACTIVITY BITMAPS — each user's active-day set as ONE
     * 64-bit mask (day index rebased to the corpus min day via a
     * broadcast scalar), built by a map-side-combinable `bit_or`
@@ -1465,6 +1511,8 @@ object QueriesAnalytics {
     "q173_bfs_layers" -> qBfsLayers,
     "q174_benford" -> qBenford,
     "q175_activity_bitmap" -> qActivityBitmap,
+    "q178_mojibake" -> qMojibake,
+    "q179_paths" -> qPaths,
     "q154_ab_test" -> qAbTest,
     "q155_range_frame" -> qRangeFrame,
     "q156_grouping_sets" -> qGroupingSets,
@@ -1580,6 +1628,28 @@ object QueriesAnalytics {
 
     // grouping sets: the Spark side runs this IDENTICAL text
     "q156_grouping_sets" -> GroupingSetsText,
+
+    // mojibake: same Java∩RE2 classes, boolean per-doc flags
+    "q178_mojibake" ->
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN regexp_matches(text, '[\x00-\x08\x0b\x0c\x0e-\x1f]')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl,
+        |  CAST(sum(CASE WHEN contains(text, '�') THEN 1 ELSE 0 END) AS BIGINT) AS n_replacement,
+        |  CAST(sum(CASE WHEN regexp_matches(text, '[^\x00-\x7f]') THEN 1 ELSE 0 END) AS BIGINT) AS n_non_ascii
+        |FROM documents GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+
+    // paths: same (ts, event_id) total order, lead pair, top-15
+    "q179_paths" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_id, event_type
+        |  FROM events WHERE user_id IS NOT NULL),
+        |p AS (SELECT event_type,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS e2,
+        |  lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS e3
+        |  FROM e)
+        |SELECT event_type || '>' || e2 || '>' || e3 AS path,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM p WHERE e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 15""".stripMargin,
 
     // bitmaps: same rebased day bits, bit_or masks, popcount/shift
     // algebra

@@ -775,6 +775,45 @@ object QueriesTraining {
       .orderBy("id_a", "id_b")
   }
 
+  private[graft] val BoilerplateTopK = 20
+
+  /** q177: BOILERPLATE FINGERPRINT REPORT — the top [[BoilerplateTopK]]
+    * winnowing hashes by document frequency, each with its exemplar
+    * occurrence (lexicographic min (doc, pos)) and the actual k-gram
+    * text pulled from that exemplar: the "what IS this repeated
+    * span?" report curation teams run before adding a scrub rule —
+    * q171 drops these as stop-fingerprints, this query names them.
+    *
+    * Scale: fingerprints (≈ 2/(w+1) of grams) shuffle once on hash
+    * with map-side combine; the top-k is a TakeOrdered over the
+    * hash-count table; the text lookup joins the corpus against a
+    * BROADCAST k-row exemplar list — the full text column never
+    * shuffles.
+    */
+  private val qBoilerplate: Q = (spark, dir) => {
+    val docs = docsFanned(spark, dir)
+    val fps = docs
+      .select(col("doc_id"),
+        explode_outer(graft.functions.winnow_fps(lower(col("text")))).as("f"))
+      .select(col("doc_id"), col("f.pos").as("pos"), col("f.hash").as("h"))
+    val top = Dedup.materialize(fps.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("df"),
+        min(struct(col("doc_id"), col("pos"))).as("ex"))
+      .orderBy(col("df").desc, col("h")).limit(BoilerplateTopK)
+      .select(col("h"), col("df"), col("ex.doc_id").as("ex_doc"),
+        col("ex.pos").cast("long").as("ex_pos")))
+    // corpus scan against the broadcast k-row exemplar list; only the
+    // ≤ k exemplar texts ever leave their partitions
+    val texts = docs
+      .join(broadcast(top.select(col("ex_doc")).distinct()),
+        col("doc_id") === col("ex_doc"))
+      .select(col("doc_id").as("ed"), lower(col("text")).as("t"))
+    top.join(broadcast(texts), col("ex_doc") === col("ed"))
+      .select(col("h"), col("df"), col("ex_doc"), col("ex_pos"),
+        expr(s"substring(t, CAST(ex_pos AS INT), $WinnowK)").as("gram"))
+      .orderBy(col("df").desc, col("h"))
+  }
+
   private[graft] val ContainmentBp = 5000
 
   private val Bm25K1 = 1.2
@@ -2075,6 +2114,7 @@ object QueriesTraining {
     "q171_winnow_pairs" -> qWinnowPairs,
     "q172_nb_calibration" -> qNbCalibration,
     "q176_js_matrix" -> qJsMatrix,
+    "q177_boilerplate" -> qBoilerplate,
     "q17_text_quality" -> qTextQuality,
     "q18_text_langid" -> qTextLangid,
     "q19_text_fingerprint" -> qTextFingerprint,
@@ -2821,6 +2861,24 @@ object QueriesTraining {
          |  CAST(sum(CASE WHEN source = '$NbSeedSource' THEN 1 ELSE 0 END) AS BIGINT) AS n_seed,
          |  CAST(sum(CASE WHEN source = '$NbSeedSource' THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS seed_share_bp
          |FROM r GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // boilerplate: same fingerprints, df ranking, (doc,pos)-min
+    // exemplar, gram extraction from the exemplar text
+    "q177_boilerplate" ->
+      s"""$winnowCtes,
+         |fp AS (SELECT doc_id, unnest(sel) AS pos,
+         |  unnest(list_transform(sel, p -> hs[CAST(p AS INT)])) AS h FROM s),
+         |bf AS (SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM fp GROUP BY h),
+         |bex AS (SELECT h, doc_id AS ex_doc, pos AS ex_pos FROM
+         |  (SELECT h, doc_id, pos,
+         |     row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn FROM fp)
+         |  WHERE rn = 1),
+         |top AS (SELECT bf.h AS h, df, ex_doc, CAST(ex_pos AS BIGINT) AS ex_pos
+         |  FROM bf JOIN bex USING (h) ORDER BY df DESC, h LIMIT $BoilerplateTopK)
+         |SELECT top.h AS h, df, ex_doc, ex_pos,
+         |  substr(lower(d.text), CAST(ex_pos AS INT), $WinnowK) AS gram
+         |FROM top JOIN documents d ON d.doc_id = top.ex_doc
+         |ORDER BY df DESC, h""".stripMargin,
 
     // winnowing candidate pairs: same fingerprints, df-capped
     // blocking, exact shared-hash counts
