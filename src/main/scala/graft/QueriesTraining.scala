@@ -775,6 +775,42 @@ object QueriesTraining {
       .orderBy("id_a", "id_b")
   }
 
+  /** q180: EXACT SPEARMAN RANK CORRELATION — does the quality score
+    * just measure length? ρ between quality (micro) and n_chars over
+    * tie-AVERAGE ranks kept integer by doubling
+    * (rank2 = 2·below + cnt + 1): per metric one aggregate to
+    * distinct values (domain-sized) + one exclusive
+    * [[graft.operators.GlobalRank.withPrefixSums]] — never a global
+    * window, never a per-row rank shuffle — then Pearson over the six
+    * exact BIGINT moment sums (q141's sufficient-statistics shape).
+    * Exact while 4n⁴ < 2⁶³ (n ≲ 3·10⁴ per audited slice; shard the
+    * audit or switch the moments to doubles beyond).
+    */
+  private val qSpearman: Q = (spark, dir) => {
+    val m = Dedup.materialize(
+      docsFanned(spark, dir)
+        .select(col("doc_id"), col("n_chars").as("y"),
+          TextAnalysis.qualityScore(col("text")).as("quality"))
+        .select(col("doc_id"), col("y"),
+          expr("CAST(round(quality * 1000000) AS BIGINT)").as("x")))
+    def rank2(c: String): DataFrame =
+      graft.operators.GlobalRank.withPrefixSums(
+          m.groupBy(c).agg(count(lit(1)).as("cnt")),
+          Seq(col(c)), Seq("cnt"), Seq("below"), inclusive = false)
+        .select(col(c), (lit(2L) * col("below") + col("cnt") + 1L).as(s"r$c"))
+    val ranked = m.join(rank2("x"), "x").join(rank2("y"), "y")
+    ranked.agg(count(lit(1)).as("n"),
+        sum("rx").as("sx"), sum("ry").as("sy"),
+        sum(col("rx") * col("rx")).as("sxx"),
+        sum(col("ry") * col("ry")).as("syy"),
+        sum(col("rx") * col("ry")).as("sxy"))
+      .select(col("n"),
+        expr("""round((CAST(n * sxy - sx * sy AS DOUBLE))
+               | / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+               |        * CAST(n * syy - sy * sy AS DOUBLE)), 6)""".stripMargin)
+          .as("rho"))
+  }
+
   private[graft] val BoilerplateTopK = 20
 
   /** q177: BOILERPLATE FINGERPRINT REPORT — the top [[BoilerplateTopK]]
@@ -2115,6 +2151,7 @@ object QueriesTraining {
     "q172_nb_calibration" -> qNbCalibration,
     "q176_js_matrix" -> qJsMatrix,
     "q177_boilerplate" -> qBoilerplate,
+    "q180_spearman" -> qSpearman,
     "q17_text_quality" -> qTextQuality,
     "q18_text_langid" -> qTextLangid,
     "q19_text_fingerprint" -> qTextFingerprint,
@@ -2861,6 +2898,29 @@ object QueriesTraining {
          |  CAST(sum(CASE WHEN source = '$NbSeedSource' THEN 1 ELSE 0 END) AS BIGINT) AS n_seed,
          |  CAST(sum(CASE WHEN source = '$NbSeedSource' THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS seed_share_bp
          |FROM r GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // Spearman: same doubled tie-average ranks, same six moments
+    "q180_spearman" ->
+      s"""$qualityScoreCtes,
+         |m AS (SELECT q.doc_id, CAST(round(quality * 1000000) AS BIGINT) AS x,
+         |  d.n_chars AS y FROM q JOIN documents d ON d.doc_id = q.doc_id),
+         |rx AS (SELECT x, CAST(2 * coalesce(sum(cnt) OVER (ORDER BY x
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    + cnt + 1 AS BIGINT) AS rx
+         |  FROM (SELECT x, CAST(count(*) AS BIGINT) AS cnt FROM m GROUP BY x)),
+         |ry AS (SELECT y, CAST(2 * coalesce(sum(cnt) OVER (ORDER BY y
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    + cnt + 1 AS BIGINT) AS ry
+         |  FROM (SELECT y, CAST(count(*) AS BIGINT) AS cnt FROM m GROUP BY y)),
+         |mo AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+         |  CAST(sum(rx * rx) AS BIGINT) AS sxx, CAST(sum(ry * ry) AS BIGINT) AS syy,
+         |  CAST(sum(rx * ry) AS BIGINT) AS sxy
+         |  FROM m JOIN rx USING (x) JOIN ry USING (y))
+         |SELECT n, round(CAST(n * sxy - sx * sy AS DOUBLE)
+         |  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+         |         * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho
+         |FROM mo""".stripMargin,
 
     // boilerplate: same fingerprints, df ranking, (doc,pos)-min
     // exemplar, gram extraction from the exemplar text

@@ -224,6 +224,10 @@ object ScaleRehearsal {
     // operators (skyline, CDC chunking, Zipf, apportionment, PQ-ADC)
     // at 1x vs Nx
     val new8Only = args.length > 1 && args(1) == "new8"
+    // "new9" second arg: the third continuation's operators — text
+    // (winnowing/NB/JS/AUC), graph (HITS/BFS over an Nx disjoint-copy
+    // trade graph), events (KS/bitmaps/paths over Nx disjoint users)
+    val new9Only = args.length > 1 && args(1) == "new9"
     val scaled = s"/tmp/graft_scale_${mult}x"
     val spark = GraftSession.get("local[32]", "32")
     if (new8Only) {
@@ -242,6 +246,35 @@ object ScaleRehearsal {
         val line = qs.map(q => "\"" + q + "\":" + timeQuery(spark, q, dir))
           .mkString("{", ",", "}")
         println(s"""{"metric":"scale_rehearsal_new8","scale":"$label","dir":"$dir","queries":$line}""")
+      }
+      spark.stop(); return
+    }
+    if (new9Only) {
+      // docs: copy-tagged tokens (disjoint vocab/fingerprints per
+      // copy); graph tables: offset keys → N disjoint components with
+      // identical internal structure; events: offset users/event ids
+      // (ts kept — the KS midpoint split sees the same distribution)
+      scaleDocs(spark, base, scaled, mult)
+      def scaleTable(name: String, offsets: Map[String, Long]): Unit = {
+        val t = spark.read.parquet(s"$base/$name.parquet")
+        (0 until mult).map { k =>
+          offsets.foldLeft(t) { case (acc, (c, off)) =>
+            acc.withColumn(c, col(c) + lit(k * off)) }
+        }.reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$scaled/$name.parquet")
+      }
+      scaleTable("orders", Map("o_orderkey" -> 1000000000L, "o_custkey" -> 10000000L))
+      scaleTable("lineitem", Map("l_orderkey" -> 1000000000L, "l_suppkey" -> 10000000L))
+      scaleTable("supplier", Map("s_suppkey" -> 10000000L))
+      scaleTable("events", Map("event_id" -> 1000000000L, "user_id" -> 10000000L))
+      val qs = Seq("q166_auc", "q169_winnow", "q170_nb_quality",
+        "q171_winnow_pairs", "q176_js_matrix", "q167_ks_drift",
+        "q168_hits", "q173_bfs_layers", "q175_activity_bitmap", "q179_paths")
+      Seq("1x" -> base, s"${mult}x" -> scaled).foreach { case (label, dir) =>
+        qs.foreach(q => timeQuery(spark, q, dir)) // warm
+        val line = qs.map(q => "\"" + q + "\":" + timeQuery(spark, q, dir))
+          .mkString("{", ",", "}")
+        println(s"""{"metric":"scale_rehearsal_new9","scale":"$label","dir":"$dir","queries":$line}""")
       }
       spark.stop(); return
     }
