@@ -1102,6 +1102,49 @@ object QueriesAnalytics {
     s"CAST(round((($pa - $pb) * ln($pa / $pb)) * 1000000000) AS BIGINT)"
   }
 
+  /** q181: KAPLAN–MEIER RETENTION CURVE — per observed lifetime
+    * duration: users still at risk, churn events, the per-step hazard
+    * factor ln(1 − e/n) in integer micro-units, and the CUMULATIVE
+    * log-survival (the KM product as an exact integer sum of
+    * micro-lns). Churn = last active day before the corpus horizon;
+    * users active on the horizon are censored (standard right
+    * censoring). The degenerate everyone-churns step clamps the
+    * factor to ln(1/n) (documented; unreachable while anyone is
+    * censored later).
+    *
+    * Scale: one user aggregate (first/last day), then everything runs
+    * on the DURATION DOMAIN (≤ horizon days): at-risk counts are
+    * total − exclusive-prefix-below via
+    * [[graft.operators.GlobalRank.withPrefixSums]], the survival
+    * accumulation a second prefix sum on the same domain — no window
+    * ever sees user-sized data.
+    */
+  private val qSurvival: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(col("user_id"), expr("ts_ms div 86400000").as("day"))
+    val horizon = ev.agg(max("day").as("h"))
+    val users = ev.groupBy("user_id").agg(min("day").as("f"), max("day").as("l"))
+      .crossJoin(broadcast(horizon))
+      .select((col("l") - col("f")).as("d"), (col("l") < col("h")).as("churned"))
+    val byD = users.groupBy("d")
+      .agg(count(lit(1)).as("ending"),
+        sum(when(col("churned"), 1L).otherwise(0L)).as("n_churn"))
+    val tot = byD.agg(sum("ending").as("n_total"))
+    val risk = graft.operators.GlobalRank.withPrefixSums(
+        byD, Seq(col("d")), Seq("ending"), Seq("below"), inclusive = false)
+      .crossJoin(broadcast(tot))
+      .select(col("d").as("duration"), (col("n_total") - col("below")).as("n_risk"),
+        col("n_churn"))
+      .withColumn("factor_ln_micro", expr(
+        """CAST(round(ln(CAST(greatest(n_risk - n_churn, 1L) AS DOUBLE)
+          |  / CAST(n_risk AS DOUBLE)) * 1000000) AS BIGINT)""".stripMargin))
+    graft.operators.GlobalRank.withPrefixSums(
+        risk, Seq(col("duration")), Seq("factor_ln_micro"), Seq("km_ln_micro"))
+      .select("duration", "n_risk", "n_churn", "factor_ln_micro", "km_ln_micro")
+      .orderBy("duration")
+  }
+
   /** q178: ENCODING / MOJIBAKE AUDIT — per (source, lang): how many
     * documents carry broken-pipeline markers — C0 control characters
     * (other than tab/newline/CR), the U+FFFD replacement character
@@ -1512,6 +1555,7 @@ object QueriesAnalytics {
     "q174_benford" -> qBenford,
     "q175_activity_bitmap" -> qActivityBitmap,
     "q178_mojibake" -> qMojibake,
+    "q181_survival" -> qSurvival,
     "q179_paths" -> qPaths,
     "q154_ab_test" -> qAbTest,
     "q155_range_frame" -> qRangeFrame,
@@ -1628,6 +1672,31 @@ object QueriesAnalytics {
 
     // grouping sets: the Spark side runs this IDENTICAL text
     "q156_grouping_sets" -> GroupingSetsText,
+
+    // KM: same censoring rule, duration-domain risk sets via window
+    // prefix sums, identical clamp and micro-ln accumulation
+    "q181_survival" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day
+        |  FROM events WHERE user_id IS NOT NULL),
+        |h AS (SELECT max(day) AS h FROM e),
+        |u AS (SELECT max(day) - min(day) AS d,
+        |  max(day) < (SELECT h FROM h) AS churned
+        |  FROM e GROUP BY user_id),
+        |bd AS (SELECT d, CAST(count(*) AS BIGINT) AS ending,
+        |  CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS n_churn
+        |  FROM u GROUP BY d),
+        |r AS (SELECT d AS duration,
+        |  CAST((SELECT sum(ending) FROM bd)
+        |    - coalesce(sum(ending) OVER (ORDER BY d
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk,
+        |  n_churn FROM bd),
+        |f AS (SELECT duration, n_risk, n_churn,
+        |  CAST(round(ln(CAST(greatest(n_risk - n_churn, 1) AS DOUBLE)
+        |    / CAST(n_risk AS DOUBLE)) * 1000000) AS BIGINT) AS factor_ln_micro FROM r)
+        |SELECT duration, n_risk, n_churn, factor_ln_micro,
+        |  CAST(sum(factor_ln_micro) OVER (ORDER BY duration
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS km_ln_micro
+        |FROM f ORDER BY duration""".stripMargin,
 
     // mojibake: same Java∩RE2 classes, boolean per-doc flags
     "q178_mojibake" ->

@@ -811,6 +811,65 @@ object QueriesTraining {
           .as("rho"))
   }
 
+  private[graft] val PackSweepLens = Seq(512, 1024, 2048, 4096)
+
+  /** q182: CONTEXT-LENGTH PACKING SWEEP — the choose-your-max-len
+    * table: for each candidate sequence length, chunks per doc
+    * ceil(tokens/L) with the last chunk padded (q69's split-allowed
+    * model), total chunks, and padding waste in integer bp — the
+    * pad-vs-truncate cost curve read in one pass (q129 audits ONE
+    * bucketing; this sweeps the L axis). One tokenize pass, a 4-way
+    * constant explode, a 4-row output.
+    */
+  private val qPackingSweep: Q = (spark, dir) => {
+    val lens = PackSweepLens.mkString("array(", ", ", ")")
+    docsFanned(spark, dir)
+      .select(TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"))
+      .select(col("n_tok"), explode(expr(lens)).as("len"))
+      .withColumn("chunks", expr("CAST(ceil(CAST(n_tok AS DOUBLE) / len) AS BIGINT)"))
+      .groupBy("len")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("total_tokens"),
+        sum("chunks").as("total_chunks"))
+      .withColumn("slots", col("total_chunks") * col("len"))
+      .withColumn("waste_bp", expr("(slots - total_tokens) * 10000 div slots"))
+      .select("len", "n_docs", "total_tokens", "total_chunks", "waste_bp")
+      .orderBy("len")
+  }
+
+  private[graft] val JaccHistBins = 20
+
+  /** q183: JACCARD HISTOGRAM OVER LSH CANDIDATES — the dedup
+    * threshold-tuning curve: exact-similarity mass of the candidate
+    * set in [[JaccHistBins]] bins, with the suffix-cumulative "pairs
+    * kept at threshold ≥ bin" count. Bin = (20·|∩|) div |∪| on exact
+    * INTEGER shingle counts — no float ratio ever touches a bin edge.
+    * q165 reports one number for one threshold; this is the whole
+    * curve for choosing it.
+    *
+    * Scale: q22's chain (banded candidates, verify only on
+    * collisions); the histogram is bin-keyed, the suffix cumulative a
+    * [[graft.operators.GlobalRank.withPrefixSums]] over ≤ 20 rows.
+    */
+  private val qJaccardHist: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents")
+    val sh = Dedup.materialize(Dedup.shingleTable(docs, "doc_id", "text"))
+    val s = Dedup.minhashSigsFromShingles(sh, "doc_id", 16)
+    val cands = Dedup.lshCandidates(s, "doc_id", "sig", 4, 4)
+    val shA = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")).hint("MERGE")
+    val shB = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")).hint("MERGE")
+    val hist = cands.select("id_a", "id_b").join(shA, "id_a").join(shB, "id_b")
+      .select(expr(
+        s"""least(CAST(${JaccHistBins - 1} AS BIGINT),
+           |  CAST(size(array_intersect(sh_a, sh_b)) AS BIGINT) * $JaccHistBins
+           |    div CAST(size(array_union(sh_a, sh_b)) AS BIGINT))""".stripMargin)
+        .as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_pairs"))
+    graft.operators.GlobalRank.withPrefixSums(
+        hist, Seq(col("bin").desc), Seq("n_pairs"), Seq("n_pairs_ge"))
+      .select("bin", "n_pairs", "n_pairs_ge")
+      .orderBy("bin")
+  }
+
   private[graft] val BoilerplateTopK = 20
 
   /** q177: BOILERPLATE FINGERPRINT REPORT — the top [[BoilerplateTopK]]
@@ -2152,6 +2211,8 @@ object QueriesTraining {
     "q176_js_matrix" -> qJsMatrix,
     "q177_boilerplate" -> qBoilerplate,
     "q180_spearman" -> qSpearman,
+    "q182_packing_sweep" -> qPackingSweep,
+    "q183_jaccard_hist" -> qJaccardHist,
     "q17_text_quality" -> qTextQuality,
     "q18_text_langid" -> qTextLangid,
     "q19_text_fingerprint" -> qTextFingerprint,
@@ -2898,6 +2959,37 @@ object QueriesTraining {
          |  CAST(sum(CASE WHEN source = '$NbSeedSource' THEN 1 ELSE 0 END) AS BIGINT) AS n_seed,
          |  CAST(sum(CASE WHEN source = '$NbSeedSource' THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS seed_share_bp
          |FROM r GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // packing sweep: same split-allowed ceil model per candidate L
+    "q182_packing_sweep" -> {
+      val lens = PackSweepLens.mkString("[", ", ", "]")
+      s"""WITH t AS (SELECT CAST(len($toksSql) AS BIGINT) AS n_tok FROM documents),
+         |x AS (SELECT n_tok, unnest($lens) AS len FROM t),
+         |c AS (SELECT len, n_tok,
+         |  CAST(ceil(CAST(n_tok AS DOUBLE) / len) AS BIGINT) AS chunks FROM x),
+         |g AS (SELECT CAST(len AS BIGINT) AS len, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+         |  CAST(sum(chunks) AS BIGINT) AS total_chunks FROM c GROUP BY len)
+         |SELECT len, n_docs, total_tokens, total_chunks,
+         |  CAST((total_chunks * len - total_tokens) * 10000
+         |    // (total_chunks * len) AS BIGINT) AS waste_bp
+         |FROM g ORDER BY len""".stripMargin
+    },
+
+    // jaccard histogram: same candidates, integer-exact bin edges,
+    // suffix cumulative
+    "q183_jaccard_hist" ->
+      s"""$lshCandidateCtes,
+         |iu AS (SELECT CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS inter,
+         |  CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS BIGINT) AS uni
+         |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b),
+         |bb AS (SELECT least(${JaccHistBins - 1}, inter * $JaccHistBins // uni) AS bin FROM iu),
+         |hh AS (SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM bb GROUP BY bin)
+         |SELECT bin, n_pairs,
+         |  CAST(sum(n_pairs) OVER (ORDER BY bin DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_pairs_ge
+         |FROM hh ORDER BY bin""".stripMargin,
 
     // Spearman: same doubled tie-average ranks, same six moments
     "q180_spearman" ->
