@@ -1378,22 +1378,10 @@ object QueriesAnalytics {
       .select(expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
         col("ts_ms"))
     val mid = ev.agg(min("ts_ms").as("lo"), max("ts_ms").as("hi"))
-    val byV = ev.crossJoin(broadcast(mid))
+    val tagged = ev.crossJoin(broadcast(mid))
       .select(col("cents"), (col("ts_ms") * 2 < col("lo") + col("hi")).as("in_a"))
-      .groupBy("cents")
-      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
-        sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"))
-    val cum = graft.operators.GlobalRank.withPrefixSums(
-      byV, Seq(col("cents")), Seq("n_a", "n_b"), Seq("cum_a", "cum_b"))
-    val tot = cum.agg(sum("n_a").as("tot_a"), sum("n_b").as("tot_b"))
-    val d = cum.crossJoin(broadcast(tot))
-      .withColumn("d_num", abs(col("cum_a") * col("tot_b") - col("cum_b") * col("tot_a")))
-    d.agg(max(struct(col("d_num"), (-col("cents")).as("cneg"),
-        col("tot_a"), col("tot_b"))).as("m"))
-      .select(col("m.d_num").as("d_num"), (-col("m.cneg")).as("at_cents"),
-        col("m.tot_a").as("tot_a"), col("m.tot_b").as("tot_b"))
-      .withColumn("ks_bp", expr("d_num * 10000 div (tot_a * tot_b)"))
-      .select("tot_a", "tot_b", "at_cents", "d_num", "ks_bp")
+    graft.operators.Stats.ksTest(tagged, col("cents"), col("in_a"))
+      .withColumnRenamed("at_value", "at_cents")
   }
 
   /** q153: POPULATION STABILITY INDEX — the production data-drift

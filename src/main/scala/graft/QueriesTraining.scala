@@ -543,24 +543,11 @@ object QueriesTraining {
     * shard-and-average beyond that).
     */
   private val qAuc: Q = (spark, dir) => {
-    val byScore = docsFanned(spark, dir)
-      .select(TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"),
-        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
-      .select(
-        expr("CAST(round(stop_ratio * 1000000) AS BIGINT)").as("score_micro"),
-        col("pos"))
-      .groupBy("score_micro")
-      .agg(sum("pos").as("pos_s"),
-        (count(lit(1)) - sum("pos")).as("neg_s"))
-    val cum = graft.operators.GlobalRank.withPrefixSums(
-      byScore, Seq(col("score_micro")), Seq("neg_s"), Seq("cum_neg"),
-      inclusive = false)
-    cum.agg(sum("pos_s").as("n_pos"), sum("neg_s").as("n_neg"),
-        sum(col("pos_s") * col("cum_neg")).as("concordant"),
-        sum(col("pos_s") * col("neg_s")).as("tied"))
-      .select(col("n_pos"), col("n_neg"), col("concordant"), col("tied"),
-        expr("(2 * concordant + tied) * 10000 div (2 * n_pos * n_neg)")
-          .as("auc_bp"))
+    val scored = docsFanned(spark, dir)
+      .select(TextAnalysis.stopwordRatio(col("text")).as("stop_ratio"), col("lang"))
+      .select(expr("CAST(round(stop_ratio * 1000000) AS BIGINT)").as("score_micro"),
+        col("lang"))
+    graft.operators.Stats.auc(scored, col("score_micro"), col("lang") === "en")
   }
 
   private[graft] val NbSeedSource = "src0"
