@@ -798,6 +798,64 @@ object QueriesTraining {
           .as("rho"))
   }
 
+  private[graft] val RingShards = 8
+
+  /** 32-bit ring point for shard `i` — same md5-prefix hash family as
+    * the doc points; computed ONCE driver-side and interpolated as a
+    * literal into BOTH engines' texts, so parity is by construction.
+    */
+  private def ringPoint(i: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"shard:$i".getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** Shared SQL fragments: clockwise ring distances, their min, and
+    * the argmin owner (ties — md5 collisions — to the smallest shard
+    * id). Pure least/CASE/% arithmetic; identical text parses on
+    * Spark and DuckDB. The min is computed once into its own column
+    * so the CASE compares, not recomputes.
+    */
+  private def ringDistSql(h: String, i: Int): String =
+    s"((${ringPoint(i)} - $h + 4294967296) % 4294967296)"
+  private def ringMinSql(h: String, k: Int): String =
+    (0 until k).map(ringDistSql(h, _)).mkString("least(", ", ", ")")
+  private def ringCaseSql(h: String, k: Int, mindCol: String): String =
+    (0 until k).map(i => s"WHEN ${ringDistSql(h, i)} = $mindCol THEN $i")
+      .mkString("CASE ", " ", " END")
+
+  /** q184: CONSISTENT-HASH REBALANCE AUDIT — growing [[RingShards]] →
+    * +1 shards, what fraction of documents MOVE under (a) the
+    * consistent-hash ring (expected ≈ 1/(k+1)) vs (b) naive
+    * `hash mod k` (≈ k/(k+1) — nearly everything)? The audit that
+    * justifies ring placement for any stateful shard map (dedup
+    * indices, ANN partitions, dimension caches). Ring points are
+    * build-time literals; the owner is a least/CASE chain — O(k) per
+    * row, k fixed and small, fully codegen.
+    *
+    * Scale: one narrow projection + one single-row aggregate; no
+    * shuffle at all beyond the final count.
+    */
+  private val qRebalance: Q = (spark, dir) => {
+    val hExpr = "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+    docsFanned(spark, dir)
+      .select(expr(hExpr).as("h"))
+      .withColumn("mind_k", expr(ringMinSql("h", RingShards)))
+      .withColumn("mind_k1", expr(ringMinSql("h", RingShards + 1)))
+      .select(col("h"),
+        expr(ringCaseSql("h", RingShards, "mind_k")).as("ring_k"),
+        expr(ringCaseSql("h", RingShards + 1, "mind_k1")).as("ring_k1"),
+        expr(s"h % $RingShards").as("mod_k"),
+        expr(s"h % ${RingShards + 1}").as("mod_k1"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ring_k") =!= col("ring_k1"), 1L).otherwise(0L)).as("ring_moved"),
+        sum(when(col("mod_k") =!= col("mod_k1"), 1L).otherwise(0L)).as("mod_moved"))
+      .select(col("n_docs"), col("ring_moved"),
+        expr("ring_moved * 10000 div n_docs").as("ring_moved_bp"),
+        col("mod_moved"),
+        expr("mod_moved * 10000 div n_docs").as("mod_moved_bp"))
+  }
+
   private[graft] val PackSweepLens = Seq(512, 1024, 2048, 4096)
 
   /** q182: CONTEXT-LENGTH PACKING SWEEP — the choose-your-max-len
@@ -2200,6 +2258,7 @@ object QueriesTraining {
     "q180_spearman" -> qSpearman,
     "q182_packing_sweep" -> qPackingSweep,
     "q183_jaccard_hist" -> qJaccardHist,
+    "q184_rebalance" -> qRebalance,
     "q17_text_quality" -> qTextQuality,
     "q18_text_langid" -> qTextLangid,
     "q19_text_fingerprint" -> qTextFingerprint,
@@ -2946,6 +3005,25 @@ object QueriesTraining {
          |  CAST(sum(CASE WHEN source = '$NbSeedSource' THEN 1 ELSE 0 END) AS BIGINT) AS n_seed,
          |  CAST(sum(CASE WHEN source = '$NbSeedSource' THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS seed_share_bp
          |FROM r GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // rebalance: identical ring-point literals and least/CASE text
+    "q184_rebalance" -> {
+      val h = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+      s"""WITH d AS (SELECT $h AS h FROM documents),
+         |m AS (SELECT h, ${ringMinSql("h", RingShards)} AS mind_k,
+         |  ${ringMinSql("h", RingShards + 1)} AS mind_k1 FROM d),
+         |o AS (SELECT h, ${ringCaseSql("h", RingShards, "mind_k")} AS ring_k,
+         |  ${ringCaseSql("h", RingShards + 1, "mind_k1")} AS ring_k1,
+         |  h % $RingShards AS mod_k, h % ${RingShards + 1} AS mod_k1 FROM m),
+         |a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN ring_k <> ring_k1 THEN 1 ELSE 0 END) AS BIGINT) AS ring_moved,
+         |  CAST(sum(CASE WHEN mod_k <> mod_k1 THEN 1 ELSE 0 END) AS BIGINT) AS mod_moved
+         |  FROM o)
+         |SELECT n_docs, ring_moved,
+         |  CAST(ring_moved * 10000 // n_docs AS BIGINT) AS ring_moved_bp,
+         |  mod_moved, CAST(mod_moved * 10000 // n_docs AS BIGINT) AS mod_moved_bp
+         |FROM a""".stripMargin
+    },
 
     // packing sweep: same split-allowed ceil model per candidate L
     "q182_packing_sweep" -> {
