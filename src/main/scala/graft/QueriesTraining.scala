@@ -798,6 +798,39 @@ object QueriesTraining {
           .as("rho"))
   }
 
+  /** q185: EMBEDDING DISPERSION PER LABEL — is the labeled embedding
+    * space actually clustered? Per label: the per-dim centroid
+    * (settled to 6 decimals BEFORE any cosine — the q80 iteration
+    * rule, so downstream micro-rounding never sits on a
+    * sum-order knife edge), then each member's cosine to its own
+    * centroid in integer micro-units: count, floored mean (cohesion)
+    * and min (the worst outlier — a mislabeled-vector smell).
+    *
+    * Scale: one posexplode pass shuffling (label, dim) keys with
+    * map-side partial avgs; centroids are label-count × dim rows —
+    * broadcast; the member pass is one narrow projection + label-keyed
+    * aggregate.
+    */
+  private val qEmbedDispersion: Q = (spark, dir) => {
+    val e = Dedup.fanOut(Tables(spark, dir, "embeddings"), col("vec_id"))
+      .select(col("label"), Similarity.asDouble(col("embedding")).as("v"))
+    val comps = e.select(col("label"), posexplode(col("v")))
+      .groupBy("label", "pos").agg(round(avg("col"), 6).as("m"))
+    val cents = comps.groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("c"))
+    e.join(broadcast(cents), "label")
+      .select(col("label"),
+        round(Similarity.cosine(col("v"), col("c")) * 1000000).cast("long").as("cm"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), sum("cm").as("sum_cm"), min("cm").as("min_cos_micro"))
+      .select(col("label").cast("long").as("label"), col("n_vecs"),
+        expr("CAST(FLOOR(CAST(sum_cm AS DOUBLE) / CAST(n_vecs AS DOUBLE)) AS BIGINT)")
+          .as("mean_cos_micro"),
+        col("min_cos_micro"))
+      .orderBy("label")
+  }
+
   private[graft] val RingShards = 8
 
   /** 32-bit ring point for shard `i` — same md5-prefix hash family as
@@ -2259,6 +2292,7 @@ object QueriesTraining {
     "q182_packing_sweep" -> qPackingSweep,
     "q183_jaccard_hist" -> qJaccardHist,
     "q184_rebalance" -> qRebalance,
+    "q185_embed_dispersion" -> qEmbedDispersion,
     "q17_text_quality" -> qTextQuality,
     "q18_text_langid" -> qTextLangid,
     "q19_text_fingerprint" -> qTextFingerprint,
@@ -3005,6 +3039,22 @@ object QueriesTraining {
          |  CAST(sum(CASE WHEN source = '$NbSeedSource' THEN 1 ELSE 0 END) AS BIGINT) AS n_seed,
          |  CAST(sum(CASE WHEN source = '$NbSeedSource' THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS seed_share_bp
          |FROM r GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // dispersion: same 6-decimal centroid settle, same cosine fold,
+    // same micro rounding
+    "q185_embed_dispersion" ->
+      s"""WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+         |comps AS (SELECT label, i, round(avg(v[i]), 6) AS m
+         |  FROM e, (SELECT unnest(range(1, ${EmbedDims + 1})) AS i) idx
+         |  GROUP BY label, i),
+         |c AS (SELECT label, list(m ORDER BY i) AS c FROM comps GROUP BY label),
+         |s2 AS (SELECT e.label,
+         |  CAST(round(${cosSql("e.v", "c.c")} * 1000000) AS BIGINT) AS cm
+         |  FROM e JOIN c ON c.label = e.label)
+         |SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(FLOOR(CAST(sum(cm) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_cos_micro,
+         |  CAST(min(cm) AS BIGINT) AS min_cos_micro
+         |FROM s2 GROUP BY label ORDER BY label""".stripMargin,
 
     // rebalance: identical ring-point literals and least/CASE text
     "q184_rebalance" -> {
