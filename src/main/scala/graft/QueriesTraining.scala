@@ -948,6 +948,121 @@ object QueriesTraining {
       .orderBy("bin")
   }
 
+  private[graft] val KeynessTopK = 5
+
+  /** q187: KEYNESS — each source's most DISTINCTIVE terms by
+    * add-one-smoothed log-odds ratio vs the rest of the corpus
+    * (the corpus-interpretability report behind "what even is this
+    * source?"): per (source, term),
+    * ln((c+1)/(tot_s−c+1)) − ln((C−c+1)/(T−tot_s−(C−c)+1)) settled to
+    * integer micro-units per row, top-[[KeynessTopK]] per source.
+    *
+    * Scale: one (source, term) count pass; the global term counts
+    * join on term keys; source totals and the corpus total ride one
+    * broadcast; top-k is a source-partitioned window over the
+    * vocab-sized table.
+    */
+  private val qKeyness: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Dedup.materialize(
+      docsFanned(spark, dir)
+        .select(col("source"), explode_outer(TextAnalysis.tokens(col("text"))).as("term")))
+    val st = toks.groupBy("source", "term").agg(count(lit(1)).as("c"))
+    val tTot = toks.groupBy("term").agg(count(lit(1)).as("ct"))
+    val sTot = toks.groupBy("source").agg(count(lit(1)).as("tots"))
+    val gTot = toks.agg(count(lit(1)).as("tot"))
+    val scored = st.join(tTot, "term")
+      .join(broadcast(sTot), "source").crossJoin(broadcast(gTot))
+      .withColumn("score_micro", expr(
+        """CAST(round(ln(CAST(c + 1 AS DOUBLE) / CAST(tots - c + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+          | - CAST(round(ln(CAST(ct - c + 1 AS DOUBLE)
+          |   / CAST(tot - tots - (ct - c) + 1 AS DOUBLE)) * 1000000) AS BIGINT)""".stripMargin))
+    val w = Window.partitionBy("source").orderBy(col("score_micro").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= KeynessTopK)
+      .select(col("source"), col("rk").cast("long").as("rk"), col("term"),
+        col("score_micro"))
+      .orderBy("source", "rk")
+  }
+
+  /** q188: MINHASH CALIBRATION — is the 16-hash signature's match
+    * fraction actually an unbiased Jaccard estimate on THIS corpus?
+    * Per signature-agreement level (0..16 matching hash positions over
+    * LSH candidates): pair count, the estimator's value in bp
+    * (level·10000/16), and the mean TRUE Jaccard in bp from exact
+    * integer shingle counts — the sketch-quality table read before
+    * trusting q21's thresholds.
+    *
+    * Scale: q22's chain + one zip_with over 16-element signatures;
+    * 17-row output.
+    */
+  private val qMinhashCalibration: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents")
+    val sh = Dedup.materialize(Dedup.shingleTable(docs, "doc_id", "text"))
+    val s = Dedup.materialize(Dedup.minhashSigsFromShingles(sh, "doc_id", 16))
+    val cands = Dedup.lshCandidates(s, "doc_id", "sig", 4, 4)
+    val sigA = s.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val sigB = s.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    val shA = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")).hint("MERGE")
+    val shB = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")).hint("MERGE")
+    cands.select("id_a", "id_b")
+      .join(shA, "id_a").join(shB, "id_b")
+      .join(sigA, "id_a").join(sigB, "id_b")
+      .select(
+        expr("""aggregate(zip_with(sig_a, sig_b, (x, y) -> CASE WHEN x = y THEN 1L ELSE 0L END),
+               |  CAST(0 AS BIGINT), (a, b) -> a + b)""".stripMargin).as("matches"),
+        expr("""CAST(size(array_intersect(sh_a, sh_b)) AS BIGINT) * 10000
+               |  div CAST(size(array_union(sh_a, sh_b)) AS BIGINT)""".stripMargin).as("true_bp"))
+      .groupBy("matches")
+      .agg(count(lit(1)).as("n_pairs"), sum("true_bp").as("sum_true"))
+      .select(col("matches"), col("n_pairs"),
+        expr("matches * 10000 div 16").as("est_bp"),
+        expr("sum_true div n_pairs").as("mean_true_bp"))
+      .orderBy("matches")
+  }
+
+  private[graft] val IncrementMod = 17
+
+  /** q186: INCREMENTAL WINNOW DEDUP — the crawl-increment decision
+    * (q43's shape on winnowing instead of MinHash): treat every
+    * doc_id ≡ 0 (mod [[IncrementMod]]) as "today's batch" and report,
+    * per new doc, its corpus near-dup candidates by shared
+    * fingerprints — n candidates, the best (most shared, smallest id)
+    * corpus doc, clean docs kept with nulls.
+    *
+    * Scale: the INCREMENT's fingerprints broadcast (a day's crawl vs
+    * the corpus); the corpus side is one fingerprint projection +
+    * hash-local join — the corpus never reshuffles, which is the
+    * whole point of incremental dedup.
+    */
+  private val qWinnowIncremental: Q = (spark, dir) => {
+    val fps = docsFanned(spark, dir)
+      .select(col("doc_id"),
+        explode_outer(graft.functions.winnow_fps(lower(col("text")))).as("f"))
+      .select(col("doc_id"), col("f.hash").as("h")).distinct()
+    val inc = fps.filter(col("doc_id") % IncrementMod === 0)
+      .select(col("doc_id").as("new_id"), col("h"))
+    val corpusAll = fps.filter(col("doc_id") % IncrementMod =!= 0)
+    // q171's stop-fingerprint guard, on CORPUS df: boilerplate hashes
+    // would otherwise pair every new doc with most of the corpus
+    val keep = corpusAll.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= WinnowMaxDf)
+    val corpus = corpusAll.join(keep.select("h"), "h")
+    val cand = corpus.join(broadcast(inc), "h")
+      .groupBy("new_id", "doc_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+    val perNew = cand.groupBy("new_id")
+      .agg(count(lit(1)).as("n_dup_candidates"),
+        max(struct(col("n_shared"), (-col("doc_id")).as("negid"))).as("b"))
+      .select(col("new_id"), col("n_dup_candidates"),
+        (-col("b.negid")).as("best_dup"), col("b.n_shared").as("best_shared"))
+    inc.select("new_id").distinct()
+      .join(perNew, Seq("new_id"), "left_outer")
+      .select(col("new_id"),
+        coalesce(col("n_dup_candidates"), lit(0L)).as("n_dup_candidates"),
+        col("best_dup"), col("best_shared"))
+      .orderBy("new_id")
+  }
+
   private[graft] val BoilerplateTopK = 20
 
   /** q177: BOILERPLATE FINGERPRINT REPORT — the top [[BoilerplateTopK]]
@@ -2293,6 +2408,9 @@ object QueriesTraining {
     "q183_jaccard_hist" -> qJaccardHist,
     "q184_rebalance" -> qRebalance,
     "q185_embed_dispersion" -> qEmbedDispersion,
+    "q186_winnow_incremental" -> qWinnowIncremental,
+    "q187_keyness" -> qKeyness,
+    "q188_minhash_calibration" -> qMinhashCalibration,
     "q17_text_quality" -> qTextQuality,
     "q18_text_langid" -> qTextLangid,
     "q19_text_fingerprint" -> qTextFingerprint,
@@ -3128,6 +3246,67 @@ object QueriesTraining {
          |  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
          |         * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho
          |FROM mo""".stripMargin,
+
+    // keyness: same smoothing, per-row micro lns, per-source top-k
+    "q187_keyness" ->
+      s"""WITH toks AS (SELECT source, unnest($toksSql) AS term FROM documents),
+         |st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2),
+         |tt AS (SELECT term, CAST(count(*) AS BIGINT) AS ct FROM toks GROUP BY 1),
+         |stot AS (SELECT source, CAST(count(*) AS BIGINT) AS tots FROM toks GROUP BY 1),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM toks),
+         |sc AS (SELECT source, term,
+         |  CAST(round(ln(CAST(c + 1 AS DOUBLE) / CAST(tots - c + 1 AS DOUBLE)) * 1000000) AS BIGINT)
+         |  - CAST(round(ln(CAST(ct - c + 1 AS DOUBLE)
+         |      / CAST(tot - tots - (ct - c) + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS score_micro
+         |  FROM st JOIN tt USING (term) JOIN stot USING (source), g),
+         |r AS (SELECT source, term, score_micro,
+         |  row_number() OVER (PARTITION BY source
+         |    ORDER BY score_micro DESC, term) AS rk FROM sc)
+         |SELECT source, CAST(rk AS BIGINT) AS rk, term, score_micro
+         |FROM r WHERE rk <= $KeynessTopK ORDER BY source, rk""".stripMargin,
+
+    // calibration: same candidates, per-position signature compare,
+    // exact true-jaccard bp
+    "q188_minhash_calibration" ->
+      s"""$lshCandidateCtes,
+         |pp AS (SELECT
+         |  CAST(list_sum(list_transform(range(1, 17),
+         |    i -> CASE WHEN sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)] THEN 1 ELSE 0 END)) AS BIGINT) AS matches,
+         |  CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) * 10000
+         |    // CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS BIGINT) AS true_bp
+         |  FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b),
+         |g2 AS (SELECT matches, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(true_bp) AS BIGINT) AS sum_true FROM pp GROUP BY matches)
+         |SELECT matches, n_pairs, CAST(matches * 10000 // 16 AS BIGINT) AS est_bp,
+         |  CAST(sum_true // n_pairs AS BIGINT) AS mean_true_bp
+         |FROM g2 ORDER BY matches""".stripMargin,
+
+    // incremental winnow: same split rule, same fingerprint sets,
+    // best = (max shared, min id)
+    "q186_winnow_incremental" ->
+      s"""$winnowCtes,
+         |fp AS (SELECT DISTINCT doc_id, h FROM
+         |  (SELECT doc_id, hs[CAST(unnest(sel) AS INT)] AS h FROM s)),
+         |inc AS (SELECT doc_id AS new_id, h FROM fp WHERE doc_id % $IncrementMod = 0),
+         |corpall AS (SELECT doc_id, h FROM fp WHERE doc_id % $IncrementMod <> 0),
+         |keep AS (SELECT h FROM corpall GROUP BY h HAVING count(*) <= $WinnowMaxDf),
+         |corp AS (SELECT doc_id, h FROM corpall JOIN keep USING (h)),
+         |cand AS (SELECT new_id, doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM corp JOIN inc USING (h) GROUP BY new_id, doc_id
+         |  HAVING count(*) >= $WinnowMinShared),
+         |pn AS (SELECT new_id,
+         |  CAST(count(*) AS BIGINT) AS n_dup_candidates,
+         |  CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS best_dup,
+         |  CAST(max(CASE WHEN rn = 1 THEN n_shared END) AS BIGINT) AS best_shared
+         |  FROM (SELECT new_id, doc_id, n_shared,
+         |    row_number() OVER (PARTITION BY new_id
+         |      ORDER BY n_shared DESC, doc_id) AS rn FROM cand)
+         |  GROUP BY new_id)
+         |SELECT i.new_id AS new_id,
+         |  CAST(coalesce(pn.n_dup_candidates, 0) AS BIGINT) AS n_dup_candidates,
+         |  pn.best_dup AS best_dup, pn.best_shared AS best_shared
+         |FROM (SELECT DISTINCT new_id FROM inc) i LEFT JOIN pn USING (new_id)
+         |ORDER BY new_id""".stripMargin,
 
     // boilerplate: same fingerprints, df ranking, (doc,pos)-min
     // exemplar, gram extraction from the exemplar text
