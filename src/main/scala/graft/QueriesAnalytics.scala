@@ -1221,6 +1221,27 @@ object QueriesAnalytics {
       .orderBy("active_days")
   }
 
+  /** q189: SQL front end #8 — the Benford audit as ONE dialect-neutral
+    * ANSI text that IS its own oracle: exercises the `CAST(x AS
+    * STRING)` head-digit trick, micro-rounded `ln` constants, the
+    * portable FLOOR-division rational, and an implicit cross join of
+    * two CTEs — none of it engine-specific. No windows, so nothing to
+    * partition.
+    */
+  private[graft] val SqlBenfordText: String =
+    """WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders WHERE round(o_totalprice * 100) > 0),
+      |b AS (SELECT CAST(substring(CAST(cents AS STRING), 1, 1) AS BIGINT) AS digit,
+      |  CAST(count(*) AS BIGINT) AS n FROM c GROUP BY digit),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM b)
+      |SELECT digit, n,
+      |  CAST(FLOOR(CAST(n * 10000 AS DOUBLE) / CAST(tot AS DOUBLE)) AS BIGINT) AS share_bp,
+      |  CAST(round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) * 10000) AS BIGINT) AS benford_bp
+      |FROM b, t ORDER BY digit""".stripMargin
+
+  private val qSqlBenford: Q = (spark, dir) =>
+    sqlVerbatim(spark, dir, SqlBenfordText, Seq("orders"))
+
   /** q174: BENFORD FIRST-DIGIT AUDIT — the classic fabricated-data /
     * broken-ETL smell test: the leading significant digit of the
     * order amounts against the Benford expectation
@@ -1544,6 +1565,7 @@ object QueriesAnalytics {
     "q175_activity_bitmap" -> qActivityBitmap,
     "q178_mojibake" -> qMojibake,
     "q181_survival" -> qSurvival,
+    "q189_sql_benford" -> qSqlBenford,
     "q179_paths" -> qPaths,
     "q154_ab_test" -> qAbTest,
     "q155_range_frame" -> qRangeFrame,
@@ -1722,6 +1744,9 @@ object QueriesAnalytics {
         |SELECT active_days, CAST(count(*) AS BIGINT) AS n_users,
         |  CAST(sum(CASE WHEN streak THEN 1 ELSE 0 END) AS BIGINT) AS streak_users
         |FROM s GROUP BY active_days ORDER BY active_days""".stripMargin,
+
+    // SQL #8: the Spark side runs this IDENTICAL text
+    "q189_sql_benford" -> SqlBenfordText,
 
     // Benford: same string-head digit, micro-rounded expectation
     "q174_benford" ->

@@ -948,6 +948,45 @@ object QueriesTraining {
       .orderBy("bin")
   }
 
+  private[graft] val NeymanBudget = 1000L
+
+  /** q190: NEYMAN ALLOCATION — q149's Hamilton apportionment upgraded
+    * to optimal stratified sampling: each source's share of a
+    * [[NeymanBudget]]-doc eval sample is proportional to N_h·σ_h
+    * (population sigma of n_chars, from the exact integer moment sums,
+    * settled to milli-units), which minimizes the estimator variance
+    * for a fixed budget — the statistically-right way to size
+    * per-source eval slices. Integer largest-remainder rounding, so
+    * allocations are exact, sum to the budget, and are auditable.
+    *
+    * Scale: one moment aggregate (map-side combine), then the whole
+    * method runs on the source-sized table; remainder rank via
+    * [[graft.operators.GlobalRank]] (battery invariant: no
+    * single-partition window even on tiny tables).
+    */
+  private val qNeyman: Q = (spark, dir) => {
+    val strata = docsFanned(spark, dir)
+      .select(col("source"), col("n_chars").as("x"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("nh"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("sigma_milli", expr(
+        "CAST(round(sqrt(CAST(nh * sxx - sx * sx AS DOUBLE)) / CAST(nh AS DOUBLE) * 1000) AS BIGINT)"))
+      .withColumn("w", col("nh") * col("sigma_milli"))
+    val sM = Dedup.materialize(strata)
+    val tot = sM.agg(sum("w").as("wt"))
+    val quotas = sM.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"w * $NeymanBudget div wt"))
+      .withColumn("rem", expr(s"(w * $NeymanBudget) % wt"))
+    val qM = Dedup.materialize(graft.operators.GlobalRank.withRank(
+      quotas, Seq(col("rem").desc, col("source")), "rk"))
+    val leftover = qM.agg((lit(NeymanBudget) - sum("base")).as("l"))
+    qM.crossJoin(broadcast(leftover))
+      .withColumn("alloc", col("base") + when(col("rk") <= col("l"), 1L).otherwise(0L))
+      .select("source", "nh", "sigma_milli", "base", "alloc")
+      .orderBy("source")
+  }
+
   private[graft] val KeynessTopK = 5
 
   /** q187: KEYNESS — each source's most DISTINCTIVE terms by
@@ -2411,6 +2450,7 @@ object QueriesTraining {
     "q186_winnow_incremental" -> qWinnowIncremental,
     "q187_keyness" -> qKeyness,
     "q188_minhash_calibration" -> qMinhashCalibration,
+    "q190_neyman" -> qNeyman,
     "q17_text_quality" -> qTextQuality,
     "q18_text_langid" -> qTextLangid,
     "q19_text_fingerprint" -> qTextFingerprint,
@@ -3246,6 +3286,26 @@ object QueriesTraining {
          |  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
          |         * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho
          |FROM mo""".stripMargin,
+
+    // Neyman: same integer moments, milli sigma, largest remainder
+    "q190_neyman" ->
+      s"""WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS nh,
+         |  CAST(sum(n_chars) AS BIGINT) AS sx,
+         |  CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx
+         |  FROM documents GROUP BY source),
+         |g AS (SELECT source, nh,
+         |  CAST(round(sqrt(CAST(nh * sxx - sx * sx AS DOUBLE))
+         |    / CAST(nh AS DOUBLE) * 1000) AS BIGINT) AS sigma_milli FROM s),
+         |w AS (SELECT source, nh, sigma_milli, nh * sigma_milli AS w FROM g),
+         |t AS (SELECT CAST(sum(w) AS BIGINT) AS wt FROM w),
+         |q AS (SELECT source, nh, sigma_milli,
+         |  CAST(w * $NeymanBudget // wt AS BIGINT) AS base,
+         |  CAST((w * $NeymanBudget) % wt AS BIGINT) AS rem FROM w, t),
+         |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM q),
+         |l AS (SELECT $NeymanBudget - CAST(sum(base) AS BIGINT) AS l FROM q)
+         |SELECT source, nh, sigma_milli, base,
+         |  CAST(base + CASE WHEN rk <= l THEN 1 ELSE 0 END AS BIGINT) AS alloc
+         |FROM r, l ORDER BY source""".stripMargin,
 
     // keyness: same smoothing, per-row micro lns, per-source top-k
     "q187_keyness" ->
