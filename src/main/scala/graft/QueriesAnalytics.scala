@@ -1102,6 +1102,57 @@ object QueriesAnalytics {
     s"CAST(round((($pa - $pb) * ln($pa / $pb)) * 1000000000) AS BIGINT)"
   }
 
+  /** q193: RFM SEGMENTATION — the classic customer-value grid:
+    * per user recency (days since last purchase), frequency
+    * (purchases), monetary (cents), each cut into exact rank-QUINTILES
+    * (two-phase [[graft.operators.GlobalRank.withNtile]] ×3 — no
+    * float knife-edges, no global window; tile 1 = best by
+    * convention: most recent / most frequent / highest spend), then
+    * segment = r·100 + f·10 + m with its population count. One user
+    * aggregate, three domain-ranked ntiles, a ≤125-row output.
+    */
+  private val qRfm: Q = (spark, dir) => {
+    import graft.operators.GlobalRank
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("event_type") === "purchase")
+      .select(col("user_id"), expr("ts_ms div 86400000").as("day"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val horizon = ev.agg(max("day").as("h"))
+    val users = ev.groupBy("user_id")
+      .agg(max("day").as("last_day"), count(lit(1)).as("f_raw"),
+        sum("cents").as("m_raw"))
+      .crossJoin(broadcast(horizon))
+      .select(col("user_id"), (col("h") - col("last_day")).as("r_raw"),
+        col("f_raw"), col("m_raw"))
+    val r = GlobalRank.withNtile(users, Seq(col("r_raw"), col("user_id")), 5, "r")
+    val rf = GlobalRank.withNtile(r, Seq(col("f_raw").desc, col("user_id")), 5, "f")
+    val rfm = GlobalRank.withNtile(rf, Seq(col("m_raw").desc, col("user_id")), 5, "m")
+    rfm.select((col("r") * 100 + col("f") * 10 + col("m")).as("segment"))
+      .groupBy("segment").agg(count(lit(1)).as("n_users"))
+      .orderBy("segment")
+  }
+
+  /** q194: K-ANONYMITY AUDIT — the re-identification-risk report over
+    * the quasi-identifier pair (nation, market segment): equivalence
+    * classes below k = 5, the users inside them (each one
+    * re-identifiable by the pair alone), and the smallest class. The
+    * privacy gate run BEFORE any "anonymized" export.
+    *
+    * Scale: one conditional aggregation over the QI-keyed classes.
+    */
+  private val qKAnonymity: Q = (spark, dir) => {
+    val k = 5L
+    val classes = Tables(spark, dir, "customer")
+      .groupBy("c_nationkey", "c_mktsegment").agg(count(lit(1)).as("n"))
+    classes.agg(count(lit(1)).as("n_classes"),
+        sum(when(col("n") < k, 1L).otherwise(0L)).as("classes_below_k"),
+        sum(when(col("n") < k, col("n")).otherwise(0L)).as("users_at_risk"),
+        min("n").as("min_class_size"),
+        sum("n").as("n_users"))
+      .select("n_classes", "classes_below_k", "users_at_risk",
+        "min_class_size", "n_users")
+  }
+
   /** q181: KAPLAN–MEIER RETENTION CURVE — per observed lifetime
     * duration: users still at risk, churn events, the per-step hazard
     * factor ln(1 − e/n) in integer micro-units, and the CUMULATIVE
@@ -1321,6 +1372,44 @@ object QueriesAnalytics {
         .orderBy("hop"))
     eBySrc.unpersist()
     out
+  }
+
+  private[graft] val KCoreK = 20
+  private[graft] val KCoreRounds = 4
+
+  /** q191: K-CORE PEELING — [[KCoreRounds]] fixed rounds of the
+    * classic degeneracy decomposition on the symmetrized trade graph:
+    * each round drops every node with degree < [[KCoreK]] and the
+    * edges touching it (a fixed-round prefix of the full k-core
+    * computation — bounded so the oracle can unroll it; per-round
+    * peel counts show convergence). The "who is structurally
+    * peripheral" primitive behind spam-account pruning and dense-core
+    * extraction.
+    *
+    * Scale: per round one degree aggregate + two anti-joins keyed on
+    * node ids; the shrinking edge set is re-materialized per round
+    * (q150's rule), peel sets are node-sized.
+    */
+  private val qKCore: Q = (spark, dir) => {
+    val ord = Tables(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val trade = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 10).as("c"), (col("l_suppkey") * 10 + 1).as("s"))
+      .distinct()
+    var edges = dedup.Dedup.materialize(
+      trade.select(col("c").as("src"), col("s").as("dst"))
+        .unionAll(trade.select(col("s").as("src"), col("c").as("dst"))))
+    val stats = (1 to KCoreRounds).map { i =>
+      val peel = dedup.Dedup.materialize(
+        edges.groupBy("src").agg(count(lit(1)).as("deg"))
+          .filter(col("deg") < KCoreK).select(col("src").as("node")))
+      edges = dedup.Dedup.materialize(
+        edges.join(peel.select(col("node").as("src")), Seq("src"), "left_anti")
+          .join(peel.select(col("node").as("dst")), Seq("dst"), "left_anti"))
+      (i.toLong, peel.count(), edges.select("src").distinct().count())
+    }
+    import spark.implicits._
+    stats.toDF("round", "n_peeled", "n_remaining").coalesce(1).orderBy("round")
   }
 
   private val HitsIters = 2
@@ -1566,6 +1655,9 @@ object QueriesAnalytics {
     "q178_mojibake" -> qMojibake,
     "q181_survival" -> qSurvival,
     "q189_sql_benford" -> qSqlBenford,
+    "q191_kcore" -> qKCore,
+    "q193_rfm" -> qRfm,
+    "q194_kanon" -> qKAnonymity,
     "q179_paths" -> qPaths,
     "q154_ab_test" -> qAbTest,
     "q155_range_frame" -> qRangeFrame,
@@ -1682,6 +1774,57 @@ object QueriesAnalytics {
 
     // grouping sets: the Spark side runs this IDENTICAL text
     "q156_grouping_sets" -> GroupingSetsText,
+
+    // k-core: peel rounds unrolled as (peel, edges) CTE pairs
+    "q191_kcore" -> {
+      val rounds = (1 to KCoreRounds).map { i =>
+        s"""p$i AS (SELECT src AS node FROM
+           |  (SELECT src, count(*) AS deg FROM e${i - 1} GROUP BY src)
+           |  WHERE deg < $KCoreK),
+           |e$i AS (SELECT src, dst FROM e${i - 1}
+           |  WHERE src NOT IN (SELECT node FROM p$i)
+           |    AND dst NOT IN (SELECT node FROM p$i))""".stripMargin
+      }.mkString(",\n")
+      val rows = (1 to KCoreRounds).map { i =>
+        s"""SELECT CAST($i AS BIGINT) AS round,
+           |  CAST((SELECT count(*) FROM p$i) AS BIGINT) AS n_peeled,
+           |  CAST((SELECT count(DISTINCT src) FROM e$i) AS BIGINT) AS n_remaining""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH tr AS (SELECT DISTINCT o_custkey * 10 AS c, l_suppkey * 10 + 1 AS s
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e0 AS (SELECT c AS src, s AS dst FROM tr UNION ALL SELECT s, c FROM tr),
+         |$rounds
+         |$rows
+         |ORDER BY round""".stripMargin
+    },
+
+    // RFM: same raw values, same (value, user_id) ntile order
+    "q193_rfm" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) // 86400000 AS day,
+        |  CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE user_id IS NOT NULL AND event_type = 'purchase'),
+        |h AS (SELECT max(day) AS h FROM e),
+        |u AS (SELECT user_id, (SELECT h FROM h) - max(day) AS r_raw,
+        |  CAST(count(*) AS BIGINT) AS f_raw, CAST(sum(cents) AS BIGINT) AS m_raw
+        |  FROM e GROUP BY user_id),
+        |t AS (SELECT
+        |  ntile(5) OVER (ORDER BY r_raw, user_id) AS r,
+        |  ntile(5) OVER (ORDER BY f_raw DESC, user_id) AS f,
+        |  ntile(5) OVER (ORDER BY m_raw DESC, user_id) AS m FROM u)
+        |SELECT CAST(r * 100 + f * 10 + m AS BIGINT) AS segment,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM t GROUP BY 1 ORDER BY segment""".stripMargin,
+
+    // k-anonymity: same QI classes and risk sums
+    "q194_kanon" ->
+      """WITH c AS (SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+        |  FROM customer GROUP BY 1, 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS classes_below_k,
+        |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS users_at_risk,
+        |  CAST(min(n) AS BIGINT) AS min_class_size,
+        |  CAST(sum(n) AS BIGINT) AS n_users
+        |FROM c""".stripMargin,
 
     // KM: same censoring rule, duration-domain risk sets via window
     // prefix sums, identical clamp and micro-ln accumulation

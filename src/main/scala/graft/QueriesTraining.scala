@@ -948,6 +948,42 @@ object QueriesTraining {
       .orderBy("bin")
   }
 
+  private[graft] val MatryoshkaPrefixes = Seq(8, 16, 32)
+
+  /** q192: MATRYOSHKA PREFIX-DIM RECALL — how much ANN recall do the
+    * first d dimensions buy? For each prefix length in
+    * [[MatryoshkaPrefixes]]: exact top-10 by prefix-cosine vs the
+    * full-64-dim ground truth, recall in integer bp — the evaluation
+    * behind tiered MRL retrieval (coarse search on a prefix, rerank
+    * on the full vector), which at 100 TB is the difference between
+    * scanning 8 and 64 floats per candidate.
+    *
+    * Scale: q25's broadcast-queries shape ×(prefixes+1); the overlap
+    * join is (query·k)-sized.
+    */
+  private val qMatryoshka: Q = (spark, dir) => {
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("vec"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
+    val full = Similarity.knnBrute(q, e, 10).select(col("q_id"), col("vec_id"))
+    val pref = MatryoshkaPrefixes.map { d =>
+      val qd = q.select(col("q_id"), slice(col("q_vec"), 1, d).as("q_vec"))
+      val ed = e.select(col("vec_id"), slice(col("vec"), 1, d).as("vec"))
+      Similarity.knnBrute(qd, ed, 10)
+        .select(lit(d.toLong).as("d"), col("q_id"), col("vec_id"))
+    }.reduce(_ unionAll _)
+    val prefM = Dedup.materialize(pref) // hits + totals read it twice
+    val hits = prefM.join(full, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy("d").agg(count(lit(1)).as("hits"))
+    prefM.groupBy("d").agg(count(lit(1)).as("n_pairs"))
+      .join(hits, Seq("d"), "left_outer")
+      .select(col("d"), col("n_pairs"),
+        coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("recall_bp", expr("hits * 10000 div n_pairs"))
+      .orderBy("d")
+  }
+
   private[graft] val NeymanBudget = 1000L
 
   /** q190: NEYMAN ALLOCATION — q149's Hamilton apportionment upgraded
@@ -2451,6 +2487,7 @@ object QueriesTraining {
     "q187_keyness" -> qKeyness,
     "q188_minhash_calibration" -> qMinhashCalibration,
     "q190_neyman" -> qNeyman,
+    "q192_matryoshka" -> qMatryoshka,
     "q17_text_quality" -> qTextQuality,
     "q18_text_langid" -> qTextLangid,
     "q19_text_fingerprint" -> qTextFingerprint,
@@ -3286,6 +3323,32 @@ object QueriesTraining {
          |  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
          |         * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho
          |FROM mo""".stripMargin,
+
+    // matryoshka: q25's ranking text per prefix width, same fold
+    "q192_matryoshka" -> {
+      val pcte = MatryoshkaPrefixes.map { d =>
+        s"""p$d AS (SELECT $d AS d, q_id, vec_id FROM (
+           |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+           |    ORDER BY ${cosSqlN("q_vec", "v", d)} DESC, vec_id) AS rk
+           |  FROM q, e WHERE vec_id <> q_id) WHERE rk <= 10)""".stripMargin
+      }.mkString(",\n")
+      val punion = MatryoshkaPrefixes.map(d => s"SELECT * FROM p$d").mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 10),
+         |f AS (SELECT q_id, vec_id FROM (
+         |  SELECT q_id, vec_id, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY ${cosSql("q_vec", "v")} DESC, vec_id) AS rk
+         |  FROM q, e WHERE vec_id <> q_id) WHERE rk <= 10),
+         |$pcte,
+         |pall AS ($punion),
+         |hh AS (SELECT d, CAST(count(*) AS BIGINT) AS hits
+         |  FROM pall JOIN f USING (q_id, vec_id) GROUP BY d),
+         |nn AS (SELECT d, CAST(count(*) AS BIGINT) AS n_pairs FROM pall GROUP BY d)
+         |SELECT CAST(nn.d AS BIGINT) AS d, n_pairs,
+         |  CAST(coalesce(hits, 0) AS BIGINT) AS hits,
+         |  CAST(coalesce(hits, 0) * 10000 // n_pairs AS BIGINT) AS recall_bp
+         |FROM nn LEFT JOIN hh USING (d) ORDER BY d""".stripMargin
+    },
 
     // Neyman: same integer moments, milli sigma, largest remainder
     "q190_neyman" ->
