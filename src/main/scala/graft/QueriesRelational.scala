@@ -1250,6 +1250,49 @@ object QueriesRelational {
       .orderBy("part_a", "rk")
   }
 
+  private val MinPairSup = 3L
+
+  /** q195: ASSOCIATION RULES (Apriori 2-itemsets) — q159's co-purchase
+    * counts graduated into the full market-basket statistics: for each
+    * directional part pair (a → b) co-bought in ≥ [[MinPairSup]]
+    * orders, the rule's support count, confidence (what fraction of
+    * a's orders also hold b) and lift (how much more often than
+    * independence predicts), both as exact integer basis-points/ppm
+    * via `div` so the engines agree bit-for-bit with no float path.
+    *
+    * Scale shape (the Apriori argument): a pair's support is bounded
+    * by its rarer item's, so items below [[MinPairSup]] are pruned
+    * BEFORE the per-basket self-join — the frequent-item set is a
+    * key-only semi-join side (tiny: item dims are 10⁴–10⁶ rows at any
+    * corpus size, broadcastable). The self-join co-partitions on the
+    * basket key, the pair count shuffles integer (a,b) keys with
+    * map-side combine, and the per-item supports broadcast back onto
+    * the surviving pairs. Basket size bounds the explode exactly as
+    * in q159 (a real pipeline caps it first).
+    */
+  private val qAssocRules: Q = (spark, dir) => {
+    val items = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val nOrders = items.agg(count_distinct(col("ok")).as("n_orders"))
+    val sup = items.groupBy("pk").agg(count(lit(1)).as("c"))
+    val freq = sup.filter(col("c") >= MinPairSup).select("pk")
+    val fitems = items.join(broadcast(freq), Seq("pk"), "left_semi")
+    val pairs = fitems.select(col("ok"), col("pk").as("a"))
+      .join(fitems.select(col("ok"), col("pk").as("b")), "ok")
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= MinPairSup)
+    pairs
+      .join(broadcast(sup.select(col("pk").as("a"), col("c").as("n_a"))), "a")
+      .join(broadcast(sup.select(col("pk").as("b"), col("c").as("n_b"))), "b")
+      .crossJoin(broadcast(nOrders))
+      .select(col("a").as("antecedent"), col("b").as("consequent"),
+        col("n_ab"), col("n_a"), col("n_b"),
+        expr("10000 * n_ab div n_a").as("conf_bp"),
+        expr("1000000 * n_ab * n_orders div (n_a * n_b)").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("antecedent"), col("consequent"))
+  }
+
   private[graft] val DigestMod = 2305843009213693951L // 2^61 - 1
 
   /** q158: ORDER-INDEPENDENT TABLE DIGEST — the replication-integrity
@@ -1422,6 +1465,7 @@ object QueriesRelational {
     "q151_fk_audit" -> qFkAudit,
     "q158_table_digest" -> qTableDigest,
     "q159_copurchase" -> qCoPurchase,
+    "q195_assoc_rules" -> qAssocRules,
     "q102_hist_quantiles" -> qHistQuantiles,
     "q96_hll" -> qHll,
     "q97_topk_udaf" -> qTopkUdaf,
@@ -1631,6 +1675,24 @@ object QueriesRelational {
          |SELECT a AS part_a, rk, b AS part_b, n_orders
          |FROM r WHERE rk <= $CoTopK AND mx >= 2
          |ORDER BY part_a, rk""".stripMargin,
+
+    // association rules: same distinct baskets; integer div keeps
+    // confidence/lift exact on both engines
+    "q195_assoc_rules" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem),
+         |n AS (SELECT count(DISTINCT ok) AS n_orders FROM items),
+         |sup AS (SELECT pk, CAST(count(*) AS BIGINT) AS c FROM items GROUP BY pk),
+         |pairs AS (SELECT a.pk AS a, b.pk AS b, CAST(count(*) AS BIGINT) AS n_ab
+         |  FROM items a JOIN items b USING (ok) WHERE a.pk <> b.pk
+         |  GROUP BY 1, 2 HAVING count(*) >= $MinPairSup)
+         |SELECT p.a AS antecedent, p.b AS consequent, p.n_ab,
+         |  sa.c AS n_a, sb.c AS n_b,
+         |  CAST(10000 * p.n_ab // sa.c AS BIGINT) AS conf_bp,
+         |  CAST(1000000 * p.n_ab * n.n_orders // (sa.c * sb.c) AS BIGINT) AS lift_ppm
+         |FROM pairs p
+         |JOIN sup sa ON sa.pk = p.a JOIN sup sb ON sb.pk = p.b, n
+         |ORDER BY lift_ppm DESC, antecedent, consequent""".stripMargin,
 
     // digest: identical canonical strings, 60-bit md5-prefix ints,
     // exact HUGEINT sum mod 2^61-1 — order-free on both engines

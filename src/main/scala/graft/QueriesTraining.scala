@@ -984,6 +984,67 @@ object QueriesTraining {
       .orderBy("d")
   }
 
+  private[graft] val GramScale = 1e6
+  private[graft] val GramTopK = 20
+
+  /** q196: EMBEDDING CORRELATION AUDIT via the one-pass mergeable
+    * [[graft.sketch.GramAggregator]] — the PCA-prep / redundant-dim
+    * diagnosis a 100 TB embedding store needs before choosing MRL
+    * prefixes (q192) or PQ codebooks (q139): which dimension pairs
+    * carry the same signal? One typed aggregation reduces the corpus
+    * to an exact fixed-point (count, Σq, Σqq) buffer (map-side
+    * combine; the shuffle carries ~32 buffers of d(d+3)/2 longs, not
+    * rows); Pearson correlation and covariance then derive from the
+    * EXACT integer numerators n·Σqᵢqⱼ − Σqᵢ·Σqⱼ in decimal space, so
+    * both engines divide the same integers and land on bit-identical
+    * doubles — no float-summation-order drift anywhere. Output: the
+    * [[GramTopK]] most-|correlated| off-diagonal pairs.
+    *
+    * The d×d fan-out happens on ONE aggregated row (a broadcast cross
+    * join against a 2 016-row literal index table), never on data.
+    */
+  private val qEmbedGram: Q = (spark, dir) => {
+    import spark.implicits._
+    import graft.sketch.GramAggregator
+    val d = EmbedDims
+    val gramU = udaf(new GramAggregator(d, GramScale),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+    val g = Tables(spark, dir, "embeddings").agg(gramU(col("embedding")).as("g"))
+    val idx = (for { i <- 0 until d; j <- i + 1 until d }
+      yield (i.toLong, j.toLong, GramAggregator.sumPos(i),
+        GramAggregator.sumPos(j), GramAggregator.prodPos(d, i, j),
+        GramAggregator.prodPos(d, i, i), GramAggregator.prodPos(d, j, j)))
+      .toDF("i", "j", "si_pos", "sj_pos", "pij_pos", "pii_pos", "pjj_pos")
+    idx.crossJoin(broadcast(g))
+      .select(col("i"), col("j"),
+        element_at(col("g"), lit(1)).as("n"),
+        element_at(col("g"), col("si_pos")).as("si"),
+        element_at(col("g"), col("sj_pos")).as("sj"),
+        element_at(col("g"), col("pij_pos")).as("pij"),
+        element_at(col("g"), col("pii_pos")).as("pii"),
+        element_at(col("g"), col("pjj_pos")).as("pjj"))
+      .select(col("i"), col("j"), col("n"),
+        (col("n").cast("decimal(20,0)") * col("pij").cast("decimal(20,0)") -
+          col("si").cast("decimal(20,0)") * col("sj").cast("decimal(20,0)"))
+          .as("covnum"),
+        (col("n").cast("decimal(20,0)") * col("pii").cast("decimal(20,0)") -
+          col("si").cast("decimal(20,0)") * col("si").cast("decimal(20,0)"))
+          .as("vni"),
+        (col("n").cast("decimal(20,0)") * col("pjj").cast("decimal(20,0)") -
+          col("sj").cast("decimal(20,0)") * col("sj").cast("decimal(20,0)"))
+          .as("vnj"))
+      .filter(col("vni") > 0 && col("vnj") > 0)
+      .select(col("i").as("dim_i"), col("j").as("dim_j"),
+        round(col("covnum").cast("double") /
+          sqrt(col("vni").cast("double") * col("vnj").cast("double")), 9)
+          .as("corr"),
+        round(col("covnum").cast("double") / col("n").cast("double") /
+          col("n").cast("double") / lit(GramScale * GramScale), 12)
+          .as("cov"))
+      .orderBy(abs(col("corr")).desc, col("dim_i"), col("dim_j"))
+      .limit(GramTopK)
+  }
+
   private[graft] val NeymanBudget = 1000L
 
   /** q190: NEYMAN ALLOCATION — q149's Hamilton apportionment upgraded
@@ -2488,6 +2549,7 @@ object QueriesTraining {
     "q188_minhash_calibration" -> qMinhashCalibration,
     "q190_neyman" -> qNeyman,
     "q192_matryoshka" -> qMatryoshka,
+    "q196_embed_gram" -> qEmbedGram,
     "q17_text_quality" -> qTextQuality,
     "q18_text_langid" -> qTextLangid,
     "q19_text_fingerprint" -> qTextFingerprint,
@@ -3349,6 +3411,36 @@ object QueriesTraining {
          |  CAST(coalesce(hits, 0) * 10000 // n_pairs AS BIGINT) AS recall_bp
          |FROM nn LEFT JOIN hh USING (d) ORDER BY d""".stripMargin
     },
+
+    // gram: same floor fixed-point quantization, exact HUGEINT moment
+    // numerators, identical integer→double division order
+    "q196_embed_gram" ->
+      s"""WITH ex AS (SELECT vec_id, i,
+         |  CAST(floor(CAST(embedding[i] AS DOUBLE) * ${GramScale.toLong}.0) AS BIGINT) AS v
+         |  FROM embeddings, (SELECT unnest(generate_series(1, $EmbedDims)) AS i) t),
+         |n AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM embeddings),
+         |s AS (SELECT i, CAST(sum(v) AS HUGEINT) AS s FROM ex GROUP BY i),
+         |p AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.v * b.v) AS HUGEINT) AS p
+         |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+         |  GROUP BY 1, 2),
+         |c AS (SELECT p.i - 1 AS dim_i, p.j - 1 AS dim_j,
+         |  n.n * p.p - sa.s * sb.s AS covnum,
+         |  n.n * pii.p - sa.s * sa.s AS vni,
+         |  n.n * pjj.p - sb.s * sb.s AS vnj, n.n AS n
+         |  FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j
+         |  JOIN p pii ON pii.i = p.i AND pii.j = p.i
+         |  JOIN p pjj ON pjj.i = p.j AND pjj.j = p.j, n
+         |  WHERE p.i < p.j)
+         |SELECT CAST(dim_i AS BIGINT) AS dim_i, CAST(dim_j AS BIGINT) AS dim_j,
+         |  round(CAST(covnum AS DOUBLE) /
+         |    sqrt(CAST(vni AS DOUBLE) * CAST(vnj AS DOUBLE)), 9) AS corr,
+         |  round(CAST(covnum AS DOUBLE) / CAST(n AS DOUBLE) / CAST(n AS DOUBLE)
+         |    / ${(GramScale * GramScale).toLong}.0, 12) AS cov
+         |FROM c WHERE vni > 0 AND vnj > 0
+         |ORDER BY abs(round(CAST(covnum AS DOUBLE) /
+         |    sqrt(CAST(vni AS DOUBLE) * CAST(vnj AS DOUBLE)), 9)) DESC,
+         |  dim_i, dim_j
+         |LIMIT $GramTopK""".stripMargin,
 
     // Neyman: same integer moments, milli sigma, largest remainder
     "q190_neyman" ->
