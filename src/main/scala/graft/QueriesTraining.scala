@@ -550,6 +550,33 @@ object QueriesTraining {
     graft.operators.Stats.auc(scored, col("score_micro"), col("lang") === "en")
   }
 
+  /** q197: PEARSON CHI-SQUARED INDEPENDENCE AUDIT — is language
+    * distribution independent of source? The categorical complement
+    * of q167's KS (continuous drift) and q187's keyness (per-term
+    * G²): the full source × lang contingency grid with standardized
+    * residuals — WHICH cells deviate, the localization a drift alarm
+    * needs — plus the exact-integer chi-squared total and degrees of
+    * freedom on every row. Zero-observed cells participate (the grid
+    * is the margin cross, not the observed support).
+    *
+    * Exactness: residuals divide identical exact integers; each cell's
+    * χ² term settles to micro-units BEFORE the total, so the sum is
+    * order-free integer arithmetic ([[graft.operators.Stats
+    * .chiSquareCells]]).
+    */
+  private val qChiSquare: Q = (spark, dir) => {
+    val cells = graft.operators.Stats.chiSquareCells(
+      Tables(spark, dir, "documents"), col("source"), col("lang"))
+    val tot = cells.agg(sum("term_micro").as("chi2_micro"),
+      ((count_distinct(col("r")) - 1) * (count_distinct(col("c")) - 1))
+        .as("dof"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("r").as("source"), col("c").as("lang"), col("obs"),
+        col("rt"), col("ct"), col("resid"), col("term_micro"),
+        col("chi2_micro"), col("dof"))
+      .orderBy("source", "lang")
+  }
+
   private[graft] val NbSeedSource = "src0"
 
   /** q170: NAIVE-BAYES QUALITY CLASSIFIER — the CCNet/GPT-3-style
@@ -1994,6 +2021,40 @@ object QueriesTraining {
       "r2" -> s"round($num*$num / ($denX*$denY), 6)")
   }
 
+  private[graft] val HillK = 200L
+
+  /** q198: HILL TAIL-INDEX ESTIMATOR — the power-law-tail complement
+    * of q145's Zipf body fit: α̂ = k / Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the
+    * [[HillK]] largest document lengths. A heavy tail (α ≤ 2) means a
+    * few giant documents dominate token mass — the signal that length
+    * capping / chunking (q69) must run before packing (q39), and the
+    * sizing input for those caps.
+    *
+    * Exactness + scale: the top-(k+1) selection is per-partition
+    * top-k + merge (TakeOrderedAndProject — no global sort, no
+    * single-partition window); rows AT the tail threshold contribute
+    * ln(1) = 0, so the sum runs over the whole selected set without
+    * identifying the (k+1)-th row. Each ln settles to micro-units
+    * per row (the q145 rule) so the total is an exact integer sum,
+    * and α̂ derives by integer division.
+    */
+  private val qHill: Q = (spark, dir) => {
+    val sel = Tables(spark, dir, "documents")
+      .select(col("n_chars"), col("doc_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .limit(HillK.toInt + 1)
+    val m = sel.agg(min(col("n_chars")).as("x_tail"))
+    val alphaNum = HillK * 1000000000000L // k · 10¹² (α in micro-units)
+    sel.crossJoin(broadcast(m))
+      .select(col("x_tail"), expr(
+        "CAST(round(ln(CAST(n_chars AS DOUBLE) / CAST(x_tail AS DOUBLE)) * 1000000.0) AS BIGINT)")
+        .as("l_micro"))
+      .groupBy("x_tail")
+      .agg(sum("l_micro").as("sum_log_micro"))
+      .select(lit(HillK).as("k"), col("x_tail"), col("sum_log_micro"),
+        expr(s"${alphaNum}L div sum_log_micro").as("alpha_micro"))
+  }
+
   /** q145: ZIPF rank-frequency fit — the corpus-health diagnostic
     * (natural text follows freq ∝ rank^s with s ≈ −1; template spam,
     * boilerplate floods and synthetic junk bend the curve): per
@@ -2550,6 +2611,8 @@ object QueriesTraining {
     "q190_neyman" -> qNeyman,
     "q192_matryoshka" -> qMatryoshka,
     "q196_embed_gram" -> qEmbedGram,
+    "q197_chi_square" -> qChiSquare,
+    "q198_hill" -> qHill,
     "q17_text_quality" -> qTextQuality,
     "q18_text_langid" -> qTextLangid,
     "q19_text_fingerprint" -> qTextFingerprint,
@@ -3441,6 +3504,46 @@ object QueriesTraining {
          |    sqrt(CAST(vni AS DOUBLE) * CAST(vnj AS DOUBLE)), 9)) DESC,
          |  dim_i, dim_j
          |LIMIT $GramTopK""".stripMargin,
+
+    // chi-squared: dense margin cross incl. zero cells; identical
+    // integer numerators, micro-settled terms, order-free total
+    "q197_chi_square" ->
+      """WITH cells AS (SELECT source AS r, lang AS c,
+        |  CAST(count(*) AS BIGINT) AS obs FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT r, CAST(sum(obs) AS BIGINT) AS rt FROM cells GROUP BY r),
+        |ct AS (SELECT c, CAST(sum(obs) AS BIGINT) AS ct FROM cells GROUP BY c),
+        |n AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells),
+        |grid AS (SELECT rt.r, ct.c, COALESCE(cells.obs, 0) AS obs,
+        |  rt.rt, ct.ct, n.n,
+        |  COALESCE(cells.obs, 0) * n.n - rt.rt * ct.ct AS num,
+        |  n.n * rt.rt * ct.ct AS den
+        |  FROM rt CROSS JOIN ct CROSS JOIN n
+        |  LEFT JOIN cells ON cells.r = rt.r AND cells.c = ct.c),
+        |terms AS (SELECT r, c, obs, rt, ct,
+        |  round(CAST(num AS DOUBLE) / sqrt(CAST(den AS DOUBLE)), 6) AS resid,
+        |  CAST(round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE) * 1000000.0
+        |    / CAST(den AS DOUBLE)) AS BIGINT) AS term_micro
+        |  FROM grid),
+        |tot AS (SELECT CAST(sum(term_micro) AS BIGINT) AS chi2_micro,
+        |  CAST((count(DISTINCT r) - 1) * (count(DISTINCT c) - 1) AS BIGINT) AS dof
+        |  FROM terms)
+        |SELECT r AS source, c AS lang, obs, rt, ct, resid, term_micro,
+        |  chi2_micro, dof
+        |FROM terms, tot ORDER BY source, lang""".stripMargin,
+
+    // Hill: same top-(k+1) selection; ln settled to micro per row,
+    // exact integer sum + integer division
+    "q198_hill" ->
+      s"""WITH sel AS (SELECT n_chars FROM documents
+         |  ORDER BY n_chars DESC, doc_id LIMIT ${HillK + 1}),
+         |m AS (SELECT CAST(min(n_chars) AS BIGINT) AS x_tail FROM sel),
+         |s AS (SELECT CAST(sum(CAST(round(ln(CAST(n_chars AS DOUBLE)
+         |    / CAST(x_tail AS DOUBLE)) * 1000000.0) AS BIGINT)) AS BIGINT)
+         |    AS sum_log_micro
+         |  FROM sel, m)
+         |SELECT CAST($HillK AS BIGINT) AS k, x_tail, sum_log_micro,
+         |  CAST(${HillK * 1000000000000L} // sum_log_micro AS BIGINT) AS alpha_micro
+         |FROM m, s""".stripMargin,
 
     // Neyman: same integer moments, milli sigma, largest remainder
     "q190_neyman" ->

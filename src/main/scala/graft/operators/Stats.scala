@@ -67,4 +67,40 @@ object Stats {
       .withColumn("ks_bp", expr("d_num * 10000 div (tot_a * tot_b)"))
       .select("tot_a", "tot_b", "at_value", "d_num", "ks_bp")
   }
+
+  /** Pearson chi-squared independence test between two categorical
+    * columns, per contingency cell (ZERO-observed cells included —
+    * omitting them understates the statistic): one row per (r, c)
+    * with the observed count, row/column totals, the standardized
+    * residual (O − E)/√E — computed as the algebraically identical
+    * (O·n − rt·ct)/√(n·rt·ct), so both engines divide the SAME exact
+    * integers and land on bit-identical doubles — and the cell's
+    * chi-squared term in exact micro-units (each term's identical
+    * double rounds to an integer; the total is then an ORDER-FREE
+    * integer sum, immune to float-summation-order drift).
+    *
+    * Scale: one aggregation to the (r × c) category domain (map-side
+    * combine — the shuffle is category-sized, never corpus-sized);
+    * the margins are two key-sized aggregates broadcast onto the
+    * dense cell grid. Exact while n·rt·ct < 2⁶³ as integers; shard
+    * (or lift to decimal) beyond ~10⁶ per-margin × 10⁹-row corpora.
+    */
+  def chiSquareCells(df: DataFrame, rowCat: Column, colCat: Column): DataFrame = {
+    val cells = df.select(rowCat.as("r"), colCat.as("c"))
+      .groupBy("r", "c").agg(count(lit(1)).as("obs"))
+    val rt = cells.groupBy("r").agg(sum("obs").as("rt"))
+    val ct = cells.groupBy("c").agg(sum("obs").as("ct"))
+    val n = cells.agg(sum("obs").as("n"))
+    rt.crossJoin(broadcast(ct)).crossJoin(broadcast(n))
+      .join(cells, Seq("r", "c"), "left_outer")
+      .withColumn("obs", coalesce(col("obs"), lit(0L)))
+      .withColumn("num", col("obs") * col("n") - col("rt") * col("ct"))
+      .withColumn("den", col("n") * col("rt") * col("ct"))
+      .select(col("r"), col("c"), col("obs"), col("rt"), col("ct"),
+        round(col("num").cast("double") / sqrt(col("den").cast("double")), 6)
+          .as("resid"),
+        round(col("num").cast("double") * col("num").cast("double") *
+          lit(1000000.0) / col("den").cast("double"), 0)
+          .cast("long").as("term_micro"))
+  }
 }

@@ -61,6 +61,44 @@ class StatsSpec extends AnyFunSuite {
     assert(at == 2L)
   }
 
+  private def chi(rows: Seq[(String, String)]) = {
+    import spark.implicits._
+    Stats.chiSquareCells(rows.toDF("r", "c").repartition(4),
+      col("r"), col("c")).collect()
+  }
+
+  test("chi-square: perfect independence = all-zero terms and residuals") {
+    // uniform 3×2 grid, 5 copies each: O = E everywhere
+    val rows = for { r <- Seq("a", "b", "x"); c <- Seq("p", "q");
+                     _ <- 1 to 5 } yield (r, c)
+    val cells = chi(rows)
+    assert(cells.length == 6)
+    assert(cells.forall(_.getAs[Long]("term_micro") == 0L))
+    assert(cells.forall(_.getAs[Double]("resid") == 0.0))
+  }
+
+  test("chi-square: 2x2 perfect association sums to n in micro-units") {
+    // diagonal-only 2×2 with n/2 per diagonal cell: χ² = n exactly
+    val rows = Seq.fill(6)(("a", "p")) ++ Seq.fill(6)(("b", "q"))
+    val cells = chi(rows)
+    assert(cells.length == 4) // zero cells (a,q)/(b,p) participate
+    assert(cells.map(_.getAs[Long]("term_micro")).sum == 12L * 1000000L)
+    // each cell's |resid| = √(χ²/4) = √3
+    cells.foreach(r =>
+      assert(math.abs(math.abs(r.getAs[Double]("resid")) - math.sqrt(3.0)) < 1e-5))
+  }
+
+  test("chi-square: zero-observed cell carries a negative residual") {
+    // 2×2 with an empty cell: resid(a,q) < 0, obs = 0 present in output
+    val rows = Seq.fill(4)(("a", "p")) ++ Seq.fill(2)(("b", "p")) ++
+      Seq.fill(2)(("b", "q"))
+    val cells = chi(rows)
+    val empty = cells.find(r => r.getAs[String]("r") == "a" &&
+      r.getAs[String]("c") == "q").get
+    assert(empty.getAs[Long]("obs") == 0L)
+    assert(empty.getAs[Double]("resid") < 0.0)
+  }
+
   test("auc/ks match the battery queries' oracle columns at sf0.001") {
     // the operators ARE q166/q167's cores; smoke the battery path
     val a = SparkEntry.queries("q166_auc")(spark, "/root/testdata/sf0.001").collect()(0)
