@@ -984,6 +984,48 @@ object QueriesAnalytics {
       .orderBy("channel")
   }
 
+  private[graft] val BotMinEvents = 20L
+  private[graft] val BotCv2Ppm = 300000L // CV² < 0.3 ⇒ metronomic
+  private[graft] val BotTopK = 20
+
+  /** q200: BOT-TRAFFIC REGULARITY AUDIT — automated clients announce
+    * themselves by METRONOMIC inter-arrival times (cron jobs, pollers,
+    * scripted crawlers), where human/Poisson traffic has CV ≈ 1. The
+    * training-data relevance: engagement-derived labels and session
+    * statistics are poisoned by automation, so pipelines score and
+    * strip it first. Per user with ≥ [[BotMinEvents]] events: the
+    * squared coefficient of variation of inter-arrival gaps in exact
+    * ppm — CV² = n·Σg² − (Σg)² over (Σg)², integer moment sums only,
+    * decimal-lifted so nothing overflows — flagged against
+    * [[BotCv2Ppm]], reporting the [[BotTopK]] most-regular users.
+    *
+    * Scale: one user-partitioned lag window (tie-pinned by event_id),
+    * one map-side-combining moment aggregate keyed by user, and a
+    * per-partition top-k merge (TakeOrderedAndProject) — no global
+    * window, no floats anywhere.
+    */
+  private val qBotRegularity: Q = (spark, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts_ms"))
+      .withColumn("gap", col("ts_ms") - lag(col("ts_ms"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"), sum("gap").as("sg"),
+        sum(col("gap") * col("gap")).as("sgg"))
+      .filter(col("n_gaps") >= BotMinEvents)
+      .withColumn("cv2_ppm", expr(
+        """CAST((CAST(n_gaps AS DECIMAL(38,0)) * CAST(sgg AS DECIMAL(38,0)) -
+          |  CAST(sg AS DECIMAL(38,0)) * CAST(sg AS DECIMAL(38,0))) * 1000000
+          |  div (CAST(sg AS DECIMAL(38,0)) * CAST(sg AS DECIMAL(38,0))) AS BIGINT)"""
+          .stripMargin))
+      .withColumn("is_bot",
+        when(col("cv2_ppm") < BotCv2Ppm, lit(1L)).otherwise(lit(0L)))
+      .select("user_id", "n_gaps", "sg", "cv2_ppm", "is_bot")
+      .orderBy(col("cv2_ppm"), col("user_id"))
+      .limit(BotTopK)
+  }
+
   private[graft] val MultiTouchLookbackMs = 604800000L // 7 days
 
   /** q152: POSITION-BASED MULTI-TOUCH ATTRIBUTION — q110's last-touch
@@ -1646,6 +1688,7 @@ object QueriesAnalytics {
     "q148_cusum" -> qCusum,
     "q150_pagerank_dangling" -> qPagerankDangling,
     "q152_multi_touch" -> qMultiTouch,
+    "q200_bot_regularity" -> qBotRegularity,
     "q153_psi" -> qPsi,
     "q167_ks_drift" -> qKsDrift,
     "q168_hits" -> qHits,
@@ -1734,6 +1777,25 @@ object QueriesAnalytics {
          |  cents + CAST(floor(CAST((nc - cents) * (h - hour) AS DOUBLE)
          |    / (nh - hour)) AS BIGINT) AS cents
          |FROM f ORDER BY user_id, hour""".stripMargin,
+
+    // bot regularity: same lag gaps, exact HUGEINT moment ratio
+    "q200_bot_regularity" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms FROM events),
+         |g AS (SELECT user_id,
+         |  ts_ms - lag(ts_ms) OVER (PARTITION BY user_id
+         |    ORDER BY ts_ms, event_id) AS gap FROM e),
+         |m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+         |  CAST(sum(gap) AS BIGINT) AS sg, CAST(sum(gap * gap) AS BIGINT) AS sgg
+         |  FROM g WHERE gap IS NOT NULL GROUP BY user_id
+         |  HAVING count(*) >= $BotMinEvents),
+         |c AS (SELECT user_id, n_gaps, sg,
+         |  CAST((CAST(n_gaps AS HUGEINT) * CAST(sgg AS HUGEINT) -
+         |    CAST(sg AS HUGEINT) * CAST(sg AS HUGEINT)) * 1000000
+         |    // (CAST(sg AS HUGEINT) * CAST(sg AS HUGEINT)) AS BIGINT) AS cv2_ppm
+         |  FROM m)
+         |SELECT user_id, n_gaps, sg, cv2_ppm,
+         |  CAST(CASE WHEN cv2_ppm < $BotCv2Ppm THEN 1 ELSE 0 END AS BIGINT) AS is_bot
+         |FROM c ORDER BY cv2_ppm, user_id LIMIT $BotTopK""".stripMargin,
 
     "q110_attribution" ->
       s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type,

@@ -1072,6 +1072,59 @@ object QueriesTraining {
       .limit(GramTopK)
   }
 
+  private[graft] val PcaScale = 1e3
+
+  /** q199: TOP PRINCIPAL COMPONENT by EXACT power iteration — the
+    * MLlib-PCA shape (distributed moment collection, tiny dense solve
+    * downstream) with every arithmetic step engine-exact: the corpus
+    * reduces to ONE [[graft.sketch.GramAggregator]] pass (fixed-point
+    * scale [[PcaScale]], chosen so every intermediate fits exact
+    * decimal/HUGEINT — the documented overflow contract), the d×d
+    * integer covariance numerators n·Σqᵢqⱼ − Σqᵢ·Σqⱼ materialize from
+    * that single row, and two power-method sweeps u₁ = C·1,
+    * u₂ = C·u₁ run entirely in integer arithmetic — normalization by
+    * max-|component| (order-free, exact) instead of the usual L2, so
+    * NO float enters until the final per-dim division. Output: the
+    * dominant loading direction (u₂/‖u₂‖_∞) and the eigenvalue-ratio
+    * estimate ‖u₂‖∞ div ‖u₁‖∞.
+    *
+    * Scale: the corpus pass is the q196 map-side-combining aggregate;
+    * everything after is O(d²) symbolic algebra on a broadcast row —
+    * the d×d fan-out never touches data.
+    */
+  private val qPcaPower: Q = (spark, dir) => {
+    import spark.implicits._
+    import graft.sketch.GramAggregator
+    val d = EmbedDims
+    val gramU = udaf(new GramAggregator(d, PcaScale),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+    val g = Dedup.materialize(
+      Tables(spark, dir, "embeddings").agg(gramU(col("embedding")).as("g")))
+    val idx = (for { i <- 0 until d; j <- 0 until d }
+      yield (i.toLong, j.toLong, GramAggregator.sumPos(i),
+        GramAggregator.sumPos(j),
+        GramAggregator.prodPos(d, math.min(i, j), math.max(i, j))))
+      .toDF("i", "j", "si_pos", "sj_pos", "pij_pos")
+    val mat = idx.crossJoin(broadcast(g))
+      .select(col("i"), col("j"),
+        (element_at(col("g"), lit(1)).cast("decimal(19,0)") *
+          element_at(col("g"), col("pij_pos")).cast("decimal(19,0)") -
+          element_at(col("g"), col("si_pos")).cast("decimal(19,0)") *
+          element_at(col("g"), col("sj_pos")).cast("decimal(19,0)"))
+          .as("covnum"))
+    val u1 = mat.groupBy("j").agg(sum("covnum").as("u1"))
+    val m1 = u1.agg(max(abs(col("u1"))).as("m1"))
+    val u2 = mat.join(broadcast(u1.select(col("j").as("i"), col("u1"))), "i")
+      .groupBy("j").agg(sum(col("covnum") * col("u1")).as("u2"))
+    val m2 = u2.agg(max(abs(col("u2"))).as("m2"))
+    u2.crossJoin(broadcast(m2)).crossJoin(broadcast(m1))
+      .select(col("j").as("dim"),
+        round(col("u2").cast("double") / col("m2").cast("double"), 9)
+          .as("loading"),
+        expr("CAST(m2 div m1 AS BIGINT)").as("lambda_ratio"))
+      .orderBy("dim")
+  }
+
   private[graft] val NeymanBudget = 1000L
 
   /** q190: NEYMAN ALLOCATION — q149's Hamilton apportionment upgraded
@@ -2613,6 +2666,7 @@ object QueriesTraining {
     "q196_embed_gram" -> qEmbedGram,
     "q197_chi_square" -> qChiSquare,
     "q198_hill" -> qHill,
+    "q199_pca_power" -> qPcaPower,
     "q17_text_quality" -> qTextQuality,
     "q18_text_langid" -> qTextLangid,
     "q19_text_fingerprint" -> qTextFingerprint,
@@ -3544,6 +3598,31 @@ object QueriesTraining {
          |SELECT CAST($HillK AS BIGINT) AS k, x_tail, sum_log_micro,
          |  CAST(${HillK * 1000000000000L} // sum_log_micro AS BIGINT) AS alpha_micro
          |FROM m, s""".stripMargin,
+
+    // PCA power iteration: same fixed-point moments; the whole method
+    // is HUGEINT-exact until the final per-dim division
+    "q199_pca_power" ->
+      s"""WITH ex AS (SELECT vec_id, i,
+         |  CAST(floor(CAST(embedding[i] AS DOUBLE) * ${PcaScale.toLong}.0) AS BIGINT) AS v
+         |  FROM embeddings, (SELECT unnest(generate_series(1, $EmbedDims)) AS i) t),
+         |n AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM embeddings),
+         |s AS (SELECT i, CAST(sum(v) AS HUGEINT) AS s FROM ex GROUP BY i),
+         |p AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.v * b.v) AS HUGEINT) AS p
+         |  FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+         |  GROUP BY 1, 2),
+         |tri AS (SELECT p.i, p.j, n.n * p.p - sa.s * sb.s AS covnum
+         |  FROM p JOIN s sa ON sa.i = p.i JOIN s sb ON sb.i = p.j, n),
+         |mat AS (SELECT i, j, covnum FROM tri
+         |  UNION ALL SELECT j, i, covnum FROM tri WHERE i <> j),
+         |u1 AS (SELECT j, sum(covnum) AS u1 FROM mat GROUP BY j),
+         |m1 AS (SELECT max(abs(u1)) AS m1 FROM u1),
+         |u2 AS (SELECT mat.j, sum(mat.covnum * u1.u1) AS u2
+         |  FROM mat JOIN u1 ON u1.j = mat.i GROUP BY mat.j),
+         |m2 AS (SELECT max(abs(u2)) AS m2 FROM u2)
+         |SELECT CAST(u2.j - 1 AS BIGINT) AS dim,
+         |  round(CAST(u2 AS DOUBLE) / CAST(m2 AS DOUBLE), 9) AS loading,
+         |  CAST(m2 // m1 AS BIGINT) AS lambda_ratio
+         |FROM u2, m2, m1 ORDER BY dim""".stripMargin,
 
     // Neyman: same integer moments, milli sigma, largest remainder
     "q190_neyman" ->
