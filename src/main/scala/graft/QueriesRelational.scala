@@ -1271,10 +1271,15 @@ object QueriesRelational {
     * in q159 (a real pipeline caps it first).
     */
   private val qAssocRules: Q = (spark, dir) => {
-    val items = Tables(spark, dir, "lineitem")
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    // the distinct basket-item set feeds FOUR consumers (N, supports,
+    // both self-join sides) — materialize or the distinct aggregate
+    // runs once per consumer
+    val items = graft.dedup.Dedup.materialize(
+      Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct())
     val nOrders = items.agg(count_distinct(col("ok")).as("n_orders"))
-    val sup = items.groupBy("pk").agg(count(lit(1)).as("c"))
+    val sup = graft.dedup.Dedup.materialize(
+      items.groupBy("pk").agg(count(lit(1)).as("c")))
     val freq = sup.filter(col("c") >= MinPairSup).select("pk")
     val fitems = items.join(broadcast(freq), Seq("pk"), "left_semi")
     val pairs = fitems.select(col("ok"), col("pk").as("a"))

@@ -228,6 +228,9 @@ object ScaleRehearsal {
     // (winnowing/NB/JS/AUC), graph (HITS/BFS over an Nx disjoint-copy
     // trade graph), events (KS/bitmaps/paths over Nx disjoint users)
     val new9Only = args.length > 1 && args(1) == "new9"
+    // "new10" second arg: the round-8 fourth continuation's operators
+    // (assoc rules, Gram/PCA moments, chi²/Hill, bot regularity)
+    val new10Only = args.length > 1 && args(1) == "new10"
     val scaled = s"/tmp/graft_scale_${mult}x"
     val spark = GraftSession.get("local[32]", "32")
     if (new8Only) {
@@ -275,6 +278,39 @@ object ScaleRehearsal {
         val line = qs.map(q => "\"" + q + "\":" + timeQuery(spark, q, dir))
           .mkString("{", ",", "}")
         println(s"""{"metric":"scale_rehearsal_new9","scale":"$label","dir":"$dir","queries":$line}""")
+      }
+      spark.stop(); return
+    }
+    if (new10Only) {
+      // round-8 fourth continuation: baskets (assoc rules), moments
+      // (Gram/PCA — embeddings via the rotation variant, cast back to
+      // float for the Aggregator's input encoder), order stats (chi²/
+      // Hill over docs), gaps (bot regularity over Nx disjoint users)
+      scaleDocs(spark, base, scaled, mult)
+      def scaleTable(name: String, offsets: Map[String, Long]): Unit = {
+        val t = spark.read.parquet(s"$base/$name.parquet")
+        (0 until mult).map { k =>
+          offsets.foldLeft(t) { case (acc, (c, off)) =>
+            acc.withColumn(c, col(c) + lit(k * off)) }
+        }.reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$scaled/$name.parquet")
+      }
+      scaleTable("lineitem", Map("l_orderkey" -> 1000000000L))
+      scaleTable("events", Map("event_id" -> 1000000000L, "user_id" -> 10000000L))
+      val emb0 = spark.read.parquet(s"$base/embeddings.parquet")
+      (0 until mult).map { k =>
+        emb0.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+          copyVariant(k).cast("array<float>").as("embedding"),
+          col("label"))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$scaled/embeddings.parquet")
+      val qs = Seq("q195_assoc_rules", "q196_embed_gram", "q197_chi_square",
+        "q198_hill", "q199_pca_power", "q200_bot_regularity")
+      Seq("1x" -> base, s"${mult}x" -> scaled).foreach { case (label, dir) =>
+        qs.foreach(q => timeQuery(spark, q, dir)) // warm
+        val line = qs.map(q => "\"" + q + "\":" + timeQuery(spark, q, dir))
+          .mkString("{", ",", "}")
+        println(s"""{"metric":"scale_rehearsal_new10","scale":"$label","dir":"$dir","queries":$line}""")
       }
       spark.stop(); return
     }

@@ -101,4 +101,37 @@ class StreamingSketchSpec extends AnyFunSuite {
     val batch = rows(aggregated(batches.flatten.toDF("ts", "h")))
     assert(streamed.size == 2 && streamed == batch)
   }
+
+  test("Gram sketch state merges across micro-batches == batch windowed agg") {
+    // the q196/q199 moment buffer maintained INCREMENTALLY: per-window
+    // embedding covariance stats over a stream, exact integer parity
+    // (the buffer is the whole point — O(d²) state per window, the
+    // corpus never re-reads)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val D = 4
+    val rnd = new scala.util.Random(9L)
+    def vec() = Seq.fill(D)(rnd.nextFloat() * 2f - 1f)
+    val gbatches: Seq[Seq[(Timestamp, Seq[Float])]] = Seq(
+      Seq.fill(40)((t(10, 15), vec())) ++ Seq.fill(10)((t(11, 5), vec())),
+      Seq.fill(30)((t(10, 45), vec())) ++ Seq.fill(25)((t(11, 20), vec())),
+      Seq.fill(15)((t(11, 50), vec())))
+    def agg(df: org.apache.spark.sql.DataFrame) = {
+      val gramU = udaf(new graft.sketch.GramAggregator(D, 1e6),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+      df.groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(gramU(col("v")).as("g"))
+        .select(col("w.start").as("ws"), col("g"))
+    }
+    val stream = MemoryStream[(Timestamp, Seq[Float])]
+    val q = agg(stream.toDF().toDF("ts", "v"))
+      .writeStream.format("memory").queryName("gram_win")
+      .outputMode("complete").trigger(Trigger.ProcessingTime(0)).start()
+    gbatches.foreach { b => stream.addData(b); q.processAllAvailable() }
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3)
+    q.stop()
+    val streamed = rows(spark.table("gram_win"))
+    val batch = rows(agg(gbatches.flatten.toDF("ts", "v")))
+    assert(streamed.size == 2 && streamed == batch)
+  }
 }
