@@ -564,6 +564,46 @@ object QueriesTraining {
     * order-free integer arithmetic ([[graft.operators.Stats
     * .chiSquareCells]]).
     */
+  /** The chi-squared audit as ONE dialect-neutral ANSI text — shared
+    * by q197's oracle AND run verbatim by Spark as q202 (SQL front
+    * end #10): no `div`/`//`, no engine-specific casts, margins
+    * rebuilt relationally. Defined ABOVE its uses (object-val
+    * initialization order — the q77 lesson).
+    */
+  private[graft] val ChiSquareSqlText: String =
+    """WITH cells AS (SELECT source AS r, lang AS c,
+      |  CAST(count(*) AS BIGINT) AS obs FROM documents GROUP BY 1, 2),
+      |rt AS (SELECT r, CAST(sum(obs) AS BIGINT) AS rt FROM cells GROUP BY r),
+      |ct AS (SELECT c, CAST(sum(obs) AS BIGINT) AS ct FROM cells GROUP BY c),
+      |n AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells),
+      |grid AS (SELECT rt.r, ct.c, COALESCE(cells.obs, 0) AS obs,
+      |  rt.rt, ct.ct, n.n,
+      |  COALESCE(cells.obs, 0) * n.n - rt.rt * ct.ct AS num,
+      |  n.n * rt.rt * ct.ct AS den
+      |  FROM rt CROSS JOIN ct CROSS JOIN n
+      |  LEFT JOIN cells ON cells.r = rt.r AND cells.c = ct.c),
+      |terms AS (SELECT r, c, obs, rt, ct,
+      |  round(CAST(num AS DOUBLE) / sqrt(CAST(den AS DOUBLE)), 6) AS resid,
+      |  CAST(round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE) * 1000000.0
+      |    / CAST(den AS DOUBLE)) AS BIGINT) AS term_micro
+      |  FROM grid),
+      |tot AS (SELECT CAST(sum(term_micro) AS BIGINT) AS chi2_micro,
+      |  CAST((count(DISTINCT r) - 1) * (count(DISTINCT c) - 1) AS BIGINT) AS dof
+      |  FROM terms)
+      |SELECT r AS source, c AS lang, obs, rt, ct, resid, term_micro,
+      |  chi2_micro, dof
+      |FROM terms, tot ORDER BY source, lang""".stripMargin
+
+  /** q202: SQL front end #10 — [[ChiSquareSqlText]] executed VERBATIM
+    * by Spark (the text IS its own oracle, the q189 pattern): pins
+    * that the engine's SQL surface plans the dense margin-cross,
+    * LEFT-JOIN-grid, and exact micro-unit settle identically to the
+    * DataFrame operator (q197 holds the same result through
+    * [[graft.operators.Stats.chiSquareCells]]).
+    */
+  private val qSqlChiSquare: Q = (spark, dir) =>
+    QueriesAnalytics.sqlVerbatim(spark, dir, ChiSquareSqlText, Seq("documents"))
+
   private val qChiSquare: Q = (spark, dir) => {
     val cells = graft.operators.Stats.chiSquareCells(
       Tables(spark, dir, "documents"), col("source"), col("lang"))
@@ -1123,6 +1163,95 @@ object QueriesTraining {
           .as("loading"),
         expr("CAST(m2 div m1 AS BIGINT)").as("lambda_ratio"))
       .orderBy("dim")
+  }
+
+  /** q201: GINI / LORENZ INEQUALITY AUDIT of character mass — how
+    * concentrated is the corpus in its biggest documents, per source
+    * and overall? The complement of q198's tail INDEX: Gini is the
+    * single-number budget-skew alarm (a source at 0.6+ is a few
+    * megadocs wearing a source label), computed by the exact sorted
+    * rank identity G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) — integer
+    * end-to-end, emitted in ppm by integer division.
+    *
+    * Scale: per-source ranks are source-partitioned windows; the ALL
+    * row's global rank is the two-phase [[graft.operators.GlobalRank]]
+    * (battery invariant: no single-partition window); both reduce to
+    * one metadata-sized moment aggregate. Exact while n·Σ(i·x) fits a
+    * long (~10⁹ docs × 10⁴ chars; decimal-lift beyond).
+    */
+  private val qGini: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents").select(
+      col("source"), col("doc_id"), col("n_chars").as("x"))
+    def gini(ranked: DataFrame, key: org.apache.spark.sql.Column): DataFrame =
+      ranked.groupBy(key.as("source"))
+        .agg(count(lit(1)).as("n_docs"), sum("x").as("sum_chars"),
+          sum(col("rk") * col("x")).as("s1"))
+        .select(col("source"), col("n_docs"), col("sum_chars"),
+          expr("(2 * s1 - (n_docs + 1) * sum_chars) * 1000000" +
+            " div (n_docs * sum_chars)").as("gini_ppm"))
+    val perSource = gini(docs.withColumn("rk", row_number().over(
+      Window.partitionBy("source").orderBy("x", "doc_id")).cast("long")),
+      col("source"))
+    val overall = gini(graft.operators.GlobalRank.withRank(
+      docs, Seq(col("x"), col("doc_id")), "rk"), lit("ALL"))
+    perSource.unionByName(overall).orderBy("source")
+  }
+
+  private[graft] val KCenterRounds = 5
+
+  /** q203: K-CENTER DIVERSITY CORESET — Gonzalez farthest-point
+    * traversal over the embedding store: seed = smallest vec_id, then
+    * repeatedly pick the vector MINIMIZING its max-cosine to the
+    * selected set (≡ maximizing its min cosine-distance — the 2-approx
+    * k-center rule). The diversity-sampling primitive behind eval-set
+    * construction and dedup-aware subset selection: where q163 greedily
+    * covers SHINGLES, this greedily spreads in EMBEDDING space.
+    *
+    * Exactness: every pair cosine settles to micro-units through the
+    * q185 recipe (codegen kernel ≡ the oracle's left-to-right fold),
+    * so selection compares integers; ties break on vec_id.
+    *
+    * Scale (the incremental-dmax trick): each round updates the
+    * frontier against ONLY the newly-picked center — one broadcast
+    * 1-row cross join + greatest() over the materialized (vec, dmax)
+    * frame — so k rounds cost k corpus passes, not k·|selected|. The
+    * per-round argmin is a map-side-combining min_by aggregate
+    * (metadata-sized collect, the q163 precedent).
+    */
+  private val qKCenter: Q = (spark, dir) => {
+    def cosMicro(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      round(Similarity.cosine(a, b) * 1000000).cast("long")
+    val e0 = Dedup.fanOut(Tables(spark, dir, "embeddings"), col("vec_id"))
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val seed = Dedup.materialize(e0.orderBy("vec_id").limit(1))
+    val seedId = seed.select("vec_id").collect()(0).getLong(0)
+    var cur = Dedup.materialize(
+      e0.filter(col("vec_id") =!= seedId)
+        .crossJoin(broadcast(seed.select(col("v").as("cv"))))
+        .select(col("vec_id"), col("v"), cosMicro(col("v"), col("cv")).as("dmax")))
+    var picks = List((1L, seedId, -1L))
+    (2 to KCenterRounds).foreach { round =>
+      val top = cur.agg(min_by(struct(col("vec_id"), col("dmax")),
+          struct(col("dmax"), col("vec_id"))).as("b"))
+        .select(col("b.vec_id"), col("b.dmax")).collect()(0)
+      val (id, dm) = (top.getLong(0), top.getLong(1))
+      picks ::= (round.toLong, id, dm)
+      val c = cur.filter(col("vec_id") === id).select(col("v").as("cv"))
+      cur = Dedup.materialize(
+        cur.filter(col("vec_id") =!= id).crossJoin(broadcast(c))
+          .select(col("vec_id"), col("v"),
+            greatest(col("dmax"), cosMicro(col("v"), col("cv"))).as("dmax")))
+    }
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        picks.reverse.map(p => Row(p._1, p._2, p._3)), 1),
+      StructType(Seq(StructField("round", LongType, nullable = false),
+        StructField("vec_id", LongType, nullable = false),
+        StructField("dmax_micro", LongType, nullable = false))))
+      .orderBy("round")
   }
 
   private[graft] val NeymanBudget = 1000L
@@ -2667,6 +2796,9 @@ object QueriesTraining {
     "q197_chi_square" -> qChiSquare,
     "q198_hill" -> qHill,
     "q199_pca_power" -> qPcaPower,
+    "q201_gini" -> qGini,
+    "q202_sql_chisq" -> qSqlChiSquare,
+    "q203_kcenter" -> qKCenter,
     "q17_text_quality" -> qTextQuality,
     "q18_text_langid" -> qTextLangid,
     "q19_text_fingerprint" -> qTextFingerprint,
@@ -3560,30 +3692,54 @@ object QueriesTraining {
          |LIMIT $GramTopK""".stripMargin,
 
     // chi-squared: dense margin cross incl. zero cells; identical
-    // integer numerators, micro-settled terms, order-free total
-    "q197_chi_square" ->
-      """WITH cells AS (SELECT source AS r, lang AS c,
-        |  CAST(count(*) AS BIGINT) AS obs FROM documents GROUP BY 1, 2),
-        |rt AS (SELECT r, CAST(sum(obs) AS BIGINT) AS rt FROM cells GROUP BY r),
-        |ct AS (SELECT c, CAST(sum(obs) AS BIGINT) AS ct FROM cells GROUP BY c),
-        |n AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells),
-        |grid AS (SELECT rt.r, ct.c, COALESCE(cells.obs, 0) AS obs,
-        |  rt.rt, ct.ct, n.n,
-        |  COALESCE(cells.obs, 0) * n.n - rt.rt * ct.ct AS num,
-        |  n.n * rt.rt * ct.ct AS den
-        |  FROM rt CROSS JOIN ct CROSS JOIN n
-        |  LEFT JOIN cells ON cells.r = rt.r AND cells.c = ct.c),
-        |terms AS (SELECT r, c, obs, rt, ct,
-        |  round(CAST(num AS DOUBLE) / sqrt(CAST(den AS DOUBLE)), 6) AS resid,
-        |  CAST(round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE) * 1000000.0
-        |    / CAST(den AS DOUBLE)) AS BIGINT) AS term_micro
-        |  FROM grid),
-        |tot AS (SELECT CAST(sum(term_micro) AS BIGINT) AS chi2_micro,
-        |  CAST((count(DISTINCT r) - 1) * (count(DISTINCT c) - 1) AS BIGINT) AS dof
-        |  FROM terms)
-        |SELECT r AS source, c AS lang, obs, rt, ct, resid, term_micro,
-        |  chi2_micro, dof
-        |FROM terms, tot ORDER BY source, lang""".stripMargin,
+    // integer numerators, micro-settled terms, order-free total.
+    // The SAME text is q202's Spark-side query (SQL surface #10) and
+    // its oracle — operator, SQL front end, and oracle triple-pinned.
+    "q197_chi_square" -> ChiSquareSqlText,
+    "q202_sql_chisq" -> ChiSquareSqlText,
+
+    // Gini: same sorted-rank identity, integer ppm; the ALL row is
+    // just the unpartitioned window on the oracle side
+    "q201_gini" ->
+      """WITH d AS (SELECT source, doc_id, n_chars AS x FROM documents),
+        |ps AS (SELECT source, CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY x, doc_id) AS BIGINT) AS rk, x FROM d),
+        |al AS (SELECT 'ALL' AS source, CAST(row_number() OVER (
+        |    ORDER BY x, doc_id) AS BIGINT) AS rk, x FROM d),
+        |u AS (SELECT * FROM ps UNION ALL SELECT * FROM al),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(x) AS BIGINT) AS sum_chars,
+        |  CAST(sum(rk * x) AS BIGINT) AS s1
+        |  FROM u GROUP BY source)
+        |SELECT source, n_docs, sum_chars,
+        |  CAST((2 * s1 - (n_docs + 1) * sum_chars) * 1000000
+        |    // (n_docs * sum_chars) AS BIGINT) AS gini_ppm
+        |FROM g ORDER BY source""".stripMargin,
+
+    // k-center: unrolled farthest-point rounds, micro-cosine fold
+    "q203_kcenter" -> {
+      def cm(a: String, b: String) =
+        s"CAST(round((${cosSql(a, b)}) * 1000000.0) AS BIGINT)"
+      val steps = (2 to KCenterRounds).map { r =>
+        val pd = s"d${r - 1}"
+        s"""p$r AS (SELECT vec_id, v, dmax FROM $pd ORDER BY dmax, vec_id LIMIT 1),
+           |d$r AS (SELECT $pd.vec_id, $pd.v,
+           |  greatest($pd.dmax, ${cm(s"$pd.v", s"p$r.v")}) AS dmax
+           |  FROM $pd, p$r WHERE $pd.vec_id <> p$r.vec_id)""".stripMargin
+      }.mkString(",\n")
+      val outs = (2 to KCenterRounds).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS round, vec_id, dmax AS dmax_micro FROM p$r")
+        .mkString("\nUNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+         |d1 AS (SELECT e.vec_id, e.v, ${cm("e.v", "c1.v")} AS dmax
+         |  FROM e, c1 WHERE e.vec_id <> c1.vec_id),
+         |$steps
+         |SELECT CAST(1 AS BIGINT) AS round, vec_id,
+         |  CAST(-1 AS BIGINT) AS dmax_micro FROM c1
+         |UNION ALL $outs
+         |ORDER BY round""".stripMargin
+    },
 
     // Hill: same top-(k+1) selection; ln settled to micro per row,
     // exact integer sum + integer division
