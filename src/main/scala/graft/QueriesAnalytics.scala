@@ -1416,6 +1416,59 @@ object QueriesAnalytics {
     out
   }
 
+  private[graft] val ClosenessHops = 3
+  private[graft] val ClosenessSeeds = 10L
+
+  /** q204: BOUNDED-HOP CLOSENESS CENTRALITY — q173's BFS upgraded to
+    * PER-SEED distances: for [[ClosenessSeeds]] seed suppliers, a
+    * [[ClosenessHops]]-hop labeled BFS over the symmetrized trade
+    * graph, scoring closeness = Σ_reached ⌊10⁶/hop⌋ (harmonic
+    * centrality, integer end-to-end — 10⁶ div hop per node, summed
+    * exactly). The "which accounts sit closest to everything"
+    * primitive behind influence ranking and crawl prioritization;
+    * bounded hops keep the oracle unrollable AND bound the frontier
+    * state like any production neighborhood query.
+    *
+    * Scale: edges persist pre-partitioned on src ONCE; each hop is
+    * one co-partitioned join + an anti-join against the visited set,
+    * all keyed (seed, node) — frontier size is the real workload and
+    * state never exceeds seeds × reached.
+    */
+  private val qCloseness: Q = (spark, dir) => {
+    val ord = Tables(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val trade = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 10).as("c"), (col("l_suppkey") * 10 + 1).as("s"))
+      .distinct()
+    val edges = trade.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(trade.select(col("s").as("src"), col("c").as("dst")))
+    val eBySrc = edges.repartition(col("src")).persist()
+    val seeds = Tables(spark, dir, "supplier")
+      .filter(col("s_suppkey") < ClosenessSeeds)
+      .select((col("s_suppkey") * 10 + 1).as("seed"))
+      .join(eBySrc.select(col("src").as("seed")).distinct(), Seq("seed"), "left_semi")
+    var dist = dedup.Dedup.materialize(
+      seeds.select(col("seed"), col("seed").as("node"), lit(0L).as("hop")))
+    var frontier = dist
+    for (i <- 1 to ClosenessHops) {
+      val reached = eBySrc.join(frontier, eBySrc("src") === frontier("node"))
+        .select(col("seed"), col("dst").as("node")).distinct()
+      frontier = dedup.Dedup.materialize(
+        reached.join(dist, Seq("seed", "node"), "left_anti")
+          .withColumn("hop", lit(i.toLong)))
+      dist = dedup.Dedup.materialize(dist.unionAll(frontier))
+    }
+    val out = dist.filter(col("hop") > 0)
+      .groupBy("seed")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000 div hop")).as("closeness_micro"),
+        sum(when(col("hop") === 1, 1L).otherwise(0L)).as("n_hop1"))
+      .orderBy("seed")
+    val res = dedup.Dedup.materialize(out)
+    eBySrc.unpersist()
+    res
+  }
+
   private[graft] val KCoreK = 20
   private[graft] val KCoreRounds = 4
 
@@ -1693,6 +1746,7 @@ object QueriesAnalytics {
     "q167_ks_drift" -> qKsDrift,
     "q168_hits" -> qHits,
     "q173_bfs_layers" -> qBfsLayers,
+    "q204_closeness" -> qCloseness,
     "q174_benford" -> qBenford,
     "q175_activity_bitmap" -> qActivityBitmap,
     "q178_mojibake" -> qMojibake,
@@ -1991,6 +2045,33 @@ object QueriesAnalytics {
          |  UNION ALL SELECT -1 AS hop,
          |    (SELECT count(*) FROM nn) - (SELECT count(*) FROM s$BfsIters) AS n)
          |WHERE hop = -1 OR n > 0 ORDER BY hop""".stripMargin
+    },
+
+    // closeness: per-seed labeled BFS unrolled; harmonic score is an
+    // exact integer sum of 10^6 div hop
+    "q204_closeness" -> {
+      val sweeps = (1 to ClosenessHops).map { i =>
+        s"""f$i AS (SELECT DISTINCT f.seed, e.dst AS node
+           |  FROM e JOIN f${i - 1} f ON e.src = f.node
+           |  WHERE NOT EXISTS (SELECT 1 FROM s${i - 1} s
+           |    WHERE s.seed = f.seed AND s.node = e.dst)),
+           |s$i AS (SELECT seed, node, hop FROM s${i - 1}
+           |  UNION ALL SELECT seed, node, $i AS hop FROM f$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH tr AS (SELECT DISTINCT o_custkey * 10 AS c, l_suppkey * 10 + 1 AS s
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS (SELECT c AS src, s AS dst FROM tr UNION ALL SELECT s, c FROM tr),
+         |nn AS (SELECT DISTINCT src AS node FROM e),
+         |f0 AS (SELECT s_suppkey * 10 + 1 AS seed, s_suppkey * 10 + 1 AS node
+         |  FROM supplier WHERE s_suppkey < $ClosenessSeeds
+         |    AND s_suppkey * 10 + 1 IN (SELECT node FROM nn)),
+         |s0 AS (SELECT seed, node, 0 AS hop FROM f0),
+         |$sweeps
+         |SELECT CAST(seed AS BIGINT) AS seed,
+         |  CAST(count(*) AS BIGINT) AS n_reached,
+         |  CAST(sum(1000000 // hop) AS BIGINT) AS closeness_micro,
+         |  CAST(sum(CASE WHEN hop = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hop1
+         |FROM s$ClosenessHops WHERE hop > 0 GROUP BY seed ORDER BY seed""".stripMargin
     },
 
     // HITS: half-steps unrolled as CTE pairs, identical integer

@@ -1254,6 +1254,41 @@ object QueriesTraining {
       .orderBy("round")
   }
 
+  /** q205: CROSS-SOURCE QUANTILE NORMALIZATION — map every document's
+    * WITHIN-SOURCE length rank onto the GLOBAL length distribution
+    * (x_norm = the global value at rank ⌊r·n_g / n_s⌋), the classic
+    * batch-effect remover: after it, every source's normalized
+    * distribution is the same, so a single global threshold cuts the
+    * same quantile from each domain without the per-source windows
+    * q119 needs at query time. Rank-based end-to-end — no float
+    * quantile interpolation, no knife edges.
+    *
+    * Scale: within-source ranks are source-partitioned windows; the
+    * global sorted table is [[graft.operators.GlobalRank]] (no
+    * single-partition window); the lookup is ONE shuffle join on the
+    * integer target rank.
+    */
+  private val qQuantileNorm: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents").select(
+      col("source"), col("doc_id"), col("n_chars").as("x"))
+    val ng = docs.agg(count(lit(1)).as("n_g"))
+    val bySource = docs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy("x", "doc_id")).cast("long"))
+      .withColumn("n_s", count(lit(1)).over(
+        Window.partitionBy("source")).cast("long"))
+    val global = graft.operators.GlobalRank.withRank(
+        docs, Seq(col("x"), col("doc_id")), "g")
+      .select(col("g"), col("x").as("x_norm"))
+    bySource.crossJoin(broadcast(ng))
+      .withColumn("g", expr("rk * n_g div n_s"))
+      .join(global, "g")
+      .select(col("source"), col("doc_id"), col("x"), col("rk"),
+        col("g"), col("x_norm"))
+      .orderBy("source", "doc_id")
+  }
+
   private[graft] val NeymanBudget = 1000L
 
   /** q190: NEYMAN ALLOCATION — q149's Hamilton apportionment upgraded
@@ -2799,6 +2834,7 @@ object QueriesTraining {
     "q201_gini" -> qGini,
     "q202_sql_chisq" -> qSqlChiSquare,
     "q203_kcenter" -> qKCenter,
+    "q205_quantile_norm" -> qQuantileNorm,
     "q17_text_quality" -> qTextQuality,
     "q18_text_langid" -> qTextLangid,
     "q19_text_fingerprint" -> qTextFingerprint,
@@ -3740,6 +3776,21 @@ object QueriesTraining {
          |UNION ALL $outs
          |ORDER BY round""".stripMargin
     },
+
+    // quantile normalization: same integer rank mapping, windows are
+    // the oracle's job
+    "q205_quantile_norm" ->
+      """WITH d AS (SELECT source, doc_id, n_chars AS x FROM documents),
+        |ng AS (SELECT CAST(count(*) AS BIGINT) AS n_g FROM d),
+        |bs AS (SELECT source, doc_id, x,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY x, doc_id) AS BIGINT) AS rk,
+        |  CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_s
+        |  FROM d),
+        |gl AS (SELECT CAST(row_number() OVER (ORDER BY x, doc_id) AS BIGINT) AS g,
+        |  x AS x_norm FROM d)
+        |SELECT source, doc_id, x, rk, rk * n_g // n_s AS g, x_norm
+        |FROM bs, ng JOIN gl ON gl.g = rk * n_g // n_s
+        |ORDER BY source, doc_id""".stripMargin,
 
     // Hill: same top-(k+1) selection; ln settled to micro per row,
     // exact integer sum + integer division
