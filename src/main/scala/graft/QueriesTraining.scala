@@ -1289,6 +1289,85 @@ object QueriesTraining {
       .orderBy("source", "doc_id")
   }
 
+  /** q206: WASSERSTEIN-1 DRIFT MAGNITUDE — [[graft.operators.Stats
+    * .wasserstein1]] between the even- and odd-doc_id halves of the
+    * corpus length distribution (two crawl shards). q167's KS says
+    * WHETHER distributions differ; W₁ says HOW MUCH MASS MOVED HOW
+    * FAR — the quantity a drift gate thresholds, in exact integer
+    * milli-chars.
+    */
+  private val qWasserstein: Q = (spark, dir) =>
+    graft.operators.Stats.wasserstein1(
+      Tables(spark, dir, "documents"),
+      col("n_chars"), col("doc_id") % 2 === 0)
+
+  /** Graded NDCG@5 constants: relevance of the true top-10 neighbor
+    * at rank t is 11 − t; each DCG term settles to micro BEFORE the
+    * sum (the q145 rule); the ideal DCG is a pure constant computed
+    * once and interpolated into BOTH engines' texts.
+    */
+  private[graft] val NdcgIdealMicro: Long =
+    (1 to 5).map(i => math.round(
+      (11 - i) * 1000000.0 / (math.log(i + 1.0) / math.log(2.0)))).sum
+
+  /** q207: NDCG RANKING QUALITY of the LSH ANN index — q112 measures
+    * recall (did the truth show up AT ALL); NDCG@5 measures ORDER
+    * (did it show up EARLY, weighted by graded relevance 11 − t of
+    * the exact top-10). The metric a retrieval stack actually tunes
+    * on. Per query: DCG in exact micro (each 1/log₂(p+1) term
+    * micro-rounded, then an order-free integer sum), NDCG in bp by
+    * integer division against the constant ideal.
+    *
+    * Scale: inherits q25/q26's probe shapes; the scoring join is
+    * (queries × k)-sized.
+    */
+  private val qNdcg: Q = (spark, dir) => {
+    val truth = qKnnBrute(spark, dir)
+      .select(col("q_id"), col("vec_id"), col("rank").as("trank"))
+    val ret = qKnnLsh(spark, dir)
+      .select(col("q_id"), col("vec_id"), col("rank").as("prank"))
+    val terms = ret.join(truth, Seq("q_id", "vec_id"))
+      .select(col("q_id"), expr(
+        "CAST(round((11 - trank) * 1000000.0 / log2(prank + 1)) AS BIGINT)")
+        .as("term"))
+      .groupBy("q_id").agg(sum("term").as("dcg_micro"))
+    truth.select("q_id").distinct()
+      .join(terms, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"))
+      .withColumn("ndcg_bp", expr(s"dcg_micro * 10000 div $NdcgIdealMicro"))
+      .orderBy("q_id")
+  }
+
+  /** q208: DP COUNT RELEASE (ε = 1 Laplace) — the privacy sibling of
+    * q194's k-anonymity audit and q38's PII scrub: per-source doc
+    * counts released with Laplace(1/ε) noise drawn by INVERSE-CDF
+    * from a SEEDED uniform (the md5-prefix of the source name over
+    * 2³²), so the release is reproducible, auditable, and
+    * engine-exact — noise = −sign(u−½)·ln(1−2|u−½|), ln'd once per
+    * GROUP (not per row) and settled to micro-units. A real release
+    * would use a private seed; the mechanism, sensitivity-1 counts,
+    * and inverse-CDF sampling are exactly production-shaped.
+    *
+    * Scale: one count aggregate; everything after is per-group
+    * scalar arithmetic.
+    */
+  private val qDpRelease: Q = (spark, dir) => {
+    val counts = Tables(spark, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n_true"))
+      .withColumn("u", expr(
+        "CAST(conv(substr(md5(source), 1, 8), 16, 10) AS BIGINT) / 4294967296.0"))
+      // ln(0) guard: u = ½ ± ½ exactly would blow the inverse CDF;
+      // the epsilon floor is identical on both engines
+      .withColumn("noise", expr(
+        "-sign(u - 0.5) * ln(greatest(0.000000000001, 1.0 - 2.0 * abs(u - 0.5)))"))
+    // derive micro/released in a SECOND projection (alias-capture rule)
+    counts.select(col("source"), col("n_true"),
+      expr("CAST(round(noise * 1000000.0) AS BIGINT)").as("noise_micro"),
+      (col("n_true") + expr("CAST(round(noise) AS BIGINT)")).as("n_released"))
+      .orderBy("source")
+  }
+
   private[graft] val NeymanBudget = 1000L
 
   /** q190: NEYMAN ALLOCATION — q149's Hamilton apportionment upgraded
@@ -2835,6 +2914,9 @@ object QueriesTraining {
     "q202_sql_chisq" -> qSqlChiSquare,
     "q203_kcenter" -> qKCenter,
     "q205_quantile_norm" -> qQuantileNorm,
+    "q206_wasserstein" -> qWasserstein,
+    "q207_ndcg" -> qNdcg,
+    "q208_dp_release" -> qDpRelease,
     "q17_text_quality" -> qTextQuality,
     "q18_text_langid" -> qTextLangid,
     "q19_text_fingerprint" -> qTextFingerprint,
@@ -3792,6 +3874,43 @@ object QueriesTraining {
         |FROM bs, ng JOIN gl ON gl.g = rk * n_g // n_s
         |ORDER BY source, doc_id""".stripMargin,
 
+    // DP release: portable md5-prefix uniform, identical inverse-CDF
+    // doubles, micro-settled noise
+    "q208_dp_release" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_true
+        |  FROM documents GROUP BY source),
+        |u AS (SELECT source, n_true,
+        |  CAST(('0x' || substr(md5(source), 1, 8)) AS BIGINT) / 4294967296.0 AS u
+        |  FROM c),
+        |z AS (SELECT source, n_true,
+        |  -sign(u - 0.5) * ln(greatest(0.000000000001, 1.0 - 2.0 * abs(u - 0.5))) AS noise
+        |  FROM u)
+        |SELECT source, n_true,
+        |  CAST(round(noise * 1000000.0) AS BIGINT) AS noise_micro,
+        |  n_true + CAST(round(noise) AS BIGINT) AS n_released
+        |FROM z ORDER BY source""".stripMargin,
+
+    // Wasserstein-1: lead window is the oracle's job; exact integer
+    // |cumA·totB − cumB·totA|·Δv segments
+    "q206_wasserstein" ->
+      """WITH d AS (SELECT n_chars AS v, doc_id % 2 = 0 AS a FROM documents),
+        |byv AS (SELECT v,
+        |  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+        |  FROM d GROUP BY v),
+        |c AS (SELECT v, CAST(sum(n_a) OVER w AS BIGINT) AS cum_a,
+        |  CAST(sum(n_b) OVER w AS BIGINT) AS cum_b,
+        |  lead(v) OVER (ORDER BY v) AS vn
+        |  FROM byv WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS tot_a,
+        |  CAST(sum(n_b) AS BIGINT) AS tot_b FROM byv),
+        |s AS (SELECT CAST(coalesce(sum(abs(cum_a * tot_b - cum_b * tot_a)
+        |    * (vn - v)), 0) AS BIGINT) AS w1_num
+        |  FROM c, t WHERE vn IS NOT NULL)
+        |SELECT tot_a, tot_b, w1_num,
+        |  CAST(w1_num * 1000 // (tot_a * tot_b) AS BIGINT) AS w1_milli
+        |FROM t, s""".stripMargin,
+
     // Hill: same top-(k+1) selection; ln settled to micro per row,
     // exact integer sum + integer division
     "q198_hill" ->
@@ -4224,6 +4343,23 @@ object QueriesTraining {
     // the three index-family oracles nested verbatim: the audit's
     // ground truth and candidates are BY CONSTRUCTION the same rows
     // the driver already hash-verified for q25/q26/q87
+    // NDCG: nests the same brute/LSH texts; micro terms then integer
+    // sum; ideal is the shared Scala constant
+    "q207_ndcg" ->
+      s"""WITH t AS (SELECT q_id, vec_id, rank AS trank FROM ($knnBruteOracle)),
+         |r AS (SELECT q_id, vec_id, rank AS prank FROM ($knnLshOracle)),
+         |terms AS (SELECT r.q_id, CAST(round((11 - t.trank) * 1000000.0
+         |    / log2(r.prank + 1)) AS BIGINT) AS term
+         |  FROM r JOIN t ON t.q_id = r.q_id AND t.vec_id = r.vec_id),
+         |d AS (SELECT q_id, CAST(sum(term) AS BIGINT) AS dcg_micro
+         |  FROM terms GROUP BY q_id),
+         |base AS (SELECT DISTINCT q_id FROM t)
+         |SELECT base.q_id AS q_id,
+         |  coalesce(d.dcg_micro, CAST(0 AS BIGINT)) AS dcg_micro,
+         |  CAST(coalesce(d.dcg_micro, 0) * 10000 // $NdcgIdealMicro AS BIGINT) AS ndcg_bp
+         |FROM base LEFT JOIN d ON d.q_id = base.q_id
+         |ORDER BY q_id""".stripMargin,
+
     "q112_ann_recall" ->
       s"""WITH gt AS (SELECT q_id, vec_id FROM ($knnBruteOracle) WHERE rank <= 5),
          |l AS (SELECT q_id, vec_id FROM ($knnLshOracle)),

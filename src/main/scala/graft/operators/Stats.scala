@@ -68,6 +68,44 @@ object Stats {
       .select("tot_a", "tot_b", "at_value", "d_num", "ks_bp")
   }
 
+  /** Exact 1-D Wasserstein-1 (earth-mover) distance of `value`
+    * between the `inA` and !`inA` samples — the INTEGRAL complement
+    * of [[ksTest]]'s sup-norm: W₁ = ∫\|F_a − F_b\|dv, computed as
+    * Σ over distinct values of \|cum_a·tot_b − cum_b·tot_a\|·Δv —
+    * exact integers end-to-end (neither ECDF is ever a float). One
+    * row (tot_a, tot_b, w1_num, w1_milli) with
+    * w1_milli = ⌊1000·w1_num / (tot_a·tot_b)⌋. KS answers "is there
+    * drift anywhere"; W₁ answers "how much mass moved how far" — the
+    * magnitude a drift gate actually thresholds on.
+    *
+    * Scale: one conditional aggregation to the value domain; the
+    * cumulative sums AND the value rank ride ONE
+    * [[GlobalRank.withPrefixSums]] shuffle (rank = prefix sum of
+    * ones); Δv comes from a rank self-join (co-partitioned integer
+    * keys), NOT a global lead window. Exact while
+    * tot_a·tot_b·range < 2⁶³.
+    */
+  def wasserstein1(df: DataFrame, value: Column, inA: Column): DataFrame = {
+    val byV = df.select(value.as("__v"), inA.as("__a"))
+      .groupBy("__v")
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"))
+      .withColumn("__one", lit(1L))
+    val cum = graft.dedup.Dedup.materialize(
+      GlobalRank.withPrefixSums(byV, Seq(col("__v")),
+        Seq("n_a", "n_b", "__one"), Seq("cum_a", "cum_b", "rk")))
+    val tot = cum.agg(sum("n_a").as("tot_a"), sum("n_b").as("tot_b"))
+    val nxt = cum.select((col("rk") - 1).as("rk"), col("__v").as("__vn"))
+    val segSum = cum.join(nxt, "rk") // last value has no successor → no segment
+      .crossJoin(broadcast(tot))
+      .select((abs(col("cum_a") * col("tot_b") - col("cum_b") * col("tot_a")) *
+        (col("__vn") - col("__v"))).as("seg"))
+      .agg(coalesce(sum("seg"), lit(0L)).as("w1_num"))
+    tot.crossJoin(broadcast(segSum)) // one row even on a single-value domain
+      .select(col("tot_a"), col("tot_b"), col("w1_num"),
+        expr("w1_num * 1000 div (tot_a * tot_b)").as("w1_milli"))
+  }
+
   /** Pearson chi-squared independence test between two categorical
     * columns, per contingency cell (ZERO-observed cells included —
     * omitting them understates the statistic): one row per (r, c)

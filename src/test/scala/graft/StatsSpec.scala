@@ -61,6 +61,31 @@ class StatsSpec extends AnyFunSuite {
     assert(at == 2L)
   }
 
+  private def w1(rows: Seq[(Long, Boolean)]) = {
+    val r = Stats.wasserstein1(df(rows).withColumnRenamed("p", "a"),
+      col("s"), col("a")).collect()(0)
+    (r.getAs[Long]("w1_num"), r.getAs[Long]("w1_milli"))
+  }
+
+  test("wasserstein: identical samples = 0, point masses = their distance") {
+    val base = (1L to 10L)
+    assert(w1(base.map(i => (i, true)) ++ base.map(i => (i, false)))._1 == 0L)
+    // A = {0}, B = {7}: all mass moves 7 → W1 = 7 (milli = 7000)
+    assert(w1(Seq((0L, true), (7L, false))) == (7L, 7000L))
+  }
+
+  test("wasserstein: uniform shift by 2 = exactly 2 (hand-checked ECDF area)") {
+    // A = {1..4}, B = {3..6}: |F_a−F_b| area = 2 → num = 2·(4·4)
+    val (num, milli) = w1((1L to 4L).map(i => (i, true)) ++
+      (3L to 6L).map(i => (i, false)))
+    assert(num == 32L)
+    assert(milli == 2000L)
+  }
+
+  test("wasserstein: degenerate one-value domain still yields a row of 0") {
+    assert(w1(Seq((5L, true), (5L, false), (5L, true))) == (0L, 0L))
+  }
+
   private def chi(rows: Seq[(String, String)]) = {
     import spark.implicits._
     Stats.chiSquareCells(rows.toDF("r", "c").repartition(4),
