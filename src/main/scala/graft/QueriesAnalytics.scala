@@ -1469,6 +1469,44 @@ object QueriesAnalytics {
     res
   }
 
+  /** q209: DEGREE ASSORTATIVITY — the Pearson correlation of
+    * endpoint degrees across edges of the trade graph: do high-degree
+    * accounts trade with each other (assortative, r > 0 — social
+    * nets) or with the periphery (disassortative, r < 0 — typical of
+    * marketplaces and of botnets hammering hubs)? One number that
+    * distinguishes organic from manufactured graph structure.
+    *
+    * Exactness: the five moment sums are exact integers (one edge
+    * aggregate, map-side combine); r derives from identical integer
+    * numerators with floats only in the final division. Scale: degree
+    * table keyed by node, two co-partitioned joins onto the edge
+    * list, one metadata-sized aggregate. Long-exact to ~10⁹ directed
+    * edges × 10⁵ max degree; decimal-lift beyond.
+    */
+  private val qAssortativity: Q = (spark, dir) => {
+    val ord = Tables(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val trade = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 10).as("c"), (col("l_suppkey") * 10 + 1).as("s"))
+      .distinct()
+    val edges = trade.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(trade.select(col("s").as("src"), col("c").as("dst")))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    val ex = edges
+      .join(deg.select(col("src"), col("d").as("dx")), "src")
+      .join(deg.select(col("src").as("dst"), col("d").as("dy")), "dst")
+    ex.agg(count(lit(1)).as("n_edges"),
+        sum("dx").as("sx"), sum("dy").as("sy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"),
+        sum(col("dx") * col("dy")).as("sxy"))
+      .select(col("n_edges"),
+        round((col("n_edges") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("n_edges") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n_edges") * col("syy") - col("sy") * col("sy")).cast("double")), 9)
+          .as("assort_r"))
+  }
+
   private[graft] val KCoreK = 20
   private[graft] val KCoreRounds = 4
 
@@ -1747,6 +1785,7 @@ object QueriesAnalytics {
     "q168_hits" -> qHits,
     "q173_bfs_layers" -> qBfsLayers,
     "q204_closeness" -> qCloseness,
+    "q209_assortativity" -> qAssortativity,
     "q174_benford" -> qBenford,
     "q175_activity_bitmap" -> qActivityBitmap,
     "q178_mojibake" -> qMojibake,
@@ -2046,6 +2085,25 @@ object QueriesAnalytics {
          |    (SELECT count(*) FROM nn) - (SELECT count(*) FROM s$BfsIters) AS n)
          |WHERE hop = -1 OR n > 0 ORDER BY hop""".stripMargin
     },
+
+    // assortativity: same exact integer edge moments
+    "q209_assortativity" ->
+      """WITH tr AS (SELECT DISTINCT o_custkey * 10 AS c, l_suppkey * 10 + 1 AS s
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |e AS (SELECT c AS src, s AS dst FROM tr UNION ALL SELECT s, c FROM tr),
+        |dg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+        |ex AS (SELECT dx.d AS dx, dy.d AS dy FROM e
+        |  JOIN dg dx ON dx.src = e.src JOIN dg dy ON dy.src = e.dst),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        |  CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+        |  CAST(sum(dx * dx) AS BIGINT) AS sxx,
+        |  CAST(sum(dy * dy) AS BIGINT) AS syy,
+        |  CAST(sum(dx * dy) AS BIGINT) AS sxy FROM ex)
+        |SELECT n_edges,
+        |  round(CAST(n_edges * sxy - sx * sy AS DOUBLE) /
+        |    sqrt(CAST(n_edges * sxx - sx * sx AS DOUBLE) *
+        |      CAST(n_edges * syy - sy * sy AS DOUBLE)), 9) AS assort_r
+        |FROM m""".stripMargin,
 
     // closeness: per-seed labeled BFS unrolled; harmonic score is an
     // exact integer sum of 10^6 div hop

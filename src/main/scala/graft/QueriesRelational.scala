@@ -1298,6 +1298,53 @@ object QueriesRelational {
       .orderBy(col("lift_ppm").desc, col("antecedent"), col("consequent"))
   }
 
+  private val RecK = 5L
+
+  /** q210: LEAVE-ONE-OUT RECOMMENDATION HIT-RATE — the offline eval
+    * on top of q159/q195's co-purchase statistics: hold out each
+    * multi-item order's largest part, recommend the top-[[RecK]]
+    * co-items of every remaining basket item, score a hit if the
+    * held-out part appears. The metric that turns co-occurrence
+    * counts into an accountable recommender (bias note: counts are
+    * trained on the FULL corpus including the eval orders — the
+    * standard optimistic offline protocol; a production eval
+    * time-splits instead).
+    *
+    * Scale: co-counts as in q159 (bounded pair fan-out, integer-keyed
+    * combine); rec lists via a per-item partitioned window; the
+    * context→rec expansion joins on the item key and collapses
+    * per-order with a semi-join — no step carries more than
+    * orders × basket × k rows.
+    */
+  private val qRecHitRate: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val items = graft.dedup.Dedup.materialize(
+      Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct())
+    val sized = items.groupBy("ok").agg(count(lit(1)).as("n_items"))
+      .filter(col("n_items") >= 2).select("ok")
+    val held = items.join(sized, "ok")
+      .groupBy("ok").agg(max("pk").as("held"))
+    val context = items.join(held, "ok").filter(col("pk") =!= col("held"))
+    val counts = items.select(col("ok"), col("pk").as("a"))
+      .join(items.select(col("ok"), col("pk").as("b")), "ok")
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+    val recs = counts.withColumn("rk", row_number().over(
+        Window.partitionBy("a").orderBy(col("n_ab").desc, col("b"))))
+      .filter(col("rk") <= RecK).select(col("a"), col("b").as("rec"))
+    val orderRecs = context.select(col("ok"), col("held"), col("pk").as("a"))
+      .join(recs, "a")
+      .select("ok", "held", "rec").distinct()
+    val hits = orderRecs.filter(col("rec") === col("held"))
+      .select("ok").distinct()
+    val nEval = held.agg(count(lit(1)).as("n_eval"))
+    val nHits = hits.agg(count(lit(1)).as("n_hits"))
+    nEval.crossJoin(broadcast(nHits))
+      .select(col("n_eval"), col("n_hits"),
+        expr("n_hits * 10000 div n_eval").as("hitrate_bp"))
+  }
+
   private[graft] val DigestMod = 2305843009213693951L // 2^61 - 1
 
   /** q158: ORDER-INDEPENDENT TABLE DIGEST — the replication-integrity
@@ -1471,6 +1518,7 @@ object QueriesRelational {
     "q158_table_digest" -> qTableDigest,
     "q159_copurchase" -> qCoPurchase,
     "q195_assoc_rules" -> qAssocRules,
+    "q210_rec_hitrate" -> qRecHitRate,
     "q102_hist_quantiles" -> qHistQuantiles,
     "q96_hll" -> qHll,
     "q97_topk_udaf" -> qTopkUdaf,
@@ -1680,6 +1728,30 @@ object QueriesRelational {
          |SELECT a AS part_a, rk, b AS part_b, n_orders
          |FROM r WHERE rk <= $CoTopK AND mx >= 2
          |ORDER BY part_a, rk""".stripMargin,
+
+    // hit-rate: same pairs/window recs; held-out = max part per
+    // multi-item order
+    "q210_rec_hitrate" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem),
+         |sized AS (SELECT ok FROM items GROUP BY ok HAVING count(*) >= 2),
+         |held AS (SELECT ok, max(pk) AS held FROM items
+         |  JOIN sized USING (ok) GROUP BY ok),
+         |ctx AS (SELECT items.ok, held, pk AS a FROM items
+         |  JOIN held USING (ok) WHERE pk <> held),
+         |counts AS (SELECT a.pk AS a, b.pk AS b, count(*) AS n_ab
+         |  FROM items a JOIN items b USING (ok) WHERE a.pk <> b.pk
+         |  GROUP BY 1, 2),
+         |recs AS (SELECT a, b AS rec FROM (SELECT a, b,
+         |    row_number() OVER (PARTITION BY a ORDER BY n_ab DESC, b) AS rk
+         |  FROM counts) WHERE rk <= $RecK),
+         |orecs AS (SELECT DISTINCT ok, held, rec FROM ctx JOIN recs USING (a)),
+         |h AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_hits
+         |  FROM orecs WHERE rec = held),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_eval FROM held)
+         |SELECT n_eval, n_hits,
+         |  CAST(n_hits * 10000 // n_eval AS BIGINT) AS hitrate_bp
+         |FROM n, h""".stripMargin,
 
     // association rules: same distinct baskets; integer div keeps
     // confidence/lift exact on both engines
