@@ -665,6 +665,48 @@ object QueriesAnalytics {
       .orderBy("prev_type", "event_type")
   }
 
+  private[graft] val PathMinTrans = 10L
+  private[graft] val PathTopK = 20
+
+  /** q213: MARKOV PATH-ANOMALY SCORING — q93's transition matrix
+    * turned into a per-user sequence anomaly detector: each user's
+    * transitions score surprise −ln P(next│prev) against the
+    * corpus-wide first-order model, and the [[PathTopK]] users with
+    * the highest MEAN surprise (≥ [[PathMinTrans]] transitions) are
+    * the sessions whose behavior the corpus model least explains —
+    * scripted flows, broken clients, scraping patterns. Complements
+    * q200 (timing regularity) with SEQUENCE regularity.
+    *
+    * Exactness: surprise settles to integer micro PER TRANSITION TYPE
+    * (a ∣types∣²-sized table — one ln per pair, not per event), so
+    * per-user totals are order-free integer sums and the mean is an
+    * integer division. Scale: one user-partitioned lag pass; the pair
+    * model broadcasts; the top-k is a per-partition merge.
+    */
+  private val qPathAnomaly: Q = (spark, dir) => {
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    val trans = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_ms"), col("event_id"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .select(col("user_id"), col("prev_type"), col("event_type"))
+    val counts = trans.groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+    val outTot = counts.groupBy("prev_type").agg(sum("cnt").as("tot"))
+    val model = counts.join(outTot, "prev_type")
+      .select(col("prev_type"), col("event_type"), expr(
+        "CAST(round(-ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)) * 1000000.0) AS BIGINT)")
+        .as("surprise_micro"))
+    trans.join(broadcast(model), Seq("prev_type", "event_type"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_trans"), sum("surprise_micro").as("total_micro"))
+      .filter(col("n_trans") >= PathMinTrans)
+      .withColumn("mean_surprise_micro", expr("total_micro div n_trans"))
+      .select("user_id", "n_trans", "mean_surprise_micro")
+      .orderBy(col("mean_surprise_micro").desc, col("user_id"))
+      .limit(PathTopK)
+  }
+
   /** q95: daily volume spikes per event type — the top-2 days whose
     * count deviates most from the type's mean. The deviation is kept
     * in INTEGER space (`n_days·cnt − total` is the mean-deviation
@@ -1507,6 +1549,35 @@ object QueriesAnalytics {
           .as("assort_r"))
   }
 
+  /** q209's oracle AND q212's verbatim Spark text (SQL surface #11):
+    * dialect-neutral — no integer division, casts portable. Defined
+    * above both uses (object-init order).
+    */
+  private[graft] val AssortSqlText: String =
+    """WITH tr AS (SELECT DISTINCT o_custkey * 10 AS c, l_suppkey * 10 + 1 AS s
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |e AS (SELECT c AS src, s AS dst FROM tr UNION ALL SELECT s, c FROM tr),
+      |dg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+      |ex AS (SELECT dx.d AS dx, dy.d AS dy FROM e
+      |  JOIN dg dx ON dx.src = e.src JOIN dg dy ON dy.src = e.dst),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
+      |  CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+      |  CAST(sum(dx * dx) AS BIGINT) AS sxx,
+      |  CAST(sum(dy * dy) AS BIGINT) AS syy,
+      |  CAST(sum(dx * dy) AS BIGINT) AS sxy FROM ex)
+      |SELECT n_edges,
+      |  round(CAST(n_edges * sxy - sx * sy AS DOUBLE) /
+      |    sqrt(CAST(n_edges * sxx - sx * sx AS DOUBLE) *
+      |      CAST(n_edges * syy - sy * sy AS DOUBLE)), 9) AS assort_r
+      |FROM m""".stripMargin
+
+  /** q212: SQL front end #11 — [[AssortSqlText]] run verbatim by
+    * Spark (the text is its own oracle); q209 pins the same numbers
+    * through the DataFrame composition.
+    */
+  private val qSqlAssort: Q = (spark, dir) =>
+    sqlVerbatim(spark, dir, AssortSqlText, Seq("orders", "lineitem"))
+
   private[graft] val KCoreK = 20
   private[graft] val KCoreRounds = 4
 
@@ -1786,6 +1857,8 @@ object QueriesAnalytics {
     "q173_bfs_layers" -> qBfsLayers,
     "q204_closeness" -> qCloseness,
     "q209_assortativity" -> qAssortativity,
+    "q212_sql_assort" -> qSqlAssort,
+    "q213_path_anomaly" -> qPathAnomaly,
     "q174_benford" -> qBenford,
     "q175_activity_bitmap" -> qActivityBitmap,
     "q178_mojibake" -> qMojibake,
@@ -1870,6 +1943,32 @@ object QueriesAnalytics {
          |  cents + CAST(floor(CAST((nc - cents) * (h - hour) AS DOUBLE)
          |    / (nh - hour)) AS BIGINT) AS cents
          |FROM f ORDER BY user_id, hour""".stripMargin,
+
+    // path anomaly: same lag transitions; surprise micro-settled per
+    // PAIR TYPE, then order-free integer user sums
+    "q213_path_anomaly" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type
+         |  FROM events),
+         |tr AS (SELECT user_id, prev_type, event_type FROM (
+         |  SELECT user_id, event_type, lag(event_type) OVER (
+         |    PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev_type
+         |  FROM e) WHERE prev_type IS NOT NULL),
+         |c AS (SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM tr GROUP BY 1, 2),
+         |o AS (SELECT prev_type, CAST(sum(cnt) AS BIGINT) AS tot FROM c
+         |  GROUP BY prev_type),
+         |m AS (SELECT c.prev_type, c.event_type,
+         |  CAST(round(-ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+         |    * 1000000.0) AS BIGINT) AS surprise_micro
+         |  FROM c JOIN o USING (prev_type)),
+         |u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_trans,
+         |  CAST(sum(surprise_micro) AS BIGINT) AS total_micro
+         |  FROM tr JOIN m USING (prev_type, event_type)
+         |  GROUP BY user_id HAVING count(*) >= $PathMinTrans)
+         |SELECT user_id, n_trans,
+         |  CAST(total_micro // n_trans AS BIGINT) AS mean_surprise_micro
+         |FROM u ORDER BY mean_surprise_micro DESC, user_id
+         |LIMIT $PathTopK""".stripMargin,
 
     // bot regularity: same lag gaps, exact HUGEINT moment ratio
     "q200_bot_regularity" ->
@@ -2086,24 +2185,10 @@ object QueriesAnalytics {
          |WHERE hop = -1 OR n > 0 ORDER BY hop""".stripMargin
     },
 
-    // assortativity: same exact integer edge moments
-    "q209_assortativity" ->
-      """WITH tr AS (SELECT DISTINCT o_custkey * 10 AS c, l_suppkey * 10 + 1 AS s
-        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-        |e AS (SELECT c AS src, s AS dst FROM tr UNION ALL SELECT s, c FROM tr),
-        |dg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
-        |ex AS (SELECT dx.d AS dx, dy.d AS dy FROM e
-        |  JOIN dg dx ON dx.src = e.src JOIN dg dy ON dy.src = e.dst),
-        |m AS (SELECT CAST(count(*) AS BIGINT) AS n_edges,
-        |  CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
-        |  CAST(sum(dx * dx) AS BIGINT) AS sxx,
-        |  CAST(sum(dy * dy) AS BIGINT) AS syy,
-        |  CAST(sum(dx * dy) AS BIGINT) AS sxy FROM ex)
-        |SELECT n_edges,
-        |  round(CAST(n_edges * sxy - sx * sy AS DOUBLE) /
-        |    sqrt(CAST(n_edges * sxx - sx * sx AS DOUBLE) *
-        |      CAST(n_edges * syy - sy * sy AS DOUBLE)), 9) AS assort_r
-        |FROM m""".stripMargin,
+    // assortativity: same exact integer edge moments; the identical
+    // text is q212's verbatim Spark query (SQL surface #11)
+    "q209_assortativity" -> AssortSqlText,
+    "q212_sql_assort" -> AssortSqlText,
 
     // closeness: per-seed labeled BFS unrolled; harmonic score is an
     // exact integer sum of 10^6 div hop

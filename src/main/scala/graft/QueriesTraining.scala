@@ -1368,6 +1368,46 @@ object QueriesTraining {
       .orderBy("source")
   }
 
+  /** q211: WINSORIZED / TRIMMED ROBUST MOMENTS — the outlier-immune
+    * per-source length statistics a pipeline REPORTS (where q134
+    * FLAGS outliers and q71 CUTS by rank): clamp each source's bottom
+    * and top 5% BY RANK to the boundary values (winsorize), and drop
+    * them (trim), emitting both means in exact integer milli-chars.
+    * Rank-based boundaries — value at rank ⌊n/20⌋+1 and n−⌊n/20⌋ —
+    * so there is no float percentile interpolation anywhere.
+    *
+    * Scale: one source-partitioned rank window; the two boundary
+    * values per source come from the SAME pass as conditional
+    * aggregates (sum of the rank-pinned row — no second join), and
+    * the clamp + moments are one more aggregate.
+    */
+  private val qWinsorize: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = Tables(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars").as("x"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy("x", "doc_id")).cast("long"))
+      .withColumn("n_s", count(lit(1)).over(
+        Window.partitionBy("source")).cast("long"))
+      .withColumn("lo", expr("n_s div 20"))
+    val bounds = ranked.groupBy("source")
+      .agg(sum(when(col("rk") === col("lo") + 1, col("x"))).as("p05"),
+        sum(when(col("rk") === col("n_s") - col("lo"), col("x"))).as("p95"))
+    ranked.join(bounds, "source")
+      .withColumn("xw", least(greatest(col("x"), col("p05")), col("p95")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), max("p05").as("p05"), max("p95").as("p95"),
+        sum("xw").as("sw"),
+        sum(when(col("rk") > col("lo") && col("rk") <= col("n_s") - col("lo"),
+          col("x"))).as("st"),
+        sum(when(col("rk") > col("lo") && col("rk") <= col("n_s") - col("lo"),
+          1L).otherwise(0L)).as("nt"))
+      .select(col("source"), col("n_docs"), col("p05"), col("p95"),
+        expr("sw * 1000 div n_docs").as("wins_mean_milli"),
+        expr("st * 1000 div nt").as("trim_mean_milli"))
+      .orderBy("source")
+  }
+
   private[graft] val NeymanBudget = 1000L
 
   /** q190: NEYMAN ALLOCATION — q149's Hamilton apportionment upgraded
@@ -2917,6 +2957,7 @@ object QueriesTraining {
     "q206_wasserstein" -> qWasserstein,
     "q207_ndcg" -> qNdcg,
     "q208_dp_release" -> qDpRelease,
+    "q211_winsorize" -> qWinsorize,
     "q17_text_quality" -> qTextQuality,
     "q18_text_langid" -> qTextLangid,
     "q19_text_fingerprint" -> qTextFingerprint,
@@ -3873,6 +3914,28 @@ object QueriesTraining {
         |SELECT source, doc_id, x, rk, rk * n_g // n_s AS g, x_norm
         |FROM bs, ng JOIN gl ON gl.g = rk * n_g // n_s
         |ORDER BY source, doc_id""".stripMargin,
+
+    // winsorize: same rank-pinned boundaries via conditional sums
+    "q211_winsorize" ->
+      """WITH d AS (SELECT source, doc_id, n_chars AS x FROM documents),
+        |r AS (SELECT source, doc_id, x,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY x, doc_id) AS BIGINT) AS rk,
+        |  CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_s
+        |  FROM d),
+        |r2 AS (SELECT *, n_s // 20 AS lo FROM r),
+        |b AS (SELECT source,
+        |  CAST(sum(CASE WHEN rk = lo + 1 THEN x END) AS BIGINT) AS p05,
+        |  CAST(sum(CASE WHEN rk = n_s - lo THEN x END) AS BIGINT) AS p95
+        |  FROM r2 GROUP BY source),
+        |j AS (SELECT r2.*, b.p05, b.p95,
+        |  least(greatest(x, p05), p95) AS xw FROM r2 JOIN b USING (source))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(max(p05) AS BIGINT) AS p05, CAST(max(p95) AS BIGINT) AS p95,
+        |  CAST(sum(xw) * 1000 // count(*) AS BIGINT) AS wins_mean_milli,
+        |  CAST(sum(CASE WHEN rk > lo AND rk <= n_s - lo THEN x END) * 1000
+        |    // sum(CASE WHEN rk > lo AND rk <= n_s - lo THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS trim_mean_milli
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
     // DP release: portable md5-prefix uniform, identical inverse-CDF
     // doubles, micro-settled noise
