@@ -85,12 +85,21 @@ object Stats {
     * keys), NOT a global lead window. Exact while
     * tot_a·tot_b·range < 2⁶³.
     */
-  def wasserstein1(df: DataFrame, value: Column, inA: Column): DataFrame = {
-    val byV = df.select(value.as("__v"), inA.as("__a"))
-      .groupBy("__v")
-      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
-        sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"))
-      .withColumn("__one", lit(1L))
+  def wasserstein1(df: DataFrame, value: Column, inA: Column): DataFrame =
+    wasserstein1FromCounts(
+      df.select(value.as("__v"), inA.as("__a"))
+        .groupBy("__v")
+        .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b")))
+
+  /** The W₁ tail arithmetic over a PRE-AGGREGATED (__v, n_a, n_b)
+    * count table — the face an incremental monitor feeds: per-value
+    * counts fold over micro-batches (exact integers, O(domain) state),
+    * and this derives the identical statistic the batch path computes
+    * (`StreamingW1Spec` pins fold == rebuild).
+    */
+  def wasserstein1FromCounts(byV0: DataFrame): DataFrame = {
+    val byV = byV0.withColumn("__one", lit(1L))
     val cum = graft.dedup.Dedup.materialize(
       GlobalRank.withPrefixSums(byV, Seq(col("__v")),
         Seq("n_a", "n_b", "__one"), Seq("cum_a", "cum_b", "rk")))
