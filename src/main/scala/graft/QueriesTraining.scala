@@ -1408,6 +1408,102 @@ object QueriesTraining {
       .orderBy("source")
   }
 
+  private[graft] val BootB = 20
+
+  /** Inverse-CDF thresholds for Poisson(1) weights, P(X ≤ k) for
+    * k = 0..5 — Scala-computed double literals shared VERBATIM by
+    * both engines' CASE texts (shortest-round-trip toString parses to
+    * the identical double everywhere).
+    */
+  private[graft] val BootPoissonCase: String = {
+    def fact(k: Int): Double = (1 to k).product.toDouble
+    val cdf = (0 to 5).map(k =>
+      (0 to k).map(j => math.exp(-1.0) / fact(j)).sum)
+    "CASE " + cdf.zipWithIndex.map { case (t, k) =>
+      s"WHEN u < $t THEN $k" }.mkString(" ") + " ELSE 6 END"
+  }
+
+  /** q214: POISSON BOOTSTRAP STANDARD ERROR — the distributed-systems
+    * form of the bootstrap (each (row, replicate) draws an independent
+    * Poisson(1) inclusion weight, so no replicate ever needs a global
+    * resample): [[BootB]] replicates of the corpus mean length, each
+    * weight drawn DETERMINISTICALLY by inverse-CDF from the
+    * md5-prefix uniform of (doc_id, replicate) — the whole uncertainty
+    * estimate is reproducible and engine-exact. Replicate means are
+    * exact integer milli (weighted sums + integer division); the SE
+    * derives from exact integer moments of the B means with one sqrt
+    * at the end.
+    *
+    * Scale: a bounded ×B fan-out (documented — B is a constant), one
+    * (replicate)-keyed aggregate with map-side combine, then
+    * metadata-sized arithmetic. The classic alternative (B global
+    * resamples) is unrunnable at corpus scale; Poisson bootstrap is
+    * exactly the published workaround (Chamandy et al., "Estimating
+    * uncertainty for massive data streams").
+    */
+  private val qBootstrap: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars").as("x"))
+    val reps = spark.range(BootB).select(col("id").as("r"))
+    val weighted = docs.crossJoin(broadcast(reps))
+      .withColumn("u", Dedup.hash32(
+        concat(col("doc_id").cast("string"), lit("_"), col("r").cast("string")),
+        "boot") / lit(4294967296.0))
+      .withColumn("w", expr(BootPoissonCase))
+    val repMeans = weighted.groupBy("r")
+      .agg(sum(col("w") * col("x")).as("swx"), sum("w").as("sw"))
+      .select(expr("swx * 1000 div sw").as("m"))
+    val boot = repMeans.agg(count(lit(1)).as("n_b"),
+      min("m").as("boot_min_milli"), max("m").as("boot_max_milli"),
+      sum("m").as("sm"), sum(col("m") * col("m")).as("smm"))
+    val full = docs.agg(count(lit(1)).as("n_docs"),
+      expr("sum(x) * 1000 div count(1)").as("full_mean_milli"))
+    full.crossJoin(broadcast(boot))
+      .select(col("n_docs"), col("full_mean_milli"), col("n_b"),
+        col("boot_min_milli"), col("boot_max_milli"),
+        expr("CAST(round(sqrt(CAST(n_b * smm - sm * sm AS DOUBLE)" +
+          " / CAST(n_b * (n_b - 1) AS DOUBLE)) * 1000.0) AS BIGINT)")
+          .as("se_micro"))
+  }
+
+  private[graft] val ShuffleAuditBuckets = 8L
+
+  /** q215: TRAINING-ORDER SHUFFLE AUDIT — did the hash shuffle
+    * actually decorrelate sources? Documents take their q56-style
+    * shard bucket and their md5 training order WITHIN the bucket;
+    * the audit counts adjacent same-source pairs in that order and
+    * compares against the exact expectation under a uniformly random
+    * permutation, E = Σ_s c_bs(c_bs − 1)/m_b per bucket — a
+    * same-source run longer than chance means consecutive training
+    * batches over-sample one domain (the gradient-correlation smell
+    * curriculum papers warn about). Observed and expected both exact
+    * integers (expectation in milli via integer division).
+    *
+    * Scale: one bucket-partitioned lag window (bucket count is the
+    * shard count — bounded per-partition state), one (bucket, source)
+    * aggregate; output is bucket-sized.
+    */
+  private val qShuffleAudit: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      .withColumn("bucket", pmod(Dedup.hash32(col("doc_id").cast("string"),
+        "shard"), lit(ShuffleAuditBuckets)))
+      .withColumn("ord", md5(concat(lit("ord:"), col("doc_id").cast("string"))))
+    val w = Window.partitionBy("bucket").orderBy("ord", "doc_id")
+    val obs = d.withColumn("prev_src", lag(col("source"), 1).over(w))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("m"),
+        sum(when(col("prev_src") === col("source"), 1L).otherwise(0L))
+          .as("obs_same"))
+    val exp_ = d.groupBy("bucket", "source").agg(count(lit(1)).as("c"))
+      .groupBy("bucket").agg(sum(col("c") * (col("c") - 1)).as("cc"))
+    obs.join(exp_, "bucket")
+      .select(col("bucket"), col("m"), col("obs_same"),
+        expr("cc * 1000 div m").as("exp_same_milli"))
+      .orderBy("bucket")
+  }
+
   private[graft] val NeymanBudget = 1000L
 
   /** q190: NEYMAN ALLOCATION — q149's Hamilton apportionment upgraded
@@ -2958,6 +3054,8 @@ object QueriesTraining {
     "q207_ndcg" -> qNdcg,
     "q208_dp_release" -> qDpRelease,
     "q211_winsorize" -> qWinsorize,
+    "q214_bootstrap" -> qBootstrap,
+    "q215_shuffle_audit" -> qShuffleAudit,
     "q17_text_quality" -> qTextQuality,
     "q18_text_langid" -> qTextLangid,
     "q19_text_fingerprint" -> qTextFingerprint,
@@ -3914,6 +4012,50 @@ object QueriesTraining {
         |SELECT source, doc_id, x, rk, rk * n_g // n_s AS g, x_norm
         |FROM bs, ng JOIN gl ON gl.g = rk * n_g // n_s
         |ORDER BY source, doc_id""".stripMargin,
+
+    // bootstrap: same hash uniforms, shared Poisson CASE text,
+    // integer replicate means
+    "q214_bootstrap" ->
+      s"""WITH d AS (SELECT doc_id, n_chars AS x FROM documents),
+         |reps AS (SELECT unnest(generate_series(0, ${BootB - 1})) AS r),
+         |wts AS (SELECT x, r, $BootPoissonCase AS w FROM (
+         |  SELECT d.x, reps.r,
+         |    CAST(('0x' || substr(md5('boot:' || CAST(doc_id AS STRING) || '_'
+         |      || CAST(r AS STRING)), 1, 8)) AS BIGINT) / 4294967296.0 AS u
+         |  FROM d, reps)),
+         |rm AS (SELECT CAST(sum(w * x) * 1000 // sum(w) AS BIGINT) AS m
+         |  FROM wts GROUP BY r),
+         |b AS (SELECT CAST(count(*) AS BIGINT) AS n_b,
+         |  CAST(min(m) AS BIGINT) AS boot_min_milli,
+         |  CAST(max(m) AS BIGINT) AS boot_max_milli,
+         |  CAST(sum(m) AS BIGINT) AS sm, CAST(sum(m * m) AS BIGINT) AS smm
+         |  FROM rm),
+         |f AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(x) * 1000 // count(*) AS BIGINT) AS full_mean_milli FROM d)
+         |SELECT n_docs, full_mean_milli, n_b, boot_min_milli, boot_max_milli,
+         |  CAST(round(sqrt(CAST(n_b * smm - sm * sm AS DOUBLE)
+         |    / CAST(n_b * (n_b - 1) AS DOUBLE)) * 1000.0) AS BIGINT) AS se_micro
+         |FROM f, b""".stripMargin,
+
+    // shuffle audit: same md5 order + exact adjacency expectation
+    "q215_shuffle_audit" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |  CAST(('0x' || substr(md5('shard:' || CAST(doc_id AS STRING)), 1, 8))
+         |    AS BIGINT) % $ShuffleAuditBuckets AS bucket,
+         |  md5('ord:' || CAST(doc_id AS STRING)) AS ord
+         |  FROM documents),
+         |o AS (SELECT bucket, CAST(count(*) AS BIGINT) AS m,
+         |  CAST(sum(CASE WHEN prev_src = source THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS obs_same
+         |  FROM (SELECT bucket, source, lag(source) OVER (
+         |    PARTITION BY bucket ORDER BY ord, doc_id) AS prev_src FROM d)
+         |  GROUP BY bucket),
+         |x AS (SELECT bucket, CAST(sum(c * (c - 1)) AS BIGINT) AS cc FROM (
+         |  SELECT bucket, source, CAST(count(*) AS BIGINT) AS c FROM d
+         |  GROUP BY bucket, source) GROUP BY bucket)
+         |SELECT bucket, m, obs_same,
+         |  CAST(cc * 1000 // m AS BIGINT) AS exp_same_milli
+         |FROM o JOIN x USING (bucket) ORDER BY bucket""".stripMargin,
 
     // winsorize: same rank-pinned boundaries via conditional sums
     "q211_winsorize" ->
