@@ -1789,6 +1789,51 @@ object QueriesAnalytics {
       abStatSql.map { case (nm, e) => expr(e).as(nm) }: _*)
   }
 
+  /** z_{0.025} and z_{0.20} as shared literals (α = .05 two-sided,
+    * 80% power) — one source of truth for both engines' texts.
+    */
+  private[graft] val ZAlpha = "1.959963984540054"
+  private[graft] val ZBeta = "0.8416212335729143"
+
+  /** q216: A/B POWER ANALYSIS — the design-side complement of q154's
+    * readout: from the SAME hash split and conversion counts, the
+    * minimum detectable effect at the current sample size
+    * (MDE = (z_{α/2}+z_β)·√(2p̄(1−p̄)/n_arm), n_arm = the smaller
+    * arm) and the per-arm sample size the OBSERVED lift would need —
+    * the two numbers that tell an experimenter "keep running or call
+    * it". Counts are exact integers; the float tail runs the same
+    * operation chain on both engines and settles to integer bp.
+    */
+  private val qAbPower: Q = (spark, dir) => {
+    val users = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .groupBy("user_id")
+      .agg(when(sum(when(col("event_type") === "purchase",
+          expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L)) >= AbConvCents,
+        1L).otherwise(0L).as("converted"))
+      .withColumn("variant",
+        (graft.dedup.Dedup.hash32(col("user_id").cast("string"), "ab") % 2 === 0))
+    users.agg(
+        sum(when(col("variant"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant"), col("converted")).otherwise(0L)).as("conv_a"),
+        sum(when(!col("variant"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("variant"), col("converted")).otherwise(0L)).as("conv_b"))
+      .withColumn("p", expr(
+        "CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)"))
+      .withColumn("dlt", expr(
+        "abs(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) -" +
+          " CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))"))
+      .select(col("n_a"), col("n_b"),
+        expr("CAST(round(p * 10000.0) AS BIGINT)").as("pool_bp"),
+        expr(s"CAST(round(($ZAlpha + $ZBeta) * sqrt(2.0 * p * (1.0 - p)" +
+          " / CAST(least(n_a, n_b) AS DOUBLE)) * 10000.0) AS BIGINT)")
+          .as("mde_bp"),
+        expr(s"CASE WHEN dlt = 0.0 THEN CAST(-1 AS BIGINT) ELSE" +
+          s" CAST(ceiling(($ZAlpha + $ZBeta) * ($ZAlpha + $ZBeta)" +
+          " * 2.0 * p * (1.0 - p) / (dlt * dlt)) AS BIGINT) END")
+          .as("n_req_per_arm"))
+  }
+
   private[graft] val MaxFillGapH = 48
 
   /** q114: LINEAR GAP INTERPOLATION — the resampling twin of q60's
@@ -1859,6 +1904,7 @@ object QueriesAnalytics {
     "q209_assortativity" -> qAssortativity,
     "q212_sql_assort" -> qSqlAssort,
     "q213_path_anomaly" -> qPathAnomaly,
+    "q216_ab_power" -> qAbPower,
     "q174_benford" -> qBenford,
     "q175_activity_bitmap" -> qActivityBitmap,
     "q178_mojibake" -> qMojibake,
@@ -2299,6 +2345,35 @@ object QueriesAnalytics {
          |SELECT n_a, conv_a, n_b, conv_b,
          |  ${abStatSql.map { case (nm, e) => s"$e AS $nm" }.mkString(",\n  ")}
          |FROM s""".stripMargin,
+
+    // power analysis: same split counts, shared z literals, identical
+    // float op chains settled to integer bp
+    "q216_ab_power" ->
+      s"""WITH u AS (SELECT user_id,
+         |  CASE WHEN sum(CASE WHEN event_type = 'purchase'
+         |    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) >= $AbConvCents
+         |    THEN 1 ELSE 0 END AS converted,
+         |  ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 AS variant
+         |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+         |s AS (SELECT
+         |  CAST(sum(CASE WHEN variant THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |  CAST(sum(CASE WHEN variant THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+         |  CAST(sum(CASE WHEN NOT variant THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |  CAST(sum(CASE WHEN NOT variant THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+         |  FROM u),
+         |t AS (SELECT n_a, n_b,
+         |  CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS p,
+         |  abs(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) -
+         |    CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)) AS dlt
+         |  FROM s)
+         |SELECT n_a, n_b,
+         |  CAST(round(p * 10000.0) AS BIGINT) AS pool_bp,
+         |  CAST(round(($ZAlpha + $ZBeta) * sqrt(2.0 * p * (1.0 - p)
+         |    / CAST(least(n_a, n_b) AS DOUBLE)) * 10000.0) AS BIGINT) AS mde_bp,
+         |  CASE WHEN dlt = 0.0 THEN CAST(-1 AS BIGINT) ELSE
+         |    CAST(ceiling(($ZAlpha + $ZBeta) * ($ZAlpha + $ZBeta)
+         |      * 2.0 * p * (1.0 - p) / (dlt * dlt)) AS BIGINT) END AS n_req_per_arm
+         |FROM t""".stripMargin,
 
     // multi-touch: U-shaped integer bp weights; interior share by the
     // largest-remainder rule — weights sum to exactly 10000/purchase

@@ -1345,6 +1345,32 @@ object QueriesRelational {
         expr("n_hits * 10000 div n_eval").as("hitrate_bp"))
   }
 
+  private val SkewTopK = 10L
+
+  /** q217: JOIN-SKEW ADVISOR — the measurement that decides when
+    * [[graft.operators.SaltedJoin]] (q51) is worth its duplication
+    * cost: the join-key histogram's heaviest [[SkewTopK]] keys, each
+    * with the integer salt factor ⌈cnt/avg⌉ a salted join would
+    * assign it, plus the key-average in milli for context. A key at
+    * salt factor 1 doesn't need salting; a 50× key is the straggler
+    * that stalls the stage. Exact integer arithmetic throughout
+    * (⌈a/b⌉ = (a + b − 1) div b).
+    *
+    * Scale: one map-side-combining key count; everything downstream
+    * is key-domain-sized; top-k by per-partition merge.
+    */
+  private val qSkewAdvisor: Q = (spark, dir) => {
+    val counts = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(count(lit(1)).as("n_keys"), sum("cnt").as("total"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("l_partkey"), col("cnt"),
+        expr("(cnt * n_keys + total - 1) div total").as("salt_factor"),
+        expr("total * 1000 div n_keys").as("avg_milli"))
+      .orderBy(col("cnt").desc, col("l_partkey"))
+      .limit(SkewTopK.toInt)
+  }
+
   private[graft] val DigestMod = 2305843009213693951L // 2^61 - 1
 
   /** q158: ORDER-INDEPENDENT TABLE DIGEST — the replication-integrity
@@ -1519,6 +1545,7 @@ object QueriesRelational {
     "q159_copurchase" -> qCoPurchase,
     "q195_assoc_rules" -> qAssocRules,
     "q210_rec_hitrate" -> qRecHitRate,
+    "q217_skew_advisor" -> qSkewAdvisor,
     "q102_hist_quantiles" -> qHistQuantiles,
     "q96_hll" -> qHll,
     "q97_topk_udaf" -> qTopkUdaf,
@@ -1728,6 +1755,17 @@ object QueriesRelational {
          |SELECT a AS part_a, rk, b AS part_b, n_orders
          |FROM r WHERE rk <= $CoTopK AND mx >= 2
          |ORDER BY part_a, rk""".stripMargin,
+
+    // skew advisor: same key histogram; ceil by integer identity
+    "q217_skew_advisor" ->
+      s"""WITH c AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM lineitem GROUP BY l_partkey),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         |  CAST(sum(cnt) AS BIGINT) AS total FROM c)
+         |SELECT l_partkey, cnt,
+         |  CAST((cnt * n_keys + total - 1) // total AS BIGINT) AS salt_factor,
+         |  CAST(total * 1000 // n_keys AS BIGINT) AS avg_milli
+         |FROM c, t ORDER BY cnt DESC, l_partkey LIMIT $SkewTopK""".stripMargin,
 
     // hit-rate: same pairs/window recs; held-out = max part per
     // multi-item order
