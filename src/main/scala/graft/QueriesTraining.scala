@@ -1504,6 +1504,83 @@ object QueriesTraining {
       .orderBy("bucket")
   }
 
+  /** q218: COMPRESSIBILITY PROXY — per-source corpus-distinct trigram
+    * shingles over total per-doc-distinct shingles, in integer bp: a
+    * low ratio means documents repeat each other's phrasing
+    * (boilerplate, templates, mirrored content) — the cheap
+    * before-deduplication smell test the C4/Gopher pipelines run, and
+    * the per-SOURCE version of what q160 measures per crawl batch.
+    *
+    * Scale: the one corpus pass is the shared shingle table; the
+    * aggregate shuffles (source, shingle) keys with map-side combine.
+    */
+  private val qCompressProxy: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+    val sh = Dedup.shingleTable(d, "doc_id", "text")
+      .join(d.select("doc_id", "source"), "doc_id")
+      .select(col("source"), explode_outer(col("sh")).as("g"))
+    sh.groupBy("source")
+      .agg(count(lit(1)).as("n_sh"), count_distinct(col("g")).as("n_uniq"))
+      .select(col("source"), col("n_sh"), col("n_uniq"),
+        expr("n_uniq * 10000 div n_sh").as("uniq_bp"))
+      .orderBy("source")
+  }
+
+  /** q219: MARKOV ENTROPY RATE — one number for how PREDICTABLE the
+    * event stream is: per prev-type conditional entropy
+    * H(next│prev) = Σ p·(−ln p) from q93/q213's transition counts,
+    * plus the corpus rate (transition-count-weighted mean) as an ALL
+    * row. Low entropy = scripted/templated behavior corpus-wide — the
+    * population-level reading of q213's per-user anomaly score. Each
+    * cell's −ln p settles to micro once (∣types∣² cells), so every
+    * output is an exact integer division of integer sums.
+    */
+  private val qMarkovEntropy: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    val trans = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_ms"), col("event_id"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+    val cells = trans.groupBy("prev_type", "event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("tot", sum("cnt").over(Window.partitionBy("prev_type")))
+      .withColumn("s_micro", expr(
+        "CAST(round(-ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE)) * 1000000.0) AS BIGINT)"))
+    val perPrev = cells.groupBy("prev_type")
+      .agg(sum("cnt").as("n_trans"),
+        expr("sum(cnt * s_micro) div sum(cnt)").as("h_micro"))
+    val all = cells.agg(sum("cnt").as("n_trans"),
+        expr("sum(cnt * s_micro) div sum(cnt)").as("h_micro"))
+      .select(lit("ALL").as("prev_type"), col("n_trans"), col("h_micro"))
+    perPrev.unionByName(all).orderBy("prev_type")
+  }
+
+  private[graft] val OovVocabSizes = Seq(100L, 1000L)
+
+  /** q220: VOCABULARY COVERAGE / OOV CURVE — what share of token
+    * OCCURRENCES do the top-K most frequent terms cover? The
+    * tokenizer-sizing measurement (complement of q122's BPE induce
+    * and q145's Zipf fit): coverage at K = 100 and 1000 in integer
+    * bp, with the OOV rate as its complement. Top-K selection is a
+    * per-partition top-k merge on (count, term) — no global window —
+    * and coverage is an exact integer division.
+    */
+  private val qOovCurve: Q = (spark, dir) => {
+    val terms = docsFanned(spark, dir)
+      .select(explode_outer(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val termsM = Dedup.materialize(terms)
+    val total = termsM.agg(sum("cnt").as("total"))
+    OovVocabSizes.map { k =>
+      termsM.orderBy(col("cnt").desc, col("term")).limit(k.toInt)
+        .agg(sum("cnt").as("covered"))
+        .crossJoin(broadcast(total))
+        .select(lit(k).as("vocab_k"), col("covered"), col("total"),
+          expr("covered * 10000 div total").as("coverage_bp"))
+    }.reduce(_ unionByName _).orderBy("vocab_k")
+  }
+
   private[graft] val NeymanBudget = 1000L
 
   /** q190: NEYMAN ALLOCATION — q149's Hamilton apportionment upgraded
@@ -3056,6 +3133,9 @@ object QueriesTraining {
     "q211_winsorize" -> qWinsorize,
     "q214_bootstrap" -> qBootstrap,
     "q215_shuffle_audit" -> qShuffleAudit,
+    "q218_compress_proxy" -> qCompressProxy,
+    "q219_markov_entropy" -> qMarkovEntropy,
+    "q220_oov_curve" -> qOovCurve,
     "q17_text_quality" -> qTextQuality,
     "q18_text_langid" -> qTextLangid,
     "q19_text_fingerprint" -> qTextFingerprint,
@@ -4036,6 +4116,55 @@ object QueriesTraining {
          |  CAST(round(sqrt(CAST(n_b * smm - sm * sm AS DOUBLE)
          |    / CAST(n_b * (n_b - 1) AS DOUBLE)) * 1000.0) AS BIGINT) AS se_micro
          |FROM f, b""".stripMargin,
+
+    // compress proxy: shared shingle recipe; (source, shingle) agg
+    "q218_compress_proxy" ->
+      s"""WITH toks AS (SELECT doc_id, source, $toksSql AS t FROM documents),
+         |sh AS (SELECT source, $shinglesSql AS s FROM toks),
+         |g AS (SELECT source, unnest(s) AS g FROM sh)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_sh,
+         |  CAST(count(DISTINCT g) AS BIGINT) AS n_uniq,
+         |  CAST(count(DISTINCT g) * 10000 // count(*) AS BIGINT) AS uniq_bp
+         |FROM g GROUP BY source ORDER BY source""".stripMargin,
+
+    // entropy rate: same transition cells, micro-settled -ln p
+    "q219_markov_entropy" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms, event_type
+        |  FROM events),
+        |tr AS (SELECT prev_type, event_type FROM (
+        |  SELECT event_type, lag(event_type) OVER (
+        |    PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev_type
+        |  FROM e) WHERE prev_type IS NOT NULL),
+        |c AS (SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM tr GROUP BY 1, 2),
+        |s AS (SELECT prev_type, cnt,
+        |  CAST(round(-ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))
+        |    * 1000000.0) AS BIGINT) AS s_micro
+        |  FROM (SELECT *, CAST(sum(cnt) OVER (PARTITION BY prev_type) AS BIGINT)
+        |    AS tot FROM c)),
+        |pp AS (SELECT prev_type, CAST(sum(cnt) AS BIGINT) AS n_trans,
+        |  CAST(sum(cnt * s_micro) // sum(cnt) AS BIGINT) AS h_micro
+        |  FROM s GROUP BY prev_type),
+        |al AS (SELECT 'ALL' AS prev_type, CAST(sum(cnt) AS BIGINT) AS n_trans,
+        |  CAST(sum(cnt * s_micro) // sum(cnt) AS BIGINT) AS h_micro FROM s)
+        |SELECT * FROM pp UNION ALL SELECT * FROM al ORDER BY prev_type""".stripMargin,
+
+    // OOV curve: same term counts; top-K by (cnt DESC, term)
+    "q220_oov_curve" -> {
+      val arms = OovVocabSizes.map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS vocab_k,
+           |  (SELECT CAST(sum(cnt) AS BIGINT) FROM
+           |    (SELECT cnt FROM c ORDER BY cnt DESC, term LIMIT $k)) AS covered,
+           |  (SELECT CAST(sum(cnt) AS BIGINT) FROM c) AS total""".stripMargin
+      }.mkString("\nUNION ALL ")
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |g AS (SELECT unnest(t) AS term FROM toks),
+         |c AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY term),
+         |u AS ($arms)
+         |SELECT vocab_k, covered, total,
+         |  CAST(covered * 10000 // total AS BIGINT) AS coverage_bp
+         |FROM u ORDER BY vocab_k""".stripMargin
+    },
 
     // shuffle audit: same md5 order + exact adjacency expectation
     "q215_shuffle_audit" ->
