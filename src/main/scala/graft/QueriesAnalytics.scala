@@ -1882,7 +1882,57 @@ object QueriesAnalytics {
       .orderBy("user_id", "hour")
   }
 
+  /** q224: EVENT-TIME DISORDER AUDIT — the watermark-sizing table a
+    * streaming deployment needs before picking `withWatermark`: each
+    * event rides a shard (`user_id mod` [[DisorderShards]] — the
+    * reference consumer's partition-key fan-in, many users multiplexed
+    * per shard) and ARRIVES under a deterministic network-jitter model
+    * (event time + md5-derived delay < [[DisorderJitterMs]] — the
+    * synthetic feed is perfectly ordered, so the audit rehearses the
+    * arrival noise a real producer fleet adds, with the battery's
+    * usual hash-derived determinism). Each event's lateness vs the
+    * shard's running max event-time in arrival order lands in
+    * exponential buckets (on-time / <1 s / <10 s / <100 s / ≥100 s)
+    * with per-bucket counts, max lateness, and share in bp — read off
+    * the delay that covers e.g. 99.99% of events and that's the
+    * watermark.
+    *
+    * Scale: one shard-partitioned running-max window (shard-granular
+    * parallelism — exactly the parallelism the stream itself has), one
+    * bucket-sized aggregate; the total rides a 1-row broadcast.
+    */
+  private[graft] val DisorderShards = 32
+  private[graft] val DisorderJitterMs = 30000L
+
+  private val qDisorder: Q = (spark, dir) => {
+    val w = Window.partitionBy("shard").orderBy("arr_ms", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = Tables.events(spark, dir)
+      .select(pmod(col("user_id"), lit(DisorderShards)).as("shard"),
+        col("event_id"), col("ts_ms"))
+      .withColumn("arr_ms", col("ts_ms") +
+        pmod(dedup.Dedup.hash32(col("event_id").cast("string"), "arr"),
+          lit(DisorderJitterMs)))
+      .withColumn("prior_max", max("ts_ms").over(w))
+      .filter(col("prior_max").isNotNull)
+      .select(greatest(col("prior_max") - col("ts_ms"), lit(0L)).as("late_ms"))
+    val bucketed = dedup.Dedup.materialize(late.select(col("late_ms"),
+      when(col("late_ms") === 0, lit("a_ontime"))
+        .when(col("late_ms") < 1000L, lit("b_lt1s"))
+        .when(col("late_ms") < 10000L, lit("c_lt10s"))
+        .when(col("late_ms") < 100000L, lit("d_lt100s"))
+        .otherwise(lit("e_ge100s")).as("bucket")))
+    val tot = bucketed.agg(count(lit(1)).as("total"))
+    bucketed.groupBy("bucket")
+      .agg(count(lit(1)).as("n_events"), max("late_ms").as("max_late_ms"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_events"), col("max_late_ms"),
+        expr("n_events * 10000 div total").as("share_bp"))
+      .orderBy("bucket")
+  }
+
   val all: Map[String, Q] = Map(
+    "q224_disorder" -> qDisorder,
     "q105_profile" -> qProfile,
     "q114_interpolate" -> qInterpolate,
     "q107_ewma" -> qEwma,
@@ -2345,6 +2395,28 @@ object QueriesAnalytics {
          |SELECT n_a, conv_a, n_b, conv_b,
          |  ${abStatSql.map { case (nm, e) => s"$e AS $nm" }.mkString(",\n  ")}
          |FROM s""".stripMargin,
+
+    // disorder: same running-max window in ingest (event_id) order,
+    // identical bucket boundaries and integer bp share
+    "q224_disorder" ->
+      s"""WITH e AS (SELECT ((user_id % $DisorderShards) + $DisorderShards) % $DisorderShards AS shard,
+        |  event_id, epoch_ms(ts) AS ts_ms,
+        |  epoch_ms(ts) + (('0x' || substr(md5('arr:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+        |    % $DisorderJitterMs + $DisorderJitterMs) % $DisorderJitterMs AS arr_ms
+        |  FROM events),
+        |r AS (SELECT shard, ts_ms,
+        |  max(ts_ms) OVER (PARTITION BY shard ORDER BY arr_ms, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max FROM e),
+        |l AS (SELECT greatest(prior_max - ts_ms, 0) AS late_ms FROM r
+        |  WHERE prior_max IS NOT NULL),
+        |b AS (SELECT late_ms, CASE WHEN late_ms = 0 THEN 'a_ontime'
+        |  WHEN late_ms < 1000 THEN 'b_lt1s' WHEN late_ms < 10000 THEN 'c_lt10s'
+        |  WHEN late_ms < 100000 THEN 'd_lt100s' ELSE 'e_ge100s' END AS bucket FROM l),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM b)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(late_ms) AS BIGINT) AS max_late_ms,
+        |  CAST(count(*) * 10000 // total AS BIGINT) AS share_bp
+        |FROM b, t GROUP BY bucket, total ORDER BY bucket""".stripMargin,
 
     // power analysis: same split counts, shared z literals, identical
     // float op chains settled to integer bp

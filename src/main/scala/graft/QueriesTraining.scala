@@ -1581,6 +1581,165 @@ object QueriesTraining {
     }.reduce(_ unionByName _).orderBy("vocab_k")
   }
 
+  /** q221: SIMPLIFIED SILHOUETTE — cluster-quality audit of the
+    * learned IVF partition (q80's centroids): per vector, a = cosine
+    * distance (1−cos) to its OWN centroid, b = distance to the nearest
+    * OTHER centroid; since a ≤ b, s = (b−a)/b = (cos1−cos2)/(1−cos2)
+    * ∈ [0,1], settled to micro per row. Per-list mean + ALL row
+    * (list −1) — the "is K right / are these lists coherent" gate
+    * before shipping an IVF index or a semdedup threshold.
+    *
+    * Scale: both the own-assignment and nearest-other passes are the
+    * [[ivfAssign]] shape — broadcast centroids, map-side `max_by`, the
+    * exchange carries ONE row per vector per pass (never corpus×K);
+    * the final aggregate is list-count-sized.
+    */
+  private val qSilhouette: Q = (spark, dir) => {
+    val e = embeddingsRepartitioned(spark, dir)
+    val cents = learnedCentroids(spark, dir, e)
+    val own = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", Similarity.cosine(col("vec"), col("c_vec")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("vec"), col("c_id"), col("ccos")),
+        struct(col("ccos"), (-col("c_id")).as("neg_c_id"))).as("best"))
+      .select(col("vec_id"), col("best.vec").as("vec"),
+        col("best.c_id").as("list_id"), col("best.ccos").as("cos1"))
+    val s = own.crossJoin(broadcast(cents))
+      .filter(col("c_id") =!= col("list_id"))
+      .withColumn("ccos", Similarity.cosine(col("vec"), col("c_vec")))
+      .groupBy(col("vec_id"))
+      .agg(max(col("list_id")).as("list_id"), max(col("cos1")).as("cos1"),
+        max(col("ccos")).as("cos2"))
+      .select(col("list_id"), expr(
+        "CAST(round((CASE WHEN cos2 >= 1.0 THEN 0.0 ELSE (cos1 - cos2) / (1.0 - cos2) END) * 1000000) AS BIGINT)"
+      ).as("s_micro"))
+    val sM = Dedup.materialize(s)
+    val mean = "CAST(FLOOR(CAST(sum(s_micro) AS DOUBLE) / CAST(count(1) AS DOUBLE)) AS BIGINT)"
+    val per = sM.groupBy("list_id").agg(count(lit(1)).as("n_vecs"),
+      expr(mean).as("mean_s_micro"))
+    val all = sM.agg(count(lit(1)).as("n_vecs"), expr(mean).as("mean_s_micro"))
+      .select(lit(-1L).as("list_id"), col("n_vecs"), col("mean_s_micro"))
+    per.select(col("list_id").cast("long").as("list_id"), col("n_vecs"),
+        col("mean_s_micro"))
+      .unionByName(all).orderBy("list_id")
+  }
+
+  private[graft] val KappaPrefixChars = 200
+
+  /** q222: LABEL-STABILITY KAPPA — Cohen's κ between the q18 langid
+    * run on the FULL text and the same classifier run on only the
+    * first [[KappaPrefixChars]] characters: the cheap robustness audit
+    * for "can the pipeline language-route on a prefix?" (at 100 TB you
+    * want to langid the first KB, not the whole document — κ says what
+    * that shortcut costs beyond raw agreement, by discounting the
+    * agreement two skewed labelers get for free).
+    *
+    * Exact rational: κ = (po−pe)/(1−pe) over the confusion counts is
+    * (agree·n − Σ_l nA_l·nB_l) / (n² − Σ_l nA_l·nB_l) — integer
+    * numerator and denominator; settled to micro by the sign-safe
+    * floor division ((x − ((x%d + d)%d)) div d, identical on both
+    * engines for any sign). One classify pass, label-count-sized
+    * aggregates.
+    */
+  private val qLangKappa: Q = (spark, dir) => {
+    val d = docsFanned(spark, dir).select(
+      TextAnalysis.langId(col("text")).as("a"),
+      TextAnalysis.langId(substring(col("text"), 1, KappaPrefixChars)).as("b"))
+    val cells = Dedup.materialize(
+      d.groupBy("a", "b").agg(count(lit(1)).as("c")))
+    val marg = cells.agg(sum("c").as("n"),
+      sum(when(col("a") === col("b"), col("c")).otherwise(0L)).as("agree"))
+    val pe = cells.groupBy("a").agg(sum("c").as("na"))
+      .join(cells.groupBy("b").agg(sum("c").as("nb")),
+        col("a") === col("b"))
+      .agg(sum(col("na") * col("nb")).as("sum_prod"))
+    marg.crossJoin(broadcast(pe))
+      .select(col("n"), col("agree"), col("sum_prod"),
+        expr("agree * 10000 div n").as("po_bp"),
+        expr("(agree * n - sum_prod) * 1000000").as("num"),
+        (col("n") * col("n") - col("sum_prod")).as("den"))
+      .select(col("n"), col("agree"), col("sum_prod"), col("po_bp"),
+        expr("(num - ((num % den + den) % den)) div den").as("kappa_micro"))
+  }
+
+  /** q223: LABEL↔CLUSTER MUTUAL INFORMATION — does the learned IVF
+    * coarse quantizer (q80's centroids) respect the label structure?
+    * Per (label, list) cell, pointwise MI ln(N·n_lc/(n_l·n_c)) settles
+    * to micro once; the corpus MI (= the cell-count-weighted mean,
+    * always ≥ 0) lands in an ALL row (−1, −1). The
+    * information-theoretic twin of q197's chi² independence audit,
+    * pointed at cluster homogeneity — the go/no-go for using cluster
+    * id as a curriculum or dedup stratum.
+    *
+    * Scale: one assignment pass (broadcast centroids, map-side
+    * max_by), then every aggregate is grid-sized (labels × lists).
+    */
+  private val qClusterMi: Q = (spark, dir) => {
+    val e = embeddingsRepartitioned(spark, dir)
+    val cents = learnedCentroids(spark, dir, e)
+    val lab = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val cells = Dedup.materialize(
+      ivfAssign(e, cents).join(lab, "vec_id")
+        .groupBy("label", "list_id").agg(count(lit(1)).as("n_lc")))
+    val nl = cells.groupBy("label").agg(sum("n_lc").as("n_l"))
+    val nc = cells.groupBy("list_id").agg(sum("n_lc").as("n_c"))
+    val tot = cells.agg(sum("n_lc").as("n"))
+    val pmi = cells.join(nl, "label").join(nc, "list_id")
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi_micro", expr(
+        "CAST(round(ln(CAST(n_lc AS DOUBLE) * CAST(n AS DOUBLE) / (CAST(n_l AS DOUBLE) * CAST(n_c AS DOUBLE))) * 1000000.0) AS BIGINT)"))
+    val pmiM = Dedup.materialize(
+      pmi.select(col("label"), col("list_id").cast("long").as("list_id"),
+        col("n_lc"), col("pmi_micro")))
+    val mi = pmiM.crossJoin(broadcast(tot))
+      .agg(sum("n_lc").cast("long").as("n_lc"), first(col("n")).as("nn"),
+        sum(col("n_lc") * col("pmi_micro")).as("w"))
+      .select(lit(-1L).as("label"), lit(-1L).as("list_id"), col("n_lc"),
+        expr("(w - ((w % nn + nn) % nn)) div nn").as("pmi_micro"))
+    pmiM.unionByName(mi).orderBy("label", "list_id")
+  }
+
+  private[graft] val ConformalAlpha = 10 // α = 1/10
+
+  /** q225: SPLIT-CONFORMAL COVERAGE — the distribution-free quality
+    * gate: on the q61 hash-split, the `val` slice calibrates a
+    * low-quality cutoff at the k-th smallest quality micro-score,
+    * k = ⌊(n_cal+1)/[[ConformalAlpha]]⌋ (the split-conformal quantile
+    * for α = 1/10), and the `test` slice audits the guarantee: the
+    * share of test docs at or above the cutoff should be ≈ 1−α
+    * regardless of the score distribution. Rank-pinned threshold (no
+    * float quantile knife-edge); coverage in exact bp.
+    *
+    * Scale: scoring is one codegen pass; the calibration rank is
+    * [[graft.operators.GlobalRank]] (no single-partition window); the
+    * threshold row and counts broadcast.
+    */
+  private val qConformal: Q = (spark, dir) => {
+    val scored = docsFanned(spark, dir).select(col("doc_id"),
+        QueriesAnalytics.splitAssignment(col("doc_id")).as("split"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .select(col("doc_id"), col("split"),
+        expr("CAST(round(quality * 1000000) AS BIGINT)").as("q_micro"))
+    val sM = Dedup.materialize(scored)
+    val cal = sM.filter(col("split") === "val")
+    val nCal = cal.agg(count(lit(1)).as("n_cal"))
+    val ranked = graft.operators.GlobalRank.withRank(
+      cal, Seq(col("q_micro").asc, col("doc_id").asc), "rk")
+    val thr = ranked.crossJoin(broadcast(nCal))
+      .filter(col("rk") === expr(s"(n_cal + 1) div $ConformalAlpha"))
+      .select(col("n_cal"), col("rk").as("k"), col("q_micro").as("thr_micro"))
+    sM.filter(col("split") === "test")
+      .crossJoin(broadcast(thr))
+      .agg(first(col("n_cal")).as("n_cal"), first(col("k")).as("k"),
+        first(col("thr_micro")).as("thr_micro"),
+        count(lit(1)).as("n_test"),
+        sum(when(col("q_micro") >= col("thr_micro"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .select(col("n_cal"), col("k"), col("thr_micro"), col("n_test"),
+        col("n_covered"), expr("n_covered * 10000 div n_test").as("coverage_bp"))
+  }
+
   private[graft] val NeymanBudget = 1000L
 
   /** q190: NEYMAN ALLOCATION — q149's Hamilton apportionment upgraded
@@ -2327,9 +2486,19 @@ object QueriesTraining {
     * whole build is `LloydIters` linear passes.
     */
   private val qIvfLearned: Q = (spark, dir) => {
+    val e = embeddingsRepartitioned(spark, dir)
+    val learned = learnedCentroids(spark, dir, e)
+    ivfProbeRerank(e, learned, ivfAssign(e, learned))
+  }
+
+  /** q80's learned coarse quantizer, shared with the q221/q223 audits:
+    * first-`lists` vectors ([[ScaleParams.ivfLists]]) refined by
+    * [[LloydIters]] assign → `round(avg, 6)`-mean rounds, materialized.
+    */
+  private def learnedCentroids(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, e: DataFrame): DataFrame = {
     val lists = ScaleParams.ivfLists(
       ScaleParams.tableRows(spark, dir, "embeddings"))
-    val e = embeddingsRepartitioned(spark, dir)
     var cents = e.filter(col("vec_id") < lists)
       .select(col("vec_id").as("c_id"), col("vec").as("c_vec"))
     for (_ <- 1 to LloydIters) {
@@ -2342,8 +2511,7 @@ object QueriesTraining {
           s => s.getField("m")).as("c_vec"))
         .select(col("list_id").as("c_id"), col("c_vec"))
     }
-    val learned = Dedup.materialize(cents)
-    ivfProbeRerank(e, learned, ivfAssign(e, learned))
+    Dedup.materialize(cents)
   }
 
   private val PqM = 4        // subspaces
@@ -3136,6 +3304,10 @@ object QueriesTraining {
     "q218_compress_proxy" -> qCompressProxy,
     "q219_markov_entropy" -> qMarkovEntropy,
     "q220_oov_curve" -> qOovCurve,
+    "q221_silhouette" -> qSilhouette,
+    "q222_lang_kappa" -> qLangKappa,
+    "q223_cluster_mi" -> qClusterMi,
+    "q225_conformal" -> qConformal,
     "q17_text_quality" -> qTextQuality,
     "q18_text_langid" -> qTextLangid,
     "q19_text_fingerprint" -> qTextFingerprint,
@@ -4165,6 +4337,118 @@ object QueriesTraining {
          |  CAST(covered * 10000 // total AS BIGINT) AS coverage_bp
          |FROM u ORDER BY vocab_k""".stripMargin
     },
+
+    // silhouette: the q80 Lloyd chain verbatim, then own/nearest-other
+    // assignment with identical tie order and the same micro settling
+    "q221_silhouette" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT ${ScaleParams.ivfListsSql} AS lists FROM e),
+         |c0 AS (SELECT vec_id AS c_id, v AS c_vec FROM e
+         |       WHERE vec_id < (SELECT lists FROM p)),
+         |${(1 to LloydIters).map(it => lloydCteSql(it, s"c${it - 1}")).mkString(",\n")},
+         |sc AS (SELECT e.vec_id, cL.c_id,
+         |  ${cosSql("e.v", "cL.c_vec")} AS ccos FROM e, c$LloydIters cL),
+         |own AS (SELECT vec_id, c_id AS list_id, ccos AS cos1 FROM (
+         |  SELECT vec_id, c_id, ccos, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY ccos DESC, c_id) AS crk FROM sc) WHERE crk = 1),
+         |snd AS (SELECT sc.vec_id, max(sc.ccos) AS cos2 FROM sc
+         |  JOIN own ON own.vec_id = sc.vec_id AND sc.c_id <> own.list_id
+         |  GROUP BY sc.vec_id),
+         |s AS (SELECT own.list_id,
+         |  CAST(round((CASE WHEN cos2 >= 1.0 THEN 0.0
+         |    ELSE (cos1 - cos2) / (1.0 - cos2) END) * 1000000) AS BIGINT) AS s_micro
+         |  FROM own JOIN snd ON snd.vec_id = own.vec_id),
+         |per AS (SELECT CAST(list_id AS BIGINT) AS list_id,
+         |  CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(FLOOR(CAST(sum(s_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_s_micro
+         |  FROM s GROUP BY list_id),
+         |alls AS (SELECT CAST(-1 AS BIGINT) AS list_id,
+         |  CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(FLOOR(CAST(sum(s_micro) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS BIGINT) AS mean_s_micro
+         |  FROM s)
+         |SELECT * FROM per UNION ALL SELECT * FROM alls ORDER BY list_id""".stripMargin,
+
+    // kappa: same classifier text on full and prefix tokens; exact
+    // integer rational with the sign-safe shared floor division
+    "q222_lang_kappa" -> {
+      val hits = TextAnalysis.stopwords
+        .map { case (l, ws) => s"${hitsSql(ws)} AS s_$l" }.mkString(",\n  ")
+      s"""WITH t AS (SELECT doc_id, text FROM documents),
+         |fa AS (SELECT doc_id, $ltoksSql AS ltoks FROM t),
+         |sa AS (SELECT doc_id, $hits FROM fa),
+         |la AS (SELECT doc_id, $langCaseSql AS a FROM sa),
+         |fb AS (SELECT doc_id,
+         |  string_split_regex(trim(lower(substr(text, 1, $KappaPrefixChars))), '\\s+') AS ltoks FROM t),
+         |sb AS (SELECT doc_id, $hits FROM fb),
+         |lb AS (SELECT doc_id, $langCaseSql AS b FROM sb),
+         |cells AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c
+         |  FROM la JOIN lb USING (doc_id) GROUP BY a, b),
+         |m AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS agree FROM cells),
+         |pa AS (SELECT a, CAST(sum(c) AS BIGINT) AS na FROM cells GROUP BY a),
+         |pb AS (SELECT b, CAST(sum(c) AS BIGINT) AS nb FROM cells GROUP BY b),
+         |sp AS (SELECT CAST(sum(na * nb) AS BIGINT) AS sum_prod
+         |  FROM pa JOIN pb ON pa.a = pb.b),
+         |x AS (SELECT n, agree, sum_prod,
+         |  (agree * n - sum_prod) * 1000000 AS num,
+         |  n * n - sum_prod AS den FROM m, sp)
+         |SELECT n, agree, sum_prod,
+         |  CAST(agree * 10000 // n AS BIGINT) AS po_bp,
+         |  CAST((num - ((num % den + den) % den)) // den AS BIGINT) AS kappa_micro
+         |FROM x""".stripMargin
+    },
+
+    // cluster MI: the q80 assignment verbatim, per-cell ln settled to
+    // micro once, ALL row via the shared sign-safe floor division
+    "q223_cluster_mi" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |p AS (SELECT ${ScaleParams.ivfListsSql} AS lists FROM e),
+         |c0 AS (SELECT vec_id AS c_id, v AS c_vec FROM e
+         |       WHERE vec_id < (SELECT lists FROM p)),
+         |${(1 to LloydIters).map(it => lloydCteSql(it, s"c${it - 1}")).mkString(",\n")},
+         |assign AS (SELECT vec_id, c_id AS list_id FROM (
+         |  SELECT e.vec_id, cL.c_id, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${cosSql("e.v", "cL.c_vec")} DESC, cL.c_id) AS crk
+         |  FROM e, c$LloydIters cL) WHERE crk = 1),
+         |lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+         |cells AS (SELECT label, CAST(list_id AS BIGINT) AS list_id,
+         |  CAST(count(*) AS BIGINT) AS n_lc
+         |  FROM assign JOIN lab USING (vec_id) GROUP BY label, list_id),
+         |nl AS (SELECT label, CAST(sum(n_lc) AS BIGINT) AS n_l FROM cells GROUP BY label),
+         |nc AS (SELECT list_id, CAST(sum(n_lc) AS BIGINT) AS n_c FROM cells GROUP BY list_id),
+         |tot AS (SELECT CAST(sum(n_lc) AS BIGINT) AS n FROM cells),
+         |pmi AS (SELECT c.label, c.list_id, c.n_lc,
+         |  CAST(round(ln(CAST(c.n_lc AS DOUBLE) * CAST(t.n AS DOUBLE)
+         |    / (CAST(nl.n_l AS DOUBLE) * CAST(nc.n_c AS DOUBLE))) * 1000000.0) AS BIGINT) AS pmi_micro
+         |  FROM cells c JOIN nl USING (label) JOIN nc USING (list_id), tot t),
+         |mi AS (SELECT CAST(-1 AS BIGINT) AS label, CAST(-1 AS BIGINT) AS list_id,
+         |  CAST(sum(n_lc) AS BIGINT) AS n_lc,
+         |  CAST((CAST(sum(n_lc * pmi_micro) AS BIGINT)
+         |    - ((CAST(sum(n_lc * pmi_micro) AS BIGINT) % t.n + t.n) % t.n)) // t.n AS BIGINT) AS pmi_micro
+         |  FROM pmi, tot t GROUP BY t.n)
+         |SELECT label, list_id, n_lc, pmi_micro FROM pmi
+         |UNION ALL SELECT * FROM mi ORDER BY label, list_id""".stripMargin,
+
+    // conformal: q61's hash split + the shared quality chain; the
+    // calibration quantile is rank-pinned, coverage is integer bp
+    "q225_conformal" ->
+      s"""$qualityScoreCtes,
+         |sc AS (SELECT doc_id,
+         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+         |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e7' THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  CAST(round(quality * 1000000) AS BIGINT) AS q_micro FROM q),
+         |cal AS (SELECT doc_id, q_micro FROM sc WHERE split = 'val'),
+         |ncal AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
+         |rk AS (SELECT q_micro,
+         |  row_number() OVER (ORDER BY q_micro, doc_id) AS rk FROM cal),
+         |thr AS (SELECT n_cal, CAST(rk AS BIGINT) AS k, q_micro AS thr_micro
+         |  FROM rk, ncal WHERE rk = (n_cal + 1) // $ConformalAlpha),
+         |tst AS (SELECT q_micro FROM sc WHERE split = 'test')
+         |SELECT n_cal, k, thr_micro, CAST(count(*) AS BIGINT) AS n_test,
+         |  CAST(sum(CASE WHEN q_micro >= thr_micro THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+         |  CAST(sum(CASE WHEN q_micro >= thr_micro THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS coverage_bp
+         |FROM tst, thr GROUP BY n_cal, k, thr_micro""".stripMargin,
 
     // shuffle audit: same md5 order + exact adjacency expectation
     "q215_shuffle_audit" ->

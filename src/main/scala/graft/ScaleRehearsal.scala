@@ -295,7 +295,13 @@ object ScaleRehearsal {
         }.reduce(_ unionAll _)
           .write.mode("overwrite").parquet(s"$scaled/$name.parquet")
       }
-      scaleTable("lineitem", Map("l_orderkey" -> 1000000000L))
+      // l_suppkey/orders/supplier offsets keep the q204 supplier
+      // co-order graph as N disjoint copies (component structure
+      // preserved); l_partkey is shared so q195/q210 baskets grow in
+      // COUNT over the same item space
+      scaleTable("lineitem", Map("l_orderkey" -> 1000000000L, "l_suppkey" -> 10000000L))
+      scaleTable("orders", Map("o_orderkey" -> 1000000000L, "o_custkey" -> 10000000L))
+      scaleTable("supplier", Map("s_suppkey" -> 10000000L))
       scaleTable("events", Map("event_id" -> 1000000000L, "user_id" -> 10000000L))
       val emb0 = spark.read.parquet(s"$base/embeddings.parquet")
       (0 until mult).map { k =>
@@ -305,7 +311,11 @@ object ScaleRehearsal {
       }.reduce(_ unionAll _)
         .write.mode("overwrite").parquet(s"$scaled/embeddings.parquet")
       val qs = Seq("q195_assoc_rules", "q196_embed_gram", "q197_chi_square",
-        "q198_hill", "q199_pca_power", "q200_bot_regularity")
+        "q198_hill", "q199_pca_power", "q200_bot_regularity",
+        // later round-8 additions over the same scaled tables: labeled
+        // BFS, rec-eval composition, sequence anomaly, shingle ratio
+        "q204_closeness", "q210_rec_hitrate", "q213_path_anomaly",
+        "q218_compress_proxy")
       Seq("1x" -> base, s"${mult}x" -> scaled).foreach { case (label, dir) =>
         qs.foreach(q => timeQuery(spark, q, dir)) // warm
         val line = qs.map(q => "\"" + q + "\":" + timeQuery(spark, q, dir))
