@@ -1884,10 +1884,10 @@ object QueriesAnalytics {
 
   /** q224: EVENT-TIME DISORDER AUDIT — the watermark-sizing table a
     * streaming deployment needs before picking `withWatermark`: each
-    * event rides a shard (`user_id mod` [[DisorderShards]] — the
+    * event rides a shard (`user_id mod` [[graft.streaming.Disorder.Shards]] — the
     * reference consumer's partition-key fan-in, many users multiplexed
     * per shard) and ARRIVES under a deterministic network-jitter model
-    * (event time + md5-derived delay < [[DisorderJitterMs]] — the
+    * (event time + md5-derived delay < [[graft.streaming.Disorder.JitterMs]] — the
     * synthetic feed is perfectly ordered, so the audit rehearses the
     * arrival noise a real producer fleet adds, with the battery's
     * usual hash-derived determinism). Each event's lateness vs the
@@ -1900,35 +1900,17 @@ object QueriesAnalytics {
     * Scale: one shard-partitioned running-max window (shard-granular
     * parallelism — exactly the parallelism the stream itself has), one
     * bucket-sized aggregate; the total rides a 1-row broadcast.
+    *
+    * The logic lives in [[graft.streaming.Disorder]], shared verbatim
+    * with the incremental streaming monitor (`DisorderStreamSpec`
+    * pins fold == rebuild across arbitrary arrival-ordered batch
+    * boundaries).
     */
-  private[graft] val DisorderShards = 32
-  private[graft] val DisorderJitterMs = 30000L
-
   private val qDisorder: Q = (spark, dir) => {
-    val w = Window.partitionBy("shard").orderBy("arr_ms", "event_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val late = Tables.events(spark, dir)
-      .select(pmod(col("user_id"), lit(DisorderShards)).as("shard"),
-        col("event_id"), col("ts_ms"))
-      .withColumn("arr_ms", col("ts_ms") +
-        pmod(dedup.Dedup.hash32(col("event_id").cast("string"), "arr"),
-          lit(DisorderJitterMs)))
-      .withColumn("prior_max", max("ts_ms").over(w))
-      .filter(col("prior_max").isNotNull)
-      .select(greatest(col("prior_max") - col("ts_ms"), lit(0L)).as("late_ms"))
-    val bucketed = dedup.Dedup.materialize(late.select(col("late_ms"),
-      when(col("late_ms") === 0, lit("a_ontime"))
-        .when(col("late_ms") < 1000L, lit("b_lt1s"))
-        .when(col("late_ms") < 10000L, lit("c_lt10s"))
-        .when(col("late_ms") < 100000L, lit("d_lt100s"))
-        .otherwise(lit("e_ge100s")).as("bucket")))
-    val tot = bucketed.agg(count(lit(1)).as("total"))
-    bucketed.groupBy("bucket")
-      .agg(count(lit(1)).as("n_events"), max("late_ms").as("max_late_ms"))
-      .crossJoin(broadcast(tot))
-      .select(col("bucket"), col("n_events"), col("max_late_ms"),
-        expr("n_events * 10000 div total").as("share_bp"))
-      .orderBy("bucket")
+    import graft.streaming.Disorder
+    val ev = Disorder.withArrival(Tables.events(spark, dir))
+    Disorder.report(Disorder.bucketize(
+      Disorder.lateness(ev, Disorder.emptyState(spark))))
   }
 
   val all: Map[String, Q] = Map(
@@ -2399,10 +2381,10 @@ object QueriesAnalytics {
     // disorder: same running-max window in ingest (event_id) order,
     // identical bucket boundaries and integer bp share
     "q224_disorder" ->
-      s"""WITH e AS (SELECT ((user_id % $DisorderShards) + $DisorderShards) % $DisorderShards AS shard,
+      s"""WITH e AS (SELECT ((user_id % ${streaming.Disorder.Shards}) + ${streaming.Disorder.Shards}) % ${streaming.Disorder.Shards} AS shard,
         |  event_id, epoch_ms(ts) AS ts_ms,
         |  epoch_ms(ts) + (('0x' || substr(md5('arr:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
-        |    % $DisorderJitterMs + $DisorderJitterMs) % $DisorderJitterMs AS arr_ms
+        |    % ${streaming.Disorder.JitterMs} + ${streaming.Disorder.JitterMs}) % ${streaming.Disorder.JitterMs} AS arr_ms
         |  FROM events),
         |r AS (SELECT shard, ts_ms,
         |  max(ts_ms) OVER (PARTITION BY shard ORDER BY arr_ms, event_id
