@@ -1740,6 +1740,37 @@ object QueriesTraining {
         col("n_covered"), expr("n_covered * 10000 div n_test").as("coverage_bp"))
   }
 
+  /** q226: CROSS-SPLIT CONTAMINATION — near-duplicate pairs that
+    * STRADDLE the q61 train/test hash split: the leakage a random
+    * per-DOCUMENT split inflicts when dedup wasn't run per-CLUSTER
+    * first (a train doc's near-copy sitting in test silently inflates
+    * eval scores — the reason the published pipelines split by dup
+    * cluster, not by doc). Pairs are q22's LSH-verified Jaccard ≥ 0.4
+    * set verbatim; each pair lands in its unordered (split, split)
+    * combo with counts and share in bp — the (test, train)/(train,
+    * val) rows are the leak.
+    *
+    * Scale: everything upstream is the q21/q22 banded-LSH shape
+    * (exact verify touches candidates only); the split labels join on
+    * doc_id keys; the combo grid is 6 rows.
+    */
+  private val qSplitContamination: Q = (spark, dir) => {
+    val pairs = ngramPairs(spark, dir).select("id_a", "id_b")
+    val split = Tables(spark, dir, "documents").select(col("doc_id"),
+      QueriesAnalytics.splitAssignment(col("doc_id")).as("sp"))
+    val combos = Dedup.materialize(pairs
+      .join(split.select(col("doc_id").as("id_a"), col("sp").as("sp_a")), "id_a")
+      .join(split.select(col("doc_id").as("id_b"), col("sp").as("sp_b")), "id_b")
+      .select(least(col("sp_a"), col("sp_b")).as("split_lo"),
+        greatest(col("sp_a"), col("sp_b")).as("split_hi"))
+      .groupBy("split_lo", "split_hi").agg(count(lit(1)).as("n_pairs")))
+    val tot = combos.agg(sum("n_pairs").as("total"))
+    combos.crossJoin(broadcast(tot))
+      .select(col("split_lo"), col("split_hi"), col("n_pairs"),
+        expr("n_pairs * 10000 div total").as("share_bp"))
+      .orderBy("split_lo", "split_hi")
+  }
+
   private[graft] val NeymanBudget = 1000L
 
   /** q190: NEYMAN ALLOCATION — q149's Hamilton apportionment upgraded
@@ -3308,6 +3339,7 @@ object QueriesTraining {
     "q222_lang_kappa" -> qLangKappa,
     "q223_cluster_mi" -> qClusterMi,
     "q225_conformal" -> qConformal,
+    "q226_split_contamination" -> qSplitContamination,
     "q17_text_quality" -> qTextQuality,
     "q18_text_langid" -> qTextLangid,
     "q19_text_fingerprint" -> qTextFingerprint,
@@ -4449,6 +4481,29 @@ object QueriesTraining {
          |  CAST(sum(CASE WHEN q_micro >= thr_micro THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
          |  CAST(sum(CASE WHEN q_micro >= thr_micro THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS coverage_bp
          |FROM tst, thr GROUP BY n_cal, k, thr_micro""".stripMargin,
+
+    // cross-split contamination: q22's verified pair set verbatim,
+    // q61's split CASE on both endpoints, least/greatest combo grid
+    "q226_split_contamination" ->
+      s"""$lshCandidateCtes,
+         |jac AS (SELECT id_a, id_b,
+         |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         |    / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS jacc
+         |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b),
+         |pr AS (SELECT id_a, id_b FROM jac WHERE jacc >= 0.4),
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+         |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e7' THEN 'val'
+         |       ELSE 'test' END AS sp FROM documents),
+         |px AS (SELECT least(sa.sp, sb.sp) AS split_lo,
+         |  greatest(sa.sp, sb.sp) AS split_hi
+         |  FROM pr JOIN sp sa ON sa.doc_id = id_a JOIN sp sb ON sb.doc_id = id_b),
+         |g AS (SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM px GROUP BY split_lo, split_hi),
+         |t AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS total FROM g)
+         |SELECT split_lo, split_hi, n_pairs,
+         |  CAST(n_pairs * 10000 // total AS BIGINT) AS share_bp
+         |FROM g, t ORDER BY split_lo, split_hi""".stripMargin,
 
     // shuffle audit: same md5 order + exact adjacency expectation
     "q215_shuffle_audit" ->
