@@ -1578,6 +1578,39 @@ object QueriesAnalytics {
   private val qSqlAssort: Q = (spark, dir) =>
     sqlVerbatim(spark, dir, AssortSqlText, Seq("orders", "lineitem"))
 
+  /** Dialect-neutral HHI text: revenue settles to integer cents per
+    * ROW (order-free sums — the battery's money-parity rule), shares
+    * to bp via the shared FLOOR-double division, HHI = Σ share_bp² as
+    * an exact integer. Window sum is CAST (DuckDB HUGEINT trap).
+    */
+  private[graft] val HhiSqlText: String =
+    """WITH li AS (SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr,
+      |  l_suppkey,
+      |  CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |s AS (SELECT yr, l_suppkey, CAST(sum(cents) AS BIGINT) AS sc
+      |  FROM li GROUP BY yr, l_suppkey),
+      |w AS (SELECT yr, sc,
+      |  CAST(sum(sc) OVER (PARTITION BY yr) AS BIGINT) AS tot FROM s),
+      |b AS (SELECT yr, tot,
+      |  CAST(FLOOR(CAST(sc * 10000 AS DOUBLE) / tot) AS BIGINT) AS share_bp
+      |  FROM w)
+      |SELECT yr, CAST(count(*) AS BIGINT) AS n_suppliers,
+      |  CAST(max(tot) AS BIGINT) AS total_cents,
+      |  CAST(sum(share_bp * share_bp) AS BIGINT) AS hhi,
+      |  CAST(max(share_bp) AS BIGINT) AS top_share_bp
+      |FROM b GROUP BY yr ORDER BY yr""".stripMargin
+
+  /** q227: SQL front end #12 — per-year supplier revenue
+    * concentration (Herfindahl–Hirschman index): the market-structure
+    * audit behind "is this corpus/market dominated by a few
+    * suppliers?", run verbatim by both engines from [[HhiSqlText]].
+    * Scale: one fact-sized join + (year, supplier) aggregate; the
+    * window partitions by year over the supplier-sized table.
+    */
+  private val qSqlHhi: Q = (spark, dir) =>
+    sqlVerbatim(spark, dir, HhiSqlText, Seq("orders", "lineitem"))
+
   private[graft] val KCoreK = 20
   private[graft] val KCoreRounds = 4
 
@@ -1935,6 +1968,7 @@ object QueriesAnalytics {
     "q204_closeness" -> qCloseness,
     "q209_assortativity" -> qAssortativity,
     "q212_sql_assort" -> qSqlAssort,
+    "q227_sql_hhi" -> qSqlHhi,
     "q213_path_anomaly" -> qPathAnomaly,
     "q216_ab_power" -> qAbPower,
     "q174_benford" -> qBenford,
@@ -2377,6 +2411,9 @@ object QueriesAnalytics {
          |SELECT n_a, conv_a, n_b, conv_b,
          |  ${abStatSql.map { case (nm, e) => s"$e AS $nm" }.mkString(",\n  ")}
          |FROM s""".stripMargin,
+
+    // SQL surface #12: the text IS the oracle
+    "q227_sql_hhi" -> HhiSqlText,
 
     // disorder: same running-max window in ingest (event_id) order,
     // identical bucket boundaries and integer bp share

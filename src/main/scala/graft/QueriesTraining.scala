@@ -1659,7 +1659,11 @@ object QueriesTraining {
         expr("(agree * n - sum_prod) * 1000000").as("num"),
         (col("n") * col("n") - col("sum_prod")).as("den"))
       .select(col("n"), col("agree"), col("sum_prod"), col("po_bp"),
-        expr("(num - ((num % den + den) % den)) div den").as("kappa_micro"))
+        // den = 0 ⇔ pe = 1 ⇔ both labelers are the SAME point mass
+        // (then po = 1 too): κ is 1 by continuity, and the guard keeps
+        // a single-language corpus from dividing by zero
+        expr("CASE WHEN den = 0 THEN 1000000 ELSE (num - ((num % den + den) % den)) div den END")
+          .as("kappa_micro"))
   }
 
   /** q223: LABEL↔CLUSTER MUTUAL INFORMATION — does the learned IVF
@@ -1769,6 +1773,54 @@ object QueriesTraining {
       .select(col("split_lo"), col("split_hi"), col("n_pairs"),
         expr("n_pairs * 10000 div total").as("share_bp"))
       .orderBy("split_lo", "split_hi")
+  }
+
+  private[graft] val DoremiEta = 0.1
+
+  /** q228: MIXTURE REWEIGHTING (DoReMi-style, one exact step) — the
+    * domain-weight update behind learned data mixtures: each source's
+    * excess-loss proxy is its token-weighted unigram cross-entropy
+    * (q53's model at source granularity), and one multiplicative-
+    * weights step w′_s ∝ n_s · exp(η·H_s) tilts the mixture toward
+    * hard domains. Every float settles once: −ln p to micro PER TERM
+    * (order-free weighted sums after that, q219's rule), the exp
+    * factor to micro per SOURCE (one libm call on a BIGINT-derived
+    * input), and the new weights land in exact bp by largest-remainder
+    * rounding (q149's Hamilton, rank via GlobalRank) — Σ w1_bp = 10⁴
+    * exactly.
+    *
+    * Scale: one tokenize pass; shuffles carry term and (source, term)
+    * KEYS with map-side combine; everything after is source-sized.
+    */
+  private val qDoremi: Q = (spark, dir) => {
+    val toks = Dedup.materialize(docsFanned(spark, dir)
+      .select(col("source"), explode_outer(TextAnalysis.tokens(col("text"))).as("term")))
+    val ct = toks.groupBy("term").agg(count(lit(1)).as("c"))
+    val tot = toks.agg(count(lit(1)).as("t"))
+    val sMicro = ct.crossJoin(broadcast(tot))
+      .select(col("term"), expr(
+        "CAST(round(-ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000.0) AS BIGINT)"
+      ).as("s_micro"))
+    val st = toks.groupBy("source", "term").agg(count(lit(1)).as("n_st"))
+    val src = Dedup.materialize(st.join(sMicro, "term")
+      .groupBy("source")
+      .agg(sum("n_st").as("n_tokens"),
+        expr("sum(n_st * s_micro) div sum(n_st)").as("h_micro"))
+      .withColumn("f_micro", expr(
+        s"CAST(round(exp($DoremiEta * CAST(h_micro AS DOUBLE) / 1000000.0) * 1000000.0) AS BIGINT)"))
+      .withColumn("unnorm", col("n_tokens") * col("f_micro")))
+    val totals = src.agg(sum("unnorm").as("u"), sum("n_tokens").as("t"))
+    val quotas = src.crossJoin(broadcast(totals))
+      .withColumn("w0_bp", expr("n_tokens * 10000 div t"))
+      .withColumn("base", expr("unnorm * 10000 div u"))
+      .withColumn("rem", expr("(unnorm * 10000) % u"))
+    val qM = Dedup.materialize(graft.operators.GlobalRank.withRank(
+      quotas, Seq(col("rem").desc, col("source")), "rk"))
+    val leftover = qM.agg((lit(10000L) - sum("base")).as("l"))
+    qM.crossJoin(broadcast(leftover))
+      .withColumn("w1_bp", col("base") + when(col("rk") <= col("l"), 1L).otherwise(0L))
+      .select("source", "n_tokens", "h_micro", "w0_bp", "w1_bp")
+      .orderBy("source")
   }
 
   private[graft] val NeymanBudget = 1000L
@@ -3340,6 +3392,7 @@ object QueriesTraining {
     "q223_cluster_mi" -> qClusterMi,
     "q225_conformal" -> qConformal,
     "q226_split_contamination" -> qSplitContamination,
+    "q228_doremi" -> qDoremi,
     "q17_text_quality" -> qTextQuality,
     "q18_text_langid" -> qTextLangid,
     "q19_text_fingerprint" -> qTextFingerprint,
@@ -4426,7 +4479,8 @@ object QueriesTraining {
          |  n * n - sum_prod AS den FROM m, sp)
          |SELECT n, agree, sum_prod,
          |  CAST(agree * 10000 // n AS BIGINT) AS po_bp,
-         |  CAST((num - ((num % den + den) % den)) // den AS BIGINT) AS kappa_micro
+         |  CAST(CASE WHEN den = 0 THEN 1000000
+         |    ELSE (num - ((num % den + den) % den)) // den END AS BIGINT) AS kappa_micro
          |FROM x""".stripMargin
     },
 
@@ -4504,6 +4558,37 @@ object QueriesTraining {
          |SELECT split_lo, split_hi, n_pairs,
          |  CAST(n_pairs * 10000 // total AS BIGINT) AS share_bp
          |FROM g, t ORDER BY split_lo, split_hi""".stripMargin,
+
+    // doremi: per-term micro settling makes source sums order-free;
+    // one exp per source; Hamilton rounding mirrored with a window rank
+    "q228_doremi" ->
+      s"""WITH toks AS (SELECT source, unnest($toksSql) AS term FROM documents),
+         |c AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY term),
+         |tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM toks),
+         |sm AS (SELECT term,
+         |  CAST(round(-ln(c.c::DOUBLE / tt.t) * 1000000.0) AS BIGINT) AS s_micro
+         |  FROM c, tt),
+         |st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS n_st
+         |  FROM toks GROUP BY source, term),
+         |src AS (SELECT source, CAST(sum(n_st) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_st * s_micro) // sum(n_st) AS BIGINT) AS h_micro
+         |  FROM st JOIN sm USING (term) GROUP BY source),
+         |f AS (SELECT source, n_tokens, h_micro,
+         |  CAST(round(exp($DoremiEta * CAST(h_micro AS DOUBLE) / 1000000.0) * 1000000.0) AS BIGINT) AS f_micro
+         |  FROM src),
+         |u AS (SELECT source, n_tokens, h_micro, n_tokens * f_micro AS unnorm FROM f),
+         |tots AS (SELECT CAST(sum(unnorm) AS BIGINT) AS uu,
+         |  CAST(sum(n_tokens) AS BIGINT) AS t FROM u),
+         |q AS (SELECT source, n_tokens, h_micro,
+         |  CAST(n_tokens * 10000 // t AS BIGINT) AS w0_bp,
+         |  CAST(unnorm * 10000 // uu AS BIGINT) AS base,
+         |  (unnorm * 10000) % uu AS rem FROM u, tots),
+         |r AS (SELECT source, n_tokens, h_micro, w0_bp, base,
+         |  row_number() OVER (ORDER BY rem DESC, source) AS rk FROM q),
+         |lo AS (SELECT 10000 - CAST(sum(base) AS BIGINT) AS l FROM r)
+         |SELECT source, n_tokens, h_micro, w0_bp,
+         |  CAST(base + CASE WHEN rk <= l THEN 1 ELSE 0 END AS BIGINT) AS w1_bp
+         |FROM r, lo ORDER BY source""".stripMargin,
 
     // shuffle audit: same md5 order + exact adjacency expectation
     "q215_shuffle_audit" ->

@@ -231,6 +231,11 @@ object ScaleRehearsal {
     // "new10" second arg: the round-8 fourth continuation's operators
     // (assoc rules, Gram/PCA moments, chi²/Hill, bot regularity)
     val new10Only = args.length > 1 && args(1) == "new10"
+    // "new11" second arg: the round-8 fifth continuation's audits —
+    // silhouette/cluster-MI (Lloyd chain with the √n-DERIVED list
+    // count at Nx), langid kappa + conformal (docs), disorder
+    // (events), cross-split contamination (the full LSH chain + split)
+    val new11Only = args.length > 1 && args(1) == "new11"
     val scaled = s"/tmp/graft_scale_${mult}x"
     val spark = GraftSession.get("local[32]", "32")
     if (new8Only) {
@@ -321,6 +326,34 @@ object ScaleRehearsal {
         val line = qs.map(q => "\"" + q + "\":" + timeQuery(spark, q, dir))
           .mkString("{", ",", "}")
         println(s"""{"metric":"scale_rehearsal_new10","scale":"$label","dir":"$dir","queries":$line}""")
+      }
+      spark.stop(); return
+    }
+    if (new11Only) {
+      scaleDocs(spark, base, scaled, mult)
+      def scaleTable(name: String, offsets: Map[String, Long]): Unit = {
+        val t = spark.read.parquet(s"$base/$name.parquet")
+        (0 until mult).map { k =>
+          offsets.foldLeft(t) { case (acc, (c, off)) =>
+            acc.withColumn(c, col(c) + lit(k * off)) }
+        }.reduce(_ unionAll _)
+          .write.mode("overwrite").parquet(s"$scaled/$name.parquet")
+      }
+      scaleTable("events", Map("event_id" -> 1000000000L, "user_id" -> 10000000L))
+      val emb0 = spark.read.parquet(s"$base/embeddings.parquet")
+      (0 until mult).map { k =>
+        emb0.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+          copyVariant(k).cast("array<float>").as("embedding"),
+          col("label"))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$scaled/embeddings.parquet")
+      val qs = Seq("q221_silhouette", "q222_lang_kappa", "q223_cluster_mi",
+        "q224_disorder", "q225_conformal", "q226_split_contamination")
+      Seq("1x" -> base, s"${mult}x" -> scaled).foreach { case (label, dir) =>
+        qs.foreach(q => timeQuery(spark, q, dir)) // warm
+        val line = qs.map(q => "\"" + q + "\":" + timeQuery(spark, q, dir))
+          .mkString("{", ",", "}")
+        println(s"""{"metric":"scale_rehearsal_new11","scale":"$label","dir":"$dir","queries":$line}""")
       }
       spark.stop(); return
     }
