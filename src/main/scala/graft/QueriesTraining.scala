@@ -1792,17 +1792,21 @@ object QueriesTraining {
     * Scale: one tokenize pass; shuffles carry term and (source, term)
     * KEYS with map-side combine; everything after is source-sized.
     */
-  private val qDoremi: Q = (spark, dir) => {
-    val toks = Dedup.materialize(docsFanned(spark, dir)
-      .select(col("source"), explode_outer(TextAnalysis.tokens(col("text"))).as("term")))
-    val ct = toks.groupBy("term").agg(count(lit(1)).as("c"))
-    val tot = toks.agg(count(lit(1)).as("t"))
+  /** The q228 update as a pure function of the (source, term, n_st)
+    * count table — everything downstream of the counts is derivable
+    * from them (corpus term counts = Σ over sources), so the SAME code
+    * serves the batch query and the streaming monitor's MV-folded
+    * store (`StreamingDoremiSpec`: fold == rebuild down to the bp).
+    */
+  private[graft] def doremiFromCounts(st: DataFrame): DataFrame = {
+    val stM = Dedup.materialize(st)
+    val ct = stM.groupBy("term").agg(sum("n_st").as("c"))
+    val tot = stM.agg(sum("n_st").as("t"))
     val sMicro = ct.crossJoin(broadcast(tot))
       .select(col("term"), expr(
         "CAST(round(-ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) * 1000000.0) AS BIGINT)"
       ).as("s_micro"))
-    val st = toks.groupBy("source", "term").agg(count(lit(1)).as("n_st"))
-    val src = Dedup.materialize(st.join(sMicro, "term")
+    val src = Dedup.materialize(stM.join(sMicro, "term")
       .groupBy("source")
       .agg(sum("n_st").as("n_tokens"),
         expr("sum(n_st * s_micro) div sum(n_st)").as("h_micro"))
@@ -1822,6 +1826,11 @@ object QueriesTraining {
       .select("source", "n_tokens", "h_micro", "w0_bp", "w1_bp")
       .orderBy("source")
   }
+
+  private val qDoremi: Q = (spark, dir) =>
+    doremiFromCounts(docsFanned(spark, dir)
+      .select(col("source"), explode_outer(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("n_st")))
 
   private[graft] val NeymanBudget = 1000L
 
