@@ -1775,6 +1775,45 @@ object QueriesTraining {
       .orderBy("split_lo", "split_hi")
   }
 
+  /** q229: BRIER DECOMPOSITION (Murphy) — the classifier-eval
+    * companion to q172's calibration bins: per-doc forecast
+    * probability p = σ(score) (one sigmoid per doc, settled to micro),
+    * docs land in q172's exact rank-ntile bins, and the Brier score
+    * splits into reliability − resolution + uncertainty, each an
+    * exact integer in micro² units from bin counts and micro means.
+    * REL says "are the forecasts honest", RES "do they discriminate",
+    * UNC is the irreducible base-rate term — the three numbers that
+    * tell you whether to recalibrate or retrain.
+    *
+    * Scale: the score pass is q170's; the rank is GlobalRank's
+    * two-phase ntile (no single-partition window); everything after
+    * is bin-sized.
+    */
+  private val qBrier: Q = (spark, dir) => {
+    val scored = Dedup.materialize(
+      nbDocScores(spark, dir).select(col("doc_id"), col("score"),
+          when(col("source") === NbSeedSource, 1L).otherwise(0L).as("y"))
+        .withColumn("p_micro", expr(
+          "CAST(round(1000000.0 / (1.0 + exp(-CAST(score AS DOUBLE) / 1000000.0))) AS BIGINT)")))
+    val binned = graft.operators.GlobalRank.withNtile(
+      scored, Seq(col("score").desc, col("doc_id")), NbCalBins, "bin")
+    val bins = Dedup.materialize(binned.groupBy("bin")
+      .agg(count(lit(1)).as("n_k"), sum("p_micro").as("sp"), sum("y").as("pos_k"))
+      .select(col("bin"), col("n_k"), col("pos_k"),
+        expr("sp div n_k").as("f_micro"),
+        expr("pos_k * 1000000 div n_k").as("o_micro")))
+    val tot = bins.agg(sum("n_k").as("n"), sum("pos_k").as("pos"))
+      .withColumn("obar", expr("pos * 1000000 div n"))
+    val bs = scored.agg(count(lit(1)).as("nd"),
+      sum(expr("(p_micro - y * 1000000) * (p_micro - y * 1000000)")).as("sq"))
+    bins.crossJoin(broadcast(tot)).crossJoin(broadcast(bs))
+      .agg(first(col("n")).as("n_docs"), first(col("obar")).as("base_rate_micro"),
+        expr("first(sq div nd)").as("bs_micro2"),
+        expr("sum(n_k * (f_micro - o_micro) * (f_micro - o_micro)) div first(n)").as("rel_micro2"),
+        expr("sum(n_k * (o_micro - obar) * (o_micro - obar)) div first(n)").as("res_micro2"),
+        expr("first(obar * (1000000 - obar))").as("unc_micro2"))
+  }
+
   private[graft] val DoremiEta = 0.1
 
   /** q228: MIXTURE REWEIGHTING (DoReMi-style, one exact step) — the
@@ -3402,6 +3441,7 @@ object QueriesTraining {
     "q225_conformal" -> qConformal,
     "q226_split_contamination" -> qSplitContamination,
     "q228_doremi" -> qDoremi,
+    "q229_brier" -> qBrier,
     "q17_text_quality" -> qTextQuality,
     "q18_text_langid" -> qTextLangid,
     "q19_text_fingerprint" -> qTextFingerprint,
@@ -4567,6 +4607,32 @@ object QueriesTraining {
          |SELECT split_lo, split_hi, n_pairs,
          |  CAST(n_pairs * 10000 // total AS BIGINT) AS share_bp
          |FROM g, t ORDER BY split_lo, split_hi""".stripMargin,
+
+    // brier: the q170 score chain + q172's ntile, one sigmoid per doc
+    // settled to micro, decomposition terms as exact integer micro-sq
+    "q229_brier" ->
+      s"""$nbScoreCtes,
+         |sc AS (SELECT doc_id, score,
+         |  CASE WHEN source = '$NbSeedSource' THEN 1 ELSE 0 END AS y,
+         |  CAST(round(1000000.0 / (1.0 + exp(-CAST(score AS DOUBLE) / 1000000.0))) AS BIGINT) AS p_micro
+         |  FROM d),
+         |r AS (SELECT y, p_micro,
+         |  CAST(ntile($NbCalBins) OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS bin FROM sc),
+         |b AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_k,
+         |  CAST(sum(y) AS BIGINT) AS pos_k,
+         |  CAST(sum(p_micro) // count(*) AS BIGINT) AS f_micro,
+         |  CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS o_micro
+         |  FROM r GROUP BY bin),
+         |t AS (SELECT CAST(sum(n_k) AS BIGINT) AS n,
+         |  CAST(sum(pos_k) * 1000000 // sum(n_k) AS BIGINT) AS obar FROM b),
+         |q AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+         |  CAST(sum((p_micro - y * 1000000) * (p_micro - y * 1000000)) AS BIGINT) AS sq FROM sc)
+         |SELECT t.n AS n_docs, t.obar AS base_rate_micro,
+         |  CAST(q.sq // q.nd AS BIGINT) AS bs_micro2,
+         |  CAST(sum(n_k * (f_micro - o_micro) * (f_micro - o_micro)) // t.n AS BIGINT) AS rel_micro2,
+         |  CAST(sum(n_k * (o_micro - obar) * (o_micro - obar)) // t.n AS BIGINT) AS res_micro2,
+         |  CAST(t.obar * (1000000 - t.obar) AS BIGINT) AS unc_micro2
+         |FROM b, t, q GROUP BY t.n, t.obar, q.sq, q.nd""".stripMargin,
 
     // doremi: per-term micro settling makes source sums order-free;
     // one exp per source; Hamilton rounding mirrored with a window rank
