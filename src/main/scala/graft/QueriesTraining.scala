@@ -1775,6 +1775,47 @@ object QueriesTraining {
       .orderBy("split_lo", "split_hi")
   }
 
+  private[graft] val OverMergeSizeCap = 50L
+
+  /** q230: TRANSITIVE OVER-MERGE AUDIT — the known failure mode of
+    * connected-component dedup: chains (A~B, B~C) merge documents
+    * (A, C) that never passed the pairwise test themselves. For each
+    * dup cluster (size 2..[[OverMergeSizeCap]] — the quadratic
+    * member-pair expansion is bounded per cluster, and anything
+    * larger is exactly the pathological chain this audit exists to
+    * flag upstream), every intra-cluster pair is checked against the
+    * DIRECT verified edge set (q22's Jaccard ≥ 0.4 on LSH candidates,
+    * the same edges CC ran on): the share with no direct edge, per
+    * cluster size, is the chaining risk — the number that decides
+    * between cluster-keep-one and pairwise-only dedup policies.
+    *
+    * Scale: edges and components are the audited q21/q31 shapes; the
+    * member self-join is canonical_id-keyed with the size cap bounding
+    * each group; output is cluster-size-sized.
+    */
+  private val qOverMerge: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"))
+    val pairs = Dedup.materialize(ngramPairs(spark, dir).select("id_a", "id_b"))
+    val comp = Dedup.connectedComponents(docs, pairs, "doc_id", "id_a", "id_b")
+    val keep = comp.groupBy("canonical_id").agg(count(lit(1)).as("sz"))
+      .filter(col("sz") >= 2 && col("sz") <= OverMergeSizeCap)
+    val ma = comp.select(col("canonical_id"), col("doc_id").as("id_a"))
+    val mb = comp.select(col("canonical_id"), col("doc_id").as("id_b"))
+    val intra = broadcast(keep).join(ma, "canonical_id").join(mb, "canonical_id")
+      .filter(col("id_a") < col("id_b"))
+    val flagged = Dedup.materialize(intra
+      .join(pairs.withColumn("direct", lit(1L)), Seq("id_a", "id_b"), "left")
+      .select(col("sz"), col("canonical_id"),
+        coalesce(col("direct"), lit(0L)).as("direct")))
+    val g1 = keep.groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+    val g2 = flagged.groupBy("sz")
+      .agg(count(lit(1)).as("n_pairs"), sum("direct").as("n_direct"))
+    g1.join(g2, "sz")
+      .select(col("sz"), col("n_clusters"), col("n_pairs"), col("n_direct"),
+        expr("(n_pairs - n_direct) * 10000 div n_pairs").as("transitive_bp"))
+      .orderBy("sz")
+  }
+
   /** q229: BRIER DECOMPOSITION (Murphy) — the classifier-eval
     * companion to q172's calibration bins: per-doc forecast
     * probability p = σ(score) (one sigmoid per doc, settled to micro),
@@ -3442,6 +3483,7 @@ object QueriesTraining {
     "q226_split_contamination" -> qSplitContamination,
     "q228_doremi" -> qDoremi,
     "q229_brier" -> qBrier,
+    "q230_over_merge" -> qOverMerge,
     "q17_text_quality" -> qTextQuality,
     "q18_text_langid" -> qTextLangid,
     "q19_text_fingerprint" -> qTextFingerprint,
@@ -4607,6 +4649,37 @@ object QueriesTraining {
          |SELECT split_lo, split_hi, n_pairs,
          |  CAST(n_pairs * 10000 // total AS BIGINT) AS share_bp
          |FROM g, t ORDER BY split_lo, split_hi""".stripMargin,
+
+    // over-merge: the recursive-CC oracle chain + the same direct edge
+    // set; intra-cluster pairs by comp self-join under the size cap
+    "q230_over_merge" ->
+      s"""${lshCandidateCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |jac AS (SELECT id_a, id_b,
+         |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         |    / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS jacc
+         |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b),
+         |pairs AS (SELECT id_a, id_b FROM jac WHERE jacc >= 0.4),
+         |sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |        UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT sym.d, reach.lbl FROM reach JOIN sym ON sym.s = reach.id),
+         |comp AS (SELECT id AS doc_id, min(lbl) AS cid FROM reach GROUP BY id),
+         |keep AS (SELECT cid, CAST(count(*) AS BIGINT) AS sz FROM comp
+         |  GROUP BY cid HAVING count(*) >= 2 AND count(*) <= $OverMergeSizeCap),
+         |ip AS (SELECT k.sz, a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM keep k JOIN comp a ON a.cid = k.cid JOIN comp b ON b.cid = k.cid
+         |  WHERE a.doc_id < b.doc_id),
+         |fl AS (SELECT ip.sz,
+         |  CASE WHEN p.id_a IS NOT NULL THEN 1 ELSE 0 END AS direct
+         |  FROM ip LEFT JOIN pairs p ON p.id_a = ip.id_a AND p.id_b = ip.id_b),
+         |g1 AS (SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters FROM keep GROUP BY sz),
+         |g2 AS (SELECT sz, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(direct) AS BIGINT) AS n_direct FROM fl GROUP BY sz)
+         |SELECT g1.sz AS sz, n_clusters, n_pairs, n_direct,
+         |  CAST((n_pairs - n_direct) * 10000 // n_pairs AS BIGINT) AS transitive_bp
+         |FROM g1 JOIN g2 ON g1.sz = g2.sz ORDER BY sz""".stripMargin,
 
     // brier: the q170 score chain + q172's ntile, one sigmoid per doc
     // settled to micro, decomposition terms as exact integer micro-sq
