@@ -1719,13 +1719,19 @@ object QueriesTraining {
     * [[graft.operators.GlobalRank]] (no single-partition window); the
     * threshold row and counts broadcast.
     */
-  private val qConformal: Q = (spark, dir) => {
-    val scored = docsFanned(spark, dir).select(col("doc_id"),
+  /** (doc_id, split, q_micro) — q225's scored projection, shared with
+    * the streaming conformal monitor's count fold
+    * (`StreamingConformalSpec`).
+    */
+  private[graft] def conformalScored(spark: SparkSession, dir: String): DataFrame =
+    docsFanned(spark, dir).select(col("doc_id"),
         QueriesAnalytics.splitAssignment(col("doc_id")).as("split"),
         TextAnalysis.qualityScore(col("text")).as("quality"))
       .select(col("doc_id"), col("split"),
         expr("CAST(round(quality * 1000000) AS BIGINT)").as("q_micro"))
-    val sM = Dedup.materialize(scored)
+
+  private val qConformal: Q = (spark, dir) => {
+    val sM = Dedup.materialize(conformalScored(spark, dir))
     val cal = sM.filter(col("split") === "val")
     val nCal = cal.agg(count(lit(1)).as("n_cal"))
     val ranked = graft.operators.GlobalRank.withRank(

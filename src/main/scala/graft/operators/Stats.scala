@@ -115,6 +115,37 @@ object Stats {
         expr("w1_num * 1000 div (tot_a * tot_b)").as("w1_milli"))
   }
 
+  /** Split-conformal calibration from PRE-AGGREGATED per-value count
+    * tables `cal`/`test` of shape (q_micro, n) — the face an
+    * incremental monitor feeds: counts fold over micro-batches (exact
+    * integers, O(score domain) state), and the k-th-smallest
+    * calibration value is a pure function of the counts (ties don't
+    * move the VALUE at rank k), so this derives the identical row the
+    * rank-based batch query (q225) computes — cross-implementation
+    * equality pinned by `StreamingConformalSpec`.
+    *
+    * Scale: one [[GlobalRank.withPrefixSums]] over the value domain
+    * (no single-partition window), threshold + totals broadcast.
+    */
+  def conformalFromCounts(cal: DataFrame, test: DataFrame,
+                          alpha: Long): DataFrame = {
+    val cum = graft.dedup.Dedup.materialize(
+      GlobalRank.withPrefixSums(cal, Seq(col("q_micro")), Seq("n"), Seq("cum")))
+    val nCal = cum.agg(sum("n").as("n_cal"))
+    val thr = cum.crossJoin(broadcast(nCal))
+      .withColumn("k", expr(s"(n_cal + 1) div $alpha"))
+      .filter(col("cum") >= col("k") && col("cum") - col("n") < col("k"))
+      .select(col("n_cal"), col("k"), col("q_micro").as("thr_micro"))
+    test.crossJoin(broadcast(thr))
+      .agg(first("n_cal").as("n_cal"), first("k").as("k"),
+        first("thr_micro").as("thr_micro"),
+        sum("n").as("n_test"),
+        sum(when(col("q_micro") >= col("thr_micro"), col("n")).otherwise(0L))
+          .as("n_covered"))
+      .select(col("n_cal"), col("k"), col("thr_micro"), col("n_test"),
+        col("n_covered"), expr("n_covered * 10000 div n_test").as("coverage_bp"))
+  }
+
   /** Pearson chi-squared independence test between two categorical
     * columns, per contingency cell (ZERO-observed cells included —
     * omitting them understates the statistic): one row per (r, c)
