@@ -1781,6 +1781,76 @@ object QueriesTraining {
       .orderBy("split_lo", "split_hi")
   }
 
+  /** q231: DUP-CLUSTER QUALITY DIFFERENTIAL — what does keep-best
+    * dedup actually buy? Three audited means of the quality
+    * micro-score: all members of dup clusters, the best-kept
+    * representative per cluster (max quality — the value keep-one
+    * retention ships), and the singleton corpus as the baseline. The
+    * gap between `dup_members` and `singleton` says whether
+    * duplication skews low-quality (mirrors/templates) or high
+    * (popular content), and `dup_best_kept` minus `dup_members` is
+    * the uplift the keep-best policy earns.
+    *
+    * Scale: the q21/q31 edge + component shapes; quality is one
+    * codegen pass; all aggregates cluster- or group-sized.
+    */
+  private val qDupQualityGap: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"))
+    val comp = Dedup.connectedComponents(docs,
+      ngramPairs(spark, dir).select("id_a", "id_b"), "doc_id", "id_a", "id_b")
+    val qual = docsFanned(spark, dir)
+      .select(col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+      .select(col("doc_id"),
+        expr("CAST(round(quality * 1000000) AS BIGINT)").as("q_micro"))
+    val cz = Dedup.materialize(comp.join(qual, "doc_id")
+      .groupBy("canonical_id")
+      .agg(count(lit(1)).as("sz"), sum("q_micro").as("sq"),
+        max("q_micro").as("mq")))
+    def grp(name: String, f: DataFrame => DataFrame): DataFrame = f(cz)
+      .select(lit(name).as("grp"), col("n").as("n_docs"),
+        expr("s div n").as("mean_q_micro"))
+    grp("dup_members", _.filter(col("sz") >= 2)
+        .agg(sum("sz").as("n"), sum("sq").as("s")))
+      .unionByName(grp("dup_best_kept", _.filter(col("sz") >= 2)
+        .agg(count(lit(1)).as("n"), sum("mq").as("s"))))
+      .unionByName(grp("singleton", _.filter(col("sz") === 1)
+        .agg(sum("sz").as("n"), sum("sq").as("s"))))
+      .orderBy("grp")
+  }
+
+  /** q232: TOKEN-BUDGET QUALITY CUT — the planner's inverse of q71:
+    * instead of "keep the top quartile", answer "which quality
+    * threshold fills a target token budget (half the corpus here)?".
+    * Docs ranked by (quality desc, doc_id); the token prefix sum
+    * crosses the budget at exactly one doc, whose rank, quality, and
+    * cumulative tokens are the answer — rank-pinned like every cut in
+    * the battery, no float knife-edge, and the budget itself derives
+    * from the corpus (total div 2) so the query is scale-free.
+    *
+    * Scale: one scoring pass; [[GlobalRank.withPrefixSums]] (no
+    * single-partition window); the crossing filter is a broadcast of
+    * one budget row.
+    */
+  private val qTokenBudget: Q = (spark, dir) => {
+    val scored = docsFanned(spark, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .select(col("doc_id"), col("n_tok"),
+        expr("CAST(round(quality * 1000000) AS BIGINT)").as("q_micro"))
+      .withColumn("__one", lit(1L))
+    val cum = Dedup.materialize(graft.operators.GlobalRank.withPrefixSums(
+      scored, Seq(col("q_micro").desc, col("doc_id")),
+      Seq("n_tok", "__one"), Seq("cum", "rk")))
+    val budget = cum.agg(sum("n_tok").as("t"))
+      .select(col("t"), expr("t div 2").as("budget"))
+    cum.crossJoin(broadcast(budget))
+      .filter(col("cum") >= col("budget") &&
+        col("cum") - col("n_tok") < col("budget"))
+      .select(col("t").as("total_tokens"), col("budget"),
+        col("rk").as("n_docs_kept"), col("q_micro").as("thr_q_micro"),
+        col("cum").as("kept_tokens"))
+  }
+
   private[graft] val OverMergeSizeCap = 50L
 
   /** q230: TRANSITIVE OVER-MERGE AUDIT — the known failure mode of
@@ -3490,6 +3560,8 @@ object QueriesTraining {
     "q228_doremi" -> qDoremi,
     "q229_brier" -> qBrier,
     "q230_over_merge" -> qOverMerge,
+    "q231_dup_quality_gap" -> qDupQualityGap,
+    "q232_token_budget" -> qTokenBudget,
     "q17_text_quality" -> qTextQuality,
     "q18_text_langid" -> qTextLangid,
     "q19_text_fingerprint" -> qTextFingerprint,
@@ -4655,6 +4727,54 @@ object QueriesTraining {
          |SELECT split_lo, split_hi, n_pairs,
          |  CAST(n_pairs * 10000 // total AS BIGINT) AS share_bp
          |FROM g, t ORDER BY split_lo, split_hi""".stripMargin,
+
+    // dup-quality gap: recursive-CC chain + the shared quality CTEs
+    // (CTE name sets are disjoint); positive integer-div means
+    "q231_dup_quality_gap" ->
+      s"""${lshCandidateCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |jac AS (SELECT id_a, id_b,
+         |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         |    / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS jacc
+         |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b),
+         |pairs AS (SELECT id_a, id_b FROM jac WHERE jacc >= 0.4),
+         |sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |        UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT sym.d, reach.lbl FROM reach JOIN sym ON sym.s = reach.id),
+         |comp AS (SELECT id AS doc_id, min(lbl) AS cid FROM reach GROUP BY id),
+         |${qualityScoreCtes.replaceFirst("^WITH ", "")},
+         |jq AS (SELECT comp.cid, CAST(round(quality * 1000000) AS BIGINT) AS qm
+         |  FROM comp JOIN q ON q.doc_id = comp.doc_id),
+         |cz AS (SELECT cid, CAST(count(*) AS BIGINT) AS sz,
+         |  CAST(sum(qm) AS BIGINT) AS sq, CAST(max(qm) AS BIGINT) AS mq
+         |  FROM jq GROUP BY cid),
+         |ga AS (SELECT 'dup_members' AS grp, CAST(sum(sz) AS BIGINT) AS n_docs,
+         |  CAST(sum(sq) // sum(sz) AS BIGINT) AS mean_q_micro FROM cz WHERE sz >= 2),
+         |gb AS (SELECT 'dup_best_kept' AS grp, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(mq) // count(*) AS BIGINT) AS mean_q_micro FROM cz WHERE sz >= 2),
+         |gc AS (SELECT 'singleton' AS grp, CAST(sum(sz) AS BIGINT) AS n_docs,
+         |  CAST(sum(sq) // sum(sz) AS BIGINT) AS mean_q_micro FROM cz WHERE sz = 1)
+         |SELECT * FROM ga UNION ALL SELECT * FROM gb UNION ALL SELECT * FROM gc
+         |ORDER BY grp""".stripMargin,
+
+    // token budget: same quality chain + token counts; the inclusive
+    // prefix sum crosses the derived budget at exactly one doc
+    "q232_token_budget" ->
+      s"""$qualityScoreCtes,
+         |tk AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tok FROM documents),
+         |sc AS (SELECT q.doc_id, tk.n_tok,
+         |  CAST(round(quality * 1000000) AS BIGINT) AS qm
+         |  FROM q JOIN tk ON tk.doc_id = q.doc_id),
+         |w AS (SELECT doc_id, n_tok, qm,
+         |  CAST(sum(n_tok) OVER (ORDER BY qm DESC, doc_id) AS BIGINT) AS cum,
+         |  CAST(row_number() OVER (ORDER BY qm DESC, doc_id) AS BIGINT) AS rk FROM sc),
+         |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS t FROM sc),
+         |b AS (SELECT t, CAST(t // 2 AS BIGINT) AS budget FROM tot)
+         |SELECT b.t AS total_tokens, b.budget AS budget, w.rk AS n_docs_kept,
+         |  w.qm AS thr_q_micro, w.cum AS kept_tokens
+         |FROM w, b WHERE w.cum >= b.budget AND w.cum - w.n_tok < b.budget""".stripMargin,
 
     // over-merge: the recursive-CC oracle chain + the same direct edge
     // set; intra-cluster pairs by comp self-join under the size cap
