@@ -1915,6 +1915,43 @@ object QueriesAnalytics {
       .orderBy("user_id", "hour")
   }
 
+  private[graft] val AcfMaxLag = 7
+
+  /** q233: AUTOCORRELATION FUNCTION of the daily event-count series,
+    * lags 1..[[AcfMaxLag]] — the seasonality detector q135's linear
+    * trend can't see: weekly rhythm shows as a lag-7 peak, day-over-
+    * day momentum as lag-1. Per lag, Pearson r over (count(d),
+    * count(d+lag)) pairs from EXACT integer moment sums (q209's
+    * assortativity rule: both engines divide the same integers, so
+    * the double is bit-identical before the micro settle); zero
+    * variance guards to 0.
+    *
+    * Scale: the daily series is date-domain-sized however large the
+    * event corpus — one count aggregate, then every lag join and
+    * moment runs on the tiny series.
+    */
+  private val qAcf: Q = (spark, dir) => {
+    val daily = dedup.Dedup.materialize(Tables.events(spark, dir)
+      .select(expr(s"ts_ms div $DayMs").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("c")))
+    val lags = spark.range(1, AcfMaxLag + 1).select(col("id").as("lag"))
+    val b = daily.select(col("day").as("day_b"), col("c").as("y"))
+    daily.select(col("day"), col("c").as("x"))
+      .crossJoin(broadcast(lags))
+      .join(b, col("day_b") === col("day") + col("lag"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("lag"), col("n_pairs"), expr(
+        """CAST(CASE WHEN n_pairs * sxx - sx * sx <= 0 OR n_pairs * syy - sy * sy <= 0 THEN 0
+          |ELSE round(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+          |  / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+          |    * CAST(n_pairs * syy - sy * sy AS DOUBLE)) * 1000000.0)
+          |END AS BIGINT)""".stripMargin).as("r_micro"))
+      .orderBy("lag")
+  }
+
   /** q224: EVENT-TIME DISORDER AUDIT — the watermark-sizing table a
     * streaming deployment needs before picking `withWatermark`: each
     * event rides a shard (`user_id mod` [[graft.streaming.Disorder.Shards]] — the
@@ -1948,6 +1985,7 @@ object QueriesAnalytics {
 
   val all: Map[String, Q] = Map(
     "q224_disorder" -> qDisorder,
+    "q233_acf" -> qAcf,
     "q105_profile" -> qProfile,
     "q114_interpolate" -> qInterpolate,
     "q107_ewma" -> qEwma,
@@ -2414,6 +2452,25 @@ object QueriesAnalytics {
 
     // SQL surface #12: the text IS the oracle
     "q227_sql_hhi" -> HhiSqlText,
+
+    // acf: same day bucketing, exact integer moments, shared guard
+    "q233_acf" ->
+      s"""WITH e AS (SELECT epoch_ms(ts) // $DayMs AS day FROM events),
+         |d AS (SELECT day, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY day),
+         |ll AS (SELECT unnest(range(1, ${AcfMaxLag + 1})) AS lag),
+         |p AS (SELECT ll.lag, a.c AS x, b.c AS y
+         |  FROM ll, d a, d b WHERE b.day = a.day + ll.lag),
+         |m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |  CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+         |  CAST(sum(x * y) AS BIGINT) AS sxy FROM p GROUP BY lag)
+         |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+         |  CAST(CASE WHEN n_pairs * sxx - sx * sx <= 0 OR n_pairs * syy - sy * sy <= 0 THEN 0
+         |  ELSE round(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+         |    / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+         |      * CAST(n_pairs * syy - sy * sy AS DOUBLE)) * 1000000.0)
+         |  END AS BIGINT) AS r_micro
+         |FROM m ORDER BY lag""".stripMargin,
 
     // disorder: same running-max window in ingest (event_id) order,
     // identical bucket boundaries and integer bp share

@@ -92,6 +92,34 @@ class StatsSpec extends AnyFunSuite {
       col("r"), col("c")).collect()
   }
 
+  test("conformal: hand-computed threshold and coverage") {
+    import spark.implicits._
+    // calibration 1..99 each once: n_cal = 99, k = (99+1)/10 = 10,
+    // threshold = 10th smallest = 10; test 1..100 → 91 of 100 ≥ 10
+    val cal = (1L to 99L).map(v => (v, 1L)).toDF("q_micro", "n").repartition(4)
+    val test_ = (1L to 100L).map(v => (v, 1L)).toDF("q_micro", "n").repartition(4)
+    val r = Stats.conformalFromCounts(cal, test_, 10L).collect()(0)
+    assert(r.getAs[Long]("n_cal") === 99L)
+    assert(r.getAs[Long]("k") === 10L)
+    assert(r.getAs[Long]("thr_micro") === 10L)
+    assert(r.getAs[Long]("n_test") === 100L)
+    assert(r.getAs[Long]("n_covered") === 91L)
+    assert(r.getAs[Long]("coverage_bp") === 9100L)
+  }
+
+  test("conformal: tied calibration values pin the same threshold as row ranks") {
+    import spark.implicits._
+    // 5 copies of each value 1..20: n_cal = 100, k = 10 → the 10th
+    // smallest ROW sits inside the run of 2s → threshold = 2
+    val cal = (1L to 20L).map(v => (v, 5L)).toDF("q_micro", "n").repartition(4)
+    val test_ = Seq((1L, 10L), (2L, 10L), (3L, 10L)).toDF("q_micro", "n")
+    val r = Stats.conformalFromCounts(cal, test_, 10L).collect()(0)
+    assert(r.getAs[Long]("k") === 10L)
+    assert(r.getAs[Long]("thr_micro") === 2L)
+    assert(r.getAs[Long]("n_covered") === 20L)
+    assert(r.getAs[Long]("coverage_bp") === 6666L)
+  }
+
   test("chi-square: perfect independence = all-zero terms and residuals") {
     // uniform 3×2 grid, 5 copies each: O = E everywhere
     val rows = for { r <- Seq("a", "b", "x"); c <- Seq("p", "q");
