@@ -1915,6 +1915,33 @@ object QueriesAnalytics {
       .orderBy("user_id", "hour")
   }
 
+  /** q234: SPLIT-BALANCE AUDIT — does the q61 hash split preserve the
+    * source mix? Full chi-squared independence grid (source × split,
+    * [[graft.operators.Stats.chiSquareCells]] — zero cells included,
+    * standardized residuals point at the imbalanced (source, split)
+    * pairs) over the deterministic split assignment. With a healthy
+    * hash the statistic sits near its dof; a hot residual means a
+    * source's ids collide with the split boundaries — the eval-
+    * hygiene check run before trusting any per-source eval delta.
+    *
+    * Scale: one (source, split) count aggregate; the grid is
+    * sources × 3.
+    */
+  private val qSplitBalance: Q = (spark, dir) => {
+    val d = Tables(spark, dir, "documents")
+      .select(col("source"), splitAssignment(col("doc_id")).as("split"))
+    val cells = graft.operators.Stats.chiSquareCells(
+      d, col("source"), col("split"))
+    val tot = cells.agg(sum("term_micro").as("chi2_micro"),
+      ((count_distinct(col("r")) - 1) * (count_distinct(col("c")) - 1))
+        .as("dof"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("r").as("source"), col("c").as("split"), col("obs"),
+        col("rt"), col("ct"), col("resid"), col("term_micro"),
+        col("chi2_micro"), col("dof"))
+      .orderBy("source", "split")
+  }
+
   private[graft] val AcfMaxLag = 7
 
   /** q233: AUTOCORRELATION FUNCTION of the daily event-count series,
@@ -1986,6 +2013,7 @@ object QueriesAnalytics {
   val all: Map[String, Q] = Map(
     "q224_disorder" -> qDisorder,
     "q233_acf" -> qAcf,
+    "q234_split_balance" -> qSplitBalance,
     "q105_profile" -> qProfile,
     "q114_interpolate" -> qInterpolate,
     "q107_ewma" -> qEwma,
@@ -2452,6 +2480,35 @@ object QueriesAnalytics {
 
     // SQL surface #12: the text IS the oracle
     "q227_sql_hhi" -> HhiSqlText,
+
+    // split balance: the q197 chi-square text shape over the q61 split
+    "q234_split_balance" ->
+      """WITH d AS (SELECT source,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e7' THEN 'val'
+        |       ELSE 'test' END AS split FROM documents),
+        |cells AS (SELECT source AS r, split AS c,
+        |  CAST(count(*) AS BIGINT) AS obs FROM d GROUP BY 1, 2),
+        |rt AS (SELECT r, CAST(sum(obs) AS BIGINT) AS rt FROM cells GROUP BY r),
+        |ct AS (SELECT c, CAST(sum(obs) AS BIGINT) AS ct FROM cells GROUP BY c),
+        |n AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells),
+        |grid AS (SELECT rt.r, ct.c, COALESCE(cells.obs, 0) AS obs,
+        |  rt.rt, ct.ct, n.n,
+        |  COALESCE(cells.obs, 0) * n.n - rt.rt * ct.ct AS num,
+        |  n.n * rt.rt * ct.ct AS den
+        |  FROM rt CROSS JOIN ct CROSS JOIN n
+        |  LEFT JOIN cells ON cells.r = rt.r AND cells.c = ct.c),
+        |terms AS (SELECT r, c, obs, rt, ct,
+        |  round(CAST(num AS DOUBLE) / sqrt(CAST(den AS DOUBLE)), 6) AS resid,
+        |  CAST(round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE) * 1000000.0
+        |    / CAST(den AS DOUBLE)) AS BIGINT) AS term_micro
+        |  FROM grid),
+        |tot AS (SELECT CAST(sum(term_micro) AS BIGINT) AS chi2_micro,
+        |  CAST((count(DISTINCT r) - 1) * (count(DISTINCT c) - 1) AS BIGINT) AS dof
+        |  FROM terms)
+        |SELECT r AS source, c AS split, obs, rt, ct, resid, term_micro,
+        |  chi2_micro, dof
+        |FROM terms, tot ORDER BY source, split""".stripMargin,
 
     // acf: same day bucketing, exact integer moments, shared guard
     "q233_acf" ->
