@@ -1781,6 +1781,49 @@ object QueriesTraining {
       .orderBy("split_lo", "split_hi")
   }
 
+  /** q235: QUALITY–LENGTH BIAS AUDIT — is the quality score just
+    * measuring document length? Per source (and corpus-wide ALL row),
+    * the OLS slope and Pearson r of quality (micro) on ln(n_chars)
+    * (settled to milli per doc — one libm call on an integer input,
+    * identical on both engines): a large, uniform slope with high r
+    * says a quality cut is a length cut in disguise, and per-source
+    * slope differences say the bias is uneven — the audit behind
+    * q119's per-source percentile normalization.
+    *
+    * Scale: one codegen scoring pass; per-source integer moment sums
+    * (map-side combine, q209's both-engines-divide-the-same-integers
+    * rule); output is source-sized.
+    */
+  private val qQualityLengthBias: Q = (spark, dir) => {
+    val scored = Dedup.materialize(docsFanned(spark, dir)
+      .select(col("source"), col("n_chars"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .select(col("source"),
+        expr("CAST(round(ln(CAST(n_chars AS DOUBLE)) * 1000.0) AS BIGINT)").as("x"),
+        expr("CAST(round(quality * 1000000) AS BIGINT)").as("y")))
+    def moments(g: org.apache.spark.sql.RelationalGroupedDataset): DataFrame = g
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+    val slopeExpr = expr(
+      """CAST(CASE WHEN n * sxx - sx * sx <= 0 THEN 0
+        |ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |  / CAST(n * sxx - sx * sx AS DOUBLE) * 1000.0) END AS BIGINT)""".stripMargin)
+    val rExpr = expr(
+      """CAST(CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0 THEN 0
+        |ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |    * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000.0)
+        |END AS BIGINT)""".stripMargin)
+    val per = moments(scored.groupBy("source"))
+      .select(col("source"), col("n"), slopeExpr.as("slope_milli"),
+        rExpr.as("r_micro"))
+    val all = moments(scored.groupBy())
+      .select(lit("ALL").as("source"), col("n"), slopeExpr.as("slope_milli"),
+        rExpr.as("r_micro"))
+    per.unionByName(all).orderBy("source")
+  }
+
   /** q231: DUP-CLUSTER QUALITY DIFFERENTIAL — what does keep-best
     * dedup actually buy? Three audited means of the quality
     * micro-score: all members of dup clusters, the best-kept
@@ -3561,6 +3604,7 @@ object QueriesTraining {
     "q229_brier" -> qBrier,
     "q230_over_merge" -> qOverMerge,
     "q231_dup_quality_gap" -> qDupQualityGap,
+    "q235_quality_length_bias" -> qQualityLengthBias,
     "q232_token_budget" -> qTokenBudget,
     "q17_text_quality" -> qTextQuality,
     "q18_text_langid" -> qTextLangid,
@@ -4727,6 +4771,35 @@ object QueriesTraining {
          |SELECT split_lo, split_hi, n_pairs,
          |  CAST(n_pairs * 10000 // total AS BIGINT) AS share_bp
          |FROM g, t ORDER BY split_lo, split_hi""".stripMargin,
+
+    // quality-length bias: shared quality chain + n_chars ln settled
+    // per doc; both engines divide the same exact integer moments
+    "q235_quality_length_bias" -> {
+      val slope = """CAST(CASE WHEN n * sxx - sx * sx <= 0 THEN 0
+        |  ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) * 1000.0) END AS BIGINT)""".stripMargin
+      val rr = """CAST(CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0 THEN 0
+        |  ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |      * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000.0)
+        |  END AS BIGINT)""".stripMargin
+      s"""$qualityScoreCtes,
+         |sc AS (SELECT d.source,
+         |  CAST(round(ln(CAST(d.n_chars AS DOUBLE)) * 1000.0) AS BIGINT) AS x,
+         |  CAST(round(quality * 1000000) AS BIGINT) AS y
+         |  FROM q JOIN documents d ON d.doc_id = q.doc_id),
+         |mper AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |  CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+         |  CAST(sum(x * y) AS BIGINT) AS sxy FROM sc GROUP BY source),
+         |mall AS (SELECT 'ALL' AS source, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |  CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+         |  CAST(sum(x * y) AS BIGINT) AS sxy FROM sc),
+         |m AS (SELECT * FROM mper UNION ALL SELECT * FROM mall)
+         |SELECT source, n, $slope AS slope_milli, $rr AS r_micro
+         |FROM m ORDER BY source""".stripMargin
+    },
 
     // dup-quality gap: recursive-CC chain + the shared quality CTEs
     // (CTE name sets are disjoint); positive integer-div means
