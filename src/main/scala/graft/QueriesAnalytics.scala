@@ -1804,7 +1804,20 @@ object QueriesAnalytics {
     * Scale: one per-user aggregate (the only corpus shuffle), one
     * 2-row variant aggregate, then arithmetic on a single row.
     */
-  private val qAbTest: Q = (spark, dir) => {
+  private val qAbTest: Q = (spark, dir) => abReadout(spark, dir, "ab")
+
+  /** q237: A/A NEGATIVE CONTROL — the q154 readout under a SECOND,
+    * independent hash split (salt "aa") where no treatment exists by
+    * construction: the z-score is expected inside ±1.96 and the lift
+    * near zero. The harness-honesty check every experimentation
+    * platform runs — if an A/A "wins", the assignment hash or the
+    * stat chain is broken, not the product. Same shared stat texts as
+    * q154/q216, so all three surfaces are pinned to one formula set.
+    */
+  private val qAaTest: Q = (spark, dir) => abReadout(spark, dir, "aa")
+
+  private def abReadout(spark: SparkSession, dir: String,
+                        salt: String): DataFrame = {
     val users = Tables.events(spark, dir)
       .filter(col("user_id").isNotNull)
       .groupBy("user_id")
@@ -1812,7 +1825,7 @@ object QueriesAnalytics {
           expr("CAST(round(value * 100) AS BIGINT)")).otherwise(0L)) >= AbConvCents,
         1L).otherwise(0L).as("converted"))
       .withColumn("variant",
-        (graft.dedup.Dedup.hash32(col("user_id").cast("string"), "ab") % 2 === 0))
+        (graft.dedup.Dedup.hash32(col("user_id").cast("string"), salt) % 2 === 0))
     val row = users.agg(
       sum(when(col("variant"), 1L).otherwise(0L)).as("n_a"),
       sum(when(col("variant"), col("converted")).otherwise(0L)).as("conv_a"),
@@ -2047,6 +2060,7 @@ object QueriesAnalytics {
     "q194_kanon" -> qKAnonymity,
     "q179_paths" -> qPaths,
     "q154_ab_test" -> qAbTest,
+    "q237_aa_test" -> qAaTest,
     "q155_range_frame" -> qRangeFrame,
     "q156_grouping_sets" -> qGroupingSets,
     "q68_sql_exists" -> qSqlExists,
@@ -2467,6 +2481,24 @@ object QueriesAnalytics {
          |    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) >= $AbConvCents
          |    THEN 1 ELSE 0 END AS converted,
          |  ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 AS variant
+         |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+         |s AS (SELECT
+         |  CAST(sum(CASE WHEN variant THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |  CAST(sum(CASE WHEN variant THEN converted ELSE 0 END) AS BIGINT) AS conv_a,
+         |  CAST(sum(CASE WHEN NOT variant THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |  CAST(sum(CASE WHEN NOT variant THEN converted ELSE 0 END) AS BIGINT) AS conv_b
+         |  FROM u)
+         |SELECT n_a, conv_a, n_b, conv_b,
+         |  ${abStatSql.map { case (nm, e) => s"$e AS $nm" }.mkString(",\n  ")}
+         |FROM s""".stripMargin,
+
+    // A/A: the q154 text under the 'aa' salt — shared stat formulas
+    "q237_aa_test" ->
+      s"""WITH u AS (SELECT user_id,
+         |  CASE WHEN sum(CASE WHEN event_type = 'purchase'
+         |    THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) >= $AbConvCents
+         |    THEN 1 ELSE 0 END AS converted,
+         |  ('0x' || substr(md5('aa:' || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 = 0 AS variant
          |  FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
          |s AS (SELECT
          |  CAST(sum(CASE WHEN variant THEN 1 ELSE 0 END) AS BIGINT) AS n_a,

@@ -99,6 +99,60 @@ object QueriesTraining {
       .orderBy("doc_id")
   }
 
+  /** q236: IMPORTANCE-WEIGHT ESS — the diagnostic that decides whether
+    * q123's DSIR reweighting is usable: effective sample size
+    * (Σw)²/(n·Σw²) of the normalized importance weights, in bp of n.
+    * A low ESS means a few documents dominate the resampled mixture
+    * (variance blows up); published pipelines gate on exactly this
+    * number before trusting importance-sampled data selection.
+    *
+    * Unlike q123 (per-doc float log-sum under the checker's
+    * tolerance), everything here feeds EXACT integer compares, so the
+    * hashed-bucket log-ratio settles to micro per BUCKET (order-free
+    * per-doc integer sums), the max-shift is an integer, and the one
+    * exp per doc runs on bit-identical inputs on both engines.
+    *
+    * Scale: the q123 chain (gram keys, B-sized model broadcast); the
+    * final moments are one map-side-combined aggregate.
+    */
+  private val qDsirEss: Q = (spark, dir) => {
+    val tk = Dedup.materialize(
+      docsFanned(spark, dir).select(col("doc_id"), col("lang"),
+        TextAnalysis.tokens(lower(col("text"))).as("t")))
+    val uni = tk.select(col("doc_id"), col("lang"), explode(col("t")).as("gram"))
+    val bigrams = when(size(col("t")) >= 2,
+      transform(sequence(lit(2), size(col("t"))),
+        i => concat(element_at(col("t"), i - 1), lit(" "), element_at(col("t"), i))))
+      .otherwise(array().cast("array<string>"))
+    val big = tk.select(col("doc_id"), col("lang"), explode(bigrams).as("gram"))
+    val feats = Dedup.materialize(uni.unionByName(big).withColumn("bucket",
+      conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long") % DsirBuckets))
+    val model = feats.groupBy("bucket").agg(
+      count(lit(1)).as("cr"),
+      count(when(col("lang") === "en", 1)).as("ct"))
+    val totals = model.agg(sum("cr").as("nr"), sum("ct").as("nt"))
+    val lw = model.crossJoin(broadcast(totals))
+      .select(col("bucket"), expr(
+        s"""CAST(round((ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + $DsirBuckets AS DOUBLE))
+           |  - ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + $DsirBuckets AS DOUBLE))) * 1000000.0) AS BIGINT)""".stripMargin)
+        .as("lw_micro"))
+    val perDoc = Dedup.materialize(feats.join(broadcast(lw), "bucket")
+      .groupBy("doc_id").agg(sum("lw_micro").as("logw_micro")))
+    val mx = perDoc.agg(max("logw_micro").as("mx"))
+    val w = perDoc.crossJoin(broadcast(mx))
+      .select(expr(
+        "CAST(round(exp(CAST(logw_micro - mx AS DOUBLE) / 1000000.0) * 1000.0) AS BIGINT)")
+        .as("w_milli"), col("mx"))
+    w.agg(count(lit(1)).as("n_docs"), first(col("mx")).as("max_logw_micro"),
+        sum("w_milli").as("sum_w_milli"),
+        sum(col("w_milli") * col("w_milli")).as("sw2"))
+      .select(col("n_docs"), col("max_logw_micro"), col("sum_w_milli"),
+        expr(
+          """CAST(round(CAST(sum_w_milli AS DOUBLE) * CAST(sum_w_milli AS DOUBLE) * 10000.0
+            |  / (CAST(n_docs AS DOUBLE) * CAST(sw2 AS DOUBLE))) AS BIGINT)""".stripMargin)
+          .as("ess_bp"))
+  }
+
   private val SimhashHamMax = 3
   private val SimhashBands = 4
 
@@ -3551,6 +3605,7 @@ object QueriesTraining {
     "q16_text_tokens" -> qTextTokens,
     "q122_bpe_merges" -> qBpeMerges,
     "q123_dsir_weights" -> qDsir,
+    "q236_dsir_ess" -> qDsirEss,
     "q130_bpe_apply" -> qBpeApply,
     "q137_pmi" -> qPmi,
     "q138_simhash_dedup" -> qSimhashDedup,
@@ -3984,6 +4039,38 @@ object QueriesTraining {
          |          - ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + $DsirBuckets AS DOUBLE))), 6) AS dsir_logw
          |FROM f JOIN m USING (bucket), tot
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // ESS: the q123 chain with per-BUCKET micro settling (order-free
+    // integer per-doc sums), integer max-shift, one exp per doc
+    "q236_dsir_ess" ->
+      s"""WITH tt AS (SELECT doc_id, lang, $ltoksSql AS t FROM documents),
+         |toks AS (SELECT doc_id, lang, unnest(range(1, len(t) + 1)) AS pos, t FROM tt),
+         |g AS (SELECT doc_id, lang, t[pos] AS gram FROM toks
+         |      UNION ALL
+         |      SELECT doc_id, lang, t[pos - 1] || ' ' || t[pos] AS gram FROM toks WHERE pos >= 2),
+         |f AS (SELECT doc_id, lang,
+         |  ('0x' || substr(md5(gram), 1, 8))::BIGINT % $DsirBuckets AS bucket FROM g),
+         |m AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr,
+         |  CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT) AS ct
+         |  FROM f GROUP BY bucket),
+         |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt FROM m),
+         |lw AS (SELECT bucket,
+         |  CAST(round((ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + $DsirBuckets AS DOUBLE))
+         |    - ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + $DsirBuckets AS DOUBLE))) * 1000000.0) AS BIGINT) AS lw_micro
+         |  FROM m, tot),
+         |pd AS (SELECT doc_id, CAST(sum(lw_micro) AS BIGINT) AS logw_micro
+         |  FROM f JOIN lw USING (bucket) GROUP BY doc_id),
+         |mx AS (SELECT CAST(max(logw_micro) AS BIGINT) AS mx FROM pd),
+         |w AS (SELECT CAST(round(exp(CAST(logw_micro - mx AS DOUBLE) / 1000000.0) * 1000.0) AS BIGINT) AS w_milli, mx
+         |  FROM pd, mx),
+         |sm AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(max(mx) AS BIGINT) AS max_logw_micro,
+         |  CAST(sum(w_milli) AS BIGINT) AS sum_w_milli,
+         |  CAST(sum(w_milli * w_milli) AS BIGINT) AS sw2 FROM w)
+         |SELECT n_docs, max_logw_micro, sum_w_milli,
+         |  CAST(round(CAST(sum_w_milli AS DOUBLE) * CAST(sum_w_milli AS DOUBLE) * 10000.0
+         |    / (CAST(n_docs AS DOUBLE) * CAST(sw2 AS DOUBLE))) AS BIGINT) AS ess_bp
+         |FROM sm""".stripMargin,
 
     // brute-force all-pairs — the exactness claim: prefix filtering
     // must lose nothing vs comparing every pair
