@@ -1878,6 +1878,41 @@ object QueriesTraining {
     per.unionByName(all).orderBy("source")
   }
 
+  /** q238: DEDUP TOKEN SAVINGS — the budget line item for
+    * cluster-keep-one dedup: across dup clusters, the tokens the
+    * non-representative members carry (representative = q109's
+    * keep-best-quality rule), as a share of corpus tokens in bp. The
+    * doc-count dup rate (q118) overstates savings when duplicates are
+    * short and understates when mirrors are long — training budgets
+    * are token-denominated, so this is the number that matters.
+    *
+    * Scale: the q21/q31 component shapes; one scoring/count pass;
+    * cluster aggregates with map-side combine; single-row output.
+    */
+  private val qDedupSavings: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"))
+    val comp = Dedup.connectedComponents(docs,
+      ngramPairs(spark, dir).select("id_a", "id_b"), "doc_id", "id_a", "id_b")
+    val meta = docsFanned(spark, dir)
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).cast("long").as("n_tok"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .select(col("doc_id"), col("n_tok"),
+        expr("CAST(round(quality * 1000000) AS BIGINT)").as("q_micro"))
+    val j = Dedup.materialize(comp.join(meta, "doc_id"))
+    val cz = j.groupBy("canonical_id")
+      .agg(count(lit(1)).as("sz"), sum("n_tok").as("ctok"),
+        max_by(col("n_tok"), struct(col("q_micro"),
+          (-col("doc_id")).as("nd"))).as("rep_tok"))
+    val tot = j.agg(sum("n_tok").as("corpus_tokens"))
+    cz.filter(col("sz") >= 2)
+      .agg(count(lit(1)).as("n_clusters"), sum(col("sz") - 1).as("docs_removed"),
+        sum(col("ctok") - col("rep_tok")).as("tokens_removed"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_clusters"), col("docs_removed"), col("tokens_removed"),
+        col("corpus_tokens"),
+        expr("tokens_removed * 10000 div corpus_tokens").as("saved_bp"))
+  }
+
   /** q231: DUP-CLUSTER QUALITY DIFFERENTIAL — what does keep-best
     * dedup actually buy? Three audited means of the quality
     * micro-score: all members of dup clusters, the best-kept
@@ -3659,6 +3694,7 @@ object QueriesTraining {
     "q229_brier" -> qBrier,
     "q230_over_merge" -> qOverMerge,
     "q231_dup_quality_gap" -> qDupQualityGap,
+    "q238_dedup_savings" -> qDedupSavings,
     "q235_quality_length_bias" -> qQualityLengthBias,
     "q232_token_budget" -> qTokenBudget,
     "q17_text_quality" -> qTextQuality,
@@ -4887,6 +4923,42 @@ object QueriesTraining {
          |SELECT source, n, $slope AS slope_milli, $rr AS r_micro
          |FROM m ORDER BY source""".stripMargin
     },
+
+    // dedup savings: CC chain + quality CTEs; rep by the q109 rule
+    // (row_number twin of max_by's (q desc, doc_id asc) tie order)
+    "q238_dedup_savings" ->
+      s"""${lshCandidateCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |jac AS (SELECT id_a, id_b,
+         |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         |    / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS jacc
+         |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b),
+         |pairs AS (SELECT id_a, id_b FROM jac WHERE jacc >= 0.4),
+         |sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |        UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT sym.d, reach.lbl FROM reach JOIN sym ON sym.s = reach.id),
+         |comp AS (SELECT id AS doc_id, min(lbl) AS cid FROM reach GROUP BY id),
+         |${qualityScoreCtes.replaceFirst("^WITH ", "")},
+         |tk AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tok FROM documents),
+         |jm AS (SELECT comp.cid, tk.n_tok,
+         |  CAST(round(quality * 1000000) AS BIGINT) AS qm, q.doc_id
+         |  FROM comp JOIN q ON q.doc_id = comp.doc_id
+         |  JOIN tk ON tk.doc_id = comp.doc_id),
+         |rk AS (SELECT cid, n_tok,
+         |  row_number() OVER (PARTITION BY cid ORDER BY qm DESC, doc_id) AS rn FROM jm),
+         |cz AS (SELECT cid, CAST(count(*) AS BIGINT) AS sz,
+         |  CAST(sum(n_tok) AS BIGINT) AS ctok,
+         |  CAST(max(CASE WHEN rn = 1 THEN n_tok END) AS BIGINT) AS rep_tok
+         |  FROM rk GROUP BY cid),
+         |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS corpus_tokens FROM jm)
+         |SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(sum(sz - 1) AS BIGINT) AS docs_removed,
+         |  CAST(sum(ctok - rep_tok) AS BIGINT) AS tokens_removed,
+         |  corpus_tokens,
+         |  CAST(sum(ctok - rep_tok) * 10000 // corpus_tokens AS BIGINT) AS saved_bp
+         |FROM cz, tot WHERE sz >= 2 GROUP BY corpus_tokens""".stripMargin,
 
     // dup-quality gap: recursive-CC chain + the shared quality CTEs
     // (CTE name sets are disjoint); positive integer-div means
