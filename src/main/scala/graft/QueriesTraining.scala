@@ -1878,6 +1878,32 @@ object QueriesTraining {
     per.unionByName(all).orderBy("source")
   }
 
+  /** q239: LSH CANDIDATE RECALL — the other half of q165's precision:
+    * of all truly-similar pairs (exact Jaccard ≥ 0.4 by the q91
+    * prefix-filtered all-pairs machinery at threshold 2/5 — ground
+    * truth, not an estimate), what share did the banded-MinHash
+    * pipeline (q22's verified pairs) actually surface? Recall in bp
+    * is THE number behind band/row parameter choices — precision says
+    * the candidates are clean, recall says nothing was missed, and
+    * only both justify skipping the quadratic scan at 100 TB.
+    *
+    * Scale: truth via the prefix filter (never the full cross
+    * product); the compare is one pair-keyed left join.
+    */
+  private val qLshRecall: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents").filter(col("text").isNotNull)
+    val truth = Dedup.materialize(graft.dedup.AllPairs.similarPairs(
+        Dedup.shingleTable(docs, "doc_id", "text"), "doc_id", "sh", 2, 5)
+      .select("id_a", "id_b"))
+    val found = ngramPairs(spark, dir)
+      .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+    truth.join(found, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_true"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+      .select(col("n_true"), col("n_found"),
+        expr("n_found * 10000 div n_true").as("recall_bp"))
+  }
+
   /** q238: DEDUP TOKEN SAVINGS — the budget line item for
     * cluster-keep-one dedup: across dup clusters, the tokens the
     * non-representative members carry (representative = q109's
@@ -3695,6 +3721,7 @@ object QueriesTraining {
     "q230_over_merge" -> qOverMerge,
     "q231_dup_quality_gap" -> qDupQualityGap,
     "q238_dedup_savings" -> qDedupSavings,
+    "q239_lsh_recall" -> qLshRecall,
     "q235_quality_length_bias" -> qQualityLengthBias,
     "q232_token_budget" -> qTokenBudget,
     "q17_text_quality" -> qTextQuality,
@@ -4923,6 +4950,31 @@ object QueriesTraining {
          |SELECT source, n, $slope AS slope_milli, $rr AS r_micro
          |FROM m ORDER BY source""".stripMargin
     },
+
+    // recall: exact 2/5 truth by brute overlap (an oracle may be
+    // quadratic), found = the q22 verified pairs, one pair left join
+    "q239_lsh_recall" ->
+      s"""$lshCandidateCtes,
+         |jac AS (SELECT id_a, id_b,
+         |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         |    / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS jacc
+         |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b),
+         |found AS (SELECT id_a, id_b FROM jac WHERE jacc >= 0.4),
+         |ss AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n FROM sh),
+         |e AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |ov AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(count(*) AS BIGINT) AS n_inter
+         |  FROM e a JOIN e b USING (g) WHERE a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |truth AS (SELECT ov.id_a, ov.id_b FROM ov
+         |  JOIN ss sa ON sa.doc_id = ov.id_a JOIN ss sb ON sb.doc_id = ov.id_b
+         |  WHERE n_inter * 5 >= (sa.n + sb.n - n_inter) * 2),
+         |fl AS (SELECT t.id_a, t.id_b,
+         |  CASE WHEN f.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM truth t LEFT JOIN found f ON f.id_a = t.id_a AND f.id_b = t.id_b)
+         |SELECT CAST(count(*) AS BIGINT) AS n_true,
+         |  CAST(sum(hit) AS BIGINT) AS n_found,
+         |  CAST(sum(hit) * 10000 // count(*) AS BIGINT) AS recall_bp FROM fl""".stripMargin,
 
     // dedup savings: CC chain + quality CTEs; rep by the q109 rule
     // (row_number twin of max_by's (q desc, doc_id asc) tie order)
