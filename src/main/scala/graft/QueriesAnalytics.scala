@@ -1968,7 +1968,9 @@ object QueriesAnalytics {
     *
     * Scale: the daily series is date-domain-sized however large the
     * event corpus — one count aggregate, then every lag join and
-    * moment runs on the tiny series.
+    * moment runs on the tiny series. Exact while
+    * days · (daily count)² < 2⁶³ (~10⁸/day over a decade; rescale
+    * counts to kilo-units beyond — the q235 overflow lesson).
     */
   private val qAcf: Q = (spark, dir) => {
     val daily = dedup.Dedup.materialize(Tables.events(spark, dir)

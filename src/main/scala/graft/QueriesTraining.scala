@@ -913,9 +913,12 @@ object QueriesTraining {
         sum(col("ry") * col("ry")).as("syy"),
         sum(col("rx") * col("ry")).as("sxy"))
       .select(col("n"),
-        expr("""round((CAST(n * sxy - sx * sy AS DOUBLE))
-               | / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-               |        * CAST(n * syy - sy * sy AS DOUBLE)), 6)""".stripMargin)
+        // products in double space: ranks are ≤ 2n, so n·sxx ≈ 4n⁴
+        // overflows BIGINT past n ≈ 38k (the q235 overflow lesson);
+        // the long SUMS stay exact and both engines cast the same longs
+        expr("""round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               | / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               |        * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)""".stripMargin)
           .as("rho"))
   }
 
@@ -1859,16 +1862,20 @@ object QueriesTraining {
       .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
         sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
         sum(col("x") * col("y")).as("sxy"))
+    // moment PRODUCTS in double space: n·syy overflows BIGINT beyond
+    // ~5k docs × micro² values (the 10× rehearsal caught the ANSI
+    // overflow). The long SUMS stay exact; both engines cast the same
+    // exact longs, so the doubles — and the settled outputs — match.
+    val dxx = "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    val dyy = "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    val dxy = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
     val slopeExpr = expr(
-      """CAST(CASE WHEN n * sxx - sx * sx <= 0 THEN 0
-        |ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
-        |  / CAST(n * sxx - sx * sx AS DOUBLE) * 1000.0) END AS BIGINT)""".stripMargin)
+      s"""CAST(CASE WHEN $dxx <= 0.0 THEN 0
+         |ELSE round($dxy / $dxx * 1000.0) END AS BIGINT)""".stripMargin)
     val rExpr = expr(
-      """CAST(CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0 THEN 0
-        |ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
-        |  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-        |    * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000.0)
-        |END AS BIGINT)""".stripMargin)
+      s"""CAST(CASE WHEN $dxx <= 0.0 OR $dyy <= 0.0 THEN 0
+         |ELSE round($dxy / sqrt($dxx * $dyy) * 1000000.0)
+         |END AS BIGINT)""".stripMargin)
     val per = moments(scored.groupBy("source"))
       .select(col("source"), col("n"), slopeExpr.as("slope_milli"),
         rExpr.as("r_micro"))
@@ -1876,6 +1883,42 @@ object QueriesTraining {
       .select(lit("ALL").as("source"), col("n"), slopeExpr.as("slope_milli"),
         rExpr.as("r_micro"))
     per.unionByName(all).orderBy("source")
+  }
+
+  /** q240: NORMALIZATION DEDUP DELTA — what does q20's normalization
+    * (lower + trim + whitespace collapse) actually buy over raw-byte
+    * exact dedup? Both fingerprints in one pass; per key-type, the
+    * docs removable by keep-one; the delta is the casing/whitespace
+    * mirror mass a raw-hash dedup would MISS — the cheap argument for
+    * normalizing before hashing at 100 TB (and the guard against
+    * over-normalizing: a large delta deserves a sample review).
+    *
+    * Like q20, the fixture plants its own duplicates (the synthetic
+    * corpus has none): every doc gains an UPPERCASED, padded variant —
+    * byte-distinct, normalization-equivalent — so raw dedup finds 0
+    * and the delta is exactly the planted mass.
+    *
+    * Scale: one projection, two key-sized count aggregates, 1-row out.
+    */
+  private val qNormDelta: Q = (spark, dir) => {
+    val d = docsFanned(spark, dir).select(col("doc_id"), col("text"))
+    val dup = d.unionAll(d.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat(upper(col("text")), lit("  ")).as("text")))
+    val keys = Dedup.materialize(dup
+      .select(col("doc_id"), md5(col("text")).as("raw_fp"),
+        TextAnalysis.fingerprintMd5(col("text")).as("norm_fp")))
+    def removed(c: String) = keys.groupBy(col(c))
+      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("n_keys"),
+        coalesce(sum(when(col("cnt") >= 2, col("cnt") - 1).otherwise(0L)), lit(0L))
+          .as("removed"))
+    val n = keys.agg(count(lit(1)).as("n_docs"))
+    n.crossJoin(broadcast(removed("raw_fp")
+        .select(col("removed").as("raw_removed"))))
+      .crossJoin(broadcast(removed("norm_fp")
+        .select(col("removed").as("norm_removed"))))
+      .select(col("n_docs"), col("raw_removed"), col("norm_removed"),
+        (col("norm_removed") - col("raw_removed")).as("delta_removed"))
   }
 
   /** q239: LSH CANDIDATE RECALL — the other half of q165's precision:
@@ -3722,6 +3765,7 @@ object QueriesTraining {
     "q231_dup_quality_gap" -> qDupQualityGap,
     "q238_dedup_savings" -> qDedupSavings,
     "q239_lsh_recall" -> qLshRecall,
+    "q240_norm_delta" -> qNormDelta,
     "q235_quality_length_bias" -> qQualityLengthBias,
     "q232_token_budget" -> qTokenBudget,
     "q17_text_quality" -> qTextQuality,
@@ -4587,9 +4631,9 @@ object QueriesTraining {
          |  CAST(sum(rx * rx) AS BIGINT) AS sxx, CAST(sum(ry * ry) AS BIGINT) AS syy,
          |  CAST(sum(rx * ry) AS BIGINT) AS sxy
          |  FROM m JOIN rx USING (x) JOIN ry USING (y))
-         |SELECT n, round(CAST(n * sxy - sx * sy AS DOUBLE)
-         |  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-         |         * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho
+         |SELECT n, round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |  / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         |         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS rho
          |FROM mo""".stripMargin,
 
     // matryoshka: q25's ranking text per prefix width, same fold
@@ -4925,13 +4969,13 @@ object QueriesTraining {
     // quality-length bias: shared quality chain + n_chars ln settled
     // per doc; both engines divide the same exact integer moments
     "q235_quality_length_bias" -> {
-      val slope = """CAST(CASE WHEN n * sxx - sx * sx <= 0 THEN 0
-        |  ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
-        |    / CAST(n * sxx - sx * sx AS DOUBLE) * 1000.0) END AS BIGINT)""".stripMargin
-      val rr = """CAST(CASE WHEN n * sxx - sx * sx <= 0 OR n * syy - sy * sy <= 0 THEN 0
-        |  ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
-        |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
-        |      * CAST(n * syy - sy * sy AS DOUBLE)) * 1000000.0)
+      val dxx = "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+      val dyy = "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+      val dxy = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+      val slope = s"""CAST(CASE WHEN $dxx <= 0.0 THEN 0
+        |  ELSE round($dxy / $dxx * 1000.0) END AS BIGINT)""".stripMargin
+      val rr = s"""CAST(CASE WHEN $dxx <= 0.0 OR $dyy <= 0.0 THEN 0
+        |  ELSE round($dxy / sqrt($dxx * $dyy) * 1000000.0)
         |  END AS BIGINT)""".stripMargin
       s"""$qualityScoreCtes,
          |sc AS (SELECT d.source,
@@ -4950,6 +4994,21 @@ object QueriesTraining {
          |SELECT source, n, $slope AS slope_milli, $rr AS r_micro
          |FROM m ORDER BY source""".stripMargin
     },
+
+    // norm delta: both fingerprints in one scan; removable = sum(cnt-1)
+    "q240_norm_delta" ->
+      s"""WITH dd AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000, upper(text) || '  ' FROM documents),
+         |k AS (SELECT doc_id, md5(text) AS raw_fp,
+         |  md5($normTextSql) AS norm_fp FROM dd),
+         |rr AS (SELECT CAST(sum(CASE WHEN cnt >= 2 THEN cnt - 1 ELSE 0 END) AS BIGINT) AS raw_removed
+         |  FROM (SELECT raw_fp, count(*) AS cnt FROM k GROUP BY raw_fp)),
+         |nr AS (SELECT CAST(sum(CASE WHEN cnt >= 2 THEN cnt - 1 ELSE 0 END) AS BIGINT) AS norm_removed
+         |  FROM (SELECT norm_fp, count(*) AS cnt FROM k GROUP BY norm_fp)),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM k)
+         |SELECT n_docs, raw_removed, norm_removed,
+         |  CAST(norm_removed - raw_removed AS BIGINT) AS delta_removed
+         |FROM n, rr, nr""".stripMargin,
 
     // recall: exact 2/5 truth by brute overlap (an oracle may be
     // quadratic), found = the q22 verified pairs, one pair left join

@@ -236,6 +236,11 @@ object ScaleRehearsal {
     // count at Nx), langid kappa + conformal (docs), disorder
     // (events), cross-split contamination (the full LSH chain + split)
     val new11Only = args.length > 1 && args(1) == "new11"
+    // "new12" second arg: the round-8 sixth continuation's heavy
+    // document compositions — Brier (NB chain), dup-quality gap +
+    // token savings (CC + quality chains), token-budget cut (prefix
+    // sums), DSIR ESS, LSH recall (exact all-pairs truth)
+    val new12Only = args.length > 1 && args(1) == "new12"
     val scaled = s"/tmp/graft_scale_${mult}x"
     val spark = GraftSession.get("local[32]", "32")
     if (new8Only) {
@@ -354,6 +359,19 @@ object ScaleRehearsal {
         val line = qs.map(q => "\"" + q + "\":" + timeQuery(spark, q, dir))
           .mkString("{", ",", "}")
         println(s"""{"metric":"scale_rehearsal_new11","scale":"$label","dir":"$dir","queries":$line}""")
+      }
+      spark.stop(); return
+    }
+    if (new12Only) {
+      scaleDocs(spark, base, scaled, mult)
+      val qs = Seq("q229_brier", "q231_dup_quality_gap", "q232_token_budget",
+        "q235_quality_length_bias", "q236_dsir_ess", "q238_dedup_savings",
+        "q239_lsh_recall")
+      Seq("1x" -> base, s"${mult}x" -> scaled).foreach { case (label, dir) =>
+        qs.foreach(q => timeQuery(spark, q, dir)) // warm
+        val line = qs.map(q => "\"" + q + "\":" + timeQuery(spark, q, dir))
+          .mkString("{", ",", "}")
+        println(s"""{"metric":"scale_rehearsal_new12","scale":"$label","dir":"$dir","queries":$line}""")
       }
       spark.stop(); return
     }
