@@ -1885,6 +1885,50 @@ object QueriesTraining {
     per.unionByName(all).orderBy("source")
   }
 
+  /** q241: DEDUP THRESHOLD STABILITY (Adjusted Rand Index) — how much
+    * does the cluster structure move when the Jaccard threshold
+    * tightens from 0.4 to 0.5? Both clusterings run the same CC over
+    * the same verified pair set (the 0.5 edges are a filter of the
+    * 0.4 edges — one LSH chain, two label generations); ARI comes
+    * from the exact pair-counting contingency
+    * (Σ C(n_ij,2) vs its independence expectation), every count an
+    * exact integer and the final ratio in micro from products taken
+    * in double space (the §h3 overflow rule). ARI ≈ 1 means the
+    * policy choice between thresholds barely moves cluster
+    * membership; a low ARI means the dedup decision boundary is
+    * load-bearing and deserves a sweep (q183).
+    *
+    * Scale: one LSH chain; two CC runs on edge subsets; the
+    * contingency is cluster-pair-sized.
+    */
+  private val qDedupAri: Q = (spark, dir) => {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"))
+    val pairs = Dedup.materialize(ngramPairs(spark, dir)
+      .select("id_a", "id_b", "jacc"))
+    val compA = Dedup.connectedComponents(docs,
+      pairs.select("id_a", "id_b"), "doc_id", "id_a", "id_b")
+      .select(col("doc_id"), col("canonical_id").as("ca"))
+    val compB = Dedup.connectedComponents(docs,
+      pairs.filter(col("jacc") >= 0.5).select("id_a", "id_b"),
+      "doc_id", "id_a", "id_b")
+      .select(col("doc_id"), col("canonical_id").as("cb"))
+    val cont = Dedup.materialize(compA.join(compB, "doc_id")
+      .groupBy("ca", "cb").agg(count(lit(1)).as("m")))
+    def c2(c: String) = expr(s"sum($c * ($c - 1) div 2)")
+    val idx = cont.agg(c2("m").as("s_ij"), sum("m").as("n"))
+    val ai = cont.groupBy("ca").agg(sum("m").as("a")).agg(c2("a").as("s_a"))
+    val bj = cont.groupBy("cb").agg(sum("m").as("b")).agg(c2("b").as("s_b"))
+    idx.crossJoin(broadcast(ai)).crossJoin(broadcast(bj))
+      .select(col("n"), col("s_ij"), col("s_a"), col("s_b"),
+        expr(
+          """CAST(CASE WHEN s_a = 0 AND s_b = 0 THEN 1000000
+            |ELSE round((CAST(s_ij AS DOUBLE)
+            |  - CAST(s_a AS DOUBLE) * CAST(s_b AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) / 2.0))
+            |  / ((CAST(s_a AS DOUBLE) + CAST(s_b AS DOUBLE)) / 2.0
+            |  - CAST(s_a AS DOUBLE) * CAST(s_b AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) / 2.0))
+            |  * 1000000.0) END AS BIGINT)""".stripMargin).as("ari_micro"))
+  }
+
   /** q240: NORMALIZATION DEDUP DELTA — what does q20's normalization
     * (lower + trim + whitespace collapse) actually buy over raw-byte
     * exact dedup? Both fingerprints in one pass; per key-type, the
@@ -3766,6 +3810,7 @@ object QueriesTraining {
     "q238_dedup_savings" -> qDedupSavings,
     "q239_lsh_recall" -> qLshRecall,
     "q240_norm_delta" -> qNormDelta,
+    "q241_dedup_ari" -> qDedupAri,
     "q235_quality_length_bias" -> qQualityLengthBias,
     "q232_token_budget" -> qTokenBudget,
     "q17_text_quality" -> qTextQuality,
@@ -4994,6 +5039,46 @@ object QueriesTraining {
          |SELECT source, n, $slope AS slope_milli, $rr AS r_micro
          |FROM m ORDER BY source""".stripMargin
     },
+
+    // ARI: the recursive-CC chain twice (0.5 edges filter the 0.4
+    // set), exact pair-counting contingency, double-space products
+    "q241_dedup_ari" ->
+      s"""${lshCandidateCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |jac AS (SELECT id_a, id_b,
+         |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+         |    / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS jacc
+         |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b),
+         |pairs AS (SELECT id_a, id_b, jacc FROM jac WHERE jacc >= 0.4),
+         |sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |        UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT sym.d, reach.lbl FROM reach JOIN sym ON sym.s = reach.id),
+         |compa AS (SELECT id AS doc_id, min(lbl) AS ca FROM reach GROUP BY id),
+         |sym5 AS (SELECT id_a AS s, id_b AS d FROM pairs WHERE jacc >= 0.5
+         |        UNION ALL SELECT id_b, id_a FROM pairs WHERE jacc >= 0.5),
+         |reach5(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT sym5.d, reach5.lbl FROM reach5 JOIN sym5 ON sym5.s = reach5.id),
+         |compb AS (SELECT id AS doc_id, min(lbl) AS cb FROM reach5 GROUP BY id),
+         |cont AS (SELECT ca, cb, CAST(count(*) AS BIGINT) AS m
+         |  FROM compa JOIN compb USING (doc_id) GROUP BY ca, cb),
+         |ix AS (SELECT CAST(sum(m * (m - 1) // 2) AS BIGINT) AS s_ij,
+         |  CAST(sum(m) AS BIGINT) AS n FROM cont),
+         |aa AS (SELECT CAST(sum(a * (a - 1) // 2) AS BIGINT) AS s_a
+         |  FROM (SELECT CAST(sum(m) AS BIGINT) AS a FROM cont GROUP BY ca)),
+         |bb AS (SELECT CAST(sum(b * (b - 1) // 2) AS BIGINT) AS s_b
+         |  FROM (SELECT CAST(sum(m) AS BIGINT) AS b FROM cont GROUP BY cb))
+         |SELECT n, s_ij, s_a, s_b,
+         |  CAST(CASE WHEN s_a = 0 AND s_b = 0 THEN 1000000
+         |  ELSE round((CAST(s_ij AS DOUBLE)
+         |    - CAST(s_a AS DOUBLE) * CAST(s_b AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) / 2.0))
+         |    / ((CAST(s_a AS DOUBLE) + CAST(s_b AS DOUBLE)) / 2.0
+         |    - CAST(s_a AS DOUBLE) * CAST(s_b AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) / 2.0))
+         |    * 1000000.0) END AS BIGINT) AS ari_micro
+         |FROM ix, aa, bb""".stripMargin,
 
     // norm delta: both fingerprints in one scan; removable = sum(cnt-1)
     "q240_norm_delta" ->
