@@ -1955,6 +1955,45 @@ object QueriesAnalytics {
       .orderBy("source", "split")
   }
 
+  private[graft] val ChurnTopK = 20
+
+  /** q242: TOP-K CHURN — day-over-day stability of the heavy-hitter
+    * set: per day, the top-[[ChurnTopK]] users by event count
+    * (rank-pinned, count desc then user_id), and for each adjacent
+    * day pair the exact set overlap and Jaccard in bp. A monitoring
+    * primitive: stable top-k churn is organic traffic, a sudden dip
+    * says the heavy-hitter population rotated (bot wave, incident,
+    * migration) even when total volume looks flat — the set-level
+    * complement of q95's count-level spike detection.
+    *
+    * Scale: the count table is (day, user)-keyed with map-side
+    * combine; top-k is a day-partitioned window over that aggregate;
+    * everything after is (days × K)-sized.
+    */
+  private val qTopkChurn: Q = (spark, dir) => {
+    val counts = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(expr(s"ts_ms div $DayMs").as("day"), col("user_id"))
+      .groupBy("day", "user_id").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("day").orderBy(col("c").desc, col("user_id"))
+    val top = dedup.Dedup.materialize(
+      counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= ChurnTopK).select("day", "user_id"))
+    val sizes = top.groupBy("day").agg(count(lit(1)).as("k"))
+    val pairs = sizes.select(col("day"), col("k").as("ka"))
+      .join(sizes.select((col("day") - 1).as("day"), col("k").as("kb")), "day")
+    val inter = top
+      .join(top.select((col("day") - 1).as("day"), col("user_id")),
+        Seq("day", "user_id"))
+      .groupBy("day").agg(count(lit(1)).as("n_inter"))
+    pairs.join(inter, Seq("day"), "left")
+      .select(col("day"), col("ka"), col("kb"),
+        coalesce(col("n_inter"), lit(0L)).as("n_inter"))
+      .select(col("day"), col("ka"), col("kb"), col("n_inter"),
+        expr("n_inter * 10000 div (ka + kb - n_inter)").as("jaccard_bp"))
+      .orderBy("day")
+  }
+
   private[graft] val AcfMaxLag = 7
 
   /** q233: AUTOCORRELATION FUNCTION of the daily event-count series,
@@ -2029,6 +2068,7 @@ object QueriesAnalytics {
     "q224_disorder" -> qDisorder,
     "q233_acf" -> qAcf,
     "q234_split_balance" -> qSplitBalance,
+    "q242_topk_churn" -> qTopkChurn,
     "q105_profile" -> qProfile,
     "q114_interpolate" -> qInterpolate,
     "q107_ewma" -> qEwma,
@@ -2543,6 +2583,25 @@ object QueriesAnalytics {
         |SELECT r AS source, c AS split, obs, rt, ct, resid, term_micro,
         |  chi2_micro, dof
         |FROM terms, tot ORDER BY source, split""".stripMargin,
+
+    // churn: same day bucketing + rank-pinned top-k, exact set math
+    "q242_topk_churn" ->
+      s"""WITH e AS (SELECT epoch_ms(ts) // $DayMs AS day, user_id FROM events
+         |  WHERE user_id IS NOT NULL),
+         |c AS (SELECT day, user_id, CAST(count(*) AS BIGINT) AS c
+         |  FROM e GROUP BY day, user_id),
+         |t AS (SELECT day, user_id FROM (SELECT day, user_id,
+         |  row_number() OVER (PARTITION BY day ORDER BY c DESC, user_id) AS rk
+         |  FROM c) WHERE rk <= $ChurnTopK),
+         |sz AS (SELECT day, CAST(count(*) AS BIGINT) AS k FROM t GROUP BY day),
+         |pr AS (SELECT a.day, a.k AS ka, b.k AS kb
+         |  FROM sz a JOIN sz b ON b.day = a.day + 1),
+         |iv AS (SELECT a.day, CAST(count(*) AS BIGINT) AS n_inter
+         |  FROM t a JOIN t b ON b.day = a.day + 1 AND b.user_id = a.user_id
+         |  GROUP BY a.day)
+         |SELECT pr.day, ka, kb, COALESCE(n_inter, 0) AS n_inter,
+         |  CAST(COALESCE(n_inter, 0) * 10000 // (ka + kb - COALESCE(n_inter, 0)) AS BIGINT) AS jaccard_bp
+         |FROM pr LEFT JOIN iv ON iv.day = pr.day ORDER BY pr.day""".stripMargin,
 
     // acf: same day bucketing, exact integer moments, shared guard
     "q233_acf" ->
