@@ -2626,10 +2626,11 @@ object QueriesAnalytics {
     // identical bucket boundaries and integer bp share
     "q224_disorder" ->
       s"""WITH e AS (SELECT ((user_id % ${streaming.Disorder.Shards}) + ${streaming.Disorder.Shards}) % ${streaming.Disorder.Shards} AS shard,
+        |  -- missing user_ids dropped (battery convention + the fold's carry-join contract)
         |  event_id, epoch_ms(ts) AS ts_ms,
         |  epoch_ms(ts) + (('0x' || substr(md5('arr:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
         |    % ${streaming.Disorder.JitterMs} + ${streaming.Disorder.JitterMs}) % ${streaming.Disorder.JitterMs} AS arr_ms
-        |  FROM events),
+        |  FROM events WHERE user_id IS NOT NULL),
         |r AS (SELECT shard, ts_ms,
         |  max(ts_ms) OVER (PARTITION BY shard ORDER BY arr_ms, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_max FROM e),

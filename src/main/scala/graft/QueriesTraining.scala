@@ -1696,7 +1696,8 @@ object QueriesTraining {
     * numerator and denominator; settled to micro by the sign-safe
     * floor division ((x − ((x%d + d)%d)) div d, identical on both
     * engines for any sign). One classify pass, label-count-sized
-    * aggregates.
+    * aggregates. Exact while n² · 10⁶ < 2⁶³ (~3·10⁶ docs; settle the
+    * rational in double space beyond — the §h3 overflow rule).
     */
   private val qLangKappa: Q = (spark, dir) => {
     val d = docsFanned(spark, dir).select(
@@ -1794,7 +1795,11 @@ object QueriesTraining {
     val ranked = graft.operators.GlobalRank.withRank(
       cal, Seq(col("q_micro").asc, col("doc_id").asc), "rk")
     val thr = ranked.crossJoin(broadcast(nCal))
-      .filter(col("rk") === expr(s"(n_cal + 1) div $ConformalAlpha"))
+      // greatest(1, ·): with n_cal < alpha-1 the conformal rank would
+      // be 0 (no matching row on Spark but an EMPTY oracle result —
+      // shape mismatch); clamping to the smallest calibration value is
+      // the conservative threshold and keeps both engines one-row
+      .filter(col("rk") === expr(s"greatest(1, (n_cal + 1) div $ConformalAlpha)"))
       .select(col("n_cal"), col("rk").as("k"), col("q_micro").as("thr_micro"))
     sM.filter(col("split") === "test")
       .crossJoin(broadcast(thr))
@@ -1901,6 +1906,9 @@ object QueriesTraining {
     * Scale: one LSH chain; two CC runs on edge subsets; the
     * contingency is cluster-pair-sized.
     */
+  private val AriDenSql =
+    "((CAST(s_a AS DOUBLE) + CAST(s_b AS DOUBLE)) / 2.0 - CAST(s_a AS DOUBLE) * CAST(s_b AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) / 2.0))"
+
   private val qDedupAri: Q = (spark, dir) => {
     val docs = Tables(spark, dir, "documents").select(col("doc_id"))
     val pairs = Dedup.materialize(ngramPairs(spark, dir)
@@ -1921,11 +1929,14 @@ object QueriesTraining {
     idx.crossJoin(broadcast(ai)).crossJoin(broadcast(bj))
       .select(col("n"), col("s_ij"), col("s_a"), col("s_b"),
         expr(
-          """CAST(CASE WHEN s_a = 0 AND s_b = 0 THEN 1000000
+          // den <= 0 covers BOTH trivial clusterings (all singletons
+          // AND everything-one-cluster): the ratio there is 0/0 — NaN
+          // casts to 0 on Spark but errors on DuckDB; identical
+          // trivial clusterings are ARI = 1 by convention
+          s"""CAST(CASE WHEN $AriDenSql <= 0.0 THEN 1000000
             |ELSE round((CAST(s_ij AS DOUBLE)
             |  - CAST(s_a AS DOUBLE) * CAST(s_b AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) / 2.0))
-            |  / ((CAST(s_a AS DOUBLE) + CAST(s_b AS DOUBLE)) / 2.0
-            |  - CAST(s_a AS DOUBLE) * CAST(s_b AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) / 2.0))
+            |  / $AriDenSql
             |  * 1000000.0) END AS BIGINT)""".stripMargin).as("ari_micro"))
   }
 
@@ -2017,9 +2028,14 @@ object QueriesTraining {
         max_by(col("n_tok"), struct(col("q_micro"),
           (-col("doc_id")).as("nd"))).as("rep_tok"))
     val tot = j.agg(sum("n_tok").as("corpus_tokens"))
-    cz.filter(col("sz") >= 2)
-      .agg(count(lit(1)).as("n_clusters"), sum(col("sz") - 1).as("docs_removed"),
-        sum(col("ctok") - col("rep_tok")).as("tokens_removed"))
+    // conditional aggregation, not filter-then-agg: on a corpus with
+    // NO dup clusters a filtered global agg still emits one all-null
+    // row on Spark but zero rows from the oracle's WHERE — this shape
+    // always yields one zeroed row on both engines
+    cz.agg(count(when(col("sz") >= 2, 1)).as("n_clusters"),
+        sum(when(col("sz") >= 2, col("sz") - 1).otherwise(0L)).as("docs_removed"),
+        sum(when(col("sz") >= 2, col("ctok") - col("rep_tok")).otherwise(0L))
+          .as("tokens_removed"))
       .crossJoin(broadcast(tot))
       .select(col("n_clusters"), col("docs_removed"), col("tokens_removed"),
         col("corpus_tokens"),
@@ -2149,7 +2165,8 @@ object QueriesTraining {
     *
     * Scale: the score pass is q170's; the rank is GlobalRank's
     * two-phase ntile (no single-partition window); everything after
-    * is bin-sized.
+    * is bin-sized. Exact while n·10¹² < 2⁶³ (~9·10⁶ docs — the raw
+    * Brier sum of micro² terms; shard or rescale to milli beyond).
     */
   private val qBrier: Q = (spark, dir) => {
     val scored = Dedup.materialize(
@@ -2188,7 +2205,8 @@ object QueriesTraining {
     * factor to micro per SOURCE (one libm call on a BIGINT-derived
     * input), and the new weights land in exact bp by largest-remainder
     * rounding (q149's Hamilton, rank via GlobalRank) — Σ w1_bp = 10⁴
-    * exactly.
+    * exactly. Exact while n_tokens·f_micro·10⁴ < 2⁶³ per source
+    * (~3·10⁸ tokens at f ≈ 3·10⁶; rescale f to milli beyond).
     *
     * Scale: one tokenize pass; shuffles carry term and (source, term)
     * KEYS with map-side combine; everything after is source-sized.
@@ -3986,6 +4004,28 @@ object QueriesTraining {
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |         FROM bands a JOIN bands b USING (band_key) WHERE a.doc_id < b.doc_id)""".stripMargin
 
+  /** The exact-Jaccard verify CTE over the LSH candidates — ONE copy
+    * (11 oracles nest it; a threshold or tie-order edit in a stray
+    * copy would silently desynchronize one query from the rest).
+    */
+  private lazy val jacCte =
+    """jac AS (SELECT id_a, id_b,
+      |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      |    / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS jacc
+      |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)""".stripMargin
+
+  /** The 0.4-threshold edge set + recursive reachability chain shared
+    * by every connected-components oracle (requires WITH RECURSIVE).
+    */
+  private lazy val ccReachCtes =
+    """pairs AS (SELECT id_a, id_b FROM jac WHERE jacc >= 0.4),
+      |sym AS (SELECT id_a AS s, id_b AS d FROM pairs
+      |        UNION ALL SELECT id_b, id_a FROM pairs),
+      |reach(id, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT sym.d, reach.lbl FROM reach JOIN sym ON sym.s = reach.id)""".stripMargin
+
   private def dotSql(a: String, b: String): String =
     foldSumDoubleSql(s"list_transform(range(1, ${EmbedDims + 1}), i -> ($a)[i] * ($b)[i])")
 
@@ -4152,17 +4192,8 @@ object QueriesTraining {
     */
   private lazy val componentsOracle: String =
     s"""${lshCandidateCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
-       |jac AS (SELECT id_a, id_b,
-       |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-       |    / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS jacc
-       |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b),
-       |pairs AS (SELECT id_a, id_b FROM jac WHERE jacc >= 0.4),
-       |sym AS (SELECT id_a AS s, id_b AS d FROM pairs
-       |        UNION ALL SELECT id_b, id_a FROM pairs),
-       |reach(id, lbl) AS (
-       |  SELECT doc_id, doc_id FROM documents
-       |  UNION
-       |  SELECT sym.d, reach.lbl FROM reach JOIN sym ON sym.s = reach.id)
+       |$jacCte,
+       |$ccReachCtes
        |SELECT id AS doc_id, min(lbl) AS canonical_id
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
@@ -4492,20 +4523,14 @@ object QueriesTraining {
 
     "q22_dedup_ngram" ->
       s"""$lshCandidateCtes,
-         |jac AS (SELECT id_a, id_b,
-         |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-         |    / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS jacc
-         |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
+         |$jacCte
          |SELECT id_a, id_b, jacc FROM jac WHERE jacc >= 0.4 ORDER BY id_a, id_b""".stripMargin,
 
     // precision audit: same candidates and verify expression as q22,
     // plus the counting aggregate
     "q165_lsh_precision" ->
       s"""$lshCandidateCtes,
-         |jac AS (SELECT id_a, id_b,
-         |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-         |    / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS jacc
-         |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b),
+         |$jacCte,
          |s2 AS (SELECT CAST(count(*) AS BIGINT) AS n_cand,
          |  CAST(sum(CASE WHEN jacc >= 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS n_true
          |  FROM jac)
@@ -4981,7 +5006,7 @@ object QueriesTraining {
          |rk AS (SELECT q_micro,
          |  row_number() OVER (ORDER BY q_micro, doc_id) AS rk FROM cal),
          |thr AS (SELECT n_cal, CAST(rk AS BIGINT) AS k, q_micro AS thr_micro
-         |  FROM rk, ncal WHERE rk = (n_cal + 1) // $ConformalAlpha),
+         |  FROM rk, ncal WHERE rk = greatest(1, (n_cal + 1) // $ConformalAlpha)),
          |tst AS (SELECT q_micro FROM sc WHERE split = 'test')
          |SELECT n_cal, k, thr_micro, CAST(count(*) AS BIGINT) AS n_test,
          |  CAST(sum(CASE WHEN q_micro >= thr_micro THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
@@ -4992,10 +5017,7 @@ object QueriesTraining {
     // q61's split CASE on both endpoints, least/greatest combo grid
     "q226_split_contamination" ->
       s"""$lshCandidateCtes,
-         |jac AS (SELECT id_a, id_b,
-         |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-         |    / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS jacc
-         |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b),
+         |$jacCte,
          |pr AS (SELECT id_a, id_b FROM jac WHERE jacc >= 0.4),
          |sp AS (SELECT doc_id,
          |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
@@ -5044,10 +5066,7 @@ object QueriesTraining {
     // set), exact pair-counting contingency, double-space products
     "q241_dedup_ari" ->
       s"""${lshCandidateCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
-         |jac AS (SELECT id_a, id_b,
-         |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-         |    / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS jacc
-         |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b),
+         |$jacCte,
          |pairs AS (SELECT id_a, id_b, jacc FROM jac WHERE jacc >= 0.4),
          |sym AS (SELECT id_a AS s, id_b AS d FROM pairs
          |        UNION ALL SELECT id_b, id_a FROM pairs),
@@ -5072,11 +5091,10 @@ object QueriesTraining {
          |bb AS (SELECT CAST(sum(b * (b - 1) // 2) AS BIGINT) AS s_b
          |  FROM (SELECT CAST(sum(m) AS BIGINT) AS b FROM cont GROUP BY cb))
          |SELECT n, s_ij, s_a, s_b,
-         |  CAST(CASE WHEN s_a = 0 AND s_b = 0 THEN 1000000
+         |  CAST(CASE WHEN ((CAST(s_a AS DOUBLE) + CAST(s_b AS DOUBLE)) / 2.0 - CAST(s_a AS DOUBLE) * CAST(s_b AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) / 2.0)) <= 0.0 THEN 1000000
          |  ELSE round((CAST(s_ij AS DOUBLE)
          |    - CAST(s_a AS DOUBLE) * CAST(s_b AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) / 2.0))
-         |    / ((CAST(s_a AS DOUBLE) + CAST(s_b AS DOUBLE)) / 2.0
-         |    - CAST(s_a AS DOUBLE) * CAST(s_b AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) / 2.0))
+         |    / ((CAST(s_a AS DOUBLE) + CAST(s_b AS DOUBLE)) / 2.0 - CAST(s_a AS DOUBLE) * CAST(s_b AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) / 2.0))
          |    * 1000000.0) END AS BIGINT) AS ari_micro
          |FROM ix, aa, bb""".stripMargin,
 
@@ -5099,10 +5117,7 @@ object QueriesTraining {
     // quadratic), found = the q22 verified pairs, one pair left join
     "q239_lsh_recall" ->
       s"""$lshCandidateCtes,
-         |jac AS (SELECT id_a, id_b,
-         |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-         |    / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS jacc
-         |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b),
+         |$jacCte,
          |found AS (SELECT id_a, id_b FROM jac WHERE jacc >= 0.4),
          |ss AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n FROM sh),
          |e AS (SELECT doc_id, unnest(s) AS g FROM sh),
@@ -5124,17 +5139,8 @@ object QueriesTraining {
     // (row_number twin of max_by's (q desc, doc_id asc) tie order)
     "q238_dedup_savings" ->
       s"""${lshCandidateCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
-         |jac AS (SELECT id_a, id_b,
-         |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-         |    / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS jacc
-         |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b),
-         |pairs AS (SELECT id_a, id_b FROM jac WHERE jacc >= 0.4),
-         |sym AS (SELECT id_a AS s, id_b AS d FROM pairs
-         |        UNION ALL SELECT id_b, id_a FROM pairs),
-         |reach(id, lbl) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT sym.d, reach.lbl FROM reach JOIN sym ON sym.s = reach.id),
+         |$jacCte,
+         |$ccReachCtes,
          |comp AS (SELECT id AS doc_id, min(lbl) AS cid FROM reach GROUP BY id),
          |${qualityScoreCtes.replaceFirst("^WITH ", "")},
          |tk AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tok FROM documents),
@@ -5149,28 +5155,19 @@ object QueriesTraining {
          |  CAST(max(CASE WHEN rn = 1 THEN n_tok END) AS BIGINT) AS rep_tok
          |  FROM rk GROUP BY cid),
          |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS corpus_tokens FROM jm)
-         |SELECT CAST(count(*) AS BIGINT) AS n_clusters,
-         |  CAST(sum(sz - 1) AS BIGINT) AS docs_removed,
-         |  CAST(sum(ctok - rep_tok) AS BIGINT) AS tokens_removed,
+         |SELECT CAST(count(CASE WHEN sz >= 2 THEN 1 END) AS BIGINT) AS n_clusters,
+         |  CAST(sum(CASE WHEN sz >= 2 THEN sz - 1 ELSE 0 END) AS BIGINT) AS docs_removed,
+         |  CAST(sum(CASE WHEN sz >= 2 THEN ctok - rep_tok ELSE 0 END) AS BIGINT) AS tokens_removed,
          |  corpus_tokens,
-         |  CAST(sum(ctok - rep_tok) * 10000 // corpus_tokens AS BIGINT) AS saved_bp
-         |FROM cz, tot WHERE sz >= 2 GROUP BY corpus_tokens""".stripMargin,
+         |  CAST(sum(CASE WHEN sz >= 2 THEN ctok - rep_tok ELSE 0 END) * 10000 // corpus_tokens AS BIGINT) AS saved_bp
+         |FROM cz, tot GROUP BY corpus_tokens""".stripMargin,
 
     // dup-quality gap: recursive-CC chain + the shared quality CTEs
     // (CTE name sets are disjoint); positive integer-div means
     "q231_dup_quality_gap" ->
       s"""${lshCandidateCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
-         |jac AS (SELECT id_a, id_b,
-         |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-         |    / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS jacc
-         |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b),
-         |pairs AS (SELECT id_a, id_b FROM jac WHERE jacc >= 0.4),
-         |sym AS (SELECT id_a AS s, id_b AS d FROM pairs
-         |        UNION ALL SELECT id_b, id_a FROM pairs),
-         |reach(id, lbl) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT sym.d, reach.lbl FROM reach JOIN sym ON sym.s = reach.id),
+         |$jacCte,
+         |$ccReachCtes,
          |comp AS (SELECT id AS doc_id, min(lbl) AS cid FROM reach GROUP BY id),
          |${qualityScoreCtes.replaceFirst("^WITH ", "")},
          |jq AS (SELECT comp.cid, CAST(round(quality * 1000000) AS BIGINT) AS qm
@@ -5208,17 +5205,8 @@ object QueriesTraining {
     // set; intra-cluster pairs by comp self-join under the size cap
     "q230_over_merge" ->
       s"""${lshCandidateCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
-         |jac AS (SELECT id_a, id_b,
-         |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-         |    / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS jacc
-         |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b),
-         |pairs AS (SELECT id_a, id_b FROM jac WHERE jacc >= 0.4),
-         |sym AS (SELECT id_a AS s, id_b AS d FROM pairs
-         |        UNION ALL SELECT id_b, id_a FROM pairs),
-         |reach(id, lbl) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT sym.d, reach.lbl FROM reach JOIN sym ON sym.s = reach.id),
+         |$jacCte,
+         |$ccReachCtes,
          |comp AS (SELECT id AS doc_id, min(lbl) AS cid FROM reach GROUP BY id),
          |keep AS (SELECT cid, CAST(count(*) AS BIGINT) AS sz FROM comp
          |  GROUP BY cid HAVING count(*) >= 2 AND count(*) <= $OverMergeSizeCap),
@@ -5549,17 +5537,8 @@ object QueriesTraining {
 
     "q109_cluster_rep" ->
       s"""${lshCandidateCtes.replaceFirst("^WITH ", "WITH RECURSIVE ")},
-         |jac AS (SELECT id_a, id_b,
-         |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-         |    / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS jacc
-         |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b),
-         |pairs AS (SELECT id_a, id_b FROM jac WHERE jacc >= 0.4),
-         |sym AS (SELECT id_a AS s, id_b AS d FROM pairs
-         |        UNION ALL SELECT id_b, id_a FROM pairs),
-         |reach(id, lbl) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT sym.d, reach.lbl FROM reach JOIN sym ON sym.s = reach.id),
+         |$jacCte,
+         |$ccReachCtes,
          |comp AS (SELECT id AS doc_id, min(lbl) AS canonical_id
          |  FROM reach GROUP BY id),
          |${qualityScoreCtes.replaceFirst("^WITH ", "")},
@@ -5593,10 +5572,7 @@ object QueriesTraining {
 
     "q118_dup_rate" ->
       s"""$lshCandidateCtes,
-         |jac AS (SELECT id_a, id_b,
-         |  CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-         |    / CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS DOUBLE) AS jacc
-         |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b),
+         |$jacCte,
          |p AS (SELECT id_a, id_b FROM jac WHERE jacc >= 0.4),
          |ids AS (SELECT id_a AS doc_id FROM p UNION SELECT id_b FROM p),
          |dd AS (SELECT d.source,

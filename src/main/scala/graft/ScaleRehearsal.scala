@@ -199,6 +199,21 @@ object ScaleRehearsal {
     * definition (the embedding copyVariant diverged once when inlined
     * twice; don't repeat that with the text transform).
     */
+  /** N× a keyed table by unioning `mult` key-offset copies — ONE copy
+    * of the logic (three rehearsal branches cloned it until a fix to
+    * the offsets had to be repeated per clone).
+    */
+  private def scaleOffsetTable(spark: org.apache.spark.sql.SparkSession,
+                               base: String, scaled: String, mult: Int,
+                               name: String, offsets: Map[String, Long]): Unit = {
+    val t = spark.read.parquet(s"$base/$name.parquet")
+    (0 until mult).map { k =>
+      offsets.foldLeft(t) { case (acc, (c, off)) =>
+        acc.withColumn(c, col(c) + lit(k * off)) }
+    }.reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$scaled/$name.parquet")
+  }
+
   private def scaleDocs(spark: org.apache.spark.sql.SparkSession,
                         base: String, scaled: String, mult: Int): Unit = {
     val docs = spark.read.parquet(s"$base/documents.parquet")
@@ -268,14 +283,8 @@ object ScaleRehearsal {
       // identical internal structure; events: offset users/event ids
       // (ts kept — the KS midpoint split sees the same distribution)
       scaleDocs(spark, base, scaled, mult)
-      def scaleTable(name: String, offsets: Map[String, Long]): Unit = {
-        val t = spark.read.parquet(s"$base/$name.parquet")
-        (0 until mult).map { k =>
-          offsets.foldLeft(t) { case (acc, (c, off)) =>
-            acc.withColumn(c, col(c) + lit(k * off)) }
-        }.reduce(_ unionAll _)
-          .write.mode("overwrite").parquet(s"$scaled/$name.parquet")
-      }
+      def scaleTable(name: String, offsets: Map[String, Long]): Unit =
+        scaleOffsetTable(spark, base, scaled, mult, name, offsets)
       scaleTable("orders", Map("o_orderkey" -> 1000000000L, "o_custkey" -> 10000000L))
       scaleTable("lineitem", Map("l_orderkey" -> 1000000000L, "l_suppkey" -> 10000000L))
       scaleTable("supplier", Map("s_suppkey" -> 10000000L))
@@ -297,14 +306,8 @@ object ScaleRehearsal {
       // float for the Aggregator's input encoder), order stats (chi²/
       // Hill over docs), gaps (bot regularity over Nx disjoint users)
       scaleDocs(spark, base, scaled, mult)
-      def scaleTable(name: String, offsets: Map[String, Long]): Unit = {
-        val t = spark.read.parquet(s"$base/$name.parquet")
-        (0 until mult).map { k =>
-          offsets.foldLeft(t) { case (acc, (c, off)) =>
-            acc.withColumn(c, col(c) + lit(k * off)) }
-        }.reduce(_ unionAll _)
-          .write.mode("overwrite").parquet(s"$scaled/$name.parquet")
-      }
+      def scaleTable(name: String, offsets: Map[String, Long]): Unit =
+        scaleOffsetTable(spark, base, scaled, mult, name, offsets)
       // l_suppkey/orders/supplier offsets keep the q204 supplier
       // co-order graph as N disjoint copies (component structure
       // preserved); l_partkey is shared so q195/q210 baskets grow in
@@ -336,14 +339,8 @@ object ScaleRehearsal {
     }
     if (new11Only) {
       scaleDocs(spark, base, scaled, mult)
-      def scaleTable(name: String, offsets: Map[String, Long]): Unit = {
-        val t = spark.read.parquet(s"$base/$name.parquet")
-        (0 until mult).map { k =>
-          offsets.foldLeft(t) { case (acc, (c, off)) =>
-            acc.withColumn(c, col(c) + lit(k * off)) }
-        }.reduce(_ unionAll _)
-          .write.mode("overwrite").parquet(s"$scaled/$name.parquet")
-      }
+      def scaleTable(name: String, offsets: Map[String, Long]): Unit =
+        scaleOffsetTable(spark, base, scaled, mult, name, offsets)
       scaleTable("events", Map("event_id" -> 1000000000L, "user_id" -> 10000000L))
       val emb0 = spark.read.parquet(s"$base/embeddings.parquet")
       (0 until mult).map { k =>

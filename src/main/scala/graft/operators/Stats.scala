@@ -133,7 +133,7 @@ object Stats {
       GlobalRank.withPrefixSums(cal, Seq(col("q_micro")), Seq("n"), Seq("cum")))
     val nCal = cum.agg(sum("n").as("n_cal"))
     val thr = cum.crossJoin(broadcast(nCal))
-      .withColumn("k", expr(s"(n_cal + 1) div $alpha"))
+      .withColumn("k", expr(s"greatest(1, (n_cal + 1) div $alpha)"))
       .filter(col("cum") >= col("k") && col("cum") - col("n") < col("k"))
       .select(col("n_cal"), col("k"), col("q_micro").as("thr_micro"))
     test.crossJoin(broadcast(thr))

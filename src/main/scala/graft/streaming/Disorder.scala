@@ -33,9 +33,15 @@ object Disorder {
   val Shards = 32
   val JitterMs = 30000L
 
-  /** (shard, event_id, ts_ms, arr_ms) from a `Tables.events` frame. */
+  /** (shard, event_id, ts_ms, arr_ms) from a `Tables.events` frame.
+    * Null user_ids are dropped (battery convention): a null shard key
+    * would also break the streaming fold's carry join — plain
+    * equality never matches null, so the null shard's running max
+    * would silently reset per batch and fold ≠ rebuild.
+    */
   def withArrival(events: DataFrame): DataFrame =
-    events.select(pmod(col("user_id"), lit(Shards)).as("shard"),
+    events.filter(col("user_id").isNotNull)
+      .select(pmod(col("user_id"), lit(Shards)).as("shard"),
         col("event_id"), col("ts_ms"))
       .withColumn("arr_ms", col("ts_ms") +
         pmod(Dedup.hash32(col("event_id").cast("string"), "arr"),
