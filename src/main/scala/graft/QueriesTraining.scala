@@ -2193,6 +2193,140 @@ object QueriesTraining {
         expr("first(obar * (1000000 - obar))").as("unc_micro2"))
   }
 
+  private[graft] val IsoBins = 20
+
+  /** q243: ISOTONIC RECALIBRATION (pool-adjacent-violators) — the
+    * non-parametric companion to q172's binned calibration table:
+    * fit the monotone-nondecreasing step function closest (weighted
+    * least squares) to the per-bin positive rates, bins ordered by
+    * classifier score. Where q229 DIAGNOSES miscalibration (Murphy
+    * reliability), this COMPUTES the recalibration map a serving
+    * stack would apply — the standard isotonic post-hoc calibrator.
+    *
+    * PAV is computed by its minimax characterization
+    * `fit_i = max_{j≤i} min_{k≥i} mean(y over bins j..k)` rather than
+    * the sequential pooling loop: with [[IsoBins]] bins the O(B³)
+    * range-mean table is metadata-sized, every range mean is ONE
+    * IEEE division of exact BIGINT sums (bit-identical on both
+    * engines, q205's rank discipline), and the max-of-min needs no
+    * iteration — so the oracle expresses it as plain joins, no
+    * recursion. Floats settle once at the very end (micro-rounding
+    * the chosen fit value).
+    *
+    * Scale: the corpus-sized work is q229's score pass plus ONE
+    * GlobalRank ntile (no single-partition window); everything after
+    * the per-bin aggregate operates on B rows (B³ = 8000 combos at
+    * B = 20) via broadcast joins. Exact while pos_k·10⁶ < 2⁵³
+    * (doubles carry the integer sums exactly).
+    */
+  private val qIsotonic: Q = (spark, dir) => {
+    val scored = nbDocScores(spark, dir).select(col("doc_id"), col("score"),
+      when(col("source") === NbSeedSource, 1L).otherwise(0L).as("y"))
+    // bin 1 = lowest score: isotonic expects rates nondecreasing in
+    // the forecast order, so rank ascending (q229 ranks descending)
+    val binned = graft.operators.GlobalRank.withNtile(
+      scored, Seq(col("score"), col("doc_id")), IsoBins, "bin")
+    val bins = Dedup.materialize(binned.groupBy("bin")
+      .agg(count(lit(1)).as("n_k"), sum("y").as("pos_k")))
+    // range means over bin intervals [j, k]: B² ranges, each an exact
+    // integer-sum pair divided ONCE into a double
+    val lo = bins.select(col("bin").as("j"))
+    val hi = bins.select(col("bin").as("k"))
+    val member = bins.select(col("bin").as("b"), col("n_k").as("nm"), col("pos_k").as("pm"))
+    val ranges = lo.join(hi, col("j") <= col("k"))
+      .join(member, col("b") >= col("j") && col("b") <= col("k"))
+      .groupBy("j", "k")
+      .agg(expr("CAST(sum(pm) AS DOUBLE) / CAST(sum(nm) AS DOUBLE)").as("m"))
+    // minimax: inner min over k ≥ i per (i, j), then max over j ≤ i
+    val iw = bins.select(col("bin").as("i"))
+      .join(ranges, col("j") <= col("i") && col("k") >= col("i"))
+      .groupBy("i", "j").agg(min("m").as("mn"))
+    val fit = iw.groupBy("i").agg(max("mn").as("fit"))
+    bins.join(fit, bins("bin") === fit("i"))
+      .select(col("bin"), col("n_k"), col("pos_k"),
+        expr("pos_k * 1000000 div n_k").as("raw_micro"),
+        expr("CAST(round(fit * 1000000.0) AS BIGINT)").as("fit_micro"))
+      .orderBy("bin")
+  }
+
+  private[graft] val PrefixBlock = 32
+  private[graft] val PrefixTruncOffset = 1000000L
+
+  /** q244: PREFIX-TRUNCATION DUPLICATES — exact detection of documents
+    * that are a strict character-level PREFIX of another document, the
+    * crawl artifact q21/q22 structurally under-weight (a truncated
+    * fetch shares all its shingles with its parent but Jaccard divides
+    * by the PARENT's size) and q104's shingle containment only
+    * approximates (set containment ignores order — a shuffled quote
+    * scores 1.0, a true truncation is the ORDERED relation). Classic
+    * cause: re-crawls cut by content-length caps, paywall folds,
+    * streaming disconnects. Truncated copies are synthesized
+    * deterministically (every 7th doc contributes its first-half
+    * prefix under doc_id + [[PrefixTruncOffset]]) so the detector has
+    * known artifacts to find alongside any natural ones.
+    *
+    * Scale: candidate generation blocks on the first [[PrefixBlock]]
+    * characters — a prefix pair MUST share that block (docs shorter
+    * than the block are excluded by construction, documented), so the
+    * self-join keys on the block and only intra-block pairs ship
+    * texts; the `substr(b, 1, len_a) = a` verify runs on collisions
+    * only. Equal-length pairs (exact duplicates — q20's job) are
+    * excluded by the strict len_a < len_b predicate.
+    */
+  private val qPrefixDups: Q = (spark, dir) => {
+    val base = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val trunc = base
+      .filter(col("doc_id") % 7 === 0 && length(col("text")) >= 2 * PrefixBlock)
+      .select((col("doc_id") + lit(PrefixTruncOffset)).as("doc_id"),
+        expr("substring(text, 1, CAST(length(text) div 2 AS INT))").as("text"))
+    val d = base.unionByName(trunc)
+      .filter(length(col("text")) >= PrefixBlock)
+      .select(col("doc_id"), col("text"),
+        length(col("text")).cast("long").as("len"),
+        substring(col("text"), 1, PrefixBlock).as("blk"))
+    val a = d.select(col("blk"), col("doc_id").as("id_a"),
+      col("text").as("t_a"), col("len").as("len_a"))
+    val b = d.select(col("blk"), col("doc_id").as("id_b"),
+      col("text").as("t_b"), col("len").as("len_b"))
+    a.join(b, "blk")
+      .filter(col("len_a") < col("len_b") &&
+        expr("substring(t_b, 1, CAST(len_a AS INT)) = t_a"))
+      .select(col("id_a"), col("id_b"), col("len_a"), col("len_b"),
+        expr("len_a * 10000 div len_b").as("kept_bp"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** q245: CROSS-SOURCE DUPLICATE FLOW — the verified near-dup edge
+    * set (q22's Jaccard ≥ 0.4 on LSH candidates) aggregated into a
+    * source×source flow matrix: which corpora duplicate WHICH. The
+    * audit behind mixture double-counting (two "independent" sources
+    * sharing mass inflate their combined weight) and crawl-overlap
+    * attribution; the within/cross split decides whether dedup should
+    * run per-source (cheap) or globally (required when cross flows
+    * dominate). Pairs normalize to unordered (source_lo ≤ source_hi);
+    * shares settle to integer basis points of the total pair count.
+    *
+    * Scale: the edge set is the audited q21/q22 chain; attaching
+    * sources is two doc_id-keyed joins against the (doc_id, source)
+    * projection; the flow table is source²-sized.
+    */
+  private val qDupFlow: Q = (spark, dir) => {
+    val src = Tables(spark, dir, "documents").select(col("doc_id"), col("source"))
+    val pairs = ngramPairs(spark, dir).select("id_a", "id_b")
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")), "id_b")
+      .select(least(col("src_a"), col("src_b")).as("source_lo"),
+        greatest(col("src_a"), col("src_b")).as("source_hi"))
+    val flows = Dedup.materialize(pairs.groupBy("source_lo", "source_hi")
+      .agg(count(lit(1)).as("n_pairs")))
+    val tot = flows.agg(sum("n_pairs").as("t"))
+    flows.crossJoin(broadcast(tot))
+      .select(col("source_lo"), col("source_hi"), col("n_pairs"),
+        expr("n_pairs * 10000 div t").as("share_bp"),
+        (col("source_lo") === col("source_hi")).cast("long").as("within"))
+      .orderBy("source_lo", "source_hi")
+  }
+
   private[graft] val DoremiEta = 0.1
 
   /** q228: MIXTURE REWEIGHTING (DoReMi-style, one exact step) — the
@@ -3829,6 +3963,9 @@ object QueriesTraining {
     "q239_lsh_recall" -> qLshRecall,
     "q240_norm_delta" -> qNormDelta,
     "q241_dedup_ari" -> qDedupAri,
+    "q243_isotonic" -> qIsotonic,
+    "q244_prefix_dups" -> qPrefixDups,
+    "q245_dup_flow" -> qDupFlow,
     "q235_quality_length_bias" -> qQualityLengthBias,
     "q232_token_budget" -> qTokenBudget,
     "q17_text_quality" -> qTextQuality,
@@ -5225,6 +5362,66 @@ object QueriesTraining {
 
     // brier: the q170 score chain + q172's ntile, one sigmoid per doc
     // settled to micro, decomposition terms as exact integer micro-sq
+    // isotonic: same exact integer bin sums; every range mean is one
+    // IEEE division of BIGINTs (bit-identical both engines); minimax
+    // as joins — PAV with zero recursion
+    "q243_isotonic" ->
+      s"""$nbScoreCtes,
+         |sc AS (SELECT doc_id, score,
+         |  CASE WHEN source = '$NbSeedSource' THEN 1 ELSE 0 END AS y FROM d),
+         |r AS (SELECT y,
+         |  CAST(ntile($IsoBins) OVER (ORDER BY score, doc_id) AS BIGINT) AS bin FROM sc),
+         |b AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_k,
+         |  CAST(sum(y) AS BIGINT) AS pos_k FROM r GROUP BY bin),
+         |rg AS (SELECT lo.bin AS j, hi.bin AS k,
+         |  CAST(sum(m.pos_k) AS DOUBLE) / CAST(sum(m.n_k) AS DOUBLE) AS m
+         |  FROM b lo JOIN b hi ON lo.bin <= hi.bin
+         |  JOIN b m ON m.bin BETWEEN lo.bin AND hi.bin
+         |  GROUP BY lo.bin, hi.bin),
+         |iw AS (SELECT i.bin AS i, rg.j, min(rg.m) AS mn
+         |  FROM b i JOIN rg ON rg.j <= i.bin AND rg.k >= i.bin
+         |  GROUP BY i.bin, rg.j),
+         |fit AS (SELECT i, max(mn) AS fit FROM iw GROUP BY i)
+         |SELECT b.bin, b.n_k, b.pos_k,
+         |  CAST(b.pos_k * 1000000 // b.n_k AS BIGINT) AS raw_micro,
+         |  CAST(round(fit.fit * 1000000.0) AS BIGINT) AS fit_micro
+         |FROM b JOIN fit ON fit.i = b.bin ORDER BY b.bin""".stripMargin,
+
+    // prefix dups: same synthesized truncations, same block key, same
+    // ordered substr verify — all integers
+    "q244_prefix_dups" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+         |tr AS (SELECT doc_id + $PrefixTruncOffset AS doc_id,
+         |  substr(text, 1, CAST(length(text) // 2 AS INT)) AS text
+         |  FROM base WHERE doc_id % 7 = 0 AND length(text) >= ${2 * PrefixBlock}),
+         |d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,
+         |  substr(text, 1, $PrefixBlock) AS blk
+         |  FROM (SELECT * FROM base UNION ALL SELECT * FROM tr)
+         |  WHERE length(text) >= $PrefixBlock)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  a.len AS len_a, b.len AS len_b,
+         |  CAST(a.len * 10000 // b.len AS BIGINT) AS kept_bp
+         |FROM d a JOIN d b ON a.blk = b.blk AND a.len < b.len
+         |  AND substr(b.text, 1, CAST(a.len AS INT)) = a.text
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // dup flow: the shared verified-pair chain + two source joins
+    "q245_dup_flow" ->
+      s"""$lshCandidateCtes,
+         |$jacCte,
+         |p AS (SELECT id_a, id_b FROM jac WHERE jacc >= 0.4),
+         |ws AS (SELECT least(da.source, db.source) AS source_lo,
+         |  greatest(da.source, db.source) AS source_hi
+         |  FROM p JOIN documents da ON da.doc_id = id_a
+         |  JOIN documents db ON db.doc_id = id_b),
+         |fl AS (SELECT source_lo, source_hi,
+         |  CAST(count(*) AS BIGINT) AS n_pairs FROM ws GROUP BY 1, 2),
+         |t AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS t FROM fl)
+         |SELECT source_lo, source_hi, n_pairs,
+         |  CAST(n_pairs * 10000 // t AS BIGINT) AS share_bp,
+         |  CAST(source_lo = source_hi AS BIGINT) AS within
+         |FROM fl, t ORDER BY source_lo, source_hi""".stripMargin,
+
     "q229_brier" ->
       s"""$nbScoreCtes,
          |sc AS (SELECT doc_id, score,
