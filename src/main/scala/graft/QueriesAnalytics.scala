@@ -986,6 +986,68 @@ object QueriesAnalytics {
       .orderBy("user_id", "event_id")
   }
 
+  private[graft] val HoltLags = 12
+
+  /** Lag-weight vectors (u_j, v_j) = Bʲ·[2,1] with B = [[2,2],[−1,3]]
+    * = 4·A, where A is the α=β=½ Holt transition matrix — so the
+    * exact level/trend weight on lag j is (u_j, v_j)/4^(j+1), and at
+    * the common scale 4^[[HoltLags]] every weight is the INTEGER
+    * (u_j, v_j)·4^(HoltLags−1−j). Spectral radius |eig A| = √½, so
+    * the truncated tail is bounded by (√½)^HoltLags ≈ 1.6% of the
+    * value range. Computed once by the integer recurrence
+    * (u,v) → (2u+2v, −u+3v); both engines consume the SAME literals.
+    */
+  private[graft] val HoltWeights: Seq[(Long, Long)] =
+    Iterator.iterate((2L, 1L)) { case (u, v) => (2 * u + 2 * v, -u + 3 * v) }
+      .take(HoltLags).toSeq
+
+  /** q246: HOLT LINEAR-TREND SMOOTHING (α = β = ½) — q107's EWMA
+    * tracks LEVEL only, so a steadily climbing series always lags;
+    * Holt's coupled level+trend recursion is the standard fix and the
+    * one-step forecast l+b is the anomaly baseline per-entity monitors
+    * threshold against. The recursion is sequential (x_t needs
+    * x_{t−1}) — the form that survives corpus scale is the
+    * [[HoltLags]]-term truncated unrolling: x_t = Σ_j Aʲc·y_{t−j}
+    * with EXACT dyadic integer weights ([[HoltWeights]]), making the
+    * whole computation a windowed integer dot product. No float ever
+    * exists on either engine — the oracle match is bit-exact, and the
+    * emitted `*_x16m` columns carry the 4^12-scaled states.
+    *
+    * Scale: q107's shape — hash-partitioned window (PARTITION BY
+    * user_id), 12 codegen lag reads over one sort, constant state per
+    * row. Exact while cents·Σ|w| < 2⁶³ (Σ|w| ≈ 3·10⁷ → values to
+    * ~10⁹ cents are safe).
+    */
+  private val qHolt: Q = (spark, dir) => {
+    val e = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts_ms"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    def dot(pick: ((Long, Long)) => Long): Column =
+      HoltWeights.zipWithIndex.map { case (uv, j) =>
+        val x = if (j == 0) col("cents")
+                else coalesce(lag(col("cents"), j).over(w), lit(0L))
+        x * lit(pick(uv) * (1L << (2 * (HoltLags - 1 - j))))
+      }.reduce(_ + _)
+    e.withColumn("level_x16m", dot(_._1))
+      .withColumn("trend_x16m", dot(_._2))
+      .withColumn("fcst_x16m", col("level_x16m") + col("trend_x16m"))
+      .select("user_id", "event_id", "cents",
+        "level_x16m", "trend_x16m", "fcst_x16m")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Twin of the q246 term lists: Σ_j w_j·4^(HoltLags−1−j)·cents_{t−j}
+    * from the same [[HoltWeights]] literals.
+    */
+  private def holtTermsSql(pick: ((Long, Long)) => Long): String =
+    HoltWeights.zipWithIndex.map { case (uv, j) =>
+      val w = pick(uv) * (1L << (2 * (HoltLags - 1 - j)))
+      if (j == 0) s"cents * $w"
+      else s"coalesce(lag(cents, $j) OVER w, CAST(0 AS BIGINT)) * $w"
+    }.mkString(" + ")
+
   private[graft] val AttribLookbackMs = 3600000L
 
   /** q110: LAST-TOUCH ATTRIBUTION — each purchase credits the user's
@@ -1611,6 +1673,33 @@ object QueriesAnalytics {
   private val qSqlHhi: Q = (spark, dir) =>
     sqlVerbatim(spark, dir, HhiSqlText, Seq("orders", "lineitem"))
 
+  /** q247: SQL front end #13 — customer order-frequency distribution
+    * (the "frequency of frequencies" table behind Good–Turing mass
+    * estimates and engagement-tier audits) with cumulative share in
+    * integer basis points, one dialect-neutral text run verbatim by
+    * both engines. The cumulative is a histogram-sized non-equi
+    * self-join, NOT an unpartitioned window (the battery-wide
+    * PlanShapeSpec guard): the corpus-sized work is the per-customer
+    * count; everything after operates on the distinct-count-sized
+    * histogram. Shares floor through the shared FLOOR-double division
+    * (exact small rationals, never within an ULP of a wrong integer).
+    */
+  private[graft] val SqlFreqDistText: String =
+    """WITH k AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+      |  FROM orders GROUP BY o_custkey),
+      |h AS (SELECT n_orders, CAST(count(*) AS BIGINT) AS n_cust
+      |  FROM k GROUP BY n_orders),
+      |t AS (SELECT CAST(sum(n_cust) AS BIGINT) AS total FROM h),
+      |c AS (SELECT a.n_orders, a.n_cust, CAST(sum(b.n_cust) AS BIGINT) AS cum_cust
+      |  FROM h a JOIN h b ON b.n_orders <= a.n_orders
+      |  GROUP BY a.n_orders, a.n_cust)
+      |SELECT n_orders, n_cust, cum_cust,
+      |  CAST(FLOOR(CAST(cum_cust * 10000 AS DOUBLE) / total) AS BIGINT) AS cum_bp
+      |FROM c CROSS JOIN t ORDER BY n_orders""".stripMargin
+
+  private val qSqlFreqDist: Q = (spark, dir) =>
+    sqlVerbatim(spark, dir, SqlFreqDistText, Seq("orders"))
+
   private[graft] val KCoreK = 20
   private[graft] val KCoreRounds = 4
 
@@ -2072,6 +2161,8 @@ object QueriesAnalytics {
     "q105_profile" -> qProfile,
     "q114_interpolate" -> qInterpolate,
     "q107_ewma" -> qEwma,
+    "q246_holt" -> qHolt,
+    "q247_sql_freqdist" -> qSqlFreqDist,
     "q110_attribution" -> qAttribution,
     "q93_transitions" -> qTransitions,
     "q95_daily_spikes" -> qDailySpikes,
@@ -2554,6 +2645,7 @@ object QueriesAnalytics {
 
     // SQL surface #12: the text IS the oracle
     "q227_sql_hhi" -> HhiSqlText,
+    "q247_sql_freqdist" -> SqlFreqDistText,
 
     // split balance: the q197 chi-square text shape over the q61 split
     "q234_split_balance" ->
@@ -2718,6 +2810,20 @@ object QueriesAnalytics {
          |SELECT user_id, event_id, cents, $ewmaTermsSql AS ewma_x32768
          |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
          |ORDER BY user_id, event_id""".stripMargin,
+
+    // holt: same integer weight literals from the same recurrence —
+    // bit-exact, zero floats on either engine
+    "q246_holt" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+         |  CAST(round(value * 100) AS BIGINT) AS cents
+         |  FROM events WHERE value IS NOT NULL),
+         |h AS (SELECT user_id, event_id, cents,
+         |  ${holtTermsSql(_._1)} AS level_x16m,
+         |  ${holtTermsSql(_._2)} AS trend_x16m
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id))
+         |SELECT user_id, event_id, cents, level_x16m, trend_x16m,
+         |  level_x16m + trend_x16m AS fcst_x16m
+         |FROM h ORDER BY user_id, event_id""".stripMargin,
 
     "q93_transitions" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms, event_id
