@@ -2249,6 +2249,155 @@ object QueriesTraining {
       .orderBy("bin")
   }
 
+  private[graft] val AlphaTemp = 0.3
+
+  /** q248: α-TEMPERATURE MIXTURE (w_s ∝ n_s^α, α = [[AlphaTemp]]) —
+    * the multilingual sampling rule (mT5/XLM-R style): exponentiating
+    * token shares below 1 lifts low-resource sources and caps the
+    * head, the static counterpart of q228's learned DoReMi update.
+    * The power settles ONCE per source (`exp(α·ln n)` — one libm
+    * composition on a BIGINT-derived input, micro-rounded, q228's exp
+    * rule), and the new weights land in exact bp by largest-remainder
+    * rounding (q149's Hamilton via GlobalRank) — Σ w1_bp = 10⁴
+    * exactly.
+    *
+    * Scale: one tokenize pass shuffling nothing but (source) keys
+    * with map-side combine; everything after is source-sized.
+    */
+  private val qAlphaMixture: Q = (spark, dir) => {
+    val src = Dedup.materialize(docsFanned(spark, dir)
+      .select(col("source"), size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy("source").agg(sum("nt").as("n_tokens"))
+      .withColumn("f_micro", expr(
+        s"CAST(round(exp($AlphaTemp * ln(CAST(n_tokens AS DOUBLE))) * 1000000.0) AS BIGINT)")))
+    val totals = src.agg(sum("f_micro").as("u"), sum("n_tokens").as("t"))
+    val quotas = src.crossJoin(broadcast(totals))
+      .withColumn("w0_bp", expr("n_tokens * 10000 div t"))
+      .withColumn("base", expr("f_micro * 10000 div u"))
+      .withColumn("rem", expr("(f_micro * 10000) % u"))
+    val qM = Dedup.materialize(graft.operators.GlobalRank.withRank(
+      quotas, Seq(col("rem").desc, col("source")), "rk"))
+    val leftover = qM.agg((lit(10000L) - sum("base")).as("l"))
+    qM.crossJoin(broadcast(leftover))
+      .withColumn("w1_bp", col("base") + when(col("rk") <= col("l"), 1L).otherwise(0L))
+      .select("source", "n_tokens", "f_micro", "w0_bp", "w1_bp")
+      .orderBy("source")
+  }
+
+  private[graft] val HardNegK = 5
+  private[graft] val HardNegQueries = 10
+
+  /** q249: HARD-NEGATIVE MINING — for each query vector, the
+    * [[HardNegK]] most-cosine-similar vectors with a DIFFERENT label,
+    * plus the margin against the best same-label neighbor. The
+    * contrastive-training data op (triplet/InfoNCE batches live or
+    * die on negatives near the decision boundary): margin ≈ 0 rows
+    * ARE the hard negatives; margin > 0 rows are label noise
+    * candidates (a wrong-label vector closer than every right-label
+    * one). Ranking follows q25's discipline: per-pair cosine from the
+    * shared left-to-right fold, ties pinned by vec_id.
+    *
+    * Scale: queries broadcast (small by contract) against one
+    * candidate pass — the q25 brute shape, here the ground-truth
+    * baseline; the production path composes the SAME label predicate
+    * with the q26/q87 bucket probes (filter before rank, so the
+    * per-probe rerank set only shrinks). Windows partition by q_id.
+    */
+  private val qHardNegatives: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Dedup.fanOut(Tables(spark, dir, "embeddings"), col("vec_id"))
+      .select(col("vec_id"), col("label"),
+        Similarity.asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < HardNegQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("q_vec"))
+    val scored = Dedup.materialize(
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+          Similarity.cosine(col("q_vec"), col("v")).as("cos")))
+    val negW = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
+    val neg = scored.filter(col("label") =!= col("q_label"))
+      .withColumn("rank", row_number().over(negW).cast("long"))
+      .filter(col("rank") <= HardNegK)
+    val pos = scored.filter(col("label") === col("q_label"))
+      .groupBy("q_id").agg(max("cos").as("pos_cos"))
+    neg.join(pos, "q_id")
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos"),
+        col("pos_cos"), (col("cos") - col("pos_cos")).as("margin"))
+      .orderBy("q_id", "rank")
+  }
+
+  private[graft] val MmrRounds = 5
+  private[graft] val MmrLambdaX10 = 6L // λ = 0.6
+
+  /** q250: MAXIMAL MARGINAL RELEVANCE — diversified top-k for the
+    * query vector vec_id = 0: greedily pick
+    * argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s), the classic
+    * redundancy-penalized re-ranking (Carbonell & Goldstein) behind
+    * dedup-aware retrieval and diverse eval-set construction. Where
+    * q203's k-center ignores relevance entirely and q25 ignores
+    * redundancy entirely, MMR interpolates — λ = 0.6 keeps it
+    * relevance-led. Every cosine settles to micro (q203's recipe), so
+    * the score `6·rel − 4·maxsim` (λ-interpolation scaled ×10 — the
+    * ÷10 is monotone, so dropping it changes no argmax and dodges the
+    * Spark-truncating vs DuckDB-flooring integer-division split on
+    * negatives) is an exact integer; ties break on vec_id.
+    *
+    * Scale: q203's incremental trick verbatim — each round updates the
+    * frontier's max-sim against ONLY the newly-picked vector (one
+    * broadcast 1-row cross join + greatest()), so k rounds cost k
+    * corpus passes; the per-round argmax is a map-side-combining
+    * max_by (metadata-sized collect, the q163/q203 precedent).
+    */
+  private val qMmr: Q = (spark, dir) => {
+    def cosMicro(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      round(Similarity.cosine(a, b) * 1000000).cast("long")
+    val e0 = Dedup.fanOut(Tables(spark, dir, "embeddings"), col("vec_id"))
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val qv = Dedup.materialize(e0.filter(col("vec_id") === 0)
+      .select(col("v").as("q_vec")))
+    // rel is fixed per candidate; maxsim starts at the first pick
+    val rel = Dedup.materialize(
+      e0.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+        .select(col("vec_id"), col("v"), cosMicro(col("v"), col("q_vec")).as("rel")))
+    val seed = rel.agg(max_by(struct(col("vec_id"), col("v"), col("rel")),
+        struct(col("rel"), (-col("vec_id")).as("nid"))).as("b"))
+      .select(col("b.vec_id"), col("b.v"), col("b.rel"))
+    val seedRow = seed.select("vec_id", "rel").collect()(0)
+    var picks = List((1L, seedRow.getLong(0), seedRow.getLong(1), -1L))
+    var cur = Dedup.materialize(
+      rel.filter(col("vec_id") =!= seedRow.getLong(0))
+        .crossJoin(broadcast(seed.select(col("v").as("sv"))))
+        .select(col("vec_id"), col("v"), col("rel"),
+          cosMicro(col("v"), col("sv")).as("maxsim")))
+    (2 to MmrRounds).foreach { r =>
+      val scoredTop = cur
+        .withColumn("score",
+          expr(s"$MmrLambdaX10 * rel - ${10 - MmrLambdaX10} * maxsim"))
+        .agg(max_by(struct(col("vec_id"), col("v"), col("rel"), col("score")),
+          struct(col("score"), (-col("vec_id")).as("nid"))).as("b"))
+        .select(col("b.vec_id"), col("b.v"), col("b.rel"), col("b.score"))
+      val top = scoredTop.select("vec_id", "rel", "score").collect()(0)
+      picks ::= (r.toLong, top.getLong(0), top.getLong(1), top.getLong(2))
+      cur = Dedup.materialize(
+        cur.filter(col("vec_id") =!= top.getLong(0))
+          .crossJoin(broadcast(scoredTop.select(col("v").as("sv"))))
+          .select(col("vec_id"), col("v"), col("rel"),
+            greatest(col("maxsim"), cosMicro(col("v"), col("sv"))).as("maxsim")))
+    }
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        picks.reverse.map(p => Row(p._1, p._2, p._3, p._4)), 1),
+      StructType(Seq(StructField("round", LongType, nullable = false),
+        StructField("vec_id", LongType, nullable = false),
+        StructField("rel_micro", LongType, nullable = false),
+        StructField("score_x10micro", LongType, nullable = false))))
+      .orderBy("round")
+  }
+
   private[graft] val PrefixBlock = 32
   private[graft] val PrefixTruncOffset = 1000000L
 
@@ -3966,6 +4115,9 @@ object QueriesTraining {
     "q243_isotonic" -> qIsotonic,
     "q244_prefix_dups" -> qPrefixDups,
     "q245_dup_flow" -> qDupFlow,
+    "q248_alpha_mixture" -> qAlphaMixture,
+    "q249_hard_negatives" -> qHardNegatives,
+    "q250_mmr" -> qMmr,
     "q235_quality_length_bias" -> qQualityLengthBias,
     "q232_token_budget" -> qTokenBudget,
     "q17_text_quality" -> qTextQuality,
@@ -5421,6 +5573,80 @@ object QueriesTraining {
          |  CAST(n_pairs * 10000 // t AS BIGINT) AS share_bp,
          |  CAST(source_lo = source_hi AS BIGINT) AS within
          |FROM fl, t ORDER BY source_lo, source_hi""".stripMargin,
+
+    // alpha mixture: one exp∘ln per source micro-rounded (q228's exp
+    // rule); Hamilton rounding mirrored with a window rank
+    "q248_alpha_mixture" ->
+      s"""WITH toks AS (SELECT source, unnest($toksSql) AS term FROM documents),
+         |src AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens
+         |  FROM toks GROUP BY source),
+         |f AS (SELECT source, n_tokens,
+         |  CAST(round(exp($AlphaTemp * ln(CAST(n_tokens AS DOUBLE))) * 1000000.0) AS BIGINT) AS f_micro
+         |  FROM src),
+         |tots AS (SELECT CAST(sum(f_micro) AS BIGINT) AS u,
+         |  CAST(sum(n_tokens) AS BIGINT) AS t FROM f),
+         |q AS (SELECT source, n_tokens, f_micro,
+         |  CAST(n_tokens * 10000 // t AS BIGINT) AS w0_bp,
+         |  CAST(f_micro * 10000 // u AS BIGINT) AS base,
+         |  (f_micro * 10000) % u AS rem FROM f, tots),
+         |r AS (SELECT source, n_tokens, f_micro, w0_bp, base,
+         |  row_number() OVER (ORDER BY rem DESC, source) AS rk FROM q),
+         |lo AS (SELECT 10000 - CAST(sum(base) AS BIGINT) AS l FROM r)
+         |SELECT source, n_tokens, f_micro, w0_bp,
+         |  CAST(base + CASE WHEN rk <= l THEN 1 ELSE 0 END AS BIGINT) AS w1_bp
+         |FROM r, lo ORDER BY source""".stripMargin,
+
+    // hard negatives: q25's cosine fold + rank discipline, split by
+    // label match; margins are same-fold double subtractions
+    "q249_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, label AS q_label, v AS q_vec
+         |  FROM e WHERE vec_id < $HardNegQueries),
+         |scored AS (SELECT q_id, q_label, vec_id, label,
+         |  ${cosSql("q_vec", "v")} AS cos
+         |  FROM q, e WHERE vec_id <> q_id),
+         |neg AS (SELECT q_id, vec_id, cos,
+         |  CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+         |  FROM scored WHERE label <> q_label),
+         |pos AS (SELECT q_id, max(cos) AS pos_cos
+         |  FROM scored WHERE label = q_label GROUP BY q_id)
+         |SELECT n.q_id, n.rank, n.vec_id, n.cos, p.pos_cos,
+         |  n.cos - p.pos_cos AS margin
+         |FROM neg n JOIN pos p ON p.q_id = n.q_id
+         |WHERE n.rank <= $HardNegK ORDER BY n.q_id, n.rank""".stripMargin,
+
+    // MMR: q203's unrolled greedy CTE pairs with the λ-score argmax;
+    // scores stay ×10-scaled integers (no engine-split integer div)
+    "q250_mmr" -> {
+      def cm(a: String, b: String) =
+        s"CAST(round((${cosSql(a, b)}) * 1000000.0) AS BIGINT)"
+      val lam = MmrLambdaX10
+      val steps = (2 to MmrRounds).map { r =>
+        val pd = s"d${r - 1}"
+        s"""p$r AS (SELECT vec_id, v, rel,
+           |  $lam * rel - ${10 - lam} * maxsim AS score FROM $pd
+           |  ORDER BY score DESC, vec_id LIMIT 1),
+           |d$r AS (SELECT $pd.vec_id, $pd.v, $pd.rel,
+           |  greatest($pd.maxsim, ${cm(s"$pd.v", s"p$r.v")}) AS maxsim
+           |  FROM $pd, p$r WHERE $pd.vec_id <> p$r.vec_id)""".stripMargin
+      }.mkString(",\n")
+      val outs = (2 to MmrRounds).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS round, vec_id, rel AS rel_micro, score AS score_x10micro FROM p$r")
+        .mkString("\nUNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |qv AS (SELECT v AS q_vec FROM e WHERE vec_id = 0),
+         |rel AS (SELECT vec_id, v, ${cm("v", "q_vec")} AS rel
+         |  FROM e, qv WHERE vec_id <> 0),
+         |p1 AS (SELECT vec_id, v, rel FROM rel ORDER BY rel DESC, vec_id LIMIT 1),
+         |d1 AS (SELECT r.vec_id, r.v, r.rel, ${cm("r.v", "p1.v")} AS maxsim
+         |  FROM rel r, p1 WHERE r.vec_id <> p1.vec_id),
+         |$steps
+         |SELECT CAST(1 AS BIGINT) AS round, vec_id, rel AS rel_micro,
+         |  CAST(-1 AS BIGINT) AS score_x10micro FROM p1
+         |UNION ALL $outs
+         |ORDER BY round""".stripMargin
+    },
 
     "q229_brier" ->
       s"""$nbScoreCtes,
