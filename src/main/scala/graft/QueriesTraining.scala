@@ -2219,15 +2219,28 @@ object QueriesTraining {
     * B = 20) via broadcast joins. Exact while pos_k·10⁶ < 2⁵³
     * (doubles carry the integer sums exactly).
     */
-  private val qIsotonic: Q = (spark, dir) => {
+  /** Per-doc NB forecasts (doc_id, score, y, p_micro — q229's
+    * sigmoid) binned ascending into [[IsoBins]] rank-ntile bins —
+    * the shared front of q243 and q251.
+    */
+  private def isoScored(spark: SparkSession, dir: String): DataFrame = {
     val scored = nbDocScores(spark, dir).select(col("doc_id"), col("score"),
       when(col("source") === NbSeedSource, 1L).otherwise(0L).as("y"))
+      .withColumn("p_micro", expr(
+        "CAST(round(1000000.0 / (1.0 + exp(-CAST(score AS DOUBLE) / 1000000.0))) AS BIGINT)"))
     // bin 1 = lowest score: isotonic expects rates nondecreasing in
     // the forecast order, so rank ascending (q229 ranks descending)
-    val binned = graft.operators.GlobalRank.withNtile(
+    graft.operators.GlobalRank.withNtile(
       scored, Seq(col("score"), col("doc_id")), IsoBins, "bin")
+  }
+
+  /** Bin aggregate + PAV minimax fit over [[isoScored]]'s bins:
+    * (bin, n_k, pos_k, sp, fit_micro) — the shared core of q243
+    * (the calibration map) and q251 (the before/after audit).
+    */
+  private def pavBins(binned: DataFrame): DataFrame = {
     val bins = Dedup.materialize(binned.groupBy("bin")
-      .agg(count(lit(1)).as("n_k"), sum("y").as("pos_k")))
+      .agg(count(lit(1)).as("n_k"), sum("y").as("pos_k"), sum("p_micro").as("sp")))
     // range means over bin intervals [j, k]: B² ranges, each an exact
     // integer-sum pair divided ONCE into a double
     val lo = bins.select(col("bin").as("j"))
@@ -2243,10 +2256,51 @@ object QueriesTraining {
       .groupBy("i", "j").agg(min("m").as("mn"))
     val fit = iw.groupBy("i").agg(max("mn").as("fit"))
     bins.join(fit, bins("bin") === fit("i"))
-      .select(col("bin"), col("n_k"), col("pos_k"),
-        expr("pos_k * 1000000 div n_k").as("raw_micro"),
+      .select(col("bin"), col("n_k"), col("pos_k"), col("sp"),
         expr("CAST(round(fit * 1000000.0) AS BIGINT)").as("fit_micro"))
+  }
+
+  private val qIsotonic: Q = (spark, dir) =>
+    pavBins(isoScored(spark, dir))
+      .select(col("bin"), col("n_k"), col("pos_k"),
+        expr("pos_k * 1000000 div n_k").as("raw_micro"), col("fit_micro"))
       .orderBy("bin")
+
+  /** q251: CALIBRATION COMPOSITION AUDIT — apply q243's isotonic map
+    * back to the forecasts and re-run q229's Murphy decomposition on
+    * the SAME bins, before vs after: does the calibrator actually
+    * repair reliability, and what does the Brier score pay or gain?
+    * The "after" forecast for every doc in bin k is fit_micro(k), so
+    * the after-Brier needs no second corpus pass — it expands from
+    * bin stats as Σ_k [n_k·fit² − 2·10⁶·fit·pos_k + 10¹²·pos_k].
+    * Resolution is forecast-independent (it only sees observed rates)
+    * and is reported once. All terms are exact integers in micro².
+    *
+    * Scale: ONE score+bin pass (q243's), then bin-sized arithmetic.
+    * Exact while n·10¹² < 2⁶³ (q229's documented bound, ~9·10⁶ docs;
+    * rescale to milli beyond).
+    */
+  private val qCalibratedBrier: Q = (spark, dir) => {
+    val binned = isoScored(spark, dir)
+    val bins = pavBins(binned)
+      .withColumn("f_micro", expr("sp div n_k"))
+      .withColumn("o_micro", expr("pos_k * 1000000 div n_k"))
+    val bsBefore = binned.agg(count(lit(1)).as("nd"),
+      sum(expr("(p_micro - y * 1000000) * (p_micro - y * 1000000)")).as("sq"))
+    val tot = bins.agg(sum("n_k").as("n"), sum("pos_k").as("pos"))
+      .withColumn("obar", expr("pos * 1000000 div n"))
+    bins.crossJoin(broadcast(tot)).crossJoin(broadcast(bsBefore))
+      .agg(first(col("n")).as("n_docs"),
+        first(col("obar")).as("base_rate_micro"),
+        expr("first(sq div nd)").as("bs_before_micro2"),
+        expr("sum(n_k * fit_micro * fit_micro - 2000000 * fit_micro * pos_k" +
+          " + 1000000000000 * pos_k) div first(n)").as("bs_after_micro2"),
+        expr("sum(n_k * (f_micro - o_micro) * (f_micro - o_micro)) div first(n)")
+          .as("rel_before_micro2"),
+        expr("sum(n_k * (fit_micro - o_micro) * (fit_micro - o_micro)) div first(n)")
+          .as("rel_after_micro2"),
+        expr("sum(n_k * (o_micro - obar) * (o_micro - obar)) div first(n)")
+          .as("res_micro2"))
   }
 
   private[graft] val AlphaTemp = 0.3
@@ -4118,6 +4172,7 @@ object QueriesTraining {
     "q248_alpha_mixture" -> qAlphaMixture,
     "q249_hard_negatives" -> qHardNegatives,
     "q250_mmr" -> qMmr,
+    "q251_calibrated_brier" -> qCalibratedBrier,
     "q235_quality_length_bias" -> qQualityLengthBias,
     "q232_token_budget" -> qTokenBudget,
     "q17_text_quality" -> qTextQuality,
@@ -5573,6 +5628,46 @@ object QueriesTraining {
          |  CAST(n_pairs * 10000 // t AS BIGINT) AS share_bp,
          |  CAST(source_lo = source_hi AS BIGINT) AS within
          |FROM fl, t ORDER BY source_lo, source_hi""".stripMargin,
+
+    // calibrated brier: q243's PAV chain + q229's decomposition on the
+    // same bins; the after-Brier expands from bin stats
+    "q251_calibrated_brier" ->
+      s"""$nbScoreCtes,
+         |sc AS (SELECT doc_id, score,
+         |  CASE WHEN source = '$NbSeedSource' THEN 1 ELSE 0 END AS y,
+         |  CAST(round(1000000.0 / (1.0 + exp(-CAST(score AS DOUBLE) / 1000000.0))) AS BIGINT) AS p_micro
+         |  FROM d),
+         |r AS (SELECT y, p_micro,
+         |  CAST(ntile($IsoBins) OVER (ORDER BY score, doc_id) AS BIGINT) AS bin FROM sc),
+         |b AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_k,
+         |  CAST(sum(y) AS BIGINT) AS pos_k,
+         |  CAST(sum(p_micro) AS BIGINT) AS sp FROM r GROUP BY bin),
+         |rg AS (SELECT lo.bin AS j, hi.bin AS k,
+         |  CAST(sum(m.pos_k) AS DOUBLE) / CAST(sum(m.n_k) AS DOUBLE) AS m
+         |  FROM b lo JOIN b hi ON lo.bin <= hi.bin
+         |  JOIN b m ON m.bin BETWEEN lo.bin AND hi.bin
+         |  GROUP BY lo.bin, hi.bin),
+         |iw AS (SELECT i.bin AS i, rg.j, min(rg.m) AS mn
+         |  FROM b i JOIN rg ON rg.j <= i.bin AND rg.k >= i.bin
+         |  GROUP BY i.bin, rg.j),
+         |fit AS (SELECT i, max(mn) AS fit FROM iw GROUP BY i),
+         |fb AS (SELECT b.bin, b.n_k, b.pos_k,
+         |  CAST(b.sp // b.n_k AS BIGINT) AS f_micro,
+         |  CAST(b.pos_k * 1000000 // b.n_k AS BIGINT) AS o_micro,
+         |  CAST(round(fit.fit * 1000000.0) AS BIGINT) AS fit_micro
+         |  FROM b JOIN fit ON fit.i = b.bin),
+         |t AS (SELECT CAST(sum(n_k) AS BIGINT) AS n,
+         |  CAST(sum(pos_k) * 1000000 // sum(n_k) AS BIGINT) AS obar FROM fb),
+         |q AS (SELECT CAST(count(*) AS BIGINT) AS nd,
+         |  CAST(sum((p_micro - y * 1000000) * (p_micro - y * 1000000)) AS BIGINT) AS sq FROM sc)
+         |SELECT t.n AS n_docs, t.obar AS base_rate_micro,
+         |  CAST(q.sq // q.nd AS BIGINT) AS bs_before_micro2,
+         |  CAST(sum(n_k * fit_micro * fit_micro - 2000000 * fit_micro * pos_k
+         |    + 1000000000000 * pos_k) // t.n AS BIGINT) AS bs_after_micro2,
+         |  CAST(sum(n_k * (f_micro - o_micro) * (f_micro - o_micro)) // t.n AS BIGINT) AS rel_before_micro2,
+         |  CAST(sum(n_k * (fit_micro - o_micro) * (fit_micro - o_micro)) // t.n AS BIGINT) AS rel_after_micro2,
+         |  CAST(sum(n_k * (o_micro - obar) * (o_micro - obar)) // t.n AS BIGINT) AS res_micro2
+         |FROM fb, t, q GROUP BY t.n, t.obar, q.sq, q.nd""".stripMargin,
 
     // alpha mixture: one exp∘ln per source micro-rounded (q228's exp
     // rule); Hamilton rounding mirrored with a window rank
