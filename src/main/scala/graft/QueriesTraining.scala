@@ -2303,6 +2303,45 @@ object QueriesTraining {
           .as("res_micro2"))
   }
 
+  private[graft] val TempGrid = Seq(25L, 50L, 75L, 100L, 150L, 200L, 300L, 400L)
+
+  /** q252: TEMPERATURE SCALING (grid search) — the parametric member
+    * of the calibration family (q172 bins → q229 diagnosis → q243
+    * non-parametric map → this): rescale the NB logit by 1/T and pick
+    * the T minimizing negative log-likelihood over a fixed
+    * [[TempGrid]] (T×100 as integer literals both engines share).
+    * One sigmoid+ln per (doc, T) settles each NLL term to micro
+    * BEFORE summing (q145's per-term rule — order-free integer sums),
+    * with p clamped to [1e-12, 1−1e-12] so saturated logits at small
+    * T stay finite and portable. is_best compares exact integer NLL
+    * sums.
+    *
+    * Scale: one score pass, then a grid-bounded fan-out (|grid| rows
+    * per doc) into a map-side-combining per-T aggregate — shuffle
+    * carries |grid| keys; everything after is grid-sized. Exact while
+    * n·2.8·10⁷ < 2⁶³ (the clamp bounds each term by −ln 10⁻¹² ≈ 27.6).
+    */
+  private val qTempScaling: Q = (spark, dir) => {
+    val scored = nbDocScores(spark, dir).select(col("score"),
+      when(col("source") === NbSeedSource, 1L).otherwise(0L).as("y"))
+    val terms = scored
+      .withColumn("t_x100", explode(array(TempGrid.map(lit): _*)))
+      .withColumn("p", expr(
+        "1.0 / (1.0 + exp(-(CAST(score AS DOUBLE) / 1000000.0) / (CAST(t_x100 AS DOUBLE) / 100.0)))"))
+      .withColumn("term_micro", expr(
+        """CASE WHEN y = 1
+          |  THEN CAST(round(-ln(least(greatest(p, 1e-12), 1.0 - 1e-12)) * 1000000.0) AS BIGINT)
+          |  ELSE CAST(round(-ln(least(greatest(1.0 - p, 1e-12), 1.0 - 1e-12)) * 1000000.0) AS BIGINT)
+          |END""".stripMargin))
+    val byT = Dedup.materialize(terms.groupBy("t_x100")
+      .agg(count(lit(1)).as("n_docs"), sum("term_micro").as("nll_micro")))
+    val best = byT.agg(min("nll_micro").as("best_nll"))
+    byT.crossJoin(broadcast(best))
+      .select(col("t_x100"), col("n_docs"), col("nll_micro"),
+        (col("nll_micro") === col("best_nll")).cast("long").as("is_best"))
+      .orderBy("t_x100")
+  }
+
   private[graft] val AlphaTemp = 0.3
 
   /** q248: α-TEMPERATURE MIXTURE (w_s ∝ n_s^α, α = [[AlphaTemp]]) —
@@ -2318,10 +2357,14 @@ object QueriesTraining {
     * Scale: one tokenize pass shuffling nothing but (source) keys
     * with map-side combine; everything after is source-sized.
     */
-  private val qAlphaMixture: Q = (spark, dir) => {
-    val src = Dedup.materialize(docsFanned(spark, dir)
-      .select(col("source"), size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
-      .groupBy("source").agg(sum("nt").as("n_tokens"))
+  /** The q248 weights as a pure function of the (source, n_tokens)
+    * count table — everything downstream is derivable from the
+    * counts, so the SAME code serves the batch query and a streaming
+    * monitor's MV-folded store (`StreamingAlphaSpec`, the q228
+    * precedent: fold == rebuild down to the bp).
+    */
+  private[graft] def alphaFromCounts(counts: DataFrame): DataFrame = {
+    val src = Dedup.materialize(counts
       .withColumn("f_micro", expr(
         s"CAST(round(exp($AlphaTemp * ln(CAST(n_tokens AS DOUBLE))) * 1000000.0) AS BIGINT)")))
     val totals = src.agg(sum("f_micro").as("u"), sum("n_tokens").as("t"))
@@ -2337,6 +2380,11 @@ object QueriesTraining {
       .select("source", "n_tokens", "f_micro", "w0_bp", "w1_bp")
       .orderBy("source")
   }
+
+  private val qAlphaMixture: Q = (spark, dir) =>
+    alphaFromCounts(docsFanned(spark, dir)
+      .select(col("source"), size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy("source").agg(sum("nt").as("n_tokens")))
 
   private[graft] val HardNegK = 5
   private[graft] val HardNegQueries = 10
@@ -4173,6 +4221,7 @@ object QueriesTraining {
     "q249_hard_negatives" -> qHardNegatives,
     "q250_mmr" -> qMmr,
     "q251_calibrated_brier" -> qCalibratedBrier,
+    "q252_temp_scaling" -> qTempScaling,
     "q235_quality_length_bias" -> qQualityLengthBias,
     "q232_token_budget" -> qTokenBudget,
     "q17_text_quality" -> qTextQuality,
@@ -5628,6 +5677,30 @@ object QueriesTraining {
          |  CAST(n_pairs * 10000 // t AS BIGINT) AS share_bp,
          |  CAST(source_lo = source_hi AS BIGINT) AS within
          |FROM fl, t ORDER BY source_lo, source_hi""".stripMargin,
+
+    // temperature scaling: same grid literals, same clamp, per-term
+    // micro settling — order-free integer NLL sums
+    "q252_temp_scaling" -> {
+      val grid = TempGrid.mkString("[", ", ", "]")
+      s"""$nbScoreCtes,
+         |sc AS (SELECT score,
+         |  CASE WHEN source = '$NbSeedSource' THEN 1 ELSE 0 END AS y FROM d),
+         |g AS (SELECT unnest($grid) AS t_x100),
+         |pt AS (SELECT t_x100, y,
+         |  1.0 / (1.0 + exp(-(CAST(score AS DOUBLE) / 1000000.0) / (CAST(t_x100 AS DOUBLE) / 100.0))) AS p
+         |  FROM sc, g),
+         |tm AS (SELECT t_x100,
+         |  CASE WHEN y = 1
+         |    THEN CAST(round(-ln(least(greatest(p, 1e-12), 1.0 - 1e-12)) * 1000000.0) AS BIGINT)
+         |    ELSE CAST(round(-ln(least(greatest(1.0 - p, 1e-12), 1.0 - 1e-12)) * 1000000.0) AS BIGINT)
+         |  END AS term_micro FROM pt),
+         |bt AS (SELECT t_x100, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(term_micro) AS BIGINT) AS nll_micro FROM tm GROUP BY t_x100),
+         |b AS (SELECT CAST(min(nll_micro) AS BIGINT) AS best_nll FROM bt)
+         |SELECT CAST(t_x100 AS BIGINT) AS t_x100, n_docs, nll_micro,
+         |  CAST(nll_micro = best_nll AS BIGINT) AS is_best
+         |FROM bt, b ORDER BY t_x100""".stripMargin
+    },
 
     // calibrated brier: q243's PAV chain + q229's decomposition on the
     // same bins; the after-Brier expands from bin stats

@@ -256,6 +256,15 @@ object ScaleRehearsal {
     // token savings (CC + quality chains), token-budget cut (prefix
     // sums), DSIR ESS, LSH recall (exact all-pairs truth)
     val new12Only = args.length > 1 && args(1) == "new12"
+    // "new13" second arg: the seventh continuation — calibration
+    // family (PAV bins + before/after Brier: bin count FIXED at Nx,
+    // the B^3 minimax stays metadata-sized while the score pass
+    // grows), prefix-truncation dedup (block sizes corpus-independent
+    // under the copy tags), dup flow (the verified-pair chain + source
+    // joins), Holt (events window), alpha mixture (tokenize pass),
+    // hard negatives + MMR (fixed query/round count, corpus-sized
+    // candidate passes)
+    val new13Only = args.length > 1 && args(1) == "new13"
     val scaled = s"/tmp/graft_scale_${mult}x"
     val spark = GraftSession.get("local[32]", "32")
     if (new8Only) {
@@ -369,6 +378,29 @@ object ScaleRehearsal {
         val line = qs.map(q => "\"" + q + "\":" + timeQuery(spark, q, dir))
           .mkString("{", ",", "}")
         println(s"""{"metric":"scale_rehearsal_new12","scale":"$label","dir":"$dir","queries":$line}""")
+      }
+      spark.stop(); return
+    }
+    if (new13Only) {
+      scaleDocs(spark, base, scaled, mult)
+      def scaleTable(name: String, offsets: Map[String, Long]): Unit =
+        scaleOffsetTable(spark, base, scaled, mult, name, offsets)
+      scaleTable("events", Map("event_id" -> 1000000000L, "user_id" -> 10000000L))
+      val emb0 = spark.read.parquet(s"$base/embeddings.parquet")
+      (0 until mult).map { k =>
+        emb0.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+          copyVariant(k).cast("array<float>").as("embedding"),
+          col("label"))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$scaled/embeddings.parquet")
+      val qs = Seq("q243_isotonic", "q251_calibrated_brier",
+        "q244_prefix_dups", "q245_dup_flow", "q246_holt",
+        "q248_alpha_mixture", "q249_hard_negatives", "q250_mmr")
+      Seq("1x" -> base, s"${mult}x" -> scaled).foreach { case (label, dir) =>
+        qs.foreach(q => timeQuery(spark, q, dir)) // warm
+        val line = qs.map(q => "\"" + q + "\":" + timeQuery(spark, q, dir))
+          .mkString("{", ",", "}")
+        println(s"""{"metric":"scale_rehearsal_new13","scale":"$label","dir":"$dir","queries":$line}""")
       }
       spark.stop(); return
     }
