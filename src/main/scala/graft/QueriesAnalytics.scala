@@ -1299,6 +1299,33 @@ object QueriesAnalytics {
         "min_class_size", "n_users")
   }
 
+  private[graft] val LDiversityL = 3L
+
+  /** q254: L-DIVERSITY AUDIT — q194's k-anonymity counts CLASS SIZES,
+    * but a large class whose members all share one sensitive value
+    * still leaks it (homogeneity attack): per quasi-identifier class
+    * (nation), the number of DISTINCT sensitive values (market
+    * segment), the dominant value's share in bp, and the
+    * below-[[LDiversityL]] flag. The pair (q194, q254) is the
+    * standard pre-export privacy gate.
+    *
+    * Scale: one QI+sensitive-keyed count aggregate, then class-sized
+    * arithmetic; the dominant share falls out of a max over the same
+    * counts — no second corpus pass.
+    */
+  private val qLDiversity: Q = (spark, dir) => {
+    val cells = Tables(spark, dir, "customer")
+      .groupBy("c_nationkey", "c_mktsegment").agg(count(lit(1)).as("n"))
+    cells.groupBy("c_nationkey")
+      .agg(sum("n").as("n_users"),
+        count(lit(1)).as("l_distinct"),
+        max("n").as("dominant_n"))
+      .select(col("c_nationkey"), col("n_users"), col("l_distinct"),
+        expr("dominant_n * 10000 div n_users").as("dominant_bp"),
+        (col("l_distinct") < LDiversityL).cast("long").as("below_l"))
+      .orderBy("c_nationkey")
+  }
+
   /** q181: KAPLAN–MEIER RETENTION CURVE — per observed lifetime
     * duration: users still at risk, churn events, the per-step hazard
     * factor ln(1 − e/n) in integer micro-units, and the CUMULATIVE
@@ -2163,6 +2190,7 @@ object QueriesAnalytics {
     "q107_ewma" -> qEwma,
     "q246_holt" -> qHolt,
     "q247_sql_freqdist" -> qSqlFreqDist,
+    "q254_l_diversity" -> qLDiversity,
     "q110_attribution" -> qAttribution,
     "q93_transitions" -> qTransitions,
     "q95_daily_spikes" -> qDailySpikes,
@@ -2646,6 +2674,15 @@ object QueriesAnalytics {
     // SQL surface #12: the text IS the oracle
     "q227_sql_hhi" -> HhiSqlText,
     "q247_sql_freqdist" -> SqlFreqDistText,
+    "q254_l_diversity" ->
+      s"""WITH cells AS (SELECT c_nationkey, c_mktsegment,
+         |  CAST(count(*) AS BIGINT) AS n FROM customer
+         |  GROUP BY c_nationkey, c_mktsegment)
+         |SELECT c_nationkey, CAST(sum(n) AS BIGINT) AS n_users,
+         |  CAST(count(*) AS BIGINT) AS l_distinct,
+         |  CAST(max(n) * 10000 // sum(n) AS BIGINT) AS dominant_bp,
+         |  CAST(count(*) < $LDiversityL AS BIGINT) AS below_l
+         |FROM cells GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     // split balance: the q197 chi-square text shape over the q61 split
     "q234_split_balance" ->

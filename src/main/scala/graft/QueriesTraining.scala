@@ -2430,6 +2430,54 @@ object QueriesTraining {
       .orderBy("q_id", "rank")
   }
 
+  private[graft] val NoiseK = 5
+  private[graft] val NoiseFlagAt = 4L
+
+  /** q253: LABEL-NOISE AUDIT (k-NN disagreement) — for every labeled
+    * vector, how many of its [[NoiseK]] nearest neighbors carry a
+    * DIFFERENT label; per label: the mean disagreement (bp) and the
+    * count flagged at ≥ [[NoiseFlagAt]]/5 (the confident-learning-
+    * style "this label is probably wrong" candidates). Where q249
+    * mines hard negatives for training batches and q221's silhouette
+    * scores cluster cohesion, this localizes WHICH labels to send to
+    * re-annotation — the data-quality loop's triage query.
+    *
+    * Exactness: q25's ranking discipline (same cosine fold, ties by
+    * neighbor id); disagreement counts are integers end-to-end.
+    *
+    * Scale: the fixture-scale ground truth is the exact all-pairs
+    * rank (the q91 precedent — an audit is allowed its quadratic
+    * baseline at sample scale); the corpus-scale path swaps candidate
+    * generation for the q29 IVF probes (identical downstream: rank,
+    * vote, aggregate), auditing a stratified sample. Windows
+    * partition by vec_id.
+    */
+  private val qLabelNoise: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val e = Dedup.fanOut(Tables(spark, dir, "embeddings"), col("vec_id"))
+      .select(col("vec_id"), col("label"),
+        Similarity.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+    val other = e.select(col("vec_id").as("n_id"), col("label").as("n_label"),
+      col("v").as("nv"), col("nrm").as("nn"))
+    val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("n_id"))
+    // norms once per VECTOR (not per pair); the pair kernel is one
+    // codegen dot + a division
+    val votes = e.join(other, col("vec_id") =!= col("n_id"))
+      .withColumn("cos",
+        Similarity.dot(col("v"), col("nv")) / (col("nrm") * col("nn")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= NoiseK)
+      .groupBy("vec_id", "label")
+      .agg(sum(when(col("n_label") =!= col("label"), 1L).otherwise(0L))
+        .as("disagree"))
+    votes.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        expr(s"sum(disagree) * 10000 div (count(1) * $NoiseK)").as("disagree_bp"),
+        sum(when(col("disagree") >= NoiseFlagAt, 1L).otherwise(0L)).as("n_flagged"))
+      .orderBy("label")
+  }
+
   private[graft] val MmrRounds = 5
   private[graft] val MmrLambdaX10 = 6L // λ = 0.6
 
@@ -4222,6 +4270,7 @@ object QueriesTraining {
     "q250_mmr" -> qMmr,
     "q251_calibrated_brier" -> qCalibratedBrier,
     "q252_temp_scaling" -> qTempScaling,
+    "q253_label_noise" -> qLabelNoise,
     "q235_quality_length_bias" -> qQualityLengthBias,
     "q232_token_budget" -> qTokenBudget,
     "q17_text_quality" -> qTextQuality,
@@ -5677,6 +5726,23 @@ object QueriesTraining {
          |  CAST(n_pairs * 10000 // t AS BIGINT) AS share_bp,
          |  CAST(source_lo = source_hi AS BIGINT) AS within
          |FROM fl, t ORDER BY source_lo, source_hi""".stripMargin,
+
+    // label noise: q25's cosine fold + rank discipline; integer votes
+    "q253_label_noise" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |scored AS (SELECT a.vec_id, a.label, b.vec_id AS n_id, b.label AS n_label,
+         |  ${cosSql("a.v", "b.v")} AS cos
+         |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         |rk AS (SELECT vec_id, label, n_label,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, n_id) AS rk
+         |  FROM scored),
+         |votes AS (SELECT vec_id, label,
+         |  CAST(sum(CASE WHEN n_label <> label THEN 1 ELSE 0 END) AS BIGINT) AS disagree
+         |  FROM rk WHERE rk <= $NoiseK GROUP BY vec_id, label)
+         |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(disagree) * 10000 // (count(*) * $NoiseK) AS BIGINT) AS disagree_bp,
+         |  CAST(sum(CASE WHEN disagree >= $NoiseFlagAt THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+         |FROM votes GROUP BY label ORDER BY label""".stripMargin,
 
     // temperature scaling: same grid literals, same clamp, per-term
     // micro settling — order-free integer NLL sums
