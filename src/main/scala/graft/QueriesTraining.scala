@@ -2430,6 +2430,75 @@ object QueriesTraining {
       .orderBy("q_id", "rank")
   }
 
+  private[graft] val BowReorderOffset = 2000000L
+
+  /** q255: BAG-OF-WORDS DEDUP — exact duplicate grouping on the
+    * ORDER-INSENSITIVE token multiset key (md5 of the sorted token
+    * list): catches reshuffled boilerplate, reordered list pages and
+    * template permutations that byte-exact q20 misses and that
+    * shingle Jaccard only scores fuzzily — the cheap middle rung of
+    * the dedup ladder (byte-exact → bag-exact → near-dup).
+    * `n_distinct_texts > 1` rows are the groups ONLY this rung merges.
+    * Reordered copies are synthesized deterministically (every 9th
+    * doc contributes its token-REVERSED twin under doc_id +
+    * [[BowReorderOffset]] — byte-distinct, bag-identical) so the
+    * detector has known artifacts to find alongside any natural ones
+    * (the fixture has none — q244's planting rationale).
+    *
+    * Scale: one tokenize+sort projection (per-row cost bounded by doc
+    * length), one md5-keyed shuffle with map-side combine — q20's
+    * shape with a different key.
+    */
+  private val qBowDups: Q = (spark, dir) => {
+    val base = docsFanned(spark, dir).select(col("doc_id"), col("text"))
+    val reordered = base.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + lit(BowReorderOffset)).as("doc_id"),
+        concat_ws(" ", reverse(TextAnalysis.tokens(col("text")))).as("text"))
+    val d = base.unionByName(reordered).select(col("doc_id"),
+      md5(col("text")).as("text_md5"),
+      md5(concat_ws(" ", sort_array(TextAnalysis.tokens(col("text"))))).as("bow_key"))
+    d.groupBy("bow_key")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("canonical_id"),
+        count_distinct(col("text_md5")).as("n_distinct_texts"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("canonical_id")
+  }
+
+  private[graft] val HashBuckets = 4096L
+
+  /** q256: FEATURE-HASHING COLLISION AUDIT — the hashing trick maps
+    * an unbounded vocabulary into [[HashBuckets]] buckets; this
+    * measures what that costs on THIS corpus: vocabulary size, buckets
+    * touched, terms sharing a bucket (collision bp) and — the number
+    * that matters for model quality — the OCCURRENCE mass sitting in
+    * collided buckets. The go/no-go audit before replacing a vocab
+    * table with a hash layer.
+    *
+    * Scale: one tokenize pass → term-keyed count (map-side combine) →
+    * bucket-keyed aggregate; output is one row. The portable
+    * md5-prefix hash is the house cross-engine idiom.
+    */
+  private val qFeatureHashing: Q = (spark, dir) => {
+    val toks = docsFanned(spark, dir)
+      .select(explode_outer(TextAnalysis.tokens(col("text"))).as("term"))
+    val terms = toks.groupBy("term").agg(count(lit(1)).as("occ"))
+      .withColumn("bucket", expr(
+        s"CAST(conv(substr(md5(term), 1, 8), 16, 10) AS BIGINT) % $HashBuckets"))
+    val buckets = terms.groupBy("bucket")
+      .agg(count(lit(1)).as("n_terms_b"), sum("occ").as("occ_b"))
+    buckets.agg(sum("n_terms_b").as("n_terms"),
+        count(lit(1)).as("buckets_used"),
+        sum(when(col("n_terms_b") >= 2, col("n_terms_b")).otherwise(0L))
+          .as("collided_terms"),
+        sum(when(col("n_terms_b") >= 2, col("occ_b")).otherwise(0L))
+          .as("collided_mass"),
+        sum("occ_b").as("total_mass"))
+      .select(col("n_terms"), col("buckets_used"), col("collided_terms"),
+        expr("collided_terms * 10000 div n_terms").as("collision_bp"),
+        expr("collided_mass * 10000 div total_mass").as("collided_mass_bp"),
+        col("total_mass"))
+  }
+
   private[graft] val NoiseK = 5
   private[graft] val NoiseFlagAt = 4L
 
@@ -2546,6 +2615,46 @@ object QueriesTraining {
         StructField("rel_micro", LongType, nullable = false),
         StructField("score_x10micro", LongType, nullable = false))))
       .orderBy("round")
+  }
+
+  private[graft] val CoverageTauMicro = 300000L
+
+  /** q257: CORESET COVERAGE AUDIT — the evaluation that closes the
+    * selection loop: for each diversity-selection policy (q203's
+    * k-center, q250's MMR, and the naive first-k baseline), what
+    * fraction of the corpus lies within cos ≥ τ of SOME selected
+    * vector? k-center maximizes exactly this kind of radius coverage;
+    * MMR trades some of it for relevance; first-k is the control —
+    * the three-way number that justifies paying for either greedy
+    * loop. Membership compares micro-settled integers against the τ
+    * literal (no float knife edge); pick sets come from the SAME
+    * audited loops the battery already runs.
+    *
+    * Scale: pick sets are k-sized (broadcast); coverage is ONE corpus
+    * pass against 3k broadcast vectors; distinct + count aggregate
+    * after. The greedy loops' own scale story is q203/q250's.
+    */
+  private val qCoresetCoverage: Q = (spark, dir) => {
+    def cosMicro(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      round(Similarity.cosine(a, b) * 1000000).cast("long")
+    val e = Dedup.fanOut(Tables(spark, dir, "embeddings"), col("vec_id"))
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val first = e.orderBy("vec_id").limit(KCenterRounds)
+      .select(lit("first5").as("method"), col("vec_id"))
+    val kc = qKCenter(spark, dir).select(lit("kcenter").as("method"), col("vec_id"))
+    val mm = qMmr(spark, dir).select(lit("mmr").as("method"), col("vec_id"))
+    val picks = kc.unionByName(mm).unionByName(first)
+      .join(e.select(col("vec_id"), col("v").as("pv")), "vec_id")
+      .select(col("method"), col("pv"))
+    val covered = e.crossJoin(broadcast(picks))
+      .filter(cosMicro(col("v"), col("pv")) >= CoverageTauMicro)
+      .select("method", "vec_id").distinct()
+      .groupBy("method").agg(count(lit(1)).as("covered"))
+    val tot = e.agg(count(lit(1)).as("total"))
+    covered.crossJoin(broadcast(tot))
+      .select(col("method"), col("covered"), col("total"),
+        expr("covered * 10000 div total").as("coverage_bp"))
+      .orderBy("method")
   }
 
   private[graft] val PrefixBlock = 32
@@ -4271,6 +4380,9 @@ object QueriesTraining {
     "q251_calibrated_brier" -> qCalibratedBrier,
     "q252_temp_scaling" -> qTempScaling,
     "q253_label_noise" -> qLabelNoise,
+    "q255_bow_dups" -> qBowDups,
+    "q256_feature_hashing" -> qFeatureHashing,
+    "q257_coreset_coverage" -> qCoresetCoverage,
     "q235_quality_length_bias" -> qQualityLengthBias,
     "q232_token_budget" -> qTokenBudget,
     "q17_text_quality" -> qTextQuality,
@@ -4555,6 +4667,65 @@ object QueriesTraining {
     * parenthesized subquery in DuckDB) — one source of truth for
     * ranking semantics across q25/q26/q87 and the audit.
     */
+  /** q203's oracle as a nestable val (the q112 precedent: a full
+    * `WITH … ORDER BY` text is a valid parenthesized subquery) —
+    * q257's coverage audit nests it.
+    */
+  private lazy val kCenterOracle: String = {
+    def cm(a: String, b: String) =
+      s"CAST(round((${cosSql(a, b)}) * 1000000.0) AS BIGINT)"
+    val steps = (2 to KCenterRounds).map { r =>
+      val pd = s"d${r - 1}"
+      s"""p$r AS (SELECT vec_id, v, dmax FROM $pd ORDER BY dmax, vec_id LIMIT 1),
+         |d$r AS (SELECT $pd.vec_id, $pd.v,
+         |  greatest($pd.dmax, ${cm(s"$pd.v", s"p$r.v")}) AS dmax
+         |  FROM $pd, p$r WHERE $pd.vec_id <> p$r.vec_id)""".stripMargin
+    }.mkString(",\n")
+    val outs = (2 to KCenterRounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, vec_id, dmax AS dmax_micro FROM p$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+       |d1 AS (SELECT e.vec_id, e.v, ${cm("e.v", "c1.v")} AS dmax
+       |  FROM e, c1 WHERE e.vec_id <> c1.vec_id),
+       |$steps
+       |SELECT CAST(1 AS BIGINT) AS round, vec_id,
+       |  CAST(-1 AS BIGINT) AS dmax_micro FROM c1
+       |UNION ALL $outs
+       |ORDER BY round""".stripMargin
+  }
+
+  /** q250's oracle, nestable for the same reason. */
+  private lazy val mmrOracle: String = {
+    def cm(a: String, b: String) =
+      s"CAST(round((${cosSql(a, b)}) * 1000000.0) AS BIGINT)"
+    val lam = MmrLambdaX10
+    val steps = (2 to MmrRounds).map { r =>
+      val pd = s"d${r - 1}"
+      s"""p$r AS (SELECT vec_id, v, rel,
+         |  $lam * rel - ${10 - lam} * maxsim AS score FROM $pd
+         |  ORDER BY score DESC, vec_id LIMIT 1),
+         |d$r AS (SELECT $pd.vec_id, $pd.v, $pd.rel,
+         |  greatest($pd.maxsim, ${cm(s"$pd.v", s"p$r.v")}) AS maxsim
+         |  FROM $pd, p$r WHERE $pd.vec_id <> p$r.vec_id)""".stripMargin
+    }.mkString(",\n")
+    val outs = (2 to MmrRounds).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS round, vec_id, rel AS rel_micro, score AS score_x10micro FROM p$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |qv AS (SELECT v AS q_vec FROM e WHERE vec_id = 0),
+       |rel AS (SELECT vec_id, v, ${cm("v", "q_vec")} AS rel
+       |  FROM e, qv WHERE vec_id <> 0),
+       |p1 AS (SELECT vec_id, v, rel FROM rel ORDER BY rel DESC, vec_id LIMIT 1),
+       |d1 AS (SELECT r.vec_id, r.v, r.rel, ${cm("r.v", "p1.v")} AS maxsim
+       |  FROM rel r, p1 WHERE r.vec_id <> p1.vec_id),
+       |$steps
+       |SELECT CAST(1 AS BIGINT) AS round, vec_id, rel AS rel_micro,
+       |  CAST(-1 AS BIGINT) AS score_x10micro FROM p1
+       |UNION ALL $outs
+       |ORDER BY round""".stripMargin
+  }
+
   private lazy val knnBruteOracle: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 10),
@@ -5230,29 +5401,7 @@ object QueriesTraining {
         |FROM g ORDER BY source""".stripMargin,
 
     // k-center: unrolled farthest-point rounds, micro-cosine fold
-    "q203_kcenter" -> {
-      def cm(a: String, b: String) =
-        s"CAST(round((${cosSql(a, b)}) * 1000000.0) AS BIGINT)"
-      val steps = (2 to KCenterRounds).map { r =>
-        val pd = s"d${r - 1}"
-        s"""p$r AS (SELECT vec_id, v, dmax FROM $pd ORDER BY dmax, vec_id LIMIT 1),
-           |d$r AS (SELECT $pd.vec_id, $pd.v,
-           |  greatest($pd.dmax, ${cm(s"$pd.v", s"p$r.v")}) AS dmax
-           |  FROM $pd, p$r WHERE $pd.vec_id <> p$r.vec_id)""".stripMargin
-      }.mkString(",\n")
-      val outs = (2 to KCenterRounds).map(r =>
-        s"SELECT CAST($r AS BIGINT) AS round, vec_id, dmax AS dmax_micro FROM p$r")
-        .mkString("\nUNION ALL ")
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |c1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
-         |d1 AS (SELECT e.vec_id, e.v, ${cm("e.v", "c1.v")} AS dmax
-         |  FROM e, c1 WHERE e.vec_id <> c1.vec_id),
-         |$steps
-         |SELECT CAST(1 AS BIGINT) AS round, vec_id,
-         |  CAST(-1 AS BIGINT) AS dmax_micro FROM c1
-         |UNION ALL $outs
-         |ORDER BY round""".stripMargin
-    },
+    "q203_kcenter" -> kCenterOracle,
 
     // quantile normalization: same integer rank mapping, windows are
     // the oracle's job
@@ -5727,6 +5876,63 @@ object QueriesTraining {
          |  CAST(source_lo = source_hi AS BIGINT) AS within
          |FROM fl, t ORDER BY source_lo, source_hi""".stripMargin,
 
+    // coreset coverage: nests the q203/q250 oracle texts verbatim as
+    // pick-set subqueries (the q112 nesting precedent); τ compares
+    // micro integers
+    "q257_coreset_coverage" -> {
+      def cm(a: String, b: String) =
+        s"CAST(round((${cosSql(a, b)}) * 1000000.0) AS BIGINT)"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |kc AS (SELECT vec_id FROM ($kCenterOracle)),
+         |mm AS (SELECT vec_id FROM ($mmrOracle)),
+         |f5 AS (SELECT vec_id FROM e ORDER BY vec_id LIMIT $KCenterRounds),
+         |picks AS (SELECT 'kcenter' AS method, vec_id FROM kc
+         |  UNION ALL SELECT 'mmr', vec_id FROM mm
+         |  UNION ALL SELECT 'first5', vec_id FROM f5),
+         |pv AS (SELECT method, e.v AS pv FROM picks JOIN e USING (vec_id)),
+         |cov AS (SELECT DISTINCT method, c.vec_id FROM e c, pv
+         |  WHERE ${cm("c.v", "pv")} >= $CoverageTauMicro),
+         |cnt AS (SELECT method, CAST(count(*) AS BIGINT) AS covered
+         |  FROM cov GROUP BY method),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM e)
+         |SELECT method, covered, total,
+         |  CAST(covered * 10000 // total AS BIGINT) AS coverage_bp
+         |FROM cnt, t ORDER BY method""".stripMargin
+    },
+
+    // bow dups: same sorted-token key (list_sort ≡ sort_array on
+    // ASCII tokens), same md5
+    "q255_bow_dups" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+         |re AS (SELECT doc_id + $BowReorderOffset AS doc_id,
+         |  array_to_string(list_reverse($toksSql), ' ') AS text
+         |  FROM base WHERE doc_id % 9 = 0),
+         |d AS (SELECT doc_id, md5(text) AS text_md5,
+         |  md5(array_to_string(list_sort($toksSql), ' ')) AS bow_key
+         |  FROM (SELECT * FROM base UNION ALL SELECT * FROM re))
+         |SELECT bow_key, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(min(doc_id) AS BIGINT) AS canonical_id,
+         |  CAST(count(DISTINCT text_md5) AS BIGINT) AS n_distinct_texts
+         |FROM d GROUP BY bow_key HAVING count(*) >= 2
+         |ORDER BY canonical_id""".stripMargin,
+
+    // feature hashing: the portable md5-prefix hash, integer shares
+    "q256_feature_hashing" ->
+      s"""WITH toks AS (SELECT unnest($toksSql) AS term FROM documents),
+         |terms AS (SELECT term, CAST(count(*) AS BIGINT) AS occ
+         |  FROM toks GROUP BY term),
+         |tb AS (SELECT ('0x' || substr(md5(term), 1, 8))::BIGINT % $HashBuckets AS bucket,
+         |  occ FROM terms),
+         |b AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_terms_b,
+         |  CAST(sum(occ) AS BIGINT) AS occ_b FROM tb GROUP BY bucket)
+         |SELECT CAST(sum(n_terms_b) AS BIGINT) AS n_terms,
+         |  CAST(count(*) AS BIGINT) AS buckets_used,
+         |  CAST(sum(CASE WHEN n_terms_b >= 2 THEN n_terms_b ELSE 0 END) AS BIGINT) AS collided_terms,
+         |  CAST(sum(CASE WHEN n_terms_b >= 2 THEN n_terms_b ELSE 0 END) * 10000 // sum(n_terms_b) AS BIGINT) AS collision_bp,
+         |  CAST(sum(CASE WHEN n_terms_b >= 2 THEN occ_b ELSE 0 END) * 10000 // sum(occ_b) AS BIGINT) AS collided_mass_bp,
+         |  CAST(sum(occ_b) AS BIGINT) AS total_mass
+         |FROM b""".stripMargin,
+
     // label noise: q25's cosine fold + rank discipline; integer votes
     "q253_label_noise" ->
       s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
@@ -5852,35 +6058,7 @@ object QueriesTraining {
 
     // MMR: q203's unrolled greedy CTE pairs with the λ-score argmax;
     // scores stay ×10-scaled integers (no engine-split integer div)
-    "q250_mmr" -> {
-      def cm(a: String, b: String) =
-        s"CAST(round((${cosSql(a, b)}) * 1000000.0) AS BIGINT)"
-      val lam = MmrLambdaX10
-      val steps = (2 to MmrRounds).map { r =>
-        val pd = s"d${r - 1}"
-        s"""p$r AS (SELECT vec_id, v, rel,
-           |  $lam * rel - ${10 - lam} * maxsim AS score FROM $pd
-           |  ORDER BY score DESC, vec_id LIMIT 1),
-           |d$r AS (SELECT $pd.vec_id, $pd.v, $pd.rel,
-           |  greatest($pd.maxsim, ${cm(s"$pd.v", s"p$r.v")}) AS maxsim
-           |  FROM $pd, p$r WHERE $pd.vec_id <> p$r.vec_id)""".stripMargin
-      }.mkString(",\n")
-      val outs = (2 to MmrRounds).map(r =>
-        s"SELECT CAST($r AS BIGINT) AS round, vec_id, rel AS rel_micro, score AS score_x10micro FROM p$r")
-        .mkString("\nUNION ALL ")
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |qv AS (SELECT v AS q_vec FROM e WHERE vec_id = 0),
-         |rel AS (SELECT vec_id, v, ${cm("v", "q_vec")} AS rel
-         |  FROM e, qv WHERE vec_id <> 0),
-         |p1 AS (SELECT vec_id, v, rel FROM rel ORDER BY rel DESC, vec_id LIMIT 1),
-         |d1 AS (SELECT r.vec_id, r.v, r.rel, ${cm("r.v", "p1.v")} AS maxsim
-         |  FROM rel r, p1 WHERE r.vec_id <> p1.vec_id),
-         |$steps
-         |SELECT CAST(1 AS BIGINT) AS round, vec_id, rel AS rel_micro,
-         |  CAST(-1 AS BIGINT) AS score_x10micro FROM p1
-         |UNION ALL $outs
-         |ORDER BY round""".stripMargin
-    },
+    "q250_mmr" -> mmrOracle,
 
     "q229_brier" ->
       s"""$nbScoreCtes,

@@ -71,16 +71,31 @@ class PropertySpec extends AnyFunSuite {
       assert(!matched)
       (System.nanoTime() - t0) / 1e6
     }
-    for (n <- Seq(1000, 2000, 4000, 8000)) {
+    def adversarial(n: Int): String = {
       // a plausible router-access prefix, then quote-heavy junk whose
       // tail never satisfies the literal x_forwarded_for:/app_id:
       // anchors — worst case for the four GREEDYDATA quote captures
       val junk = "\"q\" " * (n / 4)
-      val line = "api.system.example.gov.au - [2024-01-01T00:00:00+0000] " +
+      "api.system.example.gov.au - [2024-01-01T00:00:00+0000] " +
         "\"GET /v2/info HTTP/1.1\" 200 0 1262 " + junk
-      assert(timedNoMatch(ra, line) < 2000.0,
+    }
+    // absolute wall-clock bounds flake under concurrent box load (a
+    // 2 s bound tripped at 2.4 s during a parallel battery run while
+    // passing solo at ~0.2 s) — take the min of 3 trials per size so
+    // scheduler noise can only inflate, never survive all trials
+    def best(n: Int): Double =
+      (1 to 3).map(_ => timedNoMatch(ra, adversarial(n))).min
+    best(1000) // JIT warm
+    for (n <- Seq(1000, 2000, 4000, 8000)) {
+      assert(best(n) < 2000.0,
         s"adversarial quote input at n=$n exceeded the eval bound")
     }
+    // and the growth contract itself: catastrophic backtracking is
+    // super-quadratic, so 8× the input must stay far under 64× the
+    // small-size floor (0.5 ms floor absorbs timer granularity)
+    val (t1k, t8k) = (best(1000).max(0.5), best(8000))
+    assert(t8k < 64 * t1k,
+      s"eval time grew super-quadratically: $t1k ms @1k vs $t8k ms @8k")
   }
 
   test("grok regex stack exhaustion is a NO MATCH, not a task-killing error") {
