@@ -2430,6 +2430,67 @@ object QueriesTraining {
       .orderBy("q_id", "rank")
   }
 
+  /** q258: TOKENIZER FERTILITY BY LANGUAGE — chars per subword token
+    * (and per whitespace token), per declared language: THE
+    * multilingual tokenizer-equity metric — a language whose fertility
+    * runs high pays more sequence positions per character of content,
+    * so it is undertrained at equal token budgets (the motivation for
+    * q248's α-mixture). Integer milli-ratios from exact char/token
+    * sums; the subword proxy is q16's BPE pre-tokenization regex.
+    *
+    * Scale: one narrow projection (two regex counts + length per
+    * row), one lang-keyed aggregate with map-side combine.
+    */
+  private val qFertility: Q = (spark, dir) => {
+    docsFanned(spark, dir)
+      .select(col("lang"), length(col("text")).cast("long").as("nc"),
+        TextAnalysis.bpeTokenCount(col("text")).cast("long").as("nb"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("nc").as("n_chars"),
+        sum("nb").as("n_bpe"), sum("nt").as("n_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_chars"), col("n_bpe"),
+        col("n_tokens"),
+        expr("n_chars * 1000 div n_bpe").as("bpe_fertility_milli"),
+        expr("n_chars * 1000 div n_tokens").as("tok_fertility_milli"))
+      .orderBy("lang")
+  }
+
+  private[graft] val SentSplitRe = """[.!?]+\s+"""
+
+  /** q259: SENTENCE SEGMENTATION STATS — the missing granularity
+    * between q16's tokens and q69's fixed windows: split on
+    * sentence-terminal punctuation runs ([[SentSplitRe]] — consuming,
+    * not lookbehind: the Java∩RE2 portability rule) and report
+    * per-source sentence counts and length moments. The packing /
+    * boilerplate / readability pipelines all key on sentence shape;
+    * a source whose "sentences" run hundreds of chars is markup or
+    * code, not prose — this is the query that flags it.
+    *
+    * Scale: one regex-split projection + bounded explode (segments
+    * per doc ≤ doc length), one source-keyed aggregate; empty
+    * segments filtered identically on both engines so trailing-
+    * separator semantics can't diverge.
+    */
+  private val qSentences: Q = (spark, dir) => {
+    val segs = docsFanned(spark, dir)
+      .select(col("source"), col("doc_id"),
+        explode_outer(split(col("text"), SentSplitRe)).as("seg"))
+      .filter(length(col("seg")) > 0)
+      .select(col("source"), col("doc_id"), length(col("seg")).cast("long").as("sl"))
+    val perSource = segs.groupBy("source")
+      .agg(count(lit(1)).as("n_sentences"), sum("sl").as("sum_chars"),
+        max("sl").as("max_sent_chars"))
+    val docs = docsFanned(spark, dir).groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+    docs.join(perSource, "source")
+      .select(col("source"), col("n_docs"), col("n_sentences"),
+        expr("n_sentences * 1000 div n_docs").as("sent_per_doc_milli"),
+        expr("sum_chars * 1000 div n_sentences").as("mean_sent_chars_milli"),
+        col("max_sent_chars"))
+      .orderBy("source")
+  }
+
   private[graft] val BowReorderOffset = 2000000L
 
   /** q255: BAG-OF-WORDS DEDUP — exact duplicate grouping on the
@@ -4383,6 +4444,8 @@ object QueriesTraining {
     "q255_bow_dups" -> qBowDups,
     "q256_feature_hashing" -> qFeatureHashing,
     "q257_coreset_coverage" -> qCoresetCoverage,
+    "q258_fertility" -> qFertility,
+    "q259_sentences" -> qSentences,
     "q235_quality_length_bias" -> qQualityLengthBias,
     "q232_token_budget" -> qTokenBudget,
     "q17_text_quality" -> qTextQuality,
@@ -5899,6 +5962,36 @@ object QueriesTraining {
          |  CAST(covered * 10000 // total AS BIGINT) AS coverage_bp
          |FROM cnt, t ORDER BY method""".stripMargin
     },
+
+    // fertility: q16's regex twins, integer milli-ratios
+    "q258_fertility" ->
+      s"""WITH t AS (SELECT lang, CAST(length(text) AS BIGINT) AS nc,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS nb,
+         |  CAST(len($toksSql) AS BIGINT) AS nt FROM documents)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(nc) AS BIGINT) AS n_chars,
+         |  CAST(sum(nb) AS BIGINT) AS n_bpe,
+         |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |  CAST(sum(nc) * 1000 // sum(nb) AS BIGINT) AS bpe_fertility_milli,
+         |  CAST(sum(nc) * 1000 // sum(nt) AS BIGINT) AS tok_fertility_milli
+         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // sentences: same consuming split regex, same empty filter
+    "q259_sentences" ->
+      s"""WITH segs AS (SELECT source, doc_id,
+         |  unnest(string_split_regex(text, '$SentSplitRe')) AS seg FROM documents),
+         |s AS (SELECT source, CAST(length(seg) AS BIGINT) AS sl
+         |  FROM segs WHERE length(seg) > 0),
+         |ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_sentences,
+         |  CAST(sum(sl) AS BIGINT) AS sum_chars,
+         |  CAST(max(sl) AS BIGINT) AS max_sent_chars FROM s GROUP BY source),
+         |d AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM documents GROUP BY source)
+         |SELECT d.source, n_docs, n_sentences,
+         |  CAST(n_sentences * 1000 // n_docs AS BIGINT) AS sent_per_doc_milli,
+         |  CAST(sum_chars * 1000 // n_sentences AS BIGINT) AS mean_sent_chars_milli,
+         |  max_sent_chars
+         |FROM d JOIN ps ON ps.source = d.source ORDER BY d.source""".stripMargin,
 
     // bow dups: same sorted-token key (list_sort ≡ sort_array on
     // ASCII tokens), same md5
