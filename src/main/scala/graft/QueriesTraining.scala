@@ -2582,7 +2582,12 @@ object QueriesTraining {
     * vote, aggregate), auditing a stratified sample. Windows
     * partition by vec_id.
     */
-  private val qLabelNoise: Q = (spark, dir) => {
+  /** The exact top-[[NoiseK]] neighbor list (vec_id, label, n_id,
+    * n_label) — shared by q253's noise votes and q261's hubness
+    * in-degrees. Norms once per VECTOR (not per pair); the pair
+    * kernel is one codegen dot + a division.
+    */
+  private def knnTopNeighbors(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val e = Dedup.fanOut(Tables(spark, dir, "embeddings"), col("vec_id"))
       .select(col("vec_id"), col("label"),
@@ -2591,13 +2596,16 @@ object QueriesTraining {
     val other = e.select(col("vec_id").as("n_id"), col("label").as("n_label"),
       col("v").as("nv"), col("nrm").as("nn"))
     val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("n_id"))
-    // norms once per VECTOR (not per pair); the pair kernel is one
-    // codegen dot + a division
-    val votes = e.join(other, col("vec_id") =!= col("n_id"))
+    e.join(other, col("vec_id") =!= col("n_id"))
       .withColumn("cos",
         Similarity.dot(col("v"), col("nv")) / (col("nrm") * col("nn")))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= NoiseK)
+      .select("vec_id", "label", "n_id", "n_label")
+  }
+
+  private val qLabelNoise: Q = (spark, dir) => {
+    val votes = knnTopNeighbors(spark, dir)
       .groupBy("vec_id", "label")
       .agg(sum(when(col("n_label") =!= col("label"), 1L).otherwise(0L))
         .as("disagree"))
@@ -2606,6 +2614,66 @@ object QueriesTraining {
         expr(s"sum(disagree) * 10000 div (count(1) * $NoiseK)").as("disagree_bp"),
         sum(when(col("disagree") >= NoiseFlagAt, 1L).otherwise(0L)).as("n_flagged"))
       .orderBy("label")
+  }
+
+  /** q261: HUBNESS AUDIT — the k-occurrence histogram of the exact
+    * 5-NN graph: how often each vector appears in OTHER vectors'
+    * top-5. High-dimensional similarity spaces grow hubs (a few
+    * points near everything) and anti-hubs (in-degree 0), which skew
+    * every kNN-derived signal — q253's noise votes, q249's negative
+    * pools, retrieval rerankers. The histogram (plus its max) is the
+    * standard pathology check before trusting any of them.
+    *
+    * Scale: q253's shared neighbor list; in-degrees are one n_id-keyed
+    * count, the histogram one more aggregate; anti-hubs enter via a
+    * left join against the vector ids (count 0 rows are real rows).
+    */
+  private val qHubness: Q = (spark, dir) => {
+    val indeg = knnTopNeighbors(spark, dir)
+      .groupBy(col("n_id")).agg(count(lit(1)).as("occ"))
+    val e = Tables(spark, dir, "embeddings").select(col("vec_id"))
+    e.join(indeg, e("vec_id") === indeg("n_id"), "left")
+      .select(coalesce(col("occ"), lit(0L)).as("occ"))
+      .groupBy("occ").agg(count(lit(1)).as("n_vectors"))
+      .orderBy("occ")
+  }
+
+  private[graft] val CutGrid = Seq(10L, 25L, 50L, 75L, 90L)
+
+  /** q260: QUALITY-CUT SWEEP — the curation frontier curve: for each
+    * keep-top-X% cut over the quality ranking, the kept token budget,
+    * mean quality, and exact-duplicate rate INSIDE the kept set. One
+    * table answers "where should the cut sit" — tokens trade against
+    * quality, and the dup-rate column shows whether quality selection
+    * concentrates duplicates (boilerplate scores uniformly). q71
+    * executes ONE cut; this prices the whole menu. Selection is BY
+    * RANK on micro-settled scores (rk·100 ≤ cut·n — exact rational
+    * compare, no float threshold), the q71 discipline.
+    *
+    * Scale: one score+rank pass (GlobalRank, no single-partition
+    * window); the grid fan-out is ≤ |grid| rows per kept doc into a
+    * map-side-combining per-cut aggregate.
+    */
+  private val qCutSweep: Q = (spark, dir) => {
+    val scored = docsFanned(spark, dir).select(col("doc_id"),
+      round(graft.text.TextAnalysis.qualityScore(col("text")) * 1000000)
+        .cast("long").as("qm"),
+      md5(col("text")).as("tm"),
+      graft.text.TextAnalysis.tokenCount(col("text")).cast("long").as("nt"))
+    val ranked = graft.operators.GlobalRank.withRank(
+      scored, Seq(col("qm").desc, col("doc_id")), "rk")
+    val n = scored.agg(count(lit(1)).as("n"))
+    ranked.crossJoin(broadcast(n))
+      .withColumn("cut", explode(array(CutGrid.map(lit): _*)))
+      .filter(col("rk") * 100 <= col("cut") * col("n"))
+      .groupBy("cut")
+      .agg(count(lit(1)).as("n_kept"), sum("nt").as("tokens_kept"),
+        expr("sum(qm) div count(1)").as("mean_q_micro"),
+        count_distinct(col("tm")).as("n_distinct"))
+      .select(col("cut"), col("n_kept"), col("tokens_kept"),
+        col("mean_q_micro"),
+        expr("(n_kept - n_distinct) * 10000 div n_kept").as("dup_bp"))
+      .orderBy("cut")
   }
 
   private[graft] val MmrRounds = 5
@@ -4446,6 +4514,8 @@ object QueriesTraining {
     "q257_coreset_coverage" -> qCoresetCoverage,
     "q258_fertility" -> qFertility,
     "q259_sentences" -> qSentences,
+    "q260_cut_sweep" -> qCutSweep,
+    "q261_hubness" -> qHubness,
     "q235_quality_length_bias" -> qQualityLengthBias,
     "q232_token_budget" -> qTokenBudget,
     "q17_text_quality" -> qTextQuality,
@@ -5962,6 +6032,43 @@ object QueriesTraining {
          |  CAST(covered * 10000 // total AS BIGINT) AS coverage_bp
          |FROM cnt, t ORDER BY method""".stripMargin
     },
+
+    // cut sweep: quality CTE chain + rank window; the keep predicate
+    // is the same exact rational compare
+    "q260_cut_sweep" ->
+      s"""$qualityScoreCtes,
+         |base AS (SELECT q.doc_id,
+         |  CAST(round(q.quality * 1000000) AS BIGINT) AS qm,
+         |  md5(d2.text) AS tm,
+         |  CAST(len(string_split_regex(trim(d2.text), '\\s+')) AS BIGINT) AS nt
+         |  FROM q JOIN documents d2 ON d2.doc_id = q.doc_id),
+         |r AS (SELECT *, CAST(row_number() OVER (ORDER BY qm DESC, doc_id) AS BIGINT) AS rk
+         |  FROM base),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+         |g AS (SELECT unnest(${CutGrid.mkString("[", ", ", "]")}) AS cut),
+         |k AS (SELECT cut, qm, tm, nt FROM r, n, g WHERE rk * 100 <= cut * n)
+         |SELECT CAST(cut AS BIGINT) AS cut, CAST(count(*) AS BIGINT) AS n_kept,
+         |  CAST(sum(nt) AS BIGINT) AS tokens_kept,
+         |  CAST(sum(qm) // count(*) AS BIGINT) AS mean_q_micro,
+         |  CAST((count(*) - count(DISTINCT tm)) * 10000 // count(*) AS BIGINT) AS dup_bp
+         |FROM k GROUP BY cut ORDER BY cut""".stripMargin,
+
+    // hubness: the q253 neighbor CTEs, in-degree + histogram;
+    // anti-hubs via left join
+    "q261_hubness" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |scored AS (SELECT a.vec_id, b.vec_id AS n_id,
+         |  ${cosSql("a.v", "b.v")} AS cos
+         |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         |rk AS (SELECT vec_id, n_id,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, n_id) AS rk
+         |  FROM scored),
+         |indeg AS (SELECT n_id, CAST(count(*) AS BIGINT) AS occ
+         |  FROM rk WHERE rk <= $NoiseK GROUP BY n_id),
+         |od AS (SELECT coalesce(indeg.occ, 0) AS occ
+         |  FROM e LEFT JOIN indeg ON indeg.n_id = e.vec_id)
+         |SELECT CAST(occ AS BIGINT) AS occ, CAST(count(*) AS BIGINT) AS n_vectors
+         |FROM od GROUP BY occ ORDER BY occ""".stripMargin,
 
     // fertility: q16's regex twins, integer milli-ratios
     "q258_fertility" ->
