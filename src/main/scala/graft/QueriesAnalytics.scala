@@ -2110,6 +2110,35 @@ object QueriesAnalytics {
       .orderBy("day")
   }
 
+  /** q263: DAY-OF-WEEK SEASONAL INDEX — the multiplicative weekday
+    * profile of the daily event-count series: per epoch-weekday
+    * (day % 7 — a fixed weekday mapping, calendar-free), the mean
+    * daily count and its index against the overall mean in exact bp.
+    * q233's ACF DETECTS the weekly rhythm; this table IS the
+    * adjustment a deseasonalized monitor divides by — and the input
+    * q95's spike detector should normalize with before flagging every
+    * Monday. Integer milli-means (sums over counts) both engines
+    * floor identically.
+    *
+    * Scale: the daily series is date-domain-sized regardless of the
+    * event corpus — one count aggregate, then 7-row arithmetic.
+    */
+  private val qDowSeason: Q = (spark, dir) => {
+    val daily = dedup.Dedup.materialize(Tables.events(spark, dir)
+      .select(expr(s"ts_ms div $DayMs").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("c")))
+    val dow = daily.groupBy(expr("day % 7").as("dow"))
+      .agg(count(lit(1)).as("n_days"), sum("c").as("total_events"))
+      .withColumn("mean_milli", expr("total_events * 1000 div n_days"))
+    val overall = daily.agg(
+      expr("sum(c) * 1000 div count(1)").as("overall_milli"))
+    dow.crossJoin(broadcast(overall))
+      .select(col("dow"), col("n_days"), col("total_events"),
+        col("mean_milli"),
+        expr("mean_milli * 10000 div overall_milli").as("index_bp"))
+      .orderBy("dow")
+  }
+
   private[graft] val AcfMaxLag = 7
 
   /** q233: AUTOCORRELATION FUNCTION of the daily event-count series,
@@ -2191,6 +2220,7 @@ object QueriesAnalytics {
     "q246_holt" -> qHolt,
     "q247_sql_freqdist" -> qSqlFreqDist,
     "q254_l_diversity" -> qLDiversity,
+    "q263_dow_season" -> qDowSeason,
     "q110_attribution" -> qAttribution,
     "q93_transitions" -> qTransitions,
     "q95_daily_spikes" -> qDailySpikes,
@@ -2674,6 +2704,19 @@ object QueriesAnalytics {
     // SQL surface #12: the text IS the oracle
     "q227_sql_hhi" -> HhiSqlText,
     "q247_sql_freqdist" -> SqlFreqDistText,
+    "q263_dow_season" ->
+      s"""WITH daily AS (SELECT epoch_ms(ts) // $DayMs AS day,
+         |  CAST(count(*) AS BIGINT) AS c FROM events GROUP BY day),
+         |dw AS (SELECT day % 7 AS dow, CAST(count(*) AS BIGINT) AS n_days,
+         |  CAST(sum(c) AS BIGINT) AS total_events,
+         |  CAST(sum(c) * 1000 // count(*) AS BIGINT) AS mean_milli
+         |  FROM daily GROUP BY dow),
+         |o AS (SELECT CAST(sum(c) * 1000 // count(*) AS BIGINT) AS overall_milli
+         |  FROM daily)
+         |SELECT CAST(dow AS BIGINT) AS dow, n_days, total_events, mean_milli,
+         |  CAST(mean_milli * 10000 // overall_milli AS BIGINT) AS index_bp
+         |FROM dw, o ORDER BY dow""".stripMargin,
+
     "q254_l_diversity" ->
       s"""WITH cells AS (SELECT c_nationkey, c_mktsegment,
          |  CAST(count(*) AS BIGINT) AS n FROM customer

@@ -604,6 +604,53 @@ object QueriesTraining {
     graft.operators.Stats.auc(scored, col("score_micro"), col("lang") === "en")
   }
 
+  private[graft] val AucFolds = 5
+
+  /** q262: CROSS-FOLD AUC STABILITY — q166's exact AUC computed per
+    * hash-fold (5 folds by the portable doc_id hash) PLUS the pooled
+    * row (fold = −1): the eval-stability audit that says whether a
+    * reported AUC is a property of the scorer or of the sample. A
+    * spread of several hundred bp across folds means single-split
+    * metric deltas of that size are noise — read BEFORE believing any
+    * A/B of two quality filters. Same integer pair-concordance
+    * machinery as q166; the per-fold cumulative runs in a
+    * fold-PARTITIONED window (never unpartitioned).
+    *
+    * Scale: one score pass; the per-(fold, score) aggregate bounds
+    * window input to folds × score-domain rows. Exact while
+    * pos·neg < 2⁶³ per fold.
+    */
+  private val qFoldAuc: Q = (spark, dir) => {
+    import org.apache.spark.sql.expressions.Window
+    val sc = docsFanned(spark, dir).select(
+      expr(s"CAST(conv(substr(md5(concat('fold:', CAST(doc_id AS STRING))), 1, 8), 16, 10) AS BIGINT) % $AucFolds")
+        .as("fold"),
+      round(TextAnalysis.stopwordRatio(col("text")) * 1000000)
+        .cast("long").as("score_micro"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+    val byS = sc.groupBy("fold", "score_micro")
+      .agg(sum("pos").as("pos_s"), (count(lit(1)) - sum("pos")).as("neg_s"))
+    val w = Window.partitionBy("fold").orderBy("score_micro")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val perFold = byS
+      .withColumn("cum_neg", coalesce(sum("neg_s").over(w), lit(0L)))
+      .groupBy("fold")
+      .agg(sum("pos_s").as("n_pos"), sum("neg_s").as("n_neg"),
+        sum(col("pos_s") * col("cum_neg")).as("concordant"),
+        sum(col("pos_s") * col("neg_s")).as("tied"))
+    val pooled = graft.operators.Stats.auc(
+        sc.select(col("score_micro"), (col("pos") === 1L).as("p")),
+        col("score_micro"), col("p"))
+      .select(lit(-1L).as("fold"), col("n_pos"), col("n_neg"),
+        col("concordant"), col("tied"))
+    perFold.unionByName(pooled)
+      .select(col("fold"), col("n_pos"), col("n_neg"), col("concordant"),
+        col("tied"),
+        expr("(2 * concordant + tied) * 10000 div (2 * n_pos * n_neg)")
+          .as("auc_bp"))
+      .orderBy("fold")
+  }
+
   /** q197: PEARSON CHI-SQUARED INDEPENDENCE AUDIT — is language
     * distribution independent of source? The categorical complement
     * of q167's KS (continuous drift) and q187's keyness (per-term
@@ -4516,6 +4563,7 @@ object QueriesTraining {
     "q259_sentences" -> qSentences,
     "q260_cut_sweep" -> qCutSweep,
     "q261_hubness" -> qHubness,
+    "q262_fold_auc" -> qFoldAuc,
     "q235_quality_length_bias" -> qQualityLengthBias,
     "q232_token_budget" -> qTokenBudget,
     "q17_text_quality" -> qTextQuality,
@@ -6032,6 +6080,40 @@ object QueriesTraining {
          |  CAST(covered * 10000 // total AS BIGINT) AS coverage_bp
          |FROM cnt, t ORDER BY method""".stripMargin
     },
+
+    // fold AUC: q166's concordance CTEs with a fold key; per-fold
+    // window partitions by fold, pooled row appended
+    "q262_fold_auc" ->
+      s"""$qualityScoreCtes,
+         |sc AS (SELECT ('0x' || substr(md5('fold:' || CAST(doc_id AS STRING)), 1, 8))::BIGINT % $AucFolds AS fold,
+         |  CAST(round(stop_ratio * 1000000) AS BIGINT) AS score_micro,
+         |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos FROM q),
+         |by_s AS (SELECT fold, score_micro, CAST(sum(pos) AS BIGINT) AS pos_s,
+         |  CAST(count(*) - sum(pos) AS BIGINT) AS neg_s
+         |  FROM sc GROUP BY fold, score_micro),
+         |cum AS (SELECT fold, pos_s, neg_s,
+         |  CAST(coalesce(sum(neg_s) OVER (PARTITION BY fold ORDER BY score_micro
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_neg
+         |  FROM by_s),
+         |pf AS (SELECT fold, CAST(sum(pos_s) AS BIGINT) AS n_pos,
+         |  CAST(sum(neg_s) AS BIGINT) AS n_neg,
+         |  CAST(sum(pos_s * cum_neg) AS BIGINT) AS concordant,
+         |  CAST(sum(pos_s * neg_s) AS BIGINT) AS tied FROM cum GROUP BY fold),
+         |ps AS (SELECT score_micro, CAST(sum(pos) AS BIGINT) AS pos_s,
+         |  CAST(count(*) - sum(pos) AS BIGINT) AS neg_s
+         |  FROM sc GROUP BY score_micro),
+         |pc AS (SELECT pos_s, neg_s,
+         |  CAST(coalesce(sum(neg_s) OVER (ORDER BY score_micro
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_neg
+         |  FROM ps),
+         |pl AS (SELECT CAST(-1 AS BIGINT) AS fold, CAST(sum(pos_s) AS BIGINT) AS n_pos,
+         |  CAST(sum(neg_s) AS BIGINT) AS n_neg,
+         |  CAST(sum(pos_s * cum_neg) AS BIGINT) AS concordant,
+         |  CAST(sum(pos_s * neg_s) AS BIGINT) AS tied FROM pc),
+         |u AS (SELECT * FROM pf UNION ALL SELECT * FROM pl)
+         |SELECT fold, n_pos, n_neg, concordant, tied,
+         |  CAST((2 * concordant + tied) * 10000 // (2 * n_pos * n_neg) AS BIGINT) AS auc_bp
+         |FROM u ORDER BY fold""".stripMargin,
 
     // cut sweep: quality CTE chain + rank window; the keep predicate
     // is the same exact rational compare
