@@ -265,6 +265,15 @@ object ScaleRehearsal {
     // hard negatives + MMR (fixed query/round count, corpus-sized
     // candidate passes)
     val new13Only = args.length > 1 && args(1) == "new13"
+    // "new14" second arg: the seventh continuation's second wave —
+    // temperature scaling + fold AUC (score passes), BOW dedup +
+    // feature hashing + fertility + sentences + cut sweep (tokenize
+    // passes), dow seasonality (events). The deliberately-quadratic
+    // sample-scale audits (q253 label noise, q261 hubness: exact
+    // all-pairs ground truth, the q91 rationale) are EXCLUDED at Nx —
+    // 50k² pairs is not their operating point; their corpus-scale
+    // path swaps in the q29 IVF probes.
+    val new14Only = args.length > 1 && args(1) == "new14"
     val scaled = s"/tmp/graft_scale_${mult}x"
     val spark = GraftSession.get("local[32]", "32")
     if (new8Only) {
@@ -401,6 +410,21 @@ object ScaleRehearsal {
         val line = qs.map(q => "\"" + q + "\":" + timeQuery(spark, q, dir))
           .mkString("{", ",", "}")
         println(s"""{"metric":"scale_rehearsal_new13","scale":"$label","dir":"$dir","queries":$line}""")
+      }
+      spark.stop(); return
+    }
+    if (new14Only) {
+      scaleDocs(spark, base, scaled, mult)
+      scaleOffsetTable(spark, base, scaled, mult, "events",
+        Map("event_id" -> 1000000000L, "user_id" -> 10000000L))
+      val qs = Seq("q252_temp_scaling", "q255_bow_dups",
+        "q256_feature_hashing", "q258_fertility", "q259_sentences",
+        "q260_cut_sweep", "q262_fold_auc", "q263_dow_season")
+      Seq("1x" -> base, s"${mult}x" -> scaled).foreach { case (label, dir) =>
+        qs.foreach(q => timeQuery(spark, q, dir)) // warm
+        val line = qs.map(q => "\"" + q + "\":" + timeQuery(spark, q, dir))
+          .mkString("{", ",", "}")
+        println(s"""{"metric":"scale_rehearsal_new14","scale":"$label","dir":"$dir","queries":$line}""")
       }
       spark.stop(); return
     }

@@ -161,6 +161,47 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"corpus cross join:\n$p")
   }
 
+  test("q246_holt: one window pass — level, trend and forecast share a single Window") {
+    val df = Queries.all("q246_holt")(spark, dir)
+    df.collect()
+    // string-matched: AQE wraps finished stages in leaf QueryStageExec
+    // nodes that collect() cannot descend into, but toString prints
+    // their subtrees (the q24 precedent)
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // all 22 lag reads + both dot products evaluate in ONE window over
+    // one (user_id) sort — a second Window node would mean the trend
+    // column re-sorted the corpus
+    val windows = "Window \\[".r.findAllIn(p).size
+    assert(windows == 1, s"expected exactly one Window node, got $windows:\n$p")
+    // hash exchanges only: the result orderBy's rangepartitioning is
+    // presentation, not the operator
+    val shuffles = "Exchange hashpartitioning[^\\n]*ENSURE_REQUIREMENTS".r.findAllIn(p).size
+    assert(shuffles <= 1, s"holt should shuffle once (the window hash):\n$p")
+  }
+
+  test("q255_bow_dups: content-keyed shuffles only; the union never joins") {
+    val df = Queries.all("q255_bow_dups")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("Join"),
+      s"bag dedup is an aggregation, not a join:\n$p")
+    // the distinct-count agg pair: (bow_key, text_md5) then bow_key —
+    // both content-keyed. fanOut's explicit local repartitions
+    // (REPARTITION_BY_NUM, no-ops at real scale) don't count.
+    val shuffles = "Exchange hashpartitioning[^\\n]*ENSURE_REQUIREMENTS".r.findAllIn(p).size
+    assert(shuffles <= 2, s"expected only the distinct-agg exchange pair:\n$p")
+  }
+
+  test("q257_coreset_coverage: pick sets broadcast; the corpus never sort-merges") {
+    val df = Queries.all("q257_coreset_coverage")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the coverage pass streams the corpus past k-sized broadcast picks
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"expected broadcast pick sets:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-sized join side:\n$p")
+  }
+
   test("grok capture pruning fires on a multi-capture pattern over a real scan") {
     // %{GENERIC} yields 2 captures (GENERIC + log_event,
     // NamedCapturesOnly=false); selecting one prunes the other.
