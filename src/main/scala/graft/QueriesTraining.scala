@@ -2433,6 +2433,34 @@ object QueriesTraining {
       .select(col("source"), size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
       .groupBy("source").agg(sum("nt").as("n_tokens")))
 
+  private[graft] val EpochsBudgetX = 5L
+
+  /** q264: EFFECTIVE-EPOCHS PLANNING TABLE — the consequence check on
+    * q248's mixture: under a token budget of [[EpochsBudgetX]]× the
+    * corpus, how many passes over each SOURCE does its α-weight imply?
+    * epochs_s = budget·w_s / n_s in exact milli-epochs, flagged past
+    * the ~4-epoch knee where repeating data stops buying loss
+    * (Muennighoff et al., "Scaling Data-Constrained LMs") — the table
+    * that says which upweighted tails will be memorized rather than
+    * learned. Nests q248 (same weights, bp-exact) plus one total.
+    *
+    * Scale: q248's one tokenize pass; everything after is
+    * source-sized. Exact while w_bp·T·5000 < 2⁶³ (~1.8·10¹¹ tokens;
+    * rescale milli→centi beyond).
+    */
+  private val qEpochs: Q = (spark, dir) => {
+    val w = Dedup.materialize(alphaFromCounts(docsFanned(spark, dir)
+      .select(col("source"), size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
+      .groupBy("source").agg(sum("nt").as("n_tokens"))))
+    val tot = w.agg(sum("n_tokens").as("t"))
+    w.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"), col("w1_bp"),
+        expr(s"w1_bp * t * ${EpochsBudgetX * 1000L} div (10000 * n_tokens)")
+          .as("epochs_milli"))
+      .withColumn("over_4ep", (col("epochs_milli") > 4000L).cast("long"))
+      .orderBy("source")
+  }
+
   private[graft] val HardNegK = 5
   private[graft] val HardNegQueries = 10
 
@@ -4564,6 +4592,7 @@ object QueriesTraining {
     "q260_cut_sweep" -> qCutSweep,
     "q261_hubness" -> qHubness,
     "q262_fold_auc" -> qFoldAuc,
+    "q264_epochs" -> qEpochs,
     "q235_quality_length_bias" -> qQualityLengthBias,
     "q232_token_budget" -> qTokenBudget,
     "q17_text_quality" -> qTextQuality,
@@ -4875,6 +4904,27 @@ object QueriesTraining {
        |UNION ALL $outs
        |ORDER BY round""".stripMargin
   }
+
+  /** q248's oracle as a nestable val — q264's epoch table nests it. */
+  private lazy val alphaMixtureOracle: String =
+    s"""WITH toks AS (SELECT source, unnest($toksSql) AS term FROM documents),
+       |src AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens
+       |  FROM toks GROUP BY source),
+       |f AS (SELECT source, n_tokens,
+       |  CAST(round(exp($AlphaTemp * ln(CAST(n_tokens AS DOUBLE))) * 1000000.0) AS BIGINT) AS f_micro
+       |  FROM src),
+       |tots AS (SELECT CAST(sum(f_micro) AS BIGINT) AS u,
+       |  CAST(sum(n_tokens) AS BIGINT) AS t FROM f),
+       |q AS (SELECT source, n_tokens, f_micro,
+       |  CAST(n_tokens * 10000 // t AS BIGINT) AS w0_bp,
+       |  CAST(f_micro * 10000 // u AS BIGINT) AS base,
+       |  (f_micro * 10000) % u AS rem FROM f, tots),
+       |r AS (SELECT source, n_tokens, f_micro, w0_bp, base,
+       |  row_number() OVER (ORDER BY rem DESC, source) AS rk FROM q),
+       |lo AS (SELECT 10000 - CAST(sum(base) AS BIGINT) AS l FROM r)
+       |SELECT source, n_tokens, f_micro, w0_bp,
+       |  CAST(base + CASE WHEN rk <= l THEN 1 ELSE 0 END AS BIGINT) AS w1_bp
+       |FROM r, lo ORDER BY source""".stripMargin
 
   /** q250's oracle, nestable for the same reason. */
   private lazy val mmrOracle: String = {
@@ -6298,25 +6348,16 @@ object QueriesTraining {
 
     // alpha mixture: one exp∘ln per source micro-rounded (q228's exp
     // rule); Hamilton rounding mirrored with a window rank
-    "q248_alpha_mixture" ->
-      s"""WITH toks AS (SELECT source, unnest($toksSql) AS term FROM documents),
-         |src AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens
-         |  FROM toks GROUP BY source),
-         |f AS (SELECT source, n_tokens,
-         |  CAST(round(exp($AlphaTemp * ln(CAST(n_tokens AS DOUBLE))) * 1000000.0) AS BIGINT) AS f_micro
-         |  FROM src),
-         |tots AS (SELECT CAST(sum(f_micro) AS BIGINT) AS u,
-         |  CAST(sum(n_tokens) AS BIGINT) AS t FROM f),
-         |q AS (SELECT source, n_tokens, f_micro,
-         |  CAST(n_tokens * 10000 // t AS BIGINT) AS w0_bp,
-         |  CAST(f_micro * 10000 // u AS BIGINT) AS base,
-         |  (f_micro * 10000) % u AS rem FROM f, tots),
-         |r AS (SELECT source, n_tokens, f_micro, w0_bp, base,
-         |  row_number() OVER (ORDER BY rem DESC, source) AS rk FROM q),
-         |lo AS (SELECT 10000 - CAST(sum(base) AS BIGINT) AS l FROM r)
-         |SELECT source, n_tokens, f_micro, w0_bp,
-         |  CAST(base + CASE WHEN rk <= l THEN 1 ELSE 0 END AS BIGINT) AS w1_bp
-         |FROM r, lo ORDER BY source""".stripMargin,
+    "q248_alpha_mixture" -> alphaMixtureOracle,
+
+    // epochs: nests the q248 oracle; integer milli-epochs
+    "q264_epochs" ->
+      s"""WITH w AS (SELECT * FROM ($alphaMixtureOracle)),
+         |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM w)
+         |SELECT source, n_tokens, w1_bp,
+         |  CAST(w1_bp * t * ${EpochsBudgetX * 1000L} // (10000 * n_tokens) AS BIGINT) AS epochs_milli,
+         |  CAST(w1_bp * t * ${EpochsBudgetX * 1000L} // (10000 * n_tokens) > 4000 AS BIGINT) AS over_4ep
+         |FROM w, t ORDER BY source""".stripMargin,
 
     // hard negatives: q25's cosine fold + rank discipline, split by
     // label match; margins are same-fold double subtractions
