@@ -176,7 +176,40 @@ object Queries {
       .orderBy("index_name")
   }
 
+  /** q265: GROK PARSE-HEALTH TABLE — the #1 operational metric of a
+    * log-parsing pipeline: per event type, what share of payloads
+    * each pattern tier actually parses. Three tiers of strictness
+    * (any-int / two-digit / 70s-bucket) exercise `grok_match` as a
+    * first-class surface, and the oracle re-expresses each tier as
+    * the EXPANDED raw regex (q12's precedent) — so the row also
+    * cross-engine-validates the grok compiler's macro expansion
+    * against DuckDB's RE2. A collapsing match_bp is the "producer
+    * changed their log format" alarm the reference's operators watch.
+    *
+    * Scale: one narrow projection (three codegen grok matches per
+    * row), one low-cardinality aggregate with map-side combine.
+    */
+  private val qParseHealth: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+    ev.select(col("event_type"),
+        graft.functions.grok_match(col("props"), """\{"k": %{INT:k}\}""")
+          .cast("long").as("m_any"),
+        graft.functions.grok_match(col("props"), """\{"k": [1-9][0-9]\}""")
+          .cast("long").as("m_2digit"),
+        graft.functions.grok_match(col("props"), """\{"k": 7[0-9]\}""")
+          .cast("long").as("m_70s"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("m_any").as("n_any"),
+        sum("m_2digit").as("n_2digit"), sum("m_70s").as("n_70s"))
+      .select(col("event_type"), col("n"),
+        expr("n_any * 10000 div n").as("any_bp"),
+        expr("n_2digit * 10000 div n").as("two_digit_bp"),
+        expr("n_70s * 10000 div n").as("seventies_bp"))
+      .orderBy("event_type")
+  }
+
   val all: Map[String, Q] = Map(
+    "q265_parse_health" -> qParseHealth,
     "q1_agg" -> q1Agg,
     "q11_route" -> qRoute,
     "q12_grok" -> qGrok,
@@ -201,6 +234,20 @@ object Queries {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // parse health: each grok tier re-expressed as its expanded raw
+    // regex (the q12 precedent) — cross-engine-validates the compiler
+    "q265_parse_health" ->
+      """WITH m AS (SELECT event_type,
+        |  CAST(regexp_matches(props, '\{"k": (?:[+-]?(?:[0-9]+))\}') AS INT) AS m_any,
+        |  CAST(regexp_matches(props, '\{"k": [1-9][0-9]\}') AS INT) AS m_2digit,
+        |  CAST(regexp_matches(props, '\{"k": 7[0-9]\}') AS INT) AS m_70s
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(m_any) * 10000 // count(*) AS BIGINT) AS any_bp,
+        |  CAST(sum(m_2digit) * 10000 // count(*) AS BIGINT) AS two_digit_bp,
+        |  CAST(sum(m_70s) * 10000 // count(*) AS BIGINT) AS seventies_bp
+        |FROM m GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q12_grok" ->
       """SELECT event_id,
