@@ -189,23 +189,35 @@ object Queries {
     * Scale: one narrow projection (three codegen grok matches per
     * row), one low-cardinality aggregate with map-side combine.
     */
-  private val qParseHealth: Q = (spark, dir) => {
-    val ev = Tables.events(spark, dir)
-    ev.select(col("event_type"),
-        graft.functions.grok_match(col("props"), """\{"k": %{INT:k}\}""")
-          .cast("long").as("m_any"),
-        graft.functions.grok_match(col("props"), """\{"k": [1-9][0-9]\}""")
-          .cast("long").as("m_2digit"),
-        graft.functions.grok_match(col("props"), """\{"k": 7[0-9]\}""")
-          .cast("long").as("m_70s"))
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), sum("m_any").as("n_any"),
-        sum("m_2digit").as("n_2digit"), sum("m_70s").as("n_70s"))
-      .select(col("event_type"), col("n"),
+  /** The per-row tier indicators — shared by the batch query and the
+    * streaming monitor's MV partials.
+    */
+  private[graft] def parseHealthIndicators(props: org.apache.spark.sql.Column)
+      : Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "m_any" -> graft.functions.grok_match(props, """\{"k": %{INT:k}\}""").cast("long"),
+    "m_2digit" -> graft.functions.grok_match(props, """\{"k": [1-9][0-9]\}""").cast("long"),
+    "m_70s" -> graft.functions.grok_match(props, """\{"k": 7[0-9]\}""").cast("long"))
+
+  /** The q265 rates as a pure function of the folded (event_type, n,
+    * n_any, n_2digit, n_70s) count store — same code for batch and
+    * the streaming monitor (`StreamingParseHealthSpec`: fold ==
+    * rebuild exact).
+    */
+  private[graft] def parseHealthFromCounts(counts: DataFrame): DataFrame =
+    counts.select(col("event_type"), col("n"),
         expr("n_any * 10000 div n").as("any_bp"),
         expr("n_2digit * 10000 div n").as("two_digit_bp"),
         expr("n_70s * 10000 div n").as("seventies_bp"))
       .orderBy("event_type")
+
+  private val qParseHealth: Q = (spark, dir) => {
+    val ev = Tables.events(spark, dir)
+    val inds = parseHealthIndicators(col("props"))
+    parseHealthFromCounts(
+      ev.select(col("event_type") +: inds.map { case (n, c) => c.as(n) }: _*)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("m_any").as("n_any"),
+          sum("m_2digit").as("n_2digit"), sum("m_70s").as("n_70s")))
   }
 
   val all: Map[String, Q] = Map(
