@@ -2110,6 +2110,50 @@ object QueriesAnalytics {
       .orderBy("day")
   }
 
+  /** q268: GROWTH ACCOUNTING — the new / retained / resurrected /
+    * churned decomposition of daily active users, the product-health
+    * identity (active_d = new + retained + resurrected;
+    * churned_d = active_{d−1} − retained_d) that q59's cohort matrix
+    * and q181's survival curve both presuppose but neither states
+    * per-day. Window-free: first-activity day is one min-aggregate,
+    * retention is a self-join of the distinct (day, user) table on
+    * (day−1, user) — exact integers end-to-end, identity spec'd by
+    * construction in the output arithmetic.
+    *
+    * Scale: the distinct (day, user) pre-aggregation (map-side
+    * combine) bounds everything after to active-user-day rows; the
+    * self-join is co-partitioned on user_id. Days with zero events
+    * don't occur as rows (the identity is evaluated on the present
+    * day domain; an empty calendar day would need a gapfill join —
+    * q60's job).
+    */
+  private val qGrowthAccounting: Q = (spark, dir) => {
+    val au = dedup.Dedup.materialize(Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(expr(s"ts_ms div $DayMs").as("day"), col("user_id"))
+      .distinct())
+    val first = au.groupBy("user_id").agg(min("day").as("fd"))
+    val prev = au.select((col("day") + 1).as("day"), col("user_id"),
+      lit(1L).as("was_active"))
+    val flags = au.join(first, "user_id")
+      .join(prev, Seq("day", "user_id"), "left")
+      .select(col("day"),
+        when(col("fd") === col("day"), 1L).otherwise(0L).as("is_new"),
+        coalesce(col("was_active"), lit(0L)).as("is_retained"))
+    val daily = flags.groupBy("day")
+      .agg(count(lit(1)).as("n_active"), sum("is_new").as("n_new"),
+        sum("is_retained").as("n_retained"))
+      .withColumn("n_resurrected",
+        col("n_active") - col("n_new") - col("n_retained"))
+    val prevTotals = au.groupBy((col("day") + 1).as("day"))
+      .agg(count(lit(1)).as("n_prev"))
+    daily.join(prevTotals, Seq("day"), "left")
+      .select(col("day"), col("n_active"), col("n_new"), col("n_retained"),
+        col("n_resurrected"),
+        (coalesce(col("n_prev"), lit(0L)) - col("n_retained")).as("n_churned"))
+      .orderBy("day")
+  }
+
   /** q263: DAY-OF-WEEK SEASONAL INDEX — the multiplicative weekday
     * profile of the daily event-count series: per epoch-weekday
     * (day % 7 — a fixed weekday mapping, calendar-free), the mean
@@ -2221,6 +2265,7 @@ object QueriesAnalytics {
     "q247_sql_freqdist" -> qSqlFreqDist,
     "q254_l_diversity" -> qLDiversity,
     "q263_dow_season" -> qDowSeason,
+    "q268_growth_accounting" -> qGrowthAccounting,
     "q110_attribution" -> qAttribution,
     "q93_transitions" -> qTransitions,
     "q95_daily_spikes" -> qDailySpikes,
@@ -2704,6 +2749,27 @@ object QueriesAnalytics {
     // SQL surface #12: the text IS the oracle
     "q227_sql_hhi" -> HhiSqlText,
     "q247_sql_freqdist" -> SqlFreqDistText,
+    "q268_growth_accounting" ->
+      s"""WITH au AS (SELECT DISTINCT epoch_ms(ts) // $DayMs AS day, user_id
+         |  FROM events WHERE user_id IS NOT NULL),
+         |f AS (SELECT user_id, min(day) AS fd FROM au GROUP BY user_id),
+         |fl AS (SELECT au.day,
+         |  CASE WHEN f.fd = au.day THEN 1 ELSE 0 END AS is_new,
+         |  CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END AS is_retained
+         |  FROM au JOIN f ON f.user_id = au.user_id
+         |  LEFT JOIN au p ON p.user_id = au.user_id AND p.day = au.day - 1),
+         |d AS (SELECT day, CAST(count(*) AS BIGINT) AS n_active,
+         |  CAST(sum(is_new) AS BIGINT) AS n_new,
+         |  CAST(sum(is_retained) AS BIGINT) AS n_retained
+         |  FROM fl GROUP BY day),
+         |pt AS (SELECT day + 1 AS day, CAST(count(*) AS BIGINT) AS n_prev
+         |  FROM au GROUP BY day + 1)
+         |SELECT d.day, n_active, n_new, n_retained,
+         |  n_active - n_new - n_retained AS n_resurrected,
+         |  coalesce(pt.n_prev, 0) - n_retained AS n_churned
+         |FROM d LEFT JOIN pt ON pt.day = d.day
+         |ORDER BY d.day""".stripMargin,
+
     "q263_dow_season" ->
       s"""WITH daily AS (SELECT epoch_ms(ts) // $DayMs AS day,
          |  CAST(count(*) AS BIGINT) AS c FROM events GROUP BY day),

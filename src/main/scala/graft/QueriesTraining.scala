@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
@@ -2433,6 +2433,58 @@ object QueriesTraining {
       .select(col("source"), size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
       .groupBy("source").agg(sum("nt").as("n_tokens")))
 
+  /** q266: DEDUP-LADDER ATTRIBUTION — for every VERIFIED near-dup
+    * pair (q22's Jaccard ≥ 0.4 edge set), which cheaper rung would
+    * already have caught it: byte-exact (q20), bag-exact (q255), or
+    * prefix-truncation (q244)? Pairs are attributed to the CHEAPEST
+    * catching rung ('exact' → 'bag' → 'prefix' → 'near_only'), with
+    * counts and bp shares — the table that prices what the expensive
+    * shingle pipeline uniquely contributes, and therefore whether the
+    * cheap rungs should run first as a prefilter (they dedupe for one
+    * shuffle each; every pair they absorb never reaches the LSH
+    * verify).
+    *
+    * Scale: the pair set is the audited q21/q22 chain; rung
+    * indicators are two doc_id-keyed joins carrying per-doc digests
+    * (md5, bag key, length — constant width, never the full text
+    * twice... the prefix check alone ships both texts, bounded by the
+    * verified-pair count, not the corpus).
+    */
+  /** The cheapest-catching-rung classifier over the paired digest
+    * columns (tm, bm, len, t per side) — shared by q266 and its spec (the
+    * fixture's verified pairs are all 'near_only', so the other rungs'
+    * classification is pinned by `DedupLadderSpec`'s planted pairs).
+    */
+  private[graft] def dedupLadderRung: Column =
+    when(col("tm_a") === col("tm_b"), lit("exact"))
+      .when(col("bm_a") === col("bm_b"), lit("bag"))
+      .when(col("len_a") < col("len_b") &&
+          expr("substring(t_b, 1, CAST(len_a AS INT)) = t_a") ||
+        col("len_b") < col("len_a") &&
+          expr("substring(t_a, 1, CAST(len_b AS INT)) = t_b"), lit("prefix"))
+      .otherwise(lit("near_only"))
+
+  private val qDedupLadder: Q = (spark, dir) => {
+    val d = docsFanned(spark, dir).select(col("doc_id"), col("text"),
+      md5(col("text")).as("tm"),
+      md5(concat_ws(" ", sort_array(TextAnalysis.tokens(col("text"))))).as("bm"),
+      length(col("text")).cast("long").as("len"))
+    val a = d.select(col("doc_id").as("id_a"), col("text").as("t_a"),
+      col("tm").as("tm_a"), col("bm").as("bm_a"), col("len").as("len_a"))
+    val b = d.select(col("doc_id").as("id_b"), col("text").as("t_b"),
+      col("tm").as("tm_b"), col("bm").as("bm_b"), col("len").as("len_b"))
+    val pairs = ngramPairs(spark, dir).select("id_a", "id_b")
+      .join(a, "id_a").join(b, "id_b")
+      .select(dedupLadderRung.as("rung"))
+    val counts = Dedup.materialize(
+      pairs.groupBy("rung").agg(count(lit(1)).as("n_pairs")))
+    val tot = counts.agg(sum("n_pairs").as("t"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("rung"), col("n_pairs"),
+        expr("n_pairs * 10000 div t").as("share_bp"))
+      .orderBy("rung")
+  }
+
   private[graft] val EpochsBudgetX = 5L
 
   /** q264: EFFECTIVE-EPOCHS PLANNING TABLE — the consequence check on
@@ -4593,6 +4645,7 @@ object QueriesTraining {
     "q261_hubness" -> qHubness,
     "q262_fold_auc" -> qFoldAuc,
     "q264_epochs" -> qEpochs,
+    "q266_dedup_ladder" -> qDedupLadder,
     "q235_quality_length_bias" -> qQualityLengthBias,
     "q232_token_budget" -> qTokenBudget,
     "q17_text_quality" -> qTextQuality,
@@ -6349,6 +6402,28 @@ object QueriesTraining {
     // alpha mixture: one exp∘ln per source micro-rounded (q228's exp
     // rule); Hamilton rounding mirrored with a window rank
     "q248_alpha_mixture" -> alphaMixtureOracle,
+
+    // dedup ladder: the shared verified-pair chain + per-doc digests;
+    // same cheapest-rung CASE order
+    "q266_dedup_ladder" ->
+      s"""$lshCandidateCtes,
+         |$jacCte,
+         |p AS (SELECT id_a, id_b FROM jac WHERE jacc >= 0.4),
+         |dg AS (SELECT doc_id, text, md5(text) AS tm,
+         |  md5(array_to_string(list_sort(string_split_regex(trim(text), '\\s+')), ' ')) AS bm,
+         |  CAST(length(text) AS BIGINT) AS len FROM documents),
+         |cl AS (SELECT CASE
+         |    WHEN da.tm = db.tm THEN 'exact'
+         |    WHEN da.bm = db.bm THEN 'bag'
+         |    WHEN (da.len < db.len AND substr(db.text, 1, CAST(da.len AS INT)) = da.text)
+         |      OR (db.len < da.len AND substr(da.text, 1, CAST(db.len AS INT)) = db.text)
+         |      THEN 'prefix'
+         |    ELSE 'near_only' END AS rung
+         |  FROM p JOIN dg da ON da.doc_id = id_a JOIN dg db ON db.doc_id = id_b),
+         |c AS (SELECT rung, CAST(count(*) AS BIGINT) AS n_pairs FROM cl GROUP BY rung),
+         |t AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS t FROM c)
+         |SELECT rung, n_pairs, CAST(n_pairs * 10000 // t AS BIGINT) AS share_bp
+         |FROM c, t ORDER BY rung""".stripMargin,
 
     // epochs: nests the q248 oracle; integer milli-epochs
     "q264_epochs" ->
