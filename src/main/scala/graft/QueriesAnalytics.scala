@@ -2110,6 +2110,47 @@ object QueriesAnalytics {
       .orderBy("day")
   }
 
+  private[graft] val DecayTopK = 20L
+  private[graft] val DecayAgeCap = 40L
+
+  /** q267: TIME-DECAYED HEAVY HITTERS — the production leaderboard
+    * op q92's all-time counts can't express: each event weights
+    * 2^−(age in days), so yesterday counts half of today and last
+    * month barely registers. The decay is EXACT: weights are the
+    * dyadic integers 2^(maxDay−day) (q107's trick at day
+    * granularity), so scores are BIGINTs and the top-[[DecayTopK]]
+    * rank is pinned (score desc, user_id) with no float anywhere.
+    * Against q242: churn tracks the SET day over day; this builds the
+    * smoothed ranking a single leaderboard would actually serve.
+    * Weights carry a common 2^[[DecayAgeCap]] scale (today =
+    * 2^cap, age d = 2^(cap−d)); events older than the cap contribute
+    * 0 — the standard decayed-counter horizon.
+    *
+    * Scale: (user, day)-keyed count with map-side combine; the decay
+    * weighting is per-(user, day) arithmetic; ranking via GlobalRank
+    * (no single-partition window). Exact while daily count · 2^cap
+    * < 2⁶³ — longer horizons use the streaming rescale (halve all
+    * scores per day).
+    */
+  private val qDecayedTopk: Q = (spark, dir) => {
+    val ud = dedup.Dedup.materialize(Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull)
+      .select(expr(s"ts_ms div $DayMs").as("day"), col("user_id"))
+      .groupBy("user_id", "day").agg(count(lit(1)).as("c")))
+    val maxd = ud.agg(max("day").as("maxd"))
+    val scores = ud.crossJoin(broadcast(maxd))
+      .filter(col("maxd") - col("day") <= DecayAgeCap)
+      .groupBy("user_id")
+      .agg(sum("c").as("total_events"),
+        sum(expr(s"c * CAST(pow(2.0, CAST($DecayAgeCap - (maxd - day) AS DOUBLE)) AS BIGINT)"))
+          .as("decayed_x"))
+    graft.operators.GlobalRank.withRank(
+        scores, Seq(col("decayed_x").desc, col("user_id")), "rk")
+      .filter(col("rk") <= DecayTopK)
+      .select(col("rk"), col("user_id"), col("total_events"), col("decayed_x"))
+      .orderBy("rk")
+  }
+
   /** q268: GROWTH ACCOUNTING — the new / retained / resurrected /
     * churned decomposition of daily active users, the product-health
     * identity (active_d = new + retained + resurrected;
@@ -2265,6 +2306,7 @@ object QueriesAnalytics {
     "q247_sql_freqdist" -> qSqlFreqDist,
     "q254_l_diversity" -> qLDiversity,
     "q263_dow_season" -> qDowSeason,
+    "q267_decayed_topk" -> qDecayedTopk,
     "q268_growth_accounting" -> qGrowthAccounting,
     "q110_attribution" -> qAttribution,
     "q93_transitions" -> qTransitions,
@@ -2749,6 +2791,20 @@ object QueriesAnalytics {
     // SQL surface #12: the text IS the oracle
     "q227_sql_hhi" -> HhiSqlText,
     "q247_sql_freqdist" -> SqlFreqDistText,
+    "q267_decayed_topk" ->
+      s"""WITH ud AS (SELECT user_id, epoch_ms(ts) // $DayMs AS day,
+         |  CAST(count(*) AS BIGINT) AS c FROM events
+         |  WHERE user_id IS NOT NULL GROUP BY user_id, day),
+         |m AS (SELECT CAST(max(day) AS BIGINT) AS maxd FROM ud),
+         |s AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS total_events,
+         |  CAST(sum(c * CAST(pow(2.0, CAST($DecayAgeCap - (maxd - day) AS DOUBLE)) AS BIGINT)) AS BIGINT) AS decayed_x
+         |  FROM ud, m WHERE maxd - day <= $DecayAgeCap GROUP BY user_id),
+         |r AS (SELECT user_id, total_events, decayed_x,
+         |  CAST(row_number() OVER (ORDER BY decayed_x DESC, user_id) AS BIGINT) AS rk
+         |  FROM s)
+         |SELECT rk, user_id, total_events, decayed_x
+         |FROM r WHERE rk <= $DecayTopK ORDER BY rk""".stripMargin,
+
     "q268_growth_accounting" ->
       s"""WITH au AS (SELECT DISTINCT epoch_ms(ts) // $DayMs AS day, user_id
          |  FROM events WHERE user_id IS NOT NULL),
