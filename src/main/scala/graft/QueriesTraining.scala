@@ -4540,7 +4540,260 @@ object QueriesTraining {
     graft.graph.Triangles.perNode(pairs, "id_a", "id_b").orderBy("node")
   }
 
+  // ----------------------------------------- corpus-growth statistics
+
+  private[graft] val HeapsMinJ = 7L
+
+  /** Shared OLS-slope text (the q235 moment rule: exact integer sums,
+    * products in double space) over columns (n, sx, sy, sxx, sxy).
+    */
+  private def slopeMilliSql: String = {
+    val dxx = "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    val dxy = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    s"""CAST(CASE WHEN $dxx <= 0.0 THEN 0
+       |ELSE round($dxy / $dxx * 1000.0) END AS BIGINT)""".stripMargin
+  }
+
+  /** Heaps'-law table from per-doc stats `(doc_id, nt, n_new)` —
+    * shared by q269 and `CorpusStatsSpec`'s closed-form fixture.
+    */
+  private[graft] def heapsFromDocStats(base: DataFrame): DataFrame = {
+    val spark = base.sparkSession
+    val vc = Dedup.materialize(graft.operators.GlobalRank.withPrefixSums(
+      base, Seq(col("doc_id")), Seq("nt", "n_new"), Seq("ct", "vcum")))
+    val total = vc.agg(max("ct").as("total"))
+    val cks = spark.range(HeapsMinJ, 63).toDF("j")
+      .crossJoin(broadcast(total))
+      .select(col("j"),
+        expr("CAST(pow(2.0, CAST(j AS DOUBLE)) AS BIGINT)").as("ck"), col("total"))
+      .filter(col("ck") <= col("total")).drop("total")
+    val v = Dedup.materialize(vc.crossJoin(broadcast(cks))
+      .filter(col("ct") <= col("ck"))
+      .groupBy("j", "ck").agg(max("vcum").as("vocab")))
+    val beta = v.select(
+        expr("CAST(round(ln(CAST(ck AS DOUBLE)) * 1000.0) AS BIGINT)").as("x"),
+        expr("CAST(round(ln(CAST(vocab AS DOUBLE)) * 1000.0) AS BIGINT)").as("y"))
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      .select(expr(slopeMilliSql).as("beta_milli"))
+    v.crossJoin(broadcast(beta))
+      .select(col("j"), col("ck"), col("vocab"), col("beta_milli"))
+      .orderBy("j")
+  }
+
+  /** q269: HEAPS'-LAW VOCABULARY GROWTH — distinct vocabulary as a
+    * function of corpus size, measured EXACTLY at dyadic token
+    * checkpoints (2^[[HeapsMinJ]] … ≤ total) in doc_id order, plus
+    * the fitted Heaps exponent β (OLS of ln V on ln N over the
+    * checkpoints, q235's settled-integer moment rule). The curve
+    * answers the 100 TB planning question "how fast does the
+    * vocabulary (and every vocab-keyed state: BPE merges, term
+    * stats, dedup shingle tables) grow if we 10× the crawl?" — and a
+    * β break signals a corpus-composition shift (new language or
+    * template flood entering the mix).
+    *
+    * Exactness: a term is "seen" at the cumulative token count of the
+    * END of the doc_id-ordered doc that first contains it — both
+    * engines evaluate the same document-boundary rule, no sampling.
+    * Checkpoints a corpus hasn't reached yet are absent on both
+    * sides by the same `ck <= total` filter.
+    *
+    * Scale: token prefix offsets and first-seen cumulative vocabulary
+    * ride ONE [[graft.operators.GlobalRank.withPrefixSums]] pass (one
+    * range shuffle carries both running sums); first occurrence is a
+    * term-keyed min (map-side combine, the only token-sized shuffle);
+    * the checkpoint probe is a ≤56-row broadcast against the
+    * docs-sized prefix table — one pass, output is checkpoint-sized.
+    */
+  private val qHeaps: Q = (spark, dir) => {
+    val tk = Dedup.materialize(docsFanned(spark, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(lower(col("text"))).as("t")))
+    val firstIn = tk.select(col("doc_id"), explode(col("t")).as("term"))
+      .groupBy("term").agg(min("doc_id").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_new"))
+    val base = tk.select(col("doc_id"), size(col("t")).cast("long").as("nt"))
+      .join(firstIn, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("nt"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+    heapsFromDocStats(base)
+  }
+
+  /** Richness estimators from per-source frequency-of-frequencies
+    * `(source, v_obs, n_tokens, f1, f2)` — shared by q270 and
+    * `CorpusStatsSpec`.
+    */
+  private[graft] def richnessFromFof(fof: DataFrame): DataFrame =
+    fof.select(col("source"), col("v_obs"), col("n_tokens"), col("f1"), col("f2"),
+        (col("v_obs") * 1000 + expr(
+          "CAST(round(500.0 * CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE) / CAST(f2 + 1 AS DOUBLE)) AS BIGINT)"))
+          .as("chao1_milli"),
+        expr("f1 * 10000 div n_tokens").as("unseen_bp"))
+      .orderBy("source")
+
+  /** q270: UNSEEN-VOCABULARY ESTIMATORS (Chao1 + Good–Turing) — per
+    * source and corpus-wide ALL row: observed vocabulary, token count,
+    * singleton/doubleton counts (f1/f2 — the hapax legomena the
+    * estimators run on), the Chao1 lower bound on TRUE vocabulary
+    * V + f1(f1−1)/(2(f2+1)) in milli, and the Good–Turing unseen
+    * probability mass f1/N in bp. This is the "is the crawl
+    * saturating?" gate: unseen_bp near zero says more of the same
+    * source buys no new vocabulary (diminishing data value), while a
+    * Chao1 far above v_obs says the source's tail is still unmined —
+    * the per-source rows rank sources by remaining novelty, the
+    * complement of q48's mixture weights. f1 per SOURCE uses
+    * source-local counts; the ALL row re-counts terms corpus-wide
+    * (corpus f1 ≠ Σ source f1 — a term singleton in two sources is a
+    * corpus doubleton).
+    *
+    * Scale: one (source, term)-keyed count with map-side combine;
+    * the ALL re-aggregation shuffles term keys only; both
+    * frequency-of-frequency folds are key-sized. Exact integers
+    * throughout; the single Chao1 double product rounds
+    * deterministically from exact BIGINTs.
+    */
+  private val qChao1: Q = (spark, dir) => {
+    val terms = Dedup.materialize(docsFanned(spark, dir)
+      .select(col("source"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("c")))
+    def fof(g: org.apache.spark.sql.RelationalGroupedDataset): DataFrame = g
+      .agg(count(lit(1)).as("v_obs"), sum("c").as("n_tokens"),
+        count(when(col("c") === 1, 1)).as("f1"),
+        count(when(col("c") === 2, 1)).as("f2"))
+    val per = fof(terms.groupBy("source"))
+    val all = fof(terms.groupBy("term").agg(sum("c").as("c")).groupBy())
+      .select(lit("ALL").as("source"), col("v_obs"), col("n_tokens"),
+        col("f1"), col("f2"))
+    richnessFromFof(per.unionByName(all))
+  }
+
+  /** Mann–Whitney summary from the value-grouped count store
+    * `(v, na_v, t)` — na_v = group-A rows at score v, t = all rows at
+    * v. Shared by q271, `CorpusStatsSpec`'s hand-computed fixtures,
+    * and the streaming monitor (the store folds additively, so the
+    * MV merge maintains it incrementally).
+    *
+    * Rank algebra in half-units so everything stays integer: the
+    * doubled midrank at v is 2·cum_lt + t + 1; doubled rank sum
+    * R2 = Σ na_v·(2 cum_lt + t + 1); doubled U is
+    * u2_a = R2 − n_a(n_a+1) with mean n_a·n_b. Tie-corrected normal
+    * variance from the exact Σ(t³−t) (BIGINT-exact while the largest
+    * tie group stays under ~2.1M rows — beyond that, rescale the
+    * score grain before the cube).
+    */
+  private[graft] def mwFromCounts(byV: DataFrame): DataFrame = {
+    val cum = graft.operators.GlobalRank.withPrefixSums(
+      byV, Seq(col("v")), Seq("t"), Seq("cle"))
+    val m = cum.agg(sum("na_v").as("na"), sum(col("t") - col("na_v")).as("nb"),
+      sum(col("na_v") * (lit(2) * (col("cle") - col("t")) + col("t") + 1)).as("r2"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("st3"),
+      sum("t").as("n"))
+    val varSql =
+      """(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+        | * (CAST(n + 1 AS DOUBLE)
+        |    - CAST(st3 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))))""".stripMargin
+    m.select(col("na").as("n_a"), col("nb").as("n_b"),
+      (col("r2") - col("na") * (col("na") + 1)).as("u2_a"),
+      expr(
+        s"""CAST(CASE WHEN n < 2 OR na = 0 OR nb = 0 OR $varSql <= 0.0 THEN 0
+           |ELSE round((CAST(r2 - na * (na + 1) AS DOUBLE) - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+           |  / (2.0 * sqrt($varSql)) * 1000.0) END AS BIGINT)""".stripMargin)
+        .as("z_milli"))
+  }
+
+  /** q271: MANN–WHITNEY RANK-SUM TEST — is English-document quality
+    * stochastically higher than the rest of the corpus? The
+    * nonparametric two-sample location test q167's KS statistic
+    * complements: KS asks "are the distributions different anywhere",
+    * MW asks the DIRECTIONAL question "does one group tend to score
+    * higher", which is what a per-language quality-threshold decision
+    * actually needs. Exact doubled-U from tie-corrected midranks (no
+    * float enters the rank algebra; see [[mwFromCounts]]), plus the
+    * tie-corrected normal z in milli — positive z = group A (en)
+    * stochastically larger.
+    *
+    * Scale: one codegen scoring pass folds to a score-domain-sized
+    * (v, na_v, t) count store (map-side combine); ranks come from one
+    * [[graft.operators.GlobalRank.withPrefixSums]] range shuffle over
+    * that store, never over documents. The same store folds
+    * additively, so a streaming monitor maintains it with bounded
+    * state (`StreamingMwSpec`).
+    */
+  /** Per-doc (a, v) rows the MW store folds from — shared by q271 and
+    * `StreamingMwSpec`'s incremental monitor.
+    */
+  private[graft] def mwScored(spark: SparkSession, dir: String): DataFrame =
+    docsFanned(spark, dir)
+      .select((col("lang") === "en").cast("long").as("a"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .select(col("a"),
+        expr("CAST(round(quality * 1000000) AS BIGINT)").as("v"))
+
+  private val qMannWhitney: Q = (spark, dir) =>
+    mwFromCounts(mwScored(spark, dir).groupBy("v")
+      .agg(sum("a").as("na_v"), count(lit(1)).as("t")))
+
+  /** Anisotropy summary from settled per-dimension moments
+    * `(pos, m_micro, m2_micro)` and the vector count — shared by q272
+    * and `CorpusStatsSpec`'s two-dim closed-form fixture.
+    */
+  private[graft] def anisotropyFromMoments(comps: DataFrame,
+                                           nVecs: DataFrame): DataFrame = {
+    val per = comps.select(
+      (col("m2_micro") * lit(1000000L) - col("m_micro") * col("m_micro")).as("var_sc"),
+      col("m_micro"), col("m2_micro"))
+    val m = per.agg(count(lit(1)).as("dims"), sum("var_sc").as("svar"),
+      sum(expr("CAST(var_sc AS DECIMAL(38,0)) * var_sc")).as("svar2"),
+      sum(col("m_micro") * col("m_micro")).as("smm"),
+      sum("m2_micro").as("sm2"))
+    m.crossJoin(broadcast(nVecs))
+      .select(col("n_vecs"), col("dims"),
+        expr(
+          """CAST(CASE WHEN CAST(svar2 AS DOUBLE) <= 0.0 THEN 0
+            |ELSE round(CAST(svar AS DOUBLE) * CAST(svar AS DOUBLE)
+            |  / CAST(svar2 AS DOUBLE) * 1000.0) END AS BIGINT)""".stripMargin)
+          .as("pr_milli"),
+        expr("CAST(smm * 10000 div (sm2 * 1000000) AS BIGINT)").as("aniso_bp"))
+  }
+
+  /** q272: EMBEDDING ANISOTROPY AUDIT — the two spectrum-shape
+    * numbers that decide whether cosine over this embedding space is
+    * trustworthy at all: the participation ratio (Σλ)²/Σλ² of the
+    * per-dimension variance spectrum in milli (effective dimension
+    * count — d means isotropic, ≪d means a few directions carry
+    * everything and q24/q84's SRP bands lose discrimination), and the
+    * mean-vector energy share ‖μ‖²/E‖x‖² in bp (the common-direction
+    * offset that inflates every cosine; >0 says "center before
+    * hashing"). q199 extracts the top principal DIRECTION; this
+    * audits the whole diagonal spectrum — the go/no-go gate before
+    * trusting any cosine-based dedup or ANN config.
+    *
+    * Exactness: per-dim moments settle to micro BIGINTs (the one
+    * accepted avg-order wobble, q221's rule), then variance, the PR
+    * numerator, and the energy ratio are EXACT integer arithmetic in
+    * micro² units — Σλ² alone needs 128-bit (DECIMAL(38)/HUGEINT,
+    * the q199 overflow contract), and the single PR division runs on
+    * identical exact operands in both engines.
+    *
+    * Scale: one posexplode pass shuffling (dim) keys with map-side
+    * partial avgs — corpus×d rows in flight, d rows out; everything
+    * after is d-sized arithmetic.
+    */
+  private val qAnisotropy: Q = (spark, dir) => {
+    val e = Dedup.fanOut(Tables(spark, dir, "embeddings"), col("vec_id"))
+      .select(Similarity.asDouble(col("embedding")).as("v"))
+    val comps = e.select(posexplode(col("v")))
+      .groupBy("pos").agg(
+        expr("CAST(round(avg(col) * 1000000) AS BIGINT)").as("m_micro"),
+        expr("CAST(round(avg(col * col) * 1000000) AS BIGINT)").as("m2_micro"))
+    anisotropyFromMoments(comps, e.agg(count(lit(1)).as("n_vecs")))
+  }
+
   val all: Map[String, Q] = Map(
+    "q269_heaps" -> qHeaps,
+    "q270_chao1" -> qChao1,
+    "q271_mannwhitney" -> qMannWhitney,
+    "q272_anisotropy" -> qAnisotropy,
     "q91_allpairs" -> qAllPairs,
     "q98_dup_triangles" -> qDupTriangles,
     "q136_cluster_coeff" -> qClusterCoeff,
@@ -5095,6 +5348,88 @@ object QueriesTraining {
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Heaps: same document-boundary first-seen rule, same dyadic
+    // checkpoint generator, same slopeMilliSql beta text
+    "q269_heaps" ->
+      s"""WITH tt AS (SELECT doc_id, $ltoksSql AS t FROM documents),
+         |d AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS nt FROM tt),
+         |cum AS (SELECT doc_id, nt, CAST(sum(nt) OVER (ORDER BY doc_id) AS BIGINT) AS ct FROM d),
+         |tm AS (SELECT doc_id, unnest(t) AS term FROM tt),
+         |fi AS (SELECT term, min(doc_id) AS doc_id FROM tm GROUP BY term),
+         |nn AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_new FROM fi GROUP BY doc_id),
+         |vc AS (SELECT c.doc_id, c.ct,
+         |  CAST(sum(coalesce(n.n_new, 0)) OVER (ORDER BY c.doc_id) AS BIGINT) AS vcum
+         |  FROM cum c LEFT JOIN nn n ON n.doc_id = c.doc_id),
+         |tot AS (SELECT max(ct) AS total FROM vc),
+         |cks AS (SELECT j, CAST(pow(2.0, CAST(j AS DOUBLE)) AS BIGINT) AS ck
+         |  FROM (SELECT unnest(range($HeapsMinJ, 63)) AS j), tot
+         |  WHERE CAST(pow(2.0, CAST(j AS DOUBLE)) AS BIGINT) <= total),
+         |v AS (SELECT j, ck, max(vcum) AS vocab FROM vc, cks WHERE ct <= ck GROUP BY j, ck),
+         |pts AS (SELECT CAST(round(ln(CAST(ck AS DOUBLE)) * 1000.0) AS BIGINT) AS x,
+         |  CAST(round(ln(CAST(vocab AS DOUBLE)) * 1000.0) AS BIGINT) AS y FROM v),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+         |  CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
+         |  CAST(sum(x * y) AS BIGINT) AS sxy FROM pts),
+         |b AS (SELECT $slopeMilliSql AS beta_milli FROM m)
+         |SELECT j, ck, vocab, beta_milli FROM v, b ORDER BY j""".stripMargin,
+
+    // Chao1/Good-Turing: source-local counts per source, corpus-wide
+    // re-count for the ALL row (corpus f1 != sum of source f1)
+    "q270_chao1" ->
+      s"""WITH tm AS (SELECT source, unnest($ltoksSql) AS term FROM documents),
+         |tc AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c FROM tm GROUP BY source, term),
+         |per AS (SELECT source, CAST(count(*) AS BIGINT) AS v_obs, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  CAST(count(CASE WHEN c = 1 THEN 1 END) AS BIGINT) AS f1,
+         |  CAST(count(CASE WHEN c = 2 THEN 1 END) AS BIGINT) AS f2
+         |  FROM tc GROUP BY source),
+         |ac AS (SELECT term, CAST(sum(c) AS BIGINT) AS c FROM tc GROUP BY term),
+         |al AS (SELECT 'ALL' AS source, CAST(count(*) AS BIGINT) AS v_obs, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |  CAST(count(CASE WHEN c = 1 THEN 1 END) AS BIGINT) AS f1,
+         |  CAST(count(CASE WHEN c = 2 THEN 1 END) AS BIGINT) AS f2 FROM ac),
+         |u AS (SELECT * FROM per UNION ALL SELECT * FROM al)
+         |SELECT source, v_obs, n_tokens, f1, f2,
+         |  v_obs * 1000 + CAST(round(500.0 * CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE) / CAST(f2 + 1 AS DOUBLE)) AS BIGINT) AS chao1_milli,
+         |  f1 * 10000 // n_tokens AS unseen_bp
+         |FROM u ORDER BY source""".stripMargin,
+
+    // Mann-Whitney: doubled-midrank algebra over the value-grouped
+    // count store; variance text mirrors mwFromCounts verbatim
+    "q271_mannwhitney" -> {
+      val va = "(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0 * (CAST(n + 1 AS DOUBLE) - CAST(st3 AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))))"
+      s"""$qualityScoreCtes,
+         |sc AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a,
+         |  CAST(round(quality * 1000000) AS BIGINT) AS v FROM q),
+         |byv AS (SELECT v, CAST(sum(a) AS BIGINT) AS na_v, CAST(count(*) AS BIGINT) AS t FROM sc GROUP BY v),
+         |cum AS (SELECT v, na_v, t, CAST(sum(t) OVER (ORDER BY v) AS BIGINT) AS cle FROM byv),
+         |m AS (SELECT CAST(sum(na_v) AS BIGINT) AS na, CAST(sum(t - na_v) AS BIGINT) AS nb,
+         |  CAST(sum(na_v * (2 * (cle - t) + t + 1)) AS BIGINT) AS r2,
+         |  CAST(sum(t * t * t - t) AS BIGINT) AS st3, CAST(sum(t) AS BIGINT) AS n FROM cum)
+         |SELECT na AS n_a, nb AS n_b, r2 - na * (na + 1) AS u2_a,
+         |  CAST(CASE WHEN n < 2 OR na = 0 OR nb = 0 OR $va <= 0.0 THEN 0
+         |  ELSE round((CAST(r2 - na * (na + 1) AS DOUBLE) - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+         |    / (2.0 * sqrt($va)) * 1000.0) END AS BIGINT) AS z_milli
+         |FROM m""".stripMargin
+    },
+
+    // Anisotropy: settled micro moments, exact micro^2 variance
+    // arithmetic, HUGEINT for the lone 128-bit sum (q199's contract)
+    "q272_anisotropy" ->
+      s"""WITH ex AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+         |  FROM embeddings, (SELECT unnest(range(1, ${EmbedDims + 1})) AS i) idx),
+         |c AS (SELECT i, CAST(round(avg(x) * 1000000) AS BIGINT) AS m_micro,
+         |  CAST(round(avg(x * x) * 1000000) AS BIGINT) AS m2_micro FROM ex GROUP BY i),
+         |p AS (SELECT m2_micro * 1000000 - m_micro * m_micro AS var_sc, m_micro, m2_micro FROM c),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS dims, CAST(sum(var_sc) AS BIGINT) AS svar,
+         |  sum(CAST(var_sc AS HUGEINT) * var_sc) AS svar2,
+         |  CAST(sum(m_micro * m_micro) AS BIGINT) AS smm,
+         |  CAST(sum(m2_micro) AS BIGINT) AS sm2 FROM p),
+         |nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM embeddings)
+         |SELECT n_vecs, dims,
+         |  CAST(CASE WHEN CAST(svar2 AS DOUBLE) <= 0.0 THEN 0
+         |  ELSE round(CAST(svar AS DOUBLE) * CAST(svar AS DOUBLE) / CAST(svar2 AS DOUBLE) * 1000.0) END AS BIGINT) AS pr_milli,
+         |  CAST(smm * 10000 // (sm2 * 1000000) AS BIGINT) AS aniso_bp
+         |FROM m, nv""".stripMargin,
+
     // K-stage unrolled BPE twin, generated from the same sentinel,
     // merge count, and tie-break constants as the Spark trainer
     "q122_bpe_merges" -> graft.text.Bpe.oracleSql(graft.text.Bpe.DefaultMerges),
