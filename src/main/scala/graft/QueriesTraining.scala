@@ -4789,7 +4789,104 @@ object QueriesTraining {
     anisotropyFromMoments(comps, e.agg(count(lit(1)).as("n_vecs")))
   }
 
+  /** Shared moment-shape text over columns (n, sx, sxx, sxxx, sxxxx)
+    * — raw sums exact (the two high moments in 128-bit), every
+    * derived value computed by the IDENTICAL double-op sequence on
+    * both engines, settled to milli. Emitted verbatim into the Spark
+    * select and the DuckDB oracle.
+    */
+  private[graft] def shapeMomentSql: Seq[(String, String)] = {
+    val m1 = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    val m2 = s"(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) - $m1 * $m1)"
+    val m3 = s"(CAST(sxxx AS DOUBLE) / CAST(n AS DOUBLE) - 3.0 * $m1 * CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) + 2.0 * $m1 * $m1 * $m1)"
+    val m4 = s"(CAST(sxxxx AS DOUBLE) / CAST(n AS DOUBLE) - 4.0 * $m1 * CAST(sxxx AS DOUBLE) / CAST(n AS DOUBLE) + 6.0 * $m1 * $m1 * CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) - 3.0 * $m1 * $m1 * $m1 * $m1)"
+    val s = s"($m3 / ($m2 * sqrt($m2)))"
+    val k = s"($m4 / ($m2 * $m2) - 3.0)"
+    Seq(
+      "skew_milli" ->
+        s"CAST(CASE WHEN $m2 <= 0.0 THEN 0 ELSE round($s * 1000.0) END AS BIGINT)",
+      "kurt_milli" ->
+        s"CAST(CASE WHEN $m2 <= 0.0 THEN 0 ELSE round($k * 1000.0) END AS BIGINT)",
+      "jb_milli" ->
+        s"""CAST(CASE WHEN $m2 <= 0.0 THEN 0
+           |ELSE round(CAST(n AS DOUBLE) / 6.0 * ($s * $s + $k * $k / 4.0) * 1000.0)
+           |END AS BIGINT)""".stripMargin)
+  }
+
+  /** q273: LENGTH LOG-NORMALITY AUDIT — per source (and ALL): the
+    * skewness, excess kurtosis, and Jarque–Bera statistic of
+    * ln(n_chars), each in milli. Document length is the one feature
+    * every pipeline stage buckets on (q129's batching, q69's
+    * chunking, q235's bias audit) under an implicit "roughly
+    * lognormal" assumption — this row TESTS it: heavy positive skew
+    * says the source still carries unbounded boilerplate tails,
+    * strong NEGATIVE skew is the signature of a hard truncation cap
+    * upstream (crawler or extractor clipping), and a large JB flags
+    * any source whose length model shouldn't be mean±sd. x settles
+    * to milli ln BEFORE the moments (q235's rule), the four raw
+    * power sums are exact integers (x³/x⁴ ride DECIMAL/HUGEINT — the
+    * q199 128-bit contract), and every derived double runs the same
+    * op sequence on both engines.
+    *
+    * Scale: one codegen projection, one source-keyed aggregate with
+    * map-side combine; output is source-sized.
+    */
+  private val qLognormal: Q = (spark, dir) => {
+    val x = Dedup.materialize(docsFanned(spark, dir)
+      .select(col("source"),
+        expr("CAST(round(ln(CAST(n_chars AS DOUBLE)) * 1000.0) AS BIGINT)").as("x")))
+    def moments(g: org.apache.spark.sql.RelationalGroupedDataset): DataFrame = g
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x * x")).as("sxxx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x * x * x")).as("sxxxx"))
+    val derived = shapeMomentSql.map { case (nme, sql) => expr(sql).as(nme) }
+    val per = moments(x.groupBy("source"))
+      .select(col("source") +: col("n") +: derived: _*)
+    val all = moments(x.groupBy())
+      .select(lit("ALL").as("source") +: col("n") +: derived: _*)
+    per.unionByName(all).orderBy("source")
+  }
+
+  private[graft] val BurstTopK = 20
+
+  /** q274: TERM BURSTINESS (Church–Gale Fano factor) — for the top-
+    * [[BurstTopK]] corpus terms: the variance-to-mean ratio of the
+    * term's PER-DOCUMENT count over ALL documents (zeros included) in
+    * milli. Fano ≈ 1000 is Poisson scatter — the function-word
+    * profile; far above says the term clumps into few documents — the
+    * content/topic-word (or template-artifact) profile. This is the
+    * classical signal separating "frequent because it's everywhere"
+    * from "frequent because a subcorpus repeats it", the refinement
+    * behind stopword induction (q143's OOV cut treats both the same)
+    * and a template-flood smell when a supposedly-generic term goes
+    * bursty. Fano = (N·Σc² − (Σc)²)/(N·Σc) from exact integer sums,
+    * products in double space (q235's overflow rule).
+    *
+    * Scale: one (term, doc)-keyed count (map-side combine), one
+    * term-keyed fold, top-k by TakeOrdered (no global sort); N is a
+    * broadcast scalar.
+    */
+  private val qBurstiness: Q = (spark, dir) => {
+    val tt = docsFanned(spark, dir)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+    val ag = tt.groupBy("term", "doc_id").agg(count(lit(1)).as("c"))
+      .groupBy("term").agg(sum("c").as("cnt"), count(lit(1)).as("df"),
+        sum(col("c") * col("c")).as("sc2"))
+    val nd = Tables(spark, dir, "documents").agg(count(lit(1)).as("n"))
+    ag.orderBy(col("cnt").desc, col("term")).limit(BurstTopK)
+      .crossJoin(broadcast(nd))
+      .select(col("term"), col("cnt"), col("df"),
+        expr(
+          """CAST(round((CAST(n AS DOUBLE) * CAST(sc2 AS DOUBLE) - CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE))
+            | / (CAST(n AS DOUBLE) * CAST(cnt AS DOUBLE)) * 1000.0) AS BIGINT)""".stripMargin)
+          .as("fano_milli"))
+      .orderBy(col("cnt").desc, col("term"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q273_lognormal" -> qLognormal,
+    "q274_burstiness" -> qBurstiness,
     "q269_heaps" -> qHeaps,
     "q270_chao1" -> qChao1,
     "q271_mannwhitney" -> qMannWhitney,
@@ -5429,6 +5526,44 @@ object QueriesTraining {
          |  ELSE round(CAST(svar AS DOUBLE) * CAST(svar AS DOUBLE) / CAST(svar2 AS DOUBLE) * 1000.0) END AS BIGINT) AS pr_milli,
          |  CAST(smm * 10000 // (sm2 * 1000000) AS BIGINT) AS aniso_bp
          |FROM m, nv""".stripMargin,
+
+    // Lognormality: same settled-milli ln, exact power sums (HUGEINT
+    // for the two high moments), the same shapeMomentSql derived text
+    "q273_lognormal" -> {
+      val derived = shapeMomentSql.map { case (nme, sql) => s"$sql AS $nme" }
+        .mkString(",\n")
+      s"""WITH xs AS (SELECT source,
+         |  CAST(round(ln(CAST(n_chars AS DOUBLE)) * 1000.0) AS BIGINT) AS x
+         |  FROM documents),
+         |mper AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx,
+         |  sum(CAST(x AS HUGEINT) * x * x) AS sxxx,
+         |  sum(CAST(x AS HUGEINT) * x * x * x) AS sxxxx
+         |  FROM xs GROUP BY source),
+         |mall AS (SELECT 'ALL' AS source, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx,
+         |  sum(CAST(x AS HUGEINT) * x * x) AS sxxx,
+         |  sum(CAST(x AS HUGEINT) * x * x * x) AS sxxxx
+         |  FROM xs),
+         |m AS (SELECT * FROM mper UNION ALL SELECT * FROM mall)
+         |SELECT source, n,
+         |$derived
+         |FROM m ORDER BY source""".stripMargin
+    },
+
+    // Burstiness: per-doc counts with zeros folded analytically
+    // (variance over ALL docs from sums over occurring docs only)
+    "q274_burstiness" ->
+      s"""WITH tm AS (SELECT doc_id, unnest($ltoksSql) AS term FROM documents),
+         |pc AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS c FROM tm GROUP BY term, doc_id),
+         |ag AS (SELECT term, CAST(sum(c) AS BIGINT) AS cnt, CAST(count(*) AS BIGINT) AS df,
+         |  CAST(sum(c * c) AS BIGINT) AS sc2 FROM pc GROUP BY term),
+         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |top AS (SELECT term, cnt, df, sc2 FROM ag ORDER BY cnt DESC, term LIMIT $BurstTopK)
+         |SELECT term, cnt, df,
+         |  CAST(round((CAST(n AS DOUBLE) * CAST(sc2 AS DOUBLE) - CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE))
+         |    / (CAST(n AS DOUBLE) * CAST(cnt AS DOUBLE)) * 1000.0) AS BIGINT) AS fano_milli
+         |FROM top, nd ORDER BY cnt DESC, term""".stripMargin,
 
     // K-stage unrolled BPE twin, generated from the same sentinel,
     // merge count, and tie-break constants as the Spark trainer

@@ -77,6 +77,36 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert((na, nb, z) === ((3L, 0L, 0L)))
   }
 
+  test("shapeMomentSql: symmetric three-point sample has zero skew, kurtosis -3/2") {
+    // x = {-1000, 0, 1000}: m2 = 2e6/3, m3 = 0, m4/m2^2 = 3/2,
+    // JB = (3/6) * (0 + 1.5^2/4) * 1000 = 281 milli
+    val m = Seq((3L, 0L, 2000000L, 0L, 2000000000000L))
+      .toDF("n", "sx", "sxx", "sxxx", "sxxxx")
+    val out = m.select(QueriesTraining.shapeMomentSql.map {
+      case (nme, sql) => expr(sql).as(nme) }: _*).collect()(0)
+    assert((out.getAs[Long]("skew_milli"), out.getAs[Long]("kurt_milli"),
+      out.getAs[Long]("jb_milli")) === ((0L, -1500L, 281L)))
+  }
+
+  test("shapeMomentSql: degenerate zero-variance input settles to 0") {
+    val m = Seq((4L, 4000L, 4000000L, 4000000000L, 4000000000000L))
+      .toDF("n", "sx", "sxx", "sxxx", "sxxxx")
+    val out = m.select(QueriesTraining.shapeMomentSql.map {
+      case (nme, sql) => expr(sql).as(nme) }: _*).collect()(0)
+    assert((out.getAs[Long]("skew_milli"), out.getAs[Long]("kurt_milli"),
+      out.getAs[Long]("jb_milli")) === ((0L, 0L, 0L)))
+  }
+
+  test("Fano factor closed form: 3+1 occurrences over 4 docs = 1.5") {
+    // cnt = 4, sc2 = 10, n = 4: (4*10 - 16)/(4*4) = 1.5 -> 1500 milli
+    val fano = Seq((4L, 10L, 4L)).toDF("cnt", "sc2", "n")
+      .select(expr(
+        """CAST(round((CAST(n AS DOUBLE) * CAST(sc2 AS DOUBLE) - CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE))
+          | / (CAST(n AS DOUBLE) * CAST(cnt AS DOUBLE)) * 1000.0) AS BIGINT)""".stripMargin)
+        .as("f")).collect()(0).getLong(0)
+    assert(fano === 1500L)
+  }
+
   private def anisoRow(comps: DataFrame, nVecs: Long): (Long, Long, Long, Long) = {
     val nv = spark.range(1).select(lit(nVecs).as("n_vecs"))
     val r = QueriesTraining.anisotropyFromMoments(comps, nv).collect()(0)
