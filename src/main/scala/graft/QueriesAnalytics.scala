@@ -2294,7 +2294,110 @@ object QueriesAnalytics {
       Disorder.lateness(ev, Disorder.emptyState(spark))))
   }
 
+  private[graft] val CcfMaxLag = 7
+  private[graft] val CcfX = "view"
+  private[graft] val CcfY = "purchase"
+
+  /** Shared Pearson text over (n_pairs, sx, sy, sxx, syy, sxy) —
+    * q233's exact-integer moment rule, reused by q275.
+    */
+  private val pearsonMicroSql =
+    """CAST(CASE WHEN n_pairs * sxx - sx * sx <= 0 OR n_pairs * syy - sy * sy <= 0 THEN 0
+      |ELSE round(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+      |  / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+      |    * CAST(n_pairs * syy - sy * sy AS DOUBLE)) * 1000000.0)
+      |END AS BIGINT)""".stripMargin
+
+  /** q275: CROSS-CORRELATION FUNCTION — Pearson r between the daily
+    * [[CcfX]] series and the daily [[CcfY]] series shifted by lag
+    * −[[CcfMaxLag]]..+[[CcfMaxLag]]: the lead/lag detector q233's ACF
+    * (a series against ITSELF) can't express. A peak at positive lag
+    * says [[CcfX]] activity LEADS conversions by that many days — the
+    * input a demand-forecast or campaign-attribution model needs
+    * before regressing one series on the other. Same exact integer
+    * moment rule and present-day pairing convention as q233 (the two
+    * type series share one day domain; a day with only one of the two
+    * types carries an exact 0 for the other).
+    *
+    * Scale: the daily two-type series is date-domain-sized however
+    * large the event corpus — one conditional-count aggregate over
+    * events, then every lag join and moment runs on the tiny series
+    * (15 lags × days rows through a broadcast).
+    */
+  private val qCcf: Q = (spark, dir) => {
+    val daily = dedup.Dedup.materialize(Tables.events(spark, dir)
+      .filter(col("event_type").isin(CcfX, CcfY))
+      .groupBy(expr(s"ts_ms div $DayMs").as("day"))
+      .agg(count(when(col("event_type") === CcfX, 1)).as("cx"),
+        count(when(col("event_type") === CcfY, 1)).as("cy")))
+    val lags = spark.range(-CcfMaxLag.toLong, CcfMaxLag + 1L)
+      .select(col("id").as("lag"))
+    val b = daily.select(col("day").as("day_b"), col("cy").as("y"))
+    daily.select(col("day"), col("cx").as("x"))
+      .crossJoin(broadcast(lags))
+      .join(b, col("day_b") === col("day") + col("lag"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("lag"), col("n_pairs"), expr(pearsonMicroSql).as("r_micro"))
+      .orderBy("lag")
+  }
+
+  /** q276: THEIL–SEN ROBUST TREND — the daily-count trend slope as
+    * the MEDIAN of all pairwise day-slopes (lower median, rank
+    * (n+1) div 2, ties broken by the day pair — fully pinned), next
+    * to the OLS slope on the same series. One spike day drags OLS but
+    * moves Theil–Sen not at all — the ts/ols GAP is the "is the trend
+    * real or one incident?" audit that q135's least-squares line and
+    * q95's spike list each only half-answer. Pairwise slopes are one
+    * double division from exact integers (identical on both engines);
+    * the median is selected BY RANK via [[graft.operators.GlobalRank]]
+    * — no float threshold, no single-partition window.
+    *
+    * Scale: the pair table is O(days²) of the DATE DOMAIN (a decade
+    * is ~7 M pairs — trivial), never corpus-sized; rank selection is
+    * one range shuffle of the pair table.
+    */
+  private val qTheilSen: Q = (spark, dir) =>
+    theilSenFromDaily(dedup.Dedup.materialize(Tables.events(spark, dir)
+      .select(expr(s"ts_ms div $DayMs").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("c"))))
+
+  /** Theil–Sen + OLS row from a `(day, c)` daily series — shared by
+    * q276 and `AnalyticsSpec`'s spike-robustness fixture.
+    */
+  private[graft] def theilSenFromDaily(daily: DataFrame): DataFrame = {
+    val b = daily.select(col("day").as("db"), col("c").as("cb"))
+    val pairs = dedup.Dedup.materialize(daily
+      .select(col("day").as("da"), col("c").as("ca"))
+      .join(b, col("db") > col("da"))
+      .select(col("da"), col("db"),
+        expr("CAST(cb - ca AS DOUBLE) / CAST(db - da AS DOUBLE)").as("slope")))
+    val ranked = graft.operators.GlobalRank.withRank(
+      pairs, Seq(col("slope"), col("da"), col("db")), "rk")
+    val np = pairs.agg(count(lit(1)).as("n_pairs"))
+    val ts = ranked.crossJoin(broadcast(np))
+      .filter(col("rk") === expr("(n_pairs + 1) div 2"))
+      .select(col("n_pairs"),
+        expr("CAST(round(slope * 1000.0) AS BIGINT)").as("ts_slope_milli"))
+    val ols = daily
+      .agg(count(lit(1)).as("n"), sum("day").as("sx"), sum("c").as("sy"),
+        sum(col("day") * col("day")).as("sxx"),
+        sum(col("day") * col("c")).as("sxy"))
+      .select(col("n").as("n_days"), expr(
+        """CAST(CASE WHEN n * sxx - sx * sx <= 0 THEN 0
+          |ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+          |  / CAST(n * sxx - sx * sx AS DOUBLE) * 1000.0) END AS BIGINT)""".stripMargin)
+        .as("ols_slope_milli"))
+    ols.crossJoin(broadcast(ts))
+      .select(col("n_days"), col("n_pairs"),
+        col("ts_slope_milli"), col("ols_slope_milli"))
+  }
+
   val all: Map[String, Q] = Map(
+    "q275_ccf" -> qCcf,
+    "q276_theilsen" -> qTheilSen,
     "q224_disorder" -> qDisorder,
     "q233_acf" -> qAcf,
     "q234_split_balance" -> qSplitBalance,
@@ -2387,6 +2490,48 @@ object QueriesAnalytics {
     }.mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // CCF: q233's moment text over the shifted two-type series
+    "q275_ccf" ->
+      s"""WITH e AS (SELECT epoch_ms(ts) // $DayMs AS day, event_type FROM events
+         |  WHERE event_type IN ('$CcfX', '$CcfY')),
+         |d AS (SELECT day,
+         |  CAST(count(CASE WHEN event_type = '$CcfX' THEN 1 END) AS BIGINT) AS cx,
+         |  CAST(count(CASE WHEN event_type = '$CcfY' THEN 1 END) AS BIGINT) AS cy
+         |  FROM e GROUP BY day),
+         |ll AS (SELECT unnest(range(-$CcfMaxLag, ${CcfMaxLag + 1})) AS lag),
+         |p AS (SELECT ll.lag, a.cx AS x, b.cy AS y
+         |  FROM ll, d a, d b WHERE b.day = a.day + ll.lag),
+         |m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |  CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+         |  CAST(sum(x * y) AS BIGINT) AS sxy FROM p GROUP BY lag)
+         |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+         |  $pearsonMicroSql AS r_micro
+         |FROM m ORDER BY lag""".stripMargin,
+
+    // Theil-Sen: same pairwise-slope double, lower-median rank pick,
+    // same OLS moment text
+    "q276_theilsen" ->
+      s"""WITH e AS (SELECT epoch_ms(ts) // $DayMs AS day FROM events),
+         |d AS (SELECT day, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY day),
+         |pr AS (SELECT a.day AS da, b.day AS db,
+         |  CAST(b.c - a.c AS DOUBLE) / CAST(b.day - a.day AS DOUBLE) AS slope
+         |  FROM d a, d b WHERE b.day > a.day),
+         |rk AS (SELECT slope, CAST(row_number() OVER (ORDER BY slope, da, db) AS BIGINT) AS rk,
+         |  CAST(count(*) OVER () AS BIGINT) AS n_pairs FROM pr),
+         |ts AS (SELECT n_pairs, CAST(round(slope * 1000.0) AS BIGINT) AS ts_slope_milli
+         |  FROM rk WHERE rk = (n_pairs + 1) // 2),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(day) AS BIGINT) AS sx,
+         |  CAST(sum(c) AS BIGINT) AS sy, CAST(sum(day * day) AS BIGINT) AS sxx,
+         |  CAST(sum(day * c) AS BIGINT) AS sxy FROM d),
+         |ols AS (SELECT n AS n_days,
+         |  CAST(CASE WHEN n * sxx - sx * sx <= 0 THEN 0
+         |  ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+         |    / CAST(n * sxx - sx * sx AS DOUBLE) * 1000.0) END AS BIGINT) AS ols_slope_milli
+         |  FROM m)
+         |SELECT n_days, n_pairs, ts_slope_milli, ols_slope_milli
+         |FROM ols, ts""".stripMargin,
+
     "q105_profile" ->
       s"""SELECT * FROM (
          |${profileRowSql("doc_id", "doc_id", "doc_id")}

@@ -413,6 +413,30 @@ object ScaleRehearsal {
       }
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "new15") {
+      // the eighth continuation's corpus-statistics family: Heaps +
+      // Chao1 (vocab-keyed state on a DISJOINT-vocab Nx corpus — the
+      // worst case: vocabulary grows with the multiple), MW +
+      // lognormal + burstiness (score/moment passes with key-sized
+      // folds), anisotropy (one posexplode moment pass)
+      scaleDocs(spark, base, scaled, mult)
+      val emb0 = spark.read.parquet(s"$base/embeddings.parquet")
+      (0 until mult).map { k =>
+        emb0.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+          copyVariant(k).cast("array<float>").as("embedding"),
+          col("label"))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$scaled/embeddings.parquet")
+      val qs = Seq("q269_heaps", "q270_chao1", "q271_mannwhitney",
+        "q272_anisotropy", "q273_lognormal", "q274_burstiness")
+      Seq("1x" -> base, s"${mult}x" -> scaled).foreach { case (label, dir) =>
+        qs.foreach(q => timeQuery(spark, q, dir)) // warm
+        val line = qs.map(q => "\"" + q + "\":" + timeQuery(spark, q, dir))
+          .mkString("{", ",", "}")
+        println(s"""{"metric":"scale_rehearsal_new15","scale":"$label","dir":"$dir","queries":$line}""")
+      }
+      spark.stop(); return
+    }
     if (new14Only) {
       scaleDocs(spark, base, scaled, mult)
       scaleOffsetTable(spark, base, scaled, mult, "events",

@@ -65,4 +65,15 @@ class AnalyticsSpec extends AnyFunSuite {
     val parsed = Queries.all("q64_latency_hist")(spark, dir)
     assert(parsed.exceptAll(direct).isEmpty && direct.exceptAll(parsed).isEmpty)
   }
+
+  test("theilSenFromDaily: one spike day drags OLS but not the Theil-Sen median") {
+    import spark.implicits._
+    // flat series with a final-day spike: all six pairwise slopes are
+    // {0,0,0,30,45,90} -> lower median (rank 3) = 0; OLS = 27/day
+    val daily = Seq((0L, 10L), (1L, 10L), (2L, 10L), (3L, 100L)).toDF("day", "c")
+    val r = QueriesAnalytics.theilSenFromDaily(daily).collect()(0)
+    assert((r.getAs[Long]("n_days"), r.getAs[Long]("n_pairs"),
+      r.getAs[Long]("ts_slope_milli"), r.getAs[Long]("ols_slope_milli")) ===
+      ((4L, 6L, 0L, 27000L)))
+  }
 }
