@@ -1,15 +1,39 @@
 package graft
 
-/** Headline benchmark: times each battery query at SPARK_GRAFT_SF_DIR
-  * and prints ONE machine-parsable JSON line.
+import org.apache.spark.sql.SparkSession
+
+/** Headline benchmark: times battery queries at SPARK_GRAFT_SF_DIR and
+  * prints ONE machine-parsable JSON line.
+  *
+  * Scope (round-9 harness fix — BENCH_r08 was rc=124/parsed-null: the
+  * battery grew 90 → 276 queries while the harness still ran dual-mode
+  * × median-of-3 × warm over ALL of them, ≈ 35+ min wall, past the
+  * driver's kill window; a green gate nobody can see is not a green
+  * gate):
+  *  - no args (the driver's invocation) → HEADLINE scope: the 34-query
+  *    round-1 shared subset (the 2×-gate's own definition, BASELINE.md
+  *    §c) dual-mode median-of-3, plus the audited heavy tail
+  *    ([[tailQueries]]) honest-only single-run. Completes in ~4 min.
+  *  - SPARK_GRAFT_BENCH_FULL=1 → the full battery (dual, median-of-3,
+  *    subject to the wall budget below — expect truncation).
+  *  - explicit query-name args → just those (local iteration:
+  *    `runMain graft.Bench q31_dedup_groups`).
+  *
+  * Wall budget (round-9): SPARK_GRAFT_BENCH_BUDGET_SEC (default 480).
+  * Past the soft deadline, remaining queries run ONCE instead of 3×
+  * (and remaining sf0.001 warms are skipped); the line still prints,
+  * with the affected queries listed in "truncated". The battery grows
+  * every round — the harness degrades instead of getting killed.
+  *
+  * GC fence (round-9): between queries the session cache and all
+  * persistent RDDs (localCheckpoint leftovers) are dropped and a GC is
+  * requested — 276 queries' worth of pinned checkpoint blocks were
+  * inflating in-battery tails 3–5× over isolated runs (BASELINE §l).
   *
   * Trustworthiness (judge round-2 finding: best-of-2 can't tell a real
-  * 1.5× regression from machine noise):
-  *  - median-of-3 per query — the middle run is robust to a single
-  *    slow outlier in either direction;
-  *  - per-query failure tracking: a crashing query records its max
-  *    elapsed (never improves the total) and is listed in "failed",
-  *    so fast-crash is distinguishable from fast-success.
+  * 1.5× regression from machine noise): median-of-3 per query; a
+  * crashing query records its max elapsed (never improves the total)
+  * and is listed in "failed", so fast-crash ≠ fast-success.
   *
   * Two evaluation modes, BOTH reported (round-6 harness fix):
   *  - honest (headline "value"/"queries"): executes each query's
@@ -22,18 +46,139 @@ package graft
   *    kept so cross-round ratios against r1–r5 baselines stay
   *    apples-to-apples without rerunning (see BASELINE.md §c).
   *
-  * Output (round-7 harness fix — the round-6 line overflowed the
-  * driver's tail capture and parsed as null): the stdout line is
-  * TOTALS-ONLY (~250 bytes — both modes' totals, failure list, query
-  * count); the FULL dual-mode detail (both per-query maps, 4
-  * decimals) is written to SPARK_GRAFT_BENCH_OUT (default
-  * ./BENCH_FULL.json), named in the line's "detail" field.
-  *
-  * Optional args narrow the run to the named queries (local iteration:
-  * `runMain graft.Bench q31_dedup_groups`). SPARK_GRAFT_BENCH_LEGACY=1
-  * skips the honest pass and reports legacy-only (old behavior).
+  * Output: the stdout line is TOTALS-ONLY (~300 bytes — the round-6
+  * per-query line overflowed the driver's tail capture and parsed as
+  * null); full per-query dual-mode detail (4 decimals, runs counts)
+  * goes to SPARK_GRAFT_BENCH_OUT (default ./BENCH_FULL.json), named in
+  * the line's "detail" field.
   */
 object Bench {
+
+  /** The round-1 shared gate subset — BENCH_r01.json's exact query
+    * list. The driver's 2× gate is judged on this subset's legacy
+    * total vs r1's 17.95 s (BASELINE.md §c). Do not grow this list;
+    * new queries join [[tailQueries]] or the FULL scope.
+    */
+  val gateQueries: Seq[String] = Seq(
+    "q1_agg", "q2_join_topk", "q3_join_agg", "q4_window_fn",
+    "q5_sessionize", "q6_window_agg", "q7_salted_distinct", "q8_setops",
+    "q9_pipeline_etl", "q10_decode", "q11_route", "q12_grok",
+    "q13_enrich", "q14_computed", "q15_retention", "q16_text_tokens",
+    "q17_text_quality", "q18_text_langid", "q19_text_fingerprint",
+    "q20_dedup_exact", "q21_dedup_minhash", "q22_dedup_ngram",
+    "q23_dedup_simhash", "q24_dedup_embed", "q25_knn_brute",
+    "q26_knn_lsh", "q27_multimodal", "q28_frames", "q29_knn_ivf",
+    "q30_ngram_topk", "q31_dedup_groups", "q32_stats", "q33_rollup",
+    "q34_pivot")
+
+  /** The audited expensive tail (BASELINE §l top-15 + the iterative
+    * graph/ER/exact-all-pairs families) — benched honest-only ×1 in
+    * headline scope so every round leaves a driver-recorded number for
+    * the queries whose regressions actually matter at scale.
+    */
+  val tailQueries: Seq[String] = Seq(
+    "q63_pagerank", "q91_allpairs", "q108_bm25", "q109_cluster_rep",
+    "q122_bpe_merges", "q126_entity_resolution", "q136_cluster_coeff",
+    "q150_pagerank_dangling", "q168_hits", "q239_lsh_recall",
+    "q243_isotonic", "q257_coreset_coverage")
+
+  /** One query's measurement under one evaluation mode. */
+  final case class QR(name: String, sec: Double, ok: Boolean, runs: Int)
+
+  /** Drop session cache + persistent RDDs (localCheckpoint leftovers)
+    * and request a GC — the inter-query fence.
+    */
+  def fence(spark: SparkSession): Unit = {
+    spark.sqlContext.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    System.gc()
+  }
+
+  private def execute(df: org.apache.spark.sql.DataFrame, legacy: Boolean): Unit = {
+    if (legacy) df.count(): Unit
+    else df.queryExecution.toRdd.count(): Unit
+  }
+
+  /** Time `selected` under one evaluation mode: up to `runs` runs per
+    * query (median reported), degrading to 1 run per query once
+    * `deadlineNanos` passes. Warm pass at sf0.001 first (JIT/codegen),
+    * also skipped past the deadline. GC fence between queries.
+    */
+  def battery(spark: SparkSession, sfDir: String,
+              selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
+              legacy: Boolean, runs: Int, deadlineNanos: Long): Seq[QR] = {
+    selected.foreach { case (_, fn) =>
+      if (System.nanoTime() < deadlineNanos)
+        try execute(fn(spark, "/root/testdata/sf0.001"), legacy)
+        catch { case _: Throwable => () }
+    }
+    fence(spark)
+    selected.map { case (name, fn) =>
+      val n = if (System.nanoTime() < deadlineNanos) runs else 1
+      val rs = (1 to n).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { execute(fn(spark, sfDir), legacy); true }
+          catch { case _: Throwable => false }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      fence(spark)
+      val ok = rs.forall(_._2)
+      val t = if (ok) rs.map(_._1).sorted.apply(rs.size / 2) else rs.map(_._1).max
+      QR(name, t, ok, n)
+    }
+  }
+
+  // Fixed-width decimals; Locale.ROOT so a de_DE/fr_FR JVM can't emit
+  // comma decimal separators (invalid JSON — the round-6 class of bug).
+  def fmt(v: Double, dp: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+
+  private def qjson(results: Seq[QR], dp: Int): String =
+    results.map(r => "\"" + r.name + "\":" + fmt(r.sec, dp))
+      .mkString("{", ",", "}")
+
+  private def names(xs: Seq[String]): String =
+    xs.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+
+  /** Render the totals-only stdout line + the full detail body.
+    * Returns (stdoutLine, detailBody).
+    */
+  def render(mode: String, scope: String, head: Seq[QR], legacyR: Seq[QR],
+             tail: Seq[QR], runs: Int, outPath: String, sfDir: String): (String, String) = {
+    val failed = names((head ++ legacyR ++ tail).filter(!_.ok).map(_.name))
+    // the tail group runs once BY DESIGN — only the median-of-`runs`
+    // groups count as budget-truncated
+    val truncated = names((head ++ legacyR).filter(_.runs < runs).map(_.name))
+    val legacyTotal =
+      if (legacyR.nonEmpty) s""","legacy_value":${fmt(legacyR.map(_.sec).sum, 4)}"""
+      else ""
+    val tailFields =
+      if (tail.nonEmpty)
+        s""","tail_value":${fmt(tail.map(_.sec).sum, 4)},"n_tail":${tail.size}"""
+      else ""
+    val line = s"""{"metric":"total","value":${fmt(head.map(_.sec).sum, 4)},"unit":"sec"""" +
+      s""","mode":"$mode","scope":"$scope","n_queries":${head.size},"failed":$failed""" +
+      s""","truncated":$truncated""" + legacyTotal + tailFields +
+      s""","detail":"$outPath","sf":"$sfDir"}"""
+    val detail = (
+      Seq(s""""metric":"total"""", s""""value":${fmt(head.map(_.sec).sum, 4)}""",
+        s""""unit":"sec"""", s""""mode":"$mode"""", s""""scope":"$scope"""",
+        s""""queries":${qjson(head, 4)}""", s""""failed":$failed""",
+        s""""truncated":$truncated""") ++
+      (if (legacyR.nonEmpty)
+        Seq(s""""legacy_value":${fmt(legacyR.map(_.sec).sum, 4)}""",
+          s""""legacy_queries":${qjson(legacyR, 4)}""")
+      else Seq.empty) ++
+      (if (tail.nonEmpty)
+        Seq(s""""tail_value":${fmt(tail.map(_.sec).sum, 4)}""",
+          s""""tail_queries":${qjson(tail, 4)}""")
+      else Seq.empty) ++
+      Seq(s""""sf":"$sfDir"""")
+    ).mkString("{", ",", "}")
+    (line, detail)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -41,89 +186,44 @@ object Bench {
     val unknown = args.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}; " +
       s"valid: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
-    val selected = (if (args.nonEmpty) SparkEntry.queries.filter { case (n, _) => args.contains(n) }
-      else SparkEntry.queries).toSeq.sortBy(_._1)
     // SPARK_GRAFT_BENCH_MODE: dual (default) | honest | legacy.
     // SPARK_GRAFT_BENCH_LEGACY=1 is the older spelling of legacy-only.
     val mode = sys.env.get("SPARK_GRAFT_BENCH_MODE")
       .orElse(sys.env.get("SPARK_GRAFT_BENCH_LEGACY").filter(_ == "1").map(_ => "legacy"))
       .getOrElse("dual")
     require(Set("dual", "honest", "legacy")(mode), s"bad bench mode: $mode")
-
-    def execute(df: org.apache.spark.sql.DataFrame, legacy: Boolean): Unit = {
-      if (legacy) df.count(): Unit
-      else df.queryExecution.toRdd.count(): Unit
-    }
-
+    val full = sys.env.get("SPARK_GRAFT_BENCH_FULL").contains("1")
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "480").toDouble
+    val deadline = System.nanoTime() + (budgetSec * 1e9).toLong
     val runs = 3
-    /** (name, medianSec, ok) per query under one evaluation mode. */
-    def battery(legacy: Boolean): Seq[(String, Double, Boolean)] = {
-      // warm the JVM/codegen once on the smallest scale so the measured
-      // numbers reflect steady-state execution, not first-query JIT.
-      selected.foreach { case (_, fn) =>
-        try execute(fn(spark, "/root/testdata/sf0.001"), legacy)
-        catch { case _: Throwable => () }
-      }
-      selected.map { case (name, fn) =>
-        val rs = (1 to runs).map { _ =>
-          val t0 = System.nanoTime()
-          val ok = try { execute(fn(spark, sfDir), legacy); true }
-            catch { case _: Throwable => false }
-          ((System.nanoTime() - t0) / 1e9, ok)
-        }
-        val ok = rs.forall(_._2)
-        val t = if (ok) rs.map(_._1).sorted.apply(runs / 2) else rs.map(_._1).max
-        (name, t, ok)
-      }
-    }
-    // Fixed-width decimals: the round-6 line carried 2×76 values at
-    // full double precision and overflowed the driver's tail capture
-    // ("parsed": null — the honest headline was lost). Locale.ROOT:
-    // a default-locale format would emit comma decimal separators on
-    // a de_DE/fr_FR JVM — invalid JSON, the same failure again.
-    def fmt(v: Double, dp: Int): String =
-      String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
-    def json(results: Seq[(String, Double, Boolean)], dp: Int): String =
-      results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v, dp) }
-        .mkString("{", ",", "}")
+
+    val (scope, selectedNames, tailNames) =
+      if (args.nonEmpty) ("named", args.toSeq.sorted, Seq.empty[String])
+      else if (full) ("full", SparkEntry.queries.keys.toSeq.sorted, Seq.empty[String])
+      else ("headline",
+        gateQueries.filter(SparkEntry.queries.contains).sorted,
+        tailQueries.filter(SparkEntry.queries.contains))
+    def resolve(ns: Seq[String]) = ns.map(n => n -> SparkEntry.queries(n))
 
     // honest FIRST: the headline numbers must not inherit JIT/page-
-    // cache warmth from a prior full battery (the comparison pass may)
-    val honest = if (mode == "legacy") Seq.empty else battery(legacy = false)
-    val legacyResults = if (mode == "honest") Seq.empty else battery(legacy = true)
-    val head = if (mode == "legacy") legacyResults else honest
-    // a crash in EITHER evaluation mode is a failure — a legacy-only
-    // crash would otherwise corrupt legacy_value invisibly
-    val failed = (honest ++ legacyResults).collect { case (k, _, false) => "\"" + k + "\"" }
-      .distinct.mkString("[", ",", "]")
-    // Full dual-mode detail goes to a FILE the driver/judge can read
-    // whole; the stdout line stays small enough to survive tail capture.
+    // cache warmth from a prior full battery (the comparison pass may).
+    val honest = if (mode == "legacy") Seq.empty[QR]
+      else battery(spark, sfDir, resolve(selectedNames), legacy = false, runs, deadline)
+    val legacyR = if (mode == "honest") Seq.empty[QR]
+      else battery(spark, sfDir, resolve(selectedNames), legacy = true, runs, deadline)
+    // audited heavy tail: honest declared-plan, single run — cheap
+    // enough to keep a driver-recorded number for the queries that
+    // matter at scale without blowing the wall budget.
+    val tail = if (tailNames.isEmpty) Seq.empty[QR]
+      else battery(spark, sfDir, resolve(tailNames), legacy = false, runs = 1, deadline)
+    val head = if (mode == "legacy") legacyR else honest
+
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
-    // legacy totals ride the headline line ONLY in dual mode — in a
-    // single-mode run each number appears exactly once (value), with
-    // `mode` saying what it measured.
-    val legacyTotal =
-      if (mode == "dual" && legacyResults.nonEmpty)
-        s""","legacy_value":${fmt(legacyResults.map(_._2).sum, 4)}"""
-      else ""
-    val fileFields = (
-      Seq(s""""metric":"total"""", s""""value":${fmt(head.map(_._2).sum, 4)}""",
-        s""""unit":"sec"""", s""""mode":"$mode"""",
-        s""""queries":${json(head, 4)}""", s""""failed":$failed""") ++
-      (if (mode == "dual" && legacyResults.nonEmpty)
-        Seq(s""""legacy_value":${fmt(legacyResults.map(_._2).sum, 4)}""",
-          s""""legacy_queries":${json(legacyResults, 4)}""")
-      else Seq.empty) ++
-      Seq(s""""sf":"$sfDir"""")
-    ).mkString("{", ",", "}")
+    val (line, detail) = render(mode, scope, head,
+      if (mode == "dual") legacyR else Seq.empty, tail, runs, outPath, sfDir)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-      (fileFields + "\n").getBytes("UTF-8")): Unit
-    // totals-only on stdout: the round-6 tail capture kept only ~2 KB,
-    // so even a rounded 76-entry map risks truncating the line into
-    // invalid JSON. Per-query maps live in the detail file.
-    println(s"""{"metric":"total","value":${fmt(head.map(_._2).sum, 4)},"unit":"sec"""" +
-      s""","mode":"$mode","n_queries":${head.size},"failed":$failed""" +
-      legacyTotal + s""","detail":"$outPath","sf":"$sfDir"}""")
+      (detail + "\n").getBytes("UTF-8")): Unit
+    println(line)
     spark.stop()
   }
 }

@@ -39,13 +39,34 @@ import org.apache.spark.sql.functions._
   */
 object AllPairs {
 
+  /** Default candidate-volume ceiling for [[similarPairs]]. The round-6
+    * fixed-plane 100× rehearsal detonated at ~10⁸ candidate pairs
+    * (>77 GB of sort-merge spill before the verify join could finish,
+    * BASELINE §e) — past this volume the exact path stops being a
+    * recall auditor and becomes a scale incident, so the operator
+    * refuses UP FRONT with a plan, not out-of-disk mid-join. Raise via
+    * the `maxCandidates` opt-in when you have the cluster for it.
+    */
+  val DefaultMaxCandidates: Long = 100000000L
+
   /** All pairs with `|A∩B| / |A∪B| ≥ tNum/tDen` over
     * `sets(idCol, setCol: array<string>)` (elements must be distinct
     * per set, e.g. [[Dedup.shingleTable]]'s output). Returns
     * `(id_a, id_b, n_inter, n_union)`, `id_a < id_b`, all integral.
+    *
+    * Scale boundary (enforced, round-9): this operator is EXACT by
+    * design and its candidate volume is inherently super-linear in
+    * corpus duplicate mass — its declared role is the LSH chain's
+    * recall ground truth, not corpus-wide production dedup. Before the
+    * candidate join runs, the prefix-element frequencies (already
+    * computed for the global order) are folded into the upper bound
+    * Σ_e pdf_e·(pdf_e−1)/2 and the call REFUSES past `maxCandidates`
+    * — a planned refusal naming the scale-safe path, instead of the
+    * 77 GB spill the 100× rehearsal measured (BASELINE §e).
     */
   def similarPairs(sets: DataFrame, idCol: String, setCol: String,
-                   tNum: Int, tDen: Int): DataFrame = {
+                   tNum: Int, tDen: Int,
+                   maxCandidates: Long = DefaultMaxCandidates): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen,
       s"threshold must be a ratio in (0, 1]: got $tNum/$tDen")
     // prefix length |x| − ⌈t·|x|⌉ + 1, all-integer ceil
@@ -65,6 +86,30 @@ object AllPairs {
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= col("__p"))
       .select(col("__id"), col("__n"), col("__e"))
+
+    // Candidate-volume guard: the equi-join on a prefix element e
+    // emits at most pdf_e·(pdf_e−1)/2 ordered pairs, so the sum over
+    // elements upper-bounds the join output BEFORE the length filter
+    // and distinct. One element-keyed aggregate to a single row —
+    // metadata-sized, double-space products (the q235 overflow rule).
+    // The guard job re-derives the prefix branch from the checkpointed
+    // `m` (kept LAZY so the candidate join's window/rank plan shape
+    // stays assertable — AllPairsSpec pins it); one extra key-shuffled
+    // pass is the price of refusing BEFORE the spill, not during.
+    val est = prefix.groupBy("__e").agg(count(lit(1)).cast("double").as("__pdf"))
+      .agg(sum(col("__pdf") * (col("__pdf") - 1d) / 2d).as("__cand"))
+      .head.getAs[Any]("__cand") match {
+        case null => 0d
+        case d: java.lang.Double => d.doubleValue()
+      }
+    require(est <= maxCandidates.toDouble,
+      f"AllPairs.similarPairs: estimated candidate volume $est%.0f exceeds " +
+        s"maxCandidates=$maxCandidates. The exact prefix-filter join is the " +
+        "recall GROUND TRUTH, not the production dedup path — at this volume " +
+        "the verify join spills out of disk (BASELINE §e measured ~10⁸ pairs " +
+        "→ >77 GB). Use the scale-safe LSH chain (graft.dedup.Dedup.lshCandidates " +
+        "+ exact verify) or stratified sampling, or pass maxCandidates " +
+        "explicitly if you have the cluster for it.")
 
     val candA = prefix.select(col("__id").as("id_a"), col("__n").as("__na"), col("__e"))
     val candB = prefix.select(col("__id").as("id_b"), col("__n").as("__nb"), col("__e"))

@@ -65,6 +65,33 @@ class AllPairsSpec extends AnyFunSuite {
     assert(AllPairs.similarPairs(disjoint.toDF("id", "s"), "id", "s", 1, 2).count() === 0L)
   }
 
+  test("scale boundary: high-df corpus past maxCandidates refuses with the LSH path named") {
+    import spark.implicits._
+    // synthetic worst case: every set is {hot} ∪ {unique tail} at t=1/2 —
+    // the shared element lands INSIDE every prefix (it's the set's only
+    // repeated element but ties are df-ordered, and with 2-element sets
+    // the prefix is ≥1 element either way), so prefix-df(hot) ≈ n and
+    // the candidate bound is ~n²/2
+    val n = 200
+    val sets = (1L to n.toLong).map(i => (i, Seq("hot", s"u$i")))
+    val df = sets.toDF("id", "s")
+    val ex = intercept[IllegalArgumentException] {
+      AllPairs.similarPairs(df, "id", "s", 1, 2, maxCandidates = 1000L)
+    }
+    assert(ex.getMessage.contains("lshCandidates"),
+      s"refusal must name the scale-safe path: ${ex.getMessage}")
+    assert(ex.getMessage.contains("maxCandidates"), ex.getMessage)
+    // the same corpus RUNS with an explicit opt-in bound
+    val ok = AllPairs.similarPairs(df, "id", "s", 1, 2, maxCandidates = 100000L)
+    assert(ok.count() === 0L) // J(A,B)=1/3 < 1/2 for every pair
+    // and the default bound admits the battery's real corpora (q91's
+    // own input at sf0.001) without tripping
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("text").isNotNull)
+    val sh = Dedup.shingleTable(docs, "doc_id", "text")
+    AllPairs.similarPairs(sh, "doc_id", "sh", 1, 2).count(): Unit
+  }
+
   test("plan shape: candidate generation never compares non-prefix elements") {
     // the filter that makes this NOT O(n²): with a 1/2 threshold only
     // ~half of each set's elements (the rare half) enter the self-join

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-9 harness guarantees for `graft.Bench`: the driver's no-args
+  * invocation must ALWAYS produce a parseable totals line, even when
+  * the wall budget forces degradation (BENCH_r08 was rc=124/parsed
+  * null — the battery outgrew the kill window and left the round with
+  * no recorded bench).
+  */
+class BenchSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.get("local[4]", "4")
+  private val sf = "/root/testdata/sf0.001"
+
+  private def pick(ns: String*) = ns.map(n => n -> SparkEntry.queries(n))
+
+  test("forced-small deadline: queries degrade to 1 run and the line still parses") {
+    // deadline already in the past → warms skipped, every query runs once
+    val past = System.nanoTime() - 1L
+    val head = Bench.battery(spark, sf, pick("q1_agg", "q11_route"),
+      legacy = false, runs = 3, deadlineNanos = past)
+    assert(head.forall(_.runs == 1), s"expected degraded single runs, got $head")
+    assert(head.forall(_.ok), s"queries must still succeed under degradation: $head")
+    val tail = Bench.battery(spark, sf, pick("q12_grok"),
+      legacy = false, runs = 1, deadlineNanos = past)
+    val (line, detail) = Bench.render("honest", "headline", head, Seq.empty,
+      tail, runs = 3, outPath = "BENCH_FULL.json", sfDir = sf)
+    // both outputs must be valid JSON — parse with Spark's JSON reader
+    import spark.implicits._
+    for (js <- Seq(line, detail)) {
+      val parsed = spark.read.json(Seq(js).toDS)
+      assert(!parsed.columns.contains("_corrupt_record"), s"invalid JSON: $js")
+      assert(parsed.columns.contains("value"))
+    }
+    // truncated lists the degraded median-of-3 queries, NOT the
+    // by-design single-run tail
+    assert(line.contains(""""truncated":["q1_agg","q11_route"]"""), line)
+    assert(!line.contains("q12_grok"), s"tail must not be flagged truncated: $line")
+    assert(line.contains(""""scope":"headline""""))
+    assert(line.contains(""""n_queries":2"""))
+  }
+
+  test("generous deadline: median-of-3 runs, nothing truncated, dual totals render") {
+    val far = System.nanoTime() + 600L * 1000 * 1000 * 1000
+    val head = Bench.battery(spark, sf, pick("q1_agg"),
+      legacy = false, runs = 3, deadlineNanos = far)
+    assert(head.forall(_.runs == 3))
+    val leg = Bench.battery(spark, sf, pick("q1_agg"),
+      legacy = true, runs = 3, deadlineNanos = far)
+    val (line, _) = Bench.render("dual", "headline", head, leg, Seq.empty,
+      runs = 3, outPath = "BENCH_FULL.json", sfDir = sf)
+    assert(line.contains(""""truncated":[]"""), line)
+    assert(line.contains(""""legacy_value":"""), line)
+    import spark.implicits._
+    assert(!spark.read.json(Seq(line).toDS).columns.contains("_corrupt_record"))
+  }
+
+  test("gate subset is exactly the 34 round-1 queries and all still exist") {
+    assert(Bench.gateQueries.size == 34)
+    assert(Bench.gateQueries.distinct.size == 34)
+    val missing = Bench.gateQueries.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"gate queries dropped from the battery: $missing")
+    val missingTail = Bench.tailQueries.filterNot(SparkEntry.queries.contains)
+    assert(missingTail.isEmpty, s"tail queries dropped from the battery: $missingTail")
+  }
+}
