@@ -78,24 +78,21 @@ object AllPairs {
     // three consumers (element explode + both verify sides): one pass
     val m = Dedup.materialize(sized)
 
-    val elems = m.select(col("__id"), col("__n"), col("__p"),
-      explode(col("__set")).as("__e"))
-    val dfreq = elems.groupBy("__e").agg(count(lit(1)).as("__df"))
-    val w = Window.partitionBy("__id").orderBy(col("__df"), md5(col("__e")))
-    val prefix = elems.join(dfreq, "__e")
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= col("__p"))
-      .select(col("__id"), col("__n"), col("__e"))
+    // The prefix branch (explode → df aggregate → rarest-first rank →
+    // filter) is derived ONCE and materialized: three consumers read
+    // the checkpoint — the candidate-volume guard aggregate and both
+    // sides of the candidate self-join. Re-deriving it per consumer
+    // (the round-9 shape) tripled the operator's cost; the guard is
+    // now one metadata-sized aggregate over an already-computed table.
+    val prefix = Dedup.materialize(prefixTable(m, tNum, tDen))
 
     // Candidate-volume guard: the equi-join on a prefix element e
     // emits at most pdf_e·(pdf_e−1)/2 ordered pairs, so the sum over
     // elements upper-bounds the join output BEFORE the length filter
     // and distinct. One element-keyed aggregate to a single row —
-    // metadata-sized, double-space products (the q235 overflow rule).
-    // The guard job re-derives the prefix branch from the checkpointed
-    // `m` (kept LAZY so the candidate join's window/rank plan shape
-    // stays assertable — AllPairsSpec pins it); one extra key-shuffled
-    // pass is the price of refusing BEFORE the spill, not during.
+    // metadata-sized, double-space products (the q235 overflow rule) —
+    // reading the materialized prefix, so refusing BEFORE the spill
+    // costs one cheap pass, not a full plan re-derivation.
     val est = prefix.groupBy("__e").agg(count(lit(1)).cast("double").as("__pdf"))
       .agg(sum(col("__pdf") * (col("__pdf") - 1d) / 2d).as("__cand"))
       .head.getAs[Any]("__cand") match {
@@ -131,5 +128,23 @@ object AllPairs {
       .withColumn("n_union", col("__na") + col("__nb") - col("n_inter"))
       .filter(col("n_inter") * tDen >= col("n_union") * tNum)
       .select(col("id_a"), col("id_b"), col("n_inter"), col("n_union"))
+  }
+
+  /** The LAZY prefix branch: `(__id, __n, __e)` keeping only each set's
+    * rarest-first prefix elements. Package-visible so [[similarPairs]]'s
+    * plan shape below its checkpoint stays assertable (AllPairsSpec pins
+    * the key-partitioned rank window and the `__rk <= __p` gate here —
+    * the checkpoint in [[similarPairs]] erases the lineage above it).
+    * Input must carry `__id, __set, __n, __p` as built by [[similarPairs]].
+    */
+  private[graft] def prefixTable(m: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+    val elems = m.select(col("__id"), col("__n"), col("__p"),
+      explode(col("__set")).as("__e"))
+    val dfreq = elems.groupBy("__e").agg(count(lit(1)).as("__df"))
+    val w = Window.partitionBy("__id").orderBy(col("__df"), md5(col("__e")))
+    elems.join(dfreq, "__e")
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= col("__p"))
+      .select(col("__id"), col("__n"), col("__e"))
   }
 }

@@ -94,21 +94,38 @@ class AllPairsSpec extends AnyFunSuite {
 
   test("plan shape: candidate generation never compares non-prefix elements") {
     // the filter that makes this NOT O(n²): with a 1/2 threshold only
-    // ~half of each set's elements (the rare half) enter the self-join
+    // ~half of each set's elements (the rare half) enter the self-join.
+    // The prefix branch is checkpointed inside similarPairs (one
+    // derivation for guard + both join sides), so its shape is pinned
+    // HERE, below the checkpoint, via the package-visible prefixTable.
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
       .filter(col("text").isNotNull)
     val sh = Dedup.shingleTable(docs, "doc_id", "text")
+    val sized = sh
+      .select(col("doc_id").as("__id"), col("sh").as("__set"))
+      .withColumn("__n", size(col("__set")).cast("long"))
+      .withColumn("__p", expr("__n - ((CAST(1 AS BIGINT) * __n + 1) DIV 2) + 1"))
+    // similarPairs checkpoints sized before deriving the prefix; match
+    // that here so the branch under test has the same input lineage
+    val pref = AllPairs.prefixTable(Dedup.materialize(sized), 1, 2)
+    pref.collect()
+    val pp = pref.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // the rank filter gates the join input (__rk <= __p present)
+    assert(pp.contains("__rk") && pp.contains("__p"),
+      s"prefix rank filter missing from plan:\n$pp")
+    // the per-set rank window is key-partitioned, never a global sort
+    assert(pp.contains("hashpartitioning(__id"),
+      s"prefix window must partition by set id:\n$pp")
+
     val out = AllPairs.similarPairs(sh, "doc_id", "sh", 1, 2)
     out.collect()
     val p = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    // the rank filter gates the join input (__rk <= __p present)
-    assert(p.contains("__rk") && p.contains("__p"),
-      s"prefix rank filter missing from plan:\n$p")
-    // the per-set rank window is key-partitioned, never a global sort
-    assert(p.contains("hashpartitioning(__id"),
-      s"prefix window must partition by set id:\n$p")
     // verify side sort-merges (spillable), not a corpus-sized hash build
     assert("SortMergeJoin".r.findAllIn(p).nonEmpty,
       s"verify join should sort-merge:\n$p")
+    // the prefix branch feeds the join as a checkpointed scan — the
+    // window/rank machinery must NOT be re-derived above the checkpoint
+    assert(!p.contains("__rk"),
+      s"prefix rank must be below the checkpoint, not re-derived:\n$p")
   }
 }
