@@ -13,7 +13,10 @@ import org.apache.spark.sql.SparkSession
   *  - no args (the driver's invocation) → HEADLINE scope: the 34-query
   *    round-1 shared subset (the 2×-gate's own definition, BASELINE.md
   *    §c) dual-mode median-of-3, plus the audited heavy tail
-  *    ([[tailQueries]]) honest-only single-run. Completes in ~4 min.
+  *    ([[tailQueries]]) honest-only median-of-3 (round-10: the r9
+  *    cold-×1 tail was 3–7× off same-session isolated runs — pure
+  *    noise as a regression baseline; medians made affordable by the
+  *    r10 AllPairs prefix-materialization fix). Completes in ~6 min.
   *  - SPARK_GRAFT_BENCH_FULL=1 → the full battery (dual, median-of-3,
   *    subject to the wall budget below — expect truncation).
   *  - explicit query-name args → just those (local iteration:
@@ -24,11 +27,18 @@ import org.apache.spark.sql.SparkSession
   * (and remaining sf0.001 warms are skipped); the line still prints,
   * with the affected queries listed in "truncated". The battery grows
   * every round — the harness degrades instead of getting killed.
+  * Round-10 slicing: in dual headline mode the budget is SPLIT per
+  * battery — honest may consume at most 40%, honest+legacy at most
+  * 80% — so a slow honest pass degrades ITSELF, never the legacy pass
+  * the 2× gate is actually judged on, and the tail keeps its slice.
   *
   * GC fence (round-9): between queries the session cache and all
   * persistent RDDs (localCheckpoint leftovers) are dropped and a GC is
   * requested — 276 queries' worth of pinned checkpoint blocks were
   * inflating in-battery tails 3–5× over isolated runs (BASELINE §l).
+  * Round-10: the fence GCs twice with a short settle pause (finalizer
+  * + ContextCleaner drain) — one pass left in-battery numbers ~2× over
+  * isolated for the dedup family (VERDICT r9 item 3).
   *
   * Trustworthiness (judge round-2 finding: best-of-2 can't tell a real
   * 1.5× regression from machine noise): median-of-3 per query; a
@@ -72,9 +82,10 @@ object Bench {
     "q34_pivot")
 
   /** The audited expensive tail (BASELINE §l top-15 + the iterative
-    * graph/ER/exact-all-pairs families) — benched honest-only ×1 in
-    * headline scope so every round leaves a driver-recorded number for
-    * the queries whose regressions actually matter at scale.
+    * graph/ER/exact-all-pairs families) — benched honest-only
+    * median-of-3 in headline scope so every round leaves a
+    * driver-recorded, regression-comparable number for the queries
+    * whose regressions actually matter at scale.
     */
   val tailQueries: Seq[String] = Seq(
     "q63_pagerank", "q91_allpairs", "q108_bm25", "q109_cluster_rep",
@@ -92,6 +103,12 @@ object Bench {
     spark.sqlContext.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
+    // double GC with a settle pause: the first pass queues checkpoint
+    // RDDs for the ContextCleaner, the pause lets it drain, the second
+    // pass reclaims the freed blocks — one pass left in-battery numbers
+    // ~2× over isolated for checkpoint-heavy queries (VERDICT r9 #3)
+    System.gc()
+    Thread.sleep(200)
     System.gc()
   }
 
@@ -134,47 +151,69 @@ object Bench {
   def fmt(v: Double, dp: Int): String =
     String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
 
+  /** JSON string escape for env-provided values (paths): backslashes,
+    * quotes, and control chars — an outPath containing `"` must not
+    * yield the parsed-null failure class this harness exists to
+    * prevent.
+    */
+  def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   private def qjson(results: Seq[QR], dp: Int): String =
     results.map(r => "\"" + r.name + "\":" + fmt(r.sec, dp))
+      .mkString("{", ",", "}")
+
+  private def rjson(results: Seq[QR]): String =
+    results.map(r => "\"" + r.name + "\":" + r.runs)
       .mkString("{", ",", "}")
 
   private def names(xs: Seq[String]): String =
     xs.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
 
   /** Render the totals-only stdout line + the full detail body.
-    * Returns (stdoutLine, detailBody).
+    * Returns (stdoutLine, detailBody). All three groups (honest,
+    * legacy, tail) run median-of-`runs`, so all three count toward
+    * "truncated" when the budget degrades them; the detail body
+    * carries per-query seconds AND per-query runs counts.
     */
   def render(mode: String, scope: String, head: Seq[QR], legacyR: Seq[QR],
              tail: Seq[QR], runs: Int, outPath: String, sfDir: String): (String, String) = {
     val failed = names((head ++ legacyR ++ tail).filter(!_.ok).map(_.name))
-    // the tail group runs once BY DESIGN — only the median-of-`runs`
-    // groups count as budget-truncated
-    val truncated = names((head ++ legacyR).filter(_.runs < runs).map(_.name))
+    val truncated = names((head ++ legacyR ++ tail).filter(_.runs < runs).map(_.name))
     val legacyTotal =
       if (legacyR.nonEmpty) s""","legacy_value":${fmt(legacyR.map(_.sec).sum, 4)}"""
       else ""
     val tailFields =
       if (tail.nonEmpty)
-        s""","tail_value":${fmt(tail.map(_.sec).sum, 4)},"n_tail":${tail.size}"""
+        s""","tail_value":${fmt(tail.map(_.sec).sum, 4)},"n_tail":${tail.size}""" +
+          s""","tail_mode":"median-of-$runs""""
       else ""
     val line = s"""{"metric":"total","value":${fmt(head.map(_.sec).sum, 4)},"unit":"sec"""" +
       s""","mode":"$mode","scope":"$scope","n_queries":${head.size},"failed":$failed""" +
       s""","truncated":$truncated""" + legacyTotal + tailFields +
-      s""","detail":"$outPath","sf":"$sfDir"}"""
+      s""","detail":${jstr(outPath)},"sf":${jstr(sfDir)}}"""
     val detail = (
       Seq(s""""metric":"total"""", s""""value":${fmt(head.map(_.sec).sum, 4)}""",
         s""""unit":"sec"""", s""""mode":"$mode"""", s""""scope":"$scope"""",
-        s""""queries":${qjson(head, 4)}""", s""""failed":$failed""",
-        s""""truncated":$truncated""") ++
+        s""""queries":${qjson(head, 4)}""", s""""runs":${rjson(head)}""",
+        s""""failed":$failed""", s""""truncated":$truncated""") ++
       (if (legacyR.nonEmpty)
         Seq(s""""legacy_value":${fmt(legacyR.map(_.sec).sum, 4)}""",
-          s""""legacy_queries":${qjson(legacyR, 4)}""")
+          s""""legacy_queries":${qjson(legacyR, 4)}""",
+          s""""legacy_runs":${rjson(legacyR)}""")
       else Seq.empty) ++
       (if (tail.nonEmpty)
         Seq(s""""tail_value":${fmt(tail.map(_.sec).sum, 4)}""",
-          s""""tail_queries":${qjson(tail, 4)}""")
+          s""""tail_queries":${qjson(tail, 4)}""",
+          s""""tail_runs":${rjson(tail)}""",
+          s""""tail_mode":"median-of-$runs"""")
       else Seq.empty) ++
-      Seq(s""""sf":"$sfDir"""")
+      Seq(s""""sf":${jstr(sfDir)}""")
     ).mkString("{", ",", "}")
     (line, detail)
   }
@@ -194,28 +233,42 @@ object Bench {
     require(Set("dual", "honest", "legacy")(mode), s"bad bench mode: $mode")
     val full = sys.env.get("SPARK_GRAFT_BENCH_FULL").contains("1")
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "480").toDouble
-    val deadline = System.nanoTime() + (budgetSec * 1e9).toLong
+    val t0 = System.nanoTime()
+    val deadline = t0 + (budgetSec * 1e9).toLong
     val runs = 3
 
+    // the gate and tail lists must resolve COMPLETELY — a silently
+    // filtered rename would shrink the 34-query gate total and flatter
+    // the 2× comparison against r1 (mirrors the unknown-args require)
+    val unresolvedFixed = (gateQueries ++ tailQueries).filterNot(SparkEntry.queries.contains)
+    require(unresolvedFixed.isEmpty,
+      s"gate/tail query name(s) missing from the battery: ${unresolvedFixed.mkString(", ")}")
     val (scope, selectedNames, tailNames) =
       if (args.nonEmpty) ("named", args.toSeq.sorted, Seq.empty[String])
       else if (full) ("full", SparkEntry.queries.keys.toSeq.sorted, Seq.empty[String])
-      else ("headline",
-        gateQueries.filter(SparkEntry.queries.contains).sorted,
-        tailQueries.filter(SparkEntry.queries.contains))
+      else ("headline", gateQueries.sorted, tailQueries)
     def resolve(ns: Seq[String]) = ns.map(n => n -> SparkEntry.queries(n))
+
+    // Budget slices (dual headline): the honest pass may consume at
+    // most 40% of the budget and honest+legacy at most 80% — a slow
+    // honest pass degrades ITSELF to single runs, never the legacy
+    // pass the 2× gate is judged on, and the tail keeps a slice.
+    val slicing = mode == "dual" && args.isEmpty && !full
+    def slice(frac: Double): Long =
+      if (slicing) t0 + (budgetSec * frac * 1e9).toLong else deadline
 
     // honest FIRST: the headline numbers must not inherit JIT/page-
     // cache warmth from a prior full battery (the comparison pass may).
     val honest = if (mode == "legacy") Seq.empty[QR]
-      else battery(spark, sfDir, resolve(selectedNames), legacy = false, runs, deadline)
+      else battery(spark, sfDir, resolve(selectedNames), legacy = false, runs, slice(0.40))
     val legacyR = if (mode == "honest") Seq.empty[QR]
-      else battery(spark, sfDir, resolve(selectedNames), legacy = true, runs, deadline)
-    // audited heavy tail: honest declared-plan, single run — cheap
-    // enough to keep a driver-recorded number for the queries that
-    // matter at scale without blowing the wall budget.
+      else battery(spark, sfDir, resolve(selectedNames), legacy = true, runs, slice(0.80))
+    // audited heavy tail: honest declared-plan, median-of-3 — the r9
+    // cold-×1 record was 3–7× off isolated runs and unusable as a
+    // regression baseline; degradation past the deadline is recorded
+    // in "truncated" like any other group.
     val tail = if (tailNames.isEmpty) Seq.empty[QR]
-      else battery(spark, sfDir, resolve(tailNames), legacy = false, runs = 1, deadline)
+      else battery(spark, sfDir, resolve(tailNames), legacy = false, runs, deadline)
     val head = if (mode == "legacy") legacyR else honest
 
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")

@@ -23,7 +23,7 @@ class BenchSpec extends AnyFunSuite {
     assert(head.forall(_.runs == 1), s"expected degraded single runs, got $head")
     assert(head.forall(_.ok), s"queries must still succeed under degradation: $head")
     val tail = Bench.battery(spark, sf, pick("q12_grok"),
-      legacy = false, runs = 1, deadlineNanos = past)
+      legacy = false, runs = 3, deadlineNanos = past)
     val (line, detail) = Bench.render("honest", "headline", head, Seq.empty,
       tail, runs = 3, outPath = "BENCH_FULL.json", sfDir = sf)
     // both outputs must be valid JSON — parse with Spark's JSON reader
@@ -33,12 +33,28 @@ class BenchSpec extends AnyFunSuite {
       assert(!parsed.columns.contains("_corrupt_record"), s"invalid JSON: $js")
       assert(parsed.columns.contains("value"))
     }
-    // truncated lists the degraded median-of-3 queries, NOT the
-    // by-design single-run tail
-    assert(line.contains(""""truncated":["q1_agg","q11_route"]"""), line)
-    assert(!line.contains("q12_grok"), s"tail must not be flagged truncated: $line")
+    // truncated lists EVERY degraded median-of-3 group — round-10: the
+    // tail runs median-of-3 too, so its degradation is visible, not a
+    // silent cold-x1 masquerading as a baseline
+    assert(line.contains(""""truncated":["q1_agg","q11_route","q12_grok"]"""), line)
+    assert(line.contains(""""tail_mode":"median-of-3""""), line)
     assert(line.contains(""""scope":"headline""""))
     assert(line.contains(""""n_queries":2"""))
+    // detail carries per-query runs counts (the doc's promise)
+    assert(detail.contains(""""runs":{"q1_agg":1,"q11_route":1}"""), detail)
+    assert(detail.contains(""""tail_runs":{"q12_grok":1}"""), detail)
+  }
+
+  test("env-provided paths with quotes/backslashes still render valid JSON") {
+    val head = Seq(Bench.QR("q1_agg", 1.0, ok = true, runs = 3))
+    val (line, detail) = Bench.render("honest", "named", head, Seq.empty, Seq.empty,
+      runs = 3, outPath = """/tmp/we"ird\path.json""", sfDir = """/data/sf"0.1""")
+    import spark.implicits._
+    for (js <- Seq(line, detail)) {
+      val parsed = spark.read.json(Seq(js).toDS)
+      assert(!parsed.columns.contains("_corrupt_record"), s"invalid JSON: $js")
+    }
+    assert(line.contains("""\"ird\\path"""), line)
   }
 
   test("generous deadline: median-of-3 runs, nothing truncated, dual totals render") {
