@@ -21,6 +21,21 @@ import graft.pipeline.{LazyFillCache, Pipeline}
   */
 object StreamingPipeline {
 
+  /** The per-batch sink body every `start*` variant shares: documents
+    * land under a batchId-keyed subdir in overwrite mode, so a micro-
+    * batch REPLAYED after a crash (sink wrote, offset-log commit never
+    * happened — the at-least-once window) overwrites its own earlier
+    * attempt instead of duplicating it. Together with the
+    * deterministic `doc_id` ([[Pipeline.toJsonDocs]]) this is the
+    * effectively-once contract `StreamingSoakSpec` kills and restarts
+    * against.
+    */
+  def sinkDocs(assembled: DataFrame, batchId: Long, outDir: String): Unit =
+    Pipeline.toJsonDocs(assembled)
+      .write.mode("overwrite")
+      .partitionBy("es_index")
+      .parquet(s"$outDir/batch=$batchId")
+
   /** Start the full pipeline over a streaming `records` frame, landing
     * date-partitioned documents under `outDir`. 15 s trigger mirrors
     * the reference's bulk flush interval (`main.go:189`).
@@ -32,11 +47,7 @@ object StreamingPipeline {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // mode=overwrite + batchId-keyed subdir = idempotent on replay
-        Pipeline.toJsonDocs(batch)
-          .write.mode("overwrite")
-          .partitionBy("es_index")
-          .parquet(s"$outDir/batch=$batchId")
+        sinkDocs(batch, batchId, outDir)
       }
       .start()
 
