@@ -505,6 +505,71 @@ object QueriesTraining {
       .orderBy("id_a", "id_b")
   }
 
+  /** q277: the MinHash-LSH dedup chain as ONE Spark-SQL text — the
+    * SQL-driveable recipe for the battery's flagship near-dup operator
+    * (VERDICT r9 item 5: "expose MinHash-LSH dedup as a SQL recipe").
+    * Generated from the SAME constants as [[Dedup]] ([[Dedup.minhashA]]
+    * affine family mod 2^31−1, `conv(substr(md5(x),1,8),16,10)` shingle
+    * hash ≡ DuckDB `('0x'||substr(md5(x),1,8))::BIGINT`, 4×4 banding,
+    * est-Jaccard ≥ 1/2), so it is row-identical to q21_dedup_minhash
+    * (SqlTextDedupSpec pins the parity) and shares q21's DuckDB oracle
+    * text verbatim.
+    *
+    * The text declares the BULK shape, not the per-row array form:
+    * shingles explode to rows, the 16 min-hashes partial-aggregate
+    * map-side and shuffle once on doc_id, and — exactly like
+    * [[Dedup.lshCandidates]] — the signature columns are CARRIED
+    * through the band-key explode so the MERGE-pinned self-join's two
+    * sides canonicalize to the SAME exchange (ReuseExchange: the
+    * corpus pass runs once) and est-Jaccard needs no join back to the
+    * signature table. A first cut that re-joined `cand` to `sig`
+    * re-derived the whole explode+aggregate twice and measured 2.3×
+    * q21's cost; this shape benches 1:1 with the Scala chain. The
+    * REPARTITION hint mirrors [[Dedup.fanOut]]: local single-split
+    * parquet fans out before the per-row-expensive tokenize/shingle/
+    * md5 stage; at real scale the scan is already split and the
+    * exchange is one no-op-sized shuffle.
+    */
+  private[graft] val SqlDedupText: String = {
+    val mins = (0 until 16)
+      .map(j => s"min((${Dedup.minhashA(j)} * h + ${Dedup.minhashB(j)}) % ${Dedup.MinhashP}) AS m$j")
+      .mkString(",\n    ")
+    val bandArr = (0 until 4)
+      .map { b =>
+        val parts = (0 until 4).map(r => s"CAST(m${b * 4 + r} AS STRING)").mkString(", ")
+        s"md5(concat_ws('|', '$b', $parts))"
+      }
+      .mkString("array(\n      ", ",\n      ", ")")
+    val matches = (0 until 16)
+      .map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END")
+      .mkString(" +\n      ")
+    s"""WITH toks AS (SELECT /*+ REPARTITION(doc_id) */ doc_id,
+       |    split(trim(text), '\\\\s+') AS t FROM documents),
+       |sh AS (SELECT doc_id,
+       |    CASE WHEN size(t) >= 3
+       |      THEN array_distinct(transform(sequence(0, size(t) - 3),
+       |        i -> concat_ws(' ', element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))
+       |      ELSE array(concat_ws(' ', t)) END AS s
+       |  FROM toks),
+       |ex AS (SELECT doc_id, CAST(conv(substr(md5(g), 1, 8), 16, 10) AS BIGINT) AS h
+       |  FROM sh LATERAL VIEW OUTER explode(s) gen AS g),
+       |sig AS (SELECT doc_id,
+       |    $mins
+       |  FROM ex GROUP BY doc_id),
+       |bands AS (SELECT *, band_key
+       |  FROM sig LATERAL VIEW explode($bandArr) gen AS band_key)
+       |SELECT id_a, id_b, est_jaccard FROM (
+       |  SELECT /*+ MERGE(a), MERGE(b) */ DISTINCT
+       |    a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST($matches AS DOUBLE) / 16.0 AS est_jaccard
+       |  FROM bands a JOIN bands b USING (band_key)
+       |  WHERE a.doc_id < b.doc_id)
+       |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  private val qSqlDedup: Q = (spark, dir) =>
+    QueriesAnalytics.sqlVerbatim(spark, dir, SqlDedupText, Seq("documents"))
+
   /** Incremental dedup: the 25% increment (doc_id % 4 = 3) deduped
     * against the full corpus snapshot — band keys of the increment
     * broadcast, the corpus signature side never shuffles
@@ -5003,6 +5068,7 @@ object QueriesTraining {
     "q19_text_fingerprint" -> qTextFingerprint,
     "q20_dedup_exact" -> qDedupExact,
     "q21_dedup_minhash" -> qDedupMinhash,
+    "q277_sql_dedup" -> qSqlDedup,
     "q43_dedup_incremental" -> qDedupIncremental,
     "q22_dedup_ngram" -> qDedupNgram,
     "q104_containment" -> qContainment,
@@ -5170,6 +5236,19 @@ object QueriesTraining {
     s"""$sigBandCtes,
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |         FROM bands a JOIN bands b USING (band_key) WHERE a.doc_id < b.doc_id)""".stripMargin
+
+  /** The full MinHash-LSH dedup oracle — ONE copy bound to BOTH
+    * q21_dedup_minhash (Scala chain) and q277_sql_dedup (the same
+    * chain as pure Spark-SQL text): the two queries are defined to be
+    * row-identical, so they must share one oracle verbatim.
+    */
+  private lazy val minhashDedupOracle =
+    s"""$lshCandidateCtes,
+       |est AS (SELECT id_a, id_b,
+       |  CAST(len(list_filter(range(1, 17), j -> sa.sig[j] = sb.sig[j])) AS DOUBLE)/16.0 AS est_jaccard
+       |  FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)
+       |SELECT id_a, id_b, est_jaccard FROM est
+       |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
 
   /** The exact-Jaccard verify CTE over the LSH candidates — ONE copy
     * (11 oracles nest it; a threshold or tie-order edit in a stray
@@ -5880,13 +5959,9 @@ object QueriesTraining {
          |SELECT id_a, id_b, est_jaccard FROM est
          |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
 
-    "q21_dedup_minhash" ->
-      s"""$lshCandidateCtes,
-         |est AS (SELECT id_a, id_b,
-         |  CAST(len(list_filter(range(1, 17), j -> sa.sig[j] = sb.sig[j])) AS DOUBLE)/16.0 AS est_jaccard
-         |  FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)
-         |SELECT id_a, id_b, est_jaccard FROM est
-         |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "q21_dedup_minhash" -> minhashDedupOracle,
+
+    "q277_sql_dedup" -> minhashDedupOracle,
 
     "q22_dedup_ngram" ->
       s"""$lshCandidateCtes,

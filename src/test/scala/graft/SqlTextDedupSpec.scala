@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q277_sql_dedup: the MinHash-LSH dedup chain exposed as ONE
+  * Spark-SQL text (VERDICT r9 item 5). The text is generated from the
+  * same hash constants as the Scala chain, so the two must be
+  * row-IDENTICAL — this spec pins that parity (exact signatures, not
+  * approximate overlap), plus the physical shape that makes the text
+  * the same 100 TB plan as the operator it exposes.
+  */
+class SqlTextDedupSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.get("local[4]", "4")
+  private val dir = "/root/testdata/sf0.001"
+
+  private def rows(df: DataFrame): Seq[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+  test("SQL-text chain is row-identical to the Scala q21 chain") {
+    val sql = rows(Queries.all("q277_sql_dedup")(spark, dir))
+    val scala = rows(Queries.all("q21_dedup_minhash")(spark, dir))
+    assert(sql.nonEmpty, "planted near-dups must surface")
+    assert(sql == scala) // same pairs, same exact est_jaccard, same order
+  }
+
+  test("q277 and q21 share one oracle text verbatim") {
+    assert(Queries.oracles("q277_sql_dedup") == Queries.oracles("q21_dedup_minhash"))
+  }
+
+  test("the text plans the bulk shape: SMJ candidate join, no BNLJ, fanned-out scan") {
+    val df = Queries.all("q277_sql_dedup")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // MERGE-pinned band-key self-join (hash build side of corpus size
+    // would OOM at scale; SMJ spills) and no nested-loop anywhere
+    assert(p.contains("SortMergeJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // the REPARTITION(doc_id) hint materializes as a hash exchange so
+    // the tokenize/shingle/md5 stage never runs on one local split
+    assert(p.contains("REPARTITION_BY_COL") || p.contains("hashpartitioning(doc_id"))
+  }
+}
