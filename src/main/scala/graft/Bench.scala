@@ -86,12 +86,20 @@ object Bench {
     * median-of-3 in headline scope so every round leaves a
     * driver-recorded, regression-comparable number for the queries
     * whose regressions actually matter at scale.
+    *
+    * ORDERED by regression-sensitivity, not name: when the wall budget
+    * degrades the tail, queries past the deadline drop to single runs
+    * in list order — so the exact-all-pairs family (the one family
+    * with a recent real regression) and the iterative graph loops
+    * keep their medians, and the cheap stable entries absorb the
+    * degradation. A 1.5× slower box turns ~5 entries single-run
+    * (observed r10); alphabetical order handed q239 the ×1 slot.
     */
   val tailQueries: Seq[String] = Seq(
-    "q63_pagerank", "q91_allpairs", "q108_bm25", "q109_cluster_rep",
-    "q122_bpe_merges", "q126_entity_resolution", "q136_cluster_coeff",
-    "q150_pagerank_dangling", "q168_hits", "q239_lsh_recall",
-    "q243_isotonic", "q257_coreset_coverage")
+    "q91_allpairs", "q239_lsh_recall", "q136_cluster_coeff",
+    "q63_pagerank", "q150_pagerank_dangling", "q168_hits",
+    "q126_entity_resolution", "q109_cluster_rep", "q122_bpe_merges",
+    "q257_coreset_coverage", "q243_isotonic", "q108_bm25")
 
   /** One query's measurement under one evaluation mode. */
   final case class QR(name: String, sec: Double, ok: Boolean, runs: Int)
