@@ -530,7 +530,12 @@ object QueriesTraining {
     * md5 stage; at real scale the scan is already split and the
     * exchange is one no-op-sized shuffle.
     */
-  private[graft] val SqlDedupText: String = {
+  /** Spark-dialect CTE prefix through the per-doc band keys — the
+    * Spark twin of the oracle-side `sigBandCtes`, shared by the batch
+    * (q277) and incremental (q278) SQL-text recipes. Signature columns
+    * ride along into `bands` (see the q277 scaladoc for why).
+    */
+  private[graft] val sqlSigBandCtes: String = {
     val mins = (0 until 16)
       .map(j => s"min((${Dedup.minhashA(j)} * h + ${Dedup.minhashB(j)}) % ${Dedup.MinhashP}) AS m$j")
       .mkString(",\n    ")
@@ -540,9 +545,6 @@ object QueriesTraining {
         s"md5(concat_ws('|', '$b', $parts))"
       }
       .mkString("array(\n      ", ",\n      ", ")")
-    val matches = (0 until 16)
-      .map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END")
-      .mkString(" +\n      ")
     s"""WITH toks AS (SELECT /*+ REPARTITION(doc_id) */ doc_id,
        |    split(trim(text), '\\\\s+') AS t FROM documents),
        |sh AS (SELECT doc_id,
@@ -557,18 +559,53 @@ object QueriesTraining {
        |    $mins
        |  FROM ex GROUP BY doc_id),
        |bands AS (SELECT *, band_key
-       |  FROM sig LATERAL VIEW explode($bandArr) gen AS band_key)
+       |  FROM sig LATERAL VIEW explode($bandArr) gen AS band_key)""".stripMargin
+  }
+
+  /** The 16-way signature agreement count between join sides `a`/`b` —
+    * symmetric, so it serves both the ordered (q277) and the
+    * least/greatest-normalized (q278) pair forms.
+    */
+  private def sqlSigMatches: String = (0 until 16)
+    .map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END")
+    .mkString(" +\n      ")
+
+  private[graft] val SqlDedupText: String =
+    s"""$sqlSigBandCtes
        |SELECT id_a, id_b, est_jaccard FROM (
        |  SELECT /*+ MERGE(a), MERGE(b) */ DISTINCT
        |    a.doc_id AS id_a, b.doc_id AS id_b,
-       |    CAST($matches AS DOUBLE) / 16.0 AS est_jaccard
+       |    CAST($sqlSigMatches AS DOUBLE) / 16.0 AS est_jaccard
        |  FROM bands a JOIN bands b USING (band_key)
        |  WHERE a.doc_id < b.doc_id)
        |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
-  }
 
   private val qSqlDedup: Q = (spark, dir) =>
     QueriesAnalytics.sqlVerbatim(spark, dir, SqlDedupText, Seq("documents"))
+
+  /** q278: the INCREMENTAL dedup recipe as SQL text — q43's semantics
+    * (the 25% ingest `doc_id % 4 = 3` deduped against the full corpus
+    * snapshot) with q43's physical shape declared in hints: the
+    * increment's band rows BROADCAST, the corpus side streams past the
+    * hash join with no shuffle and no sort — per-ingest cost is one
+    * corpus scan plus work proportional to the increment, the way a
+    * 100 TB pipeline actually runs day to day. Row-identical to
+    * q43_dedup_incremental (SqlTextDedupSpec) and shares its oracle.
+    */
+  private[graft] val SqlDedupIncrText: String =
+    s"""$sqlSigBandCtes,
+       |inc AS (SELECT * FROM bands WHERE doc_id % 4 = 3)
+       |SELECT id_a, id_b, est_jaccard FROM (
+       |  SELECT /*+ BROADCAST(b) */ DISTINCT
+       |    least(a.doc_id, b.doc_id) AS id_a,
+       |    greatest(a.doc_id, b.doc_id) AS id_b,
+       |    CAST($sqlSigMatches AS DOUBLE) / 16.0 AS est_jaccard
+       |  FROM bands a JOIN inc b USING (band_key)
+       |  WHERE a.doc_id <> b.doc_id)
+       |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
+
+  private val qSqlDedupIncr: Q = (spark, dir) =>
+    QueriesAnalytics.sqlVerbatim(spark, dir, SqlDedupIncrText, Seq("documents"))
 
   /** Incremental dedup: the 25% increment (doc_id % 4 = 3) deduped
     * against the full corpus snapshot — band keys of the increment
@@ -5069,6 +5106,7 @@ object QueriesTraining {
     "q20_dedup_exact" -> qDedupExact,
     "q21_dedup_minhash" -> qDedupMinhash,
     "q277_sql_dedup" -> qSqlDedup,
+    "q278_sql_dedup_incr" -> qSqlDedupIncr,
     "q43_dedup_incremental" -> qDedupIncremental,
     "q22_dedup_ngram" -> qDedupNgram,
     "q104_containment" -> qContainment,
@@ -5244,6 +5282,22 @@ object QueriesTraining {
     */
   private lazy val minhashDedupOracle =
     s"""$lshCandidateCtes,
+       |est AS (SELECT id_a, id_b,
+       |  CAST(len(list_filter(range(1, 17), j -> sa.sig[j] = sb.sig[j])) AS DOUBLE)/16.0 AS est_jaccard
+       |  FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)
+       |SELECT id_a, id_b, est_jaccard FROM est
+       |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
+
+  /** The incremental-dedup oracle — ONE copy bound to BOTH
+    * q43_dedup_incremental (Scala chain) and q278_sql_dedup_incr (the
+    * same chain as SQL text): defined row-identical, one oracle.
+    */
+  private lazy val incrDedupOracle =
+    s"""$sigBandCtes,
+       |cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+       |                greatest(a.doc_id, b.doc_id) AS id_b
+       |         FROM bands a JOIN bands b USING (band_key)
+       |         WHERE a.doc_id <> b.doc_id AND b.doc_id % 4 = 3),
        |est AS (SELECT id_a, id_b,
        |  CAST(len(list_filter(range(1, 17), j -> sa.sig[j] = sb.sig[j])) AS DOUBLE)/16.0 AS est_jaccard
        |  FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)
@@ -5947,17 +6001,9 @@ object QueriesTraining {
          |SELECT md5($normTextSql) AS fp, count(*) AS cnt, min(doc_id) AS canonical_id
          |FROM dup GROUP BY 1 ORDER BY fp""".stripMargin,
 
-    "q43_dedup_incremental" ->
-      s"""$sigBandCtes,
-         |cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
-         |                greatest(a.doc_id, b.doc_id) AS id_b
-         |         FROM bands a JOIN bands b USING (band_key)
-         |         WHERE a.doc_id <> b.doc_id AND b.doc_id % 4 = 3),
-         |est AS (SELECT id_a, id_b,
-         |  CAST(len(list_filter(range(1, 17), j -> sa.sig[j] = sb.sig[j])) AS DOUBLE)/16.0 AS est_jaccard
-         |  FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)
-         |SELECT id_a, id_b, est_jaccard FROM est
-         |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "q43_dedup_incremental" -> incrDedupOracle,
+
+    "q278_sql_dedup_incr" -> incrDedupOracle,
 
     "q21_dedup_minhash" -> minhashDedupOracle,
 

@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   */
 object ScaleRehearsal {
   private val ChainQueries = Seq(
-    "q21_dedup_minhash", "q22_dedup_ngram", "q31_dedup_groups",
+    "q21_dedup_minhash", "q277_sql_dedup", "q22_dedup_ngram", "q31_dedup_groups",
     "q43_dedup_incremental", "q52_tfidf", "q53_unigram_xent",
     "q66_dup_spans", "q69_chunking",
     // round 8: exact prefix-filter all-pairs + its triangle census —

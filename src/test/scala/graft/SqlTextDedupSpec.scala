@@ -28,6 +28,24 @@ class SqlTextDedupSpec extends AnyFunSuite {
     assert(Queries.oracles("q277_sql_dedup") == Queries.oracles("q21_dedup_minhash"))
   }
 
+  test("incremental SQL-text recipe is row-identical to the Scala q43 chain") {
+    val sql = rows(Queries.all("q278_sql_dedup_incr")(spark, dir))
+    val scala = rows(Queries.all("q43_dedup_incremental")(spark, dir))
+    assert(sql.nonEmpty, "the 25% increment must contain near-dup pairs")
+    assert(sql == scala)
+    assert(Queries.oracles("q278_sql_dedup_incr") == Queries.oracles("q43_dedup_incremental"))
+  }
+
+  test("q278 plans the incremental shape: increment side broadcasts, corpus side never sorts") {
+    val df = Queries.all("q278_sql_dedup_incr")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head // AQE prints both; count the final
+    assert(p.contains("BroadcastHashJoin"),
+      s"increment band rows must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("the text plans the bulk shape: SMJ candidate join, no BNLJ, fanned-out scan") {
     val df = Queries.all("q277_sql_dedup")(spark, dir)
     df.collect()
