@@ -418,6 +418,70 @@ object QueriesAnalytics {
     finally spark.catalog.dropTempView("events"): Unit
   }
 
+  /** q279: SQL front end #16 — RECURSIVE CTE: weekly finite-buffer
+    * backlog, `backlog_w = min(BUF, max(0, backlog_{w−1} + n_w − c))`
+    * with the overflow (`dropped`) accounted per week, ONE
+    * dialect-neutral text both engines run verbatim. The TWO-SIDED
+    * clamp is a computation window functions genuinely cannot express:
+    * the one-sided Lindley fold linearizes via Skorokhod reflection
+    * (`S_t − min running S` — a window), but the double reflection at
+    * 0 and BUF has no prefix-scan form — each step depends on which
+    * boundary the previous step hit. This exercises the one relational
+    * surface the battery lacked: linear-recursive SQL, new in Spark
+    * 4's `WITH RECURSIVE` (UNION ALL form — the shared-text
+    * constraint, since Spark does not yet accept UNION-distinct
+    * recursion). Capacity and buffer are corpus-derived in-text
+    * (floor of mean / half-mean weekly volume, the shared FLOOR-double
+    * rule), and BOTH clamps fire on the fixture at every SF: the
+    * partial last week drains the buffer to the zero boundary, the
+    * full weeks overflow it (`dropped > 0`).
+    *
+    * Scale + cost: the corpus-sized work is ONE events aggregate to
+    * the date-domain-sized `days` table; the recursion steps over a
+    * week-domain-sized table (depth = weeks, NOT corpus). Spark's
+    * UnionLoop re-executes the sub-plan per level at a measured
+    * ~0.5 s/level regardless of input size (broadcast hints don't
+    * change it — it's per-iteration job latency), which is exactly
+    * why this text folds WEEKS: the daily-depth variant measured
+    * 10.6 s for the identical semantics, all fixed per-level cost.
+    */
+  private[graft] val SqlBacklogText: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT CAST(CAST(ts AS DATE) AS STRING) AS day,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY CAST(CAST(ts AS DATE) AS STRING)),
+      |days AS (SELECT day, n,
+      |    CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i FROM d),
+      |wk AS (SELECT CAST(FLOOR(CAST(i - 1 AS DOUBLE) / 7) AS BIGINT) + 1 AS w,
+      |    CAST(sum(n) AS BIGINT) AS n FROM days
+      |  GROUP BY CAST(FLOOR(CAST(i - 1 AS DOUBLE) / 7) AS BIGINT) + 1),
+      |cap AS (SELECT CAST(FLOOR(CAST(sum(n) AS DOUBLE) / count(*)) AS BIGINT) AS c,
+      |    CAST(FLOOR(CAST(sum(n) AS DOUBLE) / (2 * count(*))) AS BIGINT) AS buf FROM wk),
+      |b(w, backlog, dropped) AS (
+      |  SELECT w, least(buf, greatest(n - c, CAST(0 AS BIGINT))),
+      |         greatest(greatest(n - c, CAST(0 AS BIGINT)) - buf, CAST(0 AS BIGINT))
+      |  FROM wk CROSS JOIN cap WHERE w = 1
+      |  UNION ALL
+      |  SELECT wk.w,
+      |    least(cap.buf, greatest(b.backlog + wk.n - cap.c, CAST(0 AS BIGINT))),
+      |    greatest(greatest(b.backlog + wk.n - cap.c, CAST(0 AS BIGINT)) - cap.buf, CAST(0 AS BIGINT))
+      |  FROM b JOIN wk ON wk.w = b.w + 1 CROSS JOIN cap)
+      |SELECT wk.w, wk.n AS n_events, cap.c AS capacity, cap.buf AS buffer_cap,
+      |  b.backlog, b.dropped
+      |FROM b JOIN wk ON wk.w = b.w CROSS JOIN cap
+      |ORDER BY wk.w""".stripMargin
+
+  private val qSqlBacklog: Q = (spark, dir) => {
+    // schema-adaptive events view, q120's pattern: `ts` is always a
+    // timestamp regardless of the testdata's physical encoding
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("props"), col("ts_t").as("ts"))
+      .createOrReplaceTempView("events")
+    try spark.sql(SqlBacklogText)
+    finally spark.catalog.dropTempView("events"): Unit
+  }
+
   /** q77: SQL front end #2 — per-region top-3 nations by settled
     * revenue: a windowed rank OVER the grouped aggregate, written once
     * in ANSI SQL and executed verbatim by BOTH engines (the text IS
@@ -2446,6 +2510,7 @@ object QueriesAnalytics {
     "q156_grouping_sets" -> qGroupingSets,
     "q68_sql_exists" -> qSqlExists,
     "q120_sql_sessions" -> qSqlSessions,
+    "q279_sql_backlog" -> qSqlBacklog,
     "q77_sql_topn" -> qSqlTopN,
     "q78_sql_rollup" -> qSqlRollup,
     "q79_sql_filter_agg" -> qSqlFilterAgg,
@@ -3308,6 +3373,7 @@ object QueriesAnalytics {
     // the whole point: the oracle IS the Spark-side SQL text
     "q68_sql_exists" -> SqlExistsText,
     "q120_sql_sessions" -> SqlSessionsText,
+    "q279_sql_backlog" -> SqlBacklogText,
     "q77_sql_topn" -> SqlTopNText,
     "q78_sql_rollup" -> SqlRollupText,
     "q79_sql_filter_agg" -> SqlFilterAggText,

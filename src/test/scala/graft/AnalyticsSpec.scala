@@ -76,4 +76,31 @@ class AnalyticsSpec extends AnyFunSuite {
       r.getAs[Long]("ts_slope_milli"), r.getAs[Long]("ols_slope_milli")) ===
       ((4L, 6L, 0L, 27000L)))
   }
+
+  test("q279 recursive buffer fold equals an independent Scala fold; both clamps fire") {
+    val rows = Queries.all("q279_sql_backlog")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty && rows.map(_._1).sameElements(rows.map(_._1).sorted))
+    val (cap, buf) = (rows.head._3, rows.head._4)
+    assert(buf < cap, "buffer must be tighter than capacity or the cap clamp is vacuous")
+    // independent reimplementation of the two-sided fold:
+    // backlog_w = min(buf, max(0, prev + n - c)), dropped = the excess
+    var prev = 0L
+    rows.foreach { case (w, n, c, b, gotBacklog, gotDropped) =>
+      assert(c == cap && b == buf, s"corpus-derived scalars must be constant (week $w)")
+      val unclamped = math.max(0L, prev + n - cap)
+      prev = math.min(buf, unclamped)
+      assert(gotBacklog == prev, s"backlog mismatch week $w: got $gotBacklog expected $prev")
+      assert(gotDropped == math.max(0L, unclamped - buf),
+        s"dropped mismatch week $w: got $gotDropped")
+    }
+    // the fixture must exercise BOTH nonlinearities — the double
+    // reflection is what makes this non-window-expressible
+    assert(rows.exists(_._6 > 0L), "buffer cap never overflowed - upper clamp vacuous")
+    assert(rows.exists(r => r._5 == 0L && r._2 < cap),
+      "backlog never drained to the zero boundary - lower clamp vacuous")
+    // the text IS the oracle (verbatim on both engines)
+    assert(Queries.oracles("q279_sql_backlog") == QueriesAnalytics.SqlBacklogText)
+  }
 }
