@@ -57,4 +57,32 @@ class StreamingNearDupSpec extends AnyFunSuite {
     // the state is the full corpus signature table
     assert(sigs.count() == docs.length)
   }
+
+  test("fold == rebuild for ANY batch split: random partitions, random batch counts") {
+    import spark.implicits._
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val rebuild = Queries.all("q21_dedup_minhash")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val rnd = new scala.util.Random(20260815L)
+    // three random splits: arrival order shuffled, batch count varied —
+    // the exactly-once-per-pair claim must hold for every partition of
+    // the corpus into ingests, not just the doc_id % 4 slicing
+    for (trial <- 1 to 3) {
+      val nBatches = 2 + rnd.nextInt(4)
+      val assign = docs.map(d => (rnd.nextInt(nBatches), d))
+      val batches = (0 until nBatches).map(k => assign.filter(_._1 == k).map(_._2).toSeq)
+      var sigs = StreamingDedup.emptySigs(spark)
+      val emitted = ArrayBuffer.empty[(Long, Long, Double)]
+      batches.filter(_.nonEmpty).foreach { b =>
+        val (next, pairs) = StreamingDedup.foldBatch(sigs, b.toDF("doc_id", "text"))
+        sigs = next
+        emitted ++= pairs.collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      }
+      assert(emitted.size == emitted.toSet.size, s"trial $trial: duplicate emission")
+      assert(emitted.toSet == rebuild, s"trial $trial ($nBatches batches): fold != rebuild")
+    }
+  }
 }
