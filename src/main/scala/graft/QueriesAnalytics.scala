@@ -482,6 +482,36 @@ object QueriesAnalytics {
     finally spark.catalog.dropTempView("events"): Unit
   }
 
+  /** q279's weekly finite-buffer backlog derived from a folded
+    * `(day, n)` count store — the streaming twin's read path: the
+    * store folds additively via the MV merge (date-domain-sized
+    * state), and this derivation is calendar-bounded (the collect is
+    * date-domain-sized — the house metadata rule, same class as the
+    * BPE merge loop), so the streamed monitor can only disagree with
+    * the batch text through the fold itself; StreamingBacklogSpec
+    * pins cross-implementation equality against [[SqlBacklogText]],
+    * which exercises the recursion from an INDEPENDENT code path.
+    */
+  private[graft] def backlogFromDaily(spark: SparkSession, daily: DataFrame): DataFrame = {
+    import spark.implicits._
+    val days = daily.select("day", "n").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val weekly = days.zipWithIndex
+      .groupBy { case (_, i) => i / 7 }.toSeq.sortBy(_._1)
+      .map { case (w, xs) => (w + 1L, xs.map(_._1._2).sum) }
+    val total = weekly.map(_._2).sum
+    val c = math.floor(total.toDouble / weekly.size).toLong
+    val buf = math.floor(total.toDouble / (2 * weekly.size)).toLong
+    var prev = 0L
+    val rows = weekly.map { case (w, n) =>
+      val unclamped = math.max(0L, prev + n - c)
+      val dropped = math.max(0L, unclamped - buf)
+      prev = math.min(buf, unclamped)
+      (w, n, c, buf, prev, dropped)
+    }
+    rows.toDF("w", "n_events", "capacity", "buffer_cap", "backlog", "dropped")
+  }
+
   /** q77: SQL front end #2 — per-region top-3 nations by settled
     * revenue: a windowed rank OVER the grouped aggregate, written once
     * in ANSI SQL and executed verbatim by BOTH engines (the text IS
