@@ -607,6 +607,48 @@ object QueriesTraining {
   private val qSqlDedupIncr: Q = (spark, dir) =>
     QueriesAnalytics.sqlVerbatim(spark, dir, SqlDedupIncrText, Seq("documents"))
 
+  /** q280: the dedup recipe as a PARAMETERIZED SQL table function —
+    * Spark 4's SQL-defined UDFs (`CREATE FUNCTION … RETURNS TABLE`)
+    * let the whole MinHash-LSH chain register as a catalog object a
+    * SQL user calls with a threshold: `SELECT * FROM
+    * near_dup_pairs(10)` keeps pairs agreeing on ≥ 10 of 16 signature
+    * components. The body is the same generated chain as q277 (shared
+    * [[sqlSigBandCtes]] / [[sqlSigMatches]]; threshold in sixteenths —
+    * est·16 is the exact integer match count, so the parameterized
+    * filter sits on an integer boundary, never an IEEE knife-edge).
+    * q280 calls it at 8/16 (est ≥ 0.5), so it is row-identical to
+    * q21/q277 and shares their oracle; SqlTextDedupSpec additionally
+    * calls it at 16/16 and pins the exact-signature subset. The
+    * function is TEMPORARY and dropped after eager analysis — the
+    * sqlVerbatim catalog-hygiene rule extended to functions.
+    */
+  private[graft] val SqlDedupTvfDdl: String =
+    s"""CREATE TEMPORARY FUNCTION near_dup_pairs(t16 INT)
+       |RETURNS TABLE(id_a BIGINT, id_b BIGINT, est_jaccard DOUBLE) RETURN
+       |$sqlSigBandCtes
+       |SELECT id_a, id_b, est_jaccard FROM (
+       |  SELECT /*+ MERGE(a), MERGE(b) */ DISTINCT
+       |    a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST($sqlSigMatches AS DOUBLE) / 16.0 AS est_jaccard
+       |  FROM bands a JOIN bands b USING (band_key)
+       |  WHERE a.doc_id < b.doc_id)
+       |WHERE est_jaccard * 16.0 >= CAST(t16 AS DOUBLE)""".stripMargin
+
+  private[graft] def sqlDedupTvfCall(spark: SparkSession, dir: String,
+                                     sixteenths: Int): DataFrame = {
+    Tables(spark, dir, "documents").createOrReplaceTempView("documents")
+    try {
+      spark.sql(SqlDedupTvfDdl)
+      spark.sql("SELECT id_a, id_b, est_jaccard " +
+        s"FROM near_dup_pairs($sixteenths) ORDER BY id_a, id_b")
+    } finally {
+      spark.sql("DROP TEMPORARY FUNCTION IF EXISTS near_dup_pairs")
+      spark.catalog.dropTempView("documents"): Unit
+    }
+  }
+
+  private val qSqlDedupTvf: Q = (spark, dir) => sqlDedupTvfCall(spark, dir, 8)
+
   /** Incremental dedup: the 25% increment (doc_id % 4 = 3) deduped
     * against the full corpus snapshot — band keys of the increment
     * broadcast, the corpus signature side never shuffles
@@ -5107,6 +5149,7 @@ object QueriesTraining {
     "q21_dedup_minhash" -> qDedupMinhash,
     "q277_sql_dedup" -> qSqlDedup,
     "q278_sql_dedup_incr" -> qSqlDedupIncr,
+    "q280_sql_dedup_tvf" -> qSqlDedupTvf,
     "q43_dedup_incremental" -> qDedupIncremental,
     "q22_dedup_ngram" -> qDedupNgram,
     "q104_containment" -> qContainment,
@@ -6008,6 +6051,8 @@ object QueriesTraining {
     "q21_dedup_minhash" -> minhashDedupOracle,
 
     "q277_sql_dedup" -> minhashDedupOracle,
+
+    "q280_sql_dedup_tvf" -> minhashDedupOracle,
 
     "q22_dedup_ngram" ->
       s"""$lshCandidateCtes,

@@ -36,6 +36,21 @@ class SqlTextDedupSpec extends AnyFunSuite {
     assert(Queries.oracles("q278_sql_dedup_incr") == Queries.oracles("q43_dedup_incremental"))
   }
 
+  test("table-function recipe at 8/16 is row-identical to q21; 16/16 pins the exact subset") {
+    val tvf = rows(Queries.all("q280_sql_dedup_tvf")(spark, dir))
+    val scala = rows(Queries.all("q21_dedup_minhash")(spark, dir))
+    assert(tvf.nonEmpty && tvf == scala)
+    assert(Queries.oracles("q280_sql_dedup_tvf") == Queries.oracles("q21_dedup_minhash"))
+    // the PARAMETER does the work: at 16/16 only full-signature
+    // agreement survives — exactly q277's rows with est_jaccard = 1.0
+    val exact = rows(QueriesTraining.sqlDedupTvfCall(spark, dir, 16))
+    val expected = rows(Queries.all("q277_sql_dedup")(spark, dir)).filter(_._3 == 1.0)
+    assert(exact == expected)
+    assert(exact.size < scala.size, "16/16 must be a strict subset on this fixture")
+    // catalog hygiene: the temp function never outlives its query
+    assert(!spark.catalog.functionExists("near_dup_pairs"))
+  }
+
   test("q278 plans the incremental shape: increment side broadcasts, corpus side never sorts") {
     val df = Queries.all("q278_sql_dedup_incr")(spark, dir)
     df.collect()
