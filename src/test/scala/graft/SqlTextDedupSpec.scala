@@ -51,6 +51,24 @@ class SqlTextDedupSpec extends AnyFunSuite {
     assert(!spark.catalog.functionExists("near_dup_pairs"))
   }
 
+  test("table-function at 0/16 degenerates to the full LSH candidate set") {
+    import org.apache.spark.sql.functions.col
+    val all = rows(QueriesTraining.sqlDedupTvfCall(spark, dir, 0))
+    val cands = graft.dedup.Dedup.lshCandidates(
+        graft.dedup.Dedup.minhashSigTable(
+          Tables(spark, dir, "documents"), "doc_id", "text", 16),
+        "doc_id", "sig", 4, 4)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all.map(p => (p._1, p._2)).toSet == cands,
+      "threshold 0 must pass every banded collision through unfiltered")
+    // 0/16 ⊇ 8/16 ⊋ 16/16: at sf0.001 every banded collision already
+    // clears 8/16 (the bands are tuned for ~0.5), so the strict
+    // pruning step this fixture exhibits is 16/16 (pinned in the test
+    // above); here assert the superset direction only
+    assert(all.size >= rows(Queries.all("q280_sql_dedup_tvf")(spark, dir)).size)
+  }
+
   test("q278 plans the incremental shape: increment side broadcasts, corpus side never sorts") {
     val df = Queries.all("q278_sql_dedup_incr")(spark, dir)
     df.collect()
