@@ -471,6 +471,37 @@ object QueriesAnalytics {
       |FROM b JOIN wk ON wk.w = b.w CROSS JOIN cap
       |ORDER BY wk.w""".stripMargin
 
+  /** q281: SQL front end #17 — correlated LATERAL subquery with a
+    * per-group LIMIT (top-2 customers per nation by settled revenue),
+    * ONE dialect-neutral text both engines run verbatim. The LATERAL
+    * form is the surface users actually write for per-group top-k
+    * ("for each nation, the best customers"); the battery's windowed
+    * top-k (q77) states the same intent through rank() — this pins the
+    * OTHER spelling. Scale: Spark decorrelates the LATERAL LIMIT into
+    * a rank window partitioned by the correlation key (one shuffle on
+    * nationkey, WindowGroupLimit prunes map-side) — it never executes
+    * a per-outer-row subquery; the revenue CTE is the corpus-sized
+    * work, settled to integer cents through the shared [[centsSql]]
+    * rule. Ties break on custkey, so the text is deterministic on
+    * both engines.
+    */
+  private[graft] val SqlLateralText: String =
+    s"""WITH crev AS (
+       |  SELECT c.c_nationkey AS nk, c.c_custkey AS ck,
+       |    CAST(sum($centsSql) AS BIGINT) AS cents
+       |  FROM customer c
+       |  JOIN orders o ON o.o_custkey = c.c_custkey
+       |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |  GROUP BY c.c_nationkey, c.c_custkey)
+       |SELECT n.n_name, t.ck AS c_custkey, t.cents
+       |FROM nation n, LATERAL (
+       |  SELECT ck, cents FROM crev WHERE crev.nk = n.n_nationkey
+       |  ORDER BY cents DESC, ck LIMIT 2) t
+       |ORDER BY n.n_name, t.cents DESC, t.ck""".stripMargin
+
+  private val qSqlLateral: Q = (spark, dir) =>
+    sqlVerbatim(spark, dir, SqlLateralText, Seq("nation", "customer", "orders", "lineitem"))
+
   private val qSqlBacklog: Q = (spark, dir) => {
     // schema-adaptive events view, q120's pattern: `ts` is always a
     // timestamp regardless of the testdata's physical encoding
@@ -2541,6 +2572,7 @@ object QueriesAnalytics {
     "q68_sql_exists" -> qSqlExists,
     "q120_sql_sessions" -> qSqlSessions,
     "q279_sql_backlog" -> qSqlBacklog,
+    "q281_sql_lateral" -> qSqlLateral,
     "q77_sql_topn" -> qSqlTopN,
     "q78_sql_rollup" -> qSqlRollup,
     "q79_sql_filter_agg" -> qSqlFilterAgg,
@@ -3404,6 +3436,7 @@ object QueriesAnalytics {
     "q68_sql_exists" -> SqlExistsText,
     "q120_sql_sessions" -> SqlSessionsText,
     "q279_sql_backlog" -> SqlBacklogText,
+    "q281_sql_lateral" -> SqlLateralText,
     "q77_sql_topn" -> SqlTopNText,
     "q78_sql_rollup" -> SqlRollupText,
     "q79_sql_filter_agg" -> SqlFilterAggText,

@@ -103,4 +103,23 @@ class AnalyticsSpec extends AnyFunSuite {
     // the text IS the oracle (verbatim on both engines)
     assert(Queries.oracles("q279_sql_backlog") == QueriesAnalytics.SqlBacklogText)
   }
+
+  test("q281 LATERAL LIMIT decorrelates to a rank window, never a per-row nested loop") {
+    val df = Queries.all("q281_sql_lateral")(spark, dir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // at most 2 per nation, ordered; ties broken on custkey
+    val byNation = rows.groupBy(_.getString(0))
+    assert(byNation.values.forall(_.length <= 2))
+    byNation.values.foreach { g =>
+      val cents = g.map(_.getLong(2)).toSeq
+      assert(cents == cents.sortBy(-_), s"per-nation order broken: ${g.toSeq}")
+    }
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"),
+      s"LATERAL LIMIT must decorrelate to a rank window:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(Queries.oracles("q281_sql_lateral") == QueriesAnalytics.SqlLateralText)
+  }
 }
