@@ -41,6 +41,13 @@ object GraftSession {
       // vectorized reader rejects; read it as LongType epoch-nanos and
       // derive timestamps explicitly (Tables.events).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // recursive-CTE depth guard: the default 100 would hard-fail
+      // q279's week-per-level recursion on a multi-year date domain;
+      // 10000 admits ~190 years of weeks while still terminating a
+      // genuinely runaway loop (set here, not per query — DataFrames
+      // are lazy, so a set/restore around spark.sql() reverts before
+      // the plan executes)
+      .config("spark.sql.cteRecursionLevelLimit", "10000")
 
   def get(master: String = "local[*]", cpus: String = "32"): SparkSession = {
     val spark = builder(master, cpus).getOrCreate()

@@ -444,6 +444,14 @@ object QueriesAnalytics {
     * change it — it's per-iteration job latency), which is exactly
     * why this text folds WEEKS: the daily-depth variant measured
     * 10.6 s for the identical semantics, all fixed per-level cost.
+    *
+    * Depth cap: Spark enforces `spark.sql.cteRecursionLevelLimit`
+    * (default 100) as a HARD failure, and depth here = weeks in the
+    * events date domain — fine on the fixtures (~a quarter), but a
+    * multi-year domain would cross 100, so [[graft.GraftSession]]
+    * raises the session limit to 10000 (weeks-in-domain is still the
+    * per-level-cost budget; the limit is a guard against unbounded
+    * recursion, not a cost model).
     */
   private[graft] val SqlBacklogText: String =
     """WITH RECURSIVE d AS (
@@ -471,7 +479,7 @@ object QueriesAnalytics {
       |FROM b JOIN wk ON wk.w = b.w CROSS JOIN cap
       |ORDER BY wk.w""".stripMargin
 
-  /** q281: SQL front end #17 — correlated LATERAL subquery with a
+  /** q281: SQL front end #18 — correlated LATERAL subquery with a
     * per-group LIMIT (top-2 customers per nation by settled revenue),
     * ONE dialect-neutral text both engines run verbatim. The LATERAL
     * form is the surface users actually write for per-group top-k
@@ -509,6 +517,10 @@ object QueriesAnalytics {
       .select(col("event_id"), col("user_id"), col("event_type"),
         col("value"), col("props"), col("ts_t").as("ts"))
       .createOrReplaceTempView("events")
+    // recursion depth = weeks in the date domain; the default level
+    // limit (100) would hard-fail a ~2-year fixture. The raised limit
+    // lives in GraftSession.builder (the DataFrame is lazy — a
+    // set/restore around spark.sql() would revert before execution).
     try spark.sql(SqlBacklogText)
     finally spark.catalog.dropTempView("events"): Unit
   }

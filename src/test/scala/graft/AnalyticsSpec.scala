@@ -83,6 +83,16 @@ class AnalyticsSpec extends AnyFunSuite {
         r.getLong(4), r.getLong(5)))
     assert(rows.nonEmpty && rows.map(_._1).sameElements(rows.map(_._1).sorted))
     val (cap, buf) = (rows.head._3, rows.head._4)
+    // recompute the corpus-derived scalars INDEPENDENTLY from the
+    // weekly n_events column (the text IS the oracle, so a wrong
+    // in-SQL cap/buf derivation would pass both engines — this is the
+    // only check that can catch it): cap = floor(mean weekly n),
+    // buf = floor(half the mean), both through DOUBLE like the text
+    val weeklyN = rows.map(_._2)
+    assert(cap == math.floor(weeklyN.sum.toDouble / weeklyN.size).toLong,
+      s"capacity $cap != floor(mean weekly volume) recomputed from n_events")
+    assert(buf == math.floor(weeklyN.sum.toDouble / (2 * weeklyN.size)).toLong,
+      s"buffer $buf != floor(half mean weekly volume) recomputed from n_events")
     assert(buf < cap, "buffer must be tighter than capacity or the cap clamp is vacuous")
     // independent reimplementation of the two-sided fold:
     // backlog_w = min(buf, max(0, prev + n - c)), dropped = the excess

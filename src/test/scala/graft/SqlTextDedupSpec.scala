@@ -83,6 +83,7 @@ class SqlTextDedupSpec extends AnyFunSuite {
     val df = Queries.all("q277_sql_dedup")(spark, dir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head // AQE prints both; pin the FINAL plan
     // MERGE-pinned band-key self-join (hash build side of corpus size
     // would OOM at scale; SMJ spills) and no nested-loop anywhere
     assert(p.contains("SortMergeJoin"))
