@@ -46,7 +46,21 @@ object Compaction {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(rootPath)) return Nil
-    val lock = new Path(rootPath, ".compact-lock")
+    withLock(fs, rootPath, lockTtlMs) {
+      doCompact(spark, fs, rootPath, targetFileBytes, minFiles)
+    }
+  }
+
+  /** Single-compactor mutual exclusion for `root`: create-exclusive
+    * `.compact-lock` marker held for the body's duration, stale locks
+    * reclaimed after `lockTtlMs`. Shared by this compactor and the
+    * streaming dedup state compactor
+    * ([[graft.streaming.StreamingDedup.compactState]]) — the
+    * interleaved-rename hazard is identical for both layouts.
+    */
+  def withLock[T](fs: org.apache.hadoop.fs.FileSystem, root: Path,
+                  lockTtlMs: Long)(body: => T): T = {
+    val lock = new Path(root, ".compact-lock")
     if (fs.exists(lock) &&
         fs.getFileStatus(lock).getModificationTime < System.currentTimeMillis() - lockTtlMs)
       fs.delete(lock, false) // stale lock from a crashed run
@@ -54,8 +68,8 @@ object Compaction {
     if (!acquired)
       throw new java.io.IOException(
         s"another compaction run holds $lock; re-run after it finishes (or after its TTL)")
-    try doCompact(spark, fs, rootPath, targetFileBytes, minFiles)
-    finally fs.delete(lock, false)
+    try body
+    finally fs.delete(lock, false): Unit
   }
 
   private def doCompact(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,

@@ -150,13 +150,18 @@ object Pipeline {
     assembled.select(
       col("es_index"),
       col("dt"),
-      // deterministic doc id = hash(index, source sequence number):
-      // replays upsert the same id ⇒ effectively-once into an
-      // idempotent sink (the improvement SURVEY §7.4-3 calls for over
-      // the reference's auto-id at-least-once)
-      md5(concat_ws(":", col("es_index"), col("sequenceNumber"))).as("doc_id"),
+      docId.as("doc_id"),
       to_json(struct(stringPart.as("fields"), col("timestamp"))).as("doc"))
   }
+
+  /** Deterministic doc id = hash(index, source sequence number):
+    * replays upsert the same id ⇒ effectively-once into an idempotent
+    * sink (the improvement SURVEY §7.4-3 calls for over the
+    * reference's auto-id at-least-once). ONE rule, shared by
+    * [[toJsonDocs]] and the streaming near-dup monitor, so pairs the
+    * monitor emits join directly against sink documents.
+    */
+  def docId: Column = md5(concat_ws(":", col("es_index"), col("sequenceNumber")))
 
   /** Date-partitioned append sink (row 10/13 for a file-based target):
     * one directory per ES index, partition auto-create for free.

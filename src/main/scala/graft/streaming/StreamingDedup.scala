@@ -1,9 +1,11 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
+import graft.pipeline.Compaction
 
 /** Streaming near-duplicate detection: the MinHash-LSH dedup chain as
   * an INGEST-TIME monitor — every micro-batch of new documents is
@@ -24,15 +26,28 @@ import graft.dedup.Dedup
   * (q21_dedup_minhash) over the full corpus, signature-for-signature
   * (StreamingDedupSpec asserts set equality including est_jaccard).
   *
+  * Two state representations:
+  *
+  *  - [[foldBatch]]: state as a caller-held DataFrame — the spec/
+  *    monitor harness form. PRECONDITION: doc ids are unique across
+  *    the stream's lifetime — a re-ingested id would duplicate its
+  *    signature row and re-emit its pairs (the persistent form below
+  *    anti-joins instead).
+  *  - [[foldBatchPersistent]]: state as an append-only batchId-keyed
+  *    parquet table — the PRODUCTION shape. Per batch it WRITES only
+  *    the increment's signatures (O(increment) write, one state scan
+  *    read), restart = re-open the path (the state is on disk, not in
+  *    a driver variable), replays are idempotent (a re-run batch
+  *    overwrites its own `batch=<id>` dir and recomputes the same
+  *    pairs), and re-ingested doc ids are skipped (anti-join against
+  *    state). [[compactState]] bounds the small-file growth.
+  *
   * Scale shape per batch: the increment's exploded band keys
   * BROADCAST; the signature state streams past the hash join with no
   * shuffle and no sort, so batch cost = one state scan + work
   * proportional to the increment. The state is the signature table —
   * 16 longs per document, NOT the text (a 100 TB corpus folds to a
-  * ~100 GB signature state; production would keep it as a bucketed
-  * table on the cluster FS and this fold as a merge-append). State is
-  * re-materialized per batch ([[Dedup.materialize]]) so the next fold
-  * reads blocks, not a lineage growing with batch count.
+  * ~100 GB signature state kept on the cluster FS).
   */
 object StreamingDedup {
 
@@ -49,6 +64,16 @@ object StreamingDedup {
     * Jaccard ≥ `tNum/tDen` over the 16-hash signature) whose LATER
     * document arrived in this batch — the exact rows the batch chain
     * would produce for these pairs.
+    *
+    * PRECONDITION: doc ids never repeat across batches. A re-ingested
+    * id duplicates its signature row in state and re-emits its pairs;
+    * use [[foldBatchPersistent]] (which anti-joins the batch against
+    * the state's ids) when the source can replay documents.
+    *
+    * Scale caveat (the reason [[foldBatchPersistent]] exists): the
+    * returned state re-materializes the ENTIRE union per batch —
+    * O(state) write per ingest, held in the caller's variable, not
+    * restartable.
     */
   def foldBatch(sigs: DataFrame, batch: DataFrame,
                 idCol: String = "doc_id", textCol: String = "text",
@@ -56,12 +81,220 @@ object StreamingDedup {
     val newSigs = Dedup.materialize(
       Dedup.minhashSigTable(batch, idCol, textCol, 16))
     val all = Dedup.materialize(sigs.unionAll(newSigs))
-    val pairs = Dedup.incrementalCandidates(all, newSigs, idCol, "sig", 4, 4)
+    (all, pairsOf(all, newSigs, idCol, tNum, tDen))
+  }
+
+  /** Near-dup pairs between the full snapshot and the increment —
+    * the shared emission tail of both fold forms.
+    */
+  private def pairsOf(all: DataFrame, newSigs: DataFrame, idCol: String,
+                      tNum: Int, tDen: Int): DataFrame =
+    Dedup.incrementalCandidates(all, newSigs, idCol, "sig", 4, 4)
       .withColumn("est_jaccard", Dedup.estJaccard(col("sig_a"), col("sig_b")))
       // integer-rational threshold (the battery's knife-edge rule):
       // est = matches/16, so est >= tNum/tDen <=> matches*tDen >= 16*tNum
       .filter(col("est_jaccard") * 16 * tDen >= lit(16 * tNum))
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
-    (all, pairs)
+
+  private def fs(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** `batch=<id>` partition dirs under `root` (ignores dot-prefixed
+    * staging/retired/lock entries), as (path, batchId).
+    */
+  private def batchDirs(fs: FileSystem, root: Path): Seq[(Path, Long)] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
+      .filter(_.getName.startsWith("batch="))
+      .map(p => p -> p.getName.stripPrefix("batch=").toLong)
+
+  /** The signature state visible to batch `beforeBatchId`: every
+    * signature written by a STRICTLY EARLIER batch. Excluding the
+    * current id is what makes a crash-window replay correct — a batch
+    * that wrote its state dir but never committed its offsets re-runs
+    * against exactly the state it saw the first time, never against
+    * its own half-published output. None when no earlier state exists.
+    */
+  def stateSigs(spark: SparkSession, statePath: String,
+                beforeBatchId: Long): Option[DataFrame] = {
+    val root = new Path(statePath)
+    val dirs = batchDirs(fs(spark, root), root).filter(_._2 < beforeBatchId)
+    if (dirs.isEmpty) None
+    // read the named dirs (not the root): a half-written CURRENT
+    // batch dir or a compactor's staging must never leak into the
+    // snapshot, and basePath keeps partition discovery rooted so the
+    // `batch` column stays derivable if ever needed
+    else Some(spark.read.option("basePath", statePath)
+      .parquet(dirs.map(_._1.toString): _*)
+      .drop("batch"))
+  }
+
+  /** All pairs emitted so far (union of the batchId-keyed emission
+    * dirs under `pairsDir`); empty-on-missing so a monitor can read it
+    * before the first near-dup appears.
+    */
+  def pairsView(spark: SparkSession, pairsDir: String): Option[DataFrame] = {
+    val root = new Path(pairsDir)
+    val dirs = batchDirs(fs(spark, root), root)
+    if (dirs.isEmpty) None
+    else Some(spark.read.option("basePath", pairsDir)
+      .parquet(dirs.map(_._1.toString): _*)
+      .drop("batch"))
+  }
+
+  /** [[foldBatch]] against an on-disk signature store — the
+    * production fold. Call from `foreachBatch(batch, batchId)`:
+    *
+    *  - reads state from `statePath` (signatures of batches
+    *    `< batchId` — one scan, streamed past a broadcast hash join),
+    *  - anti-joins the batch against the state's ids, so re-ingesting
+    *    an already-seen document is a no-op (no duplicate state row,
+    *    no re-emission — the unique-id precondition of [[foldBatch]]
+    *    enforced instead of assumed),
+    *  - emits the pairs completed by this batch (returned
+    *    materialized, and — when `pairsDir` is set — persisted under
+    *    `pairsDir/batch=<batchId>`),
+    *  - appends ONLY the increment's signatures as
+    *    `statePath/batch=<batchId>` — O(increment) write per batch,
+    *    so per-batch cost stays flat as the corpus grows (state-scan
+    *    read + increment-sized everything else).
+    *
+    * Restart = nothing: state lives at `statePath`, so a new query
+    * (same checkpoint) resumes where the old one stopped. Replays are
+    * idempotent: a batch re-run after a crash inside the commit window
+    * reads the same `< batchId` snapshot, recomputes the same pairs,
+    * and OVERWRITES its own state/pairs dirs.
+    */
+  def foldBatchPersistent(statePath: String, batch: DataFrame, batchId: Long,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          tNum: Int = 1, tDen: Int = 2,
+                          pairsDir: Option[String] = None): DataFrame = {
+    val spark = batch.sparkSession
+    val prior = stateSigs(spark, statePath, batchId)
+    val signed = Dedup.minhashSigTable(batch, idCol, textCol, 16)
+    val newSigs = Dedup.materialize(prior match {
+      case Some(st) => signed.join(st.select(col(idCol)), Seq(idCol), "left_anti")
+      case None => signed
+    })
+    val all = prior.map(_.unionAll(newSigs)).getOrElse(newSigs)
+    val pairs = Dedup.materialize(pairsOf(all, newSigs, idCol, tNum, tDen))
+    // pairs are materialized ABOVE this write: the state snapshot they
+    // read must never include the increment being published
+    newSigs.write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+    pairsDir.foreach { pd =>
+      // skip the dir when nothing was emitted: an all-empty layout
+      // breaks schema inference for readers (the DLQ rule)
+      if (!pairs.isEmpty)
+        pairs.write.mode("overwrite").parquet(s"$pd/batch=$batchId")
+    }
+    pairs
+  }
+
+  /** Compacts the signature store: merges every `batch=<id>` dir with
+    * `id <= upToBatchId` into ONE `batch=<upToBatchId>` dir of
+    * `ceil(bytes / targetFileBytes)` files. A 15 s-trigger stream
+    * writes ~5,760 increment dirs/day; without this the per-batch
+    * state scan degenerates into a metadata/small-file crawl — the
+    * same pressure [[graft.pipeline.Compaction]] bounds for the
+    * document sink, under the same single-compactor lock.
+    *
+    * CONTRACT: `upToBatchId` must be ≤ the newest batch whose offsets
+    * are COMMITTED, and the run must be quiesced against folds (between
+    * micro-batches — e.g. from a listener, or a maintenance window). A
+    * committed batch is never replayed, so merging it forward is safe;
+    * merging an UNcommitted batch would hand its replay a snapshot
+    * that already contains its own output.
+    *
+    * Crash-recoverable via a commit marker: the merged data lands in a
+    * staging dir first, then `.compact-commit-<id>` is created (the
+    * commit point), then the old dirs retire and the staging dir
+    * publishes. A crash before the marker leaves the store untouched
+    * (stale staging is garbage-collected on the next run); a crash
+    * after it is rolled FORWARD by [[recoverState]] on the next run.
+    * Like [[graft.pipeline.Compaction]], a reader racing the
+    * retire/publish window can see a partial store — hence quiesced.
+    */
+  def compactState(spark: SparkSession, statePath: String, upToBatchId: Long,
+                   targetFileBytes: Long = 128L << 20,
+                   lockTtlMs: Long = 60 * 60 * 1000L): Unit = {
+    val root = new Path(statePath)
+    val hfs = fs(spark, root)
+    if (!hfs.exists(root)) return
+    Compaction.withLock(hfs, root, lockTtlMs) {
+      recoverState(hfs, root)
+      val parts = batchDirs(hfs, root).filter(_._2 <= upToBatchId)
+      if (parts.size > 1) {
+        val staging = new Path(root, ".compact-state")
+        hfs.delete(staging, true)
+        val bytes = parts.map { case (p, _) =>
+          hfs.listStatus(p).filter(_.isFile).map(_.getLen).sum }.sum
+        val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+        spark.read.option("basePath", statePath)
+          .parquet(parts.map(_._1.toString): _*)
+          .drop("batch")
+          .repartition(n)
+          .write.mode("overwrite").parquet(staging.toString)
+        // commit point: from here the merge rolls FORWARD on crash
+        val marker = new Path(root, s".compact-commit-$upToBatchId")
+        hfs.create(marker, true).close()
+        publishCompacted(hfs, root, upToBatchId)
+      }
+    }
+  }
+
+  /** Post-commit-marker publish: retire old dirs, publish staging as
+    * `batch=<upTo>`, clean up. Idempotent — [[recoverState]] re-runs
+    * it after a crash at any point past the marker.
+    */
+  private def publishCompacted(hfs: FileSystem, root: Path, upTo: Long): Unit = {
+    val staging = new Path(root, ".compact-state")
+    if (hfs.exists(staging)) {
+      // publish not yet done: retire the (remaining) source dirs —
+      // including the live batch=<upTo>, whose rows are in staging —
+      // then claim the freed name
+      batchDirs(hfs, root).filter(_._2 <= upTo).foreach { case (p, _) =>
+        if (!hfs.rename(p, new Path(root, s".retired-${p.getName}")))
+          throw new java.io.IOException(s"state compaction failed to retire $p")
+      }
+      if (!hfs.rename(staging, new Path(root, s"batch=$upTo")))
+        throw new java.io.IOException(s"state compaction failed to publish $staging")
+    } else {
+      // no staging ⇒ the publish rename already ran (crash was during
+      // cleanup): the live batch=<upTo> IS the merged dir — retiring
+      // it again would destroy the only copy
+      require(hfs.exists(new Path(root, s"batch=$upTo")),
+        s"compaction marker for $upTo with neither staging nor published dir")
+    }
+    hfs.listStatus(root).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith(".retired-"))
+      .foreach(p => hfs.delete(p, true))
+    hfs.delete(new Path(root, s".compact-commit-$upTo"), false): Unit
+  }
+
+  /** Crash recovery for [[compactState]], decided by the commit
+    * marker: marker present → the merge was complete, roll FORWARD
+    * (finish retiring/publishing); no marker → any staging dir is an
+    * incomplete merge, roll BACK (delete staging, restore any retired
+    * dirs — defensively: the no-marker protocol never retires).
+    */
+  private def recoverState(hfs: FileSystem, root: Path): Unit = {
+    val entries = hfs.listStatus(root).toSeq.map(_.getPath)
+    entries.filter(_.getName.startsWith(".compact-commit-")) match {
+      case Seq() =>
+        hfs.delete(new Path(root, ".compact-state"), true)
+        entries.filter(_.getName.startsWith(".retired-")).foreach { r =>
+          val live = new Path(root, r.getName.stripPrefix(".retired-"))
+          if (!hfs.exists(live)) {
+            if (!hfs.rename(r, live))
+              throw new java.io.IOException(s"state recovery failed for $r")
+          } else hfs.delete(r, true): Unit
+        }
+      case markers =>
+        require(markers.size == 1, s"multiple compaction markers: $markers")
+        val upTo = markers.head.getName.stripPrefix(".compact-commit-").toLong
+        // the published dir may already exist (crash during cleanup) —
+        // publishCompacted handles every post-marker resume point
+        publishCompacted(hfs, root, upTo)
+    }
   }
 }

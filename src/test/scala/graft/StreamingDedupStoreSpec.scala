@@ -1,0 +1,180 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.streaming.StreamingDedup
+
+/** The PERSISTENT signature store behind the ingest-time dedup
+  * monitor ([[StreamingDedup.foldBatchPersistent]]): per batch it
+  * must write ONLY the increment (O(increment), not O(state)), read
+  * its snapshot from disk (restart = re-open the path), stay
+  * idempotent under crash-window replays and re-ingested ids, and
+  * survive [[StreamingDedup.compactState]] — including a compactor
+  * crash at every recoverable point — without changing a row.
+  * Parity oracle throughout: the batch MinHash-LSH chain over the
+  * same corpus (the q21 shape).
+  */
+class StreamingDedupStoreSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.get("local[4]", "4")
+  private val dir = "/root/testdata/sf0.001"
+
+  private def docs(): Array[(Long, String)] =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+
+  /** The batch-chain ground truth over an arbitrary (doc_id, text)
+    * corpus — q21's exact shape (sig → banded candidates → est ≥ 1/2).
+    */
+  private def rebuildPairs(corpus: DataFrame): Set[(Long, Long, Double)] =
+    Dedup.lshCandidates(
+        Dedup.materialize(Dedup.minhashSigTable(corpus, "doc_id", "text", 16)),
+        "doc_id", "sig", 4, 4)
+      .withColumn("est_jaccard", Dedup.estJaccard(col("sig_a"), col("sig_b")))
+      .filter(col("est_jaccard") * 32 >= lit(16))
+      .select("id_a", "id_b", "est_jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  private def collectPairs(df: DataFrame): Seq[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+  private def stateIds(statePath: String): Seq[Long] =
+    spark.read.parquet(statePath).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+
+  test("persistent fold: emissions union == batch rebuild; each batch dir holds only its increment") {
+    import spark.implicits._
+    val all = docs()
+    val statePath = Files.createTempDirectory("graft_sigstore").toString + "/state"
+    val pairsDir = Files.createTempDirectory("graft_sigpairs").toString + "/pairs"
+    val batches = (0 until 4).map(k => all.filter(_._1 % 4 == k))
+
+    val emitted = batches.zipWithIndex.flatMap { case (b, id) =>
+      collectPairs(StreamingDedup.foldBatchPersistent(
+        statePath, b.toSeq.toDF("doc_id", "text"), id.toLong,
+        pairsDir = Some(pairsDir)))
+    }
+    val rebuild = rebuildPairs(all.toSeq.toDF("doc_id", "text"))
+    assert(rebuild.nonEmpty, "fixture must contain planted near-dups")
+    assert(emitted.size == emitted.toSet.size, "duplicate emission")
+    assert(emitted.toSet == rebuild)
+    // the persisted emission dirs carry the same union
+    assert(StreamingDedup.pairsView(spark, pairsDir)
+      .map(collectPairs(_).toSet).getOrElse(Set.empty) == rebuild)
+
+    // O(increment) write: batch k's dir contains EXACTLY batch k's ids
+    batches.zipWithIndex.foreach { case (b, id) =>
+      val ids = spark.read.parquet(s"$statePath/batch=$id")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids == b.map(_._1).toSet, s"batch $id dir is not exactly its increment")
+    }
+    assert(stateIds(statePath).sorted.toSeq == all.map(_._1).sorted.toSeq)
+  }
+
+  test("crash-window replay and re-ingested ids are both no-ops") {
+    import spark.implicits._
+    val all = docs()
+    val statePath = Files.createTempDirectory("graft_sigreplay").toString + "/state"
+    val pairsDir = Files.createTempDirectory("graft_sigreplay_p").toString + "/pairs"
+    val b0 = all.filter(_._1 % 2 == 0)
+    val b1 = all.filter(_._1 % 2 == 1)
+    def fold(b: Array[(Long, String)], id: Long) = collectPairs(
+      StreamingDedup.foldBatchPersistent(statePath, b.toSeq.toDF("doc_id", "text"),
+        id, pairsDir = Some(pairsDir)))
+
+    fold(b0, 0L): Unit
+    val firstAttempt = fold(b1, 1L)
+    val idsAfter = stateIds(statePath).sorted.toSeq
+    // crash-window replay: same batch, same batchId — the fold must
+    // read the same `< 1` snapshot (its own half-published dir is
+    // excluded), recompute the same pairs, overwrite its own dir
+    val replay = fold(b1, 1L)
+    assert(replay == firstAttempt, "replay diverged from the original attempt")
+    assert(stateIds(statePath).sorted.toSeq == idsAfter, "replay changed the state")
+    // re-ingest under a NEW batchId: every id already in state — the
+    // anti-join drops all of them; nothing emitted, nothing re-signed
+    val reingest = fold(b0, 2L)
+    assert(reingest.isEmpty, "re-ingested ids re-emitted pairs")
+    assert(stateIds(statePath).sorted.toSeq == idsAfter, "re-ingest grew the state")
+    // lifetime emissions still equal the batch rebuild
+    assert(StreamingDedup.pairsView(spark, pairsDir)
+      .map(collectPairs(_).toSet).getOrElse(Set.empty) ==
+      rebuildPairs(all.toSeq.toDF("doc_id", "text")))
+  }
+
+  test("compactState merges committed dirs without changing a row; folds continue after") {
+    import spark.implicits._
+    val all = docs()
+    val statePath = Files.createTempDirectory("graft_sigcompact").toString + "/state"
+    val pairsDir = Files.createTempDirectory("graft_sigcompact_p").toString + "/pairs"
+    val batches = (0 until 4).map(k => all.filter(_._1 % 4 == k))
+    val emitted = collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    def fold(k: Int): Unit = emitted ++= collectPairs(
+      StreamingDedup.foldBatchPersistent(statePath,
+        batches(k).toSeq.toDF("doc_id", "text"), k.toLong, pairsDir = Some(pairsDir)))
+
+    (0 until 3).foreach(fold)
+    val before = stateIds(statePath).sorted.toSeq
+    StreamingDedup.compactState(spark, statePath, upToBatchId = 2L,
+      targetFileBytes = 1L << 20)
+    val fs = new Path(statePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new Path(statePath)).map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).sorted.toSeq
+    assert(dirs == Seq("batch=2"), s"expected one merged dir, got $dirs")
+    assert(stateIds(statePath).sorted.toSeq == before, "compaction changed the state")
+    // the stream keeps folding against the merged store
+    fold(3)
+    assert(emitted.toSet == rebuildPairs(all.toSeq.toDF("doc_id", "text")))
+    assert(emitted.size == emitted.toSet.size)
+    // idempotent: compacting an already-compacted range is a no-op
+    StreamingDedup.compactState(spark, statePath, upToBatchId = 2L)
+    assert(stateIds(statePath).sorted.toSeq ==
+      (before ++ batches(3).map(_._1)).sorted)
+  }
+
+  test("compactor crash recovery: rolls back before the commit marker, forward after it") {
+    import spark.implicits._
+    val all = docs()
+    val statePath = Files.createTempDirectory("graft_sigrecover").toString + "/state"
+    val batches = (0 until 3).map(k => all.filter(_._1 % 3 == k))
+    batches.zipWithIndex.foreach { case (b, id) =>
+      StreamingDedup.foldBatchPersistent(statePath,
+        b.toSeq.toDF("doc_id", "text"), id.toLong): Unit
+    }
+    val before = stateIds(statePath).sorted.toSeq
+    val root = new Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    // crash BEFORE the marker: a stale staging dir must be rolled
+    // back (deleted), never published — the store is untouched
+    spark.read.parquet(s"$statePath/batch=0")
+      .write.parquet(s"$statePath/.compact-state")
+    StreamingDedup.compactState(spark, statePath, upToBatchId = 1L)
+    assert(stateIds(statePath).sorted.toSeq == before)
+    val afterFirst = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).sorted.toSeq
+    assert(afterFirst == Seq("batch=1", "batch=2"))
+
+    // crash AFTER the marker (staging complete, publish never ran):
+    // the next run must roll FORWARD — publish the staging content
+    val staged = spark.read.option("basePath", statePath)
+      .parquet(s"$statePath/batch=1", s"$statePath/batch=2")
+      .drop("batch")
+    staged.write.parquet(s"$statePath/.compact-state")
+    fs.create(new Path(root, ".compact-commit-2"), true).close()
+    StreamingDedup.compactState(spark, statePath, upToBatchId = 2L)
+    val afterSecond = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).sorted.toSeq
+    assert(afterSecond == Seq("batch=2"), s"forward recovery failed: $afterSecond")
+    assert(stateIds(statePath).sorted.toSeq == before, "recovery changed the state")
+    assert(!fs.exists(new Path(root, ".compact-commit-2")) &&
+      !fs.exists(new Path(root, ".compact-state")),
+      "recovery left protocol litter behind")
+  }
+}
