@@ -649,6 +649,77 @@ object QueriesTraining {
 
   private val qSqlDedupTvf: Q = (spark, dir) => sqlDedupTvfCall(spark, dir, 8)
 
+  /** The SRP bucket id as Spark SQL, generated from the SAME
+    * deterministic hyperplane family as [[Similarity.srpBucket]]
+    * (literal ±1 arrays from [[Similarity.planeSign]]) over the
+    * engine's registered codegen kernels (`vec_dot` — the SQL surface
+    * twin of the Scala chain's expressions, so the per-plane dots are
+    * bit-identical, not merely close).
+    */
+  private def sqlSrpBucket(vecExpr: String, planes: Int): String =
+    (0 until planes).map { j =>
+      val plane = (0 until EmbedDims).map(i =>
+        if (Similarity.planeSign(j, i) > 0) "1.0D" else "-1.0D")
+        .mkString("array(", ", ", ")")
+      s"CASE WHEN vec_dot($vecExpr, $plane) > 0 THEN ${1L << j}L ELSE 0L END"
+    }.mkString("(", " +\n      ", ")")
+
+  /** q282: SIMILARITY SEARCH as a PARAMETERIZED SQL table function —
+    * the q280 precedent extended from dedup to ANN (VERDICT r10 item
+    * 4): `SELECT * FROM near_neighbors(k)` returns the top-k
+    * LSH-bucketed cosine neighbors for every query vector, exactly
+    * the q26 chain ([[Similarity.knnLsh]]) a SQL user could not
+    * otherwise reach. The body is GENERATED from the same constants
+    * as the operator — plane count from the corpus footer rows
+    * ([[ScaleParams.lshPlanes]], the same value the oracle derives
+    * in-SQL), hyperplanes from [[Similarity.planeSign]], dots/norms
+    * through the registered `vec_dot`/`vec_norm` codegen kernels — so
+    * q282 at k=5 is ROW-IDENTICAL to q26 and shares its oracle
+    * (SqlKnnTvfSpec also pins k=1 as the per-query argmax prefix and
+    * a large k as the full bucket-mate ranking).
+    *
+    * Scale shape, declared in the text like q26's plan: one corpus
+    * pass computes bucket + norm (REPARTITION fans the single-split
+    * local scan out; at real scale it is one no-op-sized exchange),
+    * the 10-row query side BROADCASTs, and the rank window partitions
+    * by q_id — never a corpus-wide sort, never a nested loop
+    * (plan-pinned in the spec).
+    */
+  private[graft] def sqlKnnTvfDdl(planes: Int): String =
+    s"""CREATE TEMPORARY FUNCTION near_neighbors(k INT)
+       |RETURNS TABLE(q_id BIGINT, rank INT, vec_id BIGINT, cos DOUBLE) RETURN
+       |WITH b AS (SELECT /*+ REPARTITION(vec_id) */ vec_id, embedding AS vec,
+       |    vec_norm(embedding) AS nrm,
+       |    ${sqlSrpBucket("embedding", planes)} AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, vec AS q_vec, nrm AS qn, bucket
+       |  FROM b WHERE vec_id < 10),
+       |scored AS (SELECT /*+ BROADCAST(q) */ q.q_id, c.vec_id,
+       |    vec_dot(q.q_vec, c.vec) / (q.qn * c.nrm) AS cos
+       |  FROM b c JOIN q USING (bucket)
+       |  WHERE c.vec_id <> q.q_id AND q.qn > 0 AND c.nrm > 0),
+       |ranked AS (SELECT q_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= k""".stripMargin
+
+  private[graft] def sqlKnnTvfCall(spark: SparkSession, dir: String,
+                                   k: Int): DataFrame = {
+    val planes = ScaleParams.lshPlanes(
+      ScaleParams.tableRows(spark, dir, "embeddings"))
+    Tables(spark, dir, "embeddings").createOrReplaceTempView("embeddings")
+    try {
+      spark.sql(sqlKnnTvfDdl(planes))
+      spark.sql("SELECT q_id, rank, vec_id, cos " +
+        s"FROM near_neighbors($k) ORDER BY q_id, rank")
+    } finally {
+      spark.sql("DROP TEMPORARY FUNCTION IF EXISTS near_neighbors")
+      spark.catalog.dropTempView("embeddings"): Unit
+    }
+  }
+
+  private val qSqlKnnTvf: Q = (spark, dir) => sqlKnnTvfCall(spark, dir, 5)
+
   /** Incremental dedup: the 25% increment (doc_id % 4 = 3) deduped
     * against the full corpus snapshot — band keys of the increment
     * broadcast, the corpus signature side never shuffles
@@ -5150,6 +5221,7 @@ object QueriesTraining {
     "q277_sql_dedup" -> qSqlDedup,
     "q278_sql_dedup_incr" -> qSqlDedupIncr,
     "q280_sql_dedup_tvf" -> qSqlDedupTvf,
+    "q282_sql_knn_tvf" -> qSqlKnnTvf,
     "q43_dedup_incremental" -> qDedupIncremental,
     "q22_dedup_ngram" -> qDedupNgram,
     "q104_containment" -> qContainment,
@@ -6053,6 +6125,8 @@ object QueriesTraining {
     "q277_sql_dedup" -> minhashDedupOracle,
 
     "q280_sql_dedup_tvf" -> minhashDedupOracle,
+    // the ANN table function at k=5 IS the q26 chain — one oracle text
+    "q282_sql_knn_tvf" -> knnLshOracle,
 
     "q22_dedup_ngram" ->
       s"""$lshCandidateCtes,

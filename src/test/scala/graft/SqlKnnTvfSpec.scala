@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q282_sql_knn_tvf: LSH-bucketed ANN exposed as a parameterized SQL
+  * table function (`SELECT * FROM near_neighbors(k)`). The body is
+  * generated from the same constants as the Scala operator (plane
+  * count, hyperplane signs, vec_dot/vec_norm kernels), so the two
+  * must be row-IDENTICAL — bit-exact cosines, not approximate — and
+  * the parameter must do real work (k=1 prefix, large-k full bucket
+  * ranking). Mirrors SqlTextDedupSpec's pinning of q280.
+  */
+class SqlKnnTvfSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.get("local[4]", "4")
+  private val dir = "/root/testdata/sf0.001"
+
+  private def rows(df: DataFrame): Seq[(Long, Int, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+
+  test("table function at k=5 is row-identical to the Scala q26 chain; shares its oracle") {
+    val tvf = rows(Queries.all("q282_sql_knn_tvf")(spark, dir))
+    val scala = rows(Queries.all("q26_knn_lsh")(spark, dir))
+    assert(tvf.nonEmpty, "every query vector must find bucket-mates on the fixture")
+    assert(tvf == scala) // same neighbors, same EXACT cosines, same order
+    assert(Queries.oracles("q282_sql_knn_tvf") == Queries.oracles("q26_knn_lsh"))
+  }
+
+  test("the parameter does the work: k=1 is the per-query argmax prefix of k=5") {
+    val k5 = rows(QueriesTraining.sqlKnnTvfCall(spark, dir, 5))
+    val k1 = rows(QueriesTraining.sqlKnnTvfCall(spark, dir, 1))
+    assert(k1 == k5.filter(_._2 == 1), "k=1 must be exactly the rank-1 slice")
+    assert(k1.size < k5.size)
+    // catalog hygiene: the temp function never outlives its query
+    assert(!spark.catalog.functionExists("near_neighbors"))
+  }
+
+  test("large k degenerates to the FULL bucket-mate ranking (the unbounded chain)") {
+    import org.apache.spark.sql.functions.col
+    val all = rows(QueriesTraining.sqlKnnTvfCall(spark, dir, Int.MaxValue))
+    val n = ScaleParams.tableRows(spark, dir, "embeddings")
+    val unbounded = graft.sim.Similarity.knnLsh(
+        Tables(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").as("vec"))
+          .filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("vec").as("q_vec")),
+        Tables(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding").as("vec")),
+        Int.MaxValue, ScaleParams.lshPlanes(n), 64)
+      .orderBy("q_id", "rank")
+    assert(all == rows(unbounded),
+      "k=MAX must pass every bucket collision through, ranked")
+  }
+
+  test("the text plans the ANN shape: query side broadcasts, no corpus sort, no nested loop") {
+    val df = Queries.all("q282_sql_knn_tvf")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(p.contains("BroadcastHashJoin"), s"query side must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"))
+  }
+}
