@@ -27,10 +27,20 @@ import org.apache.spark.sql.SparkSession
   * (and remaining sf0.001 warms are skipped); the line still prints,
   * with the affected queries listed in "truncated". The battery grows
   * every round — the harness degrades instead of getting killed.
-  * Round-10 slicing: in dual headline mode the budget is SPLIT per
-  * battery — honest may consume at most 40%, honest+legacy at most
-  * 80% — so a slow honest pass degrades ITSELF, never the legacy pass
-  * the 2× gate is actually judged on, and the tail keeps its slice.
+  * Round-10 slicing, extended to FULL scope in round-11: in any dual
+  * run (headline or full) the budget is SPLIT per battery — honest may
+  * consume at most 40%, honest+legacy at most 80% — so a slow honest
+  * pass degrades ITSELF, never the legacy pass the 2× gate is actually
+  * judged on, and the headline tail keeps its slice (the protected-
+  * mode rule; r10's full point let honest exhaust the budget and
+  * single-ran ~124 legacy queries).
+  *
+  * Forensics (round-11): the detail file carries per-query RAW run
+  * arrays (`runs_sec` etc. — medians with tight arrays are trustworthy,
+  * wide spread = loaded box), and a cheap canary query is timed at the
+  * start and end of the record with the end/start ratio on the stdout
+  * line — a record taken on a box whose load changed mid-run
+  * self-identifies instead of requiring a judge re-bench.
   *
   * GC fence (round-9): between queries the session cache and all
   * persistent RDDs (localCheckpoint leftovers) are dropped and a GC is
@@ -101,8 +111,15 @@ object Bench {
     "q126_entity_resolution", "q109_cluster_rep", "q122_bpe_merges",
     "q257_coreset_coverage", "q243_isotonic", "q108_bm25")
 
-  /** One query's measurement under one evaluation mode. */
-  final case class QR(name: String, sec: Double, ok: Boolean, runs: Int)
+  /** One query's measurement under one evaluation mode. `sec` is the
+    * reported median; `secs` keeps every raw run (round-10 forensics:
+    * the r10 driver tail recorded a loaded-box 6× outlier that needed
+    * a judge re-bench to diagnose — with the per-run array in the
+    * detail file, a contaminated record self-identifies: honest
+    * medians have tight arrays, a loaded box shows 3× spread).
+    */
+  final case class QR(name: String, sec: Double, ok: Boolean, runs: Int,
+                      secs: Seq[Double] = Seq.empty)
 
   /** Drop session cache + persistent RDDs (localCheckpoint leftovers)
     * and request a GC — the inter-query fence.
@@ -150,8 +167,34 @@ object Bench {
       fence(spark)
       val ok = rs.forall(_._2)
       val t = if (ok) rs.map(_._1).sorted.apply(rs.size / 2) else rs.map(_._1).max
-      QR(name, t, ok, n)
+      QR(name, t, ok, n, rs.map(_._1))
     }
+  }
+
+  /** The load canary: one cheap battery query timed (honest mode,
+    * warmed, fenced) at the START and END of the run. On a quiet box
+    * the two agree; a ratio far from 1 means the machine's load
+    * changed mid-run and the record's absolute numbers are
+    * contaminated (the r10 driver tail: q91 recorded 6.4× its anchor
+    * purely from box load — the canary makes such a record
+    * self-identify instead of needing a judge re-bench).
+    */
+  val CanaryQuery = "q1_agg"
+
+  def canary(spark: SparkSession, sfDir: String): Double = {
+    val fn = SparkEntry.queries(CanaryQuery)
+    // warm TWICE: the start-of-record call is the very first query the
+    // JVM runs, and a single warm execution still carries enough
+    // JIT/codegen cold cost to skew the ratio ~2× on a quiet box
+    (1 to 2).foreach { _ =>
+      try execute(fn(spark, sfDir), legacy = false)
+      catch { case _: Throwable => () }
+    }
+    fence(spark)
+    val t0 = System.nanoTime()
+    try execute(fn(spark, sfDir), legacy = false)
+    catch { case _: Throwable => () }
+    (System.nanoTime() - t0) / 1e9
   }
 
   // Fixed-width decimals; Locale.ROOT so a de_DE/fr_FR JVM can't emit
@@ -180,6 +223,11 @@ object Bench {
     results.map(r => "\"" + r.name + "\":" + r.runs)
       .mkString("{", ",", "}")
 
+  private def rsecjson(results: Seq[QR], dp: Int): String =
+    results.map(r => "\"" + r.name + "\":" +
+        r.secs.map(fmt(_, dp)).mkString("[", ",", "]"))
+      .mkString("{", ",", "}")
+
   private def names(xs: Seq[String]): String =
     xs.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
 
@@ -187,10 +235,16 @@ object Bench {
     * Returns (stdoutLine, detailBody). All three groups (honest,
     * legacy, tail) run median-of-`runs`, so all three count toward
     * "truncated" when the budget degrades them; the detail body
-    * carries per-query seconds AND per-query runs counts.
+    * carries per-query seconds, per-query runs counts, AND per-query
+    * raw run arrays (`*_runs_sec`) — the forensics that let a reader
+    * distinguish a loaded box (wide spread) from a real regression
+    * (tight spread at a new level). `canary` = (startSec, endSec) of
+    * the load canary; its RATIO rides the stdout line so a
+    * contaminated record self-identifies at a glance.
     */
   def render(mode: String, scope: String, head: Seq[QR], legacyR: Seq[QR],
-             tail: Seq[QR], runs: Int, outPath: String, sfDir: String): (String, String) = {
+             tail: Seq[QR], runs: Int, outPath: String, sfDir: String,
+             canary: Option[(Double, Double)] = None): (String, String) = {
     val failed = names((head ++ legacyR ++ tail).filter(!_.ok).map(_.name))
     val truncated = names((head ++ legacyR ++ tail).filter(_.runs < runs).map(_.name))
     val legacyTotal =
@@ -201,26 +255,36 @@ object Bench {
         s""","tail_value":${fmt(tail.map(_.sec).sum, 4)},"n_tail":${tail.size}""" +
           s""","tail_mode":"median-of-$runs""""
       else ""
+    val canaryRatio = canary.map { case (s, e) =>
+      s""","canary_ratio":${fmt(if (s > 0) e / s else 0.0, 2)}""" }.getOrElse("")
+    val canaryDetail = canary.map { case (s, e) =>
+      Seq(s""""canary_query":"$CanaryQuery"""",
+        s""""canary_start_sec":${fmt(s, 4)}""", s""""canary_end_sec":${fmt(e, 4)}""",
+        s""""canary_ratio":${fmt(if (s > 0) e / s else 0.0, 2)}""") }.getOrElse(Seq.empty)
     val line = s"""{"metric":"total","value":${fmt(head.map(_.sec).sum, 4)},"unit":"sec"""" +
       s""","mode":"$mode","scope":"$scope","n_queries":${head.size},"failed":$failed""" +
-      s""","truncated":$truncated""" + legacyTotal + tailFields +
+      s""","truncated":$truncated""" + legacyTotal + tailFields + canaryRatio +
       s""","detail":${jstr(outPath)},"sf":${jstr(sfDir)}}"""
     val detail = (
       Seq(s""""metric":"total"""", s""""value":${fmt(head.map(_.sec).sum, 4)}""",
         s""""unit":"sec"""", s""""mode":"$mode"""", s""""scope":"$scope"""",
         s""""queries":${qjson(head, 4)}""", s""""runs":${rjson(head)}""",
+        s""""runs_sec":${rsecjson(head, 4)}""",
         s""""failed":$failed""", s""""truncated":$truncated""") ++
       (if (legacyR.nonEmpty)
         Seq(s""""legacy_value":${fmt(legacyR.map(_.sec).sum, 4)}""",
           s""""legacy_queries":${qjson(legacyR, 4)}""",
-          s""""legacy_runs":${rjson(legacyR)}""")
+          s""""legacy_runs":${rjson(legacyR)}""",
+          s""""legacy_runs_sec":${rsecjson(legacyR, 4)}""")
       else Seq.empty) ++
       (if (tail.nonEmpty)
         Seq(s""""tail_value":${fmt(tail.map(_.sec).sum, 4)}""",
           s""""tail_queries":${qjson(tail, 4)}""",
           s""""tail_runs":${rjson(tail)}""",
+          s""""tail_runs_sec":${rsecjson(tail, 4)}""",
           s""""tail_mode":"median-of-$runs"""")
       else Seq.empty) ++
+      canaryDetail ++
       Seq(s""""sf":${jstr(sfDir)}""")
     ).mkString("{", ",", "}")
     (line, detail)
@@ -257,13 +321,20 @@ object Bench {
       else ("headline", gateQueries.sorted, tailQueries)
     def resolve(ns: Seq[String]) = ns.map(n => n -> SparkEntry.queries(n))
 
-    // Budget slices (dual headline): the honest pass may consume at
-    // most 40% of the budget and honest+legacy at most 80% — a slow
-    // honest pass degrades ITSELF to single runs, never the legacy
-    // pass the 2× gate is judged on, and the tail keeps a slice.
-    val slicing = mode == "dual" && args.isEmpty && !full
+    // Budget slices (dual mode, headline AND full — round-11: the r10
+    // full-battery point let the honest pass exhaust the whole budget
+    // and degraded ~124 legacy queries to single runs): the honest
+    // pass may consume at most 40% of the budget and honest+legacy at
+    // most 80% — a slow honest pass degrades ITSELF to single runs,
+    // never the legacy pass the 2× gate is judged on, and the
+    // headline tail keeps a slice. This is the PROTECTED-MODE RULE:
+    // in any dual run each mode owns its slice of the wall budget.
+    val slicing = mode == "dual" && args.isEmpty
     def slice(frac: Double): Long =
       if (slicing) t0 + (budgetSec * frac * 1e9).toLong else deadline
+
+    // load canary at both ends of the record (see [[canary]])
+    val canaryStart = canary(spark, sfDir)
 
     // honest FIRST: the headline numbers must not inherit JIT/page-
     // cache warmth from a prior full battery (the comparison pass may).
@@ -279,9 +350,11 @@ object Bench {
       else battery(spark, sfDir, resolve(tailNames), legacy = false, runs, deadline)
     val head = if (mode == "legacy") legacyR else honest
 
+    val canaryEnd = canary(spark, sfDir)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     val (line, detail) = render(mode, scope, head,
-      if (mode == "dual") legacyR else Seq.empty, tail, runs, outPath, sfDir)
+      if (mode == "dual") legacyR else Seq.empty, tail, runs, outPath, sfDir,
+      canary = Some((canaryStart, canaryEnd)))
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (detail + "\n").getBytes("UTF-8")): Unit
     println(line)

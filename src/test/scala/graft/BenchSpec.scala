@@ -43,6 +43,29 @@ class BenchSpec extends AnyFunSuite {
     // detail carries per-query runs counts (the doc's promise)
     assert(detail.contains(""""runs":{"q1_agg":1,"q11_route":1}"""), detail)
     assert(detail.contains(""""tail_runs":{"q12_grok":1}"""), detail)
+    // round-11 forensics: the RAW per-run arrays ride the detail file
+    // (here single runs → one-element arrays)
+    assert(head.forall(_.secs.size == 1), head.toString)
+    assert(detail.contains(""""runs_sec":{"q1_agg":["""), detail)
+    assert(detail.contains(""""tail_runs_sec":{"q12_grok":["""), detail)
+  }
+
+  test("canary fields: ratio on the stdout line, start/end in the detail file") {
+    val s = Bench.canary(spark, sf)
+    val e = Bench.canary(spark, sf)
+    assert(s > 0 && e > 0, s"canary must time a real execution: start=$s end=$e")
+    val head = Seq(Bench.QR("q1_agg", 1.0, ok = true, runs = 3, secs = Seq(0.9, 1.0, 1.2)))
+    val (line, detail) = Bench.render("dual", "full", head, head, Seq.empty,
+      runs = 3, outPath = "BENCH_FULL.json", sfDir = sf, canary = Some((s, e)))
+    assert(line.contains(""""canary_ratio":"""), line)
+    assert(detail.contains(""""canary_start_sec":""") &&
+      detail.contains(""""canary_end_sec":""") &&
+      detail.contains(s""""canary_query":"${Bench.CanaryQuery}""""), detail)
+    assert(detail.contains(""""runs_sec":{"q1_agg":[0.9000,1.0000,1.2000]}"""), detail)
+    assert(detail.contains(""""legacy_runs_sec":{"q1_agg":[0.9000,1.0000,1.2000]}"""), detail)
+    import spark.implicits._
+    for (js <- Seq(line, detail))
+      assert(!spark.read.json(Seq(js).toDS).columns.contains("_corrupt_record"), js)
   }
 
   test("env-provided paths with quotes/backslashes still render valid JSON") {
