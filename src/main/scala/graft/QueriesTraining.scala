@@ -534,8 +534,17 @@ object QueriesTraining {
     * Spark twin of the oracle-side `sigBandCtes`, shared by the batch
     * (q277) and incremental (q278) SQL-text recipes. Signature columns
     * ride along into `bands` (see the q277 scaladoc for why).
+    *
+    * `fanOut` gates the REPARTITION(doc_id) hint — the text-generation
+    * twin of [[Dedup.fanOut]]'s guard: a single-split local scan needs
+    * the fan-out before the per-row-expensive tokenize/shingle/md5
+    * stage, but on an already-split scan the hint is a pure full-
+    * corpus TEXT shuffle (measured at the 100× rehearsal point: the
+    * hinted text ran 1.66× the Scala chain, the adaptive text restores
+    * parity — BASELINE §d round-11). The query closures decide per
+    * scan, exactly as the operator does.
     */
-  private[graft] val sqlSigBandCtes: String = {
+  private[graft] def sqlSigBandCtes(fanOut: Boolean): String = {
     val mins = (0 until 16)
       .map(j => s"min((${Dedup.minhashA(j)} * h + ${Dedup.minhashB(j)}) % ${Dedup.MinhashP}) AS m$j")
       .mkString(",\n    ")
@@ -545,7 +554,8 @@ object QueriesTraining {
         s"md5(concat_ws('|', '$b', $parts))"
       }
       .mkString("array(\n      ", ",\n      ", ")")
-    s"""WITH toks AS (SELECT /*+ REPARTITION(doc_id) */ doc_id,
+    val hint = if (fanOut) "/*+ REPARTITION(doc_id) */ " else ""
+    s"""WITH toks AS (SELECT ${hint}doc_id,
        |    split(trim(text), '\\\\s+') AS t FROM documents),
        |sh AS (SELECT doc_id,
        |    CASE WHEN size(t) >= 3
@@ -570,8 +580,8 @@ object QueriesTraining {
     .map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END")
     .mkString(" +\n      ")
 
-  private[graft] val SqlDedupText: String =
-    s"""$sqlSigBandCtes
+  private[graft] def sqlDedupText(fanOut: Boolean): String =
+    s"""${sqlSigBandCtes(fanOut)}
        |SELECT id_a, id_b, est_jaccard FROM (
        |  SELECT /*+ MERGE(a), MERGE(b) */ DISTINCT
        |    a.doc_id AS id_a, b.doc_id AS id_b,
@@ -580,8 +590,17 @@ object QueriesTraining {
        |  WHERE a.doc_id < b.doc_id)
        |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
 
+  /** True when the documents scan needs the in-text fan-out hint —
+    * [[Dedup.fanOut]]'s partition-count guard applied at SQL-text
+    * generation time.
+    */
+  private def docsNeedFanOut(spark: SparkSession, dir: String): Boolean =
+    Tables(spark, dir, "documents").rdd.getNumPartitions <
+      spark.sparkContext.defaultParallelism
+
   private val qSqlDedup: Q = (spark, dir) =>
-    QueriesAnalytics.sqlVerbatim(spark, dir, SqlDedupText, Seq("documents"))
+    QueriesAnalytics.sqlVerbatim(spark, dir,
+      sqlDedupText(docsNeedFanOut(spark, dir)), Seq("documents"))
 
   /** q278: the INCREMENTAL dedup recipe as SQL text — q43's semantics
     * (the 25% ingest `doc_id % 4 = 3` deduped against the full corpus
@@ -592,8 +611,8 @@ object QueriesTraining {
     * 100 TB pipeline actually runs day to day. Row-identical to
     * q43_dedup_incremental (SqlTextDedupSpec) and shares its oracle.
     */
-  private[graft] val SqlDedupIncrText: String =
-    s"""$sqlSigBandCtes,
+  private[graft] def sqlDedupIncrText(fanOut: Boolean): String =
+    s"""${sqlSigBandCtes(fanOut)},
        |inc AS (SELECT * FROM bands WHERE doc_id % 4 = 3)
        |SELECT id_a, id_b, est_jaccard FROM (
        |  SELECT /*+ BROADCAST(b) */ DISTINCT
@@ -605,7 +624,8 @@ object QueriesTraining {
        |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
 
   private val qSqlDedupIncr: Q = (spark, dir) =>
-    QueriesAnalytics.sqlVerbatim(spark, dir, SqlDedupIncrText, Seq("documents"))
+    QueriesAnalytics.sqlVerbatim(spark, dir,
+      sqlDedupIncrText(docsNeedFanOut(spark, dir)), Seq("documents"))
 
   /** q280: the dedup recipe as a PARAMETERIZED SQL table function —
     * Spark 4's SQL-defined UDFs (`CREATE FUNCTION … RETURNS TABLE`)
@@ -622,10 +642,10 @@ object QueriesTraining {
     * function is TEMPORARY and dropped after eager analysis — the
     * sqlVerbatim catalog-hygiene rule extended to functions.
     */
-  private[graft] val SqlDedupTvfDdl: String =
+  private[graft] def sqlDedupTvfDdl(fanOut: Boolean): String =
     s"""CREATE TEMPORARY FUNCTION near_dup_pairs(t16 INT)
        |RETURNS TABLE(id_a BIGINT, id_b BIGINT, est_jaccard DOUBLE) RETURN
-       |$sqlSigBandCtes
+       |${sqlSigBandCtes(fanOut)}
        |SELECT id_a, id_b, est_jaccard FROM (
        |  SELECT /*+ MERGE(a), MERGE(b) */ DISTINCT
        |    a.doc_id AS id_a, b.doc_id AS id_b,
@@ -636,9 +656,10 @@ object QueriesTraining {
 
   private[graft] def sqlDedupTvfCall(spark: SparkSession, dir: String,
                                      sixteenths: Int): DataFrame = {
+    val fanOut = docsNeedFanOut(spark, dir)
     Tables(spark, dir, "documents").createOrReplaceTempView("documents")
     try {
-      spark.sql(SqlDedupTvfDdl)
+      spark.sql(sqlDedupTvfDdl(fanOut))
       spark.sql("SELECT id_a, id_b, est_jaccard " +
         s"FROM near_dup_pairs($sixteenths) ORDER BY id_a, id_b")
     } finally {
@@ -719,6 +740,56 @@ object QueriesTraining {
   }
 
   private val qSqlKnnTvf: Q = (spark, dir) => sqlKnnTvfCall(spark, dir, 5)
+
+  /** q283: MULTI-PROBE similarity search as a SQL table function —
+    * `near_neighbors_probe(k)` is q282's body with the QUERY side
+    * exploded to `planes + 1` probe buckets (own bucket + every
+    * Hamming-1 neighbor via XOR masks, [[Similarity.knnLshMultiProbe]]):
+    * the recall/cost knob a SQL user turns WITHOUT rebuilding the
+    * index. Row-identical to q87 at k=5 and shares its oracle; the
+    * corpus side still computes ONE bucket per vector — only the
+    * 10-row broadcast side grows by the probe factor (plan-pinned with
+    * q282's assertions in SqlKnnTvfSpec).
+    */
+  private[graft] def sqlKnnProbeTvfDdl(planes: Int): String = {
+    val masks = (0L +: (0 until planes).map(j => 1L << j))
+      .map(m => s"${m}L").mkString("array(", ", ", ")")
+    s"""CREATE TEMPORARY FUNCTION near_neighbors_probe(k INT)
+       |RETURNS TABLE(q_id BIGINT, rank INT, vec_id BIGINT, cos DOUBLE) RETURN
+       |WITH b AS (SELECT /*+ REPARTITION(vec_id) */ vec_id, embedding AS vec,
+       |    vec_norm(embedding) AS nrm,
+       |    ${sqlSrpBucket("embedding", planes)} AS bucket
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, vec AS q_vec, nrm AS qn,
+       |    CAST(bucket ^ mask AS BIGINT) AS bucket
+       |  FROM b LATERAL VIEW explode($masks) gen AS mask
+       |  WHERE vec_id < 10),
+       |scored AS (SELECT /*+ BROADCAST(q) */ q.q_id, c.vec_id,
+       |    vec_dot(q.q_vec, c.vec) / (q.qn * c.nrm) AS cos
+       |  FROM b c JOIN q USING (bucket)
+       |  WHERE c.vec_id <> q.q_id AND q.qn > 0 AND c.nrm > 0),
+       |ranked AS (SELECT q_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= k""".stripMargin
+  }
+
+  private[graft] def sqlKnnProbeTvfCall(spark: SparkSession, dir: String,
+                                        k: Int): DataFrame = {
+    val planes = ScaleParams.lshPlanes(
+      ScaleParams.tableRows(spark, dir, "embeddings"))
+    Tables(spark, dir, "embeddings").createOrReplaceTempView("embeddings")
+    try {
+      spark.sql(sqlKnnProbeTvfDdl(planes))
+      spark.sql("SELECT q_id, rank, vec_id, cos " +
+        s"FROM near_neighbors_probe($k) ORDER BY q_id, rank")
+    } finally {
+      spark.sql("DROP TEMPORARY FUNCTION IF EXISTS near_neighbors_probe")
+      spark.catalog.dropTempView("embeddings"): Unit
+    }
+  }
+
+  private val qSqlKnnProbeTvf: Q = (spark, dir) => sqlKnnProbeTvfCall(spark, dir, 5)
 
   /** Incremental dedup: the 25% increment (doc_id % 4 = 3) deduped
     * against the full corpus snapshot — band keys of the increment
@@ -5222,6 +5293,7 @@ object QueriesTraining {
     "q278_sql_dedup_incr" -> qSqlDedupIncr,
     "q280_sql_dedup_tvf" -> qSqlDedupTvf,
     "q282_sql_knn_tvf" -> qSqlKnnTvf,
+    "q283_sql_knn_probe_tvf" -> qSqlKnnProbeTvf,
     "q43_dedup_incremental" -> qDedupIncremental,
     "q22_dedup_ngram" -> qDedupNgram,
     "q104_containment" -> qContainment,
@@ -6125,8 +6197,10 @@ object QueriesTraining {
     "q277_sql_dedup" -> minhashDedupOracle,
 
     "q280_sql_dedup_tvf" -> minhashDedupOracle,
-    // the ANN table function at k=5 IS the q26 chain — one oracle text
+    // the ANN table functions at k=5 ARE the q26/q87 chains — one
+    // oracle text each
     "q282_sql_knn_tvf" -> knnLshOracle,
+    "q283_sql_knn_probe_tvf" -> knnMultiProbeOracle,
 
     "q22_dedup_ngram" ->
       s"""$lshCandidateCtes,

@@ -452,6 +452,62 @@ object ScaleRehearsal {
       }
       spark.stop(); return
     }
+    if (args.length > 1 && args(1) == "sql") {
+      // SQL-recipe vs Scala-operator parity at the DEEPEST feasible
+      // scale (VERDICT r10 item 5): only the two dedup chains run, so
+      // the multiple can go past the full-chain rehearsal's disk bound
+      // (the r7 100x abort was the whole battery's spill stacked on one
+      // box, q22/q66's shingle-carrying sorts dominating). Also prints
+      // whether the generated text still plans the single-corpus-pass
+      // shape (ReusedExchange) at the scaled point — the claim is not
+      // just "same wall", it's "same physics".
+      scaleDocs(spark, base, scaled, mult)
+      val qs = Seq("q21_dedup_minhash", "q277_sql_dedup")
+      Seq("1x" -> base, s"${mult}x" -> scaled).foreach { case (label, dir) =>
+        qs.foreach(q => timeQuery(spark, q, dir)) // warm
+        val line = qs.map(q => "\"" + q + "\":" + timeQuery(spark, q, dir))
+          .mkString("{", ",", "}")
+        val df = SparkEntry.queries("q277_sql_dedup")(spark, dir)
+        df.queryExecution.toRdd.count(): Unit
+        val plan = df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        val reused = plan.contains("ReusedExchange")
+        println(s"""{"metric":"scale_rehearsal_sql","scale":"$label","dir":"$dir","queries":$line,"sql_plan_reused_exchange":$reused}""")
+      }
+      spark.stop(); return
+    }
+    if (args.length > 1 && args(1) == "neardup") {
+      // the persistent streaming fold's per-batch cost as state grows
+      // (VERDICT r10 item 1's rehearsal row): Nx corpus split into 8
+      // equal-size ingests folded through the on-disk signature store —
+      // the O(increment) claim is "batch 8 costs ~ batch 1" even though
+      // the state behind batch 8 is 7x larger. A mid-stream compaction
+      // after batch 4 exercises the maintenance path in-band.
+      scaleDocs(spark, base, scaled, mult)
+      val statePath = s"$scaled/neardup_state"
+      val pairsDir = s"$scaled/neardup_pairs"
+      val hadoopPath = new org.apache.hadoop.fs.Path(scaled)
+      val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(statePath), true)
+      fs.delete(new org.apache.hadoop.fs.Path(pairsDir), true)
+      val docs = spark.read.parquet(s"$scaled/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val nBatches = 8
+      var pairsTotal = 0L
+      val secs = (0 until nBatches).map { k =>
+        val b = docs.filter(pmod(col("doc_id"), lit(nBatches)) === k)
+        val t0 = System.nanoTime()
+        val pairs = graft.streaming.StreamingDedup.foldBatchPersistent(
+          statePath, b, k.toLong, pairsDir = Some(pairsDir))
+        pairsTotal += pairs.count()
+        val t = (System.nanoTime() - t0) / 1e9
+        if (k == 3) graft.streaming.StreamingDedup.compactState(spark, statePath, 3L)
+        t
+      }
+      val js = secs.map(s => f"$s%.3f").mkString("[", ",", "]")
+      println(s"""{"metric":"scale_rehearsal_neardup","scale":"${mult}x","batches":$nBatches,"pairs":$pairsTotal,"batch_secs":$js,"flat_ratio":${f"${secs.last / secs.head}%.2f"}}""")
+      spark.stop(); return
+    }
     if (embedOnly) { runEmbed(spark, base, scaled, mult); spark.stop(); return }
     if (erOnly) { runEr(spark, base, scaled, mult); spark.stop(); return }
     if (bloomOnly) {

@@ -52,6 +52,25 @@ class SqlKnnTvfSpec extends AnyFunSuite {
       "k=MAX must pass every bucket collision through, ranked")
   }
 
+  test("multi-probe table function at k=5 is row-identical to the Scala q87 chain") {
+    val tvf = rows(Queries.all("q283_sql_knn_probe_tvf")(spark, dir))
+    val scala = rows(Queries.all("q87_knn_multiprobe")(spark, dir))
+    assert(tvf.nonEmpty && tvf == scala)
+    assert(Queries.oracles("q283_sql_knn_probe_tvf") == Queries.oracles("q87_knn_multiprobe"))
+    assert(!spark.catalog.functionExists("near_neighbors_probe"))
+  }
+
+  test("probing widens the candidate set: k=MAX multi-probe pairs are a strict superset") {
+    val single = rows(QueriesTraining.sqlKnnTvfCall(spark, dir, Int.MaxValue))
+      .map(r => (r._1, r._3)).toSet
+    val probed = rows(QueriesTraining.sqlKnnProbeTvfCall(spark, dir, Int.MaxValue))
+      .map(r => (r._1, r._3)).toSet
+    assert(single.subsetOf(probed),
+      "a query's own bucket is probe mask 0 — its mates must all survive")
+    assert(probed.size > single.size,
+      "Hamming-1 probes must recover boundary neighbors on this fixture")
+  }
+
   test("the text plans the ANN shape: query side broadcasts, no corpus sort, no nested loop") {
     val df = Queries.all("q282_sql_knn_tvf")(spark, dir)
     df.collect()

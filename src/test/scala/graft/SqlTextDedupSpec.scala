@@ -91,5 +91,12 @@ class SqlTextDedupSpec extends AnyFunSuite {
     // the REPARTITION(doc_id) hint materializes as a hash exchange so
     // the tokenize/shingle/md5 stage never runs on one local split
     assert(p.contains("REPARTITION_BY_COL") || p.contains("hashpartitioning(doc_id"))
+    // the single-corpus-pass shape: both self-join sides canonicalize
+    // to ONE band-key exchange, so the final plan REUSES it — the
+    // signature chain is computed once per action (ScaleRehearsal's
+    // `sql` mode re-checks this at the 100x corpus; the text has no
+    // scale-varied parameters, so the planned shape is scale-stable)
+    assert(p.contains("ReusedExchange"),
+      s"self-join sides must reuse one exchange:\n$p")
   }
 }
