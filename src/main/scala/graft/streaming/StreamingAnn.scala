@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.sim.Similarity
+
+/** Streaming near-duplicate detection over EMBEDDINGS — the q24 chain
+  * (banded SRP candidates → exact-cosine verify) as an ingest-time
+  * monitor on the SAME persistent batchId-keyed store discipline as
+  * [[StreamingDedup.foldBatchPersistent]]: per micro-batch of new
+  * vectors the state grows by exactly the increment, snapshot reads
+  * exclude the current batch (crash-window replays idempotent),
+  * re-ingested ids anti-join away, restart = re-open the path, and
+  * [[StreamingDedup.compactState]] bounds the small files (the store
+  * functions are schema-agnostic — one maintenance path for both
+  * monitors).
+  *
+  * Fold == rebuild, EXACTLY: a pair is emitted in the batch its later
+  * vector arrives in; the union of all emissions equals the batch
+  * chain (q24_dedup_embed) over the full corpus, cosine-for-cosine
+  * (same `vec_dot`/`vec_norm` fold, vectors round-trip parquet floats
+  * bit-identically).
+  *
+  * State per vector = (id, v, nrm, band buckets): unlike the MinHash
+  * monitor's 16 longs, the VECTOR itself must persist — the exact-
+  * cosine verify needs it, exactly as any vector index stores its
+  * vectors. Per-batch cost: the increment's exploded band buckets
+  * BROADCAST; the state streams past the hash join with no shuffle —
+  * one state scan + increment-sized work.
+  *
+  * `planesPerBand` is the index's occupancy knob
+  * ([[graft.ScaleParams.srpBandPlanes]], BASELINE §e): FIX it for the
+  * index lifetime from the TARGET corpus size — changing it is a
+  * reindex, not a parameter tweak (every stored bucket changes).
+  */
+object StreamingAnn {
+
+  def foldBatchPersistent(statePath: String, batch: DataFrame, batchId: Long,
+                          planesPerBand: Int,
+                          idCol: String = "vec_id", embCol: String = "embedding",
+                          bands: Int = 4, dims: Int = 64, minCos: Double = 0.3,
+                          pairsDir: Option[String] = None): DataFrame = {
+    val spark = batch.sparkSession
+    val prior = StreamingDedup.stateSigs(spark, statePath, batchId)
+    val signed = batch
+      .select(col(idCol), col(embCol).as("v"))
+      .withColumn("nrm", Similarity.norm(col("v")))
+      .withColumn("buckets",
+        Similarity.srpBandKeys(col("v"), bands, planesPerBand, dims))
+    val newRows = Dedup.materialize(prior match {
+      case Some(st) => signed.join(st.select(col(idCol)), Seq(idCol), "left_anti")
+      case None => signed
+    })
+    val all = prior.map(_.unionAll(newRows)).getOrElse(newRows)
+    def exploded(df: DataFrame, sfx: String) = df.select(
+      col(idCol).as(s"id_$sfx"), col("v").as(s"v_$sfx"), col("nrm").as(s"n_$sfx"),
+      explode_outer(col("buckets")).as("bucket"))
+    val cand = exploded(all, "l").join(broadcast(exploded(newRows, "r")), Seq("bucket"))
+      .filter(col("id_l") =!= col("id_r"))
+      .select(when(col("id_l") < col("id_r"),
+          struct(col("id_l").as("id_a"), col("id_r").as("id_b"),
+            col("v_l").as("va"), col("v_r").as("vb"),
+            col("n_l").as("na"), col("n_r").as("nb")))
+        .otherwise(
+          struct(col("id_r").as("id_a"), col("id_l").as("id_b"),
+            col("v_r").as("va"), col("v_l").as("vb"),
+            col("n_r").as("na"), col("n_l").as("nb"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.va").as("va"), col("p.vb").as("vb"),
+        col("p.na").as("na"), col("p.nb").as("nb"))
+      .dropDuplicates("id_a", "id_b") // a pair can collide in >1 band
+    val pairs = Dedup.materialize(cand
+      .withColumn("cos", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cos")))
+    // pairs materialized ABOVE this write (the snapshot they read must
+    // never include the increment being published)
+    newRows.write.mode("overwrite").parquet(s"$statePath/batch=$batchId")
+    pairsDir.foreach { pd =>
+      if (!pairs.isEmpty)
+        pairs.write.mode("overwrite").parquet(s"$pd/batch=$batchId")
+    }
+    pairs
+  }
+}
