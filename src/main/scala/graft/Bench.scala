@@ -173,8 +173,10 @@ object Bench {
 
   /** The load canary: one cheap battery query timed (honest mode,
     * warmed, fenced) at the START and END of the run. On a quiet box
-    * the two agree; a ratio far from 1 means the machine's load
-    * changed mid-run and the record's absolute numbers are
+    * the measured ratio sits in ~0.4–1.0 (the end canary runs in a
+    * fully C2-compiled JVM; below 1 is the healthy direction — see
+    * BASELINE §c's canary read rule); a ratio ≳ 1.5 means load
+    * arrived mid-run and the record's absolute numbers are
     * contaminated (the r10 driver tail: q91 recorded 6.4× its anchor
     * purely from box load — the canary makes such a record
     * self-identify instead of needing a judge re-bench).
