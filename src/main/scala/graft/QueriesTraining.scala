@@ -3839,6 +3839,51 @@ object QueriesTraining {
       .orderBy("id_a", "id_b")
   }
 
+  /** q284: INCREMENTAL embedding dedup — q43's ingest-vs-snapshot
+    * semantics applied to the q24 chain: the 25% increment
+    * (`vec_id % 4 = 3`) of new vectors deduped against the full
+    * corpus snapshot. The increment's exploded band buckets BROADCAST;
+    * the corpus side streams past the hash join with no shuffle and
+    * no sort — per-ingest cost is one corpus scan plus work
+    * proportional to the increment, the exact physics
+    * [[graft.streaming.StreamingAnn]] runs per micro-batch (this is
+    * its declared oracle-checked twin, as q43 is to the MinHash
+    * monitor). Emits every near-dup pair touching the increment,
+    * normalized and cosine-verified like q24.
+    */
+  private val qEmbedIncremental: Q = (spark, dir) => {
+    val planes = ScaleParams.srpBandPlanes(
+      ScaleParams.tableRows(spark, dir, "embeddings"))
+    val e = Dedup.materialize(
+      Dedup.fanOut(Tables(spark, dir, "embeddings"), col("vec_id"))
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("nrm", Similarity.norm(col("v")))
+        .withColumn("buckets", Similarity.srpBandKeys(col("v"), EmbedBands,
+          planes, EmbedDims)))
+    val inc = e.filter(col("vec_id") % 4 === 3)
+    def exploded(df: DataFrame, sfx: String) = df.select(
+      col("vec_id").as(s"id_$sfx"), col("v").as(s"v_$sfx"), col("nrm").as(s"n_$sfx"),
+      explode_outer(col("buckets")).as("bucket"))
+    exploded(e, "l").join(broadcast(exploded(inc, "r")), Seq("bucket"))
+      .filter(col("id_l") =!= col("id_r"))
+      .select(when(col("id_l") < col("id_r"),
+          struct(col("id_l").as("id_a"), col("id_r").as("id_b"),
+            col("v_l").as("va"), col("v_r").as("vb"),
+            col("n_l").as("na"), col("n_r").as("nb")))
+        .otherwise(
+          struct(col("id_r").as("id_a"), col("id_l").as("id_b"),
+            col("v_r").as("va"), col("v_l").as("vb"),
+            col("n_r").as("na"), col("n_l").as("nb"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.va").as("va"), col("p.vb").as("vb"),
+        col("p.na").as("na"), col("p.nb").as("nb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= NearDupCos)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
   // ---------------------------------------------------------- similarity
 
   /** Brute-force cosine top-k: exact ANN baseline. */
@@ -5294,6 +5339,7 @@ object QueriesTraining {
     "q280_sql_dedup_tvf" -> qSqlDedupTvf,
     "q282_sql_knn_tvf" -> qSqlKnnTvf,
     "q283_sql_knn_probe_tvf" -> qSqlKnnProbeTvf,
+    "q284_embed_incremental" -> qEmbedIncremental,
     "q43_dedup_incremental" -> qDedupIncremental,
     "q22_dedup_ngram" -> qDedupNgram,
     "q104_containment" -> qContainment,
@@ -5679,6 +5725,28 @@ object QueriesTraining {
        |UNION ALL $outs
        |ORDER BY round""".stripMargin
   }
+
+  /** q24's banded-SRP embedding dedup text, with `pairCond` appended
+    * to the candidate predicate — "" is the full chain (q24), a
+    * touch-the-increment clause is the incremental twin (q284).
+    */
+  private def embedDedupOracle(pairCond: String): String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |p AS (SELECT ${ScaleParams.srpBandPlanesSql} AS planes FROM e),
+       |${signListsCte(s"$EmbedBands * (SELECT planes FROM p)")},
+       |$planeDotsCte,
+       |bk AS (SELECT vec_id, j // pp.planes AS band, pp.planes AS planes,
+       |  CAST(sum(CASE WHEN dt > 0
+       |    THEN (CAST(1 AS BIGINT) << CAST(j % pp.planes AS INT)) ELSE 0 END) AS BIGINT) AS bits
+       |  FROM d, p pp GROUP BY 1, 2, 3),
+       |k AS (SELECT vec_id,
+       |  (CAST(band AS BIGINT) << CAST(planes AS INT)) + bits AS bucket FROM bk),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+       |         FROM k a JOIN k b2 USING (bucket) WHERE a.vec_id < b2.vec_id$pairCond),
+       |pairs AS (SELECT id_a, id_b, ${cosSql("ea.v", "eb.v")} AS cos
+       |          FROM cand JOIN e ea ON ea.vec_id = id_a
+       |                    JOIN e eb ON eb.vec_id = id_b)
+       |SELECT id_a, id_b, cos FROM pairs WHERE cos >= $NearDupCos ORDER BY id_a, id_b""".stripMargin
 
   private lazy val knnBruteOracle: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -7769,23 +7837,12 @@ object QueriesTraining {
          |FROM cand WHERE bit_count(xor(ha, hb)) <= $SimhashHamMax
          |ORDER BY id_a, id_b""".stripMargin,
 
-    "q24_dedup_embed" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |p AS (SELECT ${ScaleParams.srpBandPlanesSql} AS planes FROM e),
-         |${signListsCte(s"$EmbedBands * (SELECT planes FROM p)")},
-         |$planeDotsCte,
-         |bk AS (SELECT vec_id, j // pp.planes AS band, pp.planes AS planes,
-         |  CAST(sum(CASE WHEN dt > 0
-         |    THEN (CAST(1 AS BIGINT) << CAST(j % pp.planes AS INT)) ELSE 0 END) AS BIGINT) AS bits
-         |  FROM d, p pp GROUP BY 1, 2, 3),
-         |k AS (SELECT vec_id,
-         |  (CAST(band AS BIGINT) << CAST(planes AS INT)) + bits AS bucket FROM bk),
-         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
-         |         FROM k a JOIN k b2 USING (bucket) WHERE a.vec_id < b2.vec_id),
-         |pairs AS (SELECT id_a, id_b, ${cosSql("ea.v", "eb.v")} AS cos
-         |          FROM cand JOIN e ea ON ea.vec_id = id_a
-         |                    JOIN e eb ON eb.vec_id = id_b)
-         |SELECT id_a, id_b, cos FROM pairs WHERE cos >= $NearDupCos ORDER BY id_a, id_b""".stripMargin,
+    "q24_dedup_embed" -> embedDedupOracle(""),
+
+    // q24's text with the candidate set restricted to pairs TOUCHING
+    // the 25% increment — the incremental chain emits exactly those
+    "q284_embed_incremental" ->
+      embedDedupOracle(" AND (a.vec_id % 4 = 3 OR b2.vec_id % 4 = 3)"),
 
     "q25_knn_brute" -> knnBruteOracle,
 

@@ -54,6 +54,25 @@ class StreamingAnnSpec extends AnyFunSuite {
     all.unpersist(): Unit
   }
 
+  test("q284 incremental == q24 restricted to touching pairs == a one-ingest fold") {
+    val q24 = collectPairs(Queries.all("q24_dedup_embed")(spark, dir))
+    val q284 = collectPairs(Queries.all("q284_embed_incremental")(spark, dir))
+    assert(q284.nonEmpty && q284.toSet ==
+      q24.filter(p => p._1 % 4 == 3 || p._2 % 4 == 3).toSet,
+      "incremental chain must emit exactly the pairs touching the increment")
+    assert(q284.size < q24.size, "the increment restriction must prune on this fixture")
+    // the streaming monitor folding ONLY the increment over a state
+    // seeded with the rest of the corpus emits the same rows
+    val statePath = Files.createTempDirectory("graft_annincr").toString + "/state"
+    val p = planes
+    StreamingAnn.foldBatchPersistent(statePath,
+      vecs().filter(pmod(col("vec_id"), lit(4)) =!= 3), 0L, p): Unit
+    val folded = collectPairs(StreamingAnn.foldBatchPersistent(statePath,
+      vecs().filter(pmod(col("vec_id"), lit(4)) === 3), 1L, p))
+    assert(folded.toSet == q284.toSet,
+      "declared incremental query and streaming fold must agree row-for-row")
+  }
+
   test("the shared compactor serves the embed store: content stable, folds continue") {
     val statePath = Files.createTempDirectory("graft_anncompact").toString + "/state"
     val all = vecs().persist()
