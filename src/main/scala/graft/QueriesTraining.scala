@@ -791,6 +791,62 @@ object QueriesTraining {
 
   private val qSqlKnnProbeTvf: Q = (spark, dir) => sqlKnnProbeTvfCall(spark, dir, 5)
 
+  /** q285: IVF similarity search as a SQL table function —
+    * `near_neighbors_ivf(k)` completes the TVF index family (LSH
+    * q282, multi-probe q283, IVF q285): the q29 chain with the
+    * first-√n coarse quantizer, max_by assignment, and 2-probe exact
+    * rerank. The assignment uses SQL `max_by` over the broadcast
+    * centroid cross — the same one-row-per-vector exchange as the
+    * operator (a rank-window spelling would shuffle the corpus×K
+    * cross, the anti-pattern [[ivfAssign]]'s scaladoc documents) —
+    * and every cosine goes through the `vec_cosine` kernel, so k=5 is
+    * row-identical to q29 and shares its oracle. The centroid crosses
+    * plan as broadcast nested loops BY DESIGN: scoring every vector
+    * against every centroid is the IVF build, and the centroid side
+    * is √n-sized.
+    */
+  private[graft] def sqlKnnIvfTvfDdl(lists: Int): String =
+    s"""CREATE TEMPORARY FUNCTION near_neighbors_ivf(k INT)
+       |RETURNS TABLE(q_id BIGINT, rank INT, vec_id BIGINT, cos DOUBLE) RETURN
+       |WITH e AS (SELECT /*+ REPARTITION(vec_id) */ vec_id, embedding AS vec
+       |  FROM embeddings),
+       |c AS (SELECT vec_id AS c_id, vec AS c_vec FROM e WHERE vec_id < $lists),
+       |assign AS (SELECT vec_id, best.vec AS vec, best.c_id AS list_id FROM (
+       |  SELECT /*+ BROADCAST(c) */ e.vec_id,
+       |    max_by(named_struct('vec', e.vec, 'c_id', c.c_id),
+       |      struct(vec_cosine(e.vec, c.c_vec), -c.c_id)) AS best
+       |  FROM e CROSS JOIN c GROUP BY e.vec_id)),
+       |q AS (SELECT vec_id AS q_id, vec AS q_vec FROM e WHERE vec_id < 10),
+       |probes AS (SELECT q_id, q_vec, list_id FROM (
+       |  SELECT /*+ BROADCAST(c) */ q.q_id, q.q_vec, c.c_id AS list_id,
+       |    row_number() OVER (PARTITION BY q.q_id
+       |      ORDER BY vec_cosine(q.q_vec, c.c_vec) DESC, c.c_id) AS crk
+       |  FROM q CROSS JOIN c) WHERE crk <= $IvfProbes),
+       |ranked AS (SELECT /*+ BROADCAST(p) */ p.q_id, a.vec_id,
+       |    vec_cosine(p.q_vec, a.vec) AS cos,
+       |    row_number() OVER (PARTITION BY p.q_id
+       |      ORDER BY vec_cosine(p.q_vec, a.vec) DESC, a.vec_id) AS rank
+       |  FROM probes p JOIN assign a USING (list_id)
+       |  WHERE a.vec_id <> p.q_id)
+       |SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= k""".stripMargin
+
+  private[graft] def sqlKnnIvfTvfCall(spark: SparkSession, dir: String,
+                                      k: Int): DataFrame = {
+    val lists = ScaleParams.ivfLists(
+      ScaleParams.tableRows(spark, dir, "embeddings"))
+    Tables(spark, dir, "embeddings").createOrReplaceTempView("embeddings")
+    try {
+      spark.sql(sqlKnnIvfTvfDdl(lists))
+      spark.sql("SELECT q_id, rank, vec_id, cos " +
+        s"FROM near_neighbors_ivf($k) ORDER BY q_id, rank")
+    } finally {
+      spark.sql("DROP TEMPORARY FUNCTION IF EXISTS near_neighbors_ivf")
+      spark.catalog.dropTempView("embeddings"): Unit
+    }
+  }
+
+  private val qSqlKnnIvfTvf: Q = (spark, dir) => sqlKnnIvfTvfCall(spark, dir, 5)
+
   /** Incremental dedup: the 25% increment (doc_id % 4 = 3) deduped
     * against the full corpus snapshot — band keys of the increment
     * broadcast, the corpus signature side never shuffles
@@ -5340,6 +5396,7 @@ object QueriesTraining {
     "q282_sql_knn_tvf" -> qSqlKnnTvf,
     "q283_sql_knn_probe_tvf" -> qSqlKnnProbeTvf,
     "q284_embed_incremental" -> qEmbedIncremental,
+    "q285_sql_knn_ivf_tvf" -> qSqlKnnIvfTvf,
     "q43_dedup_incremental" -> qDedupIncremental,
     "q22_dedup_ngram" -> qDedupNgram,
     "q104_containment" -> qContainment,
@@ -6269,6 +6326,7 @@ object QueriesTraining {
     // oracle text each
     "q282_sql_knn_tvf" -> knnLshOracle,
     "q283_sql_knn_probe_tvf" -> knnMultiProbeOracle,
+    "q285_sql_knn_ivf_tvf" -> knnIvfOracle,
 
     "q22_dedup_ngram" ->
       s"""$lshCandidateCtes,

@@ -24,7 +24,8 @@ import graft.pipeline.Compaction
   * every pair is emitted exactly once across the stream's lifetime,
   * and the union of all emissions equals the batch chain
   * (q21_dedup_minhash) over the full corpus, signature-for-signature
-  * (StreamingDedupSpec asserts set equality including est_jaccard).
+  * (StreamingNearDupSpec asserts set equality including est_jaccard;
+  * StreamingDedupStoreSpec pins the persistent form).
   *
   * Two state representations:
   *

@@ -71,6 +71,17 @@ class SqlKnnTvfSpec extends AnyFunSuite {
       "Hamming-1 probes must recover boundary neighbors on this fixture")
   }
 
+  test("IVF table function at k=5 is row-identical to the Scala q29 chain") {
+    val tvf = rows(Queries.all("q285_sql_knn_ivf_tvf")(spark, dir))
+    val scala = rows(Queries.all("q29_knn_ivf")(spark, dir))
+    assert(tvf.nonEmpty && tvf == scala)
+    assert(Queries.oracles("q285_sql_knn_ivf_tvf") == Queries.oracles("q29_knn_ivf"))
+    assert(!spark.catalog.functionExists("near_neighbors_ivf"))
+    // k=1 is the argmax prefix here too
+    val k1 = rows(QueriesTraining.sqlKnnIvfTvfCall(spark, dir, 1))
+    assert(k1 == tvf.filter(_._2 == 1) && k1.size < tvf.size)
+  }
+
   test("the text plans the ANN shape: query side broadcasts, no corpus sort, no nested loop") {
     val df = Queries.all("q282_sql_knn_tvf")(spark, dir)
     df.collect()
