@@ -700,16 +700,29 @@ object QueriesTraining {
     * a large k as the full bucket-mate ranking).
     *
     * Scale shape, declared in the text like q26's plan: one corpus
-    * pass computes bucket + norm (REPARTITION fans the single-split
-    * local scan out; at real scale it is one no-op-sized exchange),
-    * the 10-row query side BROADCASTs, and the rank window partitions
-    * by q_id — never a corpus-wide sort, never a nested loop
-    * (plan-pinned in the spec).
+    * pass computes bucket + norm (the fan-out hint is GENERATED only
+    * when the scan is single-split — [[embedsNeedFanOut]], the q277
+    * lesson: an unconditional hint is a full-corpus shuffle on an
+    * already-split scan), the 10-row query side BROADCASTs, and the
+    * rank window partitions by q_id — never a corpus-wide sort, never
+    * a nested loop (plan-pinned in the spec).
     */
-  private[graft] def sqlKnnTvfDdl(planes: Int): String =
+  /** [[Dedup.fanOut]]'s guard for the embeddings scan, applied at
+    * TVF-text generation time (the q277 lesson: an unconditional
+    * REPARTITION hint is a full-corpus shuffle once the scan is
+    * already split — BASELINE §d round-11).
+    */
+  private def embedsNeedFanOut(spark: SparkSession, dir: String): Boolean =
+    Tables(spark, dir, "embeddings").rdd.getNumPartitions <
+      spark.sparkContext.defaultParallelism
+
+  private def embedsFanOutHint(fanOut: Boolean): String =
+    if (fanOut) "/*+ REPARTITION(vec_id) */ " else ""
+
+  private[graft] def sqlKnnTvfDdl(planes: Int, fanOut: Boolean): String =
     s"""CREATE TEMPORARY FUNCTION near_neighbors(k INT)
        |RETURNS TABLE(q_id BIGINT, rank INT, vec_id BIGINT, cos DOUBLE) RETURN
-       |WITH b AS (SELECT /*+ REPARTITION(vec_id) */ vec_id, embedding AS vec,
+       |WITH b AS (SELECT ${embedsFanOutHint(fanOut)}vec_id, embedding AS vec,
        |    vec_norm(embedding) AS nrm,
        |    ${sqlSrpBucket("embedding", planes)} AS bucket
        |  FROM embeddings),
@@ -728,9 +741,10 @@ object QueriesTraining {
                                    k: Int): DataFrame = {
     val planes = ScaleParams.lshPlanes(
       ScaleParams.tableRows(spark, dir, "embeddings"))
+    val fanOut = embedsNeedFanOut(spark, dir)
     Tables(spark, dir, "embeddings").createOrReplaceTempView("embeddings")
     try {
-      spark.sql(sqlKnnTvfDdl(planes))
+      spark.sql(sqlKnnTvfDdl(planes, fanOut))
       spark.sql("SELECT q_id, rank, vec_id, cos " +
         s"FROM near_neighbors($k) ORDER BY q_id, rank")
     } finally {
@@ -751,12 +765,12 @@ object QueriesTraining {
     * 10-row broadcast side grows by the probe factor (plan-pinned with
     * q282's assertions in SqlKnnTvfSpec).
     */
-  private[graft] def sqlKnnProbeTvfDdl(planes: Int): String = {
+  private[graft] def sqlKnnProbeTvfDdl(planes: Int, fanOut: Boolean): String = {
     val masks = (0L +: (0 until planes).map(j => 1L << j))
       .map(m => s"${m}L").mkString("array(", ", ", ")")
     s"""CREATE TEMPORARY FUNCTION near_neighbors_probe(k INT)
        |RETURNS TABLE(q_id BIGINT, rank INT, vec_id BIGINT, cos DOUBLE) RETURN
-       |WITH b AS (SELECT /*+ REPARTITION(vec_id) */ vec_id, embedding AS vec,
+       |WITH b AS (SELECT ${embedsFanOutHint(fanOut)}vec_id, embedding AS vec,
        |    vec_norm(embedding) AS nrm,
        |    ${sqlSrpBucket("embedding", planes)} AS bucket
        |  FROM embeddings),
@@ -778,9 +792,10 @@ object QueriesTraining {
                                         k: Int): DataFrame = {
     val planes = ScaleParams.lshPlanes(
       ScaleParams.tableRows(spark, dir, "embeddings"))
+    val fanOut = embedsNeedFanOut(spark, dir)
     Tables(spark, dir, "embeddings").createOrReplaceTempView("embeddings")
     try {
-      spark.sql(sqlKnnProbeTvfDdl(planes))
+      spark.sql(sqlKnnProbeTvfDdl(planes, fanOut))
       spark.sql("SELECT q_id, rank, vec_id, cos " +
         s"FROM near_neighbors_probe($k) ORDER BY q_id, rank")
     } finally {
@@ -805,10 +820,10 @@ object QueriesTraining {
     * against every centroid is the IVF build, and the centroid side
     * is √n-sized.
     */
-  private[graft] def sqlKnnIvfTvfDdl(lists: Int): String =
+  private[graft] def sqlKnnIvfTvfDdl(lists: Int, fanOut: Boolean): String =
     s"""CREATE TEMPORARY FUNCTION near_neighbors_ivf(k INT)
        |RETURNS TABLE(q_id BIGINT, rank INT, vec_id BIGINT, cos DOUBLE) RETURN
-       |WITH e AS (SELECT /*+ REPARTITION(vec_id) */ vec_id, embedding AS vec
+       |WITH e AS (SELECT ${embedsFanOutHint(fanOut)}vec_id, embedding AS vec
        |  FROM embeddings),
        |c AS (SELECT vec_id AS c_id, vec AS c_vec FROM e WHERE vec_id < $lists),
        |assign AS (SELECT vec_id, best.vec AS vec, best.c_id AS list_id FROM (
@@ -834,9 +849,10 @@ object QueriesTraining {
                                       k: Int): DataFrame = {
     val lists = ScaleParams.ivfLists(
       ScaleParams.tableRows(spark, dir, "embeddings"))
+    val fanOut = embedsNeedFanOut(spark, dir)
     Tables(spark, dir, "embeddings").createOrReplaceTempView("embeddings")
     try {
-      spark.sql(sqlKnnIvfTvfDdl(lists))
+      spark.sql(sqlKnnIvfTvfDdl(lists, fanOut))
       spark.sql("SELECT q_id, rank, vec_id, cos " +
         s"FROM near_neighbors_ivf($k) ORDER BY q_id, rank")
     } finally {
@@ -3853,9 +3869,12 @@ object QueriesTraining {
       .orderBy("doc_id")
   }
 
-  private val EmbedDims = 64
-  private val NearDupCos = 0.3
-  private val EmbedBands = 4
+  // one definition for the banded-SRP family's parameters — shared
+  // with the streaming monitor via Similarity (the round-11 review:
+  // shadowed literals diverge silently)
+  private val EmbedDims = Similarity.EmbedDims
+  private val NearDupCos = Similarity.NearDupCos
+  private val EmbedBands = Similarity.EmbedBands
 
   /** Embedding-cosine near-dup via BANDED SRP ([[Similarity.srpBandKeys]]):
     * [[EmbedBands]] independent planes-per-band tables; a pair is a
@@ -3917,26 +3936,7 @@ object QueriesTraining {
         .withColumn("buckets", Similarity.srpBandKeys(col("v"), EmbedBands,
           planes, EmbedDims)))
     val inc = e.filter(col("vec_id") % 4 === 3)
-    def exploded(df: DataFrame, sfx: String) = df.select(
-      col("vec_id").as(s"id_$sfx"), col("v").as(s"v_$sfx"), col("nrm").as(s"n_$sfx"),
-      explode_outer(col("buckets")).as("bucket"))
-    exploded(e, "l").join(broadcast(exploded(inc, "r")), Seq("bucket"))
-      .filter(col("id_l") =!= col("id_r"))
-      .select(when(col("id_l") < col("id_r"),
-          struct(col("id_l").as("id_a"), col("id_r").as("id_b"),
-            col("v_l").as("va"), col("v_r").as("vb"),
-            col("n_l").as("na"), col("n_r").as("nb")))
-        .otherwise(
-          struct(col("id_r").as("id_a"), col("id_l").as("id_b"),
-            col("v_r").as("va"), col("v_l").as("vb"),
-            col("n_r").as("na"), col("n_l").as("nb"))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        col("p.va").as("va"), col("p.vb").as("vb"),
-        col("p.na").as("na"), col("p.nb").as("nb"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("cos", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("cos") >= NearDupCos)
-      .select(col("id_a"), col("id_b"), col("cos"))
+    Similarity.incrementalNearDupPairs(e, inc, "vec_id")
       .orderBy("id_a", "id_b")
   }
 

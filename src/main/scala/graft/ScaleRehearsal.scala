@@ -505,7 +505,10 @@ object ScaleRehearsal {
         t
       }
       val js = secs.map(s => f"$s%.3f").mkString("[", ",", "]")
-      println(s"""{"metric":"scale_rehearsal_neardup","scale":"${mult}x","batches":$nBatches,"pairs":$pairsTotal,"batch_secs":$js,"flat_ratio":${f"${secs.last / secs.head}%.2f"}}""")
+      // flat_ratio denominator = batch 2, NOT batch 1: batch 1 is
+      // JVM/codegen warm-up, so dividing by it would report "flat"
+      // even for a genuinely growing per-batch cost (round-11 review)
+      println(s"""{"metric":"scale_rehearsal_neardup","scale":"${mult}x","batches":$nBatches,"pairs":$pairsTotal,"batch_secs":$js,"flat_ratio_post_warm":${f"${secs.last / secs(1)}%.2f"}}""")
       spark.stop(); return
     }
     if (embedOnly) { runEmbed(spark, base, scaled, mult); spark.stop(); return }

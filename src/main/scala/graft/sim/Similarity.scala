@@ -81,6 +81,50 @@ object Similarity {
         srpBucket(vec, planesPerBand, dims, t * planesPerBand)
     }: _*)
 
+  /** Parameters of the banded-SRP embedding near-dup family — ONE
+    * definition shared by the batch chains (q24/q284) and the
+    * streaming monitor ([[graft.streaming.StreamingAnn]]) so a tuning
+    * change cannot silently diverge the spec-pinned fold == rebuild
+    * contract. `EmbedDims` is the fixture's embedding width;
+    * `NearDupCos` the verify threshold.
+    */
+  val EmbedBands = 4
+  val EmbedDims = 64
+  val NearDupCos = 0.3
+
+  /** Near-dup pairs between a corpus snapshot and an increment — the
+    * shared emission tail of the incremental embedding chains. Both
+    * inputs carry (idCol, v, nrm, buckets): explode the band buckets,
+    * BROADCAST the increment side (the snapshot streams past the hash
+    * join unshuffled), normalize pairs, dedup across bands, then the
+    * exact-cosine verify. The increment must be a subset of `all`
+    * (within-increment pairs come out of the same join). Returns
+    * (id_a, id_b, cos ≥ minCos), unordered.
+    */
+  def incrementalNearDupPairs(all: DataFrame, inc: DataFrame, idCol: String,
+                              minCos: Double = NearDupCos): DataFrame = {
+    def exploded(df: DataFrame, sfx: String) = df.select(
+      col(idCol).as(s"id_$sfx"), col("v").as(s"v_$sfx"), col("nrm").as(s"n_$sfx"),
+      explode_outer(col("buckets")).as("bucket"))
+    exploded(all, "l").join(broadcast(exploded(inc, "r")), Seq("bucket"))
+      .filter(col("id_l") =!= col("id_r"))
+      .select(when(col("id_l") < col("id_r"),
+          struct(col("id_l").as("id_a"), col("id_r").as("id_b"),
+            col("v_l").as("va"), col("v_r").as("vb"),
+            col("n_l").as("na"), col("n_r").as("nb")))
+        .otherwise(
+          struct(col("id_r").as("id_a"), col("id_l").as("id_b"),
+            col("v_r").as("va"), col("v_l").as("vb"),
+            col("n_r").as("na"), col("n_l").as("nb"))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.va").as("va"), col("p.vb").as("vb"),
+        col("p.na").as("na"), col("p.nb").as("nb"))
+      .dropDuplicates("id_a", "id_b") // a pair can collide in >1 band
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("cos") >= minCos)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** Fans a small input out to full parallelism; at real scale the
     * source partitioning already provides this and the shuffle is
     * skipped. Per-pair work (the cosine folds) is interpreted

@@ -40,9 +40,12 @@ object StreamingAnn {
   def foldBatchPersistent(statePath: String, batch: DataFrame, batchId: Long,
                           planesPerBand: Int,
                           idCol: String = "vec_id", embCol: String = "embedding",
-                          bands: Int = 4, dims: Int = 64, minCos: Double = 0.3,
+                          bands: Int = Similarity.EmbedBands,
+                          dims: Int = Similarity.EmbedDims,
+                          minCos: Double = Similarity.NearDupCos,
                           pairsDir: Option[String] = None): DataFrame = {
     val spark = batch.sparkSession
+    StreamingDedup.recoverIfNeeded(spark, statePath)
     val prior = StreamingDedup.stateSigs(spark, statePath, batchId)
     val signed = batch
       .select(col(idCol), col(embCol).as("v"))
@@ -54,27 +57,8 @@ object StreamingAnn {
       case None => signed
     })
     val all = prior.map(_.unionAll(newRows)).getOrElse(newRows)
-    def exploded(df: DataFrame, sfx: String) = df.select(
-      col(idCol).as(s"id_$sfx"), col("v").as(s"v_$sfx"), col("nrm").as(s"n_$sfx"),
-      explode_outer(col("buckets")).as("bucket"))
-    val cand = exploded(all, "l").join(broadcast(exploded(newRows, "r")), Seq("bucket"))
-      .filter(col("id_l") =!= col("id_r"))
-      .select(when(col("id_l") < col("id_r"),
-          struct(col("id_l").as("id_a"), col("id_r").as("id_b"),
-            col("v_l").as("va"), col("v_r").as("vb"),
-            col("n_l").as("na"), col("n_r").as("nb")))
-        .otherwise(
-          struct(col("id_r").as("id_a"), col("id_l").as("id_b"),
-            col("v_r").as("va"), col("v_l").as("vb"),
-            col("n_r").as("na"), col("n_l").as("nb"))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        col("p.va").as("va"), col("p.vb").as("vb"),
-        col("p.na").as("na"), col("p.nb").as("nb"))
-      .dropDuplicates("id_a", "id_b") // a pair can collide in >1 band
-    val pairs = Dedup.materialize(cand
-      .withColumn("cos", Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
-      .filter(col("cos") >= minCos)
-      .select(col("id_a"), col("id_b"), col("cos")))
+    val pairs = Dedup.materialize(
+      Similarity.incrementalNearDupPairs(all, newRows, idCol, minCos))
     // pairs materialized ABOVE this write (the snapshot they read must
     // never include the increment being published)
     newRows.write.mode("overwrite").parquet(s"$statePath/batch=$batchId")

@@ -171,6 +171,7 @@ object StreamingDedup {
                           tNum: Int = 1, tDen: Int = 2,
                           pairsDir: Option[String] = None): DataFrame = {
     val spark = batch.sparkSession
+    recoverIfNeeded(spark, statePath)
     val prior = stateSigs(spark, statePath, batchId)
     val signed = Dedup.minhashSigTable(batch, idCol, textCol, 16)
     val newSigs = Dedup.materialize(prior match {
@@ -270,6 +271,32 @@ object StreamingDedup {
       .filter(_.getName.startsWith(".retired-"))
       .foreach(p => hfs.delete(p, true))
     hfs.delete(new Path(root, s".compact-commit-$upTo"), false): Unit
+  }
+
+  /** Self-healing entry for the FOLD path (round-11 review finding):
+    * a compactor that CRASHED mid-run leaves litter — `.retired-*`
+    * dirs, a `.compact-commit-*` marker, staging, and its stale lock —
+    * and [[stateSigs]] reads only `batch=*` dirs, so a fold would
+    * otherwise see a silently PARTIAL store until the next
+    * [[compactState]] call happened to run recovery (duplicate state
+    * rows past the anti-join, missed pairs). Every persistent fold
+    * calls this first: when litter is present, roll the crashed run
+    * back (pre-marker) or forward (post-marker) and clear the dead
+    * owner's lock. Lockless BY the quiesce contract — folds and the
+    * compactor never run concurrently, so litter visible at fold time
+    * can only belong to a dead compactor.
+    */
+  def recoverIfNeeded(spark: SparkSession, statePath: String): Unit = {
+    val root = new Path(statePath)
+    val hfs = fs(spark, root)
+    if (hfs.exists(root)) {
+      val names = hfs.listStatus(root).toSeq.map(_.getPath.getName)
+      if (names.exists(n => n.startsWith(".compact-commit-") ||
+          n.startsWith(".retired-") || n == ".compact-state")) {
+        recoverState(hfs, root)
+        hfs.delete(new Path(root, ".compact-lock"), false): Unit
+      }
+    }
   }
 
   /** Crash recovery for [[compactState]], decided by the commit

@@ -51,8 +51,8 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("canary fields: ratio on the stdout line, start/end in the detail file") {
-    val s = Bench.canary(spark, sf)
-    val e = Bench.canary(spark, sf)
+    val s = Bench.canary(spark)
+    val e = Bench.canary(spark)
     assert(s > 0 && e > 0, s"canary must time a real execution: start=$s end=$e")
     val head = Seq(Bench.QR("q1_agg", 1.0, ok = true, runs = 3, secs = Seq(0.9, 1.0, 1.2)))
     val (line, detail) = Bench.render("dual", "full", head, head, Seq.empty,
@@ -60,11 +60,20 @@ class BenchSpec extends AnyFunSuite {
     assert(line.contains(""""canary_ratio":"""), line)
     assert(detail.contains(""""canary_start_sec":""") &&
       detail.contains(""""canary_end_sec":""") &&
+      detail.contains(""""canary_ok":true""") &&
       detail.contains(s""""canary_query":"${Bench.CanaryQuery}""""), detail)
     assert(detail.contains(""""runs_sec":{"q1_agg":[0.9000,1.0000,1.2000]}"""), detail)
     assert(detail.contains(""""legacy_runs_sec":{"q1_agg":[0.9000,1.0000,1.2000]}"""), detail)
     import spark.implicits._
     for (js <- Seq(line, detail))
+      assert(!spark.read.json(Seq(js).toDS).columns.contains("_corrupt_record"), js)
+    // a FAILED canary (negative sentinel) must render null, not a
+    // time-to-exception masquerading as a measurement
+    val (fline, fdetail) = Bench.render("dual", "full", head, head, Seq.empty,
+      runs = 3, outPath = "BENCH_FULL.json", sfDir = sf, canary = Some((-1.0, e)))
+    assert(fline.contains(""""canary_ratio":null"""), fline)
+    assert(fdetail.contains(""""canary_ok":false"""), fdetail)
+    for (js <- Seq(fline, fdetail))
       assert(!spark.read.json(Seq(js).toDS).columns.contains("_corrupt_record"), js)
   }
 

@@ -93,9 +93,13 @@ class StreamingDedupStoreSpec extends AnyFunSuite {
     val idsAfter = stateIds(statePath).sorted.toSeq
     // crash-window replay: same batch, same batchId — the fold must
     // read the same `< 1` snapshot (its own half-published dir is
-    // excluded), recompute the same pairs, overwrite its own dir
+    // excluded), recompute the same pairs, overwrite its own dir.
+    // SET comparison: the fold's output carries no ORDER BY, so row
+    // order is shuffle-scheduling-dependent (dup-freedom is asserted
+    // by the exactly-once tests)
     val replay = fold(b1, 1L)
-    assert(replay == firstAttempt, "replay diverged from the original attempt")
+    assert(replay.toSet == firstAttempt.toSet,
+      "replay diverged from the original attempt")
     assert(stateIds(statePath).sorted.toSeq == idsAfter, "replay changed the state")
     // re-ingest under a NEW batchId: every id already in state — the
     // anti-join drops all of them; nothing emitted, nothing re-signed
@@ -176,5 +180,42 @@ class StreamingDedupStoreSpec extends AnyFunSuite {
     assert(!fs.exists(new Path(root, ".compact-commit-2")) &&
       !fs.exists(new Path(root, ".compact-state")),
       "recovery left protocol litter behind")
+  }
+
+  test("a FOLD self-heals a compactor crash: no silent partial snapshot until the next compactState") {
+    import spark.implicits._
+    val all = docs()
+    val statePath = Files.createTempDirectory("graft_sigfoldheal").toString + "/state"
+    val batches = (0 until 3).map(k => all.filter(_._1 % 3 == k))
+    val emitted = collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    def fold(b: Array[(Long, String)], id: Long): Unit = emitted ++= collectPairs(
+      StreamingDedup.foldBatchPersistent(statePath, b.toSeq.toDF("doc_id", "text"), id))
+    fold(batches(0), 0L)
+    fold(batches(1), 1L)
+    // simulate the WORST compactor crash: marker written, batch dirs
+    // already retired, staging complete, publish never ran, stale lock
+    // left behind — stateSigs alone would see an EMPTY store here
+    val root = new Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = spark.read.option("basePath", statePath)
+      .parquet(s"$statePath/batch=0", s"$statePath/batch=1").drop("batch")
+    staged.write.parquet(s"$statePath/.compact-state")
+    fs.create(new Path(root, ".compact-commit-1"), true).close()
+    assert(fs.rename(new Path(root, "batch=0"), new Path(root, ".retired-batch=0")))
+    assert(fs.rename(new Path(root, "batch=1"), new Path(root, ".retired-batch=1")))
+    fs.create(new Path(root, ".compact-lock"), true).close()
+    // the NEXT FOLD (not compactState) must roll the crash forward
+    // before reading its snapshot — otherwise batch 2 would re-sign
+    // re-ingested ids and miss every cross-batch pair
+    fold(batches(2), 2L)
+    assert(stateIds(statePath).sorted.toSeq == all.map(_._1).sorted.toSeq,
+      "fold read a partial store after the compactor crash")
+    val rebuild = rebuildPairs(all.toSeq.toDF("doc_id", "text"))
+    assert(emitted.toSet == rebuild && emitted.size == emitted.toSet.size)
+    val dirs = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).sorted.toSeq
+    assert(dirs == Seq("batch=1", "batch=2"), s"roll-forward incomplete: $dirs")
+    assert(!fs.exists(new Path(root, ".compact-lock")),
+      "the dead compactor's stale lock must be cleared")
   }
 }
