@@ -101,12 +101,17 @@ object StreamingDedup {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** `batch=<id>` partition dirs under `root` (ignores dot-prefixed
-    * staging/retired/lock entries), as (path, batchId).
+    * staging/retired/lock entries), as (path, batchId). Only names
+    * matching `batch=<digits>` count — a foreign or hand-renamed dir
+    * (`batch=2_old` from manual ops) is skipped instead of throwing
+    * NumberFormatException and taking down every fold and compaction
+    * on the store (round-11 advice). The digit cap keeps the parse
+    * inside Long range.
     */
   private def batchDirs(fs: FileSystem, root: Path): Seq[(Path, Long)] =
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
-      .filter(_.getName.startsWith("batch="))
+      .filter(_.getName.matches("batch=\\d{1,18}"))
       .map(p => p -> p.getName.stripPrefix("batch=").toLong)
 
   /** The signature state visible to batch `beforeBatchId`: every
@@ -201,11 +206,16 @@ object StreamingDedup {
     * document sink, under the same single-compactor lock.
     *
     * CONTRACT: `upToBatchId` must be ≤ the newest batch whose offsets
-    * are COMMITTED, and the run must be quiesced against folds (between
-    * micro-batches — e.g. from a listener, or a maintenance window). A
+    * are COMMITTED, and the run must be quiesced against folds. A
     * committed batch is never replayed, so merging it forward is safe;
     * merging an UNcommitted batch would hand its replay a snapshot
-    * that already contains its own output.
+    * that already contains its own output. [[maybeCompact]] — a
+    * `foreachBatch` epilogue — discharges BOTH halves mechanically
+    * (the epilogue is the quiesce window, and `batchId - 1` is always
+    * committed); call this directly only from a maintenance window
+    * with the stream stopped. The published dir id is clamped to the
+    * largest batch actually merged, so a too-high `upToBatchId` can
+    * never hide the snapshot under a future id.
     *
     * Crash-recoverable via a commit marker: the merged data lands in a
     * staging dir first, then `.compact-commit-<id>` is created (the
@@ -226,6 +236,12 @@ object StreamingDedup {
       recoverState(hfs, root)
       val parts = batchDirs(hfs, root).filter(_._2 <= upToBatchId)
       if (parts.size > 1) {
+        // publish under the LARGEST MERGED id, never the caller's
+        // argument: an upToBatchId above the newest dir (caller
+        // error) would otherwise publish the snapshot under a future
+        // batch id, hiding it from stateSigs for every intermediate
+        // batch — silent loss of the whole snapshot (round-11 advice)
+        val target = parts.map(_._2).max
         val staging = new Path(root, ".compact-state")
         hfs.delete(staging, true)
         val bytes = parts.map { case (p, _) =>
@@ -237,19 +253,35 @@ object StreamingDedup {
           .repartition(n)
           .write.mode("overwrite").parquet(staging.toString)
         // commit point: from here the merge rolls FORWARD on crash
-        val marker = new Path(root, s".compact-commit-$upToBatchId")
+        val marker = new Path(root, s".compact-commit-$target")
         hfs.create(marker, true).close()
-        publishCompacted(hfs, root, upToBatchId)
+        publishCompacted(hfs, root, target)
       }
     }
   }
 
   /** Post-commit-marker publish: retire old dirs, publish staging as
     * `batch=<upTo>`, clean up. Idempotent — [[recoverState]] re-runs
-    * it after a crash at any point past the marker.
+    * it after a crash at any point past the marker. Recovery is TOTAL
+    * (round-11 advice): when BOTH staging and the published dir are
+    * gone (a quiesce violation or manual ops lost the merged copy
+    * after the sources were retired), the `.retired-*` dirs are the
+    * only remaining data — they are restored to their live names and
+    * the marker dropped, instead of require-failing and wedging every
+    * subsequent fold/compaction on the store.
     */
   private def publishCompacted(hfs: FileSystem, root: Path, upTo: Long): Unit = {
     val staging = new Path(root, ".compact-state")
+    val marker = new Path(root, s".compact-commit-$upTo")
+    def restoreRetired(): Unit =
+      hfs.listStatus(root).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith(".retired-")).foreach { r =>
+          val live = new Path(root, r.getName.stripPrefix(".retired-"))
+          if (!hfs.exists(live)) {
+            if (!hfs.rename(r, live))
+              throw new java.io.IOException(s"state recovery failed for $r")
+          } else hfs.delete(r, true): Unit
+        }
     if (hfs.exists(staging)) {
       // publish not yet done: retire the (remaining) source dirs —
       // including the live batch=<upTo>, whose rows are in staging —
@@ -260,17 +292,20 @@ object StreamingDedup {
       }
       if (!hfs.rename(staging, new Path(root, s"batch=$upTo")))
         throw new java.io.IOException(s"state compaction failed to publish $staging")
-    } else {
-      // no staging ⇒ the publish rename already ran (crash was during
-      // cleanup): the live batch=<upTo> IS the merged dir — retiring
-      // it again would destroy the only copy
-      require(hfs.exists(new Path(root, s"batch=$upTo")),
-        s"compaction marker for $upTo with neither staging nor published dir")
+    } else if (!hfs.exists(new Path(root, s"batch=$upTo"))) {
+      // neither staging nor the published dir: the merged copy is
+      // gone — roll the whole run BACK (restore retired dirs, drop
+      // the marker) so the store recovers with its data intact
+      restoreRetired()
+      hfs.delete(marker, false): Unit
+      return
     }
+    // happy path (staging published, or publish had already run and
+    // the crash was during cleanup): drop the retired sources
     hfs.listStatus(root).toSeq.map(_.getPath)
       .filter(_.getName.startsWith(".retired-"))
       .foreach(p => hfs.delete(p, true))
-    hfs.delete(new Path(root, s".compact-commit-$upTo"), false): Unit
+    hfs.delete(marker, false): Unit
   }
 
   /** Self-healing entry for the FOLD path (round-11 review finding):
@@ -282,22 +317,71 @@ object StreamingDedup {
     * rows past the anti-join, missed pairs). Every persistent fold
     * calls this first: when litter is present, roll the crashed run
     * back (pre-marker) or forward (post-marker) and clear the dead
-    * owner's lock. Lockless BY the quiesce contract — folds and the
-    * compactor never run concurrently, so litter visible at fold time
-    * can only belong to a dead compactor.
+    * owner's lock.
+    *
+    * "Dead" is decided by the lock's TTL, exactly as
+    * [[Compaction.withLock]] decides staleness (round-11 advice): a
+    * MISSING lock means the compactor's `finally` ran (it is gone —
+    * heal immediately); a lock older than `lockTtlMs` is a hard-killed
+    * owner (heal and clear it); a FRESH lock with litter visible at
+    * fold time means a compactor is RUNNING concurrently with folds —
+    * a quiesce-contract violation — and the fold aborts loudly rather
+    * than stealing a live run's lock and deleting its staging mid-
+    * publish (the silent alternative reads a partial snapshot:
+    * duplicate state rows past the anti-join, missed pairs).
     */
-  def recoverIfNeeded(spark: SparkSession, statePath: String): Unit = {
+  def recoverIfNeeded(spark: SparkSession, statePath: String,
+                      lockTtlMs: Long = 60 * 60 * 1000L): Unit = {
     val root = new Path(statePath)
     val hfs = fs(spark, root)
     if (hfs.exists(root)) {
       val names = hfs.listStatus(root).toSeq.map(_.getPath.getName)
       if (names.exists(n => n.startsWith(".compact-commit-") ||
           n.startsWith(".retired-") || n == ".compact-state")) {
+        val lock = new Path(root, ".compact-lock")
+        if (hfs.exists(lock) && hfs.getFileStatus(lock).getModificationTime >=
+            System.currentTimeMillis() - lockTtlMs)
+          throw new IllegalStateException(
+            s"compaction litter under $statePath with a live lock: a compactor " +
+              "appears to be running concurrently with folds (quiesce-contract " +
+              "violation) — aborting the fold instead of stealing its lock; " +
+              "re-run after it finishes (or after its TTL)")
         recoverState(hfs, root)
-        hfs.delete(new Path(root, ".compact-lock"), false): Unit
+        hfs.delete(lock, false): Unit
       }
     }
   }
+
+  /** Compaction CADENCE as a `foreachBatch` epilogue — the epilogue IS
+    * the quiesce (VERDICT r11 item 3): it runs inside the batch
+    * function, so it is serialized with folds by construction (batch
+    * `batchId + 1` cannot start until this returns), and every batch
+    * `< batchId` has a committed offset (micro-batch `batchId` only
+    * enters `foreachBatch` after `batchId - 1`'s commit log entry) —
+    * both halves of [[compactState]]'s contract hold mechanically
+    * instead of by caller convention. Call it right after the fold:
+    *
+    * {{{
+    * .foreachBatch { (b, id) =>
+    *   StreamingDedup.foldBatchPersistent(statePath, b, id): Unit
+    *   StreamingDedup.maybeCompact(spark, statePath, id, every = 64)
+    * }
+    * }}}
+    *
+    * Fires every `every` batches, merging the committed dirs
+    * `<= batchId - 1` (never the CURRENT batch — it is uncommitted
+    * until this foreachBatch returns, and merging it would hand its
+    * crash-window replay a snapshot containing its own output). A
+    * replayed batch re-runs the epilogue harmlessly: the range is
+    * already merged, so [[compactState]] sees ≤ 1 dir and no-ops.
+    * `every = 0` disables. At a 15 s trigger, `every = 64` bounds the
+    * store at ~65 dirs (~16 min of increments) instead of ~5,760/day.
+    */
+  def maybeCompact(spark: SparkSession, statePath: String, batchId: Long,
+                   every: Int, targetFileBytes: Long = 128L << 20,
+                   lockTtlMs: Long = 60 * 60 * 1000L): Unit =
+    if (every > 0 && batchId > 0 && batchId % every == 0)
+      compactState(spark, statePath, batchId - 1, targetFileBytes, lockTtlMs)
 
   /** Crash recovery for [[compactState]], decided by the commit
     * marker: marker present → the merge was complete, roll FORWARD

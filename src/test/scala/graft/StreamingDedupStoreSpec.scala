@@ -204,6 +204,15 @@ class StreamingDedupStoreSpec extends AnyFunSuite {
     assert(fs.rename(new Path(root, "batch=0"), new Path(root, ".retired-batch=0")))
     assert(fs.rename(new Path(root, "batch=1"), new Path(root, ".retired-batch=1")))
     fs.create(new Path(root, ".compact-lock"), true).close()
+    // while the lock is FRESH the fold must NOT steal it — litter plus
+    // a live lock means a compactor may be mid-publish (a quiesce
+    // violation); the fold aborts loudly instead of deleting a live
+    // run's staging (round-11 advice: honor the TTL like withLock)
+    val live = intercept[IllegalStateException] { fold(batches(2), 2L) }
+    assert(live.getMessage.contains("quiesce"), live.getMessage)
+    // age the lock past the TTL → the owner is adjudicated dead
+    assert(new java.io.File(statePath, ".compact-lock")
+      .setLastModified(System.currentTimeMillis() - 2 * 60 * 60 * 1000L))
     // the NEXT FOLD (not compactState) must roll the crash forward
     // before reading its snapshot — otherwise batch 2 would re-sign
     // re-ingested ids and miss every cross-batch pair
@@ -217,5 +226,101 @@ class StreamingDedupStoreSpec extends AnyFunSuite {
     assert(dirs == Seq("batch=1", "batch=2"), s"roll-forward incomplete: $dirs")
     assert(!fs.exists(new Path(root, ".compact-lock")),
       "the dead compactor's stale lock must be cleared")
+  }
+
+  test("foreign dir names are skipped, not fatal; a too-high upToBatchId clamps to the newest merged dir") {
+    import spark.implicits._
+    val all = docs()
+    val statePath = Files.createTempDirectory("graft_sigforeign").toString + "/state"
+    val batches = (0 until 3).map(k => all.filter(_._1 % 3 == k))
+    val emitted = collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    def fold(k: Int): Unit = emitted ++= collectPairs(
+      StreamingDedup.foldBatchPersistent(statePath,
+        batches(k).toSeq.toDF("doc_id", "text"), k.toLong))
+    fold(0); fold(1)
+    // manual-ops litter: a non-conforming dir name must not throw
+    // NumberFormatException in every subsequent fold (round-11 advice)
+    val root = new Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(root, "batch=0_old"))
+    fold(2)
+    assert(stateIds(statePath).sorted.toSeq == all.map(_._1).sorted.toSeq,
+      "fold over a store with a foreign dir name diverged")
+    assert(emitted.toSet == rebuildPairs(all.toSeq.toDF("doc_id", "text")))
+    fs.delete(new Path(root, "batch=0_old"), true)
+    // caller passes an id ABOVE the newest dir: the publish target
+    // must clamp to the largest merged id (2), never a future id that
+    // stateSigs(_, _, 3) would exclude (round-11 advice)
+    val before = stateIds(statePath).sorted.toSeq
+    StreamingDedup.compactState(spark, statePath, upToBatchId = 99L)
+    val dirs = fs.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).sorted.toSeq
+    assert(dirs == Seq("batch=2"), s"expected the merged dir under the CLAMPED id: $dirs")
+    assert(StreamingDedup.stateSigs(spark, statePath, beforeBatchId = 3L)
+      .map(_.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+      .getOrElse(Seq.empty) == before,
+      "the merged snapshot must stay visible to the next batch")
+  }
+
+  test("recovery is total: marker + retired dirs with NEITHER staging nor published dir restores the retired copies") {
+    import spark.implicits._
+    val all = docs()
+    val statePath = Files.createTempDirectory("graft_sigtotal").toString + "/state"
+    val batches = (0 until 2).map(k => all.filter(_._1 % 2 == k))
+    batches.zipWithIndex.foreach { case (b, id) =>
+      StreamingDedup.foldBatchPersistent(statePath,
+        b.toSeq.toDF("doc_id", "text"), id.toLong): Unit
+    }
+    val before = stateIds(statePath).sorted.toSeq
+    val root = new Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the round-11-advice state: a post-marker crash whose staging was
+    // then lost (quiesce violation rolled it back after dirs retired)
+    // — batch=1 retired, no staging, no published batch=1
+    fs.create(new Path(root, ".compact-commit-1"), true).close()
+    assert(fs.rename(new Path(root, "batch=0"), new Path(root, ".retired-batch=0")))
+    assert(fs.rename(new Path(root, "batch=1"), new Path(root, ".retired-batch=1")))
+    // pre-fix this require-failed on every subsequent call, wedging
+    // the store; now it must restore the retired dirs and carry on
+    StreamingDedup.compactState(spark, statePath, upToBatchId = 1L)
+    assert(stateIds(statePath).sorted.toSeq == before,
+      "total recovery must restore the retired copies — the only remaining data")
+    val names = fs.listStatus(root).map(_.getPath.getName).sorted.toSeq
+    assert(!names.exists(_.startsWith(".compact-commit-")) &&
+      !names.exists(_.startsWith(".retired-")),
+      s"recovery left protocol litter behind: $names")
+    // folds continue against the recovered store
+    val pairs = collectPairs(StreamingDedup.foldBatchPersistent(statePath,
+      all.filter(_._1 % 2 == 0).toSeq.toDF("doc_id", "text"), 2L))
+    assert(pairs.isEmpty, "re-ingest after recovery must anti-join away")
+  }
+
+  test("maybeCompact epilogue: dir count stays bounded across folds, content row-stable, cadence-off is a no-op") {
+    import spark.implicits._
+    val all = docs()
+    val statePath = Files.createTempDirectory("graft_sigcadence").toString + "/state"
+    val batches = (0 until 8).map(k => all.filter(_._1 % 8 == k))
+    val emitted = collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val root = new Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dirCount(): Int = fs.listStatus(root)
+      .map(_.getPath.getName).count(_.startsWith("batch="))
+    batches.zipWithIndex.foreach { case (b, id) =>
+      emitted ++= collectPairs(StreamingDedup.foldBatchPersistent(statePath,
+        b.toSeq.toDF("doc_id", "text"), id.toLong))
+      StreamingDedup.maybeCompact(spark, statePath, id.toLong, every = 3)
+      // every=3 merges [0, id-1] at ids 3 and 6: the store never
+      // holds more than `every + 1` dirs right after the epilogue
+      assert(dirCount() <= 4, s"cadence failed to bound the store at batch $id")
+    }
+    assert(stateIds(statePath).sorted.toSeq == all.map(_._1).sorted.toSeq)
+    assert(emitted.toSet == rebuildPairs(all.toSeq.toDF("doc_id", "text")))
+    assert(emitted.size == emitted.toSet.size)
+    // a replayed batch re-runs the epilogue harmlessly (range already
+    // merged → <= 1 dir in range → no-op), and every=0 disables
+    val dirsBefore = fs.listStatus(root).map(_.getPath.getName).sorted.toSeq
+    StreamingDedup.maybeCompact(spark, statePath, 6L, every = 3)
+    StreamingDedup.maybeCompact(spark, statePath, 7L, every = 0)
+    assert(fs.listStatus(root).map(_.getPath.getName).sorted.toSeq == dirsBefore)
   }
 }
