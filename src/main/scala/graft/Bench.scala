@@ -40,7 +40,16 @@ import org.apache.spark.sql.SparkSession
   * wide spread = loaded box), and a cheap canary query is timed at the
   * start and end of the record with the end/start ratio on the stdout
   * line — a record taken on a box whose load changed mid-run
-  * self-identifies instead of requiring a judge re-bench.
+  * self-identifies instead of requiring a judge re-bench. Round-12
+  * closes the canary's blind spot (load arriving mid-battery and
+  * leaving before the end probe — both r10 and r11 driver tails): the
+  * stdout line carries a per-query `"suspect"` list ([[suspectsOf]] —
+  * raw-run spread > 2× within one median group), the tail keeps a
+  * PROTECTED 20% budget slice measured from its own start so it
+  * degrades to flagged-suspect medians rather than silent cold ×1
+  * runs, and a full-scope record prints `"budget_needed_sec"` (3× both
+  * batteries' medians + observed overhead) so an under-budgeted full
+  * record names its own shortfall.
   *
   * GC fence (round-9): between queries the session cache and all
   * persistent RDDs (localCheckpoint leftovers) are dropped and a GC is
@@ -120,6 +129,29 @@ object Bench {
     */
   final case class QR(name: String, sec: Double, ok: Boolean, runs: Int,
                       secs: Seq[Double] = Seq.empty)
+
+  /** Contamination threshold for [[suspectsOf]]: within one query's
+    * raw run array, max/min spread beyond this factor means load
+    * arrived or left mid-measurement.
+    */
+  val SuspectSpread = 2.0
+
+  /** Round-12 (VERDICT r11 item 1a): queries whose raw run arrays
+    * self-identify as load-contaminated — spread beyond
+    * [[SuspectSpread]] within one median group. This makes the r10/r11
+    * driver-tail problem MECHANICALLY decidable per query: the r11
+    * record's q239 `[13.48, 22.66, 55.17]` flags itself, where the
+    * whole-record canary (0.50, in-band) was blind to load that
+    * arrived mid-battery and left before the end probe. A flagged
+    * median is NOT comparable as a regression baseline — re-measure
+    * isolated instead of adjudicating. Single runs can't self-identify
+    * (that's what "truncated" already marks).
+    */
+  def suspectsOf(results: Seq[QR]): Seq[String] =
+    results.filter { r =>
+      r.secs.size >= 2 && r.secs.min > 0 &&
+        r.secs.max / r.secs.min > SuspectSpread
+    }.map(_.name)
 
   /** Drop session cache + persistent RDDs (localCheckpoint leftovers)
     * and request a GC — the inter-query fence.
@@ -259,9 +291,13 @@ object Bench {
     */
   def render(mode: String, scope: String, head: Seq[QR], legacyR: Seq[QR],
              tail: Seq[QR], runs: Int, outPath: String, sfDir: String,
-             canary: Option[(Double, Double)] = None): (String, String) = {
+             canary: Option[(Double, Double)] = None,
+             budgetNeededSec: Option[Double] = None): (String, String) = {
     val failed = names((head ++ legacyR ++ tail).filter(!_.ok).map(_.name))
     val truncated = names((head ++ legacyR ++ tail).filter(_.runs < runs).map(_.name))
+    val suspect = names(suspectsOf(head ++ legacyR ++ tail))
+    val budgetNeeded = budgetNeededSec
+      .map(v => s""","budget_needed_sec":${fmt(v, 1)}""").getOrElse("")
     val legacyTotal =
       if (legacyR.nonEmpty) s""","legacy_value":${fmt(legacyR.map(_.sec).sum, 4)}"""
       else ""
@@ -284,14 +320,17 @@ object Bench {
         s""""canary_ok":${s > 0 && e > 0}""") }.getOrElse(Seq.empty)
     val line = s"""{"metric":"total","value":${fmt(head.map(_.sec).sum, 4)},"unit":"sec"""" +
       s""","mode":"$mode","scope":"$scope","n_queries":${head.size},"failed":$failed""" +
-      s""","truncated":$truncated""" + legacyTotal + tailFields + canaryRatio +
+      s""","truncated":$truncated,"suspect":$suspect""" + legacyTotal + tailFields +
+      canaryRatio + budgetNeeded +
       s""","detail":${jstr(outPath)},"sf":${jstr(sfDir)}}"""
     val detail = (
       Seq(s""""metric":"total"""", s""""value":${fmt(head.map(_.sec).sum, 4)}""",
         s""""unit":"sec"""", s""""mode":"$mode"""", s""""scope":"$scope"""",
         s""""queries":${qjson(head, 4)}""", s""""runs":${rjson(head)}""",
         s""""runs_sec":${rsecjson(head, 4)}""",
-        s""""failed":$failed""", s""""truncated":$truncated""") ++
+        s""""failed":$failed""", s""""truncated":$truncated""",
+        s""""suspect":$suspect""") ++
+      budgetNeededSec.map(v => s""""budget_needed_sec":${fmt(v, 1)}""").toSeq ++
       (if (legacyR.nonEmpty)
         Seq(s""""legacy_value":${fmt(legacyR.map(_.sec).sum, 4)}""",
           s""""legacy_queries":${qjson(legacyR, 4)}""",
@@ -354,6 +393,17 @@ object Bench {
     def slice(frac: Double): Long =
       if (slicing) t0 + (budgetSec * frac * 1e9).toLong else deadline
 
+    // The tail's PROTECTED slice (round-12, VERDICT r11 item 1b): the
+    // audited tail keeps at least 20% of the wall budget measured from
+    // its OWN start, even when a slow box let the head passes overrun
+    // theirs — r10/r11 both silently degraded 7/12 tail entries to
+    // cold ×1 runs, which 3–7× overstate and are unusable as a
+    // regression baseline. Worst-case wall grows by ≤ 0.2×budget; the
+    // sensitivity ordering of [[tailQueries]] still decides who keeps
+    // medians if even the protected slice runs out.
+    def tailDeadlineOf(nowNanos: Long): Long =
+      math.max(deadline, nowNanos + (budgetSec * 0.20 * 1e9).toLong)
+
     // load canary at both ends of the record (see [[canary]])
     val canaryStart = canary(spark)
 
@@ -368,14 +418,28 @@ object Bench {
     // regression baseline; degradation past the deadline is recorded
     // in "truncated" like any other group.
     val tail = if (tailNames.isEmpty) Seq.empty[QR]
-      else battery(spark, sfDir, resolve(tailNames), legacy = false, runs, deadline)
+      else battery(spark, sfDir, resolve(tailNames), legacy = false, runs,
+        tailDeadlineOf(System.nanoTime()))
     val head = if (mode == "legacy") legacyR else honest
+
+    // Full-battery budget arithmetic (round-12, VERDICT r11 item 6):
+    // BASELINE records that both-modes-full-medians needs ≈ 4500 s
+    // while the default budget is 480 s — print what THIS record would
+    // have needed (3× each query's median for both batteries, plus the
+    // observed warm/fence overhead) so an under-budgeted full record
+    // self-describes instead of silently truncating half the battery.
+    val budgetNeeded = if (!full) None else {
+      val all = honest ++ legacyR ++ tail
+      val runsSum = all.map(_.secs.sum).sum
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      Some(3.0 * all.map(_.sec).sum + math.max(0.0, elapsed - runsSum))
+    }
 
     val canaryEnd = canary(spark)
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
     val (line, detail) = render(mode, scope, head,
       if (mode == "dual") legacyR else Seq.empty, tail, runs, outPath, sfDir,
-      canary = Some((canaryStart, canaryEnd)))
+      canary = Some((canaryStart, canaryEnd)), budgetNeededSec = budgetNeeded)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (detail + "\n").getBytes("UTF-8")): Unit
     println(line)

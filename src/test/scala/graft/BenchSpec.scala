@@ -104,6 +104,65 @@ class BenchSpec extends AnyFunSuite {
     assert(!spark.read.json(Seq(line).toDS).columns.contains("_corrupt_record"))
   }
 
+  test("suspect flag: injected-variance runs self-identify; tight arrays stay clean") {
+    // the r11 driver-tail contamination, verbatim: q239's raw array
+    // [13.48, 22.66, 55.17] has 4x internal spread — the whole-record
+    // canary missed it (0.50, in-band); the per-query flag must not
+    val loaded = Bench.QR("q239_lsh_recall", 22.66, ok = true, runs = 3,
+      secs = Seq(13.48, 22.66, 55.17))
+    val tight = Bench.QR("q91_allpairs", 3.53, ok = true, runs = 3,
+      secs = Seq(4.68, 3.53, 3.19))
+    val single = Bench.QR("q1_agg", 1.0, ok = true, runs = 1, secs = Seq(1.0))
+    assert(Bench.suspectsOf(Seq(loaded, tight, single)) == Seq("q239_lsh_recall"))
+    val (line, detail) = Bench.render("honest", "headline",
+      Seq(tight, single), Seq.empty, Seq(loaded), runs = 3,
+      outPath = "BENCH_FULL.json", sfDir = sf)
+    assert(line.contains(""""suspect":["q239_lsh_recall"]"""), line)
+    assert(detail.contains(""""suspect":["q239_lsh_recall"]"""), detail)
+    // a clean record renders an EMPTY list (field always present — its
+    // absence must never be confusable with "not checked")
+    val (clean, _) = Bench.render("honest", "headline", Seq(tight), Seq.empty,
+      Seq.empty, runs = 3, outPath = "BENCH_FULL.json", sfDir = sf)
+    assert(clean.contains(""""suspect":[]"""), clean)
+    import spark.implicits._
+    for (js <- Seq(line, detail, clean))
+      assert(!spark.read.json(Seq(js).toDS).columns.contains("_corrupt_record"), js)
+  }
+
+  test("tail keeps median-of-3 under its protected slice even when the head exhausted the budget") {
+    // the r10/r11 failure: head passes consumed the whole wall budget,
+    // the tail silently degraded to cold x1 — with the protected slice
+    // the tail's deadline is AT LEAST now + 20% of budget, so the
+    // sensitivity-ordered head of tailQueries keeps its medians
+    val exhausted = System.nanoTime() - 1L
+    val budgetSec = 480.0
+    val protectedDeadline = math.max(exhausted,
+      System.nanoTime() + (budgetSec * 0.20 * 1e9).toLong)
+    assert(protectedDeadline > System.nanoTime(),
+      "protected slice must extend past an exhausted overall deadline")
+    val tail = Bench.battery(spark, sf, pick("q12_grok"),
+      legacy = false, runs = 3, deadlineNanos = protectedDeadline)
+    assert(tail.forall(_.runs == 3),
+      s"tail must keep median-of-3 under the protected slice: $tail")
+  }
+
+  test("budget_needed_sec rides the full-mode line and parses") {
+    val head = Seq(Bench.QR("q1_agg", 1.0, ok = true, runs = 3,
+      secs = Seq(0.9, 1.0, 1.2)))
+    val (line, detail) = Bench.render("dual", "full", head, head, Seq.empty,
+      runs = 3, outPath = "BENCH_FULL.json", sfDir = sf,
+      budgetNeededSec = Some(4512.3))
+    assert(line.contains(""""budget_needed_sec":4512.3"""), line)
+    assert(detail.contains(""""budget_needed_sec":4512.3"""), detail)
+    // headline scope omits it (the headline budget is already sized)
+    val (hl, _) = Bench.render("dual", "headline", head, head, Seq.empty,
+      runs = 3, outPath = "BENCH_FULL.json", sfDir = sf)
+    assert(!hl.contains("budget_needed_sec"), hl)
+    import spark.implicits._
+    for (js <- Seq(line, detail, hl))
+      assert(!spark.read.json(Seq(js).toDS).columns.contains("_corrupt_record"), js)
+  }
+
   test("gate subset is exactly the 34 round-1 queries and all still exist") {
     assert(Bench.gateQueries.size == 34)
     assert(Bench.gateQueries.distinct.size == 34)
