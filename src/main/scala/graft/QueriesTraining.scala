@@ -677,10 +677,11 @@ object QueriesTraining {
     * twin of the Scala chain's expressions, so the per-plane dots are
     * bit-identical, not merely close).
     */
-  private def sqlSrpBucket(vecExpr: String, planes: Int): String =
+  private def sqlSrpBucket(vecExpr: String, planes: Int,
+                           planeOffset: Int = 0): String =
     (0 until planes).map { j =>
       val plane = (0 until EmbedDims).map(i =>
-        if (Similarity.planeSign(j, i) > 0) "1.0D" else "-1.0D")
+        if (Similarity.planeSign(planeOffset + j, i) > 0) "1.0D" else "-1.0D")
         .mkString("array(", ", ", ")")
       s"CASE WHEN vec_dot($vecExpr, $plane) > 0 THEN ${1L << j}L ELSE 0L END"
     }.mkString("(", " +\n      ", ")")
@@ -862,6 +863,69 @@ object QueriesTraining {
   }
 
   private val qSqlKnnIvfTvf: Q = (spark, dir) => sqlKnnIvfTvfCall(spark, dir, 5)
+
+  /** q286: EMBEDDING near-dup detection as a PARAMETERIZED SQL table
+    * function — `near_dup_vectors(min_cos)` finishes the TVF symmetry
+    * (VERDICT r11 item 5): text dedup already had `near_dup_pairs`
+    * (q280) and ANN search its index family (q282/q283/q285); this
+    * gives the q24/q284 banded-SRP chain the same catalog surface, so
+    * a SQL user can sweep the verify threshold without touching Scala.
+    * The body is GENERATED from the operators' own constants — band
+    * count [[Similarity.EmbedBands]], planes-per-band from the corpus
+    * footer rows ([[ScaleParams.srpBandPlanes]], the occupancy rule),
+    * hyperplanes from [[Similarity.planeSign]] per band family, dots/
+    * norms through the registered `vec_dot`/`vec_norm` codegen
+    * kernels — so the call at [[Similarity.NearDupCos]] is
+    * ROW-IDENTICAL to q24 (bit-exact cosines) and shares its oracle.
+    * SqlKnnTvfSpec pins the threshold boundary (tighter threshold ==
+    * exact filter of the looser result) and the plan shape.
+    *
+    * Scale shape, declared in the text like q24's plan: ONE corpus
+    * pass computes the banded keys (MERGE-pinned self-join → both
+    * sides canonicalize to the same exchange, ReuseExchange — the
+    * q277 lesson), the fan-out hint is generated only when the scan
+    * is single-split ([[embedsNeedFanOut]]), and the exact-cosine
+    * verify runs on candidates only.
+    */
+  private[graft] def sqlEmbedDedupTvfDdl(planes: Int, fanOut: Boolean): String = {
+    val bandKeys = (0 until Similarity.EmbedBands).map { t =>
+      s"(${t.toLong << planes}L + ${sqlSrpBucket("vec", planes, t * planes)})"
+    }.mkString("array(\n      ", ",\n      ", ")")
+    s"""CREATE TEMPORARY FUNCTION near_dup_vectors(min_cos DOUBLE)
+       |RETURNS TABLE(id_a BIGINT, id_b BIGINT, cos DOUBLE) RETURN
+       |WITH e AS (SELECT ${embedsFanOutHint(fanOut)}vec_id, embedding AS vec,
+       |    vec_norm(embedding) AS nrm
+       |  FROM embeddings),
+       |k AS (SELECT vec_id, bucket
+       |  FROM e LATERAL VIEW explode($bandKeys) gen AS bucket),
+       |cand AS (SELECT /*+ MERGE(a), MERGE(b) */ DISTINCT
+       |    a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM k a JOIN k b USING (bucket) WHERE a.vec_id < b.vec_id),
+       |pairs AS (SELECT id_a, id_b,
+       |    vec_dot(ea.vec, eb.vec) / (ea.nrm * eb.nrm) AS cos
+       |  FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+       |            JOIN e eb ON eb.vec_id = cand.id_b)
+       |SELECT id_a, id_b, cos FROM pairs WHERE cos >= min_cos""".stripMargin
+  }
+
+  private[graft] def sqlEmbedDedupTvfCall(spark: SparkSession, dir: String,
+                                          minCos: Double): DataFrame = {
+    val planes = ScaleParams.srpBandPlanes(
+      ScaleParams.tableRows(spark, dir, "embeddings"))
+    val fanOut = embedsNeedFanOut(spark, dir)
+    Tables(spark, dir, "embeddings").createOrReplaceTempView("embeddings")
+    try {
+      spark.sql(sqlEmbedDedupTvfDdl(planes, fanOut))
+      spark.sql("SELECT id_a, id_b, cos " +
+        s"FROM near_dup_vectors(CAST($minCos AS DOUBLE)) ORDER BY id_a, id_b")
+    } finally {
+      spark.sql("DROP TEMPORARY FUNCTION IF EXISTS near_dup_vectors")
+      spark.catalog.dropTempView("embeddings"): Unit
+    }
+  }
+
+  private val qSqlEmbedDedupTvf: Q = (spark, dir) =>
+    sqlEmbedDedupTvfCall(spark, dir, Similarity.NearDupCos)
 
   /** Incremental dedup: the 25% increment (doc_id % 4 = 3) deduped
     * against the full corpus snapshot — band keys of the increment
@@ -5397,6 +5461,7 @@ object QueriesTraining {
     "q283_sql_knn_probe_tvf" -> qSqlKnnProbeTvf,
     "q284_embed_incremental" -> qEmbedIncremental,
     "q285_sql_knn_ivf_tvf" -> qSqlKnnIvfTvf,
+    "q286_sql_embed_tvf" -> qSqlEmbedDedupTvf,
     "q43_dedup_incremental" -> qDedupIncremental,
     "q22_dedup_ngram" -> qDedupNgram,
     "q104_containment" -> qContainment,
@@ -7901,6 +7966,10 @@ object QueriesTraining {
     // the 25% increment — the incremental chain emits exactly those
     "q284_embed_incremental" ->
       embedDedupOracle(" AND (a.vec_id % 4 = 3 OR b2.vec_id % 4 = 3)"),
+
+    // the embedding near-dup TVF called at the battery threshold is
+    // row-identical to q24 by construction — shared oracle text
+    "q286_sql_embed_tvf" -> embedDedupOracle(""),
 
     "q25_knn_brute" -> knnBruteOracle,
 

@@ -82,6 +82,43 @@ class SqlKnnTvfSpec extends AnyFunSuite {
     assert(k1 == tvf.filter(_._2 == 1) && k1.size < tvf.size)
   }
 
+  private def pairRows(df: DataFrame): Seq[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+  test("embed near-dup table function at the battery threshold is row-identical to the Scala q24 chain") {
+    val tvf = pairRows(Queries.all("q286_sql_embed_tvf")(spark, dir))
+    val scala = pairRows(Queries.all("q24_dedup_embed")(spark, dir))
+    assert(tvf.nonEmpty, "fixture must contain planted embedding near-dups")
+    assert(tvf == scala) // same pairs, same EXACT cosines, same order
+    assert(Queries.oracles("q286_sql_embed_tvf") == Queries.oracles("q24_dedup_embed"))
+    assert(!spark.catalog.functionExists("near_dup_vectors"))
+  }
+
+  test("the threshold does the work: tighter min_cos is exactly the filter of the looser result") {
+    // min_cos = -1 passes EVERY verified candidate (cosine range):
+    // the full banded-SRP candidate set, cosine-verified
+    val loose = pairRows(QueriesTraining.sqlEmbedDedupTvfCall(spark, dir, -1.0))
+    val tight = pairRows(QueriesTraining.sqlEmbedDedupTvfCall(spark, dir,
+      graft.sim.Similarity.NearDupCos))
+    assert(tight == loose.filter(_._3 >= graft.sim.Similarity.NearDupCos),
+      "threshold must filter, never change, the candidate-verify rows")
+    assert(tight.size < loose.size,
+      "the fixture must hold candidate pairs below the near-dup threshold")
+    // an unsatisfiable threshold degenerates to empty, not an error
+    assert(pairRows(QueriesTraining.sqlEmbedDedupTvfCall(spark, dir, 2.0)).isEmpty)
+  }
+
+  test("the embed-dedup text plans the one-corpus-pass shape: banded self-join reuses its exchange") {
+    val df = Queries.all("q286_sql_embed_tvf")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the MERGE-pinned band self-join must canonicalize both sides to
+    // ONE exchange (the expensive bands*planes vec_dot pass runs once)
+    assert(p.contains("ReusedExchange"), s"band self-join must reuse its exchange:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("the text plans the ANN shape: query side broadcasts, no corpus sort, no nested loop") {
     val df = Queries.all("q282_sql_knn_tvf")(spark, dir)
     df.collect()
