@@ -505,10 +505,32 @@ object ScaleRehearsal {
         t
       }
       val js = secs.map(s => f"$s%.3f").mkString("[", ",", "]")
+      // round-12 (VERDICT r11 item 4): make the compaction BENEFIT a
+      // measured row — time a full state scan (what every fold's
+      // snapshot read pays) against the fragmented store, compact to
+      // the newest committed batch, time it again. At 8 dirs the
+      // delta is mostly task/metadata overhead; the claim it anchors
+      // is the trend a 5,760-dir day would follow.
+      def dirCount(): Int = fs.listStatus(new org.apache.hadoop.fs.Path(statePath))
+        .map(_.getPath.getName).count(_.startsWith("batch="))
+      def scanSec(): Double = {
+        val t0 = System.nanoTime()
+        graft.streaming.StreamingDedup.stateSigs(spark, statePath, nBatches.toLong)
+          .foreach(_.queryExecution.toRdd.count(): Unit)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val (dirsPre, scanPre) = (dirCount(), scanSec())
+      val tc0 = System.nanoTime()
+      graft.streaming.StreamingDedup.compactState(spark, statePath, nBatches - 1L)
+      val compactSec = (System.nanoTime() - tc0) / 1e9
+      val (dirsPost, scanPost) = (dirCount(), scanSec())
+      val stateRows = spark.read.parquet(statePath).count()
       // flat_ratio denominator = batch 2, NOT batch 1: batch 1 is
       // JVM/codegen warm-up, so dividing by it would report "flat"
       // even for a genuinely growing per-batch cost (round-11 review)
-      println(s"""{"metric":"scale_rehearsal_neardup","scale":"${mult}x","batches":$nBatches,"pairs":$pairsTotal,"batch_secs":$js,"flat_ratio_post_warm":${f"${secs.last / secs(1)}%.2f"}}""")
+      println(s"""{"metric":"scale_rehearsal_neardup","scale":"${mult}x","batches":$nBatches,"pairs":$pairsTotal,"batch_secs":$js,"flat_ratio_post_warm":${f"${secs.last / secs(1)}%.2f"},""" +
+        s""""state_rows":$stateRows,"state_dirs_pre":$dirsPre,"scan_pre_sec":${f"$scanPre%.3f"},""" +
+        s""""compact_sec":${f"$compactSec%.3f"},"state_dirs_post":$dirsPost,"scan_post_sec":${f"$scanPost%.3f"}}""")
       spark.stop(); return
     }
     if (embedOnly) { runEmbed(spark, base, scaled, mult); spark.stop(); return }

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.dedup.Dedup
 import graft.sim.Similarity
@@ -68,4 +69,36 @@ object StreamingAnn {
     }
     pairs
   }
+
+  /** The monitor as a PRODUCTION streaming query: every micro-batch of
+    * `vectors` (columns `idCol`, `embCol`) folds into the persistent
+    * store, near-dup pairs land batchId-keyed under `pairsDir`
+    * ([[StreamingDedup.pairsView]] reads the union), and — when
+    * `compactEvery > 0` — [[StreamingDedup.maybeCompact]] runs as the
+    * `foreachBatch` epilogue (the epilogue IS the quiesce window; see
+    * its scaladoc). Restart = start again with the same checkpoint:
+    * offsets resume, the state re-opens from disk, and a crash-window
+    * replay recomputes idempotently (StreamingAnnPipelineSpec forces
+    * one through a [[graft.sources.ShardedRecordSource]] drive).
+    *
+    * `planesPerBand` is FIXED for the index lifetime — derive it once
+    * from the TARGET corpus size ([[graft.ScaleParams.srpBandPlanes]]),
+    * not per batch (a changed value changes every stored bucket: a
+    * reindex, not a tweak).
+    */
+  def startMonitor(vectors: DataFrame, checkpointDir: String, statePath: String,
+                   pairsDir: String, planesPerBand: Int,
+                   idCol: String = "vec_id", embCol: String = "embedding",
+                   compactEvery: Int = 0,
+                   trigger: Trigger = Trigger.ProcessingTime("15 seconds")): StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        foldBatchPersistent(statePath, batch, batchId, planesPerBand,
+          idCol = idCol, embCol = embCol, pairsDir = Some(pairsDir)): Unit
+        StreamingDedup.maybeCompact(batch.sparkSession, statePath, batchId,
+          compactEvery)
+      }
+      .start()
 }

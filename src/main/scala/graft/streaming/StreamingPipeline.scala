@@ -71,9 +71,16 @@ object StreamingPipeline {
     * state survives restarts on disk — the monitor COMPOSES with the
     * reference pipeline's effectively-once contract instead of
     * weakening it.
+    *
+    * `compactEvery > 0` bounds the signature store's dir growth by
+    * running [[StreamingDedup.maybeCompact]] as the `foreachBatch`
+    * epilogue — serialized with folds by construction, over committed
+    * batches only (the epilogue IS the quiesce; see its scaladoc). At
+    * the 15 s trigger an unbounded store accretes ~5,760 dirs/day.
     */
   def startWithNearDup(records: DataFrame, dims: DataFrame, checkpointDir: String,
                        outDir: String, statePath: String, pairsDir: String,
+                       compactEvery: Int = 0,
                        trigger: Trigger = Trigger.ProcessingTime("15 seconds")): StreamingQuery =
     Pipeline.assemble(records, dims)
       .writeStream
@@ -88,6 +95,8 @@ object StreamingPipeline {
           StreamingDedup.foldBatchPersistent(statePath, docs, batchId,
             pairsDir = Some(pairsDir)): Unit
         } finally b.unpersist(): Unit
+        StreamingDedup.maybeCompact(batch.sparkSession, statePath, batchId,
+          compactEvery)
       }
       .start()
 
