@@ -927,6 +927,30 @@ object QueriesTraining {
   private val qSqlEmbedDedupTvf: Q = (spark, dir) =>
     sqlEmbedDedupTvfCall(spark, dir, Similarity.NearDupCos)
 
+  /** q287: EMBEDDING near-dup GROUPS — connected components over the
+    * q24 verified-pair graph, canonical id = component minimum: the
+    * q31 step (pairwise similarity → an actionable keep/drop decision)
+    * for the VECTOR modality, closing the text/embedding symmetry the
+    * same way q284/q286 did for the incremental and TVF forms. A
+    * semantic-dedup pipeline keeps one document per component (the
+    * canonical) and drops the rest — pairs alone can't express that
+    * when near-dups chain transitively (a~b, b~c: two pairs, ONE
+    * group of three).
+    *
+    * Scale shape: [[Dedup.connectedComponents]] — label propagation
+    * with node-sized per-iteration state, the symmetrized edge set
+    * persisted pre-partitioned on src (labels, which change per round,
+    * are the only re-shuffled side), O(component diameter) rounds —
+    * near-dup components are shallow (duplicate clusters, not social
+    * graphs), so the round count is small and corpus-independent.
+    */
+  private val qEmbedGroups: Q = (spark, dir) => {
+    val vecs = Tables(spark, dir, "embeddings").select(col("vec_id"))
+    val pairs = qDedupEmbed(spark, dir).select("id_a", "id_b")
+    Dedup.connectedComponents(vecs, pairs, "vec_id", "id_a", "id_b")
+      .orderBy("vec_id")
+  }
+
   /** Incremental dedup: the 25% increment (doc_id % 4 = 3) deduped
     * against the full corpus snapshot — band keys of the increment
     * broadcast, the corpus signature side never shuffles
@@ -5462,6 +5486,7 @@ object QueriesTraining {
     "q284_embed_incremental" -> qEmbedIncremental,
     "q285_sql_knn_ivf_tvf" -> qSqlKnnIvfTvf,
     "q286_sql_embed_tvf" -> qSqlEmbedDedupTvf,
+    "q287_embed_groups" -> qEmbedGroups,
     "q43_dedup_incremental" -> qDedupIncremental,
     "q22_dedup_ngram" -> qDedupNgram,
     "q104_containment" -> qContainment,
@@ -5869,6 +5894,22 @@ object QueriesTraining {
        |          FROM cand JOIN e ea ON ea.vec_id = id_a
        |                    JOIN e eb ON eb.vec_id = id_b)
        |SELECT id_a, id_b, cos FROM pairs WHERE cos >= $NearDupCos ORDER BY id_a, id_b""".stripMargin
+
+  /** Components over the q24 pair graph (q287): the full q24 oracle
+    * text nested verbatim as the edge set (the round-8 composition
+    * recipe), then the same recursive-reachability labeling as
+    * [[componentsOracle]] with the node universe = every vector.
+    */
+  private lazy val embedComponentsOracle: String =
+    s"""WITH RECURSIVE pv AS (SELECT id_a, id_b FROM (${embedDedupOracle("")})),
+       |sym AS (SELECT id_a AS s, id_b AS d FROM pv
+       |        UNION ALL SELECT id_b, id_a FROM pv),
+       |reach(id, lbl) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT sym.d, reach.lbl FROM reach JOIN sym ON sym.s = reach.id)
+       |SELECT id AS vec_id, min(lbl) AS canonical_id
+       |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin
 
   private lazy val knnBruteOracle: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -7970,6 +8011,8 @@ object QueriesTraining {
     // the embedding near-dup TVF called at the battery threshold is
     // row-identical to q24 by construction — shared oracle text
     "q286_sql_embed_tvf" -> embedDedupOracle(""),
+
+    "q287_embed_groups" -> embedComponentsOracle,
 
     "q25_knn_brute" -> knnBruteOracle,
 

@@ -75,6 +75,23 @@ class StreamingAnnSpec extends AnyFunSuite {
       "declared incremental query and streaming fold must agree row-for-row")
   }
 
+  test("q287 groups are the transitive closure of the q24 pairs with component-min canonicals") {
+    val pairs = collectPairs(Queries.all("q24_dedup_embed")(spark, dir))
+    val groups = Queries.all("q287_embed_groups")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.nonEmpty && groups.size ==
+      ScaleParams.tableRows(spark, dir, "embeddings"),
+      "every vector must carry a component label")
+    // paired vectors share a component; the label is the member min;
+    // transitive chains collapse (that's what pairs alone can't say)
+    pairs.foreach { case (a, b, _) =>
+      assert(groups(a) == groups(b), s"pair ($a,$b) split across groups") }
+    groups.groupBy(_._2).foreach { case (lbl, members) =>
+      assert(lbl == members.keys.min, s"canonical $lbl is not its component min") }
+    assert(groups.exists { case (id, lbl) => id != lbl },
+      "fixture must produce non-singleton groups")
+  }
+
   test("the shared compactor serves the embed store: content stable, folds continue") {
     val statePath = Files.createTempDirectory("graft_anncompact").toString + "/state"
     val all = vecs().persist()
