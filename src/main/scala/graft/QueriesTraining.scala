@@ -4205,7 +4205,7 @@ object QueriesTraining {
     * window would shuffle the full corpus×K crossjoin just to pick its
     * max). Tie-break = (ccos desc, smallest c_id) via -c_id.
     */
-  private def ivfAssign(e: DataFrame, cents: DataFrame): DataFrame =
+  private[graft] def ivfAssign(e: DataFrame, cents: DataFrame): DataFrame =
     e.crossJoin(broadcast(cents))
       .withColumn("ccos", Similarity.cosine(col("vec"), col("c_vec")))
       .groupBy(col("vec_id"))
@@ -4296,6 +4296,116 @@ object QueriesTraining {
         .select(col("list_id").as("c_id"), col("c_vec"))
     }
     Dedup.materialize(cents)
+  }
+
+  /** q288: IVF INDEX PROBE-ECONOMICS AUDIT — for each query, which
+    * inverted lists the q29 index probes and what fraction of the
+    * corpus those lists hold. This is the number a persisted vector
+    * index is sized by: `scan_bp` IS the I/O bill of one probe against
+    * a list-partitioned index (probe bytes = candidate rows / corpus
+    * rows), the same way q144 turns the layout choice into touched
+    * files. Skewed lists show up here first — a hot cell holding 30%
+    * of the corpus means probes that hit it pay 30% of a full scan,
+    * the signal to re-learn centroids (q80) or split the cell.
+    *
+    * The physical twin is [[graft.sim.Similarity.persistIvfIndex]] +
+    * [[graft.sim.Similarity.probePersistedIvf]]: the assignment this
+    * audit aggregates, written list-partitioned and read back with
+    * partition pruning (`PersistedIndexSpec` pins plan + parity with
+    * q29) — build-once / query-many, where every other ANN query in
+    * the battery rebuilds its index inside the query.
+    *
+    * Scale: assignment is q29's broadcast argmax (one corpus pass,
+    * map-side combined to one row per vector); list sizes are
+    * K-row metadata; the probe side is 10 queries × √n centroids
+    * broadcast. Nothing here re-reads vectors after assignment.
+    */
+  private val qIvfAudit: Q = (spark, dir) => {
+    val total = ScaleParams.tableRows(spark, dir, "embeddings")
+    val lists = ScaleParams.ivfLists(total)
+    val e = embeddingsRepartitioned(spark, dir)
+    val cents = e.filter(col("vec_id") < lists)
+      .select(col("vec_id").as("c_id"), col("vec").as("c_vec"))
+    val sizes = ivfAssign(e, cents)
+      .groupBy(col("list_id")).agg(count(lit(1)).as("cnt"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
+    Similarity.ivfProbes(q, cents, IvfProbes)
+      .join(sizes, "list_id")
+      .groupBy(col("q_id"))
+      .agg(
+        concat_ws(",", transform(sort_array(collect_list(col("list_id"))),
+          x => x.cast("string"))).as("probe_lists"),
+        count(lit(1)).as("n_lists"),
+        sum(col("cnt")).as("cand_rows"))
+      .withColumn("scan_bp", expr(s"cand_rows * 10000 div ${total}L"))
+      .orderBy("q_id")
+  }
+
+  private val GeoMedianIters = 3
+  private val GeoMedianGroups = 4
+
+  /** q289: GEOMETRIC MEDIAN of each embedding group (Weiszfeld
+    * iterations) next to the arithmetic mean — the robust centroid.
+    * The mean a cluster rep (q109) or coarse quantizer (q49/q80) is
+    * built from moves linearly with any outlier batch (one poisoned
+    * shard drags every centroid it touches); the geometric median's
+    * influence function is bounded — breakdown point 0.5 — so the
+    * rep stays put until HALF the group is contaminated. `mean_c` vs
+    * `med_c` per component is exactly the poisoning diagnostic: big
+    * gaps = heavy-tailed or contaminated groups.
+    *
+    * Weiszfeld is an IRLS fixed point: mₜ₊₁ = Σ(v/‖v−mₜ‖) / Σ(1/‖v−mₜ‖),
+    * seeded at the mean, [[GeoMedianIters]] rounds. Cross-engine
+    * parity contract: distances are the codegen
+    * [[graft.functions.vec_l2sq]] — bit-identical to the oracle's
+    * left-to-right fold over the SAME `round(·,6)` median components,
+    * so the weights are bit-equal and only the final weighted mean
+    * (order-free after `round(·,6)`, the q80 convention) is rounded.
+    * Points sitting exactly on the current estimate get weight 0 (the
+    * standard Weiszfeld guard), and a fully-degenerate group keeps its
+    * previous estimate.
+    *
+    * Scale: each round is ONE linear pass — the medians broadcast
+    * (groups × dims rows), the weighted sums map-side combine to
+    * groups × dims partials; no corpus shuffle, the q49 Lloyd shape.
+    */
+  private val qGeoMedian: Q = (spark, dir) => {
+    val e = Dedup.materialize(
+      embeddingsRepartitioned(spark, dir).select(
+        (col("vec_id") % GeoMedianGroups).as("grp"), col("vec_id"),
+        Similarity.asDouble(col("vec")).as("v")))
+    val comp = e.select(col("grp"), col("vec_id"),
+        posexplode_outer(col("v")).as(Seq("pos0", "x")))
+      .select(col("grp"), col("vec_id"),
+        (col("pos0") + 1).cast("long").as("pos"), col("x"))
+    val m0 = Dedup.materialize(
+      comp.groupBy("grp", "pos").agg(round(avg(col("x")), 6).as("m")))
+    def vectorized(m: DataFrame): DataFrame =
+      m.groupBy("grp")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("mv"))
+    var m = m0
+    for (_ <- 1 to GeoMedianIters) {
+      val w = e.join(broadcast(vectorized(m)), "grp")
+        .withColumn("d2", graft.functions.vec_l2sq(col("v"), col("mv")))
+        .select(col("grp"), col("vec_id"),
+          when(col("d2") > 0, lit(1.0) / sqrt(col("d2")))
+            .otherwise(lit(0.0)).as("w"))
+      m = Dedup.materialize(
+        comp.join(w, Seq("grp", "vec_id"))
+          .groupBy("grp", "pos")
+          .agg(sum(col("w") * col("x")).as("num"), sum(col("w")).as("den"))
+          .join(m.withColumnRenamed("m", "prev"), Seq("grp", "pos"))
+          .select(col("grp"), col("pos"),
+            when(col("den") > 0, round(col("num") / col("den"), 6))
+              .otherwise(col("prev")).as("m")))
+    }
+    m0.withColumnRenamed("m", "mean_c")
+      .join(m.withColumnRenamed("m", "med_c"), Seq("grp", "pos"))
+      .select(col("grp").as("group_id"), col("pos"),
+        col("mean_c"), col("med_c"))
+      .orderBy("group_id", "pos")
   }
 
   private val PqM = 4        // subspaces
@@ -5487,6 +5597,8 @@ object QueriesTraining {
     "q285_sql_knn_ivf_tvf" -> qSqlKnnIvfTvf,
     "q286_sql_embed_tvf" -> qSqlEmbedDedupTvf,
     "q287_embed_groups" -> qEmbedGroups,
+    "q288_ivf_audit" -> qIvfAudit,
+    "q289_geomedian" -> qGeoMedian,
     "q43_dedup_incremental" -> qDedupIncremental,
     "q22_dedup_ngram" -> qDedupNgram,
     "q104_containment" -> qContainment,
@@ -5983,6 +6095,73 @@ object QueriesTraining {
          |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
          |           FROM scored)
          |SELECT q_id, rank, vec_id, cos FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** q288's oracle — the knnIvfOracle assignment/probe CTEs reduced
+    * to list-size economics (no rerank: the audit never touches
+    * vectors after assignment, and neither does its SQL).
+    */
+  private lazy val ivfAuditOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |p AS (SELECT ${ScaleParams.ivfListsSql} AS lists FROM e),
+       |c AS (SELECT vec_id AS c_id, v AS c_vec FROM e
+       |      WHERE vec_id < (SELECT lists FROM p)),
+       |assign AS (SELECT vec_id, c_id AS list_id FROM (
+       |  SELECT e.vec_id, c.c_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.v", "c.c_vec")} DESC, c.c_id) AS crk
+       |  FROM e, c) WHERE crk = 1),
+       |sizes AS (SELECT list_id, CAST(count(*) AS BIGINT) AS cnt
+       |          FROM assign GROUP BY list_id),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+       |q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 10),
+       |probes AS (SELECT q_id, c_id AS list_id FROM (
+       |  SELECT q.q_id, c.c_id,
+       |    row_number() OVER (PARTITION BY q.q_id
+       |      ORDER BY ${cosSql("q.q_vec", "c.c_vec")} DESC, c.c_id) AS crk
+       |  FROM q, c) WHERE crk <= $IvfProbes)
+       |SELECT q_id,
+       |  string_agg(CAST(s.list_id AS VARCHAR), ',' ORDER BY s.list_id) AS probe_lists,
+       |  CAST(count(*) AS BIGINT) AS n_lists,
+       |  CAST(sum(s.cnt) AS BIGINT) AS cand_rows,
+       |  CAST(sum(s.cnt) * 10000 // (SELECT n FROM tot) AS BIGINT) AS scan_bp
+       |FROM probes pr JOIN sizes s ON s.list_id = pr.list_id
+       |GROUP BY q_id ORDER BY q_id""".stripMargin
+
+  /** q289's oracle — [[GeoMedianIters]] Weiszfeld rounds unrolled as
+    * CTE pairs (the q80/q250 constant-iteration convention): distances
+    * via the same left-to-right [[l2Sql]] fold over the same
+    * `round(·,6)` median components, weighted means rounded
+    * identically, degenerate groups falling back to the previous
+    * estimate on both engines.
+    */
+  private lazy val geoMedianOracle: String = {
+    val iters = (1 to GeoMedianIters).map { t =>
+      val pm = s"m${t - 1}"
+      s"""d$t AS (SELECT e.grp, e.vec_id,
+         |    ${l2Sql("e.v", s"${pm}v.mv", EmbedDims)} AS d2
+         |  FROM e JOIN ${pm}v USING (grp)),
+         |w$t AS (SELECT grp, vec_id,
+         |    CASE WHEN d2 > 0 THEN 1.0 / sqrt(d2) ELSE 0.0 END AS w FROM d$t),
+         |m$t AS (SELECT c.grp, c.pos,
+         |    CASE WHEN sum(w.w) > 0 THEN round(sum(w.w * c.x) / sum(w.w), 6)
+         |         ELSE min(pp.m) END AS m
+         |  FROM comp c JOIN w$t w ON w.grp = c.grp AND w.vec_id = c.vec_id
+         |  JOIN $pm pp ON pp.grp = c.grp AND pp.pos = c.pos
+         |  GROUP BY c.grp, c.pos),
+         |m${t}v AS (SELECT grp, list(m ORDER BY pos) AS mv FROM m$t GROUP BY grp)""".stripMargin
+    }.mkString(",\n")
+    val last = s"m$GeoMedianIters"
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |    vec_id % $GeoMedianGroups AS grp FROM embeddings),
+       |comp AS (SELECT grp, vec_id, CAST(i AS BIGINT) AS pos, v[i] AS x
+       |  FROM e, (SELECT unnest(range(1, ${EmbedDims + 1})) AS i) ii),
+       |m0 AS (SELECT grp, pos, round(avg(x), 6) AS m FROM comp GROUP BY grp, pos),
+       |m0v AS (SELECT grp, list(m ORDER BY pos) AS mv FROM m0 GROUP BY grp),
+       |$iters
+       |SELECT m0.grp AS group_id, m0.pos AS pos, m0.m AS mean_c, $last.m AS med_c
+       |FROM m0 JOIN $last ON $last.grp = m0.grp AND $last.pos = m0.pos
+       |ORDER BY group_id, pos""".stripMargin
+  }
 
   /** Full-rebuild components oracle — shared by q31 (direct build)
     * and q121 (incremental star-contraction build): the text never
@@ -8070,6 +8249,8 @@ object QueriesTraining {
     "q121_cc_incremental" -> componentsOracle,
 
     "q29_knn_ivf" -> knnIvfOracle,
+    "q288_ivf_audit" -> ivfAuditOracle,
+    "q289_geomedian" -> geoMedianOracle,
 
     // JL audit: same sign lists + exact plane-dot fold as the SRP
     // oracles; projected cosine via the 16-dim fold twin

@@ -274,8 +274,54 @@ object ScaleRehearsal {
     // 50k² pairs is not their operating point; their corpus-scale
     // path swaps in the q29 IVF probes.
     val new14Only = args.length > 1 && args(1) == "new14"
+    // "pivf" second arg: persisted-IVF build-once/query-many economics
+    // at Nx — build wall (one linear pass), probe wall against the
+    // list-partitioned index (pruned to nprobe lists) vs the full
+    // in-query rebuild (q29), and the file-pruning ratio
+    val pivfOnly = args.length > 1 && args(1) == "pivf"
     val scaled = s"/tmp/graft_scale_${mult}x"
     val spark = GraftSession.get("local[32]", "32")
+    if (pivfOnly) {
+      val emb0 = spark.read.parquet(s"$base/embeddings.parquet")
+        .select(col("vec_id"), graft.sim.Similarity.asDouble(col("embedding")).as("embedding"))
+      (0 until mult).map { k =>
+        emb0.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+          copyVariant(k).as("embedding"))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$scaled/embeddings.parquet")
+      Seq("1x" -> base, s"${mult}x" -> scaled).foreach { case (label, dir) =>
+        val rows = ScaleParams.tableRows(spark, dir, "embeddings")
+        val lists = ScaleParams.ivfLists(rows)
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding").as("vec"))
+        val cents = e.filter(col("vec_id") < lists)
+          .select(col("vec_id").as("c_id"), col("vec").as("c_vec"))
+        val idxPath = s"$scaled/pivf_index_$label"
+        val tb = System.nanoTime()
+        graft.sim.Similarity.persistIvfIndex(
+          QueriesTraining.ivfAssign(e, cents), idxPath)
+        val buildSec = (System.nanoTime() - tb) / 1e9
+        val q = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("vec").as("q_vec"))
+        def probeOnce(): Double = {
+          val t0 = System.nanoTime()
+          graft.sim.Similarity.probePersistedIvf(spark, idxPath,
+            graft.sim.Similarity.ivfProbes(q, cents, 2), 5)
+            .queryExecution.toRdd.count(): Unit
+          (System.nanoTime() - t0) / 1e9
+        }
+        probeOnce() // warm
+        val probeSec = Seq.fill(3)(probeOnce()).sorted.apply(1)
+        timeQuery(spark, "q29_knn_ivf", dir) // warm
+        val rebuildSec =
+          Seq.fill(3)(timeQuery(spark, "q29_knn_ivf", dir)).sorted.apply(1)
+        val filesTotal = spark.read.parquet(idxPath).inputFiles.length
+        println(s"""{"metric":"scale_rehearsal_pivf","scale":"$label","rows":$rows,""" +
+          s""""lists":$lists,"build_sec":$buildSec,"probe_persisted_sec":$probeSec,""" +
+          s""""probe_rebuild_sec":$rebuildSec,"files_total":$filesTotal,"nprobe":2}""")
+      }
+      spark.stop(); return
+    }
     if (new8Only) {
       scaleDocs(spark, base, scaled, mult)
       val emb0 = spark.read.parquet(s"$base/embeddings.parquet")

@@ -214,4 +214,53 @@ object Similarity {
                        planes: Int, dims: Int): DataFrame =
     knnLshProbes(queries, candidates, k, planes, dims,
       lit(0L) +: (0 until planes).map(j => lit(1L << j)))
+
+  /** The `nprobe` nearest coarse-quantizer cells per query: broadcast
+    * argmax over the centroid table (√n rows by construction), ties
+    * broken by centroid id. Output `(q_id, q_vec, list_id)` — the
+    * probe plan a persisted index is queried with.
+    */
+  def ivfProbes(queries: DataFrame, cents: DataFrame, nprobe: Int): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(col("ccos").desc, col("c_id"))
+    queries.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("crk", row_number().over(w))
+      .filter(col("crk") <= nprobe)
+      .select(col("q_id"), col("q_vec"), col("c_id").as("list_id"))
+  }
+
+  /** BUILD-ONCE / QUERY-MANY: write the IVF assignment
+    * `(vec_id, vec, list_id)` as a parquet table partitioned by
+    * `list_id`, so each inverted list is its own partition directory.
+    * Every ANN query in the battery (q25–q29, q80, …) rebuilds its
+    * index inside the query — correct for an oracle-checked recipe,
+    * but no production vector store re-embeds 100 TB per lookup. This
+    * is the missing physical half: one linear build pass, amortized
+    * over every probe that follows.
+    */
+  def persistIvfIndex(assign: DataFrame, path: String): Unit =
+    assign.write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+  /** Query a persisted IVF index: read back ONLY the probed lists.
+    * The `IN (probed lists)` predicate lands on the partition column,
+    * so Catalyst resolves it at PLANNING time — partition pruning —
+    * and the scan never opens the other K−nprobe lists' files
+    * (`PersistedIndexSpec` pins PartitionFilters + the pruned
+    * inputFiles count). At 100 TB the probe costs
+    * O(nprobe/K × corpus bytes) of I/O instead of O(corpus bytes).
+    *
+    * The probe-list collect is bounded by contract (≤ |queries| ×
+    * nprobe rows — queries are small, the q250/q122 bounded-collect
+    * discipline), and the probe frame broadcasts for the same reason.
+    */
+  def probePersistedIvf(spark: org.apache.spark.sql.SparkSession, path: String,
+                        probes: DataFrame, k: Int): DataFrame = {
+    val probed = probes.select(col("list_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val idx = spark.read.parquet(path)
+      .filter(col("list_id").isin(probed.toIndexedSeq: _*))
+      .withColumn("cn", norm(col("vec")))
+    val q = probes.withColumn("qn", norm(col("q_vec")))
+    rankTopK(idx.join(broadcast(q), Seq("list_id")), k)
+  }
 }
