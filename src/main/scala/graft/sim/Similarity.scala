@@ -239,7 +239,13 @@ object Similarity {
     * over every probe that follows.
     */
   def persistIvfIndex(assign: DataFrame, path: String): Unit =
-    assign.write.mode("overwrite").partitionBy("list_id").parquet(path)
+    // repartition on the partition column first: without it every
+    // input partition writes a sliver into every list dir (input
+    // partitions × lists files — 1,128 files for a 141-list 10×
+    // rehearsal index); with it each list is ONE file and a writer
+    // task holds one open file, not `lists` of them
+    assign.repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(path)
 
   /** Query a persisted IVF index: read back ONLY the probed lists.
     * The `IN (probed lists)` predicate lands on the partition column,
