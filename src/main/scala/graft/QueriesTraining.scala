@@ -4342,6 +4342,39 @@ object QueriesTraining {
       .orderBy("q_id")
   }
 
+  /** q290: INDEX-CHURN AUDIT — the "is a re-index worth it?" trigger
+    * for a persisted IVF index (q288/`Similarity.persistIvfIndex`):
+    * per seed-quantizer list, how many of its vectors would move under
+    * the Lloyd-refined quantizer (q80's centroids). A persisted index
+    * ages as the quantizer improves (or the corpus drifts); re-writing
+    * 100 TB of inverted lists is only worth paying where cells
+    * actually re-draw — high-churn lists are badly-seeded cells (the
+    * refinement moved their boundary), near-zero churn means the index
+    * layout is already where the better quantizer would put it.
+    *
+    * Scale: two broadcast-argmax assignment passes (each one linear
+    * corpus pass, map-side combined to a row per vector) joined on
+    * vec_id, aggregated to K rows. Nothing shuffles vectors.
+    */
+  private val qIndexChurn: Q = (spark, dir) => {
+    val lists = ScaleParams.ivfLists(
+      ScaleParams.tableRows(spark, dir, "embeddings"))
+    val e = embeddingsRepartitioned(spark, dir)
+    val seed = e.filter(col("vec_id") < lists)
+      .select(col("vec_id").as("c_id"), col("vec").as("c_vec"))
+    val a0 = ivfAssign(e, seed)
+      .select(col("vec_id"), col("list_id").as("seed_list"))
+    val a1 = ivfAssign(e, learnedCentroids(spark, dir, e))
+      .select(col("vec_id"), col("list_id").as("new_list"))
+    a0.join(a1, "vec_id")
+      .groupBy(col("seed_list"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("new_list") =!= col("seed_list"), 1L)
+          .otherwise(0L)).as("moved"))
+      .withColumn("churn_bp", expr("moved * 10000 div n"))
+      .orderBy("seed_list")
+  }
+
   private val GeoMedianIters = 3
   private val GeoMedianGroups = 4
 
@@ -5599,6 +5632,7 @@ object QueriesTraining {
     "q287_embed_groups" -> qEmbedGroups,
     "q288_ivf_audit" -> qIvfAudit,
     "q289_geomedian" -> qGeoMedian,
+    "q290_index_churn" -> qIndexChurn,
     "q43_dedup_incremental" -> qDedupIncremental,
     "q22_dedup_ngram" -> qDedupNgram,
     "q104_containment" -> qContainment,
@@ -6126,6 +6160,29 @@ object QueriesTraining {
        |  CAST(sum(s.cnt) * 10000 // (SELECT n FROM tot) AS BIGINT) AS scan_bp
        |FROM probes pr JOIN sizes s ON s.list_id = pr.list_id
        |GROUP BY q_id ORDER BY q_id""".stripMargin
+
+  /** q290's oracle — the q80 Lloyd CTE chain, with `a1` (assignment
+    * under the seed quantizer c0 — the first Lloyd E-step) compared
+    * against the final assignment under c[[LloydIters]].
+    */
+  private lazy val indexChurnOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |p AS (SELECT ${ScaleParams.ivfListsSql} AS lists FROM e),
+       |c0 AS (SELECT vec_id AS c_id, v AS c_vec FROM e
+       |       WHERE vec_id < (SELECT lists FROM p)),
+       |${(1 to LloydIters).map(it => lloydCteSql(it, s"c${it - 1}")).mkString(",\n")},
+       |af AS (SELECT vec_id, c_id AS list_id FROM (
+       |  SELECT e.vec_id, cL.c_id,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosSql("e.v", "cL.c_vec")} DESC, cL.c_id) AS crk
+       |  FROM e, c$LloydIters cL) WHERE crk = 1),
+       |j AS (SELECT a1.vec_id, a1.list_id AS seed_list, af.list_id AS new_list
+       |      FROM a1 JOIN af ON af.vec_id = a1.vec_id)
+       |SELECT seed_list, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CASE WHEN new_list <> seed_list THEN 1 ELSE 0 END) AS BIGINT) AS moved,
+       |  CAST(sum(CASE WHEN new_list <> seed_list THEN 1 ELSE 0 END) * 10000
+       |    // count(*) AS BIGINT) AS churn_bp
+       |FROM j GROUP BY seed_list ORDER BY seed_list""".stripMargin
 
   /** q289's oracle — [[GeoMedianIters]] Weiszfeld rounds unrolled as
     * CTE pairs (the q80/q250 constant-iteration convention): distances
@@ -8251,6 +8308,7 @@ object QueriesTraining {
     "q29_knn_ivf" -> knnIvfOracle,
     "q288_ivf_audit" -> ivfAuditOracle,
     "q289_geomedian" -> geoMedianOracle,
+    "q290_index_churn" -> indexChurnOracle,
 
     // JL audit: same sign lists + exact plane-dot fold as the SRP
     // oracles; projected cosine via the 16-dim fold twin
