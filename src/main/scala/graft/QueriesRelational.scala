@@ -726,6 +726,49 @@ object QueriesRelational {
       .orderBy("id_a", "id_b")
   }
 
+  /** q291: JARO–WINKLER CANDIDATE SCORING — q133's sorted-neighborhood
+    * candidates re-scored with the record-linkage similarity (the
+    * codegen [[graft.text.JaroWinkler]], Spark has no built-in)
+    * alongside Levenshtein: the SCORE table a matching threshold is
+    * tuned on, where q126/q133 bake one boolean rule in. JW weights
+    * shared prefixes and forgives transpositions — on name fields it
+    * separates the truncated-suffix dupes (high JW, lev 1) from
+    * accidental near-names edit distance alone can't rank. The metric
+    * DISAGREEMENT (high-JW/high-lev vs low-JW/low-lev corners) is the
+    * threshold-tuning diagnostic.
+    *
+    * Cross-engine contract: the oracle scores the same pairs with
+    * DuckDB's core `jaro_winkler_similarity` — an independent
+    * implementation of the textbook definition — so the kernel is
+    * validated value-for-value (float tol), the q67 `levenshtein`
+    * precedent one metric up.
+    *
+    * Scale: q133's bucketized SNM join (each pair meets in exactly one
+    * rank bucket, plain equi-join); the per-pair kernel is O(window ·
+    * |name|) codegen, no shuffle beyond the rank bucketing.
+    */
+  private val qJwScore: Q = (spark, dir) => {
+    val ranked = graft.dedup.Dedup.materialize(
+      GlobalRank.withRank(erRecords(spark, dir),
+          Seq(col("name"), col("rec_id")), "rk")
+        .withColumn("bk", expr(s"rk div $SnmWindow")))
+    val a = ranked.select(col("rec_id").as("id_a"), col("name").as("na"),
+      col("rk").as("ra"), col("bk"))
+    val b = ranked.select(col("rec_id").as("id_b"), col("name").as("nb"),
+      col("rk").as("rb"), col("bk"))
+    Seq(0L, 1L).map(d => a.withColumn("bk", col("bk") + d).join(b, "bk"))
+      .reduce(_ unionByName _)
+      .filter(col("rb") > col("ra") && col("rb") < col("ra") + SnmWindow)
+      .select(least(col("id_a"), col("id_b")).as("lo"),
+        greatest(col("id_a"), col("id_b")).as("hi"),
+        (col("rb") - col("ra")).as("gap"),
+        graft.functions.jaro_winkler(col("na"), col("nb")).as("jw"),
+        levenshtein(col("na"), col("nb")).cast("long").as("lev"))
+      .select(col("lo").as("id_a"), col("hi").as("id_b"),
+        col("gap"), col("jw"), col("lev"))
+      .orderBy("id_a", "id_b")
+  }
+
   private val ZBits = 10
 
   /** Z-order layout audit: Morton-interleave (user bucket, value
@@ -1558,6 +1601,7 @@ object QueriesRelational {
     "q124_overlap_join" -> qOverlapJoin,
     "q126_entity_resolution" -> qEntityResolution,
     "q133_sorted_neighborhood" -> qSortedNeighborhood,
+    "q291_jw_score" -> qJwScore,
     "q47_zorder" -> qZorder,
     "q143_hilbert" -> qHilbert,
     "q144_skipping_audit" -> qSkippingAudit,
@@ -2107,6 +2151,21 @@ object QueriesRelational {
          |SELECT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b, gap
          |FROM cand WHERE ${erMatchSql("na", "pa", "ta", "nb", "pb", "tb")}
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // same candidate CTEs as q133, scored with DuckDB's own core
+    // jaro_winkler_similarity — an independent implementation
+    // validating the codegen kernel value-for-value
+    "q291_jw_score" ->
+      s"""WITH $erRecordsCtes,
+         |rk AS (SELECT rec_id, name, phone, nation,
+         |  CAST(row_number() OVER (ORDER BY name, rec_id) AS BIGINT) AS rk FROM r),
+         |cand AS (SELECT a.rec_id AS id_a, b.rec_id AS id_b, b.rk - a.rk AS gap,
+         |    a.name AS na, b.name AS nb
+         |  FROM rk a JOIN rk b ON b.rk > a.rk AND b.rk < a.rk + $SnmWindow)
+         |SELECT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b, gap,
+         |  jaro_winkler_similarity(na, nb) AS jw,
+         |  CAST(levenshtein(na, nb) AS BIGINT) AS lev
+         |FROM cand ORDER BY id_a, id_b""".stripMargin,
 
     // the naive overlap join IS the oracle: the bucketed+ownership
     // decomposition must reproduce it pair-for-pair

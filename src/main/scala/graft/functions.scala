@@ -41,6 +41,10 @@ object functions {
   /** Winnowing fingerprints; see [[graft.text.WinnowFps]]. */
   def winnow_fps(c: Column): Column = col(graft.text.WinnowFps(expr(c)))
 
+  /** Jaro–Winkler string similarity; see [[graft.text.JaroWinkler]]. */
+  def jaro_winkler(a: Column, b: Column): Column =
+    col(graft.text.JaroWinkler(expr(a), expr(b)))
+
   /** Hilbert-curve index; see [[graft.layout.Hilbert]]. */
   def hilbert_d(x: Column, y: Column, bits: Int): Column =
     graft.layout.Hilbert.hValue(x, y, bits)
@@ -67,6 +71,8 @@ object functions {
     Bridge.registerFunction(spark, "deflate_ratio_bp", es => graft.text.DeflateRatio(es.head))
     Bridge.registerFunction(spark, "cdc_chunks", es => graft.text.CdcChunks(es.head))
     Bridge.registerFunction(spark, "winnow_fps", es => graft.text.WinnowFps(es.head))
+    Bridge.registerFunction(spark, "jaro_winkler",
+      es => graft.text.JaroWinkler(es.head, es(1)))
     Bridge.registerFunction(spark, "hilbert_d", es =>
       graft.layout.HilbertD(es.head, es(1), es(2) match {
         case Literal(v, _: IntegerType) if v != null => v.asInstanceOf[Int]

@@ -291,3 +291,92 @@ case class DeflateRatio(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): DeflateRatio =
     copy(child = newChild)
 }
+
+/** Textbook Jaro–Winkler kernel — referenced from generated code via
+  * `addReferenceObj`. Semantics pinned to DuckDB's core
+  * `jaro_winkler_similarity` (the q291 oracle), probed empirically:
+  * match window `max(|a|,|b|)/2 − 1` (so "ab"/"ba" = 0.0 — window 0),
+  * transpositions = half the matched-order mismatches, Winkler boost
+  * `+ ℓ·0.1·(1−jaro)` with prefix ℓ ≤ 4 applied only when
+  * jaro > 0.7, both-empty = 0.0 (DuckDB's convention, not the
+  * usual 1.0).
+  */
+object JaroWinklerKernel extends Serializable {
+  def jw(au: UTF8String, bu: UTF8String): Double = {
+    val a = au.toString
+    val b = bu.toString
+    val la = a.length
+    val lb = b.length
+    if (la == 0 || lb == 0) return 0.0
+    val w = math.max(math.max(la, lb) / 2 - 1, 0)
+    val aM = new Array[Boolean](la)
+    val bM = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val hi = math.min(lb - 1, i + w)
+      var j = math.max(0, i - w)
+      var unmatched = true
+      while (j <= hi && unmatched) {
+        if (!bM(j) && a.charAt(i) == b.charAt(j)) {
+          aM(i) = true; bM(j) = true; m += 1; unmatched = false
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var tRaw = 0
+    var k = 0
+    i = 0
+    while (i < la) {
+      if (aM(i)) {
+        while (!bM(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) tRaw += 1
+        k += 1
+      }
+      i += 1
+    }
+    val jaro = (m.toDouble / la + m.toDouble / lb +
+      (m - tRaw / 2.0) / m) / 3.0
+    if (jaro <= 0.7) return jaro
+    var l = 0
+    val maxL = math.min(4, math.min(la, lb))
+    while (l < maxL && a.charAt(l) == b.charAt(l)) l += 1
+    jaro + l * 0.1 * (1.0 - jaro)
+  }
+}
+
+/** `jaro_winkler(a, b)`: the record-linkage string similarity Spark
+  * lacks as a built-in, as a codegen expression (the `levenshtein`
+  * complement — JW weights shared prefixes and tolerates
+  * transpositions, the right metric for names/titles where edit
+  * distance over-penalizes swapped tokens). Cross-engine-validated:
+  * q291 scores the same candidate pairs DuckDB scores with its core
+  * `jaro_winkler_similarity`.
+  */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"jaro_winkler requires (string, string), got ($l, $r)")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaro_winkler"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinklerKernel.jw(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = ctx.addReferenceObj("jwKernel", JaroWinklerKernel,
+      JaroWinklerKernel.getClass.getName.stripSuffix("$") + "$")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $kernel.jw($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaroWinkler =
+    copy(left = newLeft, right = newRight)
+}

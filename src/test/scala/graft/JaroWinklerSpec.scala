@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.JaroWinklerKernel
+
+/** The codegen Jaro–Winkler ([[graft.text.JaroWinkler]]) against the
+  * textbook vectors AND the DuckDB-probed edge semantics the q291
+  * oracle enforces corpus-wide; plus codegen/interpreted parity and
+  * SQL registration.
+  */
+class JaroWinklerSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.get("local[4]", "4")
+
+  private def jw(a: String, b: String): Double =
+    JaroWinklerKernel.jw(UTF8String.fromString(a), UTF8String.fromString(b))
+
+  test("textbook vectors (Winkler's own examples + classics)") {
+    assert(math.abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-12)
+    assert(math.abs(jw("DWAYNE", "DUANE") - 0.84) < 1e-12)
+    assert(math.abs(jw("JELLYFISH", "SMELLYFISH") - 0.8962962962962964) < 1e-12)
+    assert(jw("abc", "abc") == 1.0)
+    assert(jw("abc", "xyz") == 0.0)
+  }
+
+  test("DuckDB-probed edge semantics: window, boost threshold, empties") {
+    assert(jw("", "") == 0.0)             // DuckDB convention, not 1.0
+    assert(jw("a", "") == 0.0)
+    assert(jw("ab", "ba") == 0.0)         // window max(2,2)/2-1 = 0
+    // jaro 0.6778 <= 0.7: NO boost despite a 4-char shared prefix
+    assert(math.abs(jw("prefix_low", "prefab_xyz") - 0.6777777777777777) < 1e-12)
+    // prefix capped at 4, boost applied above 0.7
+    assert(math.abs(jw("ab", "abcdefgh") - 0.8) < 1e-12)
+    // transposition counting: half the matched-order mismatches
+    assert(math.abs(jw("acbd", "abcd") - 0.9249999999999999) < 1e-12)
+    assert(math.abs(jw("aabbcc", "ccbbaa") - 0.5555555555555555) < 1e-12)
+  }
+
+  test("symmetry and bounds on fixture names") {
+    val names = Tables(spark, "/root/testdata/sf0.001", "customer")
+      .select("c_name").limit(40).collect().map(_.getString(0))
+    for (a <- names.take(10); b <- names.take(10)) {
+      val x = jw(a, b)
+      assert(x >= 0.0 && x <= 1.0)
+      assert(x == jw(b, a), s"asymmetric on ($a, $b)")
+      if (a == b) assert(x == 1.0)
+    }
+  }
+
+  test("codegen path == interpreted kernel, and SQL registration works") {
+    import spark.implicits._
+    val pairs = Seq(("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"),
+      ("Customer#000000001", "Customer#00000001"), ("", ""), ("ab", "ba"))
+    val df = pairs.toDF("a", "b")
+    // through the Column API (whole-stage codegen path)
+    val viaDf = df.select(graft.functions.jaro_winkler(col("a"), col("b")))
+      .collect().map(_.getDouble(0))
+    viaDf.zip(pairs).foreach { case (got, (a, b)) =>
+      assert(got == jw(a, b), s"codegen != kernel on ($a, $b)")
+    }
+    // through SQL (the registered function)
+    df.createOrReplaceTempView("jw_pairs")
+    val viaSql = spark.sql("SELECT jaro_winkler(a, b) FROM jw_pairs")
+      .collect().map(_.getDouble(0))
+    assert(viaSql.sameElements(viaDf))
+    spark.catalog.dropTempView("jw_pairs")
+  }
+}
