@@ -726,6 +726,46 @@ object QueriesRelational {
       .orderBy("id_a", "id_b")
   }
 
+  /** q292: TRANSPOSITION-AWARE SNM VERIFY — q133's match rule with the
+    * full Damerau–Levenshtein (the codegen
+    * [[graft.text.DamerauLevenshtein]]) in place of Levenshtein at the
+    * SAME edit budget: a character swap is ONE human error, and lev
+    * charges it two — so a name-edit-≤ 2 rule misses swapped-digit
+    * dupes (lev 3–4) that dl admits. Output carries both distances per
+    * verified pair; rows where dl < lev are exactly the transposition
+    * dupes the upgrade buys. Integer-exact end to end (hash-exact
+    * compare); the oracle runs DuckDB's core `damerau_levenshtein` —
+    * an independent implementation of the full (Lowrance–Wagner)
+    * variant, probed: dl('CA','ABC') = 2, not OSA's 3.
+    *
+    * Scale: identical physical shape to q133 (bucketized SNM
+    * equi-join; the per-pair kernel is O(|name|²) codegen on
+    * name-sized strings).
+    */
+  private val qDlVerify: Q = (spark, dir) => {
+    val records = erRecords(spark, dir)
+    val ranked = graft.dedup.Dedup.materialize(
+      GlobalRank.withRank(records, Seq(col("name"), col("rec_id")), "rk")
+        .withColumn("bk", expr(s"rk div $SnmWindow")))
+    val a = ranked.select(col("rec_id").as("id_a"), col("name").as("na"),
+      col("phone").as("pa"), col("nation").as("ta"), col("rk").as("ra"), col("bk"))
+    val b = ranked.select(col("rec_id").as("id_b"), col("name").as("nb"),
+      col("phone").as("pb"), col("nation").as("tb"), col("rk").as("rb"), col("bk"))
+    Seq(0L, 1L).map(d => a.withColumn("bk", col("bk") + d).join(b, "bk"))
+      .reduce(_ unionByName _)
+      .filter(col("rb") > col("ra") && col("rb") < col("ra") + SnmWindow)
+      .filter(col("ta") === col("tb") &&
+        ((col("pa") === col("pb") &&
+          graft.functions.damerau_levenshtein(col("na"), col("nb")) <= 2) ||
+          col("na") === col("nb")))
+      .select(least(col("id_a"), col("id_b")).as("lo"),
+        greatest(col("id_a"), col("id_b")).as("hi"),
+        graft.functions.damerau_levenshtein(col("na"), col("nb")).as("dl"),
+        levenshtein(col("na"), col("nb")).cast("long").as("lev"))
+      .select(col("lo").as("id_a"), col("hi").as("id_b"), col("dl"), col("lev"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** q291: JARO–WINKLER CANDIDATE SCORING — q133's sorted-neighborhood
     * candidates re-scored with the record-linkage similarity (the
     * codegen [[graft.text.JaroWinkler]], Spark has no built-in)
@@ -1602,6 +1642,7 @@ object QueriesRelational {
     "q126_entity_resolution" -> qEntityResolution,
     "q133_sorted_neighborhood" -> qSortedNeighborhood,
     "q291_jw_score" -> qJwScore,
+    "q292_dl_verify" -> qDlVerify,
     "q47_zorder" -> qZorder,
     "q143_hilbert" -> qHilbert,
     "q144_skipping_audit" -> qSkippingAudit,
@@ -2166,6 +2207,23 @@ object QueriesRelational {
          |  jaro_winkler_similarity(na, nb) AS jw,
          |  CAST(levenshtein(na, nb) AS BIGINT) AS lev
          |FROM cand ORDER BY id_a, id_b""".stripMargin,
+
+    // q133's CTEs with the dl-budget rule; DuckDB's core
+    // damerau_levenshtein is the independent full-variant reference
+    "q292_dl_verify" ->
+      s"""WITH $erRecordsCtes,
+         |rk AS (SELECT rec_id, name, phone, nation,
+         |  CAST(row_number() OVER (ORDER BY name, rec_id) AS BIGINT) AS rk FROM r),
+         |cand AS (SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+         |    a.name AS na, a.phone AS pa, a.nation AS ta,
+         |    b.name AS nb, b.phone AS pb, b.nation AS tb
+         |  FROM rk a JOIN rk b ON b.rk > a.rk AND b.rk < a.rk + $SnmWindow)
+         |SELECT least(id_a, id_b) AS id_a, greatest(id_a, id_b) AS id_b,
+         |  CAST(damerau_levenshtein(na, nb) AS BIGINT) AS dl,
+         |  CAST(levenshtein(na, nb) AS BIGINT) AS lev
+         |FROM cand
+         |WHERE ta = tb AND ((pa = pb AND damerau_levenshtein(na, nb) <= 2) OR na = nb)
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // the naive overlap join IS the oracle: the bucketed+ownership
     // decomposition must reproduce it pair-for-pair

@@ -45,6 +45,10 @@ object functions {
   def jaro_winkler(a: Column, b: Column): Column =
     col(graft.text.JaroWinkler(expr(a), expr(b)))
 
+  /** Full Damerau–Levenshtein; see [[graft.text.DamerauLevenshtein]]. */
+  def damerau_levenshtein(a: Column, b: Column): Column =
+    col(graft.text.DamerauLevenshtein(expr(a), expr(b)))
+
   /** Hilbert-curve index; see [[graft.layout.Hilbert]]. */
   def hilbert_d(x: Column, y: Column, bits: Int): Column =
     graft.layout.Hilbert.hValue(x, y, bits)
@@ -73,6 +77,8 @@ object functions {
     Bridge.registerFunction(spark, "winnow_fps", es => graft.text.WinnowFps(es.head))
     Bridge.registerFunction(spark, "jaro_winkler",
       es => graft.text.JaroWinkler(es.head, es(1)))
+    Bridge.registerFunction(spark, "damerau_levenshtein",
+      es => graft.text.DamerauLevenshtein(es.head, es(1)))
     Bridge.registerFunction(spark, "hilbert_d", es =>
       graft.layout.HilbertD(es.head, es(1), es(2) match {
         case Literal(v, _: IntegerType) if v != null => v.asInstanceOf[Int]

@@ -51,6 +51,34 @@ class JaroWinklerSpec extends AnyFunSuite {
     }
   }
 
+  private def dl(a: String, b: String): Long =
+    graft.text.DamerauLevenshteinKernel.dl(
+      UTF8String.fromString(a), UTF8String.fromString(b))
+
+  test("damerau-levenshtein: FULL variant (Lowrance-Wagner), DuckDB-pinned") {
+    assert(dl("CA", "ABC") == 2L)        // the OSA/full separator: OSA says 3
+    assert(dl("ab", "ba") == 1L)         // one transposition, lev says 2
+    assert(dl("abcdef", "abcfed") == 2L)
+    assert(dl("kitten", "sitting") == 3L) // no transpositions: == levenshtein
+    assert(dl("", "abc") == 3L && dl("abc", "") == 3L && dl("", "") == 0L)
+    assert(dl("aXbYc", "aYbXc") == 2L)
+    assert(dl("same", "same") == 0L)
+  }
+
+  test("dl <= lev always; equal when no transpositions help (fixture names)") {
+    import spark.implicits._
+    val names = Tables(spark, "/root/testdata/sf0.001", "customer")
+      .select("c_name").limit(30).collect().map(_.getString(0))
+    val pairs = (for (a <- names; b <- names) yield (a, b)).toSeq.toDF("a", "b")
+    val rows = pairs.select(
+        graft.functions.damerau_levenshtein(col("a"), col("b")).as("dl"),
+        org.apache.spark.sql.functions.levenshtein(col("a"), col("b"))
+          .cast("long").as("lev"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) <= r.getLong(1)))
+  }
+
   test("codegen path == interpreted kernel, and SQL registration works") {
     import spark.implicits._
     val pairs = Seq(("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"),
