@@ -58,6 +58,9 @@ object GraftSession {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.PruneGrokCaptures))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.PruneGrokCaptures
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.EditDistancePrefilter))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.EditDistancePrefilter
     graft.functions.registerAll(spark) // SQL surface: grok_*, vec_* (idempotent)
     spark
   }

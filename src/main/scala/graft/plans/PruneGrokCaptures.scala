@@ -123,5 +123,6 @@ object PruneGrokCaptures extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => PruneGrokCaptures)
+    ext.injectOptimizerRule(_ => EditDistancePrefilter)
   }
 }
