@@ -279,6 +279,11 @@ object ScaleRehearsal {
     // list-partitioned index (pruned to nprobe lists) vs the full
     // in-query rebuild (q29), and the file-pruning ratio
     val pivfOnly = args.length > 1 && args(1) == "pivf"
+    // "sivf" second arg: STREAMING index maintenance at Nx — 8 equal
+    // ingests through StreamingIvf.appendBatchPersistent; the claim
+    // under test: per-batch wall tracks the INCREMENT (assignment +
+    // column-pruned id anti-join), not the index size behind it
+    val sivfOnly = args.length > 1 && args(1) == "sivf"
     val scaled = s"/tmp/graft_scale_${mult}x"
     val spark = GraftSession.get("local[32]", "32")
     if (pivfOnly) {
@@ -320,6 +325,71 @@ object ScaleRehearsal {
           s""""lists":$lists,"build_sec":$buildSec,"probe_persisted_sec":$probeSec,""" +
           s""""probe_rebuild_sec":$rebuildSec,"files_total":$filesTotal,"nprobe":2}""")
       }
+      spark.stop(); return
+    }
+    if (sivfOnly) {
+      val emb0 = spark.read.parquet(s"$base/embeddings.parquet")
+        .select(col("vec_id"), graft.sim.Similarity.asDouble(col("embedding")).as("embedding"))
+      (0 until mult).map { k =>
+        emb0.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+          copyVariant(k).as("embedding"))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$scaled/embeddings.parquet")
+      val rows = ScaleParams.tableRows(spark, scaled, "embeddings")
+      val lists = ScaleParams.ivfLists(rows)
+      val e = spark.read.parquet(s"$scaled/embeddings.parquet")
+      val cents = e.filter(col("vec_id") < lists)
+        .select(col("vec_id").as("c_id"), col("embedding").as("c_vec"))
+      val idxPath = s"$scaled/sivf_index"
+      val hp = new org.apache.hadoop.fs.Path(idxPath)
+      val hfs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (hfs.exists(hp)) hfs.delete(hp, true): Unit
+      val batchSecs = (0 until 8).map { i =>
+        val slice = e.filter(col("vec_id") % 8 === i)
+        val t0 = System.nanoTime()
+        graft.streaming.StreamingIvf.appendBatchPersistent(
+          idxPath, slice, i.toLong, cents)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      def probeOnce(): Double = {
+        val t0 = System.nanoTime()
+        graft.sim.Similarity.probePersistedIvf(spark, idxPath,
+          graft.sim.Similarity.ivfProbes(q, cents, 2), 5)
+          .queryExecution.toRdd.count(): Unit
+        (System.nanoTime() - t0) / 1e9
+      }
+      probeOnce() // warm
+      val probeSec = Seq.fill(3)(probeOnce()).sorted.apply(1)
+      val stateRows = spark.read.parquet(idxPath).count()
+      val filesIncr = spark.read.parquet(idxPath).inputFiles.length
+      // the small-files tax and its fix: re-layout the batch-dir index
+      // into the one-file-per-list shape (the StreamingIvf scaladoc's
+      // "compaction is a re-layout" contract, measured)
+      val relayoutPath = s"$scaled/sivf_relayout"
+      val tr = System.nanoTime()
+      graft.sim.Similarity.persistIvfIndex(
+        spark.read.parquet(idxPath).select(col("vec_id"), col("vec"),
+          col("list_id").cast("long").as("list_id")), relayoutPath)
+      val relayoutSec = (System.nanoTime() - tr) / 1e9
+      def probeRelayout(): Double = {
+        val t0 = System.nanoTime()
+        graft.sim.Similarity.probePersistedIvf(spark, relayoutPath,
+          graft.sim.Similarity.ivfProbes(q, cents, 2), 5)
+          .queryExecution.toRdd.count(): Unit
+        (System.nanoTime() - t0) / 1e9
+      }
+      probeRelayout() // warm
+      val probeRelayoutSec = Seq.fill(3)(probeRelayout()).sorted.apply(1)
+      val filesRelayout = spark.read.parquet(relayoutPath).inputFiles.length
+      val secsJson = batchSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
+      println(s"""{"metric":"scale_rehearsal_sivf","scale":"${mult}x","rows":$rows,""" +
+        s""""lists":$lists,"batch_secs":$secsJson,""" +
+        f""""flat_ratio":${batchSecs(7) / batchSecs(1)}%.2f,""" +
+        s""""probe_sec":$probeSec,"files_incremental":$filesIncr,""" +
+        s""""relayout_sec":$relayoutSec,"probe_relayout_sec":$probeRelayoutSec,""" +
+        s""""files_relayout":$filesRelayout,"state_rows":$stateRows,"nprobe":2}""")
       spark.stop(); return
     }
     if (new8Only) {
