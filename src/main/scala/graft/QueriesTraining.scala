@@ -4375,6 +4375,40 @@ object QueriesTraining {
       .orderBy("seed_list")
   }
 
+  /** q293: EMBEDDING-SPACE DECONTAMINATION — the semantic complement
+    * of q37's n-gram protocol: flag corpus vectors within cosine
+    * [[Similarity.NearDupCos]] of ANY held-out eval vector
+    * (`vec_id % 10 == 7` is the eval split). Paraphrased benchmark
+    * leakage shares no 13-gram but lands next to the eval point in
+    * embedding space — this is the fuzzy-decontam pass LLM data teams
+    * run alongside the exact one.
+    *
+    * Scale shape: the eval set is benchmark-sized by contract, so it
+    * BROADCASTS (q37's design transposed to vectors); the corpus
+    * streams past it map-side and `max_by` aggregates to one row per
+    * vector with map-side combine — one linear pass, vectors never
+    * shuffle. The threshold compare is bit-safe cross-engine because
+    * both sides fold the same `vec_dot` order (the q24 precedent).
+    * At real eval-set sizes beyond broadcast, the LSH-banded q24
+    * chain against the eval side is the drop-in scale path.
+    */
+  private val qEmbedDecontam: Q = (spark, dir) => {
+    val e = embeddingsRepartitioned(spark, dir)
+    val eval = e.filter(col("vec_id") % 10 === 7)
+      .select(col("vec_id").as("e_id"), col("vec").as("e_vec"))
+    val corpus = e.filter(col("vec_id") % 10 =!= 7)
+    corpus.crossJoin(broadcast(eval))
+      .withColumn("cos", Similarity.cosine(col("vec"), col("e_vec")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cos"), col("e_id")),
+        struct(col("cos"), (-col("e_id")).as("n"))).as("b"))
+      .select(col("vec_id"), col("b.e_id").as("near_eval_id"),
+        col("b.cos").as("max_cos"),
+        when(col("b.cos") >= Similarity.NearDupCos, lit(1L))
+          .otherwise(lit(0L)).as("flagged"))
+      .orderBy("vec_id")
+  }
+
   private val GeoMedianIters = 3
   private val GeoMedianGroups = 4
 
@@ -5633,6 +5667,7 @@ object QueriesTraining {
     "q288_ivf_audit" -> qIvfAudit,
     "q289_geomedian" -> qGeoMedian,
     "q290_index_churn" -> qIndexChurn,
+    "q293_embed_decontam" -> qEmbedDecontam,
     "q43_dedup_incremental" -> qDedupIncremental,
     "q22_dedup_ngram" -> qDedupNgram,
     "q104_containment" -> qContainment,
@@ -8309,6 +8344,18 @@ object QueriesTraining {
     "q288_ivf_audit" -> ivfAuditOracle,
     "q289_geomedian" -> geoMedianOracle,
     "q290_index_churn" -> indexChurnOracle,
+    "q293_embed_decontam" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |ev AS (SELECT vec_id AS e_id, v AS e_vec FROM e WHERE vec_id % 10 = 7),
+         |c AS (SELECT vec_id, v FROM e WHERE vec_id % 10 <> 7),
+         |scored AS (SELECT c.vec_id, ev.e_id,
+         |    ${cosSql("c.v", "ev.e_vec")} AS cos FROM c, ev),
+         |best AS (SELECT vec_id, e_id, cos FROM (
+         |  SELECT vec_id, e_id, cos, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY cos DESC, e_id) AS rk FROM scored) WHERE rk = 1)
+         |SELECT vec_id, e_id AS near_eval_id, cos AS max_cos,
+         |  CAST(CASE WHEN cos >= ${Similarity.NearDupCos} THEN 1 ELSE 0 END AS BIGINT) AS flagged
+         |FROM best ORDER BY vec_id""".stripMargin,
 
     // JL audit: same sign lists + exact plane-dot fold as the SRP
     // oracles; projected cosine via the 16-dim fold twin
