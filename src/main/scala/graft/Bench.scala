@@ -118,7 +118,11 @@ object Bench {
     "q91_allpairs", "q239_lsh_recall", "q136_cluster_coeff",
     "q63_pagerank", "q150_pagerank_dangling", "q168_hits",
     "q126_entity_resolution", "q109_cluster_rep", "q122_bpe_merges",
-    "q257_coreset_coverage", "q243_isotonic", "q108_bm25")
+    "q257_coreset_coverage", "q243_isotonic", "q108_bm25",
+    // round-12 additions, least regression-sensitive last (budget
+    // truncation eats from the end): the index-lifecycle family's two
+    // heaviest members (double assignment pass / Lloyd chain + assign)
+    "q290_index_churn", "q288_ivf_audit")
 
   /** One query's measurement under one evaluation mode. `sec` is the
     * reported median; `secs` keeps every raw run (round-10 forensics:
