@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Abs, And, Expression, GreaterThanOrEqual, LessThan, LessThanOrEqual, Length, Levenshtein, Literal, Subtract}
+import org.apache.spark.sql.catalyst.expressions.{Abs, And, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Length, Levenshtein, Literal, Subtract}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{IntegerType, LongType}
@@ -75,6 +75,9 @@ object EditDistancePrefilter extends Rule[LogicalPlan] {
     case GreaterThanOrEqual(lit, d) =>
       for ((a, b) <- distArgs(d); k <- boundOf(lit); if k >= 0)
         yield LessThanOrEqual(lenBand(a, b), Literal(k))
+    case GreaterThan(lit, d) =>
+      for ((a, b) <- distArgs(d); k <- boundOf(lit); if k >= 1)
+        yield LessThan(lenBand(a, b), Literal(k))
     case _ => None
   }
 

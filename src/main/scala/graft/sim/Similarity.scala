@@ -261,12 +261,16 @@ object Similarity {
     */
   def probePersistedIvf(spark: org.apache.spark.sql.SparkSession, path: String,
                         probes: DataFrame, k: Int): DataFrame = {
-    val probed = probes.select(col("list_id").cast("long")).distinct()
+    // materialize once: the frame is consumed twice (the pruning
+    // collect and the rerank join) and its lineage re-scans the
+    // centroid source otherwise
+    val p = probes.localCheckpoint()
+    val probed = p.select(col("list_id").cast("long")).distinct()
       .collect().map(_.getLong(0)).sorted
     val idx = spark.read.parquet(path)
       .filter(col("list_id").isin(probed.toIndexedSeq: _*))
       .withColumn("cn", norm(col("vec")))
-    val q = probes.withColumn("qn", norm(col("q_vec")))
+    val q = p.withColumn("qn", norm(col("q_vec")))
     rankTopK(idx.join(broadcast(q), Seq("list_id")), k)
   }
 }

@@ -45,6 +45,15 @@ class EditDistancePrefilterSpec extends AnyFunSuite {
     assert(!pt.contains("abs((length("), pt)
   }
 
+  test("flipped orientations are guarded: k >= dist and k > dist") {
+    val p1 = optimized(names.filter(
+      lit(2) >= graft.functions.damerau_levenshtein(col("x"), col("y"))))
+    assert(p1.contains("abs((length("), p1)
+    val p2 = optimized(names.filter(
+      lit(3) > graft.functions.damerau_levenshtein(col("x"), col("y"))))
+    assert(p2.contains("abs((length("), p2)
+  }
+
   test("join conditions are guarded") {
     val a = names.select(col("x"))
     val b = names.select(col("y"))
