@@ -104,6 +104,41 @@ class StreamingIvfSpec extends AnyFunSuite {
     assert(indexRows().sameElements(before))
   }
 
+  test("stop/restart from the checkpoint resumes the index without loss or dupes") {
+    val root = Files.createTempDirectory("graft_sivf_restart").toString
+    val ckpt = s"$root/ckpt"
+    val idx = s"$root/index"
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // first incarnation: two batches, then a hard stop
+    val s1 = MemoryStream[(Long, Seq[Float])]
+    val q1 = StreamingIvf.startMaintainer(
+      s1.toDF().toDF("vec_id", "embedding"), ckpt, idx, cents,
+      trigger = Trigger.ProcessingTime(0))
+    slices.take(2).foreach { s => s1.addData(s); q1.processAllAvailable() }
+    q1.stop()
+    // second incarnation, same checkpoint: a NEW query resumes from
+    // the committed offsets and carries on with the remaining slice
+    // (same MemoryStream object — its offsets are the replay log)
+    val q2 = StreamingIvf.startMaintainer(
+      s1.toDF().toDF("vec_id", "embedding"), ckpt, idx, cents,
+      trigger = Trigger.ProcessingTime(0))
+    s1.addData(slices(2)); q2.processAllAvailable()
+    q2.stop()
+    // the restarted maintainer's index answers exactly like the
+    // one-shot chain over the full corpus: nothing lost, nothing doubled
+    val got = Similarity.probePersistedIvf(spark, idx, probesFor(0, 10), K)
+      .orderBy("q_id", "rank").collect()
+    val oneShot = SparkEntry.queries("q29_knn_ivf")(spark, dir).collect()
+    assert(got.length == oneShot.length && got.nonEmpty)
+    got.zip(oneShot).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0) && a.getInt(1) == b.getInt(1) &&
+        a.getLong(2) == b.getLong(2), s"$a vs $b")
+    }
+    val total = spark.read.parquet(idx).count()
+    assert(total == slices.map(_.size).sum, s"state rows $total")
+  }
+
   test("probe scan prunes to the probed lists across batch dirs") {
     val probes = probesFor(0, 10)
     val probed = probes.select(col("list_id").cast("long"))
