@@ -65,6 +65,18 @@ class JaroWinklerSpec extends AnyFunSuite {
     assert(dl("same", "same") == 0L)
   }
 
+  test("the q292 budget divergence: two swaps stay inside dl<=2 but exit lev<=2") {
+    // the pair class q292's rule upgrade admits (the synthetic fixture
+    // contains no such names, so the battery row can't show it —
+    // pinned here at kernel level, DuckDB-probed: dl 2, lev 3)
+    assert(dl("abcd", "badc") == 2L)
+    assert(org.apache.spark.unsafe.types.UTF8String.fromString("abcd")
+      .levenshteinDistance(
+        org.apache.spark.unsafe.types.UTF8String.fromString("badc")) == 3)
+    // one swapped digit pair inside TPC-H-shaped names: dl 1, lev 2
+    assert(dl("Customer#000000123", "Customer#000000213") == 1L)
+  }
+
   test("dl <= lev always; equal when no transpositions help (fixture names)") {
     import spark.implicits._
     val names = Tables(spark, "/root/testdata/sf0.001", "customer")
