@@ -1463,6 +1463,45 @@ object QueriesAnalytics {
       .orderBy("c_nationkey")
   }
 
+  private val TClosenessBp = 1500L // t = 0.15, the textbook example value
+
+  /** q294: T-CLOSENESS AUDIT — completes the canonical privacy-gate
+    * triplet: k-anonymity (q194) counts class sizes, l-diversity
+    * (q254) counts distinct sensitive values, but a class can pass
+    * both while its sensitive DISTRIBUTION still leaks (skewness
+    * attack — 90/10 where the population is 50/50). t-closeness bounds
+    * the distance between each quasi-identifier class's sensitive
+    * distribution and the global one; for a nominal attribute the
+    * distance is total variation (Li et al. 2007's equal-distance
+    * EMD): ½ Σ|p_s − q_s|.
+    *
+    * Integer-exact cross-multiplication (the q167 KS rule):
+    * Σ|obs·N − n_s·n_c| over a COMPLETE class×segment grid (absent
+    * cells contribute n_s·n_c), floored to basis points by
+    * `div 2·n_c·N` on both engines — no float distribution ever
+    * materializes. Scale: one QI×sensitive count aggregate; the grid
+    * is (classes × segments) — domain-sized; marginals broadcast.
+    */
+  private val qTCloseness: Q = (spark, dir) => {
+    val cells = Tables(spark, dir, "customer")
+      .groupBy("c_nationkey", "c_mktsegment").agg(count(lit(1)).as("obs"))
+    val classes = cells.groupBy("c_nationkey").agg(sum("obs").as("n_c"))
+    val segs = cells.groupBy("c_mktsegment").agg(sum("obs").as("n_s"))
+    val total = cells.agg(sum("obs").as("n"))
+    classes.crossJoin(broadcast(segs))
+      .join(cells, Seq("c_nationkey", "c_mktsegment"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("dev",
+        abs(coalesce(col("obs"), lit(0L)) * col("n") - col("n_s") * col("n_c")))
+      .groupBy(col("c_nationkey"), col("n_c"), col("n"))
+      .agg(sum("dev").as("sumdev"))
+      .select(col("c_nationkey"), col("n_c").as("n_users"),
+        expr("sumdev * 10000 div (2 * n_c * n)").as("tvd_bp"))
+      .select(col("c_nationkey"), col("n_users"), col("tvd_bp"),
+        (col("tvd_bp") > TClosenessBp).cast("long").as("above_t"))
+      .orderBy("c_nationkey")
+  }
+
   /** q181: KAPLAN–MEIER RETENTION CURVE — per observed lifetime
     * duration: users still at risk, churn events, the per-step hazard
     * factor ln(1 − e/n) in integer micro-units, and the CUMULATIVE
@@ -2545,6 +2584,7 @@ object QueriesAnalytics {
     "q246_holt" -> qHolt,
     "q247_sql_freqdist" -> qSqlFreqDist,
     "q254_l_diversity" -> qLDiversity,
+    "q294_t_closeness" -> qTCloseness,
     "q263_dow_season" -> qDowSeason,
     "q267_decayed_topk" -> qDecayedTopk,
     "q268_growth_accounting" -> qGrowthAccounting,
@@ -3132,6 +3172,32 @@ object QueriesAnalytics {
          |  CAST(max(n) * 10000 // sum(n) AS BIGINT) AS dominant_bp,
          |  CAST(count(*) < $LDiversityL AS BIGINT) AS below_l
          |FROM cells GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    // t-closeness: complete grid (absent cells count), TVD via exact
+    // cross-multiplication, floored to bp identically on both engines
+    "q294_t_closeness" ->
+      s"""WITH cells AS (SELECT c_nationkey, c_mktsegment,
+         |  CAST(count(*) AS BIGINT) AS obs FROM customer
+         |  GROUP BY c_nationkey, c_mktsegment),
+         |cls AS (SELECT c_nationkey, CAST(sum(obs) AS BIGINT) AS n_c
+         |        FROM cells GROUP BY c_nationkey),
+         |segs AS (SELECT c_mktsegment, CAST(sum(obs) AS BIGINT) AS n_s
+         |         FROM cells GROUP BY c_mktsegment),
+         |tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells),
+         |grid AS (SELECT cls.c_nationkey, cls.n_c, segs.n_s,
+         |    COALESCE(cells.obs, 0) AS obs
+         |  FROM cls CROSS JOIN segs
+         |  LEFT JOIN cells ON cells.c_nationkey = cls.c_nationkey
+         |    AND cells.c_mktsegment = segs.c_mktsegment),
+         |dev AS (SELECT c_nationkey, n_c,
+         |    CAST(sum(abs(obs * (SELECT n FROM tot) - n_s * n_c)) AS BIGINT) AS sumdev
+         |  FROM grid GROUP BY c_nationkey, n_c),
+         |bp AS (SELECT c_nationkey, n_c AS n_users,
+         |    CAST(sumdev * 10000 // (2 * n_c * (SELECT n FROM tot)) AS BIGINT) AS tvd_bp
+         |  FROM dev)
+         |SELECT c_nationkey, n_users, tvd_bp,
+         |  CAST(tvd_bp > $TClosenessBp AS BIGINT) AS above_t
+         |FROM bp ORDER BY c_nationkey""".stripMargin,
 
     // split balance: the q197 chi-square text shape over the q61 split
     "q234_split_balance" ->
