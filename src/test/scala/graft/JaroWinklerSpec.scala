@@ -91,6 +91,30 @@ class JaroWinklerSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(0) <= r.getLong(1)))
   }
 
+  test("generative properties: both kernels over random ascii/unicode strings") {
+    import org.scalacheck.{Gen, rng}
+    val gen = Gen.oneOf(Gen.alphaNumStr.map(_.take(30)),
+      Gen.asciiPrintableStr.map(_.take(30)), Gen.const(""),
+      Gen.const("ünïcödé & emoji ☃"))
+    val pairs = Gen.listOfN(300, Gen.zip(gen, gen))
+      .apply(Gen.Parameters.default, rng.Seed(7L)).get
+    pairs.foreach { case (a, b) =>
+      val j = jw(a, b)
+      assert(j >= 0.0 && j <= 1.0, s"jw bounds on ($a, $b): $j")
+      assert(j == jw(b, a), s"jw symmetry on ($a, $b)")
+      if (a == b && a.nonEmpty) assert(j == 1.0, s"jw identity on $a")
+      val d = dl(a, b)
+      assert(d == dl(b, a), s"dl symmetry on ($a, $b)")
+      assert(d >= math.abs(a.length - b.length), s"dl length lower bound ($a, $b)")
+      assert(d <= math.max(a.length, b.length), s"dl upper bound ($a, $b)")
+      assert((d == 0L) == (a == b), s"dl identity on ($a, $b)")
+      // dl never exceeds plain levenshtein (transpositions only help)
+      val lev = org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .levenshteinDistance(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+      assert(d <= lev, s"dl <= lev on ($a, $b): $d vs $lev")
+    }
+  }
+
   test("codegen path == interpreted kernel, and SQL registration works") {
     import spark.implicits._
     val pairs = Seq(("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"),
