@@ -202,6 +202,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus-sized join side:\n$p")
   }
 
+  test("q293_embed_decontam: eval side broadcasts; vectors never sort-merge") {
+    val df = Queries.all("q293_embed_decontam")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // corpus streams past the benchmark-sized broadcast eval set; the
+    // only hash exchange is the per-vector max_by (one row per vector)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"expected broadcast eval side:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"vector-sized join side:\n$p")
+  }
+
+  test("q289_geomedian: medians broadcast each round; no corpus sort-merge, no global window") {
+    val df = Queries.all("q289_geomedian")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!p.contains("SortMergeJoin"), s"corpus-sized join side:\n$p")
+    assert(!p.contains("Window"), s"unexpected window:\n$p")
+  }
+
   test("grok capture pruning fires on a multi-capture pattern over a real scan") {
     // %{GENERIC} yields 2 captures (GENERIC + log_event,
     // NamedCapturesOnly=false); selecting one prunes the other.
