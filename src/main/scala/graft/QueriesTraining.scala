@@ -1219,6 +1219,77 @@ object QueriesTraining {
       .orderBy("source")
   }
 
+  private val MarginK = 25
+
+  /** q295: MARGIN-BASED ACTIVE-LEARNING SELECTION — closes the
+    * data-centric loop the classifier queries open: q170 trains and
+    * scores, q172 calibrates, and THIS picks the next labeling batch —
+    * the [[MarginK]] documents nearest the NB decision boundary
+    * (smallest |score|), where a label buys the most model improvement
+    * (classic uncertainty/margin sampling). Contrast q249's
+    * hard-negative mining, which needs known positives; margin
+    * sampling needs only the scores.
+    *
+    * Exactness: scores are q170's integer micro-units, so |score| and
+    * the (abs_score, doc_id) selection order are knife-edge-free.
+    * Scale: the score pass is q170's (term-keyed, map-side combined);
+    * the global smallest-k is `TakeOrderedAndProject` — per-partition
+    * top-k then a k-row merge on the driver, never a global sort or a
+    * single-partition window.
+    */
+  private val qMarginSample: Q = (spark, dir) => {
+    nbDocScores(spark, dir)
+      .withColumn("abs_score", abs(col("score")))
+      .orderBy(col("abs_score"), col("doc_id")).limit(MarginK)
+      .select(col("doc_id"), col("source"), col("score"), col("abs_score"))
+      .orderBy("abs_score", "doc_id")
+  }
+
+  /** q296: QUALITY-SCORER AGREEMENT CUBE (query-by-committee
+    * disagreement) — the engine ships three independent quality
+    * signals (NB seed-likeness q170, unigram cross-entropy q53,
+    * heuristic quality q17); before an ensemble cut, a curation review
+    * asks WHERE they agree. Each scorer quartiles the corpus
+    * (bucket 4 = best under that scorer, orientations aligned:
+    * score ↑, xent ↓, quality ↑), and the 4×4×4 cell counts with the
+    * per-cell quartile spread ARE the answer — diagonal mass =
+    * consensus, high-spread cells = the QBC disagreement region where
+    * a label (q295's batch) or a rule review buys the most.
+    *
+    * Exactness: quartiles are rank-exact ntile
+    * ([[graft.operators.GlobalRank.withNtile]] — no single-partition
+    * window) over knife-edge-free keys (integer micro scores; xent
+    * micro-rounded; quality is a per-row expression, bit-identical
+    * cross-engine) with doc_id tie-breaks. The oracle nests the three
+    * scorers' full texts as subqueries (the q112 precedent — the `s`
+    * CTE name collides across fragments, so composition nests rather
+    * than concatenates).
+    *
+    * Scale: three corpus score passes (each already audited under its
+    * own query), three range-shuffle ntiles, doc-keyed joins,
+    * 64-cell output.
+    */
+  private val qCommitteeCube: Q = (spark, dir) => {
+    import graft.operators.GlobalRank
+    def bucket(df: DataFrame, key: Column, out: String): DataFrame =
+      GlobalRank.withNtile(df, Seq(key, col("doc_id")), 4, out)
+        .select(col("doc_id"), col(out).cast("long").as(out))
+    val nb = bucket(nbDocScores(spark, dir).select(col("doc_id"), col("score")),
+      col("score"), "b_nb")
+    val xe = bucket(qUnigramXent(spark, dir)
+        .select(col("doc_id"), (-col("xent")).as("negx")),
+      col("negx"), "b_xe")
+    val qq = bucket(qTextQuality(spark, dir).select(col("doc_id"), col("quality")),
+      col("quality"), "b_q")
+    nb.join(xe, "doc_id").join(qq, "doc_id")
+      .groupBy("b_nb", "b_xe", "b_q")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("spread",
+        greatest(col("b_nb"), col("b_xe"), col("b_q"))
+          - least(col("b_nb"), col("b_xe"), col("b_q")))
+      .orderBy("b_nb", "b_xe", "b_q")
+  }
+
   private[graft] val WinnowK = graft.text.Winnower.K
   private[graft] val WinnowW = graft.text.Winnower.W
 
@@ -5668,6 +5739,8 @@ object QueriesTraining {
     "q289_geomedian" -> qGeoMedian,
     "q290_index_churn" -> qIndexChurn,
     "q293_embed_decontam" -> qEmbedDecontam,
+    "q295_margin_sample" -> qMarginSample,
+    "q296_committee_cube" -> qCommitteeCube,
     "q43_dedup_incremental" -> qDedupIncremental,
     "q22_dedup_ngram" -> qDedupNgram,
     "q104_containment" -> qContainment,
@@ -6744,6 +6817,41 @@ object QueriesTraining {
 
     // NB classifier: same smoothing, per-term micro-rounded ln
     // weights, floor mean
+    // committee cube: the three scorers' FULL texts nested as
+    // subqueries (CTE names collide across fragments), rank-exact
+    // ntile per scorer with aligned orientations, 4x4x4 cell counts
+    "q296_committee_cube" -> {
+      val nbFull = s"$nbScoreCtes\nSELECT doc_id, score FROM d"
+      val xentFull =
+        s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+           |c AS (SELECT term, count(*) AS c FROM toks GROUP BY 1),
+           |tot AS (SELECT count(*) AS tot FROM toks)
+           |SELECT doc_id, round(-sum(ln(c.c::DOUBLE / tot.tot)) / count(*), 6) AS xent
+           |FROM toks JOIN c USING (term), tot GROUP BY doc_id""".stripMargin
+      val qFull = s"$qualityScoreCtes\nSELECT doc_id, quality FROM q"
+      s"""WITH nb AS (SELECT doc_id,
+         |    CAST(ntile(4) OVER (ORDER BY score, doc_id) AS BIGINT) AS b_nb
+         |  FROM ($nbFull)),
+         |xe AS (SELECT doc_id,
+         |    CAST(ntile(4) OVER (ORDER BY xent DESC, doc_id) AS BIGINT) AS b_xe
+         |  FROM ($xentFull)),
+         |qq AS (SELECT doc_id,
+         |    CAST(ntile(4) OVER (ORDER BY quality, doc_id) AS BIGINT) AS b_q
+         |  FROM ($qFull))
+         |SELECT b_nb, b_xe, b_q, CAST(count(*) AS BIGINT) AS n_docs,
+         |  greatest(b_nb, b_xe, b_q) - least(b_nb, b_xe, b_q) AS spread
+         |FROM nb JOIN xe USING (doc_id) JOIN qq USING (doc_id)
+         |GROUP BY b_nb, b_xe, b_q ORDER BY b_nb, b_xe, b_q""".stripMargin
+    },
+
+    // margin sampling: same score CTEs, smallest-|score| k with the
+    // deterministic (abs_score, doc_id) order
+    "q295_margin_sample" ->
+      s"""$nbScoreCtes
+         |SELECT doc_id, source, CAST(score AS BIGINT) AS score,
+         |  CAST(abs(score) AS BIGINT) AS abs_score
+         |FROM d ORDER BY abs_score, doc_id LIMIT $MarginK""".stripMargin,
+
     "q170_nb_quality" ->
       s"""$nbScoreCtes
          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
