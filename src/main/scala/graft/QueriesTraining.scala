@@ -4277,12 +4277,7 @@ object QueriesTraining {
     * max). Tie-break = (ccos desc, smallest c_id) via -c_id.
     */
   private[graft] def ivfAssign(e: DataFrame, cents: DataFrame): DataFrame =
-    e.crossJoin(broadcast(cents))
-      .withColumn("ccos", Similarity.cosine(col("vec"), col("c_vec")))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("vec"), col("c_id")),
-        struct(col("ccos"), (-col("c_id")).as("neg_c_id"))).as("best"))
-      .select(col("vec_id"), col("best.vec").as("vec"), col("best.c_id").as("list_id"))
+    Similarity.ivfAssign(e, cents) // canonical E-step lives with the index verbs
 
   /** Probe the `IvfProbes` nearest lists per query and rerank exactly. */
   private def ivfProbeRerank(e: DataFrame, cents: DataFrame,

@@ -226,6 +226,24 @@ object Similarity {
     knnLshProbes(queries, candidates, k, planes, dims,
       lit(0L) +: (0 until planes).map(j => lit(1L << j)))
 
+  /** IVF assignment: each vector to its nearest coarse-quantizer cell
+    * (broadcast argmax over the √n-row centroid table, ties broken by
+    * centroid id). `vecs(vec_id, vec)` × `cents(c_id, c_vec)` →
+    * `(vec_id, vec, list_id)` — ONE linear corpus pass, map-side
+    * combined to a row per vector; vectors never shuffle. The E-step
+    * every IVF build/maintain/reindex verb shares (q29/q288/q290,
+    * [[persistIvfIndex]], [[graft.streaming.StreamingIvf]],
+    * [[IvfIndex.reindexLists]]).
+    */
+  def ivfAssign(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("ccos", cosine(col("vec"), col("c_vec")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("vec"), col("c_id")),
+        struct(col("ccos"), (-col("c_id")).as("neg_c_id"))).as("best"))
+      .select(col("vec_id"), col("best.vec").as("vec"),
+        col("best.c_id").as("list_id"))
+
   /** The `nprobe` nearest coarse-quantizer cells per query: broadcast
     * argmax over the centroid table (√n rows by construction), ties
     * broken by centroid id. Output `(q_id, q_vec, list_id)` — the
