@@ -294,12 +294,29 @@ object Similarity {
     // collect and the rerank join) and its lineage re-scans the
     // centroid source otherwise
     val p = probes.localCheckpoint()
-    val probed = p.select(col("list_id").cast("long")).distinct()
-      .collect().map(_.getLong(0)).sorted
     val idx = spark.read.parquet(path)
-      .filter(col("list_id").isin(probed.toIndexedSeq: _*))
-      .withColumn("cn", norm(col("vec")))
+      .filter(col("list_id").isin(probedLists(p).toIndexedSeq: _*))
+    probeIndexFrame(idx, p, k)
+  }
+
+  /** The probe frame's distinct list ids — the bounded pruning collect
+    * (≤ |queries| × nprobe rows by contract). Callers pass a
+    * MATERIALIZED probe frame (it is consumed again by the rerank).
+    */
+  private[graft] def probedLists(p: DataFrame): Seq[Long] =
+    p.select(col("list_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted.toIndexedSeq
+
+  /** Shared probe tail over an already-pruned index frame
+    * `(vec_id, vec, list_id)`: candidate norms once per vector, the
+    * probe frame broadcast onto the list join, exact rerank top-k.
+    * Lets [[probePersistedIvf]] (root read) and
+    * [[graft.streaming.StreamingIvf.probeCommitted]] (committed-dirs
+    * read) answer through one code path.
+    */
+  private[graft] def probeIndexFrame(idx: DataFrame, p: DataFrame, k: Int): DataFrame = {
+    val withCn = idx.withColumn("cn", norm(col("vec")))
     val q = p.withColumn("qn", norm(col("q_vec")))
-    rankTopK(idx.join(broadcast(q), Seq("list_id")), k)
+    rankTopK(withCn.join(broadcast(q), Seq("list_id")), k)
   }
 }

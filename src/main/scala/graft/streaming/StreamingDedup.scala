@@ -97,7 +97,7 @@ object StreamingDedup {
       .filter(col("est_jaccard") * 16 * tDen >= lit(16 * tNum))
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
 
-  private def fs(spark: SparkSession, p: Path): FileSystem =
+  private[streaming] def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   /** `batch=<id>` partition dirs under `root` (ignores dot-prefixed
@@ -108,7 +108,7 @@ object StreamingDedup {
     * on the store (round-11 advice). The digit cap keeps the parse
     * inside Long range.
     */
-  private def batchDirs(fs: FileSystem, root: Path): Seq[(Path, Long)] =
+  private[streaming] def batchDirs(fs: FileSystem, root: Path): Seq[(Path, Long)] =
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq.filter(_.isDirectory).map(_.getPath)
       .filter(_.getName.matches("batch=\\d{1,18}"))
@@ -228,7 +228,27 @@ object StreamingDedup {
     */
   def compactState(spark: SparkSession, statePath: String, upToBatchId: Long,
                    targetFileBytes: Long = 128L << 20,
-                   lockTtlMs: Long = 60 * 60 * 1000L): Unit = {
+                   lockTtlMs: Long = 60 * 60 * 1000L): Unit =
+    compactStateAs(spark, statePath, upToBatchId, lockTtlMs) { (merged, parts, staging) =>
+      val bytes = parts.map { case (p, hfs2) =>
+        hfs2.listStatus(p).filter(_.isFile).map(_.getLen).sum }.sum
+      val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+      merged.repartition(n).write.mode("overwrite").parquet(staging)
+    }
+
+  /** The compaction skeleton with a pluggable staging writer (round-13:
+    * [[StreamingIvf.relayoutState]] needs the SAME marker/recovery
+    * discipline but must write its merged snapshot partitioned by
+    * `list_id` — the flat [[compactState]] writer would destroy the
+    * partitioning its probes prune on). The writer receives the merged
+    * frame (batch column dropped), the source `(dir, fs)` pairs, and
+    * the staging path; everything around it — lock, recovery, largest-
+    * merged-id clamp, commit marker, retire/publish — is shared, so
+    * the two stores cannot drift on crash semantics.
+    */
+  private[streaming] def compactStateAs(spark: SparkSession, statePath: String,
+      upToBatchId: Long, lockTtlMs: Long)(
+      write: (DataFrame, Seq[(Path, FileSystem)], String) => Unit): Unit = {
     val root = new Path(statePath)
     val hfs = fs(spark, root)
     if (!hfs.exists(root)) return
@@ -244,14 +264,10 @@ object StreamingDedup {
         val target = parts.map(_._2).max
         val staging = new Path(root, ".compact-state")
         hfs.delete(staging, true)
-        val bytes = parts.map { case (p, _) =>
-          hfs.listStatus(p).filter(_.isFile).map(_.getLen).sum }.sum
-        val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-        spark.read.option("basePath", statePath)
+        val merged = spark.read.option("basePath", statePath)
           .parquet(parts.map(_._1.toString): _*)
           .drop("batch")
-          .repartition(n)
-          .write.mode("overwrite").parquet(staging.toString)
+        write(merged, parts.map(p => (p._1, hfs)), staging.toString)
         // commit point: from here the merge rolls FORWARD on crash
         val marker = new Path(root, s".compact-commit-$target")
         hfs.create(marker, true).close()
