@@ -1481,6 +1481,19 @@ object QueriesAnalytics {
     * `div 2·n_c·N` on both engines — no float distribution ever
     * materializes. Scale: one QI×sensitive count aggregate; the grid
     * is (classes × segments) — domain-sized; marginals broadcast.
+    *
+    * Exact-arithmetic envelope (round-13, ADVICE r12): the BIGINT
+    * schema holds while `N · max(n_c) < 2⁶³/10⁴ ≈ 9·10¹⁴` — the
+    * binding term is the per-cell `obs·N` product (present before the
+    * ×10⁴), so ~10⁸ rows with a dominant class is the ceiling. The
+    * session runs ANSI mode, so beyond it the query FAILS LOUDLY
+    * (ARITHMETIC_OVERFLOW) instead of emitting a silently-wrapped
+    * tvd_bp; the sf1000 variant is the same text over
+    * `CAST(... AS DECIMAL(38,0))` marginals (DuckDB's side is already
+    * HUGEINT), traded here for BIGINT because the decimal division's
+    * scale-6 HALF_UP rounding sits within 1e-6 of an integer floor on
+    * small-denominator fixtures — a knife edge the integer form
+    * cannot hit.
     */
   private val qTCloseness: Q = (spark, dir) => {
     val cells = Tables(spark, dir, "customer")

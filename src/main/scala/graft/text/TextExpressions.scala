@@ -292,19 +292,51 @@ case class DeflateRatio(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Shared code-point decoding for the string-metric kernels (round-13,
+  * ADVICE r12): both kernels iterate UNICODE CODE POINTS — Spark's own
+  * `levenshtein`/`length` convention — never UTF-16 code units. This
+  * is what makes the [[graft.plans.EditDistancePrefilter]] guard
+  * `|length(a) − length(b)| ≤ k` a true implication of `dl(a,b) ≤ k`
+  * for every string: one code-point edit changes the code-point length
+  * by at most 1, while a code-UNIT iteration would let one insert of a
+  * surrogate pair shift `length()` by 2. Note the semantics landscape,
+  * probed empirically: DuckDB's core kernels operate on UTF-8 BYTES
+  * (`damerau_levenshtein('𝄞','a') = 4`), Spark's builtins on code
+  * points — the three regimes coincide exactly on the ASCII plane,
+  * which is where the q291/q292 cross-engine oracles live
+  * (`JaroWinklerSpec` covers the non-ASCII planes in-engine).
+  */
+private[text] object CodePoints {
+  def of(u: UTF8String): Array[Int] = {
+    val s = u.toString
+    val out = new Array[Int](s.codePointCount(0, s.length))
+    var i = 0
+    var k = 0
+    while (i < s.length) {
+      val c = s.codePointAt(i)
+      out(k) = c
+      k += 1
+      i += Character.charCount(c)
+    }
+    out
+  }
+}
+
 /** Textbook Jaro–Winkler kernel — referenced from generated code via
   * `addReferenceObj`. Semantics pinned to DuckDB's core
-  * `jaro_winkler_similarity` (the q291 oracle), probed empirically:
-  * match window `max(|a|,|b|)/2 − 1` (so "ab"/"ba" = 0.0 — window 0),
-  * transpositions = half the matched-order mismatches, Winkler boost
-  * `+ ℓ·0.1·(1−jaro)` with prefix ℓ ≤ 4 applied only when
-  * jaro > 0.7, both-empty = 0.0 (DuckDB's convention, not the
-  * usual 1.0).
+  * `jaro_winkler_similarity` on the ASCII plane (the q291 oracle),
+  * probed empirically: match window `max(|a|,|b|)/2 − 1` (so
+  * "ab"/"ba" = 0.0 — window 0), transpositions = half the
+  * matched-order mismatches, Winkler boost `+ ℓ·0.1·(1−jaro)` with
+  * prefix ℓ ≤ 4 applied only when jaro > 0.7, both-empty = 0.0
+  * (DuckDB's convention, not the usual 1.0). Lengths/positions are
+  * CODE POINTS ([[CodePoints]] — beyond ASCII, DuckDB's byte regime
+  * deliberately diverges).
   */
 object JaroWinklerKernel extends Serializable {
   def jw(au: UTF8String, bu: UTF8String): Double = {
-    val a = au.toString
-    val b = bu.toString
+    val a = CodePoints.of(au)
+    val b = CodePoints.of(bu)
     val la = a.length
     val lb = b.length
     if (la == 0 || lb == 0) return 0.0
@@ -318,7 +350,7 @@ object JaroWinklerKernel extends Serializable {
       var j = math.max(0, i - w)
       var unmatched = true
       while (j <= hi && unmatched) {
-        if (!bM(j) && a.charAt(i) == b.charAt(j)) {
+        if (!bM(j) && a(i) == b(j)) {
           aM(i) = true; bM(j) = true; m += 1; unmatched = false
         }
         j += 1
@@ -332,7 +364,7 @@ object JaroWinklerKernel extends Serializable {
     while (i < la) {
       if (aM(i)) {
         while (!bM(k)) k += 1
-        if (a.charAt(i) != b.charAt(k)) tRaw += 1
+        if (a(i) != b(k)) tRaw += 1
         k += 1
       }
       i += 1
@@ -342,7 +374,7 @@ object JaroWinklerKernel extends Serializable {
     if (jaro <= 0.7) return jaro
     var l = 0
     val maxL = math.min(4, math.min(la, lb))
-    while (l < maxL && a.charAt(l) == b.charAt(l)) l += 1
+    while (l < maxL && a(l) == b(l)) l += 1
     jaro + l * 0.1 * (1.0 - jaro)
   }
 }
@@ -384,13 +416,15 @@ case class JaroWinkler(left: Expression, right: Expression)
 /** Full Damerau–Levenshtein (Lowrance–Wagner — transpositions may be
   * followed by further edits, so dl("CA","ABC") = 2 where the
   * restricted OSA variant says 3). Pinned to DuckDB's core
-  * `damerau_levenshtein` (probed: the full variant). O(|a|·|b|) ints
-  * plus a last-occurrence map — name-field sized inputs.
+  * `damerau_levenshtein` on the ASCII plane (probed: the full
+  * variant; beyond ASCII DuckDB counts UTF-8 bytes, this kernel CODE
+  * POINTS — see [[CodePoints]]). O(|a|·|b|) ints plus a
+  * last-occurrence map — name-field sized inputs.
   */
 object DamerauLevenshteinKernel extends Serializable {
   def dl(au: UTF8String, bu: UTF8String): Long = {
-    val a = au.toString
-    val b = bu.toString
+    val a = CodePoints.of(au)
+    val b = CodePoints.of(bu)
     val la = a.length
     val lb = b.length
     if (la == 0) return lb.toLong
@@ -402,15 +436,15 @@ object DamerauLevenshteinKernel extends Serializable {
     while (i <= la) { h(i + 1)(0) = inf; h(i + 1)(1) = i; i += 1 }
     var j = 0
     while (j <= lb) { h(0)(j + 1) = inf; h(1)(j + 1) = j; j += 1 }
-    val da = new java.util.HashMap[Char, Int]()
+    val da = new java.util.HashMap[Integer, Integer]()
     i = 1
     while (i <= la) {
       var db = 0
       j = 1
       while (j <= lb) {
-        val k = da.getOrDefault(b.charAt(j - 1), 0)
+        val k: Int = da.getOrDefault(b(j - 1), 0)
         val l = db
-        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) { db = j; 0 } else 1
+        val cost = if (a(i - 1) == b(j - 1)) { db = j; 0 } else 1
         var best = h(i)(j) + cost                       // substitute / match
         if (h(i + 1)(j) + 1 < best) best = h(i + 1)(j) + 1   // insert
         if (h(i)(j + 1) + 1 < best) best = h(i)(j + 1) + 1   // delete
@@ -419,7 +453,7 @@ object DamerauLevenshteinKernel extends Serializable {
         h(i + 1)(j + 1) = best
         j += 1
       }
-      da.put(a.charAt(i - 1), i)
+      da.put(a(i - 1), i)
       i += 1
     }
     h(la + 1)(lb + 1).toLong

@@ -91,13 +91,20 @@ class JaroWinklerSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(0) <= r.getLong(1)))
   }
 
-  test("generative properties: both kernels over random ascii/unicode strings") {
+  test("generative properties: both kernels over random ascii/unicode/astral strings") {
     import org.scalacheck.{Gen, rng}
     val gen = Gen.oneOf(Gen.alphaNumStr.map(_.take(30)),
       Gen.asciiPrintableStr.map(_.take(30)), Gen.const(""),
-      Gen.const("ünïcödé & emoji ☃"))
+      Gen.const("ünïcödé & emoji ☃"),
+      // non-BMP (round-13, ADVICE r12): surrogate-pair content — the
+      // length bounds below are CODE-POINT counts, which these strings
+      // make strictly smaller than their UTF-16 lengths
+      Gen.const(new String(Character.toChars(0x1D11E)) + "ab"),
+      Gen.const("a" + new String(Character.toChars(0x1D11E)) +
+        new String(Character.toChars(0x1F600))))
     val pairs = Gen.listOfN(300, Gen.zip(gen, gen))
       .apply(Gen.Parameters.default, rng.Seed(7L)).get
+    def cp(s: String): Int = s.codePointCount(0, s.length)
     pairs.foreach { case (a, b) =>
       val j = jw(a, b)
       assert(j >= 0.0 && j <= 1.0, s"jw bounds on ($a, $b): $j")
@@ -105,14 +112,41 @@ class JaroWinklerSpec extends AnyFunSuite {
       if (a == b && a.nonEmpty) assert(j == 1.0, s"jw identity on $a")
       val d = dl(a, b)
       assert(d == dl(b, a), s"dl symmetry on ($a, $b)")
-      assert(d >= math.abs(a.length - b.length), s"dl length lower bound ($a, $b)")
-      assert(d <= math.max(a.length, b.length), s"dl upper bound ($a, $b)")
+      assert(d >= math.abs(cp(a) - cp(b)), s"dl length lower bound ($a, $b)")
+      assert(d <= math.max(cp(a), cp(b)), s"dl upper bound ($a, $b)")
       assert((d == 0L) == (a == b), s"dl identity on ($a, $b)")
-      // dl never exceeds plain levenshtein (transpositions only help)
+      // dl never exceeds plain levenshtein (transpositions only help);
+      // Spark's levenshtein is code-point based, same regime as dl
       val lev = org.apache.spark.unsafe.types.UTF8String.fromString(a)
         .levenshteinDistance(org.apache.spark.unsafe.types.UTF8String.fromString(b))
       assert(d <= lev, s"dl <= lev on ($a, $b): $d vs $lev")
     }
+  }
+
+  test("non-BMP code-point semantics: astral chars count once, the guard bound holds") {
+    // U+1D11E spans 2 UTF-16 units / 4 UTF-8 bytes but is ONE code
+    // point: the kernels count it once (Spark's levenshtein/length()
+    // convention; DuckDB's byte-based core would say 4 for the first)
+    val g = new String(Character.toChars(0x1D11E))
+    val g2 = new String(Character.toChars(0x1D11F))
+    assert(dl(g, "a") == 1L)
+    assert(dl("", g) == 1L)
+    assert(dl("a" + g, g + "a") == 1L)      // one astral transposition
+    assert(dl(g * 3, g2 * 3) == 3L)
+    assert(jw(g, g) == 1.0)
+    assert(math.abs(jw(g + "b", "ab") - 2.0 / 3.0) < 1e-12)
+    // the EditDistancePrefilter implication at the exact seam the
+    // UTF-16 kernel broke: inserting ONE astral char costs dl = 1 and
+    // shifts length() (code points) by 1 — so |Δlength| <= k still
+    // follows from dl <= k and the guarded filter keeps the row
+    import spark.implicits._
+    import org.apache.spark.sql.functions.length
+    val df = Seq(("abc", "ab" + g + "c")).toDF("x", "y")
+    val kept = df.filter(
+      graft.functions.damerau_levenshtein(col("x"), col("y")) <= 1).collect()
+    assert(kept.length == 1)
+    val lens = df.select(length(col("x")), length(col("y"))).collect().head
+    assert(math.abs(lens.getInt(0) - lens.getInt(1)) <= 1)
   }
 
   test("codegen path == interpreted kernel, and SQL registration works") {
