@@ -122,7 +122,10 @@ object Bench {
     // round-12 additions, least regression-sensitive last (budget
     // truncation eats from the end): the index-lifecycle family's two
     // heaviest members (double assignment pass / Lloyd chain + assign)
-    "q290_index_churn", "q288_ivf_audit")
+    "q290_index_churn", "q288_ivf_audit",
+    // round-13: the banded decontam chain (the q293 scale path) —
+    // cheap and stable, so it sits last
+    "q297_embed_decontam_banded")
 
   /** One query's measurement under one evaluation mode. `sec` is the
     * reported median; `secs` keeps every raw run (round-10 forensics:

@@ -284,6 +284,17 @@ object ScaleRehearsal {
     // under test: per-batch wall tracks the INCREMENT (assignment +
     // column-pruned id anti-join), not the index size behind it
     val sivfOnly = args.length > 1 && args(1) == "sivf"
+    // "decontam" second arg (round-13, VERDICT r12 item 1): the q293
+    // exact corpus×eval cross product vs the q297 banded chain at 1x
+    // and Nx — exact work is quadratic in N (0.9N × 0.1N pairs), the
+    // banded candidate volume is held down by the occupancy-scaled
+    // planes; exact is SKIPPED past 10x (the measured-detonation
+    // regime), and the guard arithmetic prints at every scale
+    val decontamOnly = args.length > 1 && args(1) == "decontam"
+    // "reindex" second arg (round-13, VERDICT r12 item 2): selective
+    // reindex economics on the Nx persisted index — bytes/wall at
+    // churn thresholds vs the full re-layout
+    val reindexOnly = args.length > 1 && args(1) == "reindex"
     val scaled = s"/tmp/graft_scale_${mult}x"
     val spark = GraftSession.get("local[32]", "32")
     if (pivfOnly) {
@@ -383,13 +394,127 @@ object ScaleRehearsal {
       probeRelayout() // warm
       val probeRelayoutSec = Seq.fill(3)(probeRelayout()).sorted.apply(1)
       val filesRelayout = spark.read.parquet(relayoutPath).inputFiles.length
+      // the PRODUCTION verb (round-13, VERDICT r12 item 3): in-place
+      // StreamingIvf.relayoutState behind the commit marker — merges
+      // the batch dirs into ONE list-partitioned generation on the
+      // live store; probe recovery measured on the same root the
+      // maintainer keeps writing to
+      val tr2 = System.nanoTime()
+      graft.streaming.StreamingIvf.relayoutState(spark, idxPath, 7L)
+      val relayoutInPlaceSec = (System.nanoTime() - tr2) / 1e9
+      probeOnce() // warm against the re-laid store
+      val probeAfterSec = Seq.fill(3)(probeOnce()).sorted.apply(1)
+      val filesAfter = spark.read.parquet(idxPath).inputFiles.length
+      val stateRowsAfter = spark.read.parquet(idxPath).count()
       val secsJson = batchSecs.map(s => f"$s%.3f").mkString("[", ",", "]")
       println(s"""{"metric":"scale_rehearsal_sivf","scale":"${mult}x","rows":$rows,""" +
         s""""lists":$lists,"batch_secs":$secsJson,""" +
         f""""flat_ratio":${batchSecs(7) / batchSecs(1)}%.2f,""" +
         s""""probe_sec":$probeSec,"files_incremental":$filesIncr,""" +
         s""""relayout_sec":$relayoutSec,"probe_relayout_sec":$probeRelayoutSec,""" +
-        s""""files_relayout":$filesRelayout,"state_rows":$stateRows,"nprobe":2}""")
+        s""""files_relayout":$filesRelayout,""" +
+        s""""relayout_inplace_sec":$relayoutInPlaceSec,""" +
+        s""""probe_after_inplace_sec":$probeAfterSec,"files_after_inplace":$filesAfter,""" +
+        s""""state_rows_after_inplace":$stateRowsAfter,""" +
+        s""""state_rows":$stateRows,"nprobe":2}""")
+      spark.stop(); return
+    }
+    if (decontamOnly) {
+      val emb0 = spark.read.parquet(s"$base/embeddings.parquet")
+        .select(col("vec_id"), graft.sim.Similarity.asDouble(col("embedding")).as("embedding"))
+      (0 until mult).map { k =>
+        emb0.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+          copyVariant(k).as("embedding"))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$scaled/embeddings.parquet")
+      Seq("1x" -> base, s"${mult}x" -> scaled).foreach { case (label, dir) =>
+        val rows = ScaleParams.tableRows(spark, dir, "embeddings")
+        val est = (rows / 10L) * graft.sim.Similarity.EmbedDims * 8L
+        val budget = graft.sim.Similarity.EvalBroadcastBudgetBytes
+        def median3(name: String): Double = {
+          timeQuery(spark, name, dir) // warm
+          Seq.fill(3)(timeQuery(spark, name, dir)).sorted.apply(1)
+        }
+        val bandedSec = median3("q297_embed_decontam_banded")
+        val bandedFlags = SparkEntry.queries("q297_embed_decontam_banded")(spark, dir).count()
+        // exact past 10x is the detonation the guard exists for
+        // (pairs = 0.09 rows² cosine folds) — measured at 1x/10x,
+        // skipped beyond with the pair count printed instead
+        val exactJson = if (mult <= 10 || label == "1x") {
+          val s = median3("q293_embed_decontam")
+          val f = SparkEntry.queries("q293_embed_decontam")(spark, dir)
+            .filter(col("flagged") === 1L).count()
+          s""""exact_sec":$s,"exact_flags":$f"""
+        } else {
+          s""""exact_sec":null,"exact_pairs_skipped":${(rows / 10L) * (rows - rows / 10L)}"""
+        }
+        println(s"""{"metric":"scale_rehearsal_decontam","scale":"$label","rows":$rows,""" +
+          s""""banded_sec":$bandedSec,"banded_flags":$bandedFlags,$exactJson,""" +
+          s""""guard_est_bytes":$est,"guard_budget_bytes":$budget,""" +
+          s""""guard_fires":${est > budget}}""")
+      }
+      spark.stop(); return
+    }
+    if (reindexOnly) {
+      val emb0 = spark.read.parquet(s"$base/embeddings.parquet")
+        .select(col("vec_id"), graft.sim.Similarity.asDouble(col("embedding")).as("embedding"))
+      (0 until mult).map { k =>
+        emb0.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+          copyVariant(k).as("embedding"))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$scaled/embeddings.parquet")
+      val rows = ScaleParams.tableRows(spark, scaled, "embeddings")
+      val lists = ScaleParams.ivfLists(rows)
+      val e = spark.read.parquet(s"$scaled/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").as("vec"))
+      val seed = e.filter(col("vec_id") < lists)
+        .select(col("vec_id").as("c_id"), col("vec").as("c_vec"))
+      // the refined quantizer: ONE Lloyd E+M round from the seed (the
+      // q290 regime at its first refinement — enough to redraw the
+      // badly-seeded cells without an Nx-scale full Lloyd chain)
+      val refined = graft.sim.Similarity.ivfAssign(e, seed)
+        .select(col("list_id"), posexplode(col("vec")).as(Seq("pos", "x")))
+        .groupBy("list_id", "pos").agg(avg(col("x")).as("mu"))
+        .groupBy("list_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mu")))),
+          s => s.getField("mu")).as("c_vec"))
+        .select(col("list_id").as("c_id"), col("c_vec"))
+        .localCheckpoint()
+      val basePath = s"$scaled/reindex_base"
+      val tb = System.nanoTime()
+      graft.sim.Similarity.persistIvfIndex(
+        graft.sim.Similarity.ivfAssign(e, seed), basePath)
+      val buildSec = (System.nanoTime() - tb) / 1e9
+      val baseBytes = {
+        val p = new org.apache.hadoop.fs.Path(basePath)
+        val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val it = hfs.listFiles(p, true); var t = 0L
+        while (it.hasNext) t += it.next().getLen
+        t
+      }
+      // full re-layout anchor: re-persist the whole index under the
+      // refined quantizer (what a non-selective reindex costs)
+      val tf = System.nanoTime()
+      graft.sim.Similarity.persistIvfIndex(
+        graft.sim.Similarity.ivfAssign(e, refined), s"$scaled/reindex_full")
+      val fullSec = (System.nanoTime() - tf) / 1e9
+      for (thr <- Seq(0L, 1000L, 5000L)) {
+        val idx = s"$scaled/reindex_t$thr"
+        val src = new org.apache.hadoop.fs.Path(basePath)
+        val dst = new org.apache.hadoop.fs.Path(idx)
+        val hfs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        hfs.delete(dst, true)
+        org.apache.hadoop.fs.FileUtil.copy(hfs, src, hfs, dst, false,
+          spark.sparkContext.hadoopConfiguration)
+        val t0 = System.nanoTime()
+        val st = graft.sim.IvfIndex.reindexLists(spark, idx, refined, thr)
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(s"""{"metric":"scale_rehearsal_reindex","scale":"${mult}x","rows":$rows,""" +
+          s""""lists":$lists,"min_churn_bp":$thr,"lists_rewritten":${st.listsRewritten},""" +
+          s""""rows_rewritten":${st.rowsRewritten},"rows_moved":${st.rowsMoved},""" +
+          s""""bytes_staged":${st.bytesStaged},"index_bytes":$baseBytes,""" +
+          s""""reindex_sec":$sec,"full_relayout_sec":$fullSec,"build_sec":$buildSec}""")
+      }
       spark.stop(); return
     }
     if (new8Only) {
