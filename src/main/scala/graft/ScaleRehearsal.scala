@@ -498,8 +498,24 @@ object ScaleRehearsal {
       graft.sim.Similarity.persistIvfIndex(
         graft.sim.Similarity.ivfAssign(e, refined), s"$scaled/reindex_full")
       val fullSec = (System.nanoTime() - tf) / 1e9
-      for (thr <- Seq(0L, 1000L, 5000L)) {
-        val idx = s"$scaled/reindex_t$thr"
+      // CONCENTRATED churn contrast: swap the vectors of 5% of the
+      // centroid pairs (c_id 2i ↔ 2i+1 for i < lists/40) — those
+      // cells churn ~100%, every other cell 0 — the regime q290 flags
+      // and selective reindex exists for (the Lloyd refinement above
+      // yields UNIFORM ~15% churn on the rotation-copy synthesis: the
+      // adversarial case where selectivity degenerates to all/nothing)
+      val swapped = {
+        val pairs = lists / 40
+        seed.withColumn("c_id",
+          when(col("c_id") < 2L * pairs,
+            col("c_id") - (col("c_id") % 2) * 2 + 1)
+            .otherwise(col("c_id")))
+          .localCheckpoint()
+      }
+      for ((qlabel, quant, thr) <- Seq(
+          ("lloyd", refined, 0L), ("lloyd", refined, 1000L), ("lloyd", refined, 5000L),
+          ("swap", swapped, 5000L))) {
+        val idx = s"$scaled/reindex_${qlabel}_t$thr"
         val src = new org.apache.hadoop.fs.Path(basePath)
         val dst = new org.apache.hadoop.fs.Path(idx)
         val hfs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -507,10 +523,11 @@ object ScaleRehearsal {
         org.apache.hadoop.fs.FileUtil.copy(hfs, src, hfs, dst, false,
           spark.sparkContext.hadoopConfiguration)
         val t0 = System.nanoTime()
-        val st = graft.sim.IvfIndex.reindexLists(spark, idx, refined, thr)
+        val st = graft.sim.IvfIndex.reindexLists(spark, idx, quant, thr)
         val sec = (System.nanoTime() - t0) / 1e9
         println(s"""{"metric":"scale_rehearsal_reindex","scale":"${mult}x","rows":$rows,""" +
-          s""""lists":$lists,"min_churn_bp":$thr,"lists_rewritten":${st.listsRewritten},""" +
+          s""""lists":$lists,"quantizer":"$qlabel","min_churn_bp":$thr,""" +
+          s""""lists_rewritten":${st.listsRewritten},""" +
           s""""rows_rewritten":${st.rowsRewritten},"rows_moved":${st.rowsMoved},""" +
           s""""bytes_staged":${st.bytesStaged},"index_bytes":$baseBytes,""" +
           s""""reindex_sec":$sec,"full_relayout_sec":$fullSec,"build_sec":$buildSec}""")
