@@ -65,7 +65,14 @@ object IvfIndex {
 
   /** Rewrite the lists of the index at `path` whose churn under
     * `newCents(c_id, c_vec)` is ≥ `minChurnBp` basis points; leave the
-    * rest untouched on disk. One assignment pass over the index (the
+    * rest untouched on disk. `path` must be a LIST-PARTITIONED index
+    * root (`list_id=*` dirs directly under it) — a
+    * [[Similarity.persistIvfIndex]] output, or, for the batch-keyed
+    * streaming store, ONE merged generation dir (`.../batch=<id>`
+    * after [[graft.streaming.StreamingIvf.relayoutState]]; reindexing
+    * the store ROOT would plant root-level `list_id=*` dirs next to
+    * the `batch=*` dirs and break partition discovery —
+    * `IndexLifecycleSpec` pins the working composition). One assignment pass over the index (the
     * [[Similarity.ivfAssign]] broadcast argmax — vectors never
     * shuffle), one K-row churn aggregate (the q290 computation), one
     * staged write of the rewritten lists' rows repartitioned on their
