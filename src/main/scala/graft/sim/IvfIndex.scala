@@ -91,12 +91,17 @@ object IvfIndex {
       recoverLocked(spark, hfs, root) // finish any crashed run first
       val cur = spark.read.parquet(path)
         .select(col("vec_id"), col("vec"), col("list_id").cast("long").as("cur_list"))
+      // pass 1 — the churn AUDIT (q290's computation): one full linear
+      // read, assignment map-side combined, joined back on vec_id to a
+      // K-row aggregate. Deliberately NOT materialized for reuse: at
+      // index scale a checkpoint of the full (vec, assignment) join is
+      // a corpus-sized write, while pass 2 below re-reads only the
+      // rewritten lists via partition pruning — I/O ∝ churn fraction,
+      // which is the whole point of selectivity.
       val na = Similarity.ivfAssign(cur.select(col("vec_id"), col("vec")), newCents)
         .select(col("vec_id"), col("list_id").as("new_list"))
-      // materialized: consumed by the churn aggregate AND the staging
-      // write — without it the assignment pass runs twice
-      val j = Dedup.materialize(cur.join(na, "vec_id"))
-      val churn = j.groupBy("cur_list")
+      val churn = cur.select(col("vec_id"), col("cur_list")).join(na, "vec_id")
+        .groupBy("cur_list")
         .agg(count(lit(1)).as("n"),
           sum(when(col("new_list") =!= col("cur_list"), 1L).otherwise(0L)).as("moved"))
         .withColumn("churn_bp", expr("moved * 10000 div n"))
@@ -112,8 +117,13 @@ object IvfIndex {
 
         val staging = new Path(root, StagingName)
         hfs.delete(staging, true)
-        j.filter(col("cur_list").isin(rewrite.toIndexedSeq: _*))
-          .select(col("vec_id"), col("vec"), col("new_list").as("list_id"))
+        // pass 2 — the REWRITE: re-read ONLY the flagged lists (the
+        // isin lands on the partition column → planning-time pruning,
+        // the probePersistedIvf physics) and re-assign just their rows
+        val movedRows = spark.read.parquet(path)
+          .filter(col("list_id").cast("long").isin(rewrite.toIndexedSeq: _*))
+          .select(col("vec_id"), col("vec"))
+        Similarity.ivfAssign(movedRows, newCents)
           .repartition(col("list_id"))
           .write.mode("overwrite").partitionBy("list_id").parquet(staging.toString)
         val bytesStaged = allBytes(hfs, staging)
