@@ -120,8 +120,10 @@ object IvfIndex {
         // pass 2 — the REWRITE: re-read ONLY the flagged lists (the
         // isin lands on the partition column → planning-time pruning,
         // the probePersistedIvf physics) and re-assign just their rows
+        // same predicate form as probePersistedIvf — the shape whose
+        // planning-time pruning PersistedIndexSpec pins on numFiles
         val movedRows = spark.read.parquet(path)
-          .filter(col("list_id").cast("long").isin(rewrite.toIndexedSeq: _*))
+          .filter(col("list_id").isin(rewrite.toIndexedSeq: _*))
           .select(col("vec_id"), col("vec"))
         Similarity.ivfAssign(movedRows, newCents)
           .repartition(col("list_id"))
