@@ -4593,7 +4593,10 @@ object QueriesTraining {
       .agg(count(lit(1)).as("n_exact"),
         sum(coalesce(col("hit"), lit(0L))).as("n_banded"))
       .select(col("n_exact"), col("n_banded"),
-        expr("n_banded * 10000 div n_exact").as("recall_bp"))
+        // empty denominator (nothing to recall) reports vacuously-full
+        // recall instead of an ANSI divide-by-zero (ADVICE r13)
+        expr("CASE WHEN n_exact = 0 THEN CAST(10000 AS BIGINT) " +
+          "ELSE n_banded * 10000 div n_exact END").as("recall_bp"))
   }
 
   private val GeoMedianIters = 3
@@ -6348,7 +6351,8 @@ object QueriesTraining {
        |       FROM ($embedDecontamBandedOracle))
        |SELECT CAST(count(*) AS BIGINT) AS n_exact,
        |  CAST(sum(coalesce(bd.hit, 0)) AS BIGINT) AS n_banded,
-       |  CAST(sum(coalesce(bd.hit, 0)) * 10000 // count(*) AS BIGINT) AS recall_bp
+       |  CAST(CASE WHEN count(*) = 0 THEN 10000
+       |    ELSE sum(coalesce(bd.hit, 0)) * 10000 // count(*) END AS BIGINT) AS recall_bp
        |FROM ex LEFT JOIN bd USING (vec_id)""".stripMargin
 
   /** Components over the q24 pair graph (q287): the full q24 oracle

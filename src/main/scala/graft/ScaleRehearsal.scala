@@ -505,7 +505,10 @@ object ScaleRehearsal {
       // yields UNIFORM ~15% churn on the rotation-copy synthesis: the
       // adversarial case where selectivity degenerates to all/nothing)
       val swapped = {
-        val pairs = lists / 40
+        // clamp to ≥ 1 pair (ADVICE r13): below 40 lists the 5% rule
+        // rounds to zero and the "swap" row would silently measure an
+        // identity-quantizer no-op while still printing as a swap
+        val pairs = math.max(1, lists / 40)
         seed.withColumn("c_id",
           when(col("c_id") < 2L * pairs,
             col("c_id") - (col("c_id") % 2) * 2 + 1)

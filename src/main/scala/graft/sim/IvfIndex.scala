@@ -165,9 +165,11 @@ object IvfIndex {
     val marker = new Path(root, MarkerName)
     if (hfs.exists(marker)) publish(hfs, root)
     else {
-      // no marker: staging (if any) is an incomplete write — roll back;
-      // retires only ever happen post-marker, so any .retired-* here is
-      // foreign litter — restore it defensively if its live dir is gone
+      // no marker: staging (if any) is an incomplete write — roll back.
+      // A .retired-* twin here is post-commit cleanup litter (publish
+      // deletes the marker before the twins — a crash between the two
+      // strands them) or foreign litter: delete it when its live dir
+      // exists, restore it defensively when the live dir is gone
       hfs.delete(new Path(root, StagingName), true)
       if (hfs.exists(root))
         hfs.listStatus(root).toSeq.map(_.getPath)
@@ -188,8 +190,21 @@ object IvfIndex {
     *  2. move every staged file into its live list dir under a
     *     commit-unique `rx<commitId>-` prefix (atomic renames; a
     *     replay only sees the files not yet moved);
-    *  3. drop staging, the retired dirs (their rows were all staged —
-    *     a list rewrite stages movers AND stayers), and the marker.
+    *  3. drop staging, then the MARKER, then the retired dirs (their
+    *     rows were all staged — a list rewrite stages movers AND
+    *     stayers).
+    *
+    * The marker MUST go before the retired dirs (round-14, ADVICE r13
+    * high): step 1's "already retired ⇒ the live dir is this run's
+    * output" inference is keyed on the retired twin's EXISTENCE, so a
+    * crash after the twins are deleted but while the marker survives
+    * would make a replay re-retire the freshly published lists, find
+    * no staging to republish, and then delete the retired dirs — the
+    * only remaining copy of every rewritten list. With the marker
+    * deleted first, a crash mid-cleanup leaves only orphaned
+    * `.retired-*` litter, which [[recoverLocked]]'s no-marker path
+    * already disposes of safely (restores the twin if its live dir is
+    * missing, deletes it otherwise).
     */
   private def publish(hfs: FileSystem, root: Path): Unit = {
     val marker = new Path(root, MarkerName)
@@ -204,7 +219,14 @@ object IvfIndex {
     retiredIds.foreach { id =>
       val live = new Path(root, s"list_id=$id")
       val retired = new Path(root, s".retired-list_id=$id")
-      if (!hfs.exists(retired) && hfs.exists(live)) {
+      // belt to the marker-ordering suspenders (ADVICE r13): a live dir
+      // already holding THIS commit's rx-prefixed files is republished
+      // output, never a retire target — even in states the fixed
+      // cleanup ordering makes unreachable, a replay cannot re-retire
+      // published lists
+      val republished = hfs.exists(live) && hfs.listStatus(live)
+        .exists(_.getPath.getName.startsWith(s"rx$commitId-"))
+      if (!republished && !hfs.exists(retired) && hfs.exists(live)) {
         if (!hfs.rename(live, retired))
           throw new java.io.IOException(s"reindex failed to retire $live")
       }
@@ -224,10 +246,14 @@ object IvfIndex {
         }
       hfs.delete(staging, true)
     }
+    // commit completes HERE: once the marker is gone this publish can
+    // never replay, so the retired twins below are pure garbage — a
+    // crash mid-loop leaves litter for the no-marker recovery path,
+    // never a state where step 1 could re-retire published lists
+    hfs.delete(marker, false): Unit
     hfs.listStatus(root).toSeq.map(_.getPath)
       .filter(_.getName.startsWith(".retired-"))
       .foreach(p => hfs.delete(p, true))
-    hfs.delete(marker, false): Unit
   }
 
   private def allBytes(hfs: FileSystem, p: Path): Long = {

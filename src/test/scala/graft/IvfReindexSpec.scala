@@ -157,6 +157,69 @@ class IvfReindexSpec extends AnyFunSuite {
     assert(probeRows(crashed) == probeRows(done))
   }
 
+  test("crash between the marker delete and the retired-dir cleanup: litter disposed, rows intact") {
+    // the crash window the round-14 publish REORDERING creates (ADVICE
+    // r13 high — marker now goes first, so the worst reachable state is
+    // post-commit litter): live dirs fully published, marker gone,
+    // retired twins stranded. Recovery must dispose of the twins
+    // without touching a row.
+    val base = Files.createTempDirectory("graft_reindex_litter").toString
+    val idx = s"$base/idx"
+    buildIndex(idx)
+    IvfIndex.reindexLists(spark, idx, cents(newCents), minChurnBp = 5000L)
+    val want = spark.read.parquet(idx)
+      .select(col("vec_id"), col("list_id").cast("long")).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val root = new Path(idx)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // strand post-commit litter: copy the published lists to retired
+    // twins as if cleanup died mid-loop after the marker was deleted
+    Seq(0L, 1L).foreach { l =>
+      org.apache.hadoop.fs.FileUtil.copy(hfs, new Path(root, s"list_id=$l"),
+        hfs, new Path(root, s".retired-list_id=$l"), false,
+        spark.sparkContext.hadoopConfiguration)
+    }
+    IvfIndex.recoverReindex(spark, idx)
+    val got = spark.read.parquet(idx)
+      .select(col("vec_id"), col("list_id").cast("long")).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want)
+    val names = hfs.listStatus(root).map(_.getPath.getName).toSet
+    assert(!names.exists(n => n.startsWith(".reindex") || n.startsWith(".retired-")), names)
+  }
+
+  test("replay on a fully-published store with a stale marker and no retired twins keeps every row") {
+    // the exact state ADVICE r13 showed the OLD cleanup ordering could
+    // strand (marker survives, twins and staging already deleted): the
+    // old replay re-retired the published lists and then destroyed
+    // them. The fixed ordering makes the state unreachable AND the
+    // rx<commitId> republish check makes even a hand-built instance of
+    // it safe — pinned here.
+    val base = Files.createTempDirectory("graft_reindex_stale").toString
+    val idx = s"$base/idx"
+    buildIndex(idx)
+    IvfIndex.reindexLists(spark, idx, cents(newCents), minChurnBp = 5000L)
+    val want = spark.read.parquet(idx)
+      .select(col("vec_id"), col("list_id").cast("long")).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val root = new Path(idx)
+    val hfs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the published rx files' commit id is the one the marker must name
+    val commitId = hfs.listStatus(new Path(root, "list_id=0"))
+      .map(_.getPath.getName).filter(_.startsWith("rx"))
+      .head.stripPrefix("rx").takeWhile(_ != '-')
+    val out = hfs.create(new Path(root, ".reindex-commit"), true)
+    out.write(s"$commitId\n0\n1".getBytes(StandardCharsets.UTF_8))
+    out.close()
+    IvfIndex.recoverReindex(spark, idx)
+    val got = spark.read.parquet(idx)
+      .select(col("vec_id"), col("list_id").cast("long")).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want)
+    val names = hfs.listStatus(root).map(_.getPath.getName).toSet
+    assert(!names.exists(n => n.startsWith(".reindex") || n.startsWith(".retired-")), names)
+  }
+
   test("staging with no marker rolls back: index untouched") {
     val path = Files.createTempDirectory("graft_reindex_rb").toString + "/idx"
     buildIndex(path)
