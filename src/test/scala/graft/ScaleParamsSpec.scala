@@ -42,6 +42,40 @@ class ScaleParamsSpec extends AnyFunSuite {
     assert(ScaleParams.lshPlanes(500) == 4)      // floor holds the fixture value
   }
 
+  test("srpBandsFor: recall-derived band count is monotone and meets its own guarantee") {
+    // fixture operating points: loose (q297) and tight (q299)
+    assert(ScaleParams.srpBandsFor(5, 0.3, 9000L) == 30)
+    assert(ScaleParams.srpBandsFor(5, 0.8, 9000L) == 7)
+    // monotone in target recall: more recall -> never fewer bands
+    val recalls = Seq(1000L, 5000L, 9000L, 9500L, 9900L)
+    for (thr <- Seq(0.3, 0.5, 0.8, 0.9); b <- Seq(3, 5, 8, 11)) {
+      val ladder = recalls.map(ScaleParams.srpBandsFor(b, thr, _))
+      assert(ladder == ladder.sorted, s"thr=$thr b=$b: $ladder")
+    }
+    // monotone in threshold: looser threshold (weaker p*) -> never fewer bands
+    for (r <- recalls; b <- Seq(3, 5, 8, 11)) {
+      val ladder = Seq(0.9, 0.8, 0.5, 0.3).map(ScaleParams.srpBandsFor(b, _, r))
+      assert(ladder == ladder.sorted, s"r=$r b=$b: $ladder")
+    }
+    // the returned L meets the guarantee and L-1 would not (tight ceil)
+    for (thr <- Seq(0.3, 0.8); b <- Seq(5, 8); r <- Seq(9000L, 9900L)) {
+      val pb = math.pow(ScaleParams.srpCollisionProb(thr), b)
+      val l = ScaleParams.srpBandsFor(b, thr, r)
+      val miss = 1.0 - r / 10000.0
+      assert(math.pow(1.0 - pb, l) <= miss + 1e-12, s"thr=$thr b=$b r=$r L=$l")
+      if (l > 1)
+        assert(math.pow(1.0 - pb, l - 1) > miss, s"thr=$thr b=$b r=$r L=$l not minimal")
+    }
+    // cross-engine ceil safety: the ceil argument sits far from an
+    // integer at every fixture operating point (libm divergence is
+    // ~1e-15 relative; 1e-3 absolute distance is 12 orders of margin)
+    for (thr <- Seq(0.3, 0.8); b <- Seq(5)) {
+      val pb = math.pow(ScaleParams.srpCollisionProb(thr), b)
+      val q = math.log(0.1) / math.log(1.0 - pb)
+      assert(math.abs(q - math.rint(q)) > 1e-3, s"thr=$thr b=$b quotient $q on a knife edge")
+    }
+  }
+
   test("row counts are always fresh: an overwrite is seen, not served stale") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_sp").toString
