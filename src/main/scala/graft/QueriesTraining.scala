@@ -4624,6 +4624,134 @@ object QueriesTraining {
           "ELSE n_banded * 10000 div n_exact END").as("recall_bp"))
   }
 
+  /** The PLANTED-LEAK eval set for the tight-threshold decontam family
+    * (q299/q300): each eval item is a deterministically perturbed copy
+    * of the corpus row it contaminates — component i scaled by 1.45 or
+    * 0.55 on the parity of md5("e" ++ vec_id ++ "_" ++ i) (the
+    * portable-hash recipe, 'e'-salted so the signs are independent of
+    * the SRP plane signs). The fixture's natural corpus↔eval pairs top
+    * out at cos 0.49 (no tight-threshold regime exists in the data),
+    * and a recall audit needs KNOWN ground truth anyway — planting is
+    * how decontamination recall is validated in practice. Measured on
+    * the fixture: planted pairs land at cos ∈ [0.893, 0.941], the
+    * closest non-planted pair at 0.456 — both sides of the 0.8
+    * threshold with ≥ 0.09 margin, and both engines compute the SAME
+    * doubles (identical literals, identical fold), so the compare is
+    * not even margin-dependent.
+    */
+  private def plantedEvalTight(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") % 10 === 7)
+      .select(col("vec_id").as("e_id"),
+        transform(col("v"), (x, i) =>
+          x * when(conv(substring(md5(concat(lit("e"), col("vec_id").cast("string"),
+              lit("_"), i.cast("string"))), 1, 1), 16, 10).cast("long") % 2 === 0,
+            lit(1.45)).otherwise(lit(0.55))).as("e_vec"))
+
+  /** The q299 banded chain's flagged set, shared with the q300 recall
+    * audit — the q297 physics at the TIGHT production threshold
+    * [[Similarity.DecontamTightCos]] against the planted eval set, the
+    * corpus being the FULL table (contamination means eval rows hide
+    * in the corpus). Band count derived for the same
+    * [[Similarity.DecontamRecallBp]] target: at cos ≥ 0.8 the
+    * per-plane collision bound is p* = 0.795, so 90% recall costs 7
+    * bands at the fixture's 5 planes — versus 30 at the loose q297
+    * threshold — which is the whole argument for tight-threshold
+    * decontamination at 100 TB (the LSH exponent ρ = 0.33 vs 0.745).
+    */
+  private def decontamTightBandedFlags(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val planes = ScaleParams.srpBandPlanes(
+      ScaleParams.tableRows(spark, dir, "embeddings"))
+    val bands = ScaleParams.srpBandsFor(planes, Similarity.DecontamTightCos,
+      Similarity.DecontamRecallBp)
+    val e = Dedup.materialize(
+      Dedup.fanOut(Tables(spark, dir, "embeddings"), col("vec_id"))
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("nrm", Similarity.norm(col("v")))
+        .withColumn("buckets", Similarity.srpBandKeys(col("v"), bands,
+          planes, EmbedDims)))
+    val ev = Dedup.materialize(
+      plantedEvalTight(e.select(col("vec_id"), col("v")))
+        .withColumn("e_nrm", Similarity.norm(col("e_vec")))
+        .withColumn("buckets", Similarity.srpBandKeys(col("e_vec"), bands,
+          planes, EmbedDims)))
+    val cand = e.select(col("vec_id"), explode_outer(col("buckets")).as("bucket"))
+      .join(ev.select(col("e_id"), explode_outer(col("buckets")).as("bucket")),
+        "bucket")
+      .select("vec_id", "e_id").distinct()
+    cand.join(e.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
+      .join(ev.select(col("e_id"), col("e_vec"), col("e_nrm")), "e_id")
+      .withColumn("cos",
+        Similarity.dot(col("v"), col("e_vec")) / (col("nrm") * col("e_nrm")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cos"), col("e_id")),
+        struct(col("cos"), (-col("e_id")).as("n"))).as("b"))
+      .filter(col("b.cos") >= Similarity.DecontamTightCos)
+      .select(col("vec_id"), col("b.e_id").as("near_eval_id"),
+        col("b.cos").as("max_cos"))
+      .orderBy("vec_id")
+  }
+
+  /** q299: TIGHT-THRESHOLD BANDED DECONTAMINATION — the production
+    * operating point (VERDICT r13 item 1's proof row): the q297 chain
+    * at cos ≥ [[Similarity.DecontamTightCos]] over a planted-leak eval
+    * set ([[plantedEvalTight]]), band count derived for the same 90%
+    * recall target. Flags exactly the contaminated corpus rows the
+    * plant created; q300 measures the recall against the exact pass.
+    */
+  private val qDecontamTight: Q = (spark, dir) =>
+    decontamTightBandedFlags(spark, dir)
+
+  /** The exact ground truth behind q300 — the q293 broadcast shape
+    * (eval side is 50 planted rows, far inside the budget; asserted
+    * with the same metadata-only estimate for discipline) at the tight
+    * threshold over the full contaminated corpus.
+    */
+  private def decontamTightExactFlags(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val total = ScaleParams.tableRows(spark, dir, "embeddings")
+    val estBytes = (total / 10L) * Similarity.EmbedDims * 8L
+    require(estBytes <= Similarity.EvalBroadcastBudgetBytes,
+      s"decontamTightExactFlags: eval broadcast estimate $estBytes B exceeds " +
+        s"budget ${Similarity.EvalBroadcastBudgetBytes} B - use the banded " +
+        "q299 chain past broadcast scale")
+    val e = embeddingsRepartitioned(spark, dir)
+    val ev = plantedEvalTight(e.select(col("vec_id"), col("vec").as("v")))
+    e.crossJoin(broadcast(ev))
+      .withColumn("cos", Similarity.cosine(col("vec"), col("e_vec")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cos"), col("e_id")),
+        struct(col("cos"), (-col("e_id")).as("n"))).as("b"))
+      .select(col("vec_id"), col("b.e_id").as("near_eval_id"),
+        col("b.cos").as("max_cos"),
+        when(col("b.cos") >= Similarity.DecontamTightCos, lit(1L))
+          .otherwise(lit(0L)).as("flagged"))
+      .orderBy("vec_id")
+  }
+
+  /** q300: TIGHT-THRESHOLD DECONTAM RECALL AUDIT — q298's compare at
+    * the production operating point: of the corpus rows the exact pass
+    * flags at cos ≥ 0.8 (the 50 planted leaks), what share does the
+    * derived-band q299 chain catch? This is the row that PROVES the
+    * [[ScaleParams.srpBandsFor]] derivation: the target is 9000 bp and
+    * the worst-case bound is over pairs AT the threshold, while the
+    * planted pairs sit at cos ≈ 0.9 (per-band collision 0.46 vs the
+    * bound's 0.32), so the measured recall should clear the target
+    * with room. Precision is 1 by construction, as in q298.
+    */
+  private val qDecontamRecallTight: Q = (spark, dir) => {
+    val exact = decontamTightExactFlags(spark, dir)
+      .filter(col("flagged") === 1L).select(col("vec_id"))
+    val banded = decontamTightBandedFlags(spark, dir)
+      .select(col("vec_id"), lit(1L).as("hit"))
+    exact.join(banded, Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_banded"))
+      .select(col("n_exact"), col("n_banded"),
+        expr("CASE WHEN n_exact = 0 THEN CAST(10000 AS BIGINT) " +
+          "ELSE n_banded * 10000 div n_exact END").as("recall_bp"))
+  }
+
   private val GeoMedianIters = 3
   private val GeoMedianGroups = 4
 
@@ -5911,6 +6039,8 @@ object QueriesTraining {
     "q296_committee_cube" -> qCommitteeCube,
     "q297_embed_decontam_banded" -> qEmbedDecontamBanded,
     "q298_decontam_recall" -> qDecontamRecall,
+    "q299_decontam_tight" -> qDecontamTight,
+    "q300_decontam_recall_tight" -> qDecontamRecallTight,
     "q43_dedup_incremental" -> qDedupIncremental,
     "q22_dedup_ngram" -> qDedupNgram,
     "q104_containment" -> qContainment,
@@ -6381,6 +6511,85 @@ object QueriesTraining {
     s"""WITH ex AS (SELECT vec_id FROM ($embedDecontamOracle) WHERE flagged = 1),
        |bd AS (SELECT vec_id, CAST(1 AS BIGINT) AS hit
        |       FROM ($embedDecontamBandedOracle))
+       |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       |  CAST(sum(coalesce(bd.hit, 0)) AS BIGINT) AS n_banded,
+       |  CAST(CASE WHEN count(*) = 0 THEN 10000
+       |    ELSE sum(coalesce(bd.hit, 0)) * 10000 // count(*) END AS BIGINT) AS recall_bp
+       |FROM ex LEFT JOIN bd USING (vec_id)""".stripMargin
+
+  /** The planted-leak eval CTE (q299/q300) — the exact SQL twin of
+    * [[plantedEvalTight]]: component i of eval item vec_id scaled by
+    * 1.45/0.55 on the parity of md5('e' || vec_id || '_' || i), i
+    * 0-based on both engines (DuckDB's 1-based list position shifted
+    * by one).
+    */
+  private val plantedEvalCte: String =
+    s"""ev AS (SELECT vec_id AS e_id, list_transform(range(1, ${EmbedDims + 1}),
+       |  i -> v[i] * CASE WHEN ('0x' || substr(md5('e' || vec_id || '_' || (i-1)), 1, 1))::BIGINT % 2 = 0
+       |    THEN 1.45 ELSE 0.55 END) AS w
+       |  FROM e WHERE vec_id % 10 = 7)""".stripMargin
+
+  /** q299's oracle — the [[embedDecontamBandedOracle]] machinery with
+    * the planted eval side carrying its OWN plane dots/buckets (the
+    * eval vectors are derived, not table rows), the tight threshold,
+    * and the tight-threshold derived band count.
+    */
+  private lazy val decontamTightBandedOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$plantedEvalCte,
+       |p AS (SELECT ${ScaleParams.srpBandPlanesSql} AS planes FROM e),
+       |lb AS (SELECT ${ScaleParams.srpBandsForSql(Similarity.DecontamTightCos,
+                Similarity.DecontamRecallBp)} AS bands FROM p),
+       |${signListsCte("(SELECT bands FROM lb) * (SELECT planes FROM p)",
+                ceiling = 4096)},
+       |$planeDotsCte,
+       |de AS (SELECT e_id, j,
+       |  ${foldSumDoubleSql(s"list_transform(range(1, ${EmbedDims + 1}), i -> w[i] * sv[i])")} AS dt
+       |  FROM ev, sg),
+       |bk AS (SELECT vec_id, j // pp.planes AS band, pp.planes AS planes,
+       |  CAST(sum(CASE WHEN dt > 0
+       |    THEN (CAST(1 AS BIGINT) << CAST(j % pp.planes AS INT)) ELSE 0 END) AS BIGINT) AS bits
+       |  FROM d, p pp GROUP BY 1, 2, 3),
+       |bke AS (SELECT e_id, j // pp.planes AS band, pp.planes AS planes,
+       |  CAST(sum(CASE WHEN dt > 0
+       |    THEN (CAST(1 AS BIGINT) << CAST(j % pp.planes AS INT)) ELSE 0 END) AS BIGINT) AS bits
+       |  FROM de, p pp GROUP BY 1, 2, 3),
+       |k AS (SELECT vec_id,
+       |  (CAST(band AS BIGINT) << CAST(planes AS INT)) + bits AS bucket FROM bk),
+       |ke AS (SELECT e_id,
+       |  (CAST(band AS BIGINT) << CAST(planes AS INT)) + bits AS bucket FROM bke),
+       |cand AS (SELECT DISTINCT c.vec_id, ev2.e_id
+       |         FROM k c JOIN ke ev2 USING (bucket)),
+       |pairs AS (SELECT cand.vec_id, cand.e_id,
+       |    ${cosSql("ec.v", "ee.w")} AS cos
+       |    FROM cand JOIN e ec ON ec.vec_id = cand.vec_id
+       |              JOIN ev ee ON ee.e_id = cand.e_id),
+       |best AS (SELECT vec_id, e_id, cos FROM (
+       |  SELECT vec_id, e_id, cos, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cos DESC, e_id) AS rk FROM pairs) WHERE rk = 1)
+       |SELECT vec_id, e_id AS near_eval_id, cos AS max_cos
+       |FROM best WHERE cos >= ${Similarity.DecontamTightCos} ORDER BY vec_id""".stripMargin
+
+  /** q300's exact side — the q293 cross product over the planted eval
+    * set at the tight threshold; the corpus is the FULL table.
+    */
+  private lazy val decontamTightExactOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$plantedEvalCte,
+       |scored AS (SELECT e.vec_id, ev.e_id,
+       |    ${cosSql("e.v", "ev.w")} AS cos FROM e, ev),
+       |best AS (SELECT vec_id, e_id, cos FROM (
+       |  SELECT vec_id, e_id, cos, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cos DESC, e_id) AS rk FROM scored) WHERE rk = 1)
+       |SELECT vec_id, e_id AS near_eval_id, cos AS max_cos,
+       |  CAST(CASE WHEN cos >= ${Similarity.DecontamTightCos} THEN 1 ELSE 0 END AS BIGINT) AS flagged
+       |FROM best ORDER BY vec_id""".stripMargin
+
+  /** q300's oracle — both tight chains nested (the q298 pattern). */
+  private lazy val decontamTightRecallOracle: String =
+    s"""WITH ex AS (SELECT vec_id FROM ($decontamTightExactOracle) WHERE flagged = 1),
+       |bd AS (SELECT vec_id, CAST(1 AS BIGINT) AS hit
+       |       FROM ($decontamTightBandedOracle))
        |SELECT CAST(count(*) AS BIGINT) AS n_exact,
        |  CAST(sum(coalesce(bd.hit, 0)) AS BIGINT) AS n_banded,
        |  CAST(CASE WHEN count(*) = 0 THEN 10000
@@ -8693,6 +8902,8 @@ object QueriesTraining {
     "q293_embed_decontam" -> embedDecontamOracle,
     "q297_embed_decontam_banded" -> embedDecontamBandedOracle,
     "q298_decontam_recall" -> decontamRecallOracle,
+    "q299_decontam_tight" -> decontamTightBandedOracle,
+    "q300_decontam_recall_tight" -> decontamTightRecallOracle,
 
     // JL audit: same sign lists + exact plane-dot fold as the SRP
     // oracles; projected cosine via the 16-dim fold twin

@@ -105,6 +105,15 @@ object Similarity {
     */
   val DecontamRecallBp = 9000L
 
+  /** The TIGHT decontam threshold (q299/q300) — the regime production
+    * benchmark decontamination actually operates in (near-verbatim
+    * leakage, cos ≳ 0.8), where the recall target above is CHEAP:
+    * p* = 0.795 per plane gives an LSH exponent of 0.33, vs 0.745 at
+    * the loose [[NearDupCos]] fixture threshold (7 bands vs 30 at the
+    * fixture's 5 planes for the same 90% target).
+    */
+  val DecontamTightCos = 0.8
+
   /** Broadcast-footprint ceiling for exact eval-side cross products
     * (q293's decontamination ground truth): "the eval set is
     * benchmark-sized" is a CONTRACT, and this is where it is enforced
