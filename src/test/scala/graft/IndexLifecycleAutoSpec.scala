@@ -1,0 +1,179 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sim.Similarity
+import graft.streaming.StreamingIvf
+
+/** The index lifecycle CLOSED as a cadence (round-14, VERDICT r13
+  * item 2): the maintainer runs ingest → re-layout → Lloyd-refine →
+  * churn audit → selective reindex → quantizer-generation publish by
+  * itself, and the spec drives it end-to-end with probes checked exact
+  * against a full rebuild under the refined quantizer.
+  *
+  * Churn fixture (angles on the unit circle, embedded in dims 0/1):
+  * cluster P (32 rows at 0°), boundary cluster Q (8 rows at 50°),
+  * cluster R (32 rows at 130°); seed centroids at −40° and 95°.
+  * Initially P→list 0 and Q,R→list 1. One Lloyd round from the merged
+  * generation moves c0 to mean(P)=0° and c1 to mean(Q∪R)≈117°, which
+  * FLIPS Q's argmax to c0 — list 1 churns 2000 bp (rewritten: Q's rows
+  * re-home to list 0), list 0 churns 0 (kept byte-for-byte). A
+  * self-consistent fixture (centroids at cluster means) would measure
+  * a no-op cadence — Lloyd is a fixed point there, the degenerate case
+  * the r13 rehearsal already names.
+  */
+class IndexLifecycleAutoSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.get("local[4]", "4")
+
+  private val Dims = 64
+
+  private def unit2(deg: Double): Seq[Float] = {
+    val v = Array.fill(Dims)(0.0f)
+    val rad = math.toRadians(deg)
+    v(0) = math.cos(rad).toFloat
+    v(1) = math.sin(rad).toFloat
+    v.toSeq
+  }
+
+  // per batch: 8×P(0°), 2×Q(50°), 8×R(130°); 4 batches → 32/8/32
+  private def batchRows(b: Int): Seq[(Long, Seq[Float])] =
+    (0 until 8).map(i => (b * 100L + i, unit2(0))) ++
+      (0 until 2).map(i => (b * 100L + 50 + i, unit2(50))) ++
+      (0 until 8).map(i => (b * 100L + 80 + i, unit2(130)))
+
+  private val qIds = (0 until 4).flatMap(b => (0 until 2).map(i => b * 100L + 50 + i)).toSet
+
+  private def seedCents: DataFrame = {
+    import spark.implicits._
+    Seq((0L, unit2(-40)), (1L, unit2(95))).toDF("c_id", "c_vec")
+  }
+
+  private def probeRows(path: String, quant: DataFrame): Seq[(Long, Int, Long, Double)] = {
+    import spark.implicits._
+    val q = Seq((0L, unit2(0)), (1L, unit2(50)), (2L, unit2(130)))
+      .toDF("q_id", "q_vec")
+    Similarity.probePersistedIvf(spark, path,
+        Similarity.ivfProbes(q, quant, nprobe = 1), k = 5)
+      .orderBy("q_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+  }
+
+  test("ingest -> relayout cadence -> auto Lloyd refine + selective reindex + quantizer publish, probe-exact vs rebuild") {
+    val root = Files.createTempDirectory("graft_lifecycle_auto").toString
+    val idx = s"$root/index"
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val stream = MemoryStream[(Long, Seq[Float])]
+    // relayout every 2 batches, reindex every 2 relayouts → the full
+    // loop fires once at batchId 4 (merged generation = batches 0..3)
+    val q1 = StreamingIvf.startMaintainer(
+      stream.toDF().toDF("vec_id", "embedding"), s"$root/ckpt", idx, seedCents,
+      trigger = Trigger.ProcessingTime(0), relayoutEvery = 2,
+      reindexEveryRelayouts = 2, reindexMinChurnBp = 1000L)
+    (0 until 4).foreach { b => stream.addData(batchRows(b)); q1.processAllAvailable() }
+    // straggler batch 4 (4×P): appended under gen 0 in the same
+    // epilogue that then fires the reindex — P assigns to list 0 under
+    // BOTH quantizers, so the mixed store stays rebuild-identical
+    stream.addData((0 until 4).map(i => (900L + i, unit2(0))))
+    q1.processAllAvailable()
+    q1.stop()
+
+    // the cadence fired: quantizer advanced to generation 1
+    assert(StreamingIvf.currentQuantizerGen(spark, idx).contains(1L))
+    val refined = StreamingIvf.currentQuantizer(spark, idx).get.localCheckpoint()
+
+    // the refined quantizer flipped Q: its rows were re-homed to list 0
+    // by the selective reindex; P stayed in 0, R stayed in 1
+    val placed = spark.read.parquet(idx)
+      .select(col("vec_id"), col("list_id").cast("long").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(placed.size == 4 * 18 + 4)
+    qIds.foreach(id => assert(placed(id) == 0L, s"Q row $id not re-homed: ${placed(id)}"))
+    assert(placed.count(_._2 == 1L) == 32) // R only
+
+    // probes against the live store == a fresh full rebuild under the
+    // refined quantizer (nprobe=1, so Q's placement actually matters)
+    val all = (0 until 4).flatMap(batchRows) ++
+      (0 until 4).map(i => (900L + i, unit2(0)))
+    val rebuilt = s"$root/rebuilt"
+    Similarity.persistIvfIndex(
+      Similarity.ivfAssign(all.toDF("vec_id", "vec"), refined), rebuilt)
+    assert(probeRows(idx, refined) == probeRows(rebuilt, refined))
+
+    // a later cadence fire on the converged store: zero churn, nothing
+    // rewritten, quantizer advances idempotently (the self-healing /
+    // replay path)
+    val again = StreamingIvf.maybeReindex(spark, idx, batchId = 8,
+      relayoutEvery = 2, everyRelayouts = 2, minChurnBp = 1000L)
+    assert(again.exists(_.listsRewritten == 0L), again)
+    assert(StreamingIvf.currentQuantizerGen(spark, idx).contains(2L))
+
+    // publish is idempotent: re-publishing an existing generation with
+    // different centroids cannot clobber the committed one
+    def gen2Vecs: Seq[Seq[Double]] = StreamingIvf.currentQuantizer(spark, idx).get
+      .orderBy("c_id").collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val committed = gen2Vecs
+    StreamingIvf.publishQuantizer(spark, idx, 2L, seedCents)
+    assert(StreamingIvf.currentQuantizerGen(spark, idx).contains(2L))
+    assert(gen2Vecs == committed, "a replayed publish clobbered the committed generation")
+  }
+
+  test("kill inside the auto-reindex window: next append heals the generation dir before touching the store") {
+    val root = Files.createTempDirectory("graft_lifecycle_kill").toString
+    val idx = s"$root/index"
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q1 = StreamingIvf.startMaintainer(
+      stream.toDF().toDF("vec_id", "embedding"), s"$root/ckpt", idx, seedCents,
+      trigger = Trigger.ProcessingTime(0), relayoutEvery = 2)
+    (0 until 2).foreach { b => stream.addData(batchRows(b)); q1.processAllAvailable() }
+    q1.stop()
+    // after the batch-2 relayout... force the merge so ONE generation
+    // dir exists, then plant a mid-publish reindex crash inside it:
+    // staging holds list 1's rows re-homed, marker committed, the live
+    // list retired, zero moves done (the IvfReindexSpec state, here
+    // inside the batch-keyed store)
+    StreamingIvf.relayoutState(spark, idx, 1L)
+    val gen = new Path(s"$idx/batch=1")
+    val hfs = gen.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows = spark.read.parquet(gen.toString)
+    val want = rows.select(col("vec_id")).orderBy("vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    rows.filter(col("list_id").cast("long") === 1L)
+      .select(col("vec_id"), col("vec"), lit(1L).as("list_id"))
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$gen/.reindex-staging")
+    val out = hfs.create(new Path(gen, ".reindex-commit"), true)
+    out.write("777\n1".getBytes(StandardCharsets.UTF_8))
+    out.close()
+    assert(hfs.rename(new Path(gen, "list_id=1"), new Path(gen, ".retired-list_id=1")))
+
+    // restart: the next append's heal rolls the reindex forward before
+    // the store is read or written
+    val q2 = StreamingIvf.startMaintainer(
+      stream.toDF().toDF("vec_id", "embedding"), s"$root/ckpt", idx, seedCents,
+      trigger = Trigger.ProcessingTime(0), relayoutEvery = 2)
+    stream.addData(batchRows(2)); q2.processAllAvailable()
+    q2.stop()
+
+    val names = hfs.listStatus(gen).map(_.getPath.getName).toSet
+    assert(!names.exists(n => n.startsWith(".reindex") || n.startsWith(".retired-")), names)
+    val healed = spark.read.parquet(gen.toString)
+      .select(col("vec_id")).orderBy("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(healed == want)
+    assert(spark.read.parquet(idx).count() == 3L * 18)
+  }
+}
