@@ -22,7 +22,8 @@ import org.apache.spark.sql.SparkSession
   *  - explicit query-name args → just those (local iteration:
   *    `runMain graft.Bench q31_dedup_groups`).
   *
-  * Wall budget (round-9): SPARK_GRAFT_BENCH_BUDGET_SEC (default 480).
+  * Wall budget (round-9): SPARK_GRAFT_BENCH_BUDGET_SEC (default 720
+  * since round-14, sized from the r13 record's measured ~540 s need).
   * Past the soft deadline, remaining queries run ONCE instead of 3×
   * (and remaining sf0.001 warms are skipped); the line still prints,
   * with the affected queries listed in "truncated". The battery grows
@@ -78,8 +79,10 @@ import org.apache.spark.sql.SparkSession
   * Output: the stdout line is TOTALS-ONLY (~300 bytes — the round-6
   * per-query line overflowed the driver's tail capture and parsed as
   * null); full per-query dual-mode detail (4 decimals, runs counts)
-  * goes to SPARK_GRAFT_BENCH_OUT (default ./BENCH_FULL.json), named in
-  * the line's "detail" field.
+  * goes to SPARK_GRAFT_BENCH_OUT (default ./BENCH_FULL_<scope>.json —
+  * scope-qualified since round-14 so a headline run can never clobber
+  * the round's full-battery record), named in the line's "detail"
+  * field.
   */
 object Bench {
 
@@ -382,7 +385,13 @@ object Bench {
       .getOrElse("dual")
     require(Set("dual", "honest", "legacy")(mode), s"bad bench mode: $mode")
     val full = sys.env.get("SPARK_GRAFT_BENCH_FULL").contains("1")
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "480").toDouble
+    // default budget sized from measured need (round-14, VERDICT r13
+    // item 4): the r13 driver record needed ~540 s on a healthy box
+    // (8/15 tail entries degraded to flagged cold x1 under the old
+    // 480 s default) and the battery keeps growing — 720 s covers the
+    // measured need with headroom; the record still prints its own
+    // budget_needed_sec so the next resize is data, not a guess
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "720").toDouble
     val t0 = System.nanoTime()
     val deadline = t0 + (budgetSec * 1e9).toLong
     val runs = 3
@@ -446,7 +455,10 @@ object Bench {
     // have needed (3× each query's median for both batteries, plus the
     // observed warm/fence overhead) so an under-budgeted full record
     // self-describes instead of silently truncating half the battery.
-    val budgetNeeded = if (!full) None else {
+    // ... printed for EVERY scope since round-14 (item 4's other half):
+    // headline records under-budget the same way full ones did, and the
+    // number is free to compute
+    val budgetNeeded = {
       val all = honest ++ legacyR ++ tail
       val runsSum = all.map(_.secs.sum).sum
       val elapsed = (System.nanoTime() - t0) / 1e9
@@ -454,7 +466,13 @@ object Bench {
     }
 
     val canaryEnd = canary(spark)
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    // scope-qualified default detail path (round-14, VERDICT r13 item
+    // 3): a single mutable BENCH_FULL.json slot let a later headline
+    // run clobber the round's full-battery per-query record — the only
+    // full-medians detail for 298 queries existed nowhere afterwards.
+    // Explicit SPARK_GRAFT_BENCH_OUT still wins (the way a round-named
+    // full record is taken: BENCH_FULL_full_r14.json).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"BENCH_FULL_$scope.json")
     val (line, detail) = render(mode, scope, head,
       if (mode == "dual") legacyR else Seq.empty, tail, runs, outPath, sfDir,
       canary = Some((canaryStart, canaryEnd)), budgetNeededSec = budgetNeeded)
