@@ -1488,12 +1488,11 @@ object QueriesAnalytics {
     * ×10⁴), so ~10⁸ rows with a dominant class is the ceiling. The
     * session runs ANSI mode, so beyond it the query FAILS LOUDLY
     * (ARITHMETIC_OVERFLOW) instead of emitting a silently-wrapped
-    * tvd_bp; the sf1000 variant is the same text over
-    * `CAST(... AS DECIMAL(38,0))` marginals (DuckDB's side is already
-    * HUGEINT), traded here for BIGINT because the decimal division's
-    * scale-6 HALF_UP rounding sits within 1e-6 of an integer floor on
-    * small-denominator fixtures — a knife edge the integer form
-    * cannot hit.
+    * tvd_bp; past the ceiling use the SHIPPED DECIMAL(38,0) twin
+    * (q301, round-14) — same oracle text (DuckDB's side is already
+    * HUGEINT), same integral-`div` floor (NOT the scale-6 HALF_UP
+    * true division whose knife edge the r13 scaladoc traded away),
+    * envelope ~10³⁸.
     */
   private val qTCloseness: Q = (spark, dir) => {
     val cells = Tables(spark, dir, "customer")
@@ -1514,6 +1513,80 @@ object QueriesAnalytics {
         (col("tvd_bp") > TClosenessBp).cast("long").as("above_t"))
       .orderBy("c_nationkey")
   }
+
+  /** q301: the q294 t-closeness audit on DECIMAL(38,0) marginals — the
+    * sf1000 envelope twin q294's scaladoc documented but did not ship
+    * (VERDICT r13 item 6). Identical grid, identical integer-exact
+    * cross-multiplication semantics; the per-cell `obs·N` product and
+    * the `sumdev` accumulation run in DECIMAL(38,0), moving the
+    * loud-fail ceiling from BIGINT's `N · max(n_c) < 9·10¹⁴` (~10⁸
+    * rows with a dominant class) to ~10³⁸ — past any corpus. The bp
+    * floor stays knife-edge-free because it is the INTEGRAL `div`
+    * (exact floor on decimals, LongType result), not the scale-6
+    * HALF_UP true division the r13 scaladoc traded away. Same oracle
+    * text as q294: DuckDB's side has always been HUGEINT, and the two
+    * Spark plans are value-identical wherever BIGINT doesn't overflow
+    * — the q37/q85 shared-oracle pattern.
+    *
+    * Scale: unchanged from q294 — one QI×sensitive count aggregate,
+    * domain-sized grid, broadcast marginals; decimal arithmetic costs
+    * ~2× BIGINT per cell on a grid that is classes × segments rows.
+    */
+  private val qTClosenessDecimal: Q = (spark, dir) => {
+    val dec = "decimal(38,0)"
+    val cells = Tables(spark, dir, "customer")
+      .groupBy("c_nationkey", "c_mktsegment").agg(count(lit(1)).as("obs"))
+    val classes = cells.groupBy("c_nationkey").agg(sum("obs").as("n_c"))
+    val segs = cells.groupBy("c_mktsegment").agg(sum("obs").as("n_s"))
+    val total = cells.agg(sum("obs").as("n"))
+    classes.crossJoin(broadcast(segs))
+      .join(cells, Seq("c_nationkey", "c_mktsegment"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("dev",
+        abs(coalesce(col("obs"), lit(0L)).cast(dec) * col("n").cast(dec) -
+          col("n_s").cast(dec) * col("n_c").cast(dec)))
+      .groupBy(col("c_nationkey"), col("n_c"), col("n"))
+      .agg(sum("dev").as("sumdev"))
+      .select(col("c_nationkey"), col("n_c").as("n_users"),
+        expr("CAST(sumdev * 10000 div " +
+          "(2 * CAST(n_c AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0))) AS BIGINT)")
+          .as("tvd_bp"))
+      .select(col("c_nationkey"), col("n_users").cast("long").as("n_users"),
+        col("tvd_bp"),
+        (col("tvd_bp") > TClosenessBp).cast("long").as("above_t"))
+      .orderBy("c_nationkey")
+  }
+
+  /** Shared oracle text for q294 AND q301 (the q37/q85 pattern): the
+    * DuckDB side has always computed the grid in HUGEINT, so one text
+    * serves both the BIGINT plan and its DECIMAL(38,0) envelope twin —
+    * they are value-identical wherever the BIGINT plan doesn't
+    * loud-fail. Defined ABOVE the oracles map (the round-8 init-order
+    * rule).
+    */
+  private lazy val tClosenessOracle: String =
+    s"""WITH cells AS (SELECT c_nationkey, c_mktsegment,
+       |  CAST(count(*) AS BIGINT) AS obs FROM customer
+       |  GROUP BY c_nationkey, c_mktsegment),
+       |cls AS (SELECT c_nationkey, CAST(sum(obs) AS BIGINT) AS n_c
+       |        FROM cells GROUP BY c_nationkey),
+       |segs AS (SELECT c_mktsegment, CAST(sum(obs) AS BIGINT) AS n_s
+       |         FROM cells GROUP BY c_mktsegment),
+       |tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells),
+       |grid AS (SELECT cls.c_nationkey, cls.n_c, segs.n_s,
+       |    COALESCE(cells.obs, 0) AS obs
+       |  FROM cls CROSS JOIN segs
+       |  LEFT JOIN cells ON cells.c_nationkey = cls.c_nationkey
+       |    AND cells.c_mktsegment = segs.c_mktsegment),
+       |dev AS (SELECT c_nationkey, n_c,
+       |    CAST(sum(abs(obs * (SELECT n FROM tot) - n_s * n_c)) AS BIGINT) AS sumdev
+       |  FROM grid GROUP BY c_nationkey, n_c),
+       |bp AS (SELECT c_nationkey, n_c AS n_users,
+       |    CAST(sumdev * 10000 // (2 * n_c * (SELECT n FROM tot)) AS BIGINT) AS tvd_bp
+       |  FROM dev)
+       |SELECT c_nationkey, n_users, tvd_bp,
+       |  CAST(tvd_bp > $TClosenessBp AS BIGINT) AS above_t
+       |FROM bp ORDER BY c_nationkey""".stripMargin
 
   /** q181: KAPLAN–MEIER RETENTION CURVE — per observed lifetime
     * duration: users still at risk, churn events, the per-step hazard
@@ -2598,6 +2671,7 @@ object QueriesAnalytics {
     "q247_sql_freqdist" -> qSqlFreqDist,
     "q254_l_diversity" -> qLDiversity,
     "q294_t_closeness" -> qTCloseness,
+    "q301_t_closeness_decimal" -> qTClosenessDecimal,
     "q263_dow_season" -> qDowSeason,
     "q267_decayed_topk" -> qDecayedTopk,
     "q268_growth_accounting" -> qGrowthAccounting,
@@ -3187,30 +3261,10 @@ object QueriesAnalytics {
          |FROM cells GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     // t-closeness: complete grid (absent cells count), TVD via exact
-    // cross-multiplication, floored to bp identically on both engines
-    "q294_t_closeness" ->
-      s"""WITH cells AS (SELECT c_nationkey, c_mktsegment,
-         |  CAST(count(*) AS BIGINT) AS obs FROM customer
-         |  GROUP BY c_nationkey, c_mktsegment),
-         |cls AS (SELECT c_nationkey, CAST(sum(obs) AS BIGINT) AS n_c
-         |        FROM cells GROUP BY c_nationkey),
-         |segs AS (SELECT c_mktsegment, CAST(sum(obs) AS BIGINT) AS n_s
-         |         FROM cells GROUP BY c_mktsegment),
-         |tot AS (SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells),
-         |grid AS (SELECT cls.c_nationkey, cls.n_c, segs.n_s,
-         |    COALESCE(cells.obs, 0) AS obs
-         |  FROM cls CROSS JOIN segs
-         |  LEFT JOIN cells ON cells.c_nationkey = cls.c_nationkey
-         |    AND cells.c_mktsegment = segs.c_mktsegment),
-         |dev AS (SELECT c_nationkey, n_c,
-         |    CAST(sum(abs(obs * (SELECT n FROM tot) - n_s * n_c)) AS BIGINT) AS sumdev
-         |  FROM grid GROUP BY c_nationkey, n_c),
-         |bp AS (SELECT c_nationkey, n_c AS n_users,
-         |    CAST(sumdev * 10000 // (2 * n_c * (SELECT n FROM tot)) AS BIGINT) AS tvd_bp
-         |  FROM dev)
-         |SELECT c_nationkey, n_users, tvd_bp,
-         |  CAST(tvd_bp > $TClosenessBp AS BIGINT) AS above_t
-         |FROM bp ORDER BY c_nationkey""".stripMargin,
+    // cross-multiplication, floored to bp identically on both engines;
+    // ONE text for the BIGINT plan and its DECIMAL(38,0) envelope twin
+    "q294_t_closeness" -> tClosenessOracle,
+    "q301_t_closeness_decimal" -> tClosenessOracle,
 
     // split balance: the q197 chi-square text shape over the q61 split
     "q234_split_balance" ->
