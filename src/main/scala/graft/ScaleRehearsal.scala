@@ -295,6 +295,9 @@ object ScaleRehearsal {
     // reindex economics on the Nx persisted index — bytes/wall at
     // churn thresholds vs the full re-layout
     val reindexOnly = args.length > 1 && args(1) == "reindex"
+    // "ccstars" second arg: large-star/small-star vs LPA on the q287
+    // pair graph (round-14 bounded experiment)
+    val ccstarsOnly = args.length > 1 && args(1) == "ccstars"
     val scaled = s"/tmp/graft_scale_${mult}x"
     val spark = GraftSession.get("local[32]", "32")
     if (pivfOnly) {
@@ -534,6 +537,49 @@ object ScaleRehearsal {
           s""""rows_rewritten":${st.rowsRewritten},"rows_moved":${st.rowsMoved},""" +
           s""""bytes_staged":${st.bytesStaged},"index_bytes":$baseBytes,""" +
           s""""reindex_sec":$sec,"full_relayout_sec":$fullSec,"build_sec":$buildSec}""")
+      }
+      spark.stop(); return
+    }
+    if (ccstarsOnly) {
+      // large-star/small-star vs LPA on the q287 pair graph (round-14,
+      // VERDICT r13 item 7): rotation-copy N× embeddings give N
+      // disjoint copies of the fixture's component structure — same
+      // diameter (so LPA's round count is scale-free here), N× the
+      // edge volume, which is exactly the contrast that matters: LPA
+      // pays O(diameter) rounds of node-sized shuffles against a
+      // cached edge partitioning; stars pay O(log n) rounds of
+      // edge-sized shuffles. Adopt on a measured win, else record the
+      // negative result next to pointer jumping's.
+      val emb0 = spark.read.parquet(s"$base/embeddings.parquet")
+        .select(col("vec_id"), graft.sim.Similarity.asDouble(col("embedding")).as("embedding"))
+      (0 until mult).map { k =>
+        emb0.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+          copyVariant(k).as("embedding"))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$scaled/embeddings.parquet")
+      Seq("1x" -> base, s"${mult}x" -> scaled).foreach { case (label, dir) =>
+        val nodes = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id")).localCheckpoint()
+        val pairs = SparkEntry.queries("q24_dedup_embed")(spark, dir)
+          .select("id_a", "id_b").localCheckpoint()
+        val nEdges = pairs.count()
+        def time(f: => org.apache.spark.sql.DataFrame): Double = {
+          val t0 = System.nanoTime()
+          f.queryExecution.toRdd.count(): Unit
+          (System.nanoTime() - t0) / 1e9
+        }
+        def med3(f: => org.apache.spark.sql.DataFrame): Double = {
+          time(f) // warm
+          Seq.fill(3)(time(f)).sorted.apply(1)
+        }
+        val lpaSec = med3(graft.dedup.Dedup.connectedComponents(
+          nodes, pairs, "vec_id", "id_a", "id_b"))
+        val starsSec = med3(graft.dedup.Dedup.connectedComponentsStars(
+          nodes, pairs, "vec_id", "id_a", "id_b"))
+        println(s"""{"metric":"scale_rehearsal_ccstars","scale":"$label",""" +
+          s""""nodes":${nodes.count()},"edges":$nEdges,""" +
+          f""""lpa_sec":$lpaSec%.3f,"stars_sec":$starsSec%.3f,""" +
+          f""""ratio":${starsSec / lpaSec}%.2f}""")
       }
       spark.stop(); return
     }

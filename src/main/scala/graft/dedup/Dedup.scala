@@ -340,6 +340,87 @@ object Dedup {
     out
   }
 
+  /** EXPERIMENTAL twin of [[connectedComponents]] — alternating
+    * large-star / small-star rounds (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC '14): O(log n) rounds
+    * instead of O(diameter), at the price of shuffling an EDGE-sized,
+    * round-VARYING frame twice per round, where LPA shuffles only
+    * node-sized labels against an edge partitioning cached once. Built
+    * for the round-14 rehearsal (VERDICT r13 item 7 — the one
+    * industrial-scale CC formulation not yet measured here after
+    * pointer jumping lost twice); `ScaleRehearsal ccstars` measures it
+    * against LPA on the q287 pair graph. Same output contract as
+    * [[connectedComponents]]; requires NUMERIC node ids (the cheap
+    * convergence digest sums them — every graph in this engine keys on
+    * long ids).
+    *
+    * Round shape: large-star hangs every neighbor bigger than u off
+    * u's minimum neighborhood label (connectivity-preserving, kills
+    * long chains geometrically); small-star re-hangs u and its smaller
+    * neighbors off u's minimum neighbor. Both are one window aggregate
+    * + distinct over the current edge frame. Fixed point = disjoint
+    * stars centered at component minima; labels fall out of one left
+    * join. Convergence test: a (count, Σu, Σv) digest per round, with
+    * digest equality CONFIRMED by an exact multiset compare
+    * (`exceptAll` under equal counts) before the loop exits — the
+    * digest is a cheap trigger, never the correctness authority.
+    */
+  private[graft] def connectedComponentsStars(nodes: DataFrame, edges: DataFrame,
+                                              idCol: String, srcCol: String,
+                                              dstCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    var cur = edges.select(
+        greatest(col(srcCol), col(dstCol)).as("u"),
+        least(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct().persist()
+    def digest(df: DataFrame): (Long, Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(col("u")), sum(col("v"))).collect()(0)
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+    var d = digest(cur)
+    var converged = d._1 == 0L
+    var iters = 0
+    while (!converged) {
+      // large-star over the symmetric view: for every node u, hang each
+      // neighbor v > u off m = min(N(u) ∪ {u}); each undirected edge
+      // appears once with v > u, so the output replaces the edge set
+      val sym = cur.unionAll(cur.select(col("v").as("u"), col("u").as("v")))
+      val ls = sym
+        .withColumn("m", least(min(col("v")).over(Window.partitionBy("u")), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star over the canonical (u > v) view: hang u and its
+      // smaller neighbors off m = min(N<(u))
+      val withM = ls.withColumn("m", min(col("v")).over(Window.partitionBy("u")))
+      val ss = withM.select(col("u"), col("m").as("v"))
+        .unionAll(withM.filter(col("v") =!= col("m"))
+          .select(col("v").as("u"), col("m").as("v")))
+        .distinct().persist()
+      val d2 = digest(ss)
+      // digest equality triggers the exact compare; both frames are
+      // distinct, so equal counts + empty one-sided difference = equal
+      converged = d == d2 && ss.exceptAll(cur).isEmpty
+      d = d2
+      cur.unpersist()
+      cur = ss
+      iters += 1
+      // the LPA lineage rule: cut the growing plan every few rounds
+      if (!converged && iters % 4 == 0) {
+        val cut = materialize(cur)
+        cur.unpersist()
+        cur = cut.persist()
+      }
+    }
+    val out = materialize(
+      nodes.select(col(idCol).as("id"))
+        .join(cur.select(col("u").as("id"), col("v").as("lbl")), Seq("id"), "left")
+        .select(col("id").as(idCol), coalesce(col("lbl"), col("id")).as("canonical_id")))
+    cur.unpersist()
+    out
+  }
+
   /** INCREMENTAL connected components — fold a batch of NEW edges into
     * an existing labeling without re-propagating over the historical
     * edge set. Each old component is replaced by its STAR (member →
