@@ -4506,6 +4506,22 @@ object QueriesTraining {
       .orderBy("vec_id")
   }
 
+  /** Band buckets for the DERIVED-band decontam chains: the literal
+    * codegen [[Similarity.srpBandKeys]] while bands × planes fits the
+    * codegen ceiling (every battery fixture does), the data-driven
+    * [[Similarity.srpBandBuckets]] twin past it (the 10×+ loose-
+    * threshold rehearsal points, where the derived L reaches the
+    * thousands and the literal path cannot compile —
+    * `SrpBandPathSpec` pins the two paths bucket-identical).
+    */
+  private def srpBucketsOf(e: DataFrame, idCol: String, vecCol: String,
+                           bands: Int, planes: Int): DataFrame =
+    if (bands * planes <= Similarity.BandKeyMaxCodegenPlanes)
+      e.withColumn("__b",
+          Similarity.srpBandKeys(col(vecCol), bands, planes, EmbedDims))
+        .select(col(idCol), explode_outer(col("__b")).as("bucket"))
+    else Similarity.srpBandBuckets(e, idCol, vecCol, bands, planes, EmbedDims)
+
   /** The q297 banded chain's flagged set, shared by q297 itself and
     * the q298 recall audit: corpus↔eval SRP band-bucket candidates
     * (the q24 physics with the eval split as one join side), exact
@@ -4527,11 +4543,8 @@ object QueriesTraining {
     val e = Dedup.materialize(
       Dedup.fanOut(Tables(spark, dir, "embeddings"), col("vec_id"))
         .select(col("vec_id"), col("embedding").as("v"))
-        .withColumn("nrm", Similarity.norm(col("v")))
-        .withColumn("buckets", Similarity.srpBandKeys(col("v"), bands,
-          planes, EmbedDims)))
-    val sigs = e.select(col("vec_id"),
-      explode_outer(col("buckets")).as("bucket"))
+        .withColumn("nrm", Similarity.norm(col("v"))))
+    val sigs = Dedup.materialize(srpBucketsOf(e, "vec_id", "v", bands, planes))
     val cand = sigs.filter(col("vec_id") % 10 =!= 7)
       .select(col("vec_id"), col("bucket"))
       .join(sigs.filter(col("vec_id") % 10 === 7)
@@ -4667,17 +4680,12 @@ object QueriesTraining {
     val e = Dedup.materialize(
       Dedup.fanOut(Tables(spark, dir, "embeddings"), col("vec_id"))
         .select(col("vec_id"), col("embedding").as("v"))
-        .withColumn("nrm", Similarity.norm(col("v")))
-        .withColumn("buckets", Similarity.srpBandKeys(col("v"), bands,
-          planes, EmbedDims)))
+        .withColumn("nrm", Similarity.norm(col("v"))))
     val ev = Dedup.materialize(
       plantedEvalTight(e.select(col("vec_id"), col("v")))
-        .withColumn("e_nrm", Similarity.norm(col("e_vec")))
-        .withColumn("buckets", Similarity.srpBandKeys(col("e_vec"), bands,
-          planes, EmbedDims)))
-    val cand = e.select(col("vec_id"), explode_outer(col("buckets")).as("bucket"))
-      .join(ev.select(col("e_id"), explode_outer(col("buckets")).as("bucket")),
-        "bucket")
+        .withColumn("e_nrm", Similarity.norm(col("e_vec"))))
+    val cand = srpBucketsOf(e, "vec_id", "v", bands, planes)
+      .join(srpBucketsOf(ev, "e_id", "e_vec", bands, planes), "bucket")
       .select("vec_id", "e_id").distinct()
     cand.join(e.select(col("vec_id"), col("v"), col("nrm")), "vec_id")
       .join(ev.select(col("e_id"), col("e_vec"), col("e_nrm")), "e_id")

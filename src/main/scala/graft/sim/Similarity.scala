@@ -81,6 +81,62 @@ object Similarity {
         srpBucket(vec, planesPerBand, dims, t * planesPerBand)
     }: _*)
 
+  /** Ceiling on bands × planesPerBand for the LITERAL [[srpBandKeys]]
+    * path: each plane embeds a `dims`-element array literal + dot in
+    * the projection, and past a few hundred planes the generated
+    * `processNext()` blows Janino's 64 KB method limit — and the
+    * repeated compile attempts of a multi-thousand-line class OOM the
+    * driver (measured at 4,000 planes, round-14). The ceiling sits
+    * well below the hard limit because COMPILE TIME bites first: at
+    * 220 literal planes the chain measured 21.7 s where the frame path
+    * measures ~2 s (janino on a multi-thousand-line projection,
+    * re-paid per executed plan). Past the ceiling use
+    * [[srpBandBuckets]].
+    */
+  val BandKeyMaxCodegenPlanes = 160
+
+  /** DATA-DRIVEN twin of [[srpBandKeys]] for derived band counts past
+    * [[BandKeyMaxCodegenPlanes]] (round-14 — the recall-derived loose
+    * decontam chain wants bands × planes in the thousands at 10×+):
+    * the SAME md5-parity plane signs ([[planeSign]]) ride as a
+    * broadcast (j, sv) frame instead of expression literals, the
+    * per-(row, plane) dot is the same codegen [[dot]] kernel over the
+    * same doubles in the same fold order (bit-identical `dt`), and the
+    * band buckets reassemble with an integer bit-sum (order-free) —
+    * the exact shape the DuckDB oracle has always used
+    * (`signListsCte`/`planeDotsCte`). `SrpBandPathSpec` pins
+    * literal == frame on the fixture.
+    *
+    * Cost shape, stated: rows × totalPlanes pairs flow through one
+    * projection into a map-side-combined (id, band) aggregate — the
+    * exchange carries rows × bands, not rows × planes. That linear-in-
+    * planes bill is the honest price of a big derived L; the literal
+    * path hides the same arithmetic inside one projection but cannot
+    * compile past the ceiling.
+    *
+    * Returns (idCol, bucket) pairs — the exploded form the candidate
+    * equi-joins consume.
+    */
+  def srpBandBuckets(df: DataFrame, idCol: String, vecCol: String,
+                     bands: Int, planesPerBand: Int, dims: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val signs = (0 until bands * planesPerBand).map { j =>
+      (j.toLong, (0 until dims).map(i => planeSign(j, i).toDouble))
+    }.toDF("j", "sv")
+    df.select(col(idCol), col(vecCol).as("__v"))
+      .crossJoin(broadcast(signs))
+      .select(col(idCol),
+        expr(s"j div $planesPerBand").as("band"),
+        when(dot(col("__v"), col("sv")) > 0,
+          expr(s"shiftleft(CAST(1 AS BIGINT), CAST(j % $planesPerBand AS INT))"))
+          .otherwise(lit(0L)).as("bit"))
+      .groupBy(col(idCol), col("band"))
+      .agg(sum(col("bit")).as("bits"))
+      .select(col(idCol),
+        (expr(s"shiftleft(band, $planesPerBand)") + col("bits")).as("bucket"))
+  }
+
   /** Parameters of the banded-SRP embedding near-dup family — ONE
     * definition shared by the batch chains (q24/q284) and the
     * streaming monitor ([[graft.streaming.StreamingAnn]]) so a tuning
