@@ -128,7 +128,10 @@ object Bench {
     "q290_index_churn", "q288_ivf_audit",
     // round-13: the banded decontam chain (the q293 scale path) —
     // cheap and stable, so it sits last
-    "q297_embed_decontam_banded")
+    "q297_embed_decontam_banded",
+    // round-14: the tight-threshold production twin (derived bands,
+    // planted-leak eval) — cheapest, so it absorbs truncation first
+    "q299_decontam_tight")
 
   /** One query's measurement under one evaluation mode. `sec` is the
     * reported median; `secs` keeps every raw run (round-10 forensics:

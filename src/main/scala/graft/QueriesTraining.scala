@@ -4715,7 +4715,7 @@ object QueriesTraining {
     * with the same metadata-only estimate for discipline) at the tight
     * threshold over the full contaminated corpus.
     */
-  private def decontamTightExactFlags(
+  private[graft] def decontamTightExactFlags(
       spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val total = ScaleParams.tableRows(spark, dir, "embeddings")
     val estBytes = (total / 10L) * Similarity.EmbedDims * 8L

@@ -61,4 +61,31 @@ class DecontamBandedSpec extends AnyFunSuite {
     }
     assert(bad.isEmpty, s"cross-product nodes in the banded plan:\n$plan")
   }
+
+  test("tight-threshold chain (q299) keeps the same shape: no cross-product, flags subset of exact, audit exact") {
+    // same physics at the round-14 production operating point: the
+    // planted-eval candidate set is a bucket equi-join, never a cross
+    // product, and precision stays 1 by construction
+    val df = Queries.all("q299_decontam_tight")(spark, dir)
+    df.queryExecution.toRdd.count()
+    val bad = df.queryExecution.executedPlan.collectWithSubqueries {
+      case c: CartesianProductExec => c
+      case b: BroadcastNestedLoopJoinExec => b
+    }
+    assert(bad.isEmpty, "cross-product nodes in the q299 plan")
+    val exact = QueriesTraining.decontamTightExactFlags(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getLong(3))).toMap
+    val banded = df.collect()
+    assert(banded.nonEmpty, "tight chain found no planted flags at the fixture")
+    banded.foreach { r =>
+      val (vid, mc) = (r.getLong(0), r.getDouble(2))
+      val (exMc, exFlag) = exact(vid)
+      assert(exFlag == 1L && mc <= exMc + 1e-12 &&
+        mc >= graft.sim.Similarity.DecontamTightCos, s"vec $vid: $mc vs $exMc")
+    }
+    val audit = Queries.all("q300_decontam_recall_tight")(spark, dir).collect().head
+    val nExact = exact.values.count(_._2 == 1L).toLong
+    assert(audit.getLong(0) == nExact)
+    assert(audit.getLong(1) == banded.length.toLong)
+  }
 }
