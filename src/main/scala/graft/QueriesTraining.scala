@@ -4760,6 +4760,46 @@ object QueriesTraining {
           "ELSE n_banded * 10000 div n_exact END").as("recall_bp"))
   }
 
+  /** q302: EVAL-SIDE CONTAMINATION REPORT — the decontam family's
+    * other direction: q293/q297 answer "which CORPUS rows must be
+    * dropped"; the report a benchmark owner actually reads is per EVAL
+    * item — how many corpus rows sit within the threshold of it, and
+    * how close the nearest one is. Items with heavy counts are the
+    * compromised ones (their scores are memorization, not ability);
+    * zero-count items are still clean and stay reportable (left join,
+    * count 0, max_cos 0.0).
+    *
+    * Scale: the q293 broadcast shape with the aggregation flipped to
+    * the eval key — eval broadcasts, the corpus streams past map-side,
+    * and the groupBy(e_id) output is EVAL-sized (benchmark-sized by
+    * the same contract, enforced by the same metadata-only guard that
+    * names the banded chain for corpus-proportional eval sets). One
+    * linear corpus pass; vectors never shuffle.
+    */
+  private val qDecontamReport: Q = (spark, dir) => {
+    val total = ScaleParams.tableRows(spark, dir, "embeddings")
+    val estBytes = (total / 10L) * Similarity.EmbedDims * 8L
+    require(estBytes <= Similarity.EvalBroadcastBudgetBytes,
+      s"decontamReport: eval broadcast estimate $estBytes B exceeds budget " +
+        s"${Similarity.EvalBroadcastBudgetBytes} B - run the report from the " +
+        "banded candidate set (q297_embed_decontam_banded physics) past " +
+        "broadcast scale")
+    val e = embeddingsRepartitioned(spark, dir)
+    val eval = e.filter(col("vec_id") % 10 === 7)
+      .select(col("vec_id").as("e_id"), col("vec").as("e_vec"))
+    val corpus = e.filter(col("vec_id") % 10 =!= 7)
+    val hits = corpus.crossJoin(broadcast(eval))
+      .withColumn("cos", Similarity.cosine(col("vec"), col("e_vec")))
+      .filter(col("cos") >= Similarity.NearDupCos)
+      .groupBy(col("e_id"))
+      .agg(count(lit(1)).as("n_contaminated"), max(col("cos")).as("mx"))
+    eval.select(col("e_id")).join(hits, Seq("e_id"), "left")
+      .select(col("e_id"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        coalesce(col("mx"), lit(0.0)).as("max_cos"))
+      .orderBy("e_id")
+  }
+
   private val GeoMedianIters = 3
   private val GeoMedianGroups = 4
 
@@ -6049,6 +6089,7 @@ object QueriesTraining {
     "q298_decontam_recall" -> qDecontamRecall,
     "q299_decontam_tight" -> qDecontamTight,
     "q300_decontam_recall_tight" -> qDecontamRecallTight,
+    "q302_decontam_report" -> qDecontamReport,
     "q43_dedup_incremental" -> qDedupIncremental,
     "q22_dedup_ngram" -> qDedupNgram,
     "q104_containment" -> qContainment,
@@ -6592,6 +6633,22 @@ object QueriesTraining {
        |SELECT vec_id, e_id AS near_eval_id, cos AS max_cos,
        |  CAST(CASE WHEN cos >= ${Similarity.DecontamTightCos} THEN 1 ELSE 0 END AS BIGINT) AS flagged
        |FROM best ORDER BY vec_id""".stripMargin
+
+  /** q302's oracle — the exact cross product rolled up on the eval
+    * key, clean items kept by the left join.
+    */
+  private lazy val decontamReportOracle: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |ev AS (SELECT vec_id AS e_id, v AS e_vec FROM e WHERE vec_id % 10 = 7),
+       |c AS (SELECT vec_id, v FROM e WHERE vec_id % 10 <> 7),
+       |hits AS (SELECT e_id, cos FROM (
+       |  SELECT ev.e_id, ${cosSql("c.v", "ev.e_vec")} AS cos FROM c, ev)
+       |  WHERE cos >= ${Similarity.NearDupCos}),
+       |agg AS (SELECT e_id, CAST(count(*) AS BIGINT) AS n_contaminated,
+       |  max(cos) AS mx FROM hits GROUP BY e_id)
+       |SELECT ev.e_id, COALESCE(agg.n_contaminated, 0) AS n_contaminated,
+       |  COALESCE(agg.mx, 0.0) AS max_cos
+       |FROM ev LEFT JOIN agg ON agg.e_id = ev.e_id ORDER BY ev.e_id""".stripMargin
 
   /** q300's oracle — both tight chains nested (the q298 pattern). */
   private lazy val decontamTightRecallOracle: String =
@@ -8912,6 +8969,7 @@ object QueriesTraining {
     "q298_decontam_recall" -> decontamRecallOracle,
     "q299_decontam_tight" -> decontamTightBandedOracle,
     "q300_decontam_recall_tight" -> decontamTightRecallOracle,
+    "q302_decontam_report" -> decontamReportOracle,
 
     // JL audit: same sign lists + exact plane-dot fold as the SRP
     // oracles; projected cosine via the 16-dim fold twin
