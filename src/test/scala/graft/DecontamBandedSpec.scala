@@ -49,6 +49,12 @@ class DecontamBandedSpec extends AnyFunSuite {
     assert(audit.getLong(0) == nExact)
     assert(audit.getLong(1) == banded.length.toLong)
     assert(audit.getLong(2) == banded.length.toLong * 10000L / nExact)
+    // the round-14 contract the derived band count exists to meet:
+    // measured recall >= the target it was derived FOR (deterministic
+    // here - md5 planes, fixed fixture; 9,133 bp at this fixture). A
+    // change that silently degrades the derivation fails this line.
+    assert(audit.getLong(2) >= graft.sim.Similarity.DecontamRecallBp,
+      s"loose-threshold recall ${audit.getLong(2)} below the derived target")
   }
 
   test("banded plan has no cross-product / broadcast-nested-loop node") {
@@ -87,5 +93,7 @@ class DecontamBandedSpec extends AnyFunSuite {
     val nExact = exact.values.count(_._2 == 1L).toLong
     assert(audit.getLong(0) == nExact)
     assert(audit.getLong(1) == banded.length.toLong)
+    assert(audit.getLong(2) >= graft.sim.Similarity.DecontamRecallBp,
+      s"tight-threshold recall ${audit.getLong(2)} below the derived target")
   }
 }
