@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingDecontam
+
+/** The streaming decontamination gate must be a drop-in for the batch
+  * sweep: the union of streamed verdicts equals q293's batch pass over
+  * the same corpus (fold == rebuild — the verdict is a pure per-row
+  * function of (row, eval set), so the spec pins the WIRING: splits,
+  * threshold, routing, verdict columns), every input row lands in
+  * exactly one store, a replayed batch republishes idempotently, and
+  * an over-budget eval set is refused naming the banded path.
+  */
+class StreamingDecontamSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSession.get("local[4]", "4")
+  private val dir = "/root/testdata/sf0.001"
+
+  private def fixture() = {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val corpus = e.filter(col("vec_id") % 10 =!= 7)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val eval = e.filter(col("vec_id") % 10 === 7)
+      .select(col("vec_id").as("e_id"), col("embedding").as("e_vec"))
+    (corpus, eval)
+  }
+
+  test("gate fold == batch sweep: routing, verdict columns, exactly-one-store") {
+    val root = Files.createTempDirectory("graft_sdecontam").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val (corpus, eval) = fixture()
+
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingDecontam.startGate(
+      stream.toDF().toDF("vec_id", "embedding"), s"$root/ckpt", eval,
+      s"$root/clean", s"$root/quarantine", trigger = Trigger.ProcessingTime(0))
+    corpus.grouped(corpus.size / 3 + 1).foreach { chunk =>
+      stream.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+
+    val clean = spark.read.parquet(s"$root/clean")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val quar = spark.read.parquet(s"$root/quarantine")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+
+    // exactly one store per input row
+    assert(clean.intersect(quar.keySet).isEmpty)
+    assert(clean ++ quar.keySet == corpus.map(_._1).toSet)
+
+    // fold == the batch sweep (q293's exact pass over the same corpus)
+    val batch = QueriesTraining.embedDecontamExact(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(quar.keySet == batch.filter(_._2._3 == 1L).keySet)
+    quar.foreach { case (vid, (nid, mc)) =>
+      val (bNid, bMc, _) = batch(vid)
+      assert(nid == bNid && mc == bMc, s"verdict drift for $vid")
+    }
+    assert(quar.nonEmpty, "fixture produced no contamination - vacuous spec")
+  }
+
+  test("replayed batch republishes its two dirs idempotently") {
+    val root = Files.createTempDirectory("graft_sdecontam_rp").toString
+    import spark.implicits._
+    val (corpus, eval) = fixture()
+    val evalCk = eval.localCheckpoint()
+    val inc = corpus.take(40).toDF("vec_id", "vec")
+    StreamingDecontam.gateBatch(inc, 5L, evalCk, s"$root/clean",
+      s"$root/quarantine", graft.sim.Similarity.NearDupCos)
+    def counts() = (
+      spark.read.parquet(s"$root/clean/batch=5").count(),
+      spark.read.parquet(s"$root/quarantine/batch=5").count())
+    val first = counts()
+    assert(first._1 + first._2 == 40L)
+    StreamingDecontam.gateBatch(inc, 5L, evalCk, s"$root/clean",
+      s"$root/quarantine", graft.sim.Similarity.NearDupCos)
+    assert(counts() == first, "replay changed the published batch")
+  }
+
+  test("over-budget eval set is refused, naming the banded path") {
+    import spark.implicits._
+    val (_, eval) = fixture()
+    val ex = intercept[IllegalArgumentException] {
+      StreamingDecontam.startGate(
+        spark.readStream.format("rate").load()
+          .select(col("value").as("vec_id"), array(lit(0.0f)).as("embedding")),
+        "/tmp/never", eval, "/tmp/never2", "/tmp/never3",
+        dims = Int.MaxValue / 4) // force the footprint past any budget
+    }
+    assert(ex.getMessage.contains("q297"), ex.getMessage)
+    assert(ex.getMessage.contains("broadcast"), ex.getMessage)
+  }
+}
