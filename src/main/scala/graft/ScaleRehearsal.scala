@@ -303,6 +303,9 @@ object ScaleRehearsal {
     val decontam14Only = args.length > 1 && args(1) == "decontam14"
     // "lifecycle" second arg: the closed auto-reindex loop at Nx
     val lifecycleOnly = args.length > 1 && args(1) == "lifecycle"
+    // "gate" second arg: the streaming decontam gate's O(increment)
+    // claim — per-batch cost flat in history
+    val gateOnly = args.length > 1 && args(1) == "gate"
     val scaled = s"/tmp/graft_scale_${mult}x"
     val spark = GraftSession.get("local[32]", "32")
     if (pivfOnly) {
@@ -662,6 +665,50 @@ object ScaleRehearsal {
         s""""bytes_staged":${stats.map(_.bytesStaged).getOrElse(-1L)},""" +
         s""""quantizer_gen":${gen.getOrElse(-1L)},""" +
         s""""probe_before_sec":${f"$probeBefore%.2f"},"probe_after_sec":${f"$probeAfter%.2f"}}""")
+      spark.stop(); return
+    }
+    if (gateOnly) {
+      // BASELINE §q: the streaming decontamination gate at Nx — the
+      // O(increment) claim measured: the corpus streams through in 8
+      // increments against a FIXED broadcast eval set (the base
+      // fixture's natural eval split), and per-batch cost must be flat
+      // in history (batch 8 ≈ batch 1) because the gate keeps NO
+      // corpus-sized state — the verdict is (row, eval)-local.
+      val emb0 = spark.read.parquet(s"$base/embeddings.parquet")
+        .select(col("vec_id"), graft.sim.Similarity.asDouble(col("embedding")).as("embedding"))
+      (0 until mult).map { k =>
+        emb0.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+          copyVariant(k).as("embedding"))
+      }.reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$scaled/embeddings.parquet")
+      val all = spark.read.parquet(s"$scaled/embeddings.parquet")
+      val eval = emb0.filter(col("vec_id") % 10 === 7)
+        .select(col("vec_id").as("e_id"), col("embedding").as("e_vec"))
+        .localCheckpoint()
+      val evalRows = eval.count()
+      val rows = all.count()
+      val cleanP = s"$scaled/gate_clean"
+      val quarP = s"$scaled/gate_quarantine"
+      Seq(cleanP, quarP).foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true): Unit
+      }
+      val batches = all.withColumn("b", col("vec_id") % 8)
+      val secs = (0L until 8L).map { b =>
+        val inc = batches.filter(col("b") === b)
+          .select(col("vec_id"), col("embedding").as("vec"))
+        val t0 = System.nanoTime()
+        graft.streaming.StreamingDecontam.gateBatch(inc, b, eval,
+          cleanP, quarP, graft.sim.Similarity.NearDupCos)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val nClean = spark.read.parquet(cleanP).count()
+      val nQuar = spark.read.parquet(quarP).count()
+      val secsJson = secs.map(s => f"$s%.3f").mkString("[", ",", "]")
+      println(s"""{"metric":"scale_rehearsal_gate","scale":"${mult}x","rows":$rows,""" +
+        s""""eval_rows":$evalRows,"batch_secs":$secsJson,""" +
+        f""""flat_ratio":${secs(7) / secs(1)}%.2f,""" +
+        s""""clean":$nClean,"quarantined":$nQuar}""")
       spark.stop(); return
     }
     if (ccstarsOnly) {
