@@ -4494,15 +4494,11 @@ object QueriesTraining {
     val eval = e.filter(col("vec_id") % 10 === 7)
       .select(col("vec_id").as("e_id"), col("vec").as("e_vec"))
     val corpus = e.filter(col("vec_id") % 10 =!= 7)
-    corpus.crossJoin(broadcast(eval))
-      .withColumn("cos", Similarity.cosine(col("vec"), col("e_vec")))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("cos"), col("e_id")),
-        struct(col("cos"), (-col("e_id")).as("n"))).as("b"))
-      .select(col("vec_id"), col("b.e_id").as("near_eval_id"),
-        col("b.cos").as("max_cos"),
-        when(col("b.cos") >= Similarity.NearDupCos, lit(1L))
-          .otherwise(lit(0L)).as("flagged"))
+    // the shared verdict kernel (round-15, VERDICT r14 item 3): one
+    // definition with the streaming gate and the tight ground truth;
+    // the unused vec payload is dropped and Catalyst prunes its agg
+    Similarity.evalVerdicts(corpus, eval, Similarity.NearDupCos)
+      .drop("vec")
       .orderBy("vec_id")
   }
 
@@ -4725,15 +4721,9 @@ object QueriesTraining {
         "q299 chain past broadcast scale")
     val e = embeddingsRepartitioned(spark, dir)
     val ev = plantedEvalTight(e.select(col("vec_id"), col("vec").as("v")))
-    e.crossJoin(broadcast(ev))
-      .withColumn("cos", Similarity.cosine(col("vec"), col("e_vec")))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("cos"), col("e_id")),
-        struct(col("cos"), (-col("e_id")).as("n"))).as("b"))
-      .select(col("vec_id"), col("b.e_id").as("near_eval_id"),
-        col("b.cos").as("max_cos"),
-        when(col("b.cos") >= Similarity.DecontamTightCos, lit(1L))
-          .otherwise(lit(0L)).as("flagged"))
+    // same shared verdict kernel as q293 and the streaming gate
+    Similarity.evalVerdicts(e, ev, Similarity.DecontamTightCos)
+      .drop("vec")
       .orderBy("vec_id")
   }
 
@@ -6353,12 +6343,20 @@ object QueriesTraining {
     // family's recall-DERIVED band count needs more headroom — its
     // call sites pass 4096, still O(ceiling) cheap because the j <
     // filter prunes before the md5 aggregate) and filter by the
-    // derived scalar
+    // derived scalar. ADVICE r14: an operating point whose DERIVED
+    // plane count exceeds the ceiling must error() with a named cause,
+    // not silently truncate the plane family into an opaque row
+    // mismatch (the loose decontam threshold derives past 4096 around
+    // ~50k rows) — the CASE is branch-lazy in DuckDB, so in-ceiling
+    // runs never evaluate the error
     s"""sg AS (SELECT j, list(CASE WHEN
        |    ('0x' || substr(md5(j || '_' || i), 1, 1))::BIGINT % 2 = 0
        |    THEN 1.0 ELSE -1.0 END ORDER BY i) AS sv
        |  FROM range(0, $ceiling) t(j), range(0, $EmbedDims) u(i)
-       |  WHERE j < $nplanesExpr
+       |  WHERE j < CASE WHEN ($nplanesExpr) > $ceiling
+       |    THEN error('signListsCte: derived plane count ' ||
+       |      ($nplanesExpr) || ' exceeds the enumerated ceiling $ceiling')
+       |    ELSE ($nplanesExpr) END
        |  GROUP BY j)""".stripMargin
 
   /** Per-(vec_id, plane j) signed dot — exact fold order. */

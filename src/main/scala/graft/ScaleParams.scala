@@ -106,6 +106,14 @@ object ScaleParams {
     * in the spec), far beyond libm's ~1e-15 relative divergence.
     */
   def srpBandsFor(planes: Int, thresholdCos: Double, targetRecallBp: Long): Int = {
+    // ADVICE r14: targetRecallBp = 10000 computes ln(0) = -Inf, whose
+    // ceil().toLong is Long.MaxValue and wraps NEGATIVE on the .toInt —
+    // a caller asking for 100% recall must fail loudly (LSH banding is
+    // probabilistic; certainty needs the exact chain), not get -1 bands
+    require(targetRecallBp > 0L && targetRecallBp < 10000L,
+      s"srpBandsFor: target recall must be in (0, 10000) bp, got " +
+        s"$targetRecallBp - SRP banding cannot guarantee 100% recall " +
+        "(use the exact chain for certainty)")
     val pb = math.pow(srpCollisionProb(thresholdCos), planes)
     math.max(1L, math.ceil(
       math.log(1.0 - targetRecallBp / 10000.0) / math.log(1.0 - pb)).toLong).toInt
@@ -116,6 +124,10 @@ object ScaleParams {
     * the Scala side passes).
     */
   def srpBandsForSql(thresholdCos: Double, targetRecallBp: Long): String = {
+    require(targetRecallBp > 0L && targetRecallBp < 10000L,
+      s"srpBandsForSql: target recall must be in (0, 10000) bp, got " +
+        s"$targetRecallBp - ln(${1.0 - targetRecallBp / 10000.0}) would " +
+        "reach the oracle as ln(0)")
     val pstar = srpCollisionProb(thresholdCos)
     val lnMiss = 1.0 - targetRecallBp / 10000.0
     s"GREATEST(1, CAST(ceil(ln($lnMiss) / ln(1.0 - power($pstar, planes))) AS BIGINT))"

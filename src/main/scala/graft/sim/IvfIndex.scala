@@ -246,6 +246,20 @@ object IvfIndex {
         }
       hfs.delete(staging, true)
     }
+    // DRAINED lists (ADVICE r14): a rewritten list whose members ALL
+    // reassign away stages no files under its own id, so step 2 never
+    // recreates its live dir — and a crash between the marker delete
+    // and the twin cleanup would strand a `.retired-` twin whose live
+    // dir is missing, which the no-marker recovery path then RESTORES
+    // (resurrecting rows already republished into other lists =
+    // duplicate vectors). Recreate an (empty) live dir for every
+    // marker-listed id before the marker goes, so recovery can always
+    // tell post-commit litter (live dir exists → delete the twin) from
+    // a genuinely lost list.
+    retiredIds.foreach { id =>
+      val live = new Path(root, s"list_id=$id")
+      if (!hfs.exists(live)) hfs.mkdirs(live): Unit
+    }
     // commit completes HERE: once the marker is gone this publish can
     // never replay, so the retired twins below are pure garbage — a
     // crash mid-loop leaves litter for the no-marker recovery path,

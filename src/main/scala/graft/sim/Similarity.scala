@@ -181,6 +181,37 @@ object Similarity {
     */
   val EvalBroadcastBudgetBytes: Long = 64L << 20
 
+  /** THE decontam verdict kernel (round-15, VERDICT r14 item 3) — one
+    * definition of "score a corpus frame against a broadcast eval
+    * frame and emit one per-vector verdict", shared by the batch exact
+    * pass (q293), the tight planted-leak ground truth (q300), and the
+    * streaming gate's per-increment pass
+    * ([[graft.streaming.StreamingDecontam.flagIncrement]]) — the
+    * [[EmbedBands]]/[[ivfAssign]] single-definition discipline, so the
+    * spec-pinned fold == sweep equivalence holds by CONSTRUCTION, not
+    * by test coverage alone.
+    *
+    * `corpus(vec_id, vec)` × broadcast `eval(e_id, e_vec)` →
+    * `(vec_id, vec, near_eval_id, max_cos, flagged)`: exact cosine
+    * against every eval row map-side (the eval side is benchmark-sized
+    * by contract — callers enforce the broadcast budget), `max_by`
+    * argmax with e_id tie-break combined map-side to ONE row per
+    * vector. One linear pass; vectors never shuffle. Callers that do
+    * not need the vector payload drop the `vec` column and Catalyst
+    * prunes the `first(vec)` aggregate out of the plan.
+    */
+  def evalVerdicts(corpus: DataFrame, eval: DataFrame, minCos: Double): DataFrame =
+    corpus.select(col("vec_id"), col("vec"))
+      .crossJoin(broadcast(eval.select(col("e_id"), col("e_vec"))))
+      .withColumn("cos", cosine(col("vec"), col("e_vec")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cos"), col("e_id")),
+          struct(col("cos"), (-col("e_id")).as("n"))).as("b"),
+        first(col("vec")).as("vec"))
+      .select(col("vec_id"), col("vec"), col("b.e_id").as("near_eval_id"),
+        col("b.cos").as("max_cos"),
+        when(col("b.cos") >= minCos, lit(1L)).otherwise(lit(0L)).as("flagged"))
+
   /** Near-dup pairs between a corpus snapshot and an increment — the
     * shared emission tail of the incremental embedding chains. Both
     * inputs carry (idCol, v, nrm, buckets): explode the band buckets,

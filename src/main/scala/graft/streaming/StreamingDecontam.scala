@@ -39,28 +39,34 @@ object StreamingDecontam {
 
   /** Per-row verdicts for one increment against the broadcast eval
     * frame `(e_id, e_vec)`: `(vec_id, vec, near_eval_id, max_cos,
-    * flagged)` — q293's cross-join + per-vector argmax, computed on
-    * increment-sized input. Pure: no state, no side effects.
+    * flagged)` — [[Similarity.evalVerdicts]], THE shared decontam
+    * verdict kernel (round-15, VERDICT r14 item 3), computed on
+    * increment-sized input. Pure: no state, no side effects — which is
+    * exactly why fold == batch sweep holds by construction: the batch
+    * pass (q293) runs the same kernel over the union of increments.
     */
   def flagIncrement(inc: DataFrame, eval: DataFrame,
                     minCos: Double = Similarity.NearDupCos): DataFrame =
-    inc.select(col("vec_id"), col("vec"))
-      .crossJoin(broadcast(eval.select(col("e_id"), col("e_vec"))))
-      .withColumn("cos", Similarity.cosine(col("vec"), col("e_vec")))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("cos"), col("e_id")),
-          struct(col("cos"), (-col("e_id")).as("n"))).as("b"),
-        first(col("vec")).as("vec"))
-      .select(col("vec_id"), col("vec"), col("b.e_id").as("near_eval_id"),
-        col("b.cos").as("max_cos"),
-        when(col("b.cos") >= minCos, lit(1L)).otherwise(lit(0L)).as("flagged"))
+    Similarity.evalVerdicts(inc, eval, minCos)
 
   /** The broadcast-budget guard, shared discipline with the batch pass:
     * the eval footprint is counted ONCE at gate start (rows × dims ×
     * 8 B) and the gate refuses past [[Similarity.EvalBroadcastBudgetBytes]].
+    * ADVICE r14: a ZERO-row eval frame is refused too — the verdict
+    * cross-join would produce zero groups per batch and every
+    * increment would silently vanish from BOTH stores, violating the
+    * every-row-lands-in-exactly-one-store router contract. An empty
+    * eval set means "nothing to screen": that deployment should skip
+    * the gate, not run it as a row sink.
     */
   private def requireEvalFits(eval: DataFrame, dims: Int): Unit = {
-    val estBytes = eval.count() * dims * 8L
+    val evalRows = eval.count()
+    require(evalRows > 0L,
+      "StreamingDecontam: the eval frame is EMPTY - every increment row " +
+        "would drop out of the verdict cross-join and land in neither " +
+        "store. Deploy the gate with a non-empty eval set, or skip the " +
+        "gate entirely when there is nothing to screen against.")
+    val estBytes = evalRows * dims * 8L
     require(estBytes <= Similarity.EvalBroadcastBudgetBytes,
       s"StreamingDecontam: eval-set broadcast footprint $estBytes B exceeds " +
         s"the budget ${Similarity.EvalBroadcastBudgetBytes} B. A gate checks " +

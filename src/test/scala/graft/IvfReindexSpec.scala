@@ -220,6 +220,65 @@ class IvfReindexSpec extends AnyFunSuite {
     assert(!names.exists(n => n.startsWith(".reindex") || n.startsWith(".retired-")), names)
   }
 
+  test("drained list: publish recreates its live dir, so a stranded twin can never resurrect rows") {
+    // ADVICE r14 (medium): a rewritten list whose members ALL reassign
+    // away stages nothing under its own id. Publish must still recreate
+    // its (empty) live dir before the marker goes — otherwise a crash
+    // between the marker delete and the twin cleanup strands a
+    // .retired- twin with NO live dir, and the no-marker recovery path
+    // "defensively restores" it, resurrecting rows already republished
+    // into other lists (duplicate vectors: probes return them twice,
+    // churn audits double-count).
+    val base = Files.createTempDirectory("graft_reindex_drain").toString
+    val idx = s"$base/idx"
+    buildIndex(idx)
+    val hfs = new Path(idx).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // keep a copy of list 0's pre-reindex files to forge the stranded twin
+    org.apache.hadoop.fs.FileUtil.copy(hfs, new Path(idx, "list_id=0"),
+      hfs, new Path(base, "saved_list0"), false,
+      spark.sparkContext.hadoopConfiguration)
+
+    // drain quantizer: c0 re-seats to an axis NO vector occupies, c1 to
+    // the 0/1 bisector — cluster 0's rows all re-home to list 1 (churn
+    // 10000 bp), clusters 1-3 keep their argmax (churn 0), and nothing
+    // lands back in list 0
+    import spark.implicits._
+    val drainCents = {
+      def at(pairs: (Int, Float)*): Seq[Float] = {
+        val v = Array.fill(Dims)(0.0f); pairs.foreach { case (i, x) => v(i) = x }; v.toSeq
+      }
+      Seq((0L, at(4 -> 1.0f)), (1L, at(0 -> 0.7071f, 1 -> 0.7071f)),
+        (2L, at(2 -> 1.0f)), (3L, at(3 -> 1.0f))).toDF("c_id", "c_vec")
+    }
+    val stats = IvfIndex.reindexLists(spark, idx, drainCents, minChurnBp = 5000L)
+    assert(stats.listsRewritten == 1L && stats.rowsMoved == PerCluster.toLong, stats)
+
+    // the fix's direct observable: the drained list's live dir exists
+    // (empty) even though no staged file landed in it
+    assert(hfs.exists(new Path(idx, "list_id=0")), "drained live dir missing")
+    assert(hfs.listStatus(new Path(idx, "list_id=0")).isEmpty)
+    val want = spark.read.parquet(idx)
+      .select(col("vec_id"), col("list_id").cast("long")).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(want.length == 4 * PerCluster)
+    assert(want.count(_._2 == 1L) == 2 * PerCluster) // cluster 0 re-homed
+
+    // strand the crash-window litter: cleanup died after the marker
+    // delete, leaving the drained list's retired twin behind
+    org.apache.hadoop.fs.FileUtil.copy(hfs, new Path(base, "saved_list0"),
+      hfs, new Path(idx, ".retired-list_id=0"), false,
+      spark.sparkContext.hadoopConfiguration)
+    IvfIndex.recoverReindex(spark, idx)
+
+    val got = spark.read.parquet(idx)
+      .select(col("vec_id"), col("list_id").cast("long")).orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want, "recovery resurrected drained rows")
+    assert(got.map(_._1).distinct.length == got.length, "duplicate vectors")
+    val names = hfs.listStatus(new Path(idx)).map(_.getPath.getName).toSet
+    assert(!names.exists(_.startsWith(".retired-")), names)
+  }
+
   test("staging with no marker rolls back: index untouched") {
     val path = Files.createTempDirectory("graft_reindex_rb").toString + "/idx"
     buildIndex(path)

@@ -76,6 +76,20 @@ class ScaleParamsSpec extends AnyFunSuite {
     }
   }
 
+  test("srpBandsFor refuses out-of-range recall targets loudly") {
+    // ADVICE r14: 10000 bp computes ln(0) = -Inf whose ceil().toLong
+    // wraps to -1 bands through .toInt — fail loudly instead
+    for (bad <- Seq(10000L, 0L, -5L, 20000L)) {
+      val ex = intercept[IllegalArgumentException](
+        ScaleParams.srpBandsFor(5, 0.8, bad))
+      assert(ex.getMessage.contains("recall"), ex.getMessage)
+      intercept[IllegalArgumentException](ScaleParams.srpBandsForSql(0.8, bad))
+    }
+    // the open-interval boundary cases still work
+    assert(ScaleParams.srpBandsFor(5, 0.8, 1L) >= 1)
+    assert(ScaleParams.srpBandsFor(5, 0.8, 9999L) >= 1)
+  }
+
   test("row counts are always fresh: an overwrite is seen, not served stale") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_sp").toString

@@ -85,6 +85,22 @@ class StreamingDecontamSpec extends AnyFunSuite {
     assert(counts() == first, "replay changed the published batch")
   }
 
+  test("empty eval frame is refused - the router contract forbids a silent row sink") {
+    // ADVICE r14: with zero eval rows the verdict cross-join produces
+    // zero groups, so every increment would vanish from BOTH stores —
+    // the gate must refuse at start, not drop rows forever.
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("e_id", "e_vec")
+    val ex = intercept[IllegalArgumentException] {
+      StreamingDecontam.startGate(
+        spark.readStream.format("rate").load()
+          .select(col("value").as("vec_id"), array(lit(0.0f)).as("embedding")),
+        "/tmp/never_e", empty, "/tmp/never_e2", "/tmp/never_e3")
+    }
+    assert(ex.getMessage.contains("EMPTY"), ex.getMessage)
+    assert(ex.getMessage.contains("neither"), ex.getMessage)
+  }
+
   test("over-budget eval set is refused, naming the banded path") {
     import spark.implicits._
     val (_, eval) = fixture()
