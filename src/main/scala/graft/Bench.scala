@@ -131,7 +131,10 @@ object Bench {
     "q297_embed_decontam_banded",
     // round-14: the tight-threshold production twin (derived bands,
     // planted-leak eval) — cheapest, so it absorbs truncation first
-    "q299_decontam_tight")
+    "q299_decontam_tight",
+    // round-15: the decontam TVF at the same operating point (the SQL
+    // twin of q299 — tracks the in-text recipe against the operator)
+    "q303_decontam_tvf")
 
   /** One query's measurement under one evaluation mode. `sec` is the
     * reported median; `secs` keeps every raw run (round-10 forensics:

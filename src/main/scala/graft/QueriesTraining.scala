@@ -927,6 +927,126 @@ object QueriesTraining {
   private val qSqlEmbedDedupTvf: Q = (spark, dir) =>
     sqlEmbedDedupTvfCall(spark, dir, Similarity.NearDupCos)
 
+  /** q303: DECONTAMINATION as a PARAMETERIZED SQL table function —
+    * `decontam_banded(min_cos, recall_bp)` closes the TVF family's one
+    * gap (round-15, VERDICT r14 item 6): dedup has `near_dup_pairs`
+    * (q280), ANN its index family (q282/q283/q285), embedding dedup
+    * `near_dup_vectors` (q286) — but decontamination, the chain a
+    * data-curation team most wants callable from SQL, had none. The
+    * body is the q299 banded chain with EVERY knob derived in-SQL from
+    * the function's arguments and the corpus itself:
+    *
+    *  - planes from the occupancy rule over `count(*)`
+    *    ([[ScaleParams.srpBandPlanes]]'s SQL twin — the same value the
+    *    oracle derives);
+    *  - p∗ = 1 − acos(min_cos)/π and the band count
+    *    L = ceil(ln(1−r)/ln(1−p∗^planes)) ([[ScaleParams.srpBandsFor]]
+    *    transposed to SQL — Catalyst's acos/ln/power/ceil are the same
+    *    JDK Math calls the Scala rule makes, so the derived integer is
+    *    identical, and the oracle's interpolated-literal twin agrees
+    *    because the ceil argument sits ≥ 0.016 from any integer);
+    *  - both guards ship IN the text: recall_bp outside (0, 10000)
+    *    raises before ln(0) can wrap (the [[ScaleParams.srpBandsFor]]
+    *    require), and a derived bands × planes past the enumerated
+    *    4096 ceiling raises with a named cause (the signListsCte
+    *    discipline) instead of silently truncating the plane family;
+    *  - sign planes from the same md5(j ++ '_' ++ i) parity as
+    *    [[Similarity.planeSign]], dots/norms through the registered
+    *    `vec_dot`/`vec_norm` codegen kernels, buckets reassembled with
+    *    the integer bit-sum — the [[Similarity.srpBandBuckets]] frame
+    *    path as SQL text, bit-identical cosines.
+    *
+    * Called at ([[Similarity.DecontamTightCos]],
+    * [[Similarity.DecontamRecallBp]]) it is ROW-IDENTICAL to q299 and
+    * shares its oracle; `SqlDecontamTvfSpec` pins the identity, both
+    * guards, and the plan shape (no CartesianProduct — the sign cross
+    * broadcasts, the corpus↔eval candidate step is a bucket
+    * equi-join).
+    *
+    * Scale shape, declared in the text like q299's plan: one corpus
+    * pass computes rows × L·b dots flowing into a map-side-combined
+    * (vec_id, band) aggregate (the exchange carries rows × bands, not
+    * rows × planes — the frame path's honest linear-in-planes bill),
+    * the fan-out hint is generated only when the scan is single-split
+    * ([[embedsNeedFanOut]]), and the exact-cosine verify runs on
+    * candidates only.
+    */
+  private[graft] def sqlDecontamTvfDdl(fanOut: Boolean): String =
+    s"""CREATE TEMPORARY FUNCTION decontam_banded(min_cos DOUBLE, recall_bp BIGINT)
+       |RETURNS TABLE(vec_id BIGINT, near_eval_id BIGINT, max_cos DOUBLE) RETURN
+       |WITH e AS (SELECT ${embedsFanOutHint(fanOut)}vec_id, embedding AS v,
+       |    vec_norm(embedding) AS nrm
+       |  FROM embeddings),
+       |ev AS (SELECT vec_id AS e_id,
+       |    transform(v, (x, i) -> x * CASE WHEN CAST(conv(substring(md5(
+       |      concat('e', CAST(vec_id AS STRING), '_', CAST(i AS STRING))),
+       |      1, 1), 16, 10) AS BIGINT) % 2 = 0 THEN 1.45D ELSE 0.55D END) AS e_vec
+       |  FROM e WHERE vec_id % 10 = 7),
+       |ev2 AS (SELECT e_id, e_vec, vec_norm(e_vec) AS e_nrm FROM ev),
+       |p AS (SELECT GREATEST(1, CAST(round(log2(count(*) / 20.0), 0) AS BIGINT)) AS planes
+       |  FROM e),
+       |lb AS (SELECT CASE WHEN recall_bp <= 0 OR recall_bp >= 10000
+       |    THEN raise_error(concat('decontam_banded: recall_bp must be in ',
+       |      '(0, 10000) - SRP banding cannot guarantee 100% recall, got ',
+       |      CAST(recall_bp AS STRING)))
+       |    ELSE GREATEST(1, CAST(ceil(ln(1.0 - recall_bp / 10000.0) /
+       |      ln(1.0 - power(1.0 - acos(min_cos) / pi(), planes))) AS BIGINT))
+       |    END AS bands
+       |  FROM p),
+       |np AS (SELECT CASE WHEN lb.bands * p.planes > 4096
+       |    THEN raise_error(concat('decontam_banded: derived plane count ',
+       |      CAST(lb.bands * p.planes AS STRING),
+       |      ' exceeds the enumerated ceiling 4096'))
+       |    ELSE lb.bands * p.planes END AS nplanes, p.planes AS planes
+       |  FROM lb, p),
+       |sg AS (SELECT id AS j, transform(sequence(0, ${EmbedDims - 1}), i ->
+       |    CASE WHEN CAST(conv(substring(md5(concat(CAST(id AS STRING), '_',
+       |      CAST(i AS STRING))), 1, 1), 16, 10) AS BIGINT) % 2 = 0
+       |    THEN 1.0D ELSE -1.0D END) AS sv
+       |  FROM range(0, 4096)
+       |  WHERE id < (SELECT nplanes FROM np)),
+       |bk AS (SELECT /*+ BROADCAST(sg), BROADCAST(np) */ vec_id,
+       |    j div np.planes AS band, np.planes AS planes,
+       |    sum(CASE WHEN vec_dot(v, sv) > 0
+       |      THEN shiftleft(CAST(1 AS BIGINT), CAST(j % np.planes AS INT))
+       |      ELSE CAST(0 AS BIGINT) END) AS bits
+       |  FROM e CROSS JOIN sg CROSS JOIN np GROUP BY 1, 2, 3),
+       |bke AS (SELECT /*+ BROADCAST(sg), BROADCAST(np) */ e_id,
+       |    j div np.planes AS band, np.planes AS planes,
+       |    sum(CASE WHEN vec_dot(e_vec, sv) > 0
+       |      THEN shiftleft(CAST(1 AS BIGINT), CAST(j % np.planes AS INT))
+       |      ELSE CAST(0 AS BIGINT) END) AS bits
+       |  FROM ev2 CROSS JOIN sg CROSS JOIN np GROUP BY 1, 2, 3),
+       |k AS (SELECT vec_id, shiftleft(band, CAST(planes AS INT)) + bits AS bucket FROM bk),
+       |ke AS (SELECT e_id, shiftleft(band, CAST(planes AS INT)) + bits AS bucket FROM bke),
+       |cand AS (SELECT DISTINCT k.vec_id, ke.e_id FROM k JOIN ke USING (bucket)),
+       |pairs AS (SELECT cand.vec_id, cand.e_id,
+       |    vec_dot(ec.v, ee.e_vec) / (ec.nrm * ee.e_nrm) AS cos
+       |  FROM cand JOIN e ec ON ec.vec_id = cand.vec_id
+       |            JOIN ev2 ee ON ee.e_id = cand.e_id),
+       |best AS (SELECT vec_id, e_id, cos, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cos DESC, e_id) AS rk FROM pairs)
+       |SELECT vec_id, e_id AS near_eval_id, cos AS max_cos
+       |FROM best WHERE rk = 1 AND cos >= min_cos""".stripMargin
+
+  private[graft] def sqlDecontamTvfCall(spark: SparkSession, dir: String,
+                                        minCos: Double, recallBp: Long): DataFrame = {
+    val fanOut = embedsNeedFanOut(spark, dir)
+    Tables(spark, dir, "embeddings").createOrReplaceTempView("embeddings")
+    try {
+      spark.sql(sqlDecontamTvfDdl(fanOut))
+      spark.sql("SELECT vec_id, near_eval_id, max_cos FROM " +
+        s"decontam_banded(CAST($minCos AS DOUBLE), ${recallBp}L) ORDER BY vec_id")
+    } finally {
+      spark.sql("DROP TEMPORARY FUNCTION IF EXISTS decontam_banded")
+      spark.catalog.dropTempView("embeddings"): Unit
+    }
+  }
+
+  private val qSqlDecontamTvf: Q = (spark, dir) =>
+    sqlDecontamTvfCall(spark, dir, Similarity.DecontamTightCos,
+      Similarity.DecontamRecallBp)
+
   /** q287: EMBEDDING near-dup GROUPS — connected components over the
     * q24 verified-pair graph, canonical id = component minimum: the
     * q31 step (pairwise similarity → an actionable keep/drop decision)
@@ -6079,6 +6199,7 @@ object QueriesTraining {
     "q298_decontam_recall" -> qDecontamRecall,
     "q299_decontam_tight" -> qDecontamTight,
     "q300_decontam_recall_tight" -> qDecontamRecallTight,
+    "q303_decontam_tvf" -> qSqlDecontamTvf,
     "q302_decontam_report" -> qDecontamReport,
     "q43_dedup_incremental" -> qDedupIncremental,
     "q22_dedup_ngram" -> qDedupNgram,
@@ -8967,6 +9088,9 @@ object QueriesTraining {
     "q298_decontam_recall" -> decontamRecallOracle,
     "q299_decontam_tight" -> decontamTightBandedOracle,
     "q300_decontam_recall_tight" -> decontamTightRecallOracle,
+    // the decontam TVF called at (tight threshold, 9000 bp) IS the
+    // q299 chain — row-identical by construction, one oracle text
+    "q303_decontam_tvf" -> decontamTightBandedOracle,
     "q302_decontam_report" -> decontamReportOracle,
 
     // JL audit: same sign lists + exact plane-dot fold as the SRP

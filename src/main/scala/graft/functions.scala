@@ -6,7 +6,7 @@ import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.{IntegerType, StringType}
 
 import graft.grok.{GrokExtract, GrokExtractMap, GrokMatch}
-import graft.sim.{VectorCosine, VectorDot, VectorL2Sq, VectorNorm}
+import graft.sim.{VectorArgmaxCos, VectorCosine, VectorDot, VectorL2Sq, VectorNorm}
 
 /** Column-API and SQL surface for the engine's custom expressions. */
 object functions {
@@ -28,6 +28,8 @@ object functions {
   def vec_norm(a: Column): Column = col(VectorNorm(expr(a)))
   def vec_cosine(a: Column, b: Column): Column = col(VectorCosine(expr(a), expr(b)))
   def vec_l2sq(a: Column, b: Column): Column = col(VectorL2Sq(expr(a), expr(b)))
+  def vec_argmax_cos(v: Column, cents: Column): Column =
+    col(VectorArgmaxCos(expr(v), expr(cents)))
 
   /** Codegen'd rolling polynomial text fingerprint; see [[graft.text.RollingHash]]. */
   def rolling_hash(c: Column): Column = col(graft.text.RollingHash(expr(c)))
@@ -71,6 +73,8 @@ object functions {
     Bridge.registerFunction(spark, "vec_norm", es => VectorNorm(es.head))
     Bridge.registerFunction(spark, "vec_cosine", es => VectorCosine(es.head, es(1)))
     Bridge.registerFunction(spark, "vec_l2sq", es => VectorL2Sq(es.head, es(1)))
+    Bridge.registerFunction(spark, "vec_argmax_cos",
+      es => VectorArgmaxCos(es.head, es(1)))
     Bridge.registerFunction(spark, "rolling_hash", es => graft.text.RollingHash(es.head))
     Bridge.registerFunction(spark, "deflate_ratio_bp", es => graft.text.DeflateRatio(es.head))
     Bridge.registerFunction(spark, "cdc_chunks", es => graft.text.CdcChunks(es.head))

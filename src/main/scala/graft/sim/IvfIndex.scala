@@ -92,15 +92,30 @@ object IvfIndex {
       val cur = spark.read.parquet(path)
         .select(col("vec_id"), col("vec"), col("list_id").cast("long").as("cur_list"))
       // pass 1 — the churn AUDIT (q290's computation): one full linear
-      // read, assignment map-side combined, joined back on vec_id to a
-      // K-row aggregate. Deliberately NOT materialized for reuse: at
-      // index scale a checkpoint of the full (vec, assignment) join is
-      // a corpus-sized write, while pass 2 below re-reads only the
+      // read to a K-row aggregate. Round-15 physical cut: the audit
+      // only needs the WINNING LIST ID per row, so with a bounded
+      // quantizer the new assignment is the [[Similarity.assignListCol]]
+      // PROJECTION (no join, no per-vector aggregate, no exchange —
+      // scan straight into the K-row combine; the r14 join shape's
+      // exchange carried the whole vector in its max_by struct plus a
+      // second two-sided shuffle, measured 33.1 s vs ~2 s on the
+      // 200k × 447 rehearsal store). Past the projection ceiling the
+      // carried broadcast-argmax keeps the exchange at three longs per
+      // vector (measured 14.2 s on the same store). Deliberately not
+      // materialized for reuse: pass 2 below re-reads only the
       // rewritten lists via partition pruning — I/O ∝ churn fraction,
       // which is the whole point of selectivity.
-      val na = Similarity.ivfAssign(cur.select(col("vec_id"), col("vec")), newCents)
-        .select(col("vec_id"), col("list_id").as("new_list"))
-      val churn = cur.select(col("vec_id"), col("cur_list")).join(na, "vec_id")
+      val assigned = Similarity.projectedCents(newCents) match {
+        case Some((ids, mat)) => cur.select(col("cur_list"),
+          Similarity.assignListCol(col("vec"), ids, mat).as("new_list"))
+        case None => cur.crossJoin(broadcast(newCents))
+          .withColumn("ccos", Similarity.cosine(col("vec"), col("c_vec")))
+          .groupBy(col("vec_id"))
+          .agg(max_by(col("c_id"), struct(col("ccos"), (-col("c_id")).as("n")))
+            .as("new_list"),
+            first(col("cur_list")).as("cur_list"))
+      }
+      val churn = assigned
         .groupBy("cur_list")
         .agg(count(lit(1)).as("n"),
           sum(when(col("new_list") =!= col("cur_list"), 1L).otherwise(0L)).as("moved"))

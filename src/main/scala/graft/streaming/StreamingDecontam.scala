@@ -1,20 +1,25 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
+import graft.dedup.Dedup
 import graft.sim.Similarity
 
 /** STREAMING DECONTAMINATION GATE — the q293 embedding-decontam pass
   * at its production operating point: the corpus is not a table you
   * scan once, it is an INGEST STREAM, and contamination should be
   * caught at the door rather than by a quarterly batch sweep. The eval
-  * set is fixed for the gate's lifetime (benchmark suites change
-  * rarely; redeploy the gate when they do) and benchmark-sized by
-  * contract — the same broadcast-budget guard as the batch pass
-  * enforces it, naming the banded chain (q297/q299 physics) past
-  * broadcast scale.
+  * set is benchmark-sized by contract — the same broadcast-budget
+  * guard as the batch pass enforces it, naming the banded chain
+  * (q297/q299 physics) past broadcast scale — and, since benchmark
+  * suites DO change, it is STORE-MANAGED as immutable generations
+  * under the clean root (round-15: [[publishEval]] /
+  * [[currentEval]] / [[rescreenClean]] — new eval rows re-screen the
+  * already-committed clean store at a cost proportional to the eval
+  * DELTA, never a redeploy).
   *
   * Per micro-batch: one broadcast-join pass over the INCREMENT only
   * (increment × eval cosines, map-side; nothing shuffles), then the
@@ -76,25 +81,42 @@ object StreamingDecontam {
   }
 
   /** Start the gate. `vectors` is the ingest stream (columns `idCol`,
-    * `embCol`); `eval` the fixed eval frame `(e_id, e_vec)`,
-    * materialized and broadcast per batch. Restart with the same
-    * checkpoint resumes offsets; a replayed batch republishes its two
-    * dirs idempotently.
+    * `embCol`); `eval` the eval frame `(e_id, e_vec)`, materialized
+    * and broadcast per batch. Restart with the same checkpoint resumes
+    * offsets; a replayed batch republishes its two dirs idempotently.
+    *
+    * `managedEval` (round-15, VERDICT r14 item 2): benchmark suites DO
+    * change, so "fixed for the gate's lifetime — redeploy when it
+    * changes" is closed the same way the IVF quantizer was — the eval
+    * set becomes STORE-MANAGED generations under the clean root
+    * (`cleanPath/.eval/gen=<g>`, the
+    * [[StreamingIvf.publishQuantizer]] pattern): `eval` seeds
+    * generation 0, [[publishEval]] commits later generations, each
+    * micro-batch screens against the store's CURRENT generation (one
+    * benchmark-sized parquet read per batch), and
+    * [[rescreenClean]] brings the already-committed clean store up to
+    * the new generation at a cost proportional to the EVAL DELTA, not
+    * the eval set.
     */
   def startGate(vectors: DataFrame, checkpointDir: String, eval: DataFrame,
                 cleanPath: String, quarantinePath: String,
                 minCos: Double = Similarity.NearDupCos,
                 idCol: String = "vec_id", embCol: String = "embedding",
                 dims: Int = Similarity.EmbedDims,
-                trigger: Trigger = Trigger.ProcessingTime("15 seconds")): StreamingQuery = {
+                trigger: Trigger = Trigger.ProcessingTime("15 seconds"),
+                managedEval: Boolean = false): StreamingQuery = {
     requireEvalFits(eval, dims)
     val ev = eval.select(col("e_id"), col("e_vec")).localCheckpoint()
+    if (managedEval) ensureEval(vectors.sparkSession, cleanPath, ev)
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val evNow = if (managedEval)
+          currentEval(spark, cleanPath).getOrElse(ev) else ev
         gateBatch(batch.select(col(idCol).as("vec_id"), col(embCol).as("vec")),
-          batchId, ev, cleanPath, quarantinePath, minCos)
+          batchId, evNow, cleanPath, quarantinePath, minCos)
       }
       .start()
   }
@@ -115,5 +137,197 @@ object StreamingDecontam {
     verdicts.filter(col("flagged") === 1L)
       .select(col("vec_id"), col("vec"), col("near_eval_id"), col("max_cos"))
       .write.mode("overwrite").parquet(s"$quarantinePath/batch=$batchId")
+  }
+
+  // ── STORE-MANAGED EVAL GENERATIONS + INCREMENTAL RE-SCREEN
+  // (round-15, VERDICT r14 item 2). Generations are immutable dirs
+  // `cleanPath/.eval/gen=<g>` (dot-prefixed — invisible to parquet
+  // reads of the clean store); publish = staged write + atomic rename;
+  // readers take the largest g. The clean store additionally carries a
+  // `.screened-gen` watermark: the generation its COMMITTED contents
+  // have been screened against. The interesting operation is then
+  // [[rescreenClean]]: screen the committed clean rows against ONLY the
+  // eval DELTA (gen_new minus watermark gen, by e_id) — the gate's
+  // O(increment) physics transposed to the eval axis, O(clean × delta)
+  // instead of O(clean × eval).
+  //
+  // Generation contract: generations GROW BY ADDING e_ids (a benchmark
+  // suite gaining items). Revising the vector under an existing e_id
+  // does not re-screen old rows — retire the old id and publish the
+  // revision under a fresh one.
+
+  private def evalRoot(cleanPath: String) = new Path(cleanPath, ".eval")
+  private def screenedMarker(cleanPath: String) = new Path(cleanPath, ".screened-gen")
+
+  /** Quarantine batch ids for rescreen output live FAR above any
+    * micro-batch id (2^40 ≈ 35,000 years of 1 s triggers): rescreen
+    * gen g publishes its moved rows under `batch=<2^40 + g>`, keeping
+    * the quarantine root one `batch=`-keyed partition family while
+    * never colliding with the gate's own dirs.
+    */
+  val RescreenBatchBase: Long = 1L << 40
+
+  /** Largest committed eval generation, if any. */
+  def currentEvalGen(spark: SparkSession, cleanPath: String): Option[Long] = {
+    val qr = evalRoot(cleanPath)
+    val hfs = StreamingDedup.fs(spark, qr)
+    if (!hfs.exists(qr)) None
+    else hfs.listStatus(qr).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("gen=")).map(_.stripPrefix("gen=").toLong)
+      .maxOption
+  }
+
+  /** The store's current eval frame `(e_id, e_vec)`. */
+  def currentEval(spark: SparkSession, cleanPath: String): Option[DataFrame] =
+    currentEvalGen(spark, cleanPath).map(g =>
+      spark.read.parquet(s"$cleanPath/.eval/gen=$g"))
+
+  /** Eval frame of a SPECIFIC generation (the delta computations). */
+  def evalAt(spark: SparkSession, cleanPath: String, gen: Long): DataFrame =
+    spark.read.parquet(s"$cleanPath/.eval/gen=$gen")
+
+  /** Publish eval generation `gen` (idempotent: an existing committed
+    * generation wins — a replayed publish cannot clobber it). Vectors
+    * stored as doubles so generations from float and double sources
+    * share a schema; the same non-empty + broadcast-budget contract as
+    * the gate start.
+    */
+  def publishEval(spark: SparkSession, cleanPath: String, gen: Long,
+                  eval: DataFrame, dims: Int = Similarity.EmbedDims): Unit = {
+    requireEvalFits(eval, dims)
+    val qr = evalRoot(cleanPath)
+    val hfs = StreamingDedup.fs(spark, qr)
+    val target = new Path(qr, s"gen=$gen")
+    val staging = new Path(qr, s".staging-gen=$gen")
+    hfs.delete(staging, true)
+    if (!hfs.exists(target)) {
+      eval.select(col("e_id"),
+          Similarity.asDouble(col("e_vec")).as("e_vec"))
+        .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      if (!hfs.exists(target) && !hfs.rename(staging, target))
+        throw new java.io.IOException(s"eval publish failed: $target")
+      hfs.delete(staging, true): Unit
+    }
+  }
+
+  /** Seed generation 0 from the caller's eval frame if the store has
+    * none yet (first managed gate start); no-op afterwards.
+    */
+  def ensureEval(spark: SparkSession, cleanPath: String, eval: DataFrame): Unit =
+    if (currentEvalGen(spark, cleanPath).isEmpty)
+      publishEval(spark, cleanPath, 0L, eval)
+
+  /** The generation the committed clean store has been screened
+    * against (the `.screened-gen` watermark; the seed generation 0
+    * when the marker is absent).
+    */
+  def screenedGen(spark: SparkSession, cleanPath: String): Long = {
+    val m = screenedMarker(cleanPath)
+    val hfs = StreamingDedup.fs(spark, m)
+    if (!hfs.exists(m)) 0L
+    else {
+      val in = hfs.open(m)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def writeScreenedGen(spark: SparkSession, cleanPath: String,
+                               gen: Long): Unit = {
+    val m = screenedMarker(cleanPath)
+    val hfs = StreamingDedup.fs(spark, m)
+    val out = hfs.create(m, true)
+    out.write(gen.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  /** What a [[rescreenClean]] run did — the economics row. `moved` is
+    * the newly-flagged rows now in quarantine; `evalDeltaRows` the
+    * only axis the verdict cost scales on.
+    */
+  final case class RescreenStats(fromGen: Long, toGen: Long,
+                                 evalDeltaRows: Long, moved: Long)
+
+  /** INCREMENTAL RE-SCREEN (round-15, VERDICT r14 item 2): bring the
+    * committed clean store up to the current eval generation by
+    * screening it against ONLY the new eval rows. One pass over the
+    * clean store against a broadcast eval-DELTA frame (the
+    * [[Similarity.evalVerdicts]] kernel — O(clean × delta) cosines,
+    * map-side, nothing shuffles), then newly-flagged rows MOVE
+    * clean → quarantine:
+    *
+    *  - quarantine gains `batch=<2^40 + toGen>` with the verdict
+    *    columns (staged write + atomic rename; an existing target is a
+    *    prior run's complete output and WINS — rescreen output is
+    *    never clobbered by a replay that recomputes from an
+    *    already-cleaned store);
+    *  - the clean store is rewritten WITHOUT the flagged rows through
+    *    the shared compact skeleton
+    *    ([[StreamingDedup.compactStateAs]], `minParts = 1`): stage →
+    *    commit marker → retire/publish, so a kill at any point rolls
+    *    back (clean untouched, rerun recomputes the identical
+    *    verdicts) or forward (clean published; the quarantine dir was
+    *    fully committed BEFORE the marker, so the moved rows exist);
+    *  - the `.screened-gen` watermark advances LAST; a rerun after any
+    *    crash converges (flagged recomputes as empty on an
+    *    already-cleaned store, the existing quarantine dir is kept,
+    *    the rewrite republishes identical rows).
+    *
+    * Returns None when the store is already at the current generation.
+    * QUIESCED like every maintenance verb on a batch-keyed store: run
+    * it with the gate stopped or from the gate's own epilogue — a
+    * reader racing the retire/publish window can see a partial clean
+    * store.
+    */
+  def rescreenClean(spark: SparkSession, cleanPath: String,
+                    quarantinePath: String,
+                    minCos: Double = Similarity.NearDupCos,
+                    dims: Int = Similarity.EmbedDims,
+                    lockTtlMs: Long = 60 * 60 * 1000L): Option[RescreenStats] = {
+    val toGen = currentEvalGen(spark, cleanPath).getOrElse(
+      throw new IllegalStateException(
+        s"rescreenClean: no eval generation under $cleanPath/.eval - " +
+          "seed one with ensureEval/publishEval"))
+    val fromGen = screenedGen(spark, cleanPath)
+    if (toGen <= fromGen) None
+    else {
+      // the DELTA: new generation minus watermark generation, by e_id —
+      // benchmark-sized by the publish guard, broadcast like the gate's
+      // eval frame
+      val delta = Dedup.materialize(
+        evalAt(spark, cleanPath, toGen)
+          .join(evalAt(spark, cleanPath, fromGen).select(col("e_id")),
+            Seq("e_id"), "left_anti"))
+      val deltaRows = delta.count()
+      var moved = 0L
+      if (deltaRows > 0L) {
+        val hfsQ = StreamingDedup.fs(spark, new Path(quarantinePath))
+        val qTarget = new Path(quarantinePath,
+          s"batch=${RescreenBatchBase + toGen}")
+        StreamingDedup.compactStateAs(spark, cleanPath, Long.MaxValue,
+          lockTtlMs, minParts = 1) { (merged, _, staging) =>
+          val verdicts = Dedup.materialize(
+            Similarity.evalVerdicts(merged, delta, minCos))
+          val flagged = verdicts.filter(col("flagged") === 1L)
+          moved = flagged.count()
+          if (moved > 0L && !hfsQ.exists(qTarget)) {
+            val qStaging = new Path(quarantinePath, ".rescreen-staging")
+            hfsQ.delete(qStaging, true)
+            flagged.select(col("vec_id"), col("vec"),
+                col("near_eval_id"), col("max_cos"))
+              .write.mode("overwrite").parquet(qStaging.toString)
+            if (!hfsQ.exists(qTarget) && !hfsQ.rename(qStaging, qTarget))
+              throw new java.io.IOException(s"rescreen publish failed: $qTarget")
+            hfsQ.delete(qStaging, true): Unit
+          }
+          verdicts.filter(col("flagged") === 0L)
+            .select(col("vec_id"), col("vec"))
+            .write.mode("overwrite").parquet(staging)
+        }
+      }
+      writeScreenedGen(spark, cleanPath, toGen)
+      Some(RescreenStats(fromGen, toGen, deltaRows, moved))
+    }
   }
 }

@@ -245,9 +245,15 @@ object StreamingDedup {
     * the staging path; everything around it — lock, recovery, largest-
     * merged-id clamp, commit marker, retire/publish — is shared, so
     * the two stores cannot drift on crash semantics.
+    *
+    * `minParts` (round-15): a pure compaction is a no-op on ≤ 1 dir
+    * (the default), but a writer that TRANSFORMS the snapshot
+    * ([[StreamingDecontam.rescreenClean]] drops newly-flagged rows)
+    * must run even when the store is already one dir — those callers
+    * pass `minParts = 1`.
     */
   private[streaming] def compactStateAs(spark: SparkSession, statePath: String,
-      upToBatchId: Long, lockTtlMs: Long)(
+      upToBatchId: Long, lockTtlMs: Long, minParts: Int = 2)(
       write: (DataFrame, Seq[(Path, FileSystem)], String) => Unit): Unit = {
     val root = new Path(statePath)
     val hfs = fs(spark, root)
@@ -255,7 +261,7 @@ object StreamingDedup {
     Compaction.withLock(hfs, root, lockTtlMs) {
       recoverState(hfs, root)
       val parts = batchDirs(hfs, root).filter(_._2 <= upToBatchId)
-      if (parts.size > 1) {
+      if (parts.size >= math.max(1, minParts)) {
         // publish under the LARGEST MERGED id, never the caller's
         // argument: an upToBatchId above the newest dir (caller
         // error) would otherwise publish the snapshot under a future

