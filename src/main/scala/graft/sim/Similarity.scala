@@ -184,23 +184,68 @@ object Similarity {
   /** THE decontam verdict kernel (round-15, VERDICT r14 item 3) — one
     * definition of "score a corpus frame against a broadcast eval
     * frame and emit one per-vector verdict", shared by the batch exact
-    * pass (q293), the tight planted-leak ground truth (q300), and the
+    * pass (q293), the tight planted-leak ground truth (q300), the
     * streaming gate's per-increment pass
-    * ([[graft.streaming.StreamingDecontam.flagIncrement]]) — the
-    * [[EmbedBands]]/[[ivfAssign]] single-definition discipline, so the
-    * spec-pinned fold == sweep equivalence holds by CONSTRUCTION, not
-    * by test coverage alone.
+    * ([[graft.streaming.StreamingDecontam.flagIncrement]]), and the
+    * incremental re-screen — the [[EmbedBands]]/[[ivfAssign]]
+    * single-definition discipline, so the spec-pinned fold == sweep
+    * equivalence holds by CONSTRUCTION, not by test coverage alone.
     *
-    * `corpus(vec_id, vec)` × broadcast `eval(e_id, e_vec)` →
-    * `(vec_id, vec, near_eval_id, max_cos, flagged)`: exact cosine
-    * against every eval row map-side (the eval side is benchmark-sized
-    * by contract — callers enforce the broadcast budget), `max_by`
-    * argmax with e_id tie-break combined map-side to ONE row per
-    * vector. One linear pass; vectors never shuffle. Callers that do
-    * not need the vector payload drop the `vec` column and Catalyst
-    * prunes the `first(vec)` aggregate out of the plan.
+    * `corpus(vec_id, vec)` × `eval(e_id, e_vec)` →
+    * `(vec_id, vec, near_eval_id, max_cos, flagged)`. Two physical
+    * paths, verdict-identical (`VecArgmaxSpec` pins the argmax
+    * corners; `StreamingDecontamSpec`/q293's oracle pin the values):
+    *
+    *  - eval within [[IvfAssignMaxProjectedCents]] rows (every
+    *    benchmark-sized gate in practice): ONE whole-stage-codegen
+    *    PROJECTION — [[VectorArgmaxCos]] picks the nearest eval row,
+    *    `element_at` resolves its id, and the winning cosine is
+    *    recomputed once by the same [[VectorCosine]] arithmetic the
+    *    kernel used (bit-identical by shared fold). No join, no
+    *    per-vector aggregate, no exchange — the shape that cut the
+    *    rescreen full-baseline ~10×.
+    *  - larger eval frames (still inside the caller-enforced broadcast
+    *    budget): the broadcast cross-join + `max_by` argmax with
+    *    map-side combine — one row per vector through the exchange.
+    *
+    * One linear pass either way; vectors never shuffle. Callers that
+    * do not need the vector payload drop the `vec` column (the join
+    * path's `first(vec)` aggregate prunes away). An EMPTY eval frame
+    * falls to the join path deliberately, preserving its zero-group
+    * semantics — the gate refuses empty evals at start, and the
+    * rescreen skips empty deltas, so only a contract-violating caller
+    * ever sees that edge.
     */
-  def evalVerdicts(corpus: DataFrame, eval: DataFrame, minCos: Double): DataFrame =
+  def evalVerdicts(corpus: DataFrame, eval: DataFrame, minCos: Double): DataFrame = {
+    val projected = {
+      val head = eval.select(col("e_id").cast("long"), asDouble(col("e_vec")))
+        .limit(IvfAssignMaxProjectedCents + 1).collect()
+      if (head.isEmpty || head.length > IvfAssignMaxProjectedCents) None
+      else Some(head.map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
+        .sortBy(_._1))
+    }
+    projected match {
+      case Some(rows) =>
+        val ids = rows.map(_._1).toIndexedSeq
+        val mat = rows.map(_._2).toIndexedSeq
+        corpus.select(col("vec_id"), col("vec"),
+            (graft.functions.vec_argmax_cos(col("vec"), typedLit(mat)) + 1).as("__i"))
+          .select(col("vec_id"), col("vec"),
+            element_at(typedLit(ids), col("__i")).as("near_eval_id"),
+            cosine(col("vec"), element_at(typedLit(mat), col("__i"))).as("max_cos"))
+          .select(col("vec_id"), col("vec"), col("near_eval_id"), col("max_cos"),
+            when(col("max_cos") >= minCos, lit(1L)).otherwise(lit(0L)).as("flagged"))
+      case None => evalVerdictsJoined(corpus, eval, minCos)
+    }
+  }
+
+  /** The past-the-ceiling verdict path (and the parity spec's
+    * reference): broadcast cross-join + `max_by` argmax, one row per
+    * vector through the exchange. `StreamingDecontamSpec` pins the two
+    * paths verdict-identical on the fixture.
+    */
+  private[graft] def evalVerdictsJoined(corpus: DataFrame, eval: DataFrame,
+                                        minCos: Double): DataFrame =
     corpus.select(col("vec_id"), col("vec"))
       .crossJoin(broadcast(eval.select(col("e_id"), col("e_vec"))))
       .withColumn("cos", cosine(col("vec"), col("e_vec")))

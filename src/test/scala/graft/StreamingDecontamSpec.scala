@@ -186,6 +186,26 @@ class StreamingDecontamSpec extends AnyFunSuite {
     assert(cleanFinal ++ quarFinal == corpus.map(_._1).toSet)
   }
 
+  test("projected verdict kernel == the broadcast-join shape, bit-exact") {
+    // round-15: evalVerdicts is projection-shaped below the task-literal
+    // ceiling (vec_argmax_cos + element_at + one vec_cosine recompute);
+    // the cross-join + max_by shape remains past it. The two must agree
+    // on ids AND doubles (the recomputed winning cosine shares the
+    // VectorCosine fold, so bit-equality is by construction - pinned).
+    import spark.implicits._
+    val (corpus, eval) = fixture()
+    val corpusDf = corpus.toSeq.toDF("vec_id", "vec")
+    val evalCk = eval.localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getLong(4))).toSeq
+    val projected = rows(graft.sim.Similarity.evalVerdicts(
+      corpusDf, evalCk, graft.sim.Similarity.NearDupCos))
+    val joined = rows(graft.sim.Similarity.evalVerdictsJoined(
+      corpusDf, evalCk, graft.sim.Similarity.NearDupCos))
+    assert(projected.nonEmpty && projected == joined)
+  }
+
   test("empty eval frame is refused - the router contract forbids a silent row sink") {
     // ADVICE r14: with zero eval rows the verdict cross-join produces
     // zero groups, so every increment would vanish from BOTH stores —
