@@ -202,14 +202,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"corpus-sized join side:\n$p")
   }
 
-  test("q293_embed_decontam: eval side broadcasts; vectors never sort-merge") {
+  test("q293_embed_decontam: projected verdict - no join at all; vectors never sort-merge") {
     val df = Queries.all("q293_embed_decontam")(spark, dir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    // corpus streams past the benchmark-sized broadcast eval set; the
-    // only hash exchange is the per-vector max_by (one row per vector)
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
-      s"expected broadcast eval side:\n$p")
+    // round-15: below the task-literal ceiling the verdict kernel is a
+    // pure projection (vec_argmax_cos + element_at + one recomputed
+    // cosine) — the eval set rides as a literal, so the plan has NO
+    // join of any kind and the only exchange is the output ordering
+    assert(p.contains("vec_argmax_cos"), s"expected the projected verdict kernel:\n$p")
+    assert(!p.contains("Join"), s"the projected verdict needs no join:\n$p")
     assert(!p.contains("SortMergeJoin"), s"vector-sized join side:\n$p")
   }
 
