@@ -6,7 +6,7 @@ import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.{IntegerType, StringType}
 
 import graft.grok.{GrokExtract, GrokExtractMap, GrokMatch}
-import graft.sim.{VectorArgmaxCos, VectorCosine, VectorDot, VectorL2Sq, VectorNorm}
+import graft.sim.{VectorArgmaxCos, VectorCosine, VectorDot, VectorL2Sq, VectorNorm, VectorTop2Cos}
 
 /** Column-API and SQL surface for the engine's custom expressions. */
 object functions {
@@ -30,6 +30,8 @@ object functions {
   def vec_l2sq(a: Column, b: Column): Column = col(VectorL2Sq(expr(a), expr(b)))
   def vec_argmax_cos(v: Column, cents: Column): Column =
     col(VectorArgmaxCos(expr(v), expr(cents)))
+  def vec_top2_cos(v: Column, cents: Column): Column =
+    col(VectorTop2Cos(expr(v), expr(cents)))
 
   /** Codegen'd rolling polynomial text fingerprint; see [[graft.text.RollingHash]]. */
   def rolling_hash(c: Column): Column = col(graft.text.RollingHash(expr(c)))
@@ -75,6 +77,8 @@ object functions {
     Bridge.registerFunction(spark, "vec_l2sq", es => VectorL2Sq(es.head, es(1)))
     Bridge.registerFunction(spark, "vec_argmax_cos",
       es => VectorArgmaxCos(es.head, es(1)))
+    Bridge.registerFunction(spark, "vec_top2_cos",
+      es => VectorTop2Cos(es.head, es(1)))
     Bridge.registerFunction(spark, "rolling_hash", es => graft.text.RollingHash(es.head))
     Bridge.registerFunction(spark, "deflate_ratio_bp", es => graft.text.DeflateRatio(es.head))
     Bridge.registerFunction(spark, "cdc_chunks", es => graft.text.CdcChunks(es.head))

@@ -198,12 +198,13 @@ object Similarity {
     *
     *  - eval within [[IvfAssignMaxProjectedCents]] rows (every
     *    benchmark-sized gate in practice): ONE whole-stage-codegen
-    *    PROJECTION — [[VectorArgmaxCos]] picks the nearest eval row,
-    *    `element_at` resolves its id, and the winning cosine is
-    *    recomputed once by the same [[VectorCosine]] arithmetic the
-    *    kernel used (bit-identical by shared fold). No join, no
-    *    per-vector aggregate, no exchange — the shape that cut the
-    *    rescreen full-baseline ~10×.
+    *    PROJECTION — [[VectorTop2Cos]] picks the nearest eval row AND
+    *    emits its cosine from the same fold (round-16: one matrix
+    *    literal per task, no recompute — bit-identical to the joined
+    *    twin because the fold runs the [[VectorCosine]] arithmetic
+    *    verbatim per candidate), `element_at` resolves its id. No
+    *    join, no per-vector aggregate, no exchange — the shape that
+    *    cut the rescreen full-baseline ~10×.
     *  - larger eval frames (still inside the caller-enforced broadcast
     *    budget): the broadcast cross-join + `max_by` argmax with
     *    map-side combine — one row per vector through the exchange.
@@ -215,29 +216,46 @@ object Similarity {
     * semantics — the gate refuses empty evals at start, and the
     * rescreen skips empty deltas, so only a contract-violating caller
     * ever sees that edge.
+    *
+    * Element-null contract (ADVICE r15): vector ELEMENTS must be
+    * non-null. The kernels null-propagate (a null element → null
+    * verdict columns, `flagged` falls to 0), while the joined twin's
+    * `max_by` ranks the all-null cosine structs and still emits the
+    * smallest `e_id` — the two paths are pinned identical only over
+    * non-null elements (`VecArgmaxSpec` records the divergence).
     */
-  def evalVerdicts(corpus: DataFrame, eval: DataFrame, minCos: Double): DataFrame = {
-    val projected = {
-      val head = eval.select(col("e_id").cast("long"), asDouble(col("e_vec")))
-        .limit(IvfAssignMaxProjectedCents + 1).collect()
-      if (head.isEmpty || head.length > IvfAssignMaxProjectedCents) None
-      else Some(head.map(r => (r.getLong(0), r.getSeq[Double](1).toIndexedSeq))
-        .sortBy(_._1))
+  def evalVerdicts(corpus: DataFrame, eval: DataFrame, minCos: Double): DataFrame =
+    evalVerdictsCarry(corpus, eval, minCos, Nil)
+
+  /** [[evalVerdicts]] with pass-through columns appended after the
+    * verdict columns (round-16: the selective rescreen carries the
+    * clean store's `batch` partition column so flagged rows name the
+    * dirs to rewrite). The path-decider is [[collectedMat]] — the ONE
+    * bounded-collect preamble shared with [[projectedCents]] (VERDICT
+    * r15 item 3) — and the projected path binds the eval matrix
+    * literal ONCE: [[VectorTop2Cos]] emits the winning index AND the
+    * winning cosine from the same fold, so the former
+    * `element_at(mat, i)` recompute (a second 4 MB task literal at the
+    * ceiling — ADVICE r15) is gone while bit-parity with the joined
+    * twin is preserved by construction (the fold computes each
+    * candidate cosine with the [[VectorCosine]] arithmetic verbatim).
+    */
+  private[graft] def evalVerdictsCarry(corpus: DataFrame, eval: DataFrame,
+                                       minCos: Double,
+                                       carry: Seq[String]): DataFrame =
+    collectedMat(eval, "e_id", "e_vec") match {
+      case Some((ids, mat)) =>
+        val keep = Seq(col("vec_id"), col("vec")) ++ carry.map(col)
+        corpus.select(keep :+
+            graft.functions.vec_top2_cos(col("vec"), typedLit(mat)).as("__t"): _*)
+          .select(keep ++ Seq(
+            idAtIdx(col("__t").getField("i"), ids).as("near_eval_id"),
+            col("__t").getField("c").as("max_cos")): _*)
+          .select(Seq(col("vec_id"), col("vec"), col("near_eval_id"), col("max_cos"),
+            when(col("max_cos") >= minCos, lit(1L)).otherwise(lit(0L)).as("flagged")) ++
+            carry.map(col): _*)
+      case None => evalVerdictsJoined(corpus, eval, minCos, carry)
     }
-    projected match {
-      case Some(rows) =>
-        val ids = rows.map(_._1).toIndexedSeq
-        val mat = rows.map(_._2).toIndexedSeq
-        corpus.select(col("vec_id"), col("vec"),
-            (graft.functions.vec_argmax_cos(col("vec"), typedLit(mat)) + 1).as("__i"))
-          .select(col("vec_id"), col("vec"),
-            element_at(typedLit(ids), col("__i")).as("near_eval_id"),
-            cosine(col("vec"), element_at(typedLit(mat), col("__i"))).as("max_cos"))
-          .select(col("vec_id"), col("vec"), col("near_eval_id"), col("max_cos"),
-            when(col("max_cos") >= minCos, lit(1L)).otherwise(lit(0L)).as("flagged"))
-      case None => evalVerdictsJoined(corpus, eval, minCos)
-    }
-  }
 
   /** The past-the-ceiling verdict path (and the parity spec's
     * reference): broadcast cross-join + `max_by` argmax, one row per
@@ -245,17 +263,19 @@ object Similarity {
     * paths verdict-identical on the fixture.
     */
   private[graft] def evalVerdictsJoined(corpus: DataFrame, eval: DataFrame,
-                                        minCos: Double): DataFrame =
-    corpus.select(col("vec_id"), col("vec"))
+                                        minCos: Double,
+                                        carry: Seq[String] = Nil): DataFrame =
+    corpus.select(Seq(col("vec_id"), col("vec")) ++ carry.map(col): _*)
       .crossJoin(broadcast(eval.select(col("e_id"), col("e_vec"))))
       .withColumn("cos", cosine(col("vec"), col("e_vec")))
       .groupBy(col("vec_id"))
       .agg(max_by(struct(col("cos"), col("e_id")),
           struct(col("cos"), (-col("e_id")).as("n"))).as("b"),
-        first(col("vec")).as("vec"))
-      .select(col("vec_id"), col("vec"), col("b.e_id").as("near_eval_id"),
+        first(col("vec")).as("vec") +: carry.map(c => first(col(c)).as(c)): _*)
+      .select(Seq(col("vec_id"), col("vec"), col("b.e_id").as("near_eval_id"),
         col("b.cos").as("max_cos"),
-        when(col("b.cos") >= minCos, lit(1L)).otherwise(lit(0L)).as("flagged"))
+        when(col("b.cos") >= minCos, lit(1L)).otherwise(lit(0L)).as("flagged")) ++
+        carry.map(col): _*)
 
   /** Near-dup pairs between a corpus snapshot and an increment — the
     * shared emission tail of the incremental embedding chains. Both
@@ -393,14 +413,16 @@ object Similarity {
     */
   val IvfAssignMaxProjectedCents = 8192
 
-  /** The collected ascending-id centroid matrix behind the projected
-    * path, or None when the frame exceeds
-    * [[IvfAssignMaxProjectedCents]] — ONE bounded action (limit K+1,
-    * the q250/q122 bounded-collect discipline) decides the path and
-    * feeds it.
+  /** THE projected-path decider (round-16, VERDICT r15 item 3 — one
+    * definition instead of the `projectedCents`/`evalVerdicts` twins):
+    * collect `(idCol, vecCol)` as an ascending-id matrix when the
+    * frame fits [[IvfAssignMaxProjectedCents]], else None. ONE bounded
+    * action (limit K+1, the q250/q122 bounded-collect discipline)
+    * decides the path and feeds it.
     */
-  private[graft] def projectedCents(cents: DataFrame): Option[(Seq[Long], Seq[Seq[Double]])] = {
-    val head = cents.select(col("c_id").cast("long"), asDouble(col("c_vec")))
+  private[graft] def collectedMat(df: DataFrame, idCol: String, vecCol: String)
+      : Option[(IndexedSeq[Long], IndexedSeq[Seq[Double]])] = {
+    val head = df.select(col(idCol).cast("long"), asDouble(col(vecCol)))
       .limit(IvfAssignMaxProjectedCents + 1).collect()
     if (head.isEmpty || head.length > IvfAssignMaxProjectedCents) None
     else {
@@ -410,14 +432,34 @@ object Similarity {
     }
   }
 
+  /** The collected ascending-id centroid matrix behind the projected
+    * assignment path — [[collectedMat]] over `(c_id, c_vec)`.
+    */
+  private[graft] def projectedCents(cents: DataFrame): Option[(Seq[Long], Seq[Seq[Double]])] =
+    collectedMat(cents, "c_id", "c_vec")
+
+  /** Resolve a 0-based (possibly null) kernel index to its id via the
+    * collected ascending-id literal. The `isNotNull` guard is
+    * LOAD-BEARING (round-16): Spark 4.1's `element_at` with a NULL
+    * index reads the null slot's default value as a FROM-END index and
+    * returns the LAST element instead of null — so an out-of-contract
+    * null-element vector would silently claim the highest id rather
+    * than null-propagating (`VecArgmaxSpec` pins the guard).
+    */
+  private[graft] def idAtIdx(idx: Column, ids: Seq[Long]): Column =
+    when(idx.isNotNull, element_at(typedLit(ids), idx + 1))
+
   /** `list_id` for one vector column against a collected centroid
     * matrix — the [[VectorArgmaxCos]] projection plus the O(1)
     * id lookup. Shared by [[ivfAssign]] and the churn audit
-    * ([[IvfIndex.reindexLists]]), so the two cannot drift.
+    * ([[IvfIndex]]), so the two cannot drift. The kernel index is
+    * referenced twice (null guard + lookup): callers' projections run
+    * under whole-stage codegen where subexpression elimination
+    * evaluates the fold once.
     */
   private[graft] def assignListCol(vec: Column, ids: Seq[Long],
                                    mat: Seq[Seq[Double]]): Column =
-    element_at(typedLit(ids), graft.functions.vec_argmax_cos(vec, typedLit(mat)) + 1)
+    idAtIdx(graft.functions.vec_argmax_cos(vec, typedLit(mat)), ids)
 
   /** IVF assignment: each vector to its nearest coarse-quantizer cell
     * (ties broken by centroid id). `vecs(vec_id, vec)` ×
@@ -436,6 +478,12 @@ object Similarity {
     *  - past the ceiling: broadcast-argmax — `max_by`, not a window
     *    rank, so map-side partial aggregation keeps the exchange at
     *    one row per vector instead of K.
+    *
+    * Element-null contract (ADVICE r15): vector ELEMENTS must be
+    * non-null. The projected kernel null-propagates (null element →
+    * null `list_id`) while the joined twin's `max_by` over all-null
+    * cosines still picks the smallest `c_id` — parity is pinned only
+    * over non-null elements (`VecArgmaxSpec` records the divergence).
     */
   def ivfAssign(vecs: DataFrame, cents: DataFrame): DataFrame =
     projectedCents(cents) match {

@@ -312,6 +312,158 @@ case class VectorArgmaxCos(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** `vec_top2_cos(vec, mat)` → `struct(i int, c double, c2 double)` —
+  * the [[VectorArgmaxCos]] fold extended to emit its own evidence
+  * (round-16, VERDICT r15 item 3 + ADVICE r15): `i` is the 0-based
+  * argmax row of `mat` by cosine against `vec` under the IDENTICAL
+  * comparison (NaN greatest, exact ties keep the lowest index, −0.0
+  * ties 0.0 under IEEE `==`), `c` is the winning cosine emitted from
+  * the SAME fold the comparison used — bit-identical to recomputing
+  * [[VectorCosine]] against the winner, which is why the projected
+  * verdict path can stop paying a second matrix literal and a second
+  * cosine pass — and `c2` is the runner-up cosine under the same
+  * ordering (`Double.NegativeInfinity` for a one-row matrix). The gap
+  * `c − c2` is the per-row WINNING MARGIN the displacement-pruned
+  * churn audit keys on: an assignment can only flip when centroid
+  * movement exceeds it.
+  *
+  * Null `vec`, an empty matrix, or a null element anywhere → null
+  * struct (the vector-kernel contract: element arrays must be
+  * non-null — [[graft.sim.Similarity.ivfAssign]] scaladoc states it).
+  */
+case class VectorTop2Cos(left: Expression, right: Expression)
+    extends BinaryExpression with VectorExprHelpers {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = checkVec(left.dataType, "left")
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else right.dataType match {
+      case ArrayType(ArrayType(FloatType | DoubleType, _), _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName right must be array<array<float|double>>, got $other")
+    }
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("i", IntegerType, nullable = false),
+    StructField("c", DoubleType, nullable = false),
+    StructField("c2", DoubleType, nullable = false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_top2_cos"
+
+  @transient private lazy val lFloat = isFloat(left.dataType)
+  @transient private lazy val rFloat = right.dataType.asInstanceOf[ArrayType]
+    .elementType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val m = b.asInstanceOf[ArrayData]
+    val k = m.numElements()
+    if (k == 0) return null
+    var bestIdx = -1
+    var best = 0.0
+    var second = Double.NegativeInfinity
+    var hasSecond = false
+    var j = 0
+    while (j < k) {
+      if (m.isNullAt(j)) return null
+      val row = m.getArray(j)
+      val n = math.min(x.numElements(), row.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        if (x.isNullAt(i) || row.isNullAt(i)) return null
+        val va = readElem(x, i, lFloat); val vb = readElem(row, i, rFloat)
+        dot += va * vb; na += va * va; nb += vb * vb
+        i += 1
+      }
+      val cos = dot / (math.sqrt(na) * math.sqrt(nb))
+      val beatsBest =
+        if (bestIdx < 0) true
+        else if (java.lang.Double.isNaN(cos)) !java.lang.Double.isNaN(best)
+        else !java.lang.Double.isNaN(best) && cos > best
+      if (beatsBest) {
+        if (bestIdx >= 0) { second = best; hasSecond = true }
+        bestIdx = j; best = cos
+      } else {
+        val beatsSecond =
+          if (!hasSecond) true
+          else if (java.lang.Double.isNaN(cos)) !java.lang.Double.isNaN(second)
+          else !java.lang.Double.isNaN(second) && cos > second
+        if (beatsSecond) { second = cos; hasSecond = true }
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestIdx, best, second))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val n = ctx.freshName("n")
+      val row = ctx.freshName("row")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val va = ctx.freshName("va")
+      val vb = ctx.freshName("vb")
+      val cos = ctx.freshName("cos")
+      val best = ctx.freshName("best")
+      val bestIdx = ctx.freshName("bestIdx")
+      val second = ctx.freshName("second")
+      val hasSecond = ctx.freshName("hasSecond")
+      val beats = ctx.freshName("beats")
+      val outer = ctx.freshName("outer")
+      s"""
+        int $k = $b.numElements();
+        int $bestIdx = -1;
+        double $best = 0.0;
+        double $second = java.lang.Double.NEGATIVE_INFINITY;
+        boolean $hasSecond = false;
+        if ($k == 0) { ${ev.isNull} = true; }
+        $outer:
+        for (int $j = 0; $j < $k; $j++) {
+          if ($b.isNullAt($j)) { ${ev.isNull} = true; break $outer; }
+          org.apache.spark.sql.catalyst.util.ArrayData $row = $b.getArray($j);
+          int $n = java.lang.Math.min($a.numElements(), $row.numElements());
+          double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            if ($a.isNullAt($i) || $row.isNullAt($i)) { ${ev.isNull} = true; break $outer; }
+            double $va = ${readElem(a, i, lFloat)};
+            double $vb = ${readElem(row, i, rFloat)};
+            $dot += $va * $vb; $na += $va * $va; $nb += $vb * $vb;
+          }
+          double $cos = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+          // no ternaries: janino misparses a parenthesized ternary after
+          // || as a cast and the stage silently interprets (round-15)
+          boolean $beats = false;
+          if ($bestIdx < 0) { $beats = true; }
+          else if (java.lang.Double.isNaN($cos)) { $beats = !java.lang.Double.isNaN($best); }
+          else if (!java.lang.Double.isNaN($best) && $cos > $best) { $beats = true; }
+          if ($beats) {
+            if ($bestIdx >= 0) { $second = $best; $hasSecond = true; }
+            $bestIdx = $j; $best = $cos;
+          } else {
+            boolean ${beats}2 = false;
+            if (!$hasSecond) { ${beats}2 = true; }
+            else if (java.lang.Double.isNaN($cos)) { ${beats}2 = !java.lang.Double.isNaN($second); }
+            else if (!java.lang.Double.isNaN($second) && $cos > $second) { ${beats}2 = true; }
+            if (${beats}2) { $second = $cos; $hasSecond = true; }
+          }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          new Object[] { java.lang.Integer.valueOf($bestIdx),
+            java.lang.Double.valueOf($best), java.lang.Double.valueOf($second) });
+      """
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): VectorTop2Cos =
+    copy(left = l, right = r)
+}
+
 /** `vec_l2sq(a, b)`: Σ (a_i−b_i)² over min(|a|,|b|) elements — the
   * squared Euclidean distance product-quantization codebooks train
   * and score on. Sequential left-to-right accumulation, bit-identical

@@ -206,11 +206,12 @@ class PlanShapeSpec extends AnyFunSuite {
     val df = Queries.all("q293_embed_decontam")(spark, dir)
     df.collect()
     val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    // round-15: below the task-literal ceiling the verdict kernel is a
-    // pure projection (vec_argmax_cos + element_at + one recomputed
-    // cosine) — the eval set rides as a literal, so the plan has NO
-    // join of any kind and the only exchange is the output ordering
-    assert(p.contains("vec_argmax_cos"), s"expected the projected verdict kernel:\n$p")
+    // round-16: below the task-literal ceiling the verdict kernel is a
+    // pure projection (vec_top2_cos emitting the winning index AND its
+    // cosine from one fold + element_at) — the eval set rides as ONE
+    // literal, so the plan has NO join of any kind and the only
+    // exchange is the output ordering
+    assert(p.contains("vec_top2_cos"), s"expected the projected verdict kernel:\n$p")
     assert(!p.contains("Join"), s"the projected verdict needs no join:\n$p")
     assert(!p.contains("SortMergeJoin"), s"vector-sized join side:\n$p")
   }
