@@ -108,17 +108,46 @@ object StreamingDecontam {
     requireEvalFits(eval, dims)
     val ev = eval.select(col("e_id"), col("e_vec")).localCheckpoint()
     if (managedEval) ensureEval(vectors.sparkSession, cleanPath, ev)
+    recoverRescreen(vectors.sparkSession, cleanPath) // heal a crashed rescreen
+    val cache = new ManagedEvalCache(cleanPath)
     vectors.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val evNow = if (managedEval)
-          currentEval(spark, cleanPath).getOrElse(ev) else ev
+        val evNow = if (managedEval) cache.current(spark).getOrElse(ev) else ev
         gateBatch(batch.select(col(idCol).as("vec_id"), col(embCol).as("vec")),
           batchId, evNow, cleanPath, quarantinePath, minCos)
       }
       .start()
+  }
+
+  /** Per-gate cache of the managed eval frame, keyed by GENERATION
+    * (round-16, VERDICT r15 item 4): the generation number makes the
+    * re-read free to skip — each micro-batch pays one metadata
+    * `listStatus` ([[currentEvalGen]]); the parquet read + projection-
+    * literal collect happen only when the generation actually changed
+    * (a [[publishEval]] mid-stream). The cached frame is materialized
+    * ([[Dedup.materialize]] — eager, GC-freed), so reuse across
+    * batches re-reads nothing. `reads` counts the parquet loads — the
+    * spec's observable.
+    */
+  private[graft] final class ManagedEvalCache(cleanPath: String) {
+    val reads = new java.util.concurrent.atomic.AtomicLong(0L)
+    private var gen = -1L
+    private var frame: Option[DataFrame] = None
+    def current(spark: SparkSession): Option[DataFrame] = synchronized {
+      currentEvalGen(spark, cleanPath) match {
+        case None => None
+        case Some(g) =>
+          if (g != gen || frame.isEmpty) {
+            frame = Some(Dedup.materialize(evalAt(spark, cleanPath, g)))
+            gen = g
+            reads.incrementAndGet(): Unit
+          }
+          frame
+      }
+    }
   }
 
   /** One gated batch — package-visible so the spec can drive replay
@@ -219,7 +248,12 @@ object StreamingDecontam {
 
   /** The generation the committed clean store has been screened
     * against (the `.screened-gen` watermark; the seed generation 0
-    * when the marker is absent).
+    * when the marker is absent). An UNPARSABLE marker (ADVICE r15: a
+    * crash inside the marker write used to leave an empty file whose
+    * `.toLong` wedged every later rescreen) also reads as the seed
+    * generation 0 — safe because re-screening from an older generation
+    * is idempotent and conservative: the delta only grows, the
+    * verdicts recompute identically.
     */
   def screenedGen(spark: SparkSession, cleanPath: String): Long = {
     val m = screenedMarker(cleanPath)
@@ -227,58 +261,91 @@ object StreamingDecontam {
     if (!hfs.exists(m)) 0L
     else {
       val in = hfs.open(m)
-      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      val txt = try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).trim
       finally in.close()
+      txt.toLongOption.filter(_ >= 0L).getOrElse(0L)
     }
   }
 
+  /** Staged write + delete + atomic rename (ADVICE r15 — the same
+    * publish discipline as [[publishEval]] and the quarantine dir): a
+    * crash anywhere leaves either the old marker, no marker (reads as
+    * gen 0 — conservative), or the new marker; never a truncated file
+    * a reader chokes on (and [[screenedGen]] tolerates even that).
+    */
   private def writeScreenedGen(spark: SparkSession, cleanPath: String,
                                gen: Long): Unit = {
     val m = screenedMarker(cleanPath)
     val hfs = StreamingDedup.fs(spark, m)
-    val out = hfs.create(m, true)
+    val tmp = new Path(cleanPath, ".screened-gen.tmp")
+    hfs.delete(tmp, false)
+    val out = hfs.create(tmp, true)
     out.write(gen.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out.close()
+    hfs.delete(m, false)
+    if (!hfs.rename(tmp, m))
+      throw new java.io.IOException(s"screened-gen publish failed: $m")
   }
 
-  /** What a [[rescreenClean]] run did — the economics row. `moved` is
-    * the newly-flagged rows now in quarantine; `evalDeltaRows` the
-    * only axis the verdict cost scales on.
+  /** What a [[rescreenClean]] run did — the economics row.
+    * `evalDeltaRows` is the only axis the VERDICT cost scales on;
+    * `moved` the newly-flagged rows now in quarantine;
+    * `dirsRewritten`/`bytesRewritten` of `dirsTotal` the WRITE bill —
+    * round-16: ∝ the batch dirs that actually contain flagged rows,
+    * never the store.
     */
   final case class RescreenStats(fromGen: Long, toGen: Long,
-                                 evalDeltaRows: Long, moved: Long)
+                                 evalDeltaRows: Long, moved: Long,
+                                 dirsTotal: Long = 0L,
+                                 dirsRewritten: Long = 0L,
+                                 bytesRewritten: Long = 0L)
 
-  /** INCREMENTAL RE-SCREEN (round-15, VERDICT r14 item 2): bring the
+  private val RescreenStagingName = ".rescreen-clean-staging"
+  private val RescreenMarkerName = ".rescreen-commit"
+  private val RescreenRetiredPrefix = ".rescreen-retired-"
+
+  /** INCREMENTAL RE-SCREEN (round-15, VERDICT r14 item 2; round-16,
+    * VERDICT r15 item 1 — the write bill made selective): bring the
     * committed clean store up to the current eval generation by
     * screening it against ONLY the new eval rows. One pass over the
     * clean store against a broadcast eval-DELTA frame (the
-    * [[Similarity.evalVerdicts]] kernel — O(clean × delta) cosines,
-    * map-side, nothing shuffles), then newly-flagged rows MOVE
-    * clean → quarantine:
+    * [[Similarity.evalVerdicts]] kernel with the `batch` partition
+    * column carried — O(clean × delta) cosines, map-side, nothing
+    * shuffles), then newly-flagged rows MOVE clean → quarantine.
     *
-    *  - quarantine gains `batch=<2^40 + toGen>` with the verdict
-    *    columns (staged write + atomic rename; an existing target is a
-    *    prior run's complete output and WINS — rescreen output is
-    *    never clobbered by a replay that recomputes from an
-    *    already-cleaned store);
-    *  - the clean store is rewritten WITHOUT the flagged rows through
-    *    the shared compact skeleton
-    *    ([[StreamingDedup.compactStateAs]], `minParts = 1`): stage →
-    *    commit marker → retire/publish, so a kill at any point rolls
-    *    back (clean untouched, rerun recomputes the identical
-    *    verdicts) or forward (clean published; the quarantine dir was
-    *    fully committed BEFORE the marker, so the moved rows exist);
-    *  - the `.screened-gen` watermark advances LAST; a rerun after any
-    *    crash converges (flagged recomputes as empty on an
-    *    already-cleaned store, the existing quarantine dir is kept,
-    *    the rewrite republishes identical rows).
+    * The REWRITE is ∝ affected dirs, not the corpus (the
+    * [[graft.sim.IvfIndex.reindexLists]] selective discipline
+    * transposed): flagged rows name their `batch=` dirs, ONLY those
+    * dirs are re-staged without the flagged rows, and every other
+    * dir's files stay byte-for-byte untouched — the r15 shape merged
+    * and republished the ENTIRE store per eval-generation bump even
+    * when 100 rows moved out of 100 TB. Order of operations:
     *
-    * Returns None when the store is already at the current generation.
-    * QUIESCED like every maintenance verb on a batch-keyed store: run
-    * it with the gate stopped or from the gate's own epilogue — a
-    * reader racing the retire/publish window can see a partial clean
-    * store.
+    *  1. quarantine gains `batch=<2^40 + toGen>` with the verdict
+    *     columns (staged write + atomic rename; an existing target is
+    *     a prior run's complete output and WINS), committed BEFORE any
+    *     clean-store marker — if the clean rewrite publishes, the
+    *     moved rows provably exist;
+    *  2. replacements for the affected dirs land under ONE staging
+    *     root (`.rescreen-clean-staging/batch=<id>`, a dir per
+    *     affected id — an all-flagged dir stages an empty one);
+    *  3. the commit marker (`.rescreen-commit`: toGen + affected ids)
+    *     is the point of no return — before it a crash rolls BACK
+    *     (staging dropped, store untouched, rerun recomputes identical
+    *     verdicts); after it [[recoverRescreen]] rolls FORWARD
+    *     (per-dir retire → publish, every step idempotent);
+    *  4. the `.screened-gen` watermark advances LAST; a rerun after
+    *     any crash converges (flagged recomputes as empty on an
+    *     already-cleaned store, the existing quarantine dir is kept).
+    *
+    * A missing watermark-generation dir (ADVICE r15: a store seeded
+    * directly at gen ≥ 1) screens against the FULL `toGen` set — the
+    * conservative fallback, not a path error. Returns None when the
+    * store is already at the current generation. QUIESCED like every
+    * maintenance verb on a batch-keyed store: run it with the gate
+    * stopped or from the gate's own epilogue — a reader racing the
+    * retire/publish window can see a partial clean store.
     */
   def rescreenClean(spark: SparkSession, cleanPath: String,
                     quarantinePath: String,
@@ -292,42 +359,179 @@ object StreamingDecontam {
     val fromGen = screenedGen(spark, cleanPath)
     if (toGen <= fromGen) None
     else {
-      // the DELTA: new generation minus watermark generation, by e_id —
-      // benchmark-sized by the publish guard, broadcast like the gate's
-      // eval frame
-      val delta = Dedup.materialize(
-        evalAt(spark, cleanPath, toGen)
-          .join(evalAt(spark, cleanPath, fromGen).select(col("e_id")),
-            Seq("e_id"), "left_anti"))
-      val deltaRows = delta.count()
-      var moved = 0L
-      if (deltaRows > 0L) {
-        val hfsQ = StreamingDedup.fs(spark, new Path(quarantinePath))
-        val qTarget = new Path(quarantinePath,
-          s"batch=${RescreenBatchBase + toGen}")
-        StreamingDedup.compactStateAs(spark, cleanPath, Long.MaxValue,
-          lockTtlMs, minParts = 1) { (merged, _, staging) =>
-          val verdicts = Dedup.materialize(
-            Similarity.evalVerdicts(merged, delta, minCos))
-          val flagged = verdicts.filter(col("flagged") === 1L)
+      val root = new Path(cleanPath)
+      val hfs = StreamingDedup.fs(spark, root)
+      graft.pipeline.Compaction.withLock(hfs, root, lockTtlMs) {
+        StreamingDedup.recoverIfNeeded(spark, cleanPath) // pre-r16 compact litter
+        recoverRescreenLocked(hfs, root) // a crashed selective rescreen
+        // the DELTA: new generation minus watermark generation, by
+        // e_id — benchmark-sized by the publish guard, broadcast like
+        // the gate's eval frame. A store seeded at gen >= 1 has no
+        // watermark dir: screen against the full toGen set.
+        val fromIds =
+          if (hfs.exists(new Path(evalRoot(cleanPath), s"gen=$fromGen")))
+            evalAt(spark, cleanPath, fromGen).select(col("e_id"))
+          else evalAt(spark, cleanPath, toGen).select(col("e_id")).limit(0)
+        val delta = Dedup.materialize(
+          evalAt(spark, cleanPath, toGen).join(fromIds, Seq("e_id"), "left_anti"))
+        val deltaRows = delta.count()
+        val dirsAll = StreamingDedup.batchDirs(hfs, root)
+        var moved = 0L
+        var dirsRewritten = 0L
+        var bytesRewritten = 0L
+        if (deltaRows > 0L && dirsAll.nonEmpty) {
+          val store = spark.read.option("basePath", cleanPath)
+            .parquet(dirsAll.map(_._1.toString): _*)
+          // ONE verdict pass, batch carried through the projection —
+          // only the flagged rows (∝ contamination) materialize
+          val flagged = Dedup.materialize(
+            Similarity.evalVerdictsCarry(
+                store.select(col("vec_id"), col("vec"), col("batch")),
+                delta, minCos, Seq("batch"))
+              .filter(col("flagged") === 1L)
+              .select(col("vec_id"), col("vec"), col("near_eval_id"),
+                col("max_cos"), col("batch").cast("long").as("batch")))
           moved = flagged.count()
-          if (moved > 0L && !hfsQ.exists(qTarget)) {
-            val qStaging = new Path(quarantinePath, ".rescreen-staging")
-            hfsQ.delete(qStaging, true)
-            flagged.select(col("vec_id"), col("vec"),
-                col("near_eval_id"), col("max_cos"))
-              .write.mode("overwrite").parquet(qStaging.toString)
-            if (!hfsQ.exists(qTarget) && !hfsQ.rename(qStaging, qTarget))
-              throw new java.io.IOException(s"rescreen publish failed: $qTarget")
-            hfsQ.delete(qStaging, true): Unit
+          if (moved > 0L) {
+            // 1. quarantine FIRST (committed before the clean marker)
+            val hfsQ = StreamingDedup.fs(spark, new Path(quarantinePath))
+            val qTarget = new Path(quarantinePath,
+              s"batch=${RescreenBatchBase + toGen}")
+            if (!hfsQ.exists(qTarget)) {
+              val qStaging = new Path(quarantinePath, ".rescreen-staging")
+              hfsQ.delete(qStaging, true)
+              flagged.select(col("vec_id"), col("vec"),
+                  col("near_eval_id"), col("max_cos"))
+                .write.mode("overwrite").parquet(qStaging.toString)
+              if (!hfsQ.exists(qTarget) && !hfsQ.rename(qStaging, qTarget))
+                throw new java.io.IOException(s"rescreen publish failed: $qTarget")
+              hfsQ.delete(qStaging, true): Unit
+            }
+            // 2. stage replacements for ONLY the affected dirs (the
+            // bounded collect is <= dir count rows)
+            val affected = flagged.select(col("batch")).distinct()
+              .collect().map(_.getLong(0)).sorted
+            dirsRewritten = affected.length.toLong
+            val staging = new Path(root, RescreenStagingName)
+            hfs.delete(staging, true)
+            store.filter(col("batch").isin(affected.toIndexedSeq: _*))
+              .join(flagged.select(col("vec_id")), Seq("vec_id"), "left_anti")
+              .select(col("vec_id"), col("vec"), col("batch"))
+              .repartition(col("batch"))
+              .write.mode("overwrite").partitionBy("batch")
+              .parquet(staging.toString)
+            // an all-flagged dir stages no subdir: make its (empty)
+            // replacement explicit so publish retires the live dir
+            affected.foreach { b =>
+              val sd = new Path(staging, s"batch=$b")
+              if (!hfs.exists(sd)) hfs.mkdirs(sd): Unit
+            }
+            bytesRewritten = allBytes(hfs, staging)
+            // 3. commit marker: toGen + the affected ids
+            val marker = new Path(root, RescreenMarkerName)
+            val out = hfs.create(marker, true)
+            out.write((toGen.toString +: affected.map(_.toString))
+              .mkString("\n")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            out.close()
+            // 4. retire/publish the affected dirs, idempotently
+            publishRescreen(hfs, root)
           }
-          verdicts.filter(col("flagged") === 0L)
-            .select(col("vec_id"), col("vec"))
-            .write.mode("overwrite").parquet(staging)
+        }
+        writeScreenedGen(spark, cleanPath, toGen)
+        Some(RescreenStats(fromGen, toGen, deltaRows, moved,
+          dirsAll.size.toLong, dirsRewritten, bytesRewritten))
+      }
+    }
+  }
+
+  /** Post-marker publish, idempotent at every resume point: for each
+    * marker-listed id with a staged replacement — retire the live dir
+    * (skip if its retired twin already exists: that means THIS run
+    * already retired it), move the staged dir in, — then drop staging,
+    * the MARKER, and finally the retired twins. The marker goes before
+    * the twins (the [[graft.sim.IvfIndex]] ordering argument): once
+    * the marker is gone this publish can never replay, so the twins
+    * are pure garbage; a crash mid-cleanup leaves litter the no-marker
+    * recovery path disposes of (restore a twin only when its live dir
+    * is missing).
+    */
+  private def publishRescreen(hfs: org.apache.hadoop.fs.FileSystem,
+                              root: Path): Unit = {
+    val marker = new Path(root, RescreenMarkerName)
+    val lines = {
+      val in = hfs.open(marker)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8).split("\n").toSeq
+      finally in.close()
+    }
+    val affected = lines.tail.map(_.trim).filter(_.nonEmpty)
+    val staging = new Path(root, RescreenStagingName)
+    affected.foreach { id =>
+      val live = new Path(root, s"batch=$id")
+      val retired = new Path(root, s"${RescreenRetiredPrefix}batch=$id")
+      val staged = new Path(staging, s"batch=$id")
+      if (hfs.exists(staged)) {
+        if (hfs.exists(live) && hfs.exists(retired)) {
+          // live + retired together = live is this run's published
+          // output (retire precedes move) — the staged copy is a
+          // duplicate from an unreachable-by-grammar state; drop it
+          hfs.delete(staged, true): Unit
+        } else {
+          if (hfs.exists(live) && !hfs.rename(live, retired))
+            throw new java.io.IOException(s"rescreen failed to retire $live")
+          if (!hfs.rename(staged, live))
+            throw new java.io.IOException(s"rescreen failed to publish $staged")
         }
       }
-      writeScreenedGen(spark, cleanPath, toGen)
-      Some(RescreenStats(fromGen, toGen, deltaRows, moved))
     }
+    hfs.delete(staging, true)
+    hfs.delete(marker, false)
+    hfs.listStatus(root).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith(RescreenRetiredPrefix))
+      .foreach(p => hfs.delete(p, true))
+  }
+
+  /** Self-healing entry for the selective rescreen's crash windows:
+    * marker present → roll FORWARD ([[publishRescreen]]); staging or
+    * retired litter with no marker → roll BACK (staging dropped;
+    * a retired twin is restored only when its live dir is missing,
+    * deleted otherwise). [[startGate]] calls this on start;
+    * [[rescreenClean]] heals under its own lock.
+    */
+  def recoverRescreen(spark: SparkSession, cleanPath: String,
+                      lockTtlMs: Long = 60 * 60 * 1000L): Unit = {
+    val root = new Path(cleanPath)
+    val hfs = StreamingDedup.fs(spark, root)
+    if (hfs.exists(root) && (
+        hfs.exists(new Path(root, RescreenMarkerName)) ||
+        hfs.exists(new Path(root, RescreenStagingName)) ||
+        hfs.listStatus(root).exists(
+          _.getPath.getName.startsWith(RescreenRetiredPrefix))))
+      graft.pipeline.Compaction.withLock(hfs, root, lockTtlMs) {
+        recoverRescreenLocked(hfs, root)
+      }
+  }
+
+  private def recoverRescreenLocked(hfs: org.apache.hadoop.fs.FileSystem,
+                                    root: Path): Unit = {
+    if (!hfs.exists(root)) return
+    if (hfs.exists(new Path(root, RescreenMarkerName))) publishRescreen(hfs, root)
+    else {
+      hfs.delete(new Path(root, RescreenStagingName), true)
+      hfs.listStatus(root).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith(RescreenRetiredPrefix)).foreach { r =>
+          val live = new Path(root, r.getName.stripPrefix(RescreenRetiredPrefix))
+          if (!hfs.exists(live)) { hfs.rename(r, live): Unit }
+          else hfs.delete(r, true): Unit
+        }
+    }
+  }
+
+  private def allBytes(hfs: org.apache.hadoop.fs.FileSystem, p: Path): Long = {
+    val it = hfs.listFiles(p, true)
+    var total = 0L
+    while (it.hasNext) total += it.next().getLen
+    total
   }
 }

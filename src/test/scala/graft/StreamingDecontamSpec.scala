@@ -134,8 +134,10 @@ class StreamingDecontamSpec extends AnyFunSuite {
     assert(expectMoved.contains(targetId), "planted leak not even self-flagged")
 
     val stats = StreamingDecontam.rescreenClean(spark, cleanP, quarP)
-    assert(stats.contains(StreamingDecontam.RescreenStats(0L, 1L, 1L,
-      expectMoved.size.toLong)), stats)
+    assert(stats.map(s => (s.fromGen, s.toGen, s.evalDeltaRows, s.moved))
+      .contains((0L, 1L, 1L, expectMoved.size.toLong)), stats)
+    // round-16: the rewrite touched only the dirs holding flagged rows
+    assert(stats.exists(s => s.dirsRewritten <= s.dirsTotal && s.dirsRewritten > 0L), stats)
     assert(StreamingDecontam.screenedGen(spark, cleanP) == 1L)
 
     val cleanAfter = spark.read.parquet(cleanP)
@@ -174,8 +176,8 @@ class StreamingDecontamSpec extends AnyFunSuite {
       .filter(col("flagged") === 1L).select("vec_id")
       .collect().map(_.getLong(0)).toSet
     val stats2 = StreamingDecontam.rescreenClean(spark, cleanP, quarP)
-    assert(stats2.contains(StreamingDecontam.RescreenStats(1L, 2L, 1L,
-      expect2.size.toLong)), stats2)
+    assert(stats2.map(s => (s.fromGen, s.toGen, s.evalDeltaRows, s.moved))
+      .contains((1L, 2L, 1L, expect2.size.toLong)), stats2)
     val cleanFinal = spark.read.parquet(cleanP)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(cleanFinal == cleanAfter -- expect2)
@@ -184,6 +186,174 @@ class StreamingDecontamSpec extends AnyFunSuite {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(cleanFinal.intersect(quarFinal).isEmpty)
     assert(cleanFinal ++ quarFinal == corpus.map(_._1).toSet)
+  }
+
+  test("selective rescreen (VERDICT r15 item 1): only the flagged dir rewrites, the others stay byte-identical") {
+    // 4 gate batch dirs at the TIGHT threshold (the fixture has no
+    // tight pairs, so every row lands clean); a verbatim-copy plant
+    // catches exactly its source row, which lives in exactly ONE dir —
+    // the other 3 dirs' files must remain byte-for-byte untouched
+    // (path set, length, mtime), the r15 full-store republish bill
+    // made ∝ affected dirs.
+    val root = Files.createTempDirectory("graft_sdecontam_sel").toString
+    import spark.implicits._
+    val (corpus, eval) = fixture()
+    val evalCk = eval.localCheckpoint()
+    val cleanP = s"$root/clean"
+    val quarP = s"$root/quarantine"
+    val tight = graft.sim.Similarity.DecontamTightCos
+    (0L until 4L).foreach { b =>
+      val inc = corpus.filter(_._1 % 4 == b).toDF("vec_id", "vec")
+      StreamingDecontam.gateBatch(inc, b, evalCk, cleanP, quarP, tight)
+    }
+    StreamingDecontam.ensureEval(spark, cleanP, evalCk)
+    assert(spark.read.parquet(cleanP).count() == corpus.size.toLong,
+      "tight gate should flag nothing on this fixture")
+
+    def inventory(skipDot: Boolean = true): Map[String, (Long, Long)] = {
+      val hfs = new org.apache.hadoop.fs.Path(cleanP)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = hfs.listFiles(new org.apache.hadoop.fs.Path(cleanP), true)
+      val b = Map.newBuilder[String, (Long, Long)]
+      while (it.hasNext) {
+        val f = it.next()
+        val rel = f.getPath.toString.stripPrefix(s"file:$cleanP/")
+        if (!skipDot || !rel.startsWith(".")) b += rel -> (f.getLen, f.getModificationTime)
+      }
+      b.result()
+    }
+    val before = inventory()
+
+    val target = corpus.find(_._1 % 4 == 2L).get // lives in batch=2
+    StreamingDecontam.publishEval(spark, cleanP, 1L,
+      evalCk.unionAll(Seq((4000000000L, target._2)).toDF("e_id", "e_vec")))
+    val stats = StreamingDecontam.rescreenClean(spark, cleanP, quarP, minCos = tight)
+    assert(stats.exists(s => s.moved == 1L && s.dirsRewritten == 1L &&
+      s.dirsTotal == 4L && s.bytesRewritten > 0L), stats)
+
+    val after = inventory()
+    def outside(m: Map[String, (Long, Long)]) = m.filterNot(_._1.startsWith("batch=2/"))
+    assert(outside(before) == outside(after),
+      "files outside the affected dir must be byte/mtime-identical")
+    assert(before.keySet.filter(_.startsWith("batch=2/")) !=
+      after.keySet.filter(_.startsWith("batch=2/")),
+      "the affected dir must have been republished")
+    // and the row really moved
+    assert(!spark.read.parquet(cleanP).select("vec_id")
+      .collect().map(_.getLong(0)).contains(target._1))
+    assert(spark.read.parquet(
+        s"$quarP/batch=${StreamingDecontam.RescreenBatchBase + 1L}")
+      .select("vec_id").collect().map(_.getLong(0)).toSeq == Seq(target._1))
+  }
+
+  test("unparsable .screened-gen watermark reads as gen 0; rescreen stays conservative (ADVICE r15)") {
+    val root = Files.createTempDirectory("graft_sdecontam_wm").toString
+    import spark.implicits._
+    val (corpus, eval) = fixture()
+    val evalCk = eval.localCheckpoint()
+    val cleanP = s"$root/clean"
+    val quarP = s"$root/quarantine"
+    val tight = graft.sim.Similarity.DecontamTightCos
+    StreamingDecontam.gateBatch(corpus.take(60).toDF("vec_id", "vec"),
+      0L, evalCk, cleanP, quarP, tight)
+    StreamingDecontam.ensureEval(spark, cleanP, evalCk)
+    // a crash mid-write used to leave a truncated marker whose
+    // .toLong wedged every later rescreen — forge one
+    val hfs = new org.apache.hadoop.fs.Path(cleanP)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = new org.apache.hadoop.fs.Path(cleanP, ".screened-gen")
+    val out = hfs.create(m, true)
+    out.write("garb".getBytes("UTF-8")); out.close()
+    assert(StreamingDecontam.screenedGen(spark, cleanP) == 0L)
+    val target = corpus.take(60).head
+    StreamingDecontam.publishEval(spark, cleanP, 1L,
+      evalCk.unionAll(Seq((4000000001L, target._2)).toDF("e_id", "e_vec")))
+    val stats = StreamingDecontam.rescreenClean(spark, cleanP, quarP, minCos = tight)
+    assert(stats.exists(s => s.fromGen == 0L && s.toGen == 1L && s.moved == 1L), stats)
+    assert(StreamingDecontam.screenedGen(spark, cleanP) == 1L)
+  }
+
+  test("store seeded at gen >= 1 rescreens against the full set instead of a path error (ADVICE r15)") {
+    val root = Files.createTempDirectory("graft_sdecontam_seed").toString
+    import spark.implicits._
+    val (corpus, eval) = fixture()
+    val evalCk = eval.localCheckpoint()
+    val cleanP = s"$root/clean"
+    val quarP = s"$root/quarantine"
+    val tight = graft.sim.Similarity.DecontamTightCos
+    StreamingDecontam.gateBatch(corpus.take(60).toDF("vec_id", "vec"),
+      0L, evalCk, cleanP, quarP, tight)
+    val target = corpus.take(60).head
+    // seed DIRECTLY at generation 3 — no gen-0 dir, no watermark
+    StreamingDecontam.publishEval(spark, cleanP, 3L,
+      evalCk.unionAll(Seq((4000000002L, target._2)).toDF("e_id", "e_vec")))
+    val evalRows = evalCk.count() + 1L
+    val stats = StreamingDecontam.rescreenClean(spark, cleanP, quarP, minCos = tight)
+    // the fallback screens against the FULL gen-3 set (delta = all)
+    assert(stats.exists(s => s.fromGen == 0L && s.toGen == 3L &&
+      s.evalDeltaRows == evalRows && s.moved == 1L), stats)
+  }
+
+  test("managed gate caches the eval frame by generation (VERDICT r15 item 4)") {
+    val root = Files.createTempDirectory("graft_sdecontam_cache").toString
+    import spark.implicits._
+    val (_, eval) = fixture()
+    val evalCk = eval.localCheckpoint()
+    val cleanP = s"$root/clean"
+    StreamingDecontam.ensureEval(spark, cleanP, evalCk)
+    val cache = new StreamingDecontam.ManagedEvalCache(cleanP)
+    (1 to 3).foreach(_ => assert(cache.current(spark).isDefined))
+    assert(cache.reads.get() == 1L,
+      "three batches at an unchanged generation must read the eval parquet once")
+    StreamingDecontam.publishEval(spark, cleanP, 1L,
+      evalCk.unionAll(Seq((4000000003L, Seq.fill(64)(0.1f).toSeq)).toDF("e_id", "e_vec")))
+    val ev1 = cache.current(spark)
+    assert(cache.reads.get() == 2L, "a mid-stream publish must trigger exactly one re-read")
+    assert(ev1.get.count() == evalCk.count() + 1L)
+    cache.current(spark)
+    assert(cache.reads.get() == 2L)
+  }
+
+  test("rescreen crash windows: a marker rolls forward, staging without a marker rolls back") {
+    val root = Files.createTempDirectory("graft_sdecontam_crash").toString
+    import spark.implicits._
+    val (corpus, eval) = fixture()
+    val evalCk = eval.localCheckpoint()
+    val cleanP = s"$root/clean"
+    val quarP = s"$root/quarantine"
+    val tight = graft.sim.Similarity.DecontamTightCos
+    (0L until 2L).foreach { b =>
+      StreamingDecontam.gateBatch(
+        corpus.filter(_._1 % 2 == b).toDF("vec_id", "vec"),
+        b, evalCk, cleanP, quarP, tight)
+    }
+    val hfs = new org.apache.hadoop.fs.Path(cleanP)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val b0 = spark.read.parquet(s"$cleanP/batch=0")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    // forge a crashed run: staged replacement for batch=0 missing one
+    // row, marker present -> recovery must publish it and leave batch=1
+    // alone
+    b0.tail.toDF("vec_id", "vec").write.mode("overwrite")
+      .parquet(s"$cleanP/.rescreen-clean-staging/batch=0")
+    val marker = new org.apache.hadoop.fs.Path(cleanP, ".rescreen-commit")
+    val out = hfs.create(marker, true)
+    out.write("9\n0".getBytes("UTF-8")); out.close()
+    val b1Before = spark.read.parquet(s"$cleanP/batch=1").count()
+    StreamingDecontam.recoverRescreen(spark, cleanP)
+    assert(spark.read.parquet(s"$cleanP/batch=0").count() == b0.size - 1L)
+    assert(spark.read.parquet(s"$cleanP/batch=1").count() == b1Before)
+    assert(!hfs.exists(marker))
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(cleanP, ".rescreen-clean-staging")))
+    assert(!hfs.listStatus(new org.apache.hadoop.fs.Path(cleanP))
+      .exists(_.getPath.getName.startsWith(".rescreen-retired-")))
+    // pre-marker crash: staging litter with NO marker rolls back
+    b0.toDF("vec_id", "vec").write.mode("overwrite")
+      .parquet(s"$cleanP/.rescreen-clean-staging/batch=1")
+    StreamingDecontam.recoverRescreen(spark, cleanP)
+    assert(spark.read.parquet(s"$cleanP/batch=1").count() == b1Before,
+      "a pre-marker crash must leave the store untouched")
+    assert(!hfs.exists(new org.apache.hadoop.fs.Path(cleanP, ".rescreen-clean-staging")))
   }
 
   test("projected verdict kernel == the broadcast-join shape, bit-exact") {
