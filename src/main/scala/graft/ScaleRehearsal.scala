@@ -793,6 +793,15 @@ object ScaleRehearsal {
       val loop2Sec = (System.nanoTime() - tLoop2) / 1e9
       probeSec() // warm
       val probeSteady = Seq.fill(3)(probeSec()).sorted.apply(1)
+      // round-16 (VERDICT r15 item 2): firing 3 = the SAME converged
+      // steady state with the displacement prune bypassed
+      // (fullAuditEvery = 1) — the r15 recurring bill re-measured on
+      // this box, so pruned-vs-full is a same-run comparison
+      val tLoop3 = System.nanoTime()
+      val stats3 = graft.streaming.StreamingIvf.maybeReindex(spark, idx,
+        batchId = 24, relayoutEvery = 4, everyRelayouts = 2, minChurnBp = 1000L,
+        fullAuditEvery = 1)
+      val loop3Sec = (System.nanoTime() - tLoop3) / 1e9
       println(s"""{"metric":"scale_rehearsal_lifecycle2","scale":"${mult}x","rows":$rows,""" +
         s""""lists":447,"ingest_sec":${f"$ingestSec%.2f"},""" +
         s""""migration_epilogue_sec":${f"$loopSec%.2f"},""" +
@@ -801,6 +810,10 @@ object ScaleRehearsal {
         s""""steady_epilogue_sec":${f"$loop2Sec%.2f"},""" +
         s""""steady_lists_rewritten":${stats2.map(_.listsRewritten).getOrElse(-1L)},""" +
         s""""steady_rows_rewritten":${stats2.map(_.rowsRewritten).getOrElse(-1L)},""" +
+        s""""steady_lists_pruned":${stats2.map(_.listsPruned).getOrElse(-1L)},""" +
+        s""""steady_lists_audited":${stats2.map(_.listsAudited).getOrElse(-1L)},""" +
+        s""""steady_full_epilogue_sec":${f"$loop3Sec%.2f"},""" +
+        s""""steady_full_lists_rewritten":${stats3.map(_.listsRewritten).getOrElse(-1L)},""" +
         s""""probe_before_sec":${f"$probeBefore%.2f"},""" +
         s""""probe_after_sec":${f"$probeAfter%.2f"},""" +
         s""""probe_steady_sec":${f"$probeSteady%.2f"}}""")

