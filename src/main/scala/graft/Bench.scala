@@ -478,7 +478,15 @@ object Bench {
     // full-medians detail for 298 queries existed nowhere afterwards.
     // Explicit SPARK_GRAFT_BENCH_OUT still wins (the way a round-named
     // full record is taken: BENCH_FULL_full_r14.json).
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", s"BENCH_FULL_$scope.json")
+    // CPU-qualified since round-17 (ADVICE r16 medium): the driver's
+    // 8-CPU scaling run reuses this harness with SPARK_GRAFT_CPUS=8 and
+    // clobbered the round-16 32-CPU headline detail — the exact failure
+    // class the scope qualifier fixed for full-vs-headline. Any core
+    // count other than the canonical 32 now writes its own
+    // `_c<cpus>` file; the stdout line's "detail" field names it.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (cpus == "32") s"BENCH_FULL_$scope.json"
+      else s"BENCH_FULL_${scope}_c$cpus.json")
     val (line, detail) = render(mode, scope, head,
       if (mode == "dual") legacyR else Seq.empty, tail, runs, outPath, sfDir,
       canary = Some((canaryStart, canaryEnd)), budgetNeededSec = budgetNeeded)

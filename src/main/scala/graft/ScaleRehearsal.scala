@@ -802,6 +802,18 @@ object ScaleRehearsal {
         batchId = 24, relayoutEvery = 4, everyRelayouts = 2, minChurnBp = 1000L,
         fullAuditEvery = 1)
       val loop3Sec = (System.nanoTime() - tLoop3) / 1e9
+      // round-17 (persisted Lloyd sample): firing 4 = the SAME
+      // converged steady state with the sample sidecar FORFEITED
+      // (deleted — the pre-r17 refine path: the hash-mod filter pays
+      // the full merged-generation read), so sidecar-vs-fallback is a
+      // same-run comparison isolating the refine's read bill
+      val sampleRoot = graft.streaming.StreamingIvf.lloydSampleRoot(idx)
+      sampleRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(sampleRoot, true)
+      val tLoop4 = System.nanoTime()
+      val stats4 = graft.streaming.StreamingIvf.maybeReindex(spark, idx,
+        batchId = 32, relayoutEvery = 4, everyRelayouts = 2, minChurnBp = 1000L)
+      val loop4Sec = (System.nanoTime() - tLoop4) / 1e9
       println(s"""{"metric":"scale_rehearsal_lifecycle2","scale":"${mult}x","rows":$rows,""" +
         s""""lists":447,"ingest_sec":${f"$ingestSec%.2f"},""" +
         s""""migration_epilogue_sec":${f"$loopSec%.2f"},""" +
@@ -814,6 +826,8 @@ object ScaleRehearsal {
         s""""steady_lists_audited":${stats2.map(_.listsAudited).getOrElse(-1L)},""" +
         s""""steady_full_epilogue_sec":${f"$loop3Sec%.2f"},""" +
         s""""steady_full_lists_rewritten":${stats3.map(_.listsRewritten).getOrElse(-1L)},""" +
+        s""""steady_nosample_epilogue_sec":${f"$loop4Sec%.2f"},""" +
+        s""""steady_nosample_lists_rewritten":${stats4.map(_.listsRewritten).getOrElse(-1L)},""" +
         s""""probe_before_sec":${f"$probeBefore%.2f"},""" +
         s""""probe_after_sec":${f"$probeAfter%.2f"},""" +
         s""""probe_steady_sec":${f"$probeSteady%.2f"}}""")
@@ -945,10 +959,24 @@ object ScaleRehearsal {
         .select("vec_id", "flagged")
         .queryExecution.toRdd.count(): Unit
       val tFull = (System.nanoTime() - tF0) / 1e9
+      // round-17: the write bill made visible (VERDICT r15 item 1's
+      // "done" row) — dirs/bytes rewritten must track the AFFECTED
+      // dirs, never the store (the r16 selective per-dir rewrite)
+      def rw(s: Option[graft.streaming.StreamingDecontam.RescreenStats]): String =
+        s""""dirs_total":${s.map(_.dirsTotal).getOrElse(-1L)},""" +
+          s""""dirs_rewritten":${s.map(_.dirsRewritten).getOrElse(-1L)},""" +
+          s""""bytes_rewritten":${s.map(_.bytesRewritten).getOrElse(-1L)}"""
+      val cleanBytes = {
+        val p = new org.apache.hadoop.fs.Path(cleanP)
+        val hfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        hfs.getContentSummary(p).getLength
+      }
       println(s"""{"metric":"scale_rehearsal_rescreen","scale":"${mult}x","rows":$rows,""" +
-        s""""eval_rows":$evalRows,"clean_rows":$cleanRows,""" +
+        s""""eval_rows":$evalRows,"clean_rows":$cleanRows,"clean_bytes":$cleanBytes,""" +
         f""""rescreen_d100_sec":$tA%.2f,"moved_d100":${sA.map(_.moved).getOrElse(-1L)},""" +
+        s""""d100_rw":{${rw(sA)}},""" +
         f""""rescreen_d1000_sec":$tB%.2f,"moved_d1000":${sB.map(_.moved).getOrElse(-1L)},""" +
+        s""""d1000_rw":{${rw(sB)}},""" +
         f""""full_rescreen_verdict_sec":$tFull%.2f}""")
       spark.stop(); return
     }

@@ -56,16 +56,48 @@ import graft.sim.{IvfIndex, Similarity}
   */
 object StreamingIvf {
 
+  /** Base sampling modulus of the PERSISTED Lloyd sample (round-17 —
+    * the last corpus-sized term in the steady cadence bill): each
+    * append also writes its increment's 1-in-[[LloydSampleEvery]]
+    * hash-mod rows under `indexPath/.lloyd-sample/batch=<id>`, so the
+    * reindex epilogue's sampled refine reads sample-sized state
+    * instead of filtering the whole merged generation (the filter is
+    * not pushable — every (vec_id, vec) data page was read and 7/8
+    * discarded, a corpus read per firing at 100 TB). The persisted
+    * rate must be AT LEAST the refine's wanted rate
+    * ([[lloydSampleMod]] — `mod >= smod`, with `smod | mod'`) or the
+    * refine falls back to the direct filter; 8 keeps the fast path
+    * live from fixture scale up (wanted mod caps at 100 = the 1%
+    * floor, so any power-of-two base up to ~64 stays usable at scale —
+    * a petabyte store trades sidecar bytes for read cost by raising
+    * the append-time param). Sidecar state is corpus/`smod` bytes.
+    */
+  val LloydSampleEvery = 8L
+
+  private[graft] def lloydSampleRoot(indexPath: String) =
+    new Path(indexPath, ".lloyd-sample")
+
   /** One micro-batch into the index; returns the (materialized)
     * assigned increment. Call from `foreachBatch(batch, batchId)`.
     * Heals a crashed re-layout first ([[StreamingDedup.recoverIfNeeded]]
     * — same litter grammar), so a maintainer restart after a kill
     * inside the re-layout window rolls the store forward before
     * touching it.
+    *
+    * Round-17: also appends the increment's 1-in-`sampleEvery`
+    * hash-mod rows to the Lloyd-sample sidecar (see
+    * [[LloydSampleEvery]]) — an O(increment) write over the already-
+    * materialized assignment, the same overwrite-idempotent replay
+    * discipline as the main dir (a crash between the two writes is a
+    * crash inside the batch's commit window: the replay republishes
+    * BOTH dirs from the same `< batchId` snapshot). `sampleEvery <= 1`
+    * disables the sidecar (the pre-r17 layout); the refine then pays
+    * the direct corpus filter, as before.
     */
   def appendBatchPersistent(indexPath: String, batch: DataFrame, batchId: Long,
                             cents: DataFrame, idCol: String = "vec_id",
-                            embCol: String = "embedding"): DataFrame = {
+                            embCol: String = "embedding",
+                            sampleEvery: Long = LloydSampleEvery): DataFrame = {
     val spark = batch.sparkSession
     StreamingDedup.recoverIfNeeded(spark, indexPath)
     recoverReindexLitter(spark, indexPath)
@@ -78,6 +110,12 @@ object StreamingIvf {
     assigned.repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id")
       .parquet(s"$indexPath/batch=$batchId")
+    if (sampleEvery > 1L)
+      assigned.filter(pmod(xxhash64(col("vec_id")), lit(sampleEvery)) === 0L)
+        .select(col("vec_id"), col("vec"), lit(sampleEvery).as("smod"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(new Path(lloydSampleRoot(indexPath), s"batch=$batchId").toString)
     assigned
   }
 
@@ -92,12 +130,24 @@ object StreamingIvf {
     * largest merged id); only the staging writer differs.
     */
   def relayoutState(spark: SparkSession, indexPath: String, upToBatchId: Long,
-                    lockTtlMs: Long = 60 * 60 * 1000L): Unit =
+                    lockTtlMs: Long = 60 * 60 * 1000L): Unit = {
     StreamingDedup.compactStateAs(spark, indexPath, upToBatchId, lockTtlMs) {
       (merged, _, staging) =>
         merged.repartition(col("list_id"))
           .write.mode("overwrite").partitionBy("list_id").parquet(staging)
     }
+    // the Lloyd-sample sidecar is itself a batch-dir store: compact it
+    // in lockstep (same horizon, same marker/recovery skeleton, its own
+    // lock inside its own root) so its dir-id set tracks the main
+    // store's — [[persistedLloydSample]]'s validity check is exactly
+    // that set equality. A crash between the two compactions diverges
+    // the sets for one firing (refine falls back to the direct filter
+    // — conservative, never wrong) and the next relayout re-converges.
+    val sr = lloydSampleRoot(indexPath)
+    if (StreamingDedup.fs(spark, sr).exists(sr))
+      StreamingDedup.compactState(spark, sr.toString, upToBatchId,
+        lockTtlMs = lockTtlMs)
+  }
 
   /** Re-layout cadence as a `foreachBatch` epilogue — the epilogue IS
     * the quiesce window and `batchId - 1` is committed by construction
@@ -230,14 +280,42 @@ object StreamingIvf {
     * sampling (the r14 full-corpus behavior).
     */
   def lloydRefine(rows: DataFrame, cents: DataFrame, iters: Int,
-                  samplePerCentroid: Long = 50L): DataFrame = {
+                  samplePerCentroid: Long = 50L,
+                  persisted: Option[DataFrame] = None): DataFrame = {
     var cur = cents.select(col("c_id"),
       Similarity.asDouble(col("c_vec")).as("c_vec"))
     val base = if (samplePerCentroid <= 0L) rows else {
       val mod = lloydSampleMod(rows.count(), cur.count(), samplePerCentroid)
       if (mod <= 1L) rows
-      else Dedup.materialize(
-        rows.filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0L))
+      // round-17: a PERSISTED sample (`(vec_id, vec, smod)` — see
+      // [[LloydSampleEvery]]) replaces the corpus-read filter whenever
+      // its base rate is at least the wanted rate: with every recorded
+      // smod dividing mod' = max(B, ⌊mod/B⌋·B) for B = max smod,
+      // {h % mod' == 0} ⊆ {h % smod == 0} row-by-row, so the subfilter
+      // over the sidecar lands the SAME deterministic hash-mod sample
+      // a direct corpus filter at mod' would — at sample-sized read
+      // cost. mod' ≤ mod keeps the sample at least target-sized
+      // (slightly larger = slightly more E/M work, never fewer rows).
+      // Any doubt (no sidecar, mixed non-dividing rates, wanted rate
+      // finer than the base) falls back to the direct filter.
+      else {
+        val fromSidecar = persisted.flatMap { s =>
+          val smods = s.select(col("smod")).distinct()
+            .collect().map(_.getLong(0))
+          if (smods.isEmpty) None
+          else {
+            val b = smods.max
+            if (smods.exists(x => b % x != 0L) || mod < b) None
+            else {
+              val modP = math.max(b, mod / b * b)
+              Some(s.filter(pmod(xxhash64(col("vec_id")), lit(modP)) === 0L)
+                .select(col("vec_id"), col("vec")))
+            }
+          }
+        }
+        Dedup.materialize(fromSidecar.getOrElse(
+          rows.filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0L)))
+      }
     }
     for (_ <- 1 to iters) {
       val m = Similarity.ivfAssign(base, cur)
@@ -300,6 +378,36 @@ object StreamingIvf {
     * that re-measures every margin from data (`0` disables the
     * backstop; the decay math keeps the prune sound without it).
     */
+  /** The merged generation's persisted Lloyd sample, iff it provably
+    * covers it (round-17): the sidecar dir twin-named to the merged
+    * dir must exist AND the two stores' batch-id sets must be equal —
+    * append writes both dirs per batch and [[relayoutState]] compacts
+    * both at the same horizon, so under the store discipline the sets
+    * track exactly; any divergence (pre-r17 store, a direct writer
+    * that bypassed [[appendBatchPersistent]], a crash between the twin
+    * writes or compactions) makes the check fail and the refine fall
+    * back to the direct corpus filter — the margin-stats rule:
+    * forfeited evidence is a cost, never an error.
+    */
+  private[graft] def persistedLloydSample(spark: SparkSession,
+                                          indexPath: String,
+                                          mergedDir: Path): Option[DataFrame] = {
+    val root = new Path(indexPath)
+    val hfs = StreamingDedup.fs(spark, root)
+    val sr = lloydSampleRoot(indexPath)
+    if (!hfs.exists(sr)) None
+    else {
+      StreamingDedup.recoverIfNeeded(spark, sr.toString) // crashed sidecar compaction
+      val twin = new Path(sr, mergedDir.getName)
+      val mainIds = StreamingDedup.batchDirs(hfs, root).map(_._2).toSet
+      val sampleIds = StreamingDedup.batchDirs(hfs, sr).map(_._2).toSet
+      if (hfs.exists(twin) && mainIds == sampleIds)
+        Some(spark.read.parquet(twin.toString)
+          .select(col("vec_id"), col("vec"), col("smod")))
+      else None
+    }
+  }
+
   def maybeReindex(spark: SparkSession, indexPath: String, batchId: Long,
                    relayoutEvery: Int, everyRelayouts: Int,
                    minChurnBp: Long = 2000L, lloydIters: Int = 1,
@@ -339,7 +447,8 @@ object StreamingIvf {
               "seed one with ensureQuantizer"))
         val rows = spark.read.parquet(dir.toString)
           .select(col("vec_id"), col("vec"))
-        val refined = lloydRefine(rows, cur, lloydIters)
+        val refined = lloydRefine(rows, cur, lloydIters,
+          persisted = persistedLloydSample(spark, indexPath, dir))
         val gen = currentQuantizerGen(spark, indexPath).getOrElse(0L)
         val prune = fullAuditEvery <= 0 || (gen + 1) % fullAuditEvery != 0
         val stats = IvfIndex.reindexLists(spark, dir.toString, refined,
