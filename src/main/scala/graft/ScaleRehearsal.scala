@@ -814,6 +814,15 @@ object ScaleRehearsal {
       val stats4 = graft.streaming.StreamingIvf.maybeReindex(spark, idx,
         batchId = 32, relayoutEvery = 4, everyRelayouts = 2, minChurnBp = 1000L)
       val loop4Sec = (System.nanoTime() - tLoop4) / 1e9
+      // firing 5: sidecar BACKFILLED on the same converged store — the
+      // adjacent-in-time twin of firing 4, so sidecar-vs-fallback is
+      // read off two consecutive firings instead of across the run's
+      // heat gradient
+      graft.streaming.StreamingIvf.backfillLloydSample(spark, idx)
+      val tLoop5 = System.nanoTime()
+      val stats5 = graft.streaming.StreamingIvf.maybeReindex(spark, idx,
+        batchId = 40, relayoutEvery = 4, everyRelayouts = 2, minChurnBp = 1000L)
+      val loop5Sec = (System.nanoTime() - tLoop5) / 1e9
       println(s"""{"metric":"scale_rehearsal_lifecycle2","scale":"${mult}x","rows":$rows,""" +
         s""""lists":447,"ingest_sec":${f"$ingestSec%.2f"},""" +
         s""""migration_epilogue_sec":${f"$loopSec%.2f"},""" +
@@ -828,6 +837,8 @@ object ScaleRehearsal {
         s""""steady_full_lists_rewritten":${stats3.map(_.listsRewritten).getOrElse(-1L)},""" +
         s""""steady_nosample_epilogue_sec":${f"$loop4Sec%.2f"},""" +
         s""""steady_nosample_lists_rewritten":${stats4.map(_.listsRewritten).getOrElse(-1L)},""" +
+        s""""steady_sample_epilogue_sec":${f"$loop5Sec%.2f"},""" +
+        s""""steady_sample_lists_rewritten":${stats5.map(_.listsRewritten).getOrElse(-1L)},""" +
         s""""probe_before_sec":${f"$probeBefore%.2f"},""" +
         s""""probe_after_sec":${f"$probeAfter%.2f"},""" +
         s""""probe_steady_sec":${f"$probeSteady%.2f"}}""")

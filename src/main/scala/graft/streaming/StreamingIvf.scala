@@ -308,8 +308,16 @@ object StreamingIvf {
             if (smods.exists(x => b % x != 0L) || mod < b) None
             else {
               val modP = math.max(b, mod / b * b)
-              Some(s.filter(pmod(xxhash64(col("vec_id")), lit(modP)) === 0L)
-                .select(col("vec_id"), col("vec")))
+              // the sidecar is written one file per batch (and compacted
+              // to few files), so its scan is 1–2 partitions — fan the
+              // refine base out to the session parallelism or every
+              // E/M-step below runs serial (the single-split-parquet
+              // trap; measured: the 100× steady refine went 4× SLOWER
+              // from the sidecar before this line)
+              Some(Dedup.fanOut(
+                s.filter(pmod(xxhash64(col("vec_id")), lit(modP)) === 0L)
+                  .select(col("vec_id"), col("vec")),
+                col("vec_id")))
             }
           }
         }
@@ -405,6 +413,31 @@ object StreamingIvf {
         Some(spark.read.parquet(twin.toString)
           .select(col("vec_id"), col("vec"), col("smod")))
       else None
+    }
+  }
+
+  /** One-off sidecar BACKFILL for a store that predates the persisted
+    * Lloyd sample (or lost it): one read of each committed batch dir
+    * that is missing its twin writes the twin. Idempotent (existing
+    * twins are kept; a crash mid-way leaves a partial sidecar whose
+    * id-set mismatch keeps the refine on the fallback until a rerun
+    * completes it). After this, every cadence firing's refine reads
+    * sample-sized state instead of the corpus — one corpus read buys
+    * all future ones back.
+    */
+  def backfillLloydSample(spark: SparkSession, indexPath: String,
+                          sampleEvery: Long = LloydSampleEvery): Unit = {
+    require(sampleEvery > 1L, s"sampleEvery must be > 1: got $sampleEvery")
+    val root = new Path(indexPath)
+    val hfs = StreamingDedup.fs(spark, root)
+    val sr = lloydSampleRoot(indexPath)
+    StreamingDedup.batchDirs(hfs, root).foreach { case (dir, id) =>
+      val twin = new Path(sr, s"batch=$id")
+      if (!hfs.exists(twin))
+        spark.read.parquet(dir.toString)
+          .filter(pmod(xxhash64(col("vec_id")), lit(sampleEvery)) === 0L)
+          .select(col("vec_id"), col("vec"), lit(sampleEvery).as("smod"))
+          .coalesce(1).write.mode("overwrite").parquet(twin.toString)
     }
   }
 

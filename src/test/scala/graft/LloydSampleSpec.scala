@@ -201,6 +201,21 @@ class LloydSampleSpec extends AnyFunSuite {
     assert(got == centsOf(StreamingIvf.lloydRefine(rows, cents, 1)))
   }
 
+  test("backfill: a pre-r17 store adopts the sidecar with one corpus read") {
+    val idx = buildStore("backfill", sampleEvery = 0L)
+    fullRelayout(idx)
+    assert(StreamingIvf.persistedLloydSample(spark, idx, mergedDir(idx)).isEmpty)
+    StreamingIvf.backfillLloydSample(spark, idx)
+    val persisted = StreamingIvf.persistedLloydSample(spark, idx, mergedDir(idx))
+    assert(persisted.isDefined)
+    val store = spark.read.parquet(idx).select("vec_id", "vec")
+    assert(idsOf(persisted.get) ==
+      idsOf(store.filter(pmod(xxhash64(col("vec_id")), lit(8L)) === 0L)))
+    // idempotent: a second backfill rewrites nothing (twin exists)
+    StreamingIvf.backfillLloydSample(spark, idx)
+    assert(StreamingIvf.persistedLloydSample(spark, idx, mergedDir(idx)).isDefined)
+  }
+
   test("cadence composition: maybeReindex consumes the sidecar and leaves it valid") {
     val idx = buildStore("cadence", sampleEvery = 8L)
     StreamingIvf.ensureQuantizer(spark, idx, cents)
