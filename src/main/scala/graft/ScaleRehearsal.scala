@@ -934,7 +934,16 @@ object ScaleRehearsal {
       // planted deltas: verbatim copies of committed-clean vectors
       // under fresh e_ids (guaranteed catches the gen-0 screen missed)
       import spark.implicits._
+      // round-17: plants drawn from ONE batch dir (vec_id % 8 == 3 =
+      // the dir key) so the selective rewrite has locality to exploit —
+      // the previous consecutive-id pick spread 100 plants across all
+      // 8 dirs and dirs_rewritten read 8/8 regardless of delta size,
+      // which demonstrates the fixture, not the operator. Contamination
+      // with batch-dir locality is also the production shape: a leaked
+      // benchmark enters the corpus in the ingest window around its
+      // release.
       val picked = spark.read.parquet(cleanP).select(col("vec_id"), col("vec"))
+        .filter(pmod(col("vec_id"), lit(8L)) === 3L)
         .orderBy("vec_id").limit(1100).collect()
         .map(r => r.getSeq[Double](1).toSeq)
       // plant ids OUTSIDE the corpus id space (max corpus id ~10^9):
